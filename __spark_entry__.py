@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (SURVEY.md §7 milestone 0) on
+sf0.001; ``queries()`` / ``oracle_sql()`` expose every implemented
+fixture query from SURVEY.md §2 plus the north-star extensions
+(§2.12), backed by the ``nextbus2pg_spark`` package.
 """
 
 from __future__ import annotations
@@ -13,26 +12,36 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from nextbus2pg_spark.plans import ORACLE, QUERIES
+from nextbus2pg_spark.session import apply_runtime_confs
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    "Latest position per vehicle per service, enriched with dims" — the
+    reference's hot path (agency.py:239-324) as one batch plan:
+    scan → event-time → dedup (A2) → broadcast dim join (J2) →
+    deterministic top-1 (J5/W2).
+    """
+    apply_runtime_confs(spark)
+    return QUERIES["q_flagship_latest"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 / §2.12."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def with_confs(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: with_confs(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL per query; keys absent here (q_keygen_uuid,
+    q_lsh_topk) are nondeterministic/approximate → rows-only check."""
+    return dict(ORACLE)

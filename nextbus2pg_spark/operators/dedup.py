@@ -1,0 +1,191 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard
+(SURVEY.md §2.6 A1-A4 for the exact forms; §2.12 north-star for near-dup).
+
+Design for 100 TB:
+- Exact dedup is a hash aggregate on the dedup key — map-side partial
+  aggregation means only distinct keys shuffle.
+- Near-dup never compares all pairs. MinHash signatures are computed
+  per-document (embarrassingly parallel), then LSH banding turns
+  similarity search into an equi-join on (band, band_hash) — the only
+  shuffle is on band buckets, and the verify step runs only on candidate
+  pairs.
+- All hashing is md5-based and *engine-portable* (lexicographic min over
+  hex strings is a valid min-hash family), so every step can be
+  oracle-checked against ANSI SQL — no opaque JVM hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Exact dedup on a key (A1/A2: ``SELECT DISTINCT ON`` semantics)."""
+    return df.dropDuplicates(key_cols)
+
+
+def dedup_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact-content dedup summary: one row per distinct text.
+
+    Returns ``(text_md5, keeper_id, n_copies)`` where the keeper is the
+    minimum id — a deterministic survivor choice (the reference's
+    DISTINCT ON leaves it arbitrary; SURVEY.md §7 hard-part #2 says don't).
+    """
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle) rows.
+
+    Splits on single spaces (cheap, codegen'd), slides an n-window via
+    ``transform(sequence(...))`` — all JVM-side array ops, no UDF.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n_shingles = F.size(words) - F.lit(n - 1)
+    # Guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], so short
+    # docs must map to an empty array explicitly.
+    shingles = F.when(
+        n_shingles < 1, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_shingles, F.lit(1))),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_perm: int = 8
+) -> DataFrame:
+    """Per-(id, perm) MinHash values over a (id, shingle) relation.
+
+    Permutation *i* is "sort shingles by ``md5(i || ':' || shingle)``";
+    the signature entry is the lexicographic minimum of those hex
+    digests. Portable across engines (md5 + string min), and a genuine
+    min-wise independent family per band.
+    """
+    perms = shingled.sparkSession.range(num_perm).withColumnRenamed("id", "perm")
+    hashed = shingled.crossJoin(F.broadcast(perms)).select(
+        "id",
+        "perm",
+        F.md5(F.concat_ws(":", F.col("perm"), F.col("shingle"))).alias("h"),
+    )
+    return hashed.groupBy("id", "perm").agg(F.min("h").alias("minh"))
+
+
+def lsh_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Fold signatures into LSH band hashes → (id, band, band_hash)."""
+    sig_in_band = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("perm", "minh"))),
+            lambda x: x["minh"],
+        ),
+        "|",
+    )
+    return (
+        signatures.withColumn("band", F.expr(f"perm div {rows_per_band}"))
+        .groupBy("id", "band")
+        .agg(F.md5(sig_in_band).alias("band_hash"))
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs sharing any LSH band bucket.
+
+    The equi-join on (band, band_hash) is the scale trick: no all-pairs
+    comparison ever happens; bucket sizes bound the join fan-out.
+    """
+    a = bands.select(
+        F.col("id").alias("id_a"), "band", "band_hash"
+    )
+    b = bands.select(F.col("id").alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame, candidates: DataFrame
+) -> DataFrame:
+    """Exact Jaccard similarity for candidate pairs over shingle sets.
+
+    ``|A ∩ B|`` via an equi-join on shingle restricted to candidate
+    pairs; sizes via a grouped count. Output: (id_a, id_b, jaccard).
+    """
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingled.select(F.col("id").alias("id_a"), "shingle")
+    b = shingled.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .join(candidates, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_bit_vote(text_words: Column, bit: Column) -> Column:
+    """Portable per-bit SimHash vote for one word: +1 / -1.
+
+    Bit *b* of word *w* is 1 iff the first hex digit of
+    ``md5(b || ':' || w)`` is < '8' — a balanced, engine-portable bit.
+    (Used by the fixture query; the vectorized form lives in
+    ``simhash``.)
+    """
+    h = F.md5(F.concat_ws(":", bit, text_words))
+    return F.when(F.substring(h, 1, 1) < F.lit("8"), F.lit(1)).otherwise(F.lit(-1))
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint per document → (id, simhash).
+
+    Explodes words × bit positions, sums votes per bit, packs bits whose
+    vote is >= 0. Near-dup docs then differ in few bits; pairing is a
+    self-join on band slices of the fingerprint (same LSH idea as
+    MinHash). ``bits`` stays small for oracle fixtures; the library
+    default is fine up to 64.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(words).alias("word")
+    )
+    bit_ids = df.sparkSession.range(bits).withColumnRenamed("id", "bit")
+    votes = (
+        exploded.crossJoin(F.broadcast(bit_ids))
+        .groupBy("id", "bit")
+        .agg(F.sum(simhash_bit_vote(F.col("word"), F.col("bit"))).alias("vote"))
+    )
+    bit_value = F.round(F.pow(F.lit(2.0), F.col("bit")), 0).cast("long")
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("vote") >= 0, bit_value).otherwise(F.lit(0))
+        ).alias("simhash")
+    )

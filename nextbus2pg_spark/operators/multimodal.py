@@ -1,0 +1,171 @@
+"""Multimodal column plumbing (SURVEY.md §2.12).
+
+Images/audio/video are opaque ``binary`` columns plus a typed metadata
+struct. The Spark-side plumbing — schemas, Arrow-batched UDF signatures,
+partition sizing — is real and tested; the actual codec calls are
+stubbed (``NotImplementedError``) or replaced by deterministic fakes
+because no media libraries ship in this container.
+
+Scale notes:
+- Media bytes dominate row size: repartition by target partition byte
+  budget before any mapInPandas stage so each Arrow batch stays within
+  executor memory (``target_rows_per_partition``).
+- Decode/extract runs in ``mapInPandas`` — one Python worker per
+  partition, Arrow transfer, no per-row pickling.
+- Frame sampling returns an array<binary> column so downstream explodes
+  are plannable (Catalyst sees the cardinality via size()).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical media row schema: opaque payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType(), True),
+                    StructField("height", IntegerType(), True),
+                    StructField("sample_rate", IntegerType(), True),
+                    StructField("n_frames", IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", IntegerType(), True),
+        StructField("byte_mean", IntegerType(), True),
+        StructField("head_hex", StringType(), True),
+    ]
+)
+
+
+def fake_media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table derived from the documents fixture.
+
+    Payload = UTF-8 bytes of the text (a stand-in blob); metadata derived
+    from doc stats. Lets every downstream stage run end-to-end.
+    """
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            (F.col("n_chars") % 30).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def repartition_for_media(df: DataFrame, target_rows_per_partition: int = 1024) -> DataFrame:
+    """Bound Arrow batch memory: media rows are big, so cap rows/partition.
+
+    At 100 TB this is the difference between streaming through executors
+    and OOMing them; pair with
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+    n = max(df.rdd.getNumPartitions(), 1)
+    # Cheap heuristic without a count(): scale partitions up only.
+    return df.repartition(max(n, df.sparkSession.sparkContext.defaultParallelism))
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode stub: the real implementation would call PIL/libav here.
+
+    Raises ``NotImplementedError`` at execution time — the Spark plan,
+    schema, and batch shape are real; only the codec is absent in this
+    container. Use ``extract_features`` for the deterministic-fake path.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "media codecs (PIL/soundfile/av) are not available in this "
+            "container; use extract_features() or frame_sample() which run "
+            "on the deterministic fake payloads"
+        )
+
+    return df.mapInPandas(_decode, schema=MEDIA_SCHEMA)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over media payload bytes.
+
+    Deterministic fake 'feature extractor' (byte stats + head hex) with
+    the exact mapInPandas shape a real embedding/CNN stage would use.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payload.map(lambda b: len(b) if b is not None else 0),
+                    "byte_mean": payload.map(
+                        lambda b: int(sum(b) / len(b)) if b else 0
+                    ),
+                    "head_hex": payload.map(
+                        lambda b: bytes(b[:8]).hex() if b else ""
+                    ),
+                }
+            )
+
+    return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame sampling stub: slice payload into fixed-size 'frames'.
+
+    Real video frame extraction is codec work; the Spark-side contract —
+    array<binary> output column with bounded fan-out — is what matters
+    for planning and is exercised here.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frames", ArrayType(BinaryType()), True),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = pdf["payload"].map(
+                lambda b: [
+                    bytes(b[i : i + every_n_bytes])
+                    for i in range(0, len(b), every_n_bytes)
+                ]
+                if b is not None
+                else []
+            )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "frames": frames})
+
+    return df.mapInPandas(_sample, schema=out_schema)

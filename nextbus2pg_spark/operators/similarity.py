@@ -1,0 +1,184 @@
+"""Embedding similarity search (SURVEY.md §2.12 north-star).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small)
+query set against the full corpus — the corpus side never shuffles, the
+dot product is a JVM-side array fold (``zip_with`` + ``aggregate``), and
+the top-k is a per-query window.
+
+The scale path is LSH bucketing (random-hyperplane signs): each vector
+gets a short binary signature from deterministic pseudo-random planes;
+candidates share a signature prefix, so search becomes an equi-join on
+buckets. Recall is tunable via number of tables/prefix length. An IVF
+variant would swap the signature for a nearest-centroid id (KMeans fit),
+same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential in-order double fold — deterministic, engine-portable."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
+    """Attach the L2 norm (computed once per vector, reused per pair)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn(out_col, F.sqrt(_dot(v, v)))
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    d = _dot(
+        F.transform(a, lambda x: x.cast("double")),
+        F.transform(b, lambda x: x.cast("double")),
+    )
+    return d / (norm_a * norm_b)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k per query (broadcast brute force).
+
+    Output: (query_id, match_id, sim) with deterministic ordering:
+    rounded sim DESC, match_id ASC. Self-matches excluded.
+    """
+    c = with_norm(corpus, vec_col, "t_norm").select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("t_vec"),
+        "t_norm",
+    )
+    q = with_norm(queries, vec_col, "q_norm").select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "q_norm",
+    )
+    sim = cosine(F.col("q_vec"), F.col("t_vec"), F.col("q_norm"), F.col("t_norm"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "sim", "rank")
+    )
+
+
+def _plane_component(table: int, bit: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5).
+
+    Derived from an md5 digest so it is reproducible across runs and
+    engines without a seed exchange: take 6 hex digits → 24-bit int →
+    scale. (conv() stays exact: 24 bits << 2^53.)
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(table), bit, dim)), 1, 6
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h / F.lit(float(1 << 24)) - F.lit(0.5)
+
+
+def lsh_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bits: int = 8,
+    table: int = 0,
+) -> DataFrame:
+    """Random-hyperplane LSH signature per vector → (id, sig string).
+
+    sign(v · plane_b) per bit b, packed into a bit string. Vectors close
+    in cosine angle collide with high probability; the signature is an
+    equi-joinable bucket key.
+    """
+    spark = df.sparkSession
+    dims = spark.range(1000).limit(  # upper bound; trimmed by zip_with
+        n_bits
+    )
+    del dims  # planes are generated per-bit inside the expression below
+
+    bits = []
+    for b in range(n_bits):
+        plane = F.transform(
+            F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+            lambda d, b=b: _plane_component(table, F.lit(b), d),
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                plane,
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(
+        F.col(id_col).alias("id"), F.concat(*bits).alias("bucket")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: exact cosine, restricted to same-bucket pairs.
+
+    One equi-join on the LSH bucket replaces the cross join — this is the
+    100 TB shape. Increase recall by unioning multiple tables (different
+    ``table`` seeds) or shortening the matched prefix.
+    """
+    c = lsh_signatures(corpus, id_col, vec_col, n_bits).join(
+        with_norm(corpus, vec_col, "t_norm").select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("t_vec"), "t_norm"
+        ),
+        "id",
+    ).withColumnRenamed("id", "match_id")
+    q = lsh_signatures(queries, id_col, vec_col, n_bits).join(
+        with_norm(queries, vec_col, "q_norm").select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("q_vec"), "q_norm"
+        ),
+        "id",
+    ).withColumnRenamed("id", "query_id")
+    sim = F.round(
+        cosine(F.col("q_vec"), F.col("t_vec"), F.col("q_norm"), F.col("t_norm")), 6
+    )
+    pairs = (
+        c.join(q, "bucket")
+        .where(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "sim", "rank")
+    )

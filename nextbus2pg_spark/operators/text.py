@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.12):
+language id, quality scoring, token counting, document fingerprinting.
+
+Everything is built from portable, codegen-friendly string expressions
+(replace/length arithmetic, one anchored regex) — no Python in the hot
+path, and every operator has an exact ANSI-SQL oracle formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Marker words per language for the n-gram-free heuristic language id.
+#: Chosen to be high-frequency closed-class words; extend freely.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "et"),
+}
+
+#: Deterministic tie-break priority (first wins on equal scores).
+LANG_PRIORITY: tuple[str, ...] = ("en", "de", "es", "fr")
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences via replace-length arithmetic.
+
+    Portable to any SQL engine (no regex dialect dependence):
+    ``(len(s) - len(replace(s, needle, ''))) / len(needle)``.
+    """
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def word_marker_count(text: Column, word: str) -> Column:
+    """Occurrences of ``word`` as a whole token (space-delimited)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return occurrence_count(padded, f" {word} ")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language."""
+    out: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        score: Column | None = None
+        for m in markers:
+            c = word_marker_count(text, m)
+            score = c if score is None else score + c
+        assert score is not None
+        out[lang] = score
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language = argmax marker score, priority-ordered ties."""
+    scores = lang_scores(text)
+    expr = F.lit(LANG_PRIORITY[-1])
+    # Build the CASE chain back-to-front so earlier languages win ties.
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        cond = None
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def n_words(text: Column) -> Column:
+    """Whitespace token count via space arithmetic (single-spaced text)."""
+    spaces = F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit("")))
+    return (spaces + F.lit(1)).cast("int")
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Attach quality-scoring features + a composite score.
+
+    Features: word count, mean word length, stopword ratio, punctuation
+    ratio. Score: bounded blend, rounded for cross-engine stability.
+    """
+    t = F.col(text_col)
+    nw = n_words(t)
+    chars = F.length(t)
+    word_chars = F.length(F.replace(t, F.lit(" "), F.lit("")))
+    stop_hits = (
+        word_marker_count(t, "the")
+        + word_marker_count(t, "a")
+        + word_marker_count(t, "and")
+    )
+    punct = occurrence_count(t, ".") + occurrence_count(t, ",")
+    mean_wl = word_chars.cast("double") / nw
+    stop_ratio = stop_hits.cast("double") / nw
+    punct_ratio = punct.cast("double") / chars
+    score = (
+        F.least(nw.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0)))
+        * F.lit(0.2)
+    )
+    return df.select(
+        "*",
+        nw.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count: runs of letters, digits, or single symbols."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(text), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+        )
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: md5 of normalized text.
+
+    Normalization: lowercase + collapse whitespace runs — stable under
+    re-wrapping, the property dedup pipelines need.
+    """
+    return F.md5(F.regexp_replace(F.lower(text), "[ \\t\\n]+", " "))

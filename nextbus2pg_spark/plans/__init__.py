@@ -1,0 +1,16 @@
+"""Fixture-query plan registry.
+
+``QUERIES`` maps fixture-query name → callable(spark, sf_dir) → DataFrame
+(the Spark plan); ``ORACLE`` maps the same name → ANSI SQL that DuckDB
+runs over identically named views of the same parquet (the driver's
+correctness gate). Names without an ORACLE entry get the weaker
+rows-only check (nondeterministic outputs: uuid, LSH internals).
+"""
+
+from nextbus2pg_spark.plans.registry import ORACLE, QUERIES, fixture
+
+# Importing the modules populates the registry.
+from nextbus2pg_spark.plans import fixtures as _fixtures  # noqa: F401,E402
+from nextbus2pg_spark.plans import northstar as _northstar  # noqa: F401,E402
+
+__all__ = ["QUERIES", "ORACLE", "fixture"]

@@ -1,0 +1,487 @@
+"""North-star fixture queries (SURVEY.md §2.12): dedup, similarity
+search, text analysis, multimodal plumbing over documents/embeddings.
+
+The fixture corpus has no natural duplicates, so the near-dup queries
+build a deterministic ``docs_plus`` corpus: documents plus a perturbed
+copy (last two words dropped, id + 1,000,000) of every 5th doc — giving
+known near-dup pairs at jaccard ≈ 0.9 that MinHash-LSH must recover.
+
+All hashing is md5-based (engine-portable); similarity scores are
+rounded in-query so FP summation order can't break the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.catalog import load_table
+from nextbus2pg_spark.operators import dedup as dd
+from nextbus2pg_spark.operators import text as tx
+from nextbus2pg_spark.operators.similarity import cosine_topk, lsh_topk, with_norm
+from nextbus2pg_spark.plans.registry import fixture
+
+# --- shared SQL fragments (DuckDB dialect) ---------------------------------
+
+_DOCS_PLUS = """
+docs_plus AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(w[1:len(w)-2], ' ') AS text, lang, source
+  FROM (
+    SELECT doc_id, lang, source,
+           list_filter(string_split(text, ' '), x -> x <> '') AS w
+    FROM documents WHERE doc_id % 5 = 0
+  )
+)
+"""
+
+_SHINGLES = """
+wordlists AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM docs_plus
+),
+idx AS (
+  SELECT doc_id, lang, source, w,
+         unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+  FROM wordlists
+),
+shingles AS (
+  SELECT DISTINCT doc_id, lang, source,
+         array_to_string(w[i:i+2], ' ') AS shingle
+  FROM idx WHERE i <= len(w) - 2
+)
+"""
+
+
+def _docs_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    perturbed = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.size(words) - 2), " ").alias("text"),
+        "lang",
+        "source",
+    )
+    return docs.select("doc_id", "text", "lang", "source").unionByName(perturbed)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@fixture(
+    "q_dedup_exact",
+    oracle="""
+WITH dup_corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM dup_corpus GROUP BY md5(text)
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str):
+    """Exact dedup with deterministic survivor (min id) over a corpus
+    with injected exact duplicates. Hash-aggregate: only distinct keys
+    shuffle (map-side combine)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup_corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return dd.dedup_groups(dup_corpus, "doc_id", "text")
+
+
+@fixture(
+    "q_jaccard_pairs",
+    oracle=f"""
+WITH {_DOCS_PLUS.strip()},
+{_SHINGLES.strip()},
+sizes AS (
+  SELECT doc_id, any_value(lang) AS lang, any_value(source) AS source,
+         count(*) AS n_sh
+  FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.source = b.source AND a.lang = b.lang
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 4)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+""",
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str):
+    """N-gram (3-word shingle) Jaccard near-dup pairs, blocked by
+    (source, lang) — candidate generation by blocking keys, never
+    all-pairs."""
+    docs = _docs_plus(spark, sf_dir)
+    sh = dd.word_shingles(docs, "doc_id", "text", n=3)
+    meta = docs.select(F.col("doc_id").alias("id"), "lang", "source")
+    sh = sh.join(meta, "id")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle", "lang", "source")
+    b = sh.select(F.col("id").alias("id_b"), "shingle", "lang", "source")
+    inter = (
+        a.join(b, ["shingle", "lang", "source"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .where(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@fixture(
+    "q_minhash_lsh",
+    oracle=f"""
+WITH {_DOCS_PLUS.strip()},
+{_SHINGLES.strip()},
+perms AS (SELECT unnest(generate_series(0, 7)) AS perm),
+sigs AS (
+  SELECT s.doc_id, p.perm,
+         min(md5(p.perm || ':' || s.shingle)) AS minh
+  FROM shingles s CROSS JOIN perms p
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, perm // 2 AS band,
+         md5(string_agg(minh, '|' ORDER BY perm)) AS band_hash
+  FROM sigs GROUP BY doc_id, perm // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shingles a
+  JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 4)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+""",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str):
+    """MinHash (8 perms, md5-lexicographic family) + LSH banding (4
+    bands × 2 rows) → candidate pairs → exact Jaccard verify. The LSH
+    equi-join on (band, band_hash) is the 100 TB shape: no all-pairs
+    comparison ever happens."""
+    docs = _docs_plus(spark, sf_dir)
+    sh = dd.word_shingles(docs, "doc_id", "text", n=3)
+    sigs = dd.minhash_signatures(sh, num_perm=8)
+    bands = dd.lsh_bands(sigs, rows_per_band=2)
+    cand = dd.lsh_candidate_pairs(bands)
+    return dd.jaccard_pairs(sh, cand).select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jaccard")
+    )
+
+
+@fixture(
+    "q_simhash",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+         AS word
+  FROM documents
+),
+bits AS (SELECT unnest(generate_series(0, 15)) AS bit),
+votes AS (
+  SELECT w.doc_id, b.bit,
+         sum(CASE WHEN substr(md5(b.bit || ':' || w.word), 1, 1) < '8'
+                  THEN 1 ELSE -1 END) AS vote
+  FROM words w CROSS JOIN bits b
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote >= 0
+                     THEN CAST(round(power(2, bit)) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str):
+    """16-bit SimHash fingerprints (portable md5-derived bit votes);
+    near-dups differ in few bits, pairable by banding the fingerprint."""
+    return dd.simhash(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", bits=16
+    ).withColumnRenamed("id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_NORM_SQL = """
+v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+)
+"""
+
+
+@fixture(
+    "q_cosine_topk",
+    oracle=f"""
+WITH {_COSINE_NORM_SQL.strip()},
+q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n
+      WHERE vec_id % 50 = 0),
+pairs AS (
+  SELECT q.query_id, t.vec_id AS match_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(q.qe)),
+                                   i -> q.qe[i] * t.e[i]))
+           / (q.qn * t.nrm), 6) AS sim
+  FROM q CROSS JOIN n t
+  WHERE t.vec_id <> q.query_id
+)
+SELECT query_id, match_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, match_id
+  ) AS rank FROM pairs
+) WHERE rank <= 5
+""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str):
+    """Brute-force cosine top-k (exact ANN baseline): broadcast query
+    set × corpus, JVM-side array fold, per-query window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+@fixture(
+    "q_embedding_neardup",
+    oracle=f"""
+WITH {_COSINE_NORM_SQL.strip()},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(generate_series(1, len(a.e)),
+                                   i -> a.e[i] * b.e[i]))
+           / (a.nrm * b.nrm), 6) AS sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.4
+""",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str):
+    """Embedding-cosine near-duplicate pairs above a threshold
+    (all-pairs baseline at fixture scale; the LSH-bucketed variant is
+    ``q_lsh_topk`` / operators.similarity.lsh_topk)."""
+    emb = with_norm(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "nrm"
+    ).select("vec_id", "embedding", "nrm")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("ea"), lambda x: x.cast("double")),
+            F.transform(F.col("eb"), lambda x: x.cast("double")),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = F.round(dot / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= 0.4)
+    )
+
+
+@fixture("q_lsh_topk")  # approximate + hyperplane internals → rows-only
+def q_lsh_topk(spark: SparkSession, sf_dir: str):
+    """LSH-bucketed approximate top-k — the scale path for similarity
+    search (equi-join on signature buckets instead of a cross join).
+    Approximate by construction ⇒ rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_bits=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def _marker_count_sql(word: str) -> str:
+    pad = f"' ' || text || ' '"
+    needle = f"' {word} '"
+    return (
+        f"CAST((length({pad}) - length(replace({pad}, {needle}, '')))"
+        f" / length({needle}) AS INTEGER)"
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    from nextbus2pg_spark.operators.text import LANG_MARKERS
+
+    return " + ".join(_marker_count_sql(w) for w in LANG_MARKERS[lang])
+
+
+_LANG_CASE_SQL = """
+CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+     WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+     WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+     ELSE 'fr' END
+"""
+
+
+@fixture(
+    "q_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('es')} AS s_es,
+         {_lang_score_sql('fr')} AS s_fr
+  FROM documents
+)
+SELECT doc_id, lang, {_LANG_CASE_SQL.strip()} AS predicted_lang
+FROM scored
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str):
+    """Heuristic language id: closed-class marker-word counts, argmax
+    with deterministic tie priority (en > de > es > fr)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tx.lang_id(F.col("text")).alias("predicted_lang")
+    )
+
+
+@fixture(
+    "q_quality_score",
+    oracle="""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER)
+           AS n_words,
+         length(text) AS n_chars_t,
+         length(replace(text, ' ', '')) AS word_chars,
+         CAST((length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' the ', '')))
+              / length(' the ') AS INTEGER)
+         + CAST((length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' a ', '')))
+              / length(' a ') AS INTEGER)
+         + CAST((length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' and ', '')))
+              / length(' and ') AS INTEGER) AS stop_hits,
+         CAST((length(text) - length(replace(text, '.', ''))) AS INTEGER)
+         + CAST((length(text) - length(replace(text, ',', ''))) AS INTEGER)
+           AS punct
+  FROM documents
+)
+SELECT doc_id, n_words,
+       round(CAST(word_chars AS DOUBLE) / n_words, 4) AS mean_word_len,
+       round(CAST(stop_hits AS DOUBLE) / n_words, 4) AS stopword_ratio,
+       round(
+         least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+         + least(CAST(stop_hits AS DOUBLE) / n_words * 5.0, 1.0) * 0.4
+         + (1.0 - least(CAST(punct AS DOUBLE) / n_chars_t * 10.0, 1.0)) * 0.2,
+         4) AS quality_score
+FROM feat
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str):
+    """Document quality scoring: length/stopword/punctuation features +
+    bounded composite score (portable replace-length arithmetic)."""
+    out = tx.quality_features(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "text"
+    )
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "stopword_ratio", "quality_score"
+    )
+
+
+@fixture(
+    "q_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+            AS INTEGER) AS n_tokens,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER)
+         AS n_ws_tokens
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str):
+    """Token counting: whitespace tokens + BPE-ish regex tokens (runs of
+    letters/digits, single symbols)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.n_words(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+@fixture(
+    "q_doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g')) AS fp,
+       substr(lower(hex(encode(text))), 1, 16) AS head_hex
+FROM documents
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str):
+    """Document fingerprint (md5 of normalized text) + binary-column
+    plumbing (utf8 bytes → hex head) — the multimodal opaque-payload
+    pattern on a text stand-in."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.fingerprint(F.col("text")).alias("fp"),
+        F.lower(F.substring(F.hex(F.encode(F.col("text"), "UTF-8")), 1, 16)).alias(
+            "head_hex"
+        ),
+    )

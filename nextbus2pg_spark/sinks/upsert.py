@@ -1,0 +1,191 @@
+"""Physical upsert sinks: parquet-backed MERGE locally, JDBC
+``INSERT ... ON CONFLICT`` for the Postgres deployment mode.
+
+Spark's JDBC writer has no native upsert (SURVEY.md §4 custom-work #1),
+so the engine ships two interchangeable sinks behind one interface:
+
+- ``ParquetUpsertTable``: maintains table state as parquet + the
+  ``operators.keyed_write`` merge algebra — the test/local mode, and the
+  shape a Delta ``MERGE INTO`` takes on a cluster (same plan, Delta adds
+  ACID+file pruning).
+- ``pg_upsert_statement`` + ``jdbc_upsert_writer``: generates the exact
+  ON CONFLICT statement family the reference emits
+  (``/root/reference/agency.py:26-37,60-71,96-109,176-190,221-232``) and
+  applies it per micro-batch partition over a DB-API connection —
+  the ``foreachBatch`` JDBC path of BASELINE.json's declared approach.
+
+At-scale notes: each micro-batch writes one multi-row statement per
+partition (the reference's execute_values batching, K7, generalized);
+partitions write in parallel; per-batch idempotence comes from the
+conflict clause, giving at-least-once end-to-end like the reference
+(T6) but with checkpointed offsets instead of an in-memory dict.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nextbus2pg_spark.operators.keyed_write import (
+    append_dedup,
+    insert_if_absent,
+    upsert_batch,
+)
+
+
+def pg_upsert_statement(
+    table: str,
+    columns: Sequence[str],
+    key_cols: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    null_safe_keys: Sequence[str] = (),
+    do_nothing: bool = False,
+) -> str:
+    """Render the reference's ON CONFLICT statement for one row batch.
+
+    - ``null_safe_keys``: key columns whose unique index is
+      ``COALESCE(col, '')`` (service.tag, stop.location text —
+      ``sql/create_tables.sql:62-63,85-86``); the conflict target must
+      name the same expression.
+    - ``do_nothing``: K5 insert-if-absent (``agency.py:228``).
+    Placeholders are %s-style (psycopg2 ``execute_values`` compatible).
+    """
+    col_list = ", ".join(columns)
+    conflict_parts = [
+        f"COALESCE({c}, '')" if c in null_safe_keys else c for c in key_cols
+    ]
+    conflict = ", ".join(conflict_parts)
+    if do_nothing:
+        action = "DO NOTHING"
+    else:
+        if update_cols is None:
+            update_cols = [c for c in columns if c not in key_cols]
+        sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
+        action = f"DO UPDATE SET {sets}"
+    return (
+        f"INSERT INTO {table} ({col_list}) VALUES %s "
+        f"ON CONFLICT ({conflict}) {action}"
+    )
+
+
+def jdbc_upsert_writer(
+    table: str,
+    key_cols: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    null_safe_keys: Sequence[str] = (),
+    do_nothing: bool = False,
+    connection_factory: Callable | None = None,
+):
+    """Build a ``foreachBatch`` function applying the upsert per batch.
+
+    ``connection_factory`` returns a DB-API connection (psycopg2 in the
+    reference, ``connect.py:8-14``); injected so tests can pass a fake.
+    Executes one statement per partition via ``foreachPartition`` —
+    distributed writes, no driver collect.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # T7 empty-batch short-circuit (agency.py:303)
+            return
+        batch_df = append_dedup(batch_df, list(key_cols))
+        columns = batch_df.columns
+        stmt = pg_upsert_statement(
+            table, columns, key_cols, update_cols, null_safe_keys, do_nothing
+        )
+
+        def write_partition(rows) -> None:
+            rows = list(rows)
+            if not rows:
+                return
+            conn = connection_factory()
+            try:
+                cur = conn.cursor()
+                values = ", ".join(
+                    "(" + ", ".join("%s" for _ in columns) + ")" for _ in rows
+                )
+                flat = [v for row in rows for v in row]
+                cur.execute(stmt.replace("VALUES %s", f"VALUES {values}"), flat)
+                if hasattr(conn, "commit"):
+                    conn.commit()
+            finally:
+                conn.close()
+
+        batch_df.foreachPartition(write_partition)
+
+    return write_batch
+
+
+class ParquetUpsertTable:
+    """Parquet-backed keyed table: the local/test MERGE target.
+
+    State lives at ``path`` (overwritten per apply — at cluster scale
+    this becomes a Delta ``MERGE INTO`` with file-level pruning; the
+    merge *semantics* are identical because both delegate to
+    ``operators.keyed_write``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: Sequence[str],
+        update_cols: Sequence[str] | None = None,
+        null_safe: bool = True,
+    ):
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.update_cols = update_cols
+        self.null_safe = null_safe
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def _write_state(self, df: DataFrame) -> None:
+        # Write-new-then-swap keeps the read path consistent.
+        tmp = self.path + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self.path)
+
+    def upsert(self, incoming: DataFrame) -> None:
+        """K1-K4: merge incoming, existing-wins-keys/incoming-wins-payload."""
+        if not self.exists():
+            self._init(incoming)
+            return
+        merged = upsert_batch(
+            self.read(),
+            incoming,
+            self.key_cols,
+            self.update_cols,
+            null_safe=self.null_safe,
+        )
+        self._write_state(merged)
+
+    def insert_if_absent(self, incoming: DataFrame) -> None:
+        """K5: idempotent append (ON CONFLICT DO NOTHING)."""
+        if not self.exists():
+            self._init(incoming)
+            return
+        merged = insert_if_absent(
+            self.read(), incoming, self.key_cols, null_safe=self.null_safe
+        )
+        self._write_state(merged)
+
+    def append_dedup(self, batch: DataFrame) -> None:
+        """K6: append-only log insert with within-batch dedup."""
+        deduped = append_dedup(batch, self.key_cols)
+        if not self.exists():
+            deduped.write.mode("overwrite").parquet(self.path)
+        else:
+            deduped.write.mode("append").parquet(self.path)
+
+    def _init(self, incoming: DataFrame) -> None:
+        incoming.dropDuplicates(self.key_cols).write.mode("overwrite").parquet(
+            self.path
+        )

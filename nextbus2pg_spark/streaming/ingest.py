@@ -1,0 +1,185 @@
+"""Continuous vehicle-location ingest — the reference's hot path
+(``/root/reference/run.py:117-119`` → ``agency.py:239-324`` →
+``route.py:145-206``) as one Structured Streaming pipeline.
+
+Pipeline (SURVEY.md §3 "Spark shape"):
+
+    source (file/memory/kafka micro-batches of raw feed rows)
+      → transform_feed: project + casts + event-time derivation (P6/X2)
+      → resolve_service: two-level broadcast fallback join (J2/J6),
+        unresolved rows dropped-with-count (F5)
+      → per-batch dedup on the event grain (A2/T4)
+      → foreachBatch keyed sink (K6 append / JDBC upsert)
+
+Semantics preserved from the reference:
+- event time = request time − secsSinceReport (T3, ``route.py:202``);
+- dedup within batch ONLY — the log is at-least-once across batches
+  (T4, ``agency.py:316-317``);
+- empty batches are no-ops (T7, ``agency.py:303``);
+- offsets: the reference threads an in-memory ``request_times`` dict
+  (T2) that loses state on crash (``run.py:96,117-119``); here source
+  offsets commit transactionally with the streaming checkpoint —
+  strictly stronger, same visible behavior.
+- dims refresh out-of-band (T5): the static sides are re-resolved per
+  micro-batch inside foreachBatch, matching the reference's re-read of
+  dimension tables each sweep (``agency.py:241-255``).
+
+Scale: the feed side never shuffles — both dimension joins are
+broadcasts; dedup keys include the natural partition key (service_id)
+so state stays balanced. With ``dropDuplicatesWithinWatermark`` (T8
+extension, off by default) cross-batch dedup bounds state by watermark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.functions.scalar import (
+    bool_from_string,
+    event_time,
+    point_struct,
+)
+from nextbus2pg_spark.operators.joins import two_level_fallback
+
+#: Event-grain dedup key (A2, ``agency.py:316-317``).
+DEDUP_KEYS = ("service_id", "vehicle_tag", "location_timestamp")
+
+
+def transform_feed(raw: DataFrame) -> DataFrame:
+    """Raw feed rows → typed vehicle rows with derived event time.
+
+    Mirrors ``route.py:197-204``: casts, ``predictable == 'true'``,
+    location struct, event_time = request_ts − secs_since_report.
+    Works identically on batch and streaming DataFrames (pure
+    projection — no shuffle, fully codegen'd).
+    """
+    request_ts = F.timestamp_millis(F.col("request_time_ms")).cast(
+        "timestamp_ntz"
+    )
+    return raw.select(
+        F.col("route_tag"),
+        F.col("dir_tag"),
+        F.col("vehicle_id").alias("vehicle_tag"),
+        point_struct(F.col("lon"), F.col("lat")).alias("vehicle_location"),
+        event_time(request_ts, F.col("secs_since_report").cast("double")).alias(
+            "location_timestamp"
+        ),
+        bool_from_string(F.col("predictable")).alias("is_predictable"),
+    )
+
+
+def resolve_service(
+    vehicles: DataFrame,
+    route_services: DataFrame,
+    agency_services: DataFrame,
+) -> DataFrame:
+    """Attach service_id via the two-level fallback (J6,
+    ``route.py:177-194``): route-scoped tag→service first, then
+    agency-wide; unresolved rows are dropped (F5 logs them — expose the
+    count via ``unresolved_count`` instead of a side-effect log).
+
+    Both dimension sides broadcast: the vehicle stream never shuffles.
+    """
+    return two_level_fallback(
+        vehicles,
+        primary=route_services.select(
+            F.col("tag").alias("dir_tag"), F.col("service_id")
+        ),
+        secondary=agency_services.select(
+            F.col("tag").alias("dir_tag"), F.col("service_id")
+        ),
+        fact_key="dir_tag",
+        lookup_key="dir_tag",
+        value_col="service_id",
+        out_col="service_id",
+        drop_unresolved=True,
+    )
+
+
+def unresolved_count(
+    vehicles: DataFrame,
+    route_services: DataFrame,
+    agency_services: DataFrame,
+) -> int:
+    """F5's log line as a metric: vehicles resolving in neither dim."""
+    tags = (
+        route_services.select(F.col("tag").alias("dir_tag"))
+        .unionByName(agency_services.select(F.col("tag").alias("dir_tag")))
+        .distinct()
+    )
+    return vehicles.join(F.broadcast(tags), "dir_tag", "left_anti").count()
+
+
+def vehicle_pipeline(
+    raw: DataFrame,
+    route_services: DataFrame,
+    agency_services: DataFrame,
+    cross_batch_dedup: bool = False,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Full transform for one micro-batch (or a batch backfill).
+
+    ``cross_batch_dedup`` enables the T8 extension
+    (``withWatermark`` + ``dropDuplicatesWithinWatermark``) — NOT
+    reference semantics (the reference accepts cross-batch duplicates),
+    so it defaults off.
+    """
+    out = resolve_service(
+        transform_feed(raw), route_services, agency_services
+    ).select(
+        "service_id",
+        "vehicle_tag",
+        "vehicle_location",
+        "location_timestamp",
+        "is_predictable",
+    )
+    if cross_batch_dedup and out.isStreaming:
+        out = out.withColumn(
+            "location_ts_tz", F.col("location_timestamp").cast("timestamp")
+        )
+        out = (
+            out.withWatermark("location_ts_tz", watermark)
+            .dropDuplicatesWithinWatermark(list(DEDUP_KEYS))
+            .drop("location_ts_tz")
+        )
+    return out
+
+
+def start_ingest(
+    raw_stream: DataFrame,
+    dims_provider: Callable[[], tuple[DataFrame, DataFrame]],
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+):
+    """Wire the streaming query: micro-batch trigger (T1) +
+    ``foreachBatch`` keyed sink, per-batch dedup (T4) inside the sink
+    boundary so retried batches rewrite identical rows (at-least-once,
+    T6).
+
+    ``dims_provider`` is called per batch — the static sides re-resolve
+    each micro-batch, which is exactly the reference's per-sweep dim
+    re-read (T5).
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # T7
+            return
+        route_services, agency_services = dims_provider()
+        out = vehicle_pipeline(batch_df, route_services, agency_services)
+        out = out.dropDuplicates(list(DEDUP_KEYS))  # A2/T4
+        sink(out, batch_id)
+
+    writer = (
+        raw_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,35 @@
+"""Shared fixtures: one local SparkSession + a DuckDB oracle connection
+with the testdata tables registered as views (mirrors the driver's
+correctness harness)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from nextbus2pg_spark.catalog import TABLES
+from nextbus2pg_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+SF_DIR_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("nextbus2pg-tests")
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()

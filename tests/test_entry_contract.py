@@ -1,0 +1,39 @@
+"""Driver-contract smoke tests: entry() on sf0.001 (rows > 0, stable
+schema), queries()/oracle_sql() key alignment."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", "/root/repo/__spark_entry__.py"
+)
+entry_mod = importlib.util.module_from_spec(spec)
+sys.modules["__spark_entry__"] = entry_mod
+spec.loader.exec_module(entry_mod)
+
+
+def test_entry_flagship(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {
+        "user_id", "event_type", "c_name", "c_mktsegment",
+        "last_ts", "last_value", "n_events",
+    }
+
+
+def test_contract_key_alignment():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q), "oracle keys must be a subset of queries"
+    assert len(q) >= 45
+    # Known rows-only queries are the only ones without oracles.
+    assert set(q) - set(o) == {"q_keygen_uuid", "q_lsh_topk"}
+
+
+def test_queries_run_at_sf0001(spark):
+    q = entry_mod.queries()
+    for name in ["q_scan_full", "q_tpch_q1", "q_flagship_latest"]:
+        assert q[name](spark, "/root/testdata/sf0.001").count() >= 0

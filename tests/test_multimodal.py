@@ -1,0 +1,63 @@
+"""Multimodal plumbing tests: schema, Arrow batch shape, stub behavior
+(SURVEY.md §2.12 — codecs stubbed, Spark-side contract real)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nextbus2pg_spark.catalog import load_table
+from nextbus2pg_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    MEDIA_SCHEMA,
+    decode_media,
+    extract_features,
+    fake_media_from_documents,
+    frame_sample,
+)
+from tests.conftest import SF_DIR_SMALL
+
+
+def _media(spark):
+    docs = load_table(spark, SF_DIR_SMALL, "documents")
+    return fake_media_from_documents(docs)
+
+
+def test_media_schema(spark):
+    media = _media(spark)
+    assert media.schema == MEDIA_SCHEMA or [f.name for f in media.schema] == [
+        f.name for f in MEDIA_SCHEMA
+    ]
+    row = media.limit(1).collect()[0]
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.meta.sample_rate == 16000
+
+
+def test_extract_features_batch_shape(spark):
+    feats = extract_features(_media(spark))
+    assert feats.schema == FEATURE_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == 500
+    r = {x.media_id: x for x in rows}
+    # n_bytes equals n_chars for the ascii fixture text.
+    docs = {
+        d.doc_id: d.n_chars
+        for d in load_table(spark, SF_DIR_SMALL, "documents").collect()
+    }
+    assert all(r[i].n_bytes == docs[i] for i in list(docs)[:20])
+    assert all(len(x.head_hex) == 16 for x in rows)
+
+
+def test_frame_sample_bounded_fanout(spark):
+    frames = frame_sample(_media(spark), every_n_bytes=64)
+    row = frames.limit(5).collect()
+    for r in row:
+        assert all(len(f) <= 64 for f in r.frames)
+        assert b"".join(r.frames)  # lossless slicing
+
+
+def test_decode_media_is_explicit_stub(spark):
+    with pytest.raises(Exception) as ei:
+        decode_media(_media(spark).limit(1)).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )

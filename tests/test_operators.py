@@ -1,0 +1,141 @@
+"""Operator-library unit tests: dedup/LSH recall, similarity, text ops,
+as-of join, two-level fallback — Spark-vs-expected (oracle parity is
+covered separately in test_oracle_parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.operators import dedup as dd
+from nextbus2pg_spark.operators.asof import asof_join_by_id
+from nextbus2pg_spark.operators.joins import top1_per_group, two_level_fallback
+from nextbus2pg_spark.operators.similarity import cosine_topk, lsh_topk
+from nextbus2pg_spark.operators.text import lang_id, n_words, token_count
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "solo")], "id long, text string"
+    )
+    sh = dd.word_shingles(df, "id", "text", n=3).collect()
+    got = {(r.id, r.shingle) for r in sh}
+    assert got == {(1, "a b c"), (1, "b c d")}  # short docs → no shingles
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    """A near-identical pair must be recovered; unrelated docs not."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " ok"
+    other = "completely different words about spark catalyst optimizer plans"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "id long, text string"
+    )
+    sh = dd.word_shingles(df, "id", "text", n=3)
+    sigs = dd.minhash_signatures(sh, num_perm=8)
+    assert sigs.count() == 3 * 8
+    cand = dd.lsh_candidate_pairs(dd.lsh_bands(sigs, rows_per_band=2))
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (1, 2) in pairs
+    jac = {(r.id_a, r.id_b): r.jaccard for r in dd.jaccard_pairs(sh, cand).collect()}
+    assert jac[(1, 2)] > 0.8
+
+
+def test_simhash_near_dup_distance(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    near = base + " extra"
+    other = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "id long, text string"
+    )
+    out = {r.id: r.simhash for r in dd.simhash(df, "id", "text", bits=16).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(out[1], out[2]) <= 4
+    assert ham(out[1], out[3]) >= ham(out[1], out[2])
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, df.where(F.col("vec_id") == 1), "vec_id", "embedding", k=3)
+    got = [(r.match_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(2, 1), (3, 2), (4, 3)]
+
+
+def test_lsh_topk_self_recall(spark):
+    """Identical vectors share buckets, so each query finds its twin."""
+    rows = [(i, [float((i * 7 + d) % 5 - 2) for d in range(8)]) for i in range(20)]
+    rows += [(100 + i, vec) for i, vec in rows[:5]]  # exact twins
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") >= 100)
+    out = lsh_topk(df, queries, "vec_id", "embedding", k=3, n_bits=4)
+    best = {
+        r.query_id: r.match_id for r in out.where(F.col("rank") == 1).collect()
+    }
+    for qid, mid in best.items():
+        assert mid == qid - 100  # twin found at sim 1.0
+
+
+def test_text_ops(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "el perro que el gato")],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        lang_id(F.col("text")).alias("lang"),
+        n_words(F.col("text")).alias("nw"),
+        token_count(F.col("text")).alias("nt"),
+    ).collect()
+    r = {x.id: x for x in out}
+    assert r[1].lang == "en"
+    assert r[2].lang == "es"
+    assert r[1].nw == 5 and r[1].nt == 5
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 250), (3, "x", 50)],
+        "event_id long, key string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("k", 90, "a"), ("k", 100, "b"), ("k", 200, "c")],
+        "key string, rts long, val string",
+    )
+    out = asof_join_by_id(
+        left, right,
+        left_id="event_id", left_on="key", right_on="key",
+        left_ts="ts", right_ts="rts", right_cols=["val"],
+    ).collect()
+    got = {r.event_id: r.val for r in out}
+    assert got == {1: "b", 2: "c", 3: None}  # ties → latest; no match → NULL
+
+
+def test_top1_per_group_deterministic(spark):
+    df = spark.createDataFrame(
+        [("g", 1, "a"), ("g", 1, "b"), ("h", 2, "c")],
+        "grp string, rank long, val string",
+    )
+    out = top1_per_group(df, ["grp"], [F.col("rank"), F.col("val")])
+    got = {r.grp: r.val for r in out.collect()}
+    assert got == {"g": "a", "h": "c"}
+
+
+def test_two_level_fallback_priority(spark):
+    fact = spark.createDataFrame(
+        [("t1", 1), ("t2", 2), ("t3", 3)], "tag string, v long"
+    )
+    primary = spark.createDataFrame([("t1", "P1")], "tag string, sid string")
+    secondary = spark.createDataFrame(
+        [("t1", "S1"), ("t2", "S2")], "tag string, sid string"
+    )
+    out = two_level_fallback(
+        fact, primary, secondary,
+        fact_key="tag", lookup_key="tag", value_col="sid", out_col="service",
+    )
+    got = {r.tag: r.service for r in out.collect()}
+    assert got == {"t1": "P1", "t2": "S2"}  # t3 dropped, primary wins

@@ -1,0 +1,149 @@
+"""Streaming ingest tests (SURVEY.md §5.4): per-batch dedup (T4), event
+time (T3), two-level resolution with drop (J6/F5), empty-batch no-op
+(T7), offset monotonicity via file source + checkpoint restart (T2/T6).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.sources.feed import (
+    RAW_FEED_SCHEMA,
+    feed_df_from_payloads,
+    rows_from_xml,
+)
+from nextbus2pg_spark.streaming.ingest import (
+    DEDUP_KEYS,
+    start_ingest,
+    transform_feed,
+    unresolved_count,
+    vehicle_pipeline,
+)
+
+VEHICLE_XML = """<?xml version="1.0"?>
+<body>
+  <vehicle id="1410" routeTag="38R" dirTag="38R_out" lat="37.77" lon="-122.41"
+           secsSinceReport="9" predictable="true" heading="220"/>
+  <vehicle id="1411" routeTag="38R" dirTag="38R_in" lat="37.78" lon="-122.42"
+           secsSinceReport="30" predictable="false"/>
+  <vehicle id="1412" routeTag="38R" dirTag="ghost" lat="37.79" lon="-122.43"
+           secsSinceReport="5" predictable="true"/>
+  <lastTime time="1706000000000"/>
+</body>
+"""
+
+
+def _dims(spark):
+    route_services = spark.createDataFrame(
+        [("38R_out", "svc-out")], "tag string, service_id string"
+    )
+    agency_services = spark.createDataFrame(
+        [("38R_out", "svc-out-agency"), ("38R_in", "svc-in")],
+        "tag string, service_id string",
+    )
+    return route_services, agency_services
+
+
+def test_xml_parse_and_offset():
+    rows, last_ms = rows_from_xml(VEHICLE_XML, "38R")
+    assert last_ms == 1706000000000  # T2 offset extraction (route.py:162)
+    assert len(rows) == 3
+    assert rows[0][2] == "1410" and rows[0][1] == "38R_out"
+
+
+def test_transform_feed_event_time(spark):
+    """T3 (route.py:202): event time = request time − secsSinceReport."""
+    raw = feed_df_from_payloads(spark, [("38R", VEHICLE_XML)])
+    out = transform_feed(raw)
+    r = {v.vehicle_tag: v for v in out.collect()}
+    req = dt.datetime(2024, 1, 23, 8, 53, 20)  # 1706000000000 ms UTC
+    assert r["1410"].location_timestamp == req - dt.timedelta(seconds=9)
+    assert r["1411"].location_timestamp == req - dt.timedelta(seconds=30)
+    assert r["1410"].is_predictable is True
+    assert r["1411"].is_predictable is False
+    assert abs(r["1410"].vehicle_location.lon - (-122.41)) < 1e-9
+
+
+def test_two_level_resolution_and_drop(spark):
+    """J6/F5 (route.py:177-194): route dict first, agency dict second,
+    unresolved dropped (and countable)."""
+    raw = feed_df_from_payloads(spark, [("38R", VEHICLE_XML)])
+    rs, asvc = _dims(spark)
+    out = vehicle_pipeline(raw, rs, asvc)
+    got = {v.vehicle_tag: v.service_id for v in out.collect()}
+    assert got == {"1410": "svc-out", "1411": "svc-in"}  # route dict wins
+    assert unresolved_count(transform_feed(raw), rs, asvc) == 1  # ghost
+
+
+def test_within_batch_dedup(spark):
+    """A2/T4: duplicate (service, vehicle, ts) rows collapse per batch."""
+    raw = feed_df_from_payloads(
+        spark, [("38R", VEHICLE_XML), ("38R", VEHICLE_XML)]
+    )
+    rs, asvc = _dims(spark)
+    out = vehicle_pipeline(raw, rs, asvc).dropDuplicates(list(DEDUP_KEYS))
+    assert out.count() == 2
+
+
+def test_streaming_end_to_end_with_checkpoint(spark, tmp_path):
+    """T1/T2/T6/T7: file-source micro-batches through foreachBatch into a
+    parquet log; restart from checkpoint does not reprocess old files."""
+    feed_dir = tmp_path / "feed"
+    out_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    feed_dir.mkdir()
+
+    def write_feed(name: str, rows: list[dict]) -> None:
+        p = feed_dir / name
+        tmp = feed_dir / (name + ".tmp")
+        with open(tmp, "w") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+        os.rename(tmp, p)
+
+    base = {
+        "route_tag": "38R",
+        "dir_tag": "38R_out",
+        "lon": "-122.41",
+        "lat": "37.77",
+        "secs_since_report": "10",
+        "predictable": "true",
+        "request_time_ms": 1706000000000,
+    }
+    write_feed(
+        "b1.json",
+        [
+            dict(base, vehicle_id="v1"),
+            dict(base, vehicle_id="v1"),  # within-batch dup
+            dict(base, vehicle_id="v2"),
+        ],
+    )
+
+    rs, asvc = _dims(spark)
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(RAW_FEED_SCHEMA)
+            .json(str(feed_dir))
+        )
+        q = start_ingest(stream, lambda: (rs, asvc), sink, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 2  # dedup applied, both vehicles present
+
+    # New file arrives; restart from checkpoint → only the new batch lands.
+    write_feed("b2.json", [dict(base, vehicle_id="v3")])
+    run_once()
+    second = spark.read.parquet(out_dir)
+    assert second.count() == 3  # v1, v2 (once) + v3; no reprocessing
+    tags = {r.vehicle_tag for r in second.collect()}
+    assert tags == {"v1", "v2", "v3"}
