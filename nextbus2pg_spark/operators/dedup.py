@@ -124,15 +124,26 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard similarity for candidate pairs over shingle sets.
 
-    ``|A ∩ B|`` via an equi-join on shingle restricted to candidate
-    pairs; sizes via a grouped count. Output: (id_a, id_b, jaccard).
+    Scale-critical ordering: both shingle sides are first semi-joined
+    down to ids that appear in ANY candidate pair, so the shingle
+    equi-join only ever explodes over candidate documents — the verify
+    cost tracks |candidates|, not |corpus|.
+    Output: (id_a, id_b, jaccard).
     """
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = shingled.select(F.col("id").alias("id_a"), "shingle")
-    b = shingled.select(F.col("id").alias("id_b"), "shingle")
+    ids_a = candidates.select(F.col("id_a").alias("id")).distinct()
+    ids_b = candidates.select(F.col("id_b").alias("id")).distinct()
+    a = (
+        shingled.join(F.broadcast(ids_a), "id", "left_semi")
+        .select(F.col("id").alias("id_a"), "shingle")
+    )
+    b = (
+        shingled.join(F.broadcast(ids_b), "id", "left_semi")
+        .select(F.col("id").alias("id_b"), "shingle")
+    )
     inter = (
         a.join(b, "shingle")
-        .join(candidates, ["id_a", "id_b"], "left_semi")
+        .join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -148,6 +159,56 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs, wide-form fast path.
+
+    Semantically identical to ``word_shingles → minhash_signatures →
+    lsh_bands → lsh_candidate_pairs → jaccard_pairs`` but computes all
+    ``num_perm`` signature minima in ONE aggregation over the shingle
+    relation (columns, not exploded perm rows) — no num_perm× row
+    blowup, one shuffle for the whole signature stage. Bands then
+    explode from the wide row (tiny: one row per doc).
+    """
+    sh = word_shingles(df, id_col, text_col, n=shingle_n)
+    sig_cols = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
+        ).alias(f"__m{i}")
+        for i in range(num_perm)
+    ]
+    wide = sh.groupBy("id").agg(*sig_cols)
+    n_bands = num_perm // rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"__m{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = wide.select(
+        "id", F.explode(band_structs).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    cand = lsh_candidate_pairs(bands)
+    return jaccard_pairs(sh, cand)
 
 
 def simhash_bit_vote(text_words: Column, bit: Column) -> Column:

@@ -859,8 +859,10 @@ SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
 )
 def q_asof_join(spark: SparkSession, sf_dir: str):
     """As-of join (extension): latest order at-or-before each event per
-    user — equi-join + bounded window; see operators/asof.py for the
-    library form and the time-bucketed 100 TB path."""
+    user. Equi-join + ``max_by`` aggregation — the candidate explosion
+    collapses map-side (partial agg) instead of shuffling into a window
+    sort. See operators/asof.py for the library form and the
+    time-bucketed 100 TB path."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate"
@@ -869,13 +871,18 @@ def q_asof_join(spark: SparkSession, sf_dir: str):
         orders["o_orderdate"] <= ev["ts"]
     )
     joined = ev.join(orders, cond, "left")
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
-    )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+    # max_by ignores NULL ordering values, so unmatched events keep a
+    # NULL match — identical to the rn=1 NULLS LAST window pick.
+    return joined.groupBy("event_id", "user_id").agg(
+        F.max_by(
+            F.struct("o_orderkey", "o_orderdate"),
+            F.struct("o_orderdate", "o_orderkey"),
+        ).alias("m"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("m.o_orderkey").alias("o_orderkey"),
+        F.col("m.o_orderdate").alias("o_orderdate"),
     )
 
 
@@ -915,29 +922,28 @@ def q_flagship_latest(spark: SparkSession, sf_dir: str):
     deterministic top-1 (J5/W2), the shape of ``agency.py:239-324``.
     """
     ev = load_table(spark, sf_dir, "events")
-    # A2 dedup at the event grain, deterministic survivor (min event_id).
-    wd = Window.partitionBy("user_id", "event_type", "ts_us").orderBy("event_id")
-    dedup = (
-        ev.withColumn("dd", F.row_number().over(wd)).where(F.col("dd") == 1).drop("dd")
+    # A2 dedup at the event grain with deterministic survivor (min
+    # event_id) — as an aggregation, not a window: partial (map-side)
+    # aggregation shrinks the shuffle, and no in-partition sort happens.
+    dedup = ev.groupBy("user_id", "event_type", "ts_us").agg(
+        F.min_by(F.col("value"), F.col("event_id")).alias("value"),
     )
-    wr = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts_us").desc(), F.col("event_id").desc()
-    )
-    wc = Window.partitionBy("user_id", "event_type")
-    ranked = (
-        dedup.withColumn("rn", F.row_number().over(wr))
-        .withColumn("n_events", F.count(F.lit(1)).over(wc))
-        .where(F.col("rn") == 1)
+    # Top-1 latest + group count in ONE more aggregation (max_by on the
+    # grouped grain replaces the rank window; ts_us is unique per group
+    # after dedup, so the window's event_id tiebreak is vacuous).
+    latest = dedup.groupBy("user_id", "event_type").agg(
+        F.max_by(F.struct("ts_us", "value"), F.col("ts_us")).alias("last"),
+        F.count(F.lit(1)).alias("n_events"),
     )
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
     )
-    return broadcast_lookup(ranked, cust, "user_id").select(
+    return broadcast_lookup(latest, cust, "user_id").select(
         "user_id",
         "event_type",
         "c_name",
         "c_mktsegment",
-        F.col("ts").alias("last_ts"),
-        F.round(F.col("value"), 2).alias("last_value"),
+        F.timestamp_micros(F.col("last.ts_us")).cast("timestamp_ntz").alias("last_ts"),
+        F.round(F.col("last.value"), 2).alias("last_value"),
         "n_events",
     )

@@ -200,15 +200,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str):
     """MinHash (8 perms, md5-lexicographic family) + LSH banding (4
     bands × 2 rows) → candidate pairs → exact Jaccard verify. The LSH
     equi-join on (band, band_hash) is the 100 TB shape: no all-pairs
-    comparison ever happens."""
+    comparison ever happens. Uses the wide-form fast path (signature
+    minima as columns — no perm× row blowup)."""
     docs = _docs_plus(spark, sf_dir)
-    sh = dd.word_shingles(docs, "doc_id", "text", n=3)
-    sigs = dd.minhash_signatures(sh, num_perm=8)
-    bands = dd.lsh_bands(sigs, rows_per_band=2)
-    cand = dd.lsh_candidate_pairs(bands)
-    return dd.jaccard_pairs(sh, cand).select(
-        "id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jaccard")
-    )
+    return dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=8, rows_per_band=2, shingle_n=3
+    ).select("id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jaccard"))
 
 
 @fixture(
