@@ -12,5 +12,6 @@ from nextbus2pg_spark.plans.registry import ORACLE, QUERIES, fixture
 # Importing the modules populates the registry.
 from nextbus2pg_spark.plans import fixtures as _fixtures  # noqa: F401,E402
 from nextbus2pg_spark.plans import northstar as _northstar  # noqa: F401,E402
+from nextbus2pg_spark.plans import extended as _extended  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE", "fixture"]

@@ -1,0 +1,250 @@
+"""Extended standard-surface fixture queries: ranking, percentiles,
+pivot-style conditional aggregation, cube, intersect, date parts,
+string functions, histograms, deterministic key generation.
+
+The reference needs none of these (SURVEY.md §2.6-2.9 lists its narrow
+surface), but the engine ships the full standard analytic surface per
+§2.6's note — every query here is oracle-checked like the core set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.catalog import load_table
+from nextbus2pg_spark.plans.registry import fixture
+
+
+@fixture(
+    "q_intersect",
+    oracle="""
+SELECT n_nationkey, n_name FROM nation WHERE n_regionkey IN (0, 1)
+INTERSECT
+SELECT n_nationkey, n_name FROM nation WHERE n_regionkey IN (1, 2)
+""",
+)
+def q_intersect(spark: SparkSession, sf_dir: str):
+    """Set intersection (free in Spark; SURVEY.md §2.8 note)."""
+    nation = load_table(spark, sf_dir, "nation")
+    a = nation.where(F.col("n_regionkey").isin(0, 1)).select("n_nationkey", "n_name")
+    b = nation.where(F.col("n_regionkey").isin(1, 2)).select("n_nationkey", "n_name")
+    return a.intersect(b)
+
+
+@fixture(
+    "q_rank_suite",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(rank() OVER w AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       lead(o_orderkey) OVER w AS next_orderkey,
+       lag(o_orderkey) OVER w AS prev_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_rank_suite(spark: SparkSession, sf_dir: str):
+    """Ranking/navigation window surface: rank, dense_rank, ntile,
+    lead, lag over a deterministic total order."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+@fixture(
+    "q_percentile",
+    oracle="""
+SELECT o_orderstatus,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)
+         AS median_price,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4)
+         AS p90_price
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_percentile(spark: SparkSession, sf_dir: str):
+    """Continuous percentiles (linear interpolation — identical
+    definition in both engines)."""
+    return load_table(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.round(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 4
+        ).alias("median_price"),
+        F.round(
+            F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)"), 4
+        ).alias("p90_price"),
+    )
+
+
+@fixture(
+    "q_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+       round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0.0), 2)
+         AS total_f
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str):
+    """Pivot as conditional aggregation (the portable, partial-agg-
+    friendly form; Spark's pivot() sugar compiles to the same plan)."""
+    o = load_table(spark, sf_dir, "orders")
+    def n_where(status):
+        return F.count(F.when(F.col("o_orderstatus") == status, 1))
+    return o.groupBy("o_orderpriority").agg(
+        n_where("F").alias("n_f"),
+        n_where("O").alias("n_o"),
+        n_where("P").alias("n_p"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("total_f"),
+    )
+
+
+@fixture(
+    "q_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str):
+    """CUBE grouping sets (all subtotal combinations)."""
+    return load_table(spark, sf_dir, "lineitem").cube(
+        "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+@fixture(
+    "q_date_parts",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(o_orderdate AS DATE) AS d
+FROM orders
+""",
+)
+def q_date_parts(spark: SparkSession, sf_dir: str):
+    """Date-part extraction + truncation (X4 family). ISO day-of-week
+    via Spark's weekday()+1 == DuckDB's isodow (Monday=1)."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        (F.weekday("o_orderdate") + F.lit(1)).cast("int").alias("iso_dow"),
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("timestamp_ntz")
+        .alias("month_start"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+
+
+@fixture(
+    "q_string_funcs",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name) AS up,
+       lower(c_mktsegment) AS lo,
+       substr(c_name, 1, 8) AS head,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+       trim(concat('  ', c_name, '  ')) AS trimmed,
+       length(c_name) AS name_len
+FROM customer
+""",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str):
+    """Core string surface: case, substr, pad, trim, length."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("head"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@fixture(
+    "q_histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders GROUP BY 1
+""",
+)
+def q_histogram(spark: SparkSession, sf_dir: str):
+    """Fixed-width histogram binning via floor division — the
+    shuffle-light profiling primitive."""
+    bucket = F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("long")
+    return load_table(spark, sf_dir, "orders").groupBy(
+        bucket.alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@fixture(
+    "q_keygen_deterministic",
+    oracle="""
+SELECT n_nationkey,
+       concat(substr(h, 1, 8), '-', substr(h, 9, 4), '-',
+              substr(h, 13, 4), '-', substr(h, 17, 4), '-',
+              substr(h, 21, 12)) AS nation_uuid
+FROM (SELECT n_nationkey, md5(concat('nation:', n_name)) AS h FROM nation)
+""",
+)
+def q_keygen_deterministic(spark: SparkSession, sf_dir: str):
+    """Deterministic surrogate-key generation (SURVEY.md §7 hard-part
+    #4): uuid-shaped md5 of the business key — injectable, testable
+    replacement for uuid4 (``agency.py:52``); ``q_keygen_uuid`` keeps
+    the nondeterministic uuid() form."""
+    h = F.md5(F.concat(F.lit("nation:"), F.col("n_name")))
+    uuid_shaped = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", uuid_shaped.alias("nation_uuid")
+    )
+
+
+@fixture("q_approx_distinct")  # HLL sketch values are engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str):
+    """approx_count_distinct (HyperLogLog++): sketch-based distinct at
+    scale. Engine-specific sketch ⇒ rows-only check; exactness is
+    covered by q_agg_stats's count(DISTINCT)."""
+    return load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )

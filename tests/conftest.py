@@ -18,6 +18,16 @@ SF_DIR_SMALL = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
+    # Executor python workers inherit PYTHONPATH from the driver env at
+    # session start; include repo + tests so classes defined in test
+    # modules (fake sinks, etc.) unpickle on workers.
+    here = os.path.dirname(__file__)
+    repo = os.path.dirname(here)
+    extra = os.pathsep.join([repo, here])
+    prev = os.environ.get("PYTHONPATH")
+    os.environ["PYTHONPATH"] = (
+        extra + (os.pathsep + prev if prev else "")
+    )
     spark = get_spark("nextbus2pg-tests")
     yield spark
     spark.stop()

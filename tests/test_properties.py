@@ -1,0 +1,110 @@
+"""Property-based tests (SURVEY.md §5.5) over hypothesis-generated
+batches: dedup-key uniqueness (A1/A2), gapless per-partition sequence
+(W1), event-time ≤ processing-time (P6/X2), upsert key-set algebra.
+
+One shared SparkSession; hypothesis drives small row sets (Spark round
+trips are expensive, so examples stay compact but adversarial: dupes,
+NULLs, unicode, extreme numbers).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.functions.scalar import ts_minus_seconds
+from nextbus2pg_spark.operators.keyed_write import append_dedup, upsert_batch
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=5)
+tags = st.one_of(st.none(), st.sampled_from(["a", "b", "ü", ""]))
+
+
+@given(
+    rows=st.lists(st.tuples(keys, tags, st.integers(0, 3)), min_size=1, max_size=30)
+)
+@_SETTINGS
+def test_dedup_keys_unique_after_append_dedup(spark, rows):
+    df = spark.createDataFrame(rows, "k int, tag string, ts int")
+    out = append_dedup(df, ["k", "tag", "ts"])
+    n = out.count()
+    distinct_n = out.select("k", "tag", "ts").distinct().count()
+    assert n == distinct_n  # A1/A2: key is unique post-dedup
+    # and every surviving key existed in the input
+    assert n == df.select("k", "tag", "ts").distinct().count()
+
+
+@given(
+    rows=st.lists(
+        st.tuples(keys, st.integers(0, 1000)), min_size=1, max_size=40
+    )
+)
+@_SETTINGS
+def test_row_number_gapless_per_partition(spark, rows):
+    df = spark.createDataFrame(rows, "grp int, pos int").distinct()
+    w = Window.partitionBy("grp").orderBy("pos", "grp")
+    out = df.select("grp", F.row_number().over(w).alias("rn"))
+    per_group = (
+        out.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("rn").alias("lo"),
+             F.max("rn").alias("hi"))
+        .collect()
+    )
+    for r in per_group:  # W1: stop_order gapless 1..n per service
+        assert (r.lo, r.hi) == (1, r.n)
+
+
+@given(
+    secs=st.lists(
+        st.floats(min_value=0.0, max_value=86400.0, allow_nan=False),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_SETTINGS
+def test_event_time_never_exceeds_processing_time(spark, secs):
+    base = dt.datetime(2024, 1, 15, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(base, s) for s in secs], "req timestamp_ntz, secs double"
+    )
+    out = df.select(
+        "req", ts_minus_seconds(F.col("req"), F.col("secs")).alias("et")
+    ).collect()
+    for r in out:  # P6/X2: event time = request − lag ≤ request
+        assert r.et <= r.req
+
+
+@given(
+    existing=st.lists(st.tuples(keys, st.text(max_size=3)), max_size=15),
+    incoming=st.lists(st.tuples(keys, st.text(max_size=3)), max_size=15),
+)
+@_SETTINGS
+def test_upsert_key_set_is_union(spark, existing, incoming):
+    e = spark.createDataFrame(
+        existing, "k int, payload string"
+    ).dropDuplicates(["k"])
+    i = spark.createDataFrame(
+        incoming, "k int, payload string"
+    ).dropDuplicates(["k"])
+    if not existing:
+        e = spark.createDataFrame([], "k int, payload string")
+    if not incoming:
+        i = spark.createDataFrame([], "k int, payload string")
+    out = upsert_batch(e, i, ["k"], ["payload"])
+    got = {r.k for r in out.collect()}
+    want = {r.k for r in e.collect()} | {r.k for r in i.collect()}
+    assert got == want  # K1: post-upsert key set = union of key sets
+    # incoming payload wins on intersection
+    inc = {r.k: r.payload for r in i.collect()}
+    for r in out.collect():
+        if r.k in inc:
+            assert r.payload == inc[r.k]
