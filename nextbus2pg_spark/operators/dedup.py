@@ -43,10 +43,15 @@ def dedup_groups(
 def word_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document → (id, shingle) rows.
+    """Word n-gram shingles per document → (id, shingle) rows (multiset).
 
     Splits on single spaces (cheap, codegen'd), slides an n-window via
     ``transform(sequence(...))`` — all JVM-side array ops, no UDF.
+
+    Deliberately NOT distinct: MinHash minima are unaffected by
+    duplicates, so the signature path skips a full-corpus shuffle;
+    consumers needing set semantics (Jaccard) dedup downstream, after
+    restricting to candidate documents (see ``jaccard_pairs``).
     """
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     n_shingles = F.size(words) - F.lit(n - 1)
@@ -60,9 +65,8 @@ def word_shingles(
             lambda i: F.array_join(F.slice(words, i, n), " "),
         )
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
-        .distinct()
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")
     )
 
 
@@ -105,14 +109,16 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     """Distinct candidate pairs sharing any LSH band bucket.
 
     The equi-join on (band, band_hash) is the scale trick: no all-pairs
-    comparison ever happens; bucket sizes bound the join fan-out.
+    comparison ever happens; bucket sizes bound the join fan-out. The
+    band relation is one row per (doc, band) — tiny relative to the
+    corpus — so one side broadcasts.
     """
     a = bands.select(
         F.col("id").alias("id_a"), "band", "band_hash"
     )
     b = bands.select(F.col("id").alias("id_b"), "band", "band_hash")
     return (
-        a.join(b, ["band", "band_hash"])
+        a.join(F.broadcast(b), ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -124,21 +130,33 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard similarity for candidate pairs over shingle sets.
 
-    Scale-critical ordering: both shingle sides are first semi-joined
-    down to ids that appear in ANY candidate pair, so the shingle
-    equi-join only ever explodes over candidate documents — the verify
-    cost tracks |candidates|, not |corpus|.
+    Scale-critical ordering: both shingle sides (and the set-size
+    aggregation) are first semi-joined down to ids that appear in ANY
+    candidate pair, so the shingle equi-join only ever explodes over
+    candidate documents — the verify cost tracks |candidates|, not
+    |corpus|.
     Output: (id_a, id_b, jaccard).
     """
-    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     ids_a = candidates.select(F.col("id_a").alias("id")).distinct()
     ids_b = candidates.select(F.col("id_b").alias("id")).distinct()
+    cand_ids = ids_a.unionByName(ids_b).distinct()
+    # Set semantics (distinct) applied only AFTER restricting to
+    # candidate ids — the input may be a shingle multiset.
+    # Materialized once (it feeds sizes + both join sides); bounded by
+    # |candidate docs| × shingles-per-doc, i.e. small by LSH design.
+    cand_shingles = (
+        shingled.join(F.broadcast(cand_ids), "id", "left_semi")
+        .select("id", "shingle")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = cand_shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = (
-        shingled.join(F.broadcast(ids_a), "id", "left_semi")
+        cand_shingles.join(F.broadcast(ids_a), "id", "left_semi")
         .select(F.col("id").alias("id_a"), "shingle")
     )
     b = (
-        shingled.join(F.broadcast(ids_b), "id", "left_semi")
+        cand_shingles.join(F.broadcast(ids_b), "id", "left_semi")
         .select(F.col("id").alias("id_b"), "shingle")
     )
     inter = (
@@ -177,6 +195,13 @@ def minhash_lsh_pairs(
     relation (columns, not exploded perm rows) — no num_perm× row
     blowup, one shuffle for the whole signature stage. Bands then
     explode from the wide row (tiny: one row per doc).
+
+    The shingle relation feeds three branches (signatures, verify join,
+    set sizes). Deliberately NOT cached: re-deriving shingles is a cheap
+    map-side explode, while persisting the subtree here measurably hurts
+    (it blocks AQE's runtime join planning on every consumer — observed
+    7.8s → 126s at sf0.1). At cluster scale, materialize shingles to a
+    table between the signature and verify phases instead.
     """
     sh = word_shingles(df, id_col, text_col, n=shingle_n)
     sig_cols = [
@@ -204,10 +229,17 @@ def minhash_lsh_pairs(
             for b in range(n_bands)
         ]
     )
+    # The wide signature frame (one row per doc) and the candidate-pair
+    # frame are each consumed by several downstream branches; Spark
+    # re-derives unshared subtrees per consumer, which would recompute
+    # the full shingle aggregation ~8×. localCheckpoint materializes
+    # these *small* frames once and truncates lineage (at cluster scale:
+    # write them to an intermediate table instead).
+    wide = wide.localCheckpoint(eager=True)
     bands = wide.select(
         "id", F.explode(band_structs).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
-    cand = lsh_candidate_pairs(bands)
+    cand = lsh_candidate_pairs(bands).localCheckpoint(eager=True)
     return jaccard_pairs(sh, cand)
 
 

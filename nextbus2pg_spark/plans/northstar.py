@@ -129,7 +129,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str):
     (source, lang) — candidate generation by blocking keys, never
     all-pairs."""
     docs = _docs_plus(spark, sf_dir)
-    sh = dd.word_shingles(docs, "doc_id", "text", n=3)
+    sh = dd.word_shingles(docs, "doc_id", "text", n=3).distinct()
     meta = docs.select(F.col("doc_id").alias("id"), "lang", "source")
     sh = sh.join(meta, "id")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
