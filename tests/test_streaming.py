@@ -147,3 +147,45 @@ def test_streaming_end_to_end_with_checkpoint(spark, tmp_path):
     assert second.count() == 3  # v1, v2 (once) + v3; no reprocessing
     tags = {r.vehicle_tag for r in second.collect()}
     assert tags == {"v1", "v2", "v3"}
+
+
+def test_cross_batch_dedup_with_watermark(spark, tmp_path):
+    """T8 extension (NOT reference semantics — documented upgrade):
+    withWatermark + dropDuplicatesWithinWatermark drops duplicates that
+    span micro-batches, with state bounded by the watermark."""
+    feed_dir = tmp_path / "feed8"
+    out = str(tmp_path / "out8")
+    ck = str(tmp_path / "ck8")
+    feed_dir.mkdir()
+    base = {
+        "route_tag": "38R", "dir_tag": "38R_out", "lon": "-122.4",
+        "lat": "37.7", "secs_since_report": "10", "predictable": "true",
+        "request_time_ms": 1706000000000,
+    }
+
+    def wf(name, rows):
+        p = feed_dir / name
+        t = feed_dir / (name + ".t")
+        with open(t, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(t, p)
+
+    wf("b1.json", [dict(base, vehicle_id="v1"), dict(base, vehicle_id="v2")])
+    wf("b2.json", [dict(base, vehicle_id="v1"), dict(base, vehicle_id="v3")])
+
+    rs = spark.createDataFrame([("38R_out", "svc")], "tag string, service_id string")
+    stream = (
+        spark.readStream.schema(RAW_FEED_SCHEMA)
+        .option("maxFilesPerTrigger", "1")  # force two micro-batches
+        .json(str(feed_dir))
+    )
+    piped = vehicle_pipeline(stream, rs, rs, cross_batch_dedup=True)
+    q = (
+        piped.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert sorted(r.vehicle_tag for r in got.collect()) == ["v1", "v2", "v3"]
