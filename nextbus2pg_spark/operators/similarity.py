@@ -5,12 +5,12 @@ query set against the full corpus — the corpus side never shuffles, the
 dot product is a JVM-side array fold (``zip_with`` + ``aggregate``), and
 the top-k is a per-query window.
 
-The scale path is LSH bucketing (random-hyperplane signs): each vector
-gets a short binary signature from deterministic pseudo-random planes;
-candidates share a signature prefix, so search becomes an equi-join on
-buckets. Recall is tunable via number of tables/prefix length. An IVF
-variant would swap the signature for a nearest-centroid id (KMeans fit),
-same join shape.
+Two scale paths turn search into an equi-join (the 100 TB shapes):
+- LSH bucketing (random-hyperplane signs): a short binary signature
+  from deterministic pseudo-random planes; recall tunable via number
+  of tables / prefix length (``lsh_topk``).
+- IVF (inverted file): nearest-centroid bucket ids with query-side
+  multi-probe; recall tunable via nprobe (``ivf_topk``).
 """
 
 from __future__ import annotations
@@ -113,12 +113,6 @@ def lsh_signatures(
     in cosine angle collide with high probability; the signature is an
     equi-joinable bucket key.
     """
-    spark = df.sparkSession
-    dims = spark.range(1000).limit(  # upper bound; trimmed by zip_with
-        n_bits
-    )
-    del dims  # planes are generated per-bit inside the expression below
-
     bits = []
     for b in range(n_bits):
         plane = F.transform(
@@ -173,6 +167,110 @@ def lsh_topk(
         c.join(q, "bucket")
         .where(F.col("query_id") != F.col("match_id"))
         .select("query_id", "match_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-bucketed scale path
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int = 16
+) -> DataFrame:
+    """Deterministic centroid set: the first ``n_centroids`` corpus
+    vectors by id. A KMeans fit would tighten the partition quality; the
+    IVF *join shape* — the thing that matters at scale — is identical,
+    and seeded selection keeps the operator fully deterministic and
+    dependency-free.
+    """
+    return (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("c_vec"),
+        )
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids → (id,
+    centroid_id) rows. Centroids broadcast; the corpus never shuffles
+    for assignment. nprobe=1 for indexing, >1 for query-side probing.
+    """
+    c = with_norm(
+        centroids.withColumnRenamed("c_vec", "__cv"), "__cv", "__cn"
+    )
+    v = with_norm(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")), "__v", "__vn")
+    sim = cosine(F.col("__v"), F.col("__cv"), F.col("__vn"), F.col("__cn"))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "id", "centroid_id", sim.alias("__sim")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= nprobe)
+        .select("id", "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine restricted to vectors whose
+    centroid is among the query's ``nprobe`` nearest centroids.
+
+    Scale shape: one equi-join on centroid_id replaces the cross join —
+    each query touches ~nprobe/n_centroids of the corpus. Recall is
+    tunable via nprobe; nprobe == n_centroids degenerates to exact.
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    c_assigned = ivf_assign(corpus, id_col, vec_col, cents, nprobe=1)
+    q_assigned = ivf_assign(queries, id_col, vec_col, cents, nprobe=nprobe)
+
+    c = c_assigned.join(
+        with_norm(corpus, vec_col, "t_norm").select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("t_vec"), "t_norm"
+        ),
+        "id",
+    ).withColumnRenamed("id", "match_id")
+    q = q_assigned.join(
+        with_norm(queries, vec_col, "q_norm").select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("q_vec"), "q_norm"
+        ),
+        "id",
+    ).withColumnRenamed("id", "query_id")
+
+    sim = F.round(
+        cosine(F.col("q_vec"), F.col("t_vec"), F.col("q_norm"), F.col("t_norm")), 6
+    )
+    pairs = (
+        c.join(q, "centroid_id")
+        .where(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", sim.alias("sim"))
+        .distinct()  # a pair can meet via several probed centroids
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("match_id").asc()

@@ -286,3 +286,43 @@ def run_refresh(
     refresh_service_stop_orders(
         store, direction_stops, agency_id, update_timestamp
     )
+
+
+def make_agency_table(spark: SparkSession, root: str) -> ParquetUpsertTable:
+    """The agency table (entry point 3 bootstrap, agency.py:12-37):
+    natural-key upsert K1 — the simplest full pipeline slice."""
+    return ParquetUpsertTable(
+        spark, f"{root}/agency",
+        key_cols=["agency_id"], update_cols=["name", "region"],
+    )
+
+
+def refresh_agencies(
+    agency_table: ParquetUpsertTable, agency_list: DataFrame
+) -> DataFrame:
+    """K1 (agency.py:26-37): fetch S1 → project P1 → upsert on the
+    natural key. Columns: (tag → agency_id, title → name,
+    regionTitle → region)."""
+    incoming = agency_list.select(
+        F.col("tag").alias("agency_id"),
+        F.col("title").alias("name"),
+        F.col("regionTitle").alias("region"),
+    )
+    agency_table.upsert(incoming)
+    return agency_table.read()
+
+
+def with_retries(fn, n_tries: int = 10, on_error=None):
+    """T6 retry policy (run.py:69-77): retry the whole refresh block up
+    to ``n_tries`` times. Unlike the reference — which swallows the
+    final failure with a bare except (SURVEY.md §3 notes the bug) —
+    the last exception re-raises."""
+    last = None
+    for attempt in range(n_tries):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - mirror reference breadth
+            last = e
+            if on_error is not None:
+                on_error(attempt, e)
+    raise last

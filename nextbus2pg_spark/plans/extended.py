@@ -248,3 +248,55 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str):
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
     )
+
+
+@fixture(
+    "q_json_extract",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       json_extract_string(props, '$.k') AS k_str
+FROM events
+""",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str):
+    """Semi-structured surface: JSON path extraction from a string
+    column (events.props), typed and string forms."""
+    from nextbus2pg_spark.catalog import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    )
+
+
+@fixture(
+    "q_text_clean",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(lower(replace(text, '  ', ' ')),
+                           '[ ]+', ' ', 'g')) AS clean,
+       regexp_replace(text, '[0-9]+', '#', 'g') AS digit_masked
+FROM documents
+""",
+)
+def q_text_clean(spark: SparkSession, sf_dir: str):
+    """Text normalization + PII-style masking: lowercase, whitespace
+    collapse, digit-run redaction (regexp semantics identical in Java
+    regex and RE2 for these classes)."""
+    from nextbus2pg_spark.catalog import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.replace(F.col("text"), F.lit("  "), F.lit(" "))),
+                "[ ]+",
+                " ",
+            )
+        ).alias("clean"),
+        F.regexp_replace(F.col("text"), "[0-9]+", "#").alias("digit_masked"),
+    )

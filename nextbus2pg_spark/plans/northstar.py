@@ -482,3 +482,15 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str):
             "head_hex"
         ),
     )
+
+
+@fixture("q_ivf_topk")  # approximate by construction → rows-only
+def q_ivf_topk(spark: SparkSession, sf_dir: str):
+    """IVF-bucketed approximate top-k — centroid inverted-file variant
+    of the ANN scale path (operators.similarity.ivf_topk)."""
+    from nextbus2pg_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries, "vec_id", "embedding", k=5,
+                    n_centroids=16, nprobe=4)

@@ -131,3 +131,43 @@ def test_refresh_twice_key_stability_and_idempotence(spark, tmp_path):
     ts2 = dt.datetime(2024, 1, 16, 8, 0, 0)
     run_refresh(store, route_list2, body, dirs, dstops, "sf-muni", ts2)
     assert store.service_stop_order.read().count() == 2 * n_orders
+
+
+def test_agency_bootstrap_and_retry(spark, tmp_path):
+    """Entry point 3 (K1) + T6 retry; final failure re-raises (the
+    reference swallows it — documented fix)."""
+    import pytest
+    from nextbus2pg_spark.pipelines.dimension_refresh import (
+        make_agency_table,
+        refresh_agencies,
+        with_retries,
+    )
+
+    t = make_agency_table(spark, str(tmp_path / "dims"))
+    batch = spark.createDataFrame(
+        [("sf-muni", "SF Muni", "California")],
+        "tag string, title string, regionTitle string",
+    )
+    refresh_agencies(t, batch)
+    batch2 = spark.createDataFrame(
+        [("sf-muni", "SF Muni v2", "California"),
+         ("actransit", "AC Transit", "California")],
+        "tag string, title string, regionTitle string",
+    )
+    refresh_agencies(t, batch2)
+    rows = {r.agency_id: r.name for r in t.read().collect()}
+    assert rows == {"sf-muni": "SF Muni v2", "actransit": "AC Transit"}
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("api down")
+        return "ok"
+
+    assert with_retries(flaky, n_tries=10) == "ok"
+    assert len(calls) == 3
+
+    with pytest.raises(RuntimeError):
+        with_retries(lambda: (_ for _ in ()).throw(RuntimeError("x")), n_tries=2)

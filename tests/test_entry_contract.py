@@ -28,10 +28,10 @@ def test_contract_key_alignment():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q), "oracle keys must be a subset of queries"
-    assert len(q) >= 55
+    assert len(q) >= 60
     # Known rows-only queries are the only ones without oracles.
     assert set(q) - set(o) == {
-        "q_keygen_uuid", "q_lsh_topk", "q_approx_distinct",
+        "q_keygen_uuid", "q_lsh_topk", "q_approx_distinct", "q_ivf_topk",
     }
 
 

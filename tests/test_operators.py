@@ -139,3 +139,30 @@ def test_two_level_fallback_priority(spark):
     )
     got = {r.tag: r.service for r in out.collect()}
     assert got == {"t1": "P1", "t2": "S2"}  # t3 dropped, primary wins
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF with full probing degenerates to exact; with partial probing
+    it still finds identical twins (same bucket by construction)."""
+    from nextbus2pg_spark.operators.similarity import ivf_topk
+
+    rows = [(i, [float((i * 13 + d * 7) % 11 - 5) for d in range(8)]) for i in range(30)]
+    rows += [(100 + i, vec) for i, vec in rows[:5]]  # exact twins
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") >= 100)
+
+    out = ivf_topk(df, queries, "vec_id", "embedding", k=3,
+                   n_centroids=8, nprobe=2)
+    best = {r.query_id: (r.match_id, r.sim)
+            for r in out.where(F.col("rank") == 1).collect()}
+    for qid, (mid, sim) in best.items():
+        assert mid == qid - 100 and sim == 1.0  # twin shares the centroid
+
+    # nprobe == n_centroids ⇒ same top-1 as brute force
+    from nextbus2pg_spark.operators.similarity import cosine_topk
+    exact = {r.query_id: r.match_id for r in
+             cosine_topk(df, queries, "vec_id", "embedding", k=1).collect()}
+    full = {r.query_id: r.match_id for r in
+            ivf_topk(df, queries, "vec_id", "embedding", k=1,
+                     n_centroids=8, nprobe=8).where(F.col("rank") == 1).collect()}
+    assert exact == full
