@@ -1,0 +1,130 @@
+"""Scale-out primitives: bucketed co-located joins and skew salting.
+
+These are the two levers SURVEY.md §4/BASELINE.json's 100 TB mandate
+needs beyond AQE's defaults:
+
+- **Bucketing**: pre-shuffle both sides of a recurring big-big join
+  into the same bucket layout at write time; every later join on the
+  bucket key is co-located — zero Exchange on either side. This is the
+  answer when a dimension outgrows broadcast or a fact-fact join
+  repeats across jobs.
+- **Salting**: when one join/group key dominates (hot key), split it
+  across ``factor`` sub-keys: the big side gets a deterministic salt,
+  the small side is replicated ``factor``×. Turns one straggler task
+  into ``factor`` parallel ones. AQE's skew-join handles moderate skew
+  at runtime; salting is the explicit control for pathological keys
+  and for aggregations (which AQE skew handling does not cover).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (optionally sorted) managed table.
+
+    Joins/aggregations between tables bucketed identically on the join
+    key run without any Exchange (verify with ``count_exchanges``);
+    sorting within buckets additionally removes the Sort before a
+    sort-merge join.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) operators in the physical plan —
+    the metric bucketing is meant to drive to zero."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange")
+
+
+def salted(
+    df: DataFrame, key_col: str, factor: int, salt_col: str = "__salt"
+) -> DataFrame:
+    """Attach a deterministic salt in [0, factor) spreading each key's
+    rows uniformly (hash of the full row via monotonic id is NOT
+    deterministic across retries; hashing the key alone would not
+    spread it — so salt on xxhash64 of all columns, which is stable
+    for identical row content)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(factor))
+    )
+
+
+def replicate_for_salt(
+    df: DataFrame, factor: int, salt_col: str = "__salt"
+) -> DataFrame:
+    """Replicate the small side once per salt value (factor×)."""
+    return df.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+    ).withColumn(salt_col, F.col(salt_col).cast("bigint"))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: identical result to ``big.join(small,
+    on, how)``, but each hot key's rows land in ``factor`` tasks.
+
+    The small side grows ``factor``× — use only when the small side is
+    small enough to afford it (it usually is; that's why the key is
+    hot on the other side)."""
+    b = salted(big, on, factor)
+    s = replicate_for_salt(small, factor)
+    out = b.join(s, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    agg_exprs: dict[str, str],
+    factor: int = 8,
+) -> DataFrame:
+    """Two-phase skew-resistant aggregation for algebraic aggregates
+    (sum/count/min/max): aggregate by (key, salt) first — spreading a
+    hot key over ``factor`` partial groups — then combine by key.
+
+    ``agg_exprs``: output column → one of sum|count|min|max over an
+    input column, e.g. ``{"qty": "sum(l_quantity)", "n": "count(1)"}``.
+    """
+    d = salted(df, group_cols[0], factor)
+    phase1 = []
+    combine = []
+    for out_col, expr in agg_exprs.items():
+        fn, _, arg = expr.partition("(")
+        arg = arg.rstrip(")")
+        fn = fn.strip().lower()
+        if fn == "count":
+            phase1.append(F.count(F.lit(1)).alias(out_col))
+            combine.append(F.sum(out_col).alias(out_col))
+        elif fn == "sum":
+            phase1.append(F.sum(arg).alias(out_col))
+            combine.append(F.sum(out_col).alias(out_col))
+        elif fn == "min":
+            phase1.append(F.min(arg).alias(out_col))
+            combine.append(F.min(out_col).alias(out_col))
+        elif fn == "max":
+            phase1.append(F.max(arg).alias(out_col))
+            combine.append(F.max(out_col).alias(out_col))
+        else:
+            raise ValueError(f"unsupported aggregate: {expr}")
+    partial = d.groupBy(*group_cols, "__salt").agg(*phase1)
+    return partial.groupBy(*group_cols).agg(*combine)

@@ -1,0 +1,106 @@
+"""Scale-primitive tests: bucketed joins eliminate shuffles (plan-level
+assertion), salted join/agg match their unsalted results exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.catalog import load_table
+from nextbus2pg_spark.operators.scale import (
+    count_exchanges,
+    salted_agg,
+    salted_join,
+    write_bucketed,
+)
+from tests.conftest import SF_DIR_SMALL
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    orders = load_table(spark, SF_DIR_SMALL, "orders")
+    lineitem = load_table(spark, SF_DIR_SMALL, "lineitem")
+    write_bucketed(
+        orders, "b_orders", ["o_orderkey"], n_buckets=8,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        lineitem, "b_lineitem", ["l_orderkey"], n_buckets=8,
+        sort_cols=["l_orderkey"],
+    )
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    """Co-located join: both sides bucketed on the key → zero shuffles
+    in the physical plan (the 100 TB big-big join strategy)."""
+    bo, bl = bucketed_tables
+    # Disable AQE broadcast conversion so the join strategy under test
+    # (bucket-co-located sort-merge) is what actually runs.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(bo).join(
+            spark.table(bl),
+            spark.table(bo)["o_orderkey"] == spark.table(bl)["l_orderkey"],
+        )
+        assert count_exchanges(joined) == 0
+        # and the result is correct
+        plain = load_table(spark, SF_DIR_SMALL, "orders").join(
+            load_table(spark, SF_DIR_SMALL, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_unbucketed_join_shuffles_both_sides(spark):
+    """Control: the same join on raw parquet shuffles (≥2 Exchanges)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, SF_DIR_SMALL, "orders")
+        l = load_table(spark, SF_DIR_SMALL, "lineitem")
+        joined = o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        assert count_exchanges(joined) >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_DIR_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, SF_DIR_SMALL, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    plain = li.join(part, "l_partkey").groupBy("p_brand").count()
+    salted = (
+        salted_join(li, part, "l_partkey", factor=4)
+        .groupBy("p_brand").count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    li = load_table(spark, SF_DIR_SMALL, "lineitem")
+    plain = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.min("l_orderkey").alias("lo"),
+        F.max("l_orderkey").alias("hi"),
+    )
+    salted = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"n": "count(1)", "qty": "sum(l_quantity)",
+         "lo": "min(l_orderkey)", "hi": "max(l_orderkey)"},
+        factor=4,
+    ).withColumn("qty", F.round(F.col("qty"), 2))
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
