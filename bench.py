@@ -31,7 +31,7 @@ HEADLINE = [
     "q_asof_join",
     "q_dedup_exact",
     "q_minhash_lsh",
-    "q_cosine_topk",
+    "q_cosine_topk_vec",
     "q_token_count",
     "q_doc_fingerprint",
 ]

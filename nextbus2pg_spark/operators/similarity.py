@@ -280,3 +280,77 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (Arrow/numpy) brute-force path
+# ---------------------------------------------------------------------------
+
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k via an Arrow-batched numpy matmul.
+
+    Same contract as ``cosine_topk`` (this is the "UDFs are the slow
+    path — but when you must, vectorize" case: one BLAS matmul per
+    Arrow batch replaces millions of interpreted expression evals).
+
+    Scale design: the query matrix is collected once (query sets are
+    small by definition) and shipped inside the closure; each corpus
+    partition emits only its LOCAL top-k per query (partial top-k), so
+    the final shuffle carries ≤ partitions × queries × k rows — not the
+    full pair matrix. A final window takes the global top-k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = "query_id long, match_id long, sim double"
+
+    def topk_partition(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(
+                np.float64
+            )
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ q_mat.T  # (batch, queries)
+            for qi, qid in enumerate(q_ids):
+                col = sims[:, qi]
+                mask = ids != qid  # exclude self-match
+                cand_ids = ids[mask]
+                cand_sims = col[mask]
+                if cand_ids.size == 0:
+                    continue
+                take = min(k, cand_ids.size)
+                part = np.argpartition(-cand_sims, take - 1)[:take]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "match_id": cand_ids[part],
+                        "sim": np.round(cand_sims[part], round_digits),
+                    }
+                )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        topk_partition, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "sim", "rank")
+    )

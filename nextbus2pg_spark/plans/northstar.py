@@ -255,9 +255,7 @@ n AS (
 """
 
 
-@fixture(
-    "q_cosine_topk",
-    oracle=f"""
+ORACLE_COSINE_TOPK = f"""
 WITH {_COSINE_NORM_SQL.strip()},
 q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n
       WHERE vec_id % 50 = 0),
@@ -275,8 +273,10 @@ SELECT query_id, match_id, sim, CAST(rank AS INTEGER) AS rank FROM (
     PARTITION BY query_id ORDER BY sim DESC, match_id
   ) AS rank FROM pairs
 ) WHERE rank <= 5
-""",
-)
+"""
+
+
+@fixture("q_cosine_topk", oracle=ORACLE_COSINE_TOPK)
 def q_cosine_topk(spark: SparkSession, sf_dir: str):
     """Brute-force cosine top-k (exact ANN baseline): broadcast query
     set × corpus, JVM-side array fold, per-query window."""
@@ -494,3 +494,18 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str):
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return ivf_topk(emb, queries, "vec_id", "embedding", k=5,
                     n_centroids=16, nprobe=4)
+
+
+@fixture(
+    "q_cosine_topk_vec",
+    oracle=ORACLE_COSINE_TOPK,
+)
+def q_cosine_topk_vec(spark: SparkSession, sf_dir: str):
+    """Vectorized (Arrow + numpy matmul) brute-force cosine top-k with
+    per-partition partial top-k — must produce exactly the same result
+    as the expression-based q_cosine_topk (shares its oracle)."""
+    from nextbus2pg_spark.operators.similarity import cosine_topk_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk_vectorized(emb, queries, "vec_id", "embedding", k=5)
