@@ -1,9 +1,17 @@
-"""Operator library (SURVEY.md §2.2-2.8 + §2.12 extensions)."""
+"""Operator library (SURVEY.md §2.2-2.8 reference parity + §2.12
+training-data extensions + scale primitives). Public API surface."""
 
-from nextbus2pg_spark.operators.keyed_write import (
-    append_dedup,
-    insert_if_absent,
-    upsert_batch,
+from nextbus2pg_spark.operators.asof import asof_join, asof_join_by_id
+from nextbus2pg_spark.operators.dedup import (
+    dedup_groups,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+    word_shingles,
 )
 from nextbus2pg_spark.operators.joins import (
     broadcast_lookup,
@@ -11,13 +19,67 @@ from nextbus2pg_spark.operators.joins import (
     top1_per_group,
     two_level_fallback,
 )
+from nextbus2pg_spark.operators.keyed_write import (
+    append_dedup,
+    insert_if_absent,
+    upsert_batch,
+)
+from nextbus2pg_spark.operators.multimodal import (
+    extract_features,
+    fake_media_from_documents,
+    frame_sample,
+)
+from nextbus2pg_spark.operators.scale import (
+    count_exchanges,
+    salted_agg,
+    salted_join,
+    write_bucketed,
+)
+from nextbus2pg_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_vectorized,
+    ivf_topk,
+    lsh_topk,
+)
+from nextbus2pg_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
 
 __all__ = [
-    "append_dedup",
-    "insert_if_absent",
-    "upsert_batch",
+    "asof_join",
+    "asof_join_by_id",
+    "dedup_groups",
+    "exact_dedup",
+    "jaccard_pairs",
+    "lsh_bands",
+    "lsh_candidate_pairs",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "simhash",
+    "word_shingles",
     "broadcast_lookup",
     "first_per_group",
     "top1_per_group",
     "two_level_fallback",
+    "append_dedup",
+    "insert_if_absent",
+    "upsert_batch",
+    "extract_features",
+    "fake_media_from_documents",
+    "frame_sample",
+    "count_exchanges",
+    "salted_agg",
+    "salted_join",
+    "write_bucketed",
+    "cosine_topk",
+    "cosine_topk_vectorized",
+    "ivf_topk",
+    "lsh_topk",
+    "fingerprint",
+    "lang_id",
+    "quality_features",
+    "token_count",
 ]

@@ -186,6 +186,7 @@ def minhash_lsh_pairs(
     num_perm: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    materialize_shingles: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs, wide-form fast path.
 
@@ -196,14 +197,18 @@ def minhash_lsh_pairs(
     blowup, one shuffle for the whole signature stage. Bands then
     explode from the wide row (tiny: one row per doc).
 
-    The shingle relation feeds three branches (signatures, verify join,
-    set sizes). Deliberately NOT cached: re-deriving shingles is a cheap
-    map-side explode, while persisting the subtree here measurably hurts
-    (it blocks AQE's runtime join planning on every consumer — observed
-    7.8s → 126s at sf0.1). At cluster scale, materialize shingles to a
-    table between the signature and verify phases instead.
+    The shingle relation feeds the signature and verify branches;
+    ``materialize_shingles`` localCheckpoints it so the explode runs
+    once (measured ~15% off warm wall time at sf0.1). It lives in
+    executor memory — for very large corpora turn it off or, better,
+    write shingles to an intermediate table between phases. NOTE: a
+    lazy ``persist()`` here instead would REGRESS badly (it blocks
+    AQE's runtime join planning on every consumer — observed 7.8s →
+    126s at sf0.1); eager localCheckpoint does not.
     """
     sh = word_shingles(df, id_col, text_col, n=shingle_n)
+    if materialize_shingles:
+        sh = sh.localCheckpoint(eager=True)
     sig_cols = [
         F.min(
             F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
