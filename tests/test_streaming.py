@@ -189,3 +189,60 @@ def test_cross_batch_dedup_with_watermark(spark, tmp_path):
     q.awaitTermination(180)
     got = spark.read.parquet(out)
     assert sorted(r.vehicle_tag for r in got.collect()) == ["v1", "v2", "v3"]
+
+
+def test_stateful_sessionizer_applyinpandaswithstate(spark, tmp_path):
+    """Custom stateful operator: per-vehicle sessions via
+    applyInPandasWithState — gap closes a session and emits a summary;
+    state persists across micro-batches."""
+    from nextbus2pg_spark.streaming.stateful import sessionize_stream
+
+    feed_dir = tmp_path / "sfeed"
+    ck = str(tmp_path / "sck")
+    out = str(tmp_path / "sout")
+    feed_dir.mkdir()
+
+    def wf(name, rows):
+        p = feed_dir / name
+        t = feed_dir / (name + ".t")
+        with open(t, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(t, p)
+
+    B = 1_700_000_000_000_000  # base µs
+    MIN = 60_000_000
+    # batch 1: v1 has two events 1 min apart (one open session)
+    wf("s1.json", [
+        {"vehicle_tag": "v1", "ts_us": B, "value": 10.0},
+        {"vehicle_tag": "v1", "ts_us": B + MIN, "value": 20.0},
+    ])
+    # batch 2: v1 jumps 2 hours -> closes session 1 (2 events, mean 15)
+    wf("s2.json", [
+        {"vehicle_tag": "v1", "ts_us": B + 120 * MIN, "value": 99.0},
+    ])
+    # The file source orders micro-batches by modification time; force
+    # distinct mtimes so s1 is batch 0 deterministically.
+    now = 1_700_000_000
+    os.utime(feed_dir / "s1.json", (now, now))
+    os.utime(feed_dir / "s2.json", (now + 10, now + 10))
+
+    stream = (
+        spark.readStream.schema("vehicle_tag string, ts_us long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed_dir))
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1  # exactly the closed session
+    s = rows[0]
+    assert s.vehicle_tag == "v1"
+    assert (s.session_start_us, s.session_end_us) == (B, B + MIN)
+    assert s.n_events == 2 and abs(s.mean_value - 15.0) < 1e-9
