@@ -77,3 +77,14 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose the fixture tables as SQL temp views (for spark.sql plans)."""
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def sql(spark: SparkSession, query: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """SQL-string entry point: register the fixture tables as temp views
+    and run ``spark.sql(query)`` — the engine's parser/optimizer IS
+    Spark's (SURVEY.md §7 'explicitly not built'). Example:
+
+        sql(spark, "SELECT count(*) FROM lineitem WHERE l_quantity > 45")
+    """
+    register_temp_views(spark, sf_dir)
+    return spark.sql(query)
