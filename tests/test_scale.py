@@ -104,3 +104,25 @@ def test_salted_agg_equals_plain_agg(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_write_partitioned_prunes_and_controls_files(spark, tmp_path):
+    import glob
+
+    orders = load_table(spark, SF_DIR_SMALL, "orders")
+    from nextbus2pg_spark.operators.scale import write_partitioned
+
+    path = str(tmp_path / "orders_by_status")
+    write_partitioned(orders, path, ["o_orderstatus"])
+    # one file per partition directory (no small-file explosion)
+    for d in glob.glob(path + "/o_orderstatus=*"):
+        files = [f for f in glob.glob(d + "/*.parquet")]
+        assert len(files) == 1
+    # read back prunes: the filter appears as a PartitionFilter (whole
+    # directories skipped), not a data filter
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == orders.where(F.col("o_orderstatus") == "F").count()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
