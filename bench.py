@@ -60,14 +60,22 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; the timed run will surface errors
 
+    # Median of N runs per query (default 3): single-run wall time on a
+    # shared machine varies ±20%; the median is the stable statistic.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        samples = []
+        n = 0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        print(f"# {name}: {timings[name]}s median of {runs} ({n} rows)",
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -300,3 +300,41 @@ def q_text_clean(spark: SparkSession, sf_dir: str):
         ).alias("clean"),
         F.regexp_replace(F.col("text"), "[0-9]+", "#").alias("digit_masked"),
     )
+
+
+@fixture(
+    "q_array_funcs",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       round(CAST(list_sort(CAST(embedding AS DOUBLE[]))[1] AS DOUBLE), 6)
+         AS min_val,
+       round(CAST(list_sort(CAST(embedding AS DOUBLE[]))[len(embedding)]
+             AS DOUBLE), 6) AS max_val,
+       round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))), 6) AS l1_norm
+FROM embeddings
+""",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str):
+    """Array-function surface: size, indexing, sort, element-wise
+    transform + fold — all JVM-side array expressions."""
+    from nextbus2pg_spark.catalog import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    srt = F.array_sort(as_double)
+    l1 = F.aggregate(
+        as_double, F.lit(0.0), lambda acc, x: acc + F.abs(x)
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(F.col("embedding"), 1).cast("double"), 6).alias(
+            "first_val"
+        ),
+        F.round(F.element_at(srt, 1), 6).alias("min_val"),
+        F.round(F.element_at(srt, -1), 6).alias("max_val"),
+        F.round(l1, 6).alias("l1_norm"),
+    )
