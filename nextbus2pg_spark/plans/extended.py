@@ -338,3 +338,38 @@ def q_array_funcs(spark: SparkSession, sf_dir: str):
         F.round(F.element_at(srt, -1), 6).alias("max_val"),
         F.round(l1, 6).alias("l1_norm"),
     )
+
+
+# Shared ANSI SQL run verbatim by BOTH engines (Spark via catalog.sql,
+# DuckDB as the oracle) — exercises Catalyst's subquery decorrelation.
+_SCALAR_SUBQUERY_SQL = """
+SELECT o_orderkey, o_custkey,
+       (SELECT count(*) FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+FROM orders o
+WHERE o_orderstatus = 'F'
+"""
+
+_IN_SUBQUERY_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_nationkey IN (
+  SELECT n_nationkey FROM nation WHERE n_regionkey = 1
+)
+"""
+
+
+@fixture("q_scalar_subquery", oracle=_SCALAR_SUBQUERY_SQL)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str):
+    """Correlated scalar subquery — same ANSI text runs on both engines;
+    Catalyst decorrelates it to an aggregate + outer join."""
+    from nextbus2pg_spark.catalog import sql as _sql
+
+    return _sql(spark, _SCALAR_SUBQUERY_SQL, sf_dir)
+
+
+@fixture("q_in_subquery", oracle=_IN_SUBQUERY_SQL)
+def q_in_subquery(spark: SparkSession, sf_dir: str):
+    """IN-subquery predicate (planned as a left-semi join)."""
+    from nextbus2pg_spark.catalog import sql as _sql
+
+    return _sql(spark, _IN_SUBQUERY_SQL, sf_dir)
