@@ -231,7 +231,12 @@ def minhash_lsh_pairs(
     AQE's runtime join planning on every consumer — observed 7.8s →
     126s at sf0.1); eager localCheckpoint does not.
     """
-    sh = word_shingles(df, id_col, text_col, n=shingle_n)
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    # The shingle explode + 8-way md5 signature aggregation inherit the
+    # scan's partition count; spread a narrow input across all cores
+    # first (no-op when the scan already has enough partitions).
+    sh = word_shingles(ensure_min_parallelism(df), id_col, text_col, n=shingle_n)
     if materialize_shingles:
         sh = sh.localCheckpoint(eager=True)
     sig_cols = [
@@ -296,8 +301,10 @@ def simhash(
     MinHash). ``bits`` stays small for oracle fixtures; the library
     default is fine up to 64.
     """
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    exploded = df.select(
+    exploded = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode(words).alias("word")
     )
     bit_ids = df.sparkSession.range(bits).withColumnRenamed("id", "bit")
