@@ -1,0 +1,355 @@
+"""Additional relational-surface fixture queries: TPC-H Q6/Q12/Q14/Q18
+shapes, EXISTS / NOT EXISTS, grouping sets, value-range window frames,
+unpivot, regex extraction, and conditional-expression coverage.
+
+The reference computes none of these (SURVEY.md §2.6 note — its only
+aggregation-shaped ops are dedup and grouped-top-1), but the engine
+ships the standard analytic surface; every query here is DuckDB
+oracle-checked like the core set. Shapes follow public TPC-H queries
+adapted to the driver's fixture schema (lineitem has no
+shipmode/commitdate/receiptdate columns, so Q12's bucketing runs on
+o_orderpriority instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.catalog import load_table
+from nextbus2pg_spark.plans.registry import fixture
+
+
+@fixture(
+    "q_tpch_q6",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str):
+    """TPC-H Q6 forecasting-revenue shape: pure scan + conjunctive
+    filter + global sum. The whole predicate reaches the parquet scan
+    (PushedFilters on l_shipdate/l_discount/l_quantity) and only four
+    columns are read — the canonical pushdown/pruning showcase."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@fixture(
+    "q_tpch_q12",
+    oracle="""
+SELECT l_linestatus,
+       CAST(count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS BIGINT) AS high_line_count,
+       CAST(count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+""",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str):
+    """TPC-H Q12 shape (priority-bucketed conditional counts over a
+    fact join; bucketing on o_orderpriority since the fixture lineitem
+    has no l_shipmode). Conditional counts compile to one partial
+    aggregate — no second pass per bucket."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@fixture(
+    "q_tpch_q14",
+    oracle="""
+SELECT round(
+         100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+""",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str):
+    """TPC-H Q14 promotion-effect shape: one month of lineitem joined
+    to part (broadcast — part is a dimension), promo share via
+    conditional sum in the same aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue")
+        )
+    )
+
+
+@fixture(
+    "q_tpch_q18",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS totalprice,
+       round(qty, 2) AS qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str):
+    """TPC-H Q18 large-volume-customer shape: pre-aggregate the fact to
+    order grain FIRST (map-side partial agg shrinks the shuffle to one
+    row per order), filter HAVING, then join the small survivor set to
+    orders/customer. At 100 TB the pre-agg-then-join ordering is the
+    difference between shuffling the fact once at order grain vs
+    joining the full fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .orderBy(F.desc(F.round(F.col("o_totalprice"), 2)), F.asc("o_orderkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            F.round(F.col("qty"), 2).alias("qty"),
+        )
+    )
+
+
+@fixture(
+    "q_exists_subquery",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 400000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F'
+                    AND o.o_totalprice < 1000)
+""",
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str):
+    """Correlated EXISTS / NOT EXISTS: planned as a left-semi and a
+    left-anti join — both shuffle only on the correlation key and keep
+    the subquery side pre-filtered (SURVEY.md §2.5 J7/J3 generalized)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    has_big = orders.where(F.col("o_totalprice") > 400000).select("o_custkey")
+    has_small_f = orders.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 1000)
+    ).select("o_custkey")
+    return (
+        cust.join(has_big, cust.c_custkey == has_big.o_custkey, "left_semi")
+        .join(has_small_f, cust.c_custkey == has_small_f.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@fixture(
+    "q_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str):
+    """Explicit GROUPING SETS (distinct from the cube/rollup fixtures)
+    with grouping() markers disambiguating NULL-as-total from
+    NULL-as-value. One shuffle computes all three set shapes."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n",
+            "total",
+            "g_status",
+            "g_priority",
+        )
+    )
+
+
+@fixture(
+    "q_window_range_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(count(*) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_orders_90d,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+       ), 2) AS spend_90d
+FROM orders
+""",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str):
+    """Value-range window frame: trailing-90-day order count and spend
+    per customer. RANGE frames bound by the ORDER BY *value* (epoch
+    seconds; 90 d = 7 776 000 s) — unlike the ROWS frames in
+    q_window_running — and need no self-join: one sort per partition."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7776000, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("n_orders_90d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_90d"),
+    )
+
+
+@fixture(
+    "q_unpivot",
+    oracle="""
+SELECT c_custkey, metric, round(value, 2) AS value
+FROM (
+  SELECT c_custkey,
+         CAST(c_nationkey AS DOUBLE) AS nationkey,
+         c_acctbal AS acctbal
+  FROM customer
+) UNPIVOT (value FOR metric IN (nationkey, acctbal))
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str):
+    """Unpivot (wide → long): Spark's unpivot() / SQL stack(). Narrow
+    transform — no shuffle at all; stays inside the scan's partitions."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_custkey",
+            F.col("c_nationkey").cast("double").alias("nationkey"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        .unpivot("c_custkey", ["nationkey", "acctbal"], "metric", "value")
+        .select("c_custkey", "metric", F.round("value", 2).alias("value"))
+    )
+
+
+@fixture(
+    "q_regexp_extract",
+    oracle="""
+SELECT doc_id,
+       regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+       CAST(length(regexp_replace(text, '[^0-9]+', '', 'g')) AS INTEGER)
+         AS n_digits,
+       CAST(regexp_matches(text, '[0-9]') AS BOOLEAN) AS has_digit
+FROM documents
+""",
+)
+def q_regexp_extract(spark: SparkSession, sf_dir: str):
+    """Regex surface: extract / replace / match — all JVM-side codegen
+    expressions (no UDF). DuckDB's regexp_replace needs the 'g' flag to
+    match Spark's replace-all semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.length(F.regexp_replace("text", r"[^0-9]+", "")).alias("n_digits"),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+    )
+
+
+@fixture(
+    "q_conditional_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       nullif(o_orderstatus, 'O') AS status_or_null,
+       ifnull(nullif(o_orderstatus, 'O'), 'open') AS status_label,
+       round(least(o_totalprice, 250000.0), 2) AS capped,
+       round(greatest(o_totalprice, 50000.0), 2) AS floored
+FROM orders
+""",
+)
+def q_conditional_funcs(spark: SparkSession, sf_dir: str):
+    """Conditional-expression surface: CASE WHEN, nullif, ifnull,
+    least/greatest — pure row-local codegen expressions."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.ifnull(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")
+        ).alias("status_label"),
+        F.round(F.least(F.col("o_totalprice"), F.lit(250000.0)), 2).alias("capped"),
+        F.round(F.greatest(F.col("o_totalprice"), F.lit(50000.0)), 2).alias(
+            "floored"
+        ),
+    )
