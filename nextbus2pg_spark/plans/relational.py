@@ -321,6 +321,46 @@ def q_regexp_extract(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_tumbling_window",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP)
+         AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str):
+    """Tumbling event-time window rollup — the batch form of the
+    streaming ``windowed_activity`` (streaming/windows.py). The window
+    expression is an ordinary grouping column: one shuffle on
+    (window, event_type) after map-side partial aggregation. The
+    streaming variant swaps count_distinct for approx_count_distinct
+    (exact distinct is holistic; the sketch is mergeable) — here the
+    exact form keeps the query oracle-checkable."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
+@fixture(
     "q_conditional_funcs",
     oracle="""
 SELECT o_orderkey,
