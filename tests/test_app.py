@@ -1,0 +1,121 @@
+"""Driver-loop orchestration tests (reference run.py:35-121): CLI
+surface, local-midnight rollover detection, retrying scheduler, and
+the wired app loop running refresh-between-batches."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from nextbus2pg_spark.pipelines.app import (
+    RefreshScheduler,
+    local_date,
+    needs_refresh,
+    parse_args,
+    run_app,
+)
+
+
+def test_parse_args_surface():
+    ns = parse_args(
+        ["-a", "sf-muni", "-r", "7", "-z", "America/Los_Angeles",
+         "--checkpoint", "/tmp/ck", "--store", "/tmp/st"]
+    )
+    assert ns.agency == "sf-muni"
+    assert ns.resttime == 7.0
+    assert ns.timezone == "America/Los_Angeles"
+
+
+def test_local_date_conversion():
+    # 2024-01-02 03:00 UTC is still 2024-01-01 in Los Angeles (UTC-8).
+    utc = dt.datetime(2024, 1, 2, 3, 0, 0)
+    assert local_date(utc, "America/Los_Angeles") == dt.date(2024, 1, 1)
+    assert local_date(utc, "UTC") == dt.date(2024, 1, 2)
+
+
+def test_needs_refresh_rollover():
+    tz = "America/Los_Angeles"
+    before = dt.datetime(2024, 1, 2, 7, 0)   # Jan 1, 23:00 local
+    after = dt.datetime(2024, 1, 2, 8, 30)   # Jan 2, 00:30 local
+    assert needs_refresh(None, before, tz)           # never refreshed
+    assert not needs_refresh(dt.date(2024, 1, 1), before, tz)
+    assert needs_refresh(dt.date(2024, 1, 1), after, tz)  # rolled over
+
+
+def test_scheduler_runs_once_per_day_and_retries():
+    calls = []
+    fails_left = [2]
+
+    def refresh():
+        if fails_left[0] > 0:
+            fails_left[0] -= 1
+            raise RuntimeError("api down")
+        calls.append(1)
+
+    now = [dt.datetime(2024, 1, 1, 12, 0)]
+    s = RefreshScheduler(refresh, tz="UTC", n_tries=5, clock=lambda: now[0])
+    assert s.tick() is True          # retried past 2 failures, then ran
+    assert len(calls) == 1
+    assert s.tick() is False         # same local day -> no-op
+    now[0] = dt.datetime(2024, 1, 2, 0, 5)
+    assert s.tick() is True          # midnight rollover -> refresh
+    assert len(calls) == 2
+
+
+def test_scheduler_raises_after_budget_and_recovers():
+    attempts = []
+
+    def always_fail():
+        attempts.append(1)
+        raise RuntimeError("down")
+
+    s = RefreshScheduler(always_fail, tz="UTC", n_tries=3,
+                         clock=lambda: dt.datetime(2024, 1, 1))
+    with pytest.raises(RuntimeError):
+        s.tick()
+    assert len(attempts) == 3
+    # Marker did NOT advance -> next tick tries again (no silent skip).
+    with pytest.raises(RuntimeError):
+        s.tick()
+    assert len(attempts) == 6
+
+
+def test_run_app_end_to_end(spark, tmp_path):
+    """Bootstrap refresh + per-batch rollover check + ingest sink all
+    fire in one availableNow pass over a file feed."""
+    from nextbus2pg_spark.sources.feed import RAW_FEED_SCHEMA
+
+    feed = tmp_path / "afeed"
+    feed.mkdir()
+    row = {
+        "route_tag": "38R", "dir_tag": "38R_out", "vehicle_id": "v1",
+        "lon": "-122.41", "lat": "37.77", "secs_since_report": "10",
+        "predictable": "true", "request_time_ms": 1706000000000,
+    }
+    with open(feed / "b1.json", "w") as f:
+        f.write(json.dumps(row) + "\n")
+
+    dims = spark.createDataFrame(
+        [("38R_out", "svc")], "tag string, service_id string"
+    )
+    landed = []
+    refreshes = []
+    sched = RefreshScheduler(
+        lambda: refreshes.append(1), tz="UTC",
+        clock=lambda: dt.datetime(2024, 1, 1, 12, 0),
+    )
+    stream = spark.readStream.schema(RAW_FEED_SCHEMA).json(str(feed))
+    run_app(
+        stream,
+        lambda: (dims, dims),
+        lambda df, bid: landed.append(df.count()),
+        sched,
+        str(tmp_path / "ack"),
+        resttime_seconds=0,  # availableNow (test mode), not a timed trigger
+        await_seconds=120,
+    )
+    assert refreshes == [1]   # bootstrap refresh ran exactly once
+    assert landed == [1]      # the micro-batch reached the sink
