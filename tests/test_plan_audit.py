@@ -1,0 +1,119 @@
+"""Executable physical-plan audits (SURVEY.md §4, PERF.md): the
+properties the 100 TB design depends on — filter pushdown, column
+pruning, broadcast-only dimension joins, partial aggregation, and
+shuffle-free narrow transforms — asserted on the actual plans so they
+can't silently regress.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from nextbus2pg_spark.plans import QUERIES
+from tests.conftest import SF_DIR
+
+
+def plan_text(df) -> str:
+    """Formatted physical plan (pre-execution; explicit broadcast hints
+    already appear here — AQE runtime conversions would not)."""
+    jdf = df._jdf
+    try:
+        return df.sparkSession._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            jdf.queryExecution(), "formatted"
+        )
+    except Exception:
+        return jdf.queryExecution().executedPlan().toString()
+
+
+def q(spark, name):
+    return QUERIES[name](spark, SF_DIR)
+
+
+def test_q6_pushdown_and_pruning(spark):
+    """The whole Q6 predicate reaches the parquet scan, and only the
+    four referenced columns are read."""
+    p = plan_text(q(spark, "q_tpch_q6"))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert pushed, p
+    assert "l_quantity" in pushed.group(1)
+    assert "l_discount" in pushed.group(1)
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = [c.split(":")[0] for c in schema.group(1).split(",") if c]
+    assert sorted(cols) == [
+        "l_discount", "l_extendedprice", "l_quantity", "l_shipdate",
+    ]
+
+
+def test_incremental_scan_pushes_raw_column_filter(spark):
+    """The incremental filter pushes on the PHYSICAL ns-long column
+    (a derived-timestamp filter would not push; catalog.py docstring)."""
+    p = plan_text(q(spark, "q_scan_incremental"))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert pushed and "ts" in pushed.group(1), p
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_flagship_latest",
+        "q_join_broadcast",
+        "q_tpch_q5",
+        "q_tpch_q10",
+        "q_tpch_q14",
+        "q_asof_join",
+    ],
+)
+def test_dimension_joins_broadcast_without_smj(spark, name):
+    """Every dimension join broadcasts — zero SortMergeJoin in the
+    declared plan (PERF.md scale rule 1: the fact side never shuffles
+    for enrichment)."""
+    p = plan_text(q(spark, name))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+@pytest.mark.parametrize("name", ["q_tpch_q1", "q_tumbling_window"])
+def test_aggregates_have_mapside_partial(spark, name):
+    """groupBy compiles to partial+final HashAggregate pairs: the
+    shuffle carries only distinct keys (map-side combine)."""
+    p = plan_text(q(spark, name))
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
+
+
+@pytest.mark.parametrize("name", ["q_unpivot", "q_project_rename", "q_bool_cast"])
+def test_narrow_transforms_do_not_shuffle(spark, name):
+    """Pure projections/expansions stay inside the scan's partitions —
+    no Exchange anywhere in the plan."""
+    p = plan_text(q(spark, name))
+    assert "Exchange" not in p, p
+
+
+def test_q18_preaggregates_before_join(spark):
+    """Q18's fact pre-aggregation happens BEFORE the joins: the first
+    HashAggregate's child is the lineitem scan, not a join (PERF.md:
+    shuffle the fact once at order grain, then join the survivors)."""
+    p = plan_text(q(spark, "q_tpch_q18"))
+    # Formatted explain numbers nodes leaf-first, so "aggregate before
+    # join" means every HashAggregate node id is smaller than every
+    # join node id.
+    agg_ids = [int(n) for n in re.findall(r"HashAggregate \((\d+)\)", p)]
+    join_ids = [int(n) for n in re.findall(r"Join \w+ \w+ \((\d+)\)", p)]
+    assert agg_ids and join_ids, p
+    assert max(agg_ids) < min(join_ids), p
+
+
+def test_whole_stage_codegen_covers_hot_expressions(spark):
+    """The scalar-expression fixture stays inside WholeStageCodegen
+    (no interpreted projection in the hot path)."""
+    p = plan_text(q(spark, "q_event_time_derive"))
+    # Formatted mode tags codegen'd operators with "[codegen id : N]"
+    # (the literal WholeStageCodegen node only appears in simple mode).
+    assert "[codegen id :" in p, p
+    # In the tree view codegen'd operators carry a "*" prefix; assert
+    # no bare (interpreted) Project line exists.
+    tree = p.split("\n\n")[0]
+    for line in tree.splitlines():
+        if "Project" in line:
+            assert "* Project" in line, line
