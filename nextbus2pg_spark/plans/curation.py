@@ -1,0 +1,108 @@
+"""Dataset-curation fixture queries (operators/curation.py): all
+deterministic-by-hash, hence fully DuckDB-oracle-checkable — the
+portable bucket is ``('0x' || substr(md5(key), 1, 8))::BIGINT % 100``
+on the DuckDB side and ``conv(substr(md5(key), 1, 8), 16, 10)`` on the
+Spark side (32 hash bits: exact in BIGINT in both engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.catalog import load_table
+from nextbus2pg_spark.operators import curation as cu
+from nextbus2pg_spark.plans.registry import fixture
+
+
+def _bucket_sql(key_expr: str, salt: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}:' || {key_expr}), 1, 8))::BIGINT % 100)"
+    )
+
+
+@fixture(
+    "q_deterministic_sample",
+    oracle=f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)", "sample")} < 10
+""",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str):
+    """~10% sample of documents by content-hash of the key: map-side
+    filter, no shuffle, reproducible across runs/retries/engines
+    (rand()-based sampling is none of those)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.deterministic_sample(docs, ["doc_id"], 10).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@fixture(
+    "q_train_test_split",
+    oracle=f"""
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT n_chars,
+         CASE WHEN {_bucket_sql("CAST(doc_id AS VARCHAR)", "split")} < 10
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents
+)
+GROUP BY split
+""",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str):
+    """Deterministic 90/10 split, disjoint + exhaustive by
+    construction; a row's membership never churns as data grows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        cu.train_test_split(docs, ["doc_id"], test_percent=10)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@fixture(
+    "q_stratified_sample",
+    oracle=f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+FROM documents
+WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)", "strata")}
+      < CASE WHEN lang = 'en' THEN 5 ELSE 50 END
+GROUP BY lang
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str):
+    """Per-stratum rates (downsample dominant 'en' to 5%, keep 50% of
+    the tail) — the threshold is a CASE expression, so the filter stays
+    map-side; no join, no shuffle before the count."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = cu.stratified_sample(
+        docs, "lang", {"en": 5}, default_percent=50, key_cols=["doc_id"]
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@fixture(
+    "q_cap_per_group",
+    oracle="""
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 3
+""",
+)
+def q_cap_per_group(spark: SparkSession, sf_dir: str):
+    """At most 3 documents per language, by (longest, then doc_id) —
+    deterministic survivor rule; one shuffle on the group key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.cap_per_group(
+        docs, ["lang"], [F.desc("n_chars"), F.asc("doc_id")], 3
+    ).select("lang", "doc_id", "n_chars")
