@@ -1,0 +1,99 @@
+"""Corpus-level text statistics: TF-IDF term scoring and n-gram
+frequency tables (BASELINE.json north-star text analysis, corpus
+side — the per-document features live in operators/text.py).
+
+Scale shape:
+- The token explode is the only row-multiplying step; both downstream
+  aggregations (term-frequency per doc, document-frequency per term)
+  are partial-aggregatable hash aggregates, so the shuffles carry
+  (doc, term) / (term) keys, not raw tokens.
+- The per-term IDF table is vocabulary-sized — orders of magnitude
+  smaller than the corpus — and broadcasts onto the TF relation; the
+  big side never shuffles for the join.
+- Top-k-per-doc is the one window sort, partitioned by doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+
+def doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term) rows — whitespace tokens, one row per occurrence."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    return ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(words).alias("term")
+    )
+
+
+def tfidf(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF: tf × ln(N / df).
+
+    ``N`` (corpus size) enters as a scalar subquery-style cross join of
+    a 1-row aggregate (broadcast — no shuffle); ``df`` per term is a
+    distinct-doc count, vocabulary-sized, broadcast onto TF.
+    Output: (id, term, tf, score).
+    """
+    terms = doc_terms(df, id_col, text_col)
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = terms.groupBy("term").agg(
+        F.count_distinct("id").alias("docfreq")
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    return (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            "tf",
+            (
+                F.col("tf") * F.log(F.col("n_docs") / F.col("docfreq"))
+            ).alias("score"),
+        )
+    )
+
+
+def top_terms_per_doc(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF, ties broken
+    lexicographically (deterministic survivor rule)."""
+    scored = tfidf(df, id_col, text_col)
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("id", "term", "tf", "score", "rn")
+    )
+
+
+def ngram_counts(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Corpus n-gram frequency table: (ngram, n_occurrences,
+    n_docs). The explode emits word n-grams per document; both counts
+    come out of ONE aggregation (count + count_distinct share the
+    grouping)."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n_grams = F.size(words) - F.lit(n - 1)
+    grams = F.when(n_grams < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+    exploded = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("__doc"), F.explode(grams).alias("ngram")
+    )
+    return exploded.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("__doc").alias("n_docs"),
+    )

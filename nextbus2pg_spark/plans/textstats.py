@@ -1,0 +1,90 @@
+"""Corpus-statistics fixture queries (operators/textstats.py):
+TF-IDF top terms per document and corpus bigram frequencies, both
+DuckDB-oracle-checked. FP portability: ln() is IEEE-identical in both
+engines for identical inputs; scores are rounded in-query on both
+sides (oracle-portability rule: round every FP aggregate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.catalog import load_table
+from nextbus2pg_spark.operators import textstats as ts
+from nextbus2pg_spark.plans.registry import fixture
+
+
+@fixture(
+    "q_tfidf_topterms",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY doc_id, term
+),
+docfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS docfreq FROM terms GROUP BY term
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ln(n.n_docs / docfreq.docfreq) AS score
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, round(score, 4) AS score,
+       CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term
+  ) AS rn FROM scored
+) WHERE rn <= 3
+""",
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str):
+    """Top-3 characteristic terms per document by TF-IDF. The IDF
+    table is vocabulary-sized and broadcasts onto the TF relation —
+    the corpus-sized side never shuffles for the join; corpus size N
+    enters as a broadcast 1-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = ts.top_terms_per_doc(docs, "doc_id", "text", k=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "term",
+        "tf",
+        F.round("score", 4).alias("score"),
+        "rn",
+    )
+
+
+@fixture(
+    "q_bigram_counts",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS ngram
+  FROM words, unnest(range(1, len(w))) AS t(i)
+)
+SELECT ngram,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM grams GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram
+LIMIT 20
+""",
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str):
+    """Top-20 corpus bigrams (count + document reach from one
+    aggregation), deterministic tie-break on the bigram text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ts.ngram_counts(docs, "doc_id", "text", n=2)
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(20)
+    )
