@@ -361,6 +361,66 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_label_centroids",
+    oracle="""
+SELECT label, CAST(i - 1 AS INTEGER) AS pos, round(avg(e), 5) AS centroid
+FROM (
+  SELECT label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings
+)
+GROUP BY label, i
+""",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str):
+    """Per-label centroid of the embedding vectors (the training step
+    of the IVF index in operators/similarity.py), long-form
+    (label, pos, centroid). posexplode turns the array into rows
+    map-side; the single shuffle carries (label, pos) partial sums —
+    dims × labels rows, independent of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("col"), 5).alias("centroid"))
+    )
+
+
+@fixture(
+    "q_range_join",
+    oracle="""
+SELECT o_custkey AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events_in_window
+FROM orders JOIN events
+  ON user_id = o_custkey
+ AND ts >= o_orderdate
+ AND ts < o_orderdate + INTERVAL 30 DAY
+GROUP BY o_custkey
+""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str):
+    """Range join (equi key + interval band): events within 30 days
+    after each order by the same user. The equi key carries the join
+    (hash/broadcast — the band is a post-join filter, NOT a cross
+    product); count rolls up per user. SURVEY.md §2.5 notes the
+    reference has no range joins — extension surface."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            ev,
+            (ev.user_id == orders.o_custkey)
+            & (ev.ts >= orders.o_orderdate)
+            & (ev.ts < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        )
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events_in_window"))
+    )
+
+
+@fixture(
     "q_conditional_funcs",
     oracle="""
 SELECT o_orderkey,
