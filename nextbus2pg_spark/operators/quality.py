@@ -44,6 +44,86 @@ def enforce(df: DataFrame, checks: Mapping[str, Column]) -> DataFrame:
     return df if cond is None else df.where(cond)
 
 
+def quarantine_split(
+    df: DataFrame, checks: Mapping[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Split into (valid, quarantined) — the dead-letter pattern.
+
+    Quarantined rows carry a ``_violations`` array naming every failed
+    check, so the side channel is diagnosable without re-deriving the
+    rules. Both outputs come from ONE evaluation of the check
+    expressions (a projected flags column), not one scan per check;
+    downstream consumes each side lazily.
+
+    Streaming use: call inside ``foreachBatch`` and write the
+    quarantine side to its own path — rows are never silently dropped
+    (contrast: the reference logs-and-drops unresolved vehicles,
+    ``/root/reference/route.py:183-194``).
+    """
+    flags = F.array(
+        *[
+            F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+            for name, cond in checks.items()
+        ]
+    )
+    flagged = df.withColumn(
+        "_violations", F.filter(flags, lambda x: x.isNotNull())
+    )
+    valid = flagged.where(F.size("_violations") == 0).drop("_violations")
+    quarantined = flagged.where(F.size("_violations") > 0)
+    return valid, quarantined
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column data profile in ONE aggregation pass:
+    (column, n_rows, n_nulls, n_distinct, min_num, max_num) — numeric
+    min/max only for numeric columns (NULL otherwise; stringly min/max
+    is not portable across engines' formatting).
+
+    One wide agg row → ``inline`` explode to long form. At scale this
+    is a single scan + single-row shuffle regardless of column count;
+    exact count_distinct is the costly part (per-column distinct
+    state) — swap for approx_count_distinct on wide production tables.
+    """
+    cols = columns or df.columns
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("integer", "long", "double", "float", "short", "decimal")
+    }
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+        if c in numeric:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+                (
+                    F.col(f"__min_{c}")
+                    if c in numeric
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"__max_{c}")
+                    if c in numeric
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.inline(rows))
+
+
 def fk_violations(
     child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
 ) -> DataFrame:

@@ -421,6 +421,40 @@ def q_range_join(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_profile",
+    oracle="""
+SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+       CAST(max(o_orderkey) AS DOUBLE) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+       CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+FROM orders
+""",
+)
+def q_profile(spark: SparkSession, sf_dir: str):
+    """Per-column data profile (operators/quality.py::profile): null
+    counts, exact distincts, numeric min/max for three orders columns —
+    ONE scan and one wide agg regardless of column count (the oracle's
+    UNION ALL form scans once per column; the engine's form doesn't)."""
+    from nextbus2pg_spark.operators.quality import profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile(orders, ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+
+@fixture(
     "q_conditional_funcs",
     oracle="""
 SELECT o_orderkey,
