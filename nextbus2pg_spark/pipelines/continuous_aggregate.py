@@ -1,0 +1,137 @@
+"""Continuous aggregate — an incrementally maintained rollup table
+(the "hypertable rollup" pattern: a materialized per-bucket summary
+kept current as event batches stream in).
+
+The reference appends raw events forever and computes nothing
+(``/root/reference/agency.py:303-322``); any consumer wanting per-day
+counts re-scans the log. A continuous aggregate moves that cost to
+ingest time, **incrementally**: each micro-batch contributes its own
+partial aggregates, which MERGE with the stored partials by key —
+no re-scan of history, ever.
+
+Correct-by-algebra: only *mergeable* aggregate state is stored
+(count, sum, min, max — the classic commutative monoids), so
+
+    merge(stored, agg(batch)) == agg(stored_rows ∪ batch_rows)
+
+holds regardless of batch boundaries, arrival order, or how many
+times the stream restarts mid-history (re-delivered batches are the
+caller's concern: pair with the idempotent sink's batch markers for
+exactly-once, sinks/exactly_once.py). Derived values (mean) are
+computed at read time from the monoid state, never stored — storing
+a mean would make merging wrong.
+
+Scale shape: per batch, one partial aggregation (map-side combine)
+over the batch only, then a key-equi merge against a table whose size
+is the number of *buckets* (days × types), not events. At cluster
+scale the state table becomes a Delta table and the merge a
+``MERGE INTO``; semantics identical.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: aggregate name → (batch partial expr builder, merge expr builder)
+_MERGEABLE = {
+    "count": (
+        lambda c: F.count(F.lit(1)),
+        lambda col: F.sum(col),
+    ),
+    "sum": (
+        lambda c: F.sum(c),
+        lambda col: F.sum(col),
+    ),
+    "min": (
+        lambda c: F.min(c),
+        lambda col: F.min(col),
+    ),
+    "max": (
+        lambda c: F.max(c),
+        lambda col: F.max(col),
+    ),
+}
+
+
+class ContinuousAggregate:
+    """Incrementally maintained rollup keyed on ``bucket_cols``.
+
+    ``aggs`` maps output column → ("count"|"sum"|"min"|"max", input
+    column; input ignored for count). Example::
+
+        ca = ContinuousAggregate(
+            spark, path, ["day", "event_type"],
+            {"n": ("count", None), "total": ("sum", "value"),
+             "first_ts": ("min", "ts"), "last_ts": ("max", "ts")},
+        )
+        ca.apply_batch(batch_df)   # per micro-batch (foreachBatch)
+        ca.read()                  # current rollup
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        bucket_cols: Sequence[str],
+        aggs: dict[str, tuple[str, str | None]],
+    ) -> None:
+        for name, (fn, _) in aggs.items():
+            if fn not in _MERGEABLE:
+                raise ValueError(
+                    f"{name}: '{fn}' is not mergeable state; store the "
+                    "monoid parts (e.g. sum+count for mean) instead"
+                )
+        self.spark = spark
+        self.path = path
+        self.bucket_cols = list(bucket_cols)
+        self.aggs = aggs
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def _partials(self, batch: DataFrame) -> DataFrame:
+        exprs: list[Column] = [
+            _MERGEABLE[fn][0](F.col(col) if col else None).alias(name)
+            for name, (fn, col) in self.aggs.items()
+        ]
+        return batch.groupBy(*self.bucket_cols).agg(*exprs)
+
+    def apply_batch(self, batch: DataFrame) -> None:
+        """Merge one batch's partial aggregates into the stored state:
+        union + re-aggregate with each aggregate's MERGE operator
+        (sum-of-counts, sum-of-sums, min-of-mins, max-of-maxes)."""
+        partials = self._partials(batch)
+        if self.exists():
+            merged = (
+                self.read()
+                .unionByName(partials)
+                .groupBy(*self.bucket_cols)
+                .agg(
+                    *[
+                        _MERGEABLE[fn][1](F.col(name)).alias(name)
+                        for name, (fn, _) in self.aggs.items()
+                    ]
+                )
+            )
+        else:
+            merged = partials
+        tmp = self.path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+
+    def sink(self):
+        """foreachBatch adapter: ``stream.writeStream.foreachBatch(
+        ca.sink())``."""
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            if not batch_df.isEmpty():
+                self.apply_batch(batch_df)
+
+        return _apply

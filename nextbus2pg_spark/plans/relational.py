@@ -421,6 +421,45 @@ def q_range_join(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_tpch_q19",
+    oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 30)
+""",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str):
+    """TPC-H Q19 discounted-revenue shape: disjunctive multi-table
+    predicate over a broadcast join. Catalyst extracts the common
+    join key so the OR branches stay post-join filters (no cross
+    product), and pushes the per-table conjuncts it can derive
+    (l_quantity range, p_size range) below the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    def branch(brand, size_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+    return j.where(
+        branch("Brand#1", 15, 1, 11)
+        | branch("Brand#2", 25, 10, 20)
+        | branch("Brand#3", 35, 20, 30)
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@fixture(
     "q_profile",
     oracle="""
 SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
