@@ -421,6 +421,38 @@ def q_range_join(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_salted_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str):
+    """Two-phase skew-resistant aggregation (operators/scale.py::
+    salted_agg): phase 1 aggregates by (key, salt) spreading each hot
+    key over 8 partial groups, phase 2 combines by key — identical
+    results to the plain groupBy (that's what the oracle asserts),
+    with the hot key's work parallelized 8x. l_returnflag has ~3
+    values over 600k rows at sf0.1: exactly the pathological
+    low-cardinality shape AQE's skew handling does not cover for
+    aggregations."""
+    from nextbus2pg_spark.operators.scale import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"n": "count(1)", "sum_qty": "sum(l_quantity)"},
+        factor=8,
+    )
+    return out.select(
+        "l_returnflag", "n", F.round("sum_qty", 2).alias("sum_qty")
+    )
+
+
+@fixture(
     "q_tpch_q19",
     oracle="""
 SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -1,0 +1,84 @@
+"""Schema-explicit file sources/sinks — CSV / JSON-lines / parquet.
+
+The reference's only sources are HTTP XML (S1-S4) and its own
+Postgres tables (S5-S7); this module rounds out the file-format
+surface an analytics engine needs. Two rules, both scale-motivated:
+
+1. **No schema inference, ever** (SURVEY.md §1.3: "Nothing is
+   inferred"). Inference costs an extra full read of the data before
+   the real one — at 100 TB that doubles the scan — and silently
+   changes types when the data drifts. Every reader takes an explicit
+   schema or DDL string.
+2. **Batch and streaming share one definition.** Each reader works as
+   ``spark.read`` or ``spark.readStream`` off the same schema/options,
+   so a backfill and the live pipeline cannot diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+SchemaLike = "StructType | str"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    sep: str = ",",
+    streaming: bool = False,
+    **options: str,
+) -> DataFrame:
+    """CSV scan with mandatory schema. Malformed rows go to the
+    ``_corrupt_record`` column when the schema declares it (PERMISSIVE
+    mode) rather than failing the job — pair with
+    ``quality.quarantine_split`` for the dead-letter path."""
+    reader = (spark.readStream if streaming else spark.read).schema(schema)
+    return reader.options(
+        header=str(header).lower(), sep=sep, **options
+    ).csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    streaming: bool = False,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines scan with mandatory schema (the streaming tests'
+    feed format; one JSON object per line)."""
+    reader = (spark.readStream if streaming else spark.read).schema(schema)
+    return reader.options(**options).json(path)
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    streaming: bool = False,
+) -> DataFrame:
+    """Parquet scan. Schema optional (parquet is self-describing — no
+    inference pass), but passing one enforces the expected shape and
+    prunes the read to the declared columns at the footer level.
+    Streaming reads REQUIRE a schema (Spark's file stream will not
+    infer)."""
+    reader = spark.readStream if streaming else spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif streaming:
+        raise ValueError("streaming parquet source requires an explicit schema")
+    return reader.parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, header: bool = True, sep: str = ",",
+    mode: str = "overwrite",
+) -> None:
+    df.write.mode(mode).options(header=str(header).lower(), sep=sep).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
