@@ -29,11 +29,32 @@ from nextbus2pg_spark.operators.multimodal import (
     fake_media_from_documents,
     frame_sample,
 )
+from nextbus2pg_spark.operators.curation import (
+    cap_per_group,
+    deterministic_sample,
+    hash_bucket,
+    stratified_sample,
+    train_test_split,
+)
+from nextbus2pg_spark.operators.quality import (
+    enforce,
+    fk_violations,
+    profile,
+    quarantine_split,
+    run_checks,
+)
 from nextbus2pg_spark.operators.scale import (
     count_exchanges,
+    ensure_min_parallelism,
     salted_agg,
     salted_join,
     write_bucketed,
+    write_partitioned,
+)
+from nextbus2pg_spark.operators.textstats import (
+    ngram_counts,
+    tfidf,
+    top_terms_per_doc,
 )
 from nextbus2pg_spark.operators.similarity import (
     cosine_topk,
@@ -71,9 +92,24 @@ __all__ = [
     "fake_media_from_documents",
     "frame_sample",
     "count_exchanges",
+    "ensure_min_parallelism",
     "salted_agg",
     "salted_join",
     "write_bucketed",
+    "write_partitioned",
+    "cap_per_group",
+    "deterministic_sample",
+    "hash_bucket",
+    "stratified_sample",
+    "train_test_split",
+    "enforce",
+    "fk_violations",
+    "profile",
+    "quarantine_split",
+    "run_checks",
+    "ngram_counts",
+    "tfidf",
+    "top_terms_per_doc",
     "cosine_topk",
     "cosine_topk_vectorized",
     "ivf_topk",
