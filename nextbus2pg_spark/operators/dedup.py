@@ -278,6 +278,67 @@ def minhash_lsh_pairs(
     return jaccard_pairs(sh, cand)
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-dup pairs via banded fingerprint blocking.
+
+    Pigeonhole guarantee: with ``bits/band_bits`` bands, any pair
+    within ``max_hamming < bits/band_bits`` differing bits shares at
+    least one unchanged band — so the candidate equi-join on
+    (band, band_value) has perfect recall for the verify threshold,
+    and the only shuffle is on band buckets (same 100 TB shape as
+    MinHash-LSH banding; no all-pairs comparison).
+    Output: (id_a, id_b, hamming).
+    """
+    n_bands = bits // band_bits
+    assert max_hamming < n_bands, "recall guarantee needs max_hamming < bands"
+    fp = simhash(df, id_col, text_col, bits=bits)
+    fp = fp.localCheckpoint(eager=True)  # consumed by bands + verify
+    band_vals = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                # shiftright takes a Python-int bit count (exact for
+                # any fingerprint width; double division would lose
+                # precision past 53 bits).
+                (
+                    F.shiftright(F.col("simhash"), b * band_bits)
+                    % F.lit(2**band_bits)
+                ).alias("band_value"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = fp.select("id", F.explode(band_vals).alias("bb")).select(
+        "id", "bb.band", "bb.band_value"
+    )
+    a = bands.select(F.col("id").alias("id_a"), "band", "band_value")
+    b = bands.select(F.col("id").alias("id_b"), "band", "band_value")
+    cand = (
+        a.join(F.broadcast(b), ["band", "band_value"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(F.broadcast(fa), "id_a")
+        .join(F.broadcast(fb), "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_bit_vote(text_words: Column, bit: Column) -> Column:
     """Portable per-bit SimHash vote for one word: +1 / -1.
 

@@ -239,6 +239,61 @@ def q_simhash(spark: SparkSession, sf_dir: str):
     ).withColumnRenamed("id", "doc_id")
 
 
+@fixture(
+    "q_simhash_pairs",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+         AS word
+  FROM documents
+),
+bits AS (SELECT unnest(generate_series(0, 15)) AS bit),
+votes AS (
+  SELECT w.doc_id, b.bit,
+         sum(CASE WHEN substr(md5(b.bit || ':' || w.word), 1, 1) < '8'
+                  THEN 1 ELSE -1 END) AS vote
+  FROM words w CROSS JOIN bits b
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote >= 0
+                       THEN CAST(round(power(2, bit)) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band,
+         (simhash // CAST(round(power(2, b.band * 4)) AS BIGINT)) % 16
+           AS band_value
+  FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_value = b.band_value
+   AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.id_a
+JOIN fp fb ON fb.doc_id = c.id_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 2
+""",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str):
+    """SimHash near-dup pairs via banded blocking (4 bands × 4 bits):
+    pigeonhole gives perfect recall for hamming ≤ 2 < 4 bands, and the
+    candidate join is an equi-join on (band, band_value) — the same
+    no-all-pairs shape as MinHash-LSH."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dd.simhash_pairs(
+        docs, "doc_id", "text", bits=16, band_bits=4, max_hamming=2
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
