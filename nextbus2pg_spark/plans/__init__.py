@@ -14,6 +14,7 @@ from nextbus2pg_spark.plans import fixtures as _fixtures  # noqa: F401,E402
 from nextbus2pg_spark.plans import northstar as _northstar  # noqa: F401,E402
 from nextbus2pg_spark.plans import extended as _extended  # noqa: F401,E402
 from nextbus2pg_spark.plans import relational as _relational  # noqa: F401,E402
+from nextbus2pg_spark.plans import tpch_full as _tpch_full  # noqa: F401,E402
 from nextbus2pg_spark.plans import curation as _curation  # noqa: F401,E402
 from nextbus2pg_spark.plans import textstats as _textstats  # noqa: F401,E402
 
