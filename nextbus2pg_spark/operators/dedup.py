@@ -135,15 +135,17 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
 
     The equi-join on (band, band_hash) is the scale trick: no all-pairs
     comparison ever happens; bucket sizes bound the join fan-out. The
-    band relation is one row per (doc, band) — tiny relative to the
-    corpus — so one side broadcasts.
+    band relation is one row per (doc, band) — it GROWS WITH THE CORPUS,
+    so no broadcast hint: AQE picks broadcast at runtime when the side
+    is actually small, and falls back to a shuffle equi-join (the
+    correct 100 TB shape) when it is not.
     """
     a = bands.select(
         F.col("id").alias("id_a"), "band", "band_hash"
     )
     b = bands.select(F.col("id").alias("id_b"), "band", "band_hash")
     return (
-        a.join(F.broadcast(b), ["band", "band_hash"])
+        a.join(b, ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -160,6 +162,11 @@ def jaccard_pairs(
     candidate pair, so the shingle equi-join only ever explodes over
     candidate documents — the verify cost tracks |candidates|, not
     |corpus|.
+
+    No broadcast hints anywhere: on a dirty corpus the candidate set is
+    NOT small (it can approach the corpus), so hinting it would pin an
+    OOM-prone strategy. AQE broadcasts at runtime exactly when a side's
+    measured size allows it.
     Output: (id_a, id_b, jaccard).
     """
     ids_a = candidates.select(F.col("id_a").alias("id")).distinct()
@@ -170,23 +177,23 @@ def jaccard_pairs(
     # Materialized once (it feeds sizes + both join sides); bounded by
     # |candidate docs| × shingles-per-doc, i.e. small by LSH design.
     cand_shingles = (
-        shingled.join(F.broadcast(cand_ids), "id", "left_semi")
+        shingled.join(cand_ids, "id", "left_semi")
         .select("id", "shingle")
         .distinct()
         .localCheckpoint(eager=True)
     )
     sizes = cand_shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = (
-        cand_shingles.join(F.broadcast(ids_a), "id", "left_semi")
+        cand_shingles.join(ids_a, "id", "left_semi")
         .select(F.col("id").alias("id_a"), "shingle")
     )
     b = (
-        cand_shingles.join(F.broadcast(ids_b), "id", "left_semi")
+        cand_shingles.join(ids_b, "id", "left_semi")
         .select(F.col("id").alias("id_b"), "shingle")
     )
     inter = (
         a.join(b, "shingle")
-        .join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
+        .join(candidates, ["id_a", "id_b"], "left_semi")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -212,6 +219,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     materialize_shingles: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs, wide-form fast path.
 
@@ -230,6 +238,11 @@ def minhash_lsh_pairs(
     lazy ``persist()`` here instead would REGRESS badly (it blocks
     AQE's runtime join planning on every consumer — observed 7.8s →
     126s at sf0.1); eager localCheckpoint does not.
+
+    ``materialize=False`` disables every checkpoint, returning one pure
+    declarative plan (used by the plan-audit tests to inspect the full
+    pipeline; also the right setting when a caller wants to persist
+    intermediates to tables instead).
     """
     from nextbus2pg_spark.operators.scale import ensure_min_parallelism
 
@@ -237,7 +250,7 @@ def minhash_lsh_pairs(
     # scan's partition count; spread a narrow input across all cores
     # first (no-op when the scan already has enough partitions).
     sh = word_shingles(ensure_min_parallelism(df), id_col, text_col, n=shingle_n)
-    if materialize_shingles:
+    if materialize_shingles and materialize:
         sh = sh.localCheckpoint(eager=True)
     sig_cols = [
         F.min(
@@ -270,11 +283,14 @@ def minhash_lsh_pairs(
     # the full shingle aggregation ~8×. localCheckpoint materializes
     # these *small* frames once and truncates lineage (at cluster scale:
     # write them to an intermediate table instead).
-    wide = wide.localCheckpoint(eager=True)
+    if materialize:
+        wide = wide.localCheckpoint(eager=True)
     bands = wide.select(
         "id", F.explode(band_structs).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
-    cand = lsh_candidate_pairs(bands).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(bands)
+    if materialize:
+        cand = cand.localCheckpoint(eager=True)
     return jaccard_pairs(sh, cand)
 
 
@@ -285,6 +301,7 @@ def simhash_pairs(
     bits: int = 16,
     band_bits: int = 4,
     max_hamming: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs via banded fingerprint blocking.
 
@@ -299,7 +316,8 @@ def simhash_pairs(
     n_bands = bits // band_bits
     assert max_hamming < n_bands, "recall guarantee needs max_hamming < bands"
     fp = simhash(df, id_col, text_col, bits=bits)
-    fp = fp.localCheckpoint(eager=True)  # consumed by bands + verify
+    if materialize:  # consumed by bands + verify
+        fp = fp.localCheckpoint(eager=True)
     band_vals = F.array(
         *[
             F.struct(
@@ -318,10 +336,12 @@ def simhash_pairs(
     bands = fp.select("id", F.explode(band_vals).alias("bb")).select(
         "id", "bb.band", "bb.band_value"
     )
+    # Corpus-derived sides (bands, fingerprints) carry no broadcast
+    # hints — they grow linearly with the corpus; AQE decides at runtime.
     a = bands.select(F.col("id").alias("id_a"), "band", "band_value")
     b = bands.select(F.col("id").alias("id_b"), "band", "band_value")
     cand = (
-        a.join(F.broadcast(b), ["band", "band_value"])
+        a.join(b, ["band", "band_value"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -329,8 +349,8 @@ def simhash_pairs(
     fa = fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     fb = fp.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     return (
-        cand.join(F.broadcast(fa), "id_a")
-        .join(F.broadcast(fb), "id_b")
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
         .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )

@@ -104,6 +104,60 @@ def test_q18_preaggregates_before_join(spark):
     assert max(agg_ids) < min(join_ids), p
 
 
+def _bounded_hints_only(df, max_hints: int = 0) -> None:
+    """Assert no broadcast HINT is pinned on a corpus-derived relation.
+
+    Stats-based broadcast choices (planner/AQE) are deliberately allowed
+    — they adapt when the measured size grows. What must not exist is a
+    ``ResolvedHint`` whose subtree scales with the corpus; the only
+    hints permitted are on constant-cardinality ``Range`` relations
+    (permutation / bit-id frames)."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    lines = analyzed.splitlines()
+    hint_lines = [i for i, l in enumerate(lines) if "ResolvedHint" in l]
+    assert len(hint_lines) <= max_hints, analyzed
+    for i in hint_lines:
+        window = "\n".join(lines[i : i + 3])
+        assert "Range (" in window, (
+            "broadcast hint on a non-bounded relation:\n" + window
+        )
+
+
+def test_minhash_pairing_no_corpus_broadcast_hint(spark):
+    """Full declarative MinHash-LSH plan (no checkpoint boundaries):
+    zero broadcast hints anywhere — band/candidate/shingle relations all
+    grow with the corpus — and the pairing never degrades to an
+    all-pairs comparison (no cartesian product)."""
+    from nextbus2pg_spark.catalog import load_table
+    from nextbus2pg_spark.operators import dedup as dd
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    pairs = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", materialize=False
+    )
+    _bounded_hints_only(pairs, max_hints=0)
+    p = plan_text(pairs)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_simhash_pairing_no_corpus_broadcast_hint(spark):
+    """Full declarative SimHash plan: the only broadcast hint is the
+    constant bit-id Range (bounded by ``bits``; replicated 4x because
+    the unmaterialized fingerprint subtree appears under bands a/b and
+    verify a/b); band and fingerprint sides are unhinted, and no
+    cartesian product exists (the bit-id cross join rides the bounded
+    broadcast)."""
+    from nextbus2pg_spark.catalog import load_table
+    from nextbus2pg_spark.operators import dedup as dd
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    pairs = dd.simhash_pairs(docs, "doc_id", "text", materialize=False)
+    _bounded_hints_only(pairs, max_hints=4)
+    p = plan_text(pairs)
+    assert "CartesianProduct" not in p, p
+
+
 def test_whole_stage_codegen_covers_hot_expressions(spark):
     """The scalar-expression fixture stays inside WholeStageCodegen
     (no interpreted projection in the hot path)."""
