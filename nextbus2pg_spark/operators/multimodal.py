@@ -85,16 +85,33 @@ def fake_media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame
     )
 
 
-def repartition_for_media(df: DataFrame, target_rows_per_partition: int = 1024) -> DataFrame:
+def repartition_for_media(
+    df: DataFrame,
+    target_rows_per_partition: int = 1024,
+    n_rows: int | None = None,
+) -> DataFrame:
     """Bound Arrow batch memory: media rows are big, so cap rows/partition.
+
+    Repartitions round-robin to ``ceil(n_rows / target_rows_per_partition)``
+    partitions (never below the cluster's default parallelism, so small
+    tables still use every core). ``n_rows`` may be passed by callers
+    that already know it (e.g. from pipeline metadata); otherwise one
+    metadata-light ``count()`` job runs — media pipelines are dominated
+    by the decode stage, so the extra scan is noise, and the row count
+    never touches ``df.rdd`` (the RDD plan conversion costs ~1s per
+    call; see ``scale.ensure_min_parallelism``).
 
     At 100 TB this is the difference between streaming through executors
     and OOMing them; pair with
     ``spark.sql.execution.arrow.maxRecordsPerBatch``.
     """
-    n = max(df.rdd.getNumPartitions(), 1)
-    # Cheap heuristic without a count(): scale partitions up only.
-    return df.repartition(max(n, df.sparkSession.sparkContext.defaultParallelism))
+    if target_rows_per_partition < 1:
+        raise ValueError("target_rows_per_partition must be >= 1")
+    if n_rows is None:
+        n_rows = df.count()
+    need = -(-n_rows // target_rows_per_partition)  # ceil
+    n_parts = max(need, df.sparkSession.sparkContext.defaultParallelism, 1)
+    return df.repartition(n_parts)
 
 
 def decode_media(df: DataFrame) -> DataFrame:

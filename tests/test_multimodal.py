@@ -13,6 +13,7 @@ from nextbus2pg_spark.operators.multimodal import (
     extract_features,
     fake_media_from_documents,
     frame_sample,
+    repartition_for_media,
 )
 from tests.conftest import SF_DIR_SMALL
 
@@ -53,6 +54,35 @@ def test_frame_sample_bounded_fanout(spark):
     for r in row:
         assert all(len(f) <= 64 for f in r.frames)
         assert b"".join(r.frames)  # lossless slicing
+
+
+def test_repartition_for_media_caps_rows_per_partition(spark):
+    """The Arrow-batch memory bound is actually enforced: after
+    repartitioning, no partition holds more than the target row count —
+    including for a skewed input (all rows crammed into one partition)."""
+    import pyspark.sql.functions as F
+
+    skewed = _media(spark).repartition(1)  # worst case: 500 rows, 1 part
+    out = repartition_for_media(skewed, target_rows_per_partition=40)
+    per_part = (
+        out.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in per_part) == 500
+    assert max(r["count"] for r in per_part) <= 40
+
+    # Known row count skips the count() job and still enforces the cap.
+    out2 = repartition_for_media(
+        skewed, target_rows_per_partition=40, n_rows=500
+    )
+    per_part2 = (
+        out2.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    )
+    assert max(r["count"] for r in per_part2) <= 40
+
+    with pytest.raises(ValueError):
+        repartition_for_media(skewed, target_rows_per_partition=0)
 
 
 def test_decode_media_is_explicit_stub(spark):
