@@ -80,13 +80,35 @@ def count_exchanges(df: DataFrame) -> int:
 def salted(
     df: DataFrame, key_col: str, factor: int, salt_col: str = "__salt"
 ) -> DataFrame:
-    """Attach a deterministic salt in [0, factor) spreading each key's
-    rows uniformly (hash of the full row via monotonic id is NOT
-    deterministic across retries; hashing the key alone would not
-    spread it — so salt on xxhash64 of all columns, which is stable
-    for identical row content)."""
+    """Attach a per-row salt in [0, factor) spreading each key's rows
+    uniformly — including byte-identical duplicate rows of a hot key,
+    the exact case skew salting exists for (a content hash would send
+    every copy of the hottest duplicated row to ONE salt bucket,
+    recreating the straggler).
+
+    The salt mixes the key with ``monotonically_increasing_id()`` +
+    ``spark_partition_id()`` — unique per physical row, so the spread is
+    uniform regardless of content. The expression is *indeterminate
+    across task retries*; Spark handles that by re-running the whole
+    indeterminate stage on failure (correctness preserved), and both
+    consumers are insensitive to WHICH salt a row gets:
+
+    - ``salted_join``: the small side is replicated to every salt value,
+      so any salt joins identically;
+    - ``salted_agg``: partial aggregates over (key, salt) re-combine to
+      the same final value for any row→salt assignment (algebraic
+      aggregates only, enforced there).
+    """
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(factor))
+        salt_col,
+        F.pmod(
+            F.xxhash64(
+                F.col(key_col),
+                F.spark_partition_id(),
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(factor),
+        ),
     )
 
 

@@ -86,6 +86,23 @@ def test_salted_join_equals_plain_join(spark):
     )
 
 
+def test_salted_spreads_identical_hot_key_rows(spark):
+    """Byte-identical duplicate rows of one hot key must land in many
+    salt buckets — a content hash would map them all to one bucket,
+    recreating exactly the straggler task salting exists to split."""
+    from nextbus2pg_spark.operators.scale import salted
+
+    hot = spark.range(1).select(
+        F.lit("hot").alias("k"), F.lit("same-payload").alias("v")
+    )
+    dup = hot.crossJoin(spark.range(4000).select("id")).drop("id")
+    s = salted(dup, "k", factor=8)
+    buckets = s.groupBy("__salt").count().collect()
+    assert len(buckets) == 8, buckets
+    # Uniform-ish: no bucket hoards more than 2x its fair share.
+    assert max(r["count"] for r in buckets) <= 2 * 4000 / 8, buckets
+
+
 def test_salted_agg_equals_plain_agg(spark):
     li = load_table(spark, SF_DIR_SMALL, "lineitem")
     plain = li.groupBy("l_returnflag").agg(
