@@ -147,11 +147,31 @@ class ParquetUpsertTable:
         return self.spark.read.parquet(self.path)
 
     def _write_state(self, df: DataFrame) -> None:
-        # Write-new-then-swap keeps the read path consistent.
-        tmp = self.path + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.path)
+        """Write the merged state ONCE to a temp dir, then swap it into
+        place with filesystem renames (Hadoop FileSystem API, so the
+        same code works on local FS and HDFS).
+
+        The merged plan reads from ``self.path``, so the new state must
+        land elsewhere first (Spark cannot overwrite a path it is
+        reading). The swap window — between retiring the old dir and
+        renaming the new one in — is not atomic: a crash inside it
+        leaves ``path + '.old'`` as the recovery copy. Closing that
+        window entirely needs a transactional table format; this class
+        is the local stand-in for exactly that (Delta ``MERGE INTO`` —
+        see MIGRATION.md)."""
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        Path = jvm.org.apache.hadoop.fs.Path
+        dst = Path(self.path)
+        fs = dst.getFileSystem(hconf)
+        tmp = Path(self.path + ".tmp")
+        old = Path(self.path + ".old")
+        df.write.mode("overwrite").parquet(self.path + ".tmp")
+        if fs.exists(old):
+            fs.delete(old, True)
+        fs.rename(dst, old)
+        fs.rename(tmp, dst)
+        fs.delete(old, True)
 
     def upsert(self, incoming: DataFrame) -> None:
         """K1-K4: merge incoming, existing-wins-keys/incoming-wins-payload."""

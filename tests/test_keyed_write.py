@@ -98,6 +98,9 @@ def test_parquet_upsert_table_roundtrip(spark, tmp_path):
     rows = {r.tag: r for r in t.read().collect()}
     assert rows["38R"].route_id == "u1" and rows["38R"].name == "v2"
     assert rows["1"].route_id == "u3"
+    # The swap cleans up after itself: no .tmp/.old copies accumulate.
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name != "route"]
+    assert leftovers == [], leftovers
 
 
 def test_pg_upsert_statement_shapes():
