@@ -293,6 +293,7 @@ def cosine_topk_vectorized(
     vec_col: str,
     k: int = 5,
     round_digits: int = 6,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k via an Arrow-batched numpy matmul.
 
@@ -305,11 +306,24 @@ def cosine_topk_vectorized(
     partition emits only its LOCAL top-k per query (partial top-k), so
     the final shuffle carries ≤ partitions × queries × k rows — not the
     full pair matrix. A final window takes the global top-k.
+
+    ``max_queries`` enforces the "small by definition" contract: the
+    collect is bounded by LIMIT (never the full frame), and passing a
+    corpus-sized query set raises instead of silently OOMing the
+    driver. For genuinely large query sets use ``lsh_topk``/``ivf_topk``
+    (all-distributed) instead.
     """
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"query set exceeds max_queries={max_queries}; the broadcast "
+            "brute-force path collects queries to the driver — use "
+            "lsh_topk/ivf_topk for corpus-scale query sets or raise "
+            "max_queries explicitly"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)

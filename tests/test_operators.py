@@ -141,6 +141,27 @@ def test_two_level_fallback_priority(spark):
     assert got == {"t1": "P1", "t2": "S2"}  # t3 dropped, primary wins
 
 
+def test_cosine_topk_vectorized_rejects_oversized_query_set(spark):
+    """The driver-side query collect is bounded: passing a corpus-sized
+    query frame raises instead of silently OOMing the driver, and the
+    guard itself only collects max_queries+1 rows."""
+    import pytest
+
+    from nextbus2pg_spark.operators.similarity import cosine_topk_vectorized
+
+    rows = [(i, [float(i), 1.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk_vectorized(
+            df, df, "vec_id", "embedding", k=2, max_queries=10
+        )
+    # Within the bound it works unchanged.
+    out = cosine_topk_vectorized(
+        df, df.limit(3), "vec_id", "embedding", k=2, max_queries=10
+    )
+    assert out.count() == 6
+
+
 def test_ivf_topk_recall_vs_exact(spark):
     """IVF with full probing degenerates to exact; with partial probing
     it still finds identical twins (same bucket by construction)."""
