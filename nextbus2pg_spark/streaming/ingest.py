@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from nextbus2pg_spark.functions.scalar import (
     bool_from_string,
+    epoch_ms_to_ts,
     event_time,
     point_struct,
 )
@@ -55,10 +56,14 @@ def transform_feed(raw: DataFrame) -> DataFrame:
     location struct, event_time = request_ts − secs_since_report.
     Works identically on batch and streaming DataFrames (pure
     projection — no shuffle, fully codegen'd).
+
+    The request timestamp ROUNDS to whole seconds before the
+    subtraction (``route.py:165-167``:
+    ``utcfromtimestamp(round(ms/1000))``) — for a non-second-aligned
+    ``lastTime`` the sub-second residue must NOT leak into
+    ``location_timestamp``, which is also a dedup-key column.
     """
-    request_ts = F.timestamp_millis(F.col("request_time_ms")).cast(
-        "timestamp_ntz"
-    )
+    request_ts = epoch_ms_to_ts(F.col("request_time_ms"))
     return raw.select(
         F.col("route_tag"),
         F.col("dir_tag"),

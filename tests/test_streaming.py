@@ -68,6 +68,19 @@ def test_transform_feed_event_time(spark):
     assert abs(r["1410"].vehicle_location.lon - (-122.41)) < 1e-9
 
 
+def test_transform_feed_rounds_request_ts_to_seconds(spark):
+    """route.py:165-167 rounds the request epoch to WHOLE seconds before
+    subtracting secsSinceReport — a non-second-aligned lastTime must not
+    leak sub-second residue into location_timestamp (a dedup-key
+    column). 1706000000678 ms rounds UP to ...001 s."""
+    xml = VEHICLE_XML.replace('time="1706000000000"', 'time="1706000000678"')
+    raw = feed_df_from_payloads(spark, [("38R", xml)])
+    r = {v.vehicle_tag: v for v in transform_feed(raw).collect()}
+    req = dt.datetime(2024, 1, 23, 8, 53, 21)  # rounded, no millis
+    assert r["1410"].location_timestamp == req - dt.timedelta(seconds=9)
+    assert r["1411"].location_timestamp == req - dt.timedelta(seconds=30)
+
+
 def test_two_level_resolution_and_drop(spark):
     """J6/F5 (route.py:177-194): route dict first, agency dict second,
     unresolved dropped (and countable)."""
