@@ -77,14 +77,22 @@ def jdbc_upsert_writer(
     null_safe_keys: Sequence[str] = (),
     do_nothing: bool = False,
     connection_factory: Callable | None = None,
+    paramstyle: str = "format",
 ):
     """Build a ``foreachBatch`` function applying the upsert per batch.
 
     ``connection_factory`` returns a DB-API connection (psycopg2 in the
-    reference, ``connect.py:8-14``); injected so tests can pass a fake.
-    Executes one statement per partition via ``foreachPartition`` —
-    distributed writes, no driver collect.
+    reference, ``connect.py:8-14``); injected so tests can run against
+    a real embedded store (DuckDB — see
+    ``tests/test_duckdb_upsert_integration.py``) or a fake.
+    ``paramstyle``: ``"format"`` renders ``%s`` placeholders (psycopg2),
+    ``"qmark"`` renders ``?`` (DuckDB and most embedded DB-APIs).
+    Executes one multi-row statement per partition via
+    ``foreachPartition`` — distributed writes, no driver collect.
     """
+    if paramstyle not in ("format", "qmark"):
+        raise ValueError(f"unsupported paramstyle: {paramstyle}")
+    ph = "%s" if paramstyle == "format" else "?"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # T7 empty-batch short-circuit (agency.py:303)
@@ -103,7 +111,7 @@ def jdbc_upsert_writer(
             try:
                 cur = conn.cursor()
                 values = ", ".join(
-                    "(" + ", ".join("%s" for _ in columns) + ")" for _ in rows
+                    "(" + ", ".join(ph for _ in columns) + ")" for _ in rows
                 )
                 flat = [v for row in rows for v in row]
                 cur.execute(stmt.replace("VALUES %s", f"VALUES {values}"), flat)
