@@ -52,6 +52,77 @@ def test_streaming_parquet_requires_schema(spark, tmp_path):
         read_parquet(spark, str(tmp_path), streaming=True)
 
 
+def test_parse_vehicle_xml_matches_driver_parse(spark):
+    """Executor-side from_xml parse == the driver-side ElementTree
+    helper, row for row (same RAW_FEED_SCHEMA output), on a
+    multi-vehicle document with a non-aligned lastTime."""
+    from nextbus2pg_spark.sources.feed import (
+        feed_df_from_payloads,
+        parse_vehicle_xml,
+    )
+    from tests.test_streaming import VEHICLE_XML
+
+    payloads = spark.createDataFrame(
+        [("38R", VEHICLE_XML)], "route_tag string, payload string"
+    )
+    executor_side = parse_vehicle_xml(payloads)
+    driver_side = feed_df_from_payloads(spark, [("38R", VEHICLE_XML)])
+    assert (
+        executor_side.schema.simpleString()
+        == driver_side.schema.simpleString()
+    )
+    assert sorted(map(tuple, executor_side.collect())) == sorted(
+        map(tuple, driver_side.collect())
+    )
+
+
+def test_parse_vehicle_xml_missing_lasttime_sentinel(spark):
+    """No <lastTime> element → the '0' offset sentinel (route.py:169)."""
+    from nextbus2pg_spark.sources.feed import parse_vehicle_xml
+
+    xml = (
+        '<body><vehicle id="1" dirTag="d" lat="1.0" lon="2.0" '
+        'secsSinceReport="5" predictable="true"/></body>'
+    )
+    payloads = spark.createDataFrame(
+        [("r", xml)], "route_tag string, payload string"
+    )
+    rows = parse_vehicle_xml(payloads).collect()
+    assert len(rows) == 1 and rows[0].request_time_ms == 0
+
+
+def test_parse_vehicle_xml_streaming(spark, tmp_path):
+    """The same parse runs unchanged on a streaming DataFrame — whole
+    payloads flow to executors, no driver loop."""
+    import json
+
+    from nextbus2pg_spark.sources.feed import parse_vehicle_xml
+    from tests.test_streaming import VEHICLE_XML
+
+    src = tmp_path / "xml_src"
+    src.mkdir()
+    (src / "batch0.jsonl").write_text(
+        json.dumps({"route_tag": "38R", "payload": VEHICLE_XML}) + "\n"
+    )
+    stream = (
+        spark.readStream.schema("route_tag string, payload string")
+        .json(str(src))
+    )
+    out = str(tmp_path / "xml_out")
+    q = (
+        parse_vehicle_xml(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "xml_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert {r.vehicle_id for r in back.collect()} == {"1410", "1411", "1412"}
+
+
 def test_streaming_reader_matches_batch(spark, tmp_path):
     """Same definition serves backfill and live pipeline: streaming
     read of the same files yields the same rows."""
