@@ -71,6 +71,16 @@ def make_session_fn(
     in a later micro-batch — verified empirically; the NoTimeout path
     is stable. (The newer ``transformWithStateInPandas`` API needs
     protobuf, which this container lacks.)
+
+    **Idle-close without timeouts**: rows flagged ``is_tick = true``
+    (see ``flush_ticks``) advance the session clock WITHOUT counting as
+    events — a key whose gap to the tick timestamp exceeds
+    ``gap_seconds`` closes, emits, and evicts its state. Unioning a
+    periodic tick frame into the stream therefore emulates
+    ProcessingTimeTimeout with plain data flow: idle sessions close and
+    the state store stays bounded even when a vehicle never reports
+    again. Ticks for keys with no open session are no-ops (no state is
+    created for them).
     """
     gap_us = gap_seconds * 1_000_000
 
@@ -96,7 +106,15 @@ def make_session_fn(
             )
             return
 
-        rows = pd.concat(list(pdfs)).sort_values("ts_us")
+        rows = pd.concat(list(pdfs))
+        tick_us = None
+        if "is_tick" in rows.columns:
+            tick_mask = rows["is_tick"].fillna(False).astype(bool)
+            ticks = rows[tick_mask]
+            if len(ticks):
+                tick_us = int(ticks["ts_us"].max())
+            rows = rows[~tick_mask]
+        rows = rows.sort_values("ts_us")
         if state.exists:
             start_us, last_us, n, value_sum = state.get
         else:
@@ -116,13 +134,25 @@ def make_session_fn(
             n += 1
             value_sum += float(value) if value == value else 0.0
 
-        state.update((start_us, last_us, n, value_sum))
-        if use_timeout:
-            state.setTimeoutDuration(gap_seconds * 1000)
+        if (
+            tick_us is not None
+            and last_us is not None
+            and tick_us - last_us > gap_us
+        ):
+            # Idle past the gap at tick time: close + evict (the
+            # timeout-emulation path — state store stays bounded).
+            closed.append((start_us, last_us, n, value_sum))
+            state.remove()
+            start_us = last_us = None  # nothing open for emit_open
+        elif start_us is not None:
+            state.update((start_us, last_us, n, value_sum))
+            if use_timeout:
+                state.setTimeoutDuration(gap_seconds * 1000)
+        # else: tick for a key with no open session — leave no state.
 
-        out = closed if not emit_open else closed + [
-            (start_us, last_us, n, value_sum)
-        ]
+        out = list(closed)
+        if emit_open and start_us is not None:
+            out.append((start_us, last_us, n, value_sum))
         if out:
             yield pd.DataFrame(
                 {
@@ -137,6 +167,28 @@ def make_session_fn(
             )
 
     return update
+
+
+def flush_ticks(keys: DataFrame, tick_ts_us: int) -> DataFrame:
+    """Build tick rows for the given keys at a processing-time instant.
+
+    ``keys``: a frame with ``vehicle_tag`` (e.g. the vehicle dimension,
+    or the distinct keys of the last N batches). Union the result into
+    the sessionizer input each flush interval; any key idle past
+    ``gap_seconds`` at ``tick_ts_us`` then closes and evicts — the
+    ProcessingTimeTimeout emulation for environments where the native
+    timeout is unavailable (see ``make_session_fn``). Keys without an
+    open session are unaffected (ticks never create state), so
+    over-ticking is safe: cost is one extra row per key per flush.
+    """
+    from pyspark.sql import functions as F
+
+    return keys.select("vehicle_tag").distinct().select(
+        "vehicle_tag",
+        F.lit(int(tick_ts_us)).cast("long").alias("ts_us"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(True).alias("is_tick"),
+    )
 
 
 def sessionize_stream(

@@ -204,6 +204,65 @@ def test_cross_batch_dedup_with_watermark(spark, tmp_path):
     assert sorted(r.vehicle_tag for r in got.collect()) == ["v1", "v2", "v3"]
 
 
+def test_idle_session_closes_on_tick_without_new_data(spark, tmp_path):
+    """Timeout-emulation path: an idle session closes when a tick row
+    arrives after the gap — no new vehicle data needed — and its state
+    evicts; ticks for keys with no open session create nothing."""
+    from nextbus2pg_spark.streaming.stateful import sessionize_stream
+
+    feed_dir = tmp_path / "tfeed"
+    feed_dir.mkdir()
+
+    def wf(name, rows, mtime):
+        p = feed_dir / name
+        t = feed_dir / (name + ".t")
+        with open(t, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(t, p)
+        os.utime(p, (mtime, mtime))
+
+    B = 1_700_000_000_000_000  # base µs
+    MIN = 60_000_000
+    now = 1_700_000_000
+    # batch 1: one open session for v1 (2 events, 1 min apart)
+    wf("t1.json", [
+        {"vehicle_tag": "v1", "ts_us": B, "value": 10.0, "is_tick": False},
+        {"vehicle_tag": "v1", "ts_us": B + MIN, "value": 20.0,
+         "is_tick": False},
+    ], now)
+    # batch 2: ONLY ticks — v1 idle 3h > 30min gap; v9 has no session.
+    wf("t2.json", [
+        {"vehicle_tag": "v1", "ts_us": B + 180 * MIN, "value": None,
+         "is_tick": True},
+        {"vehicle_tag": "v9", "ts_us": B + 180 * MIN, "value": None,
+         "is_tick": True},
+    ], now + 10)
+
+    stream = (
+        spark.readStream.schema(
+            "vehicle_tag string, ts_us long, value double, is_tick boolean"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(feed_dir))
+    )
+    out = str(tmp_path / "tout")
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "tck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1  # v1's idle session closed; v9 emitted nothing
+    s = rows[0]
+    assert s.vehicle_tag == "v1"
+    assert (s.session_start_us, s.session_end_us) == (B, B + MIN)
+    assert s.n_events == 2 and abs(s.mean_value - 15.0) < 1e-9
+
+
 def test_stateful_sessionizer_applyinpandaswithstate(spark, tmp_path):
     """Custom stateful operator: per-vehicle sessions via
     applyInPandasWithState — gap closes a session and emits a summary;
