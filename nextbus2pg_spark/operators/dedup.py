@@ -277,14 +277,13 @@ def minhash_lsh_pairs(
             for b in range(n_bands)
         ]
     )
-    # The wide signature frame (one row per doc) and the candidate-pair
-    # frame are each consumed by several downstream branches; Spark
-    # re-derives unshared subtrees per consumer, which would recompute
-    # the full shingle aggregation ~8×. localCheckpoint materializes
-    # these *small* frames once and truncates lineage (at cluster scale:
-    # write them to an intermediate table instead).
-    if materialize:
-        wide = wide.localCheckpoint(eager=True)
+    # Checkpoint policy: a frame earns a localCheckpoint only with >1
+    # consumer (Spark re-derives unshared subtrees once per consumer).
+    # `sh` has two (signature agg + verify) and `cand` has three
+    # (ids_a/ids_b/semi filter) — both checkpointed. `wide` feeds ONLY
+    # the band explode, so materializing it is a pure extra job
+    # (measured: removing it is neutral-to-better at sf0.1); the band
+    # subtree instead materializes once inside `cand`'s checkpoint.
     bands = wide.select(
         "id", F.explode(band_structs).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
