@@ -153,15 +153,29 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(
-    shingled: DataFrame, candidates: DataFrame
+    shingled: DataFrame, candidates: DataFrame, impl: str = "sets"
 ) -> DataFrame:
     """Exact Jaccard similarity for candidate pairs over shingle sets.
 
-    Scale-critical ordering: both shingle sides (and the set-size
-    aggregation) are first semi-joined down to ids that appear in ANY
-    candidate pair, so the shingle equi-join only ever explodes over
-    candidate documents — the verify cost tracks |candidates|, not
-    |corpus|.
+    Scale-critical ordering for BOTH impls: the shingle relation is
+    first semi-joined down to ids that appear in ANY candidate pair, so
+    the verify cost tracks |candidates|, not |corpus|.
+
+    - ``sets`` (default): ``collect_set`` one shingle array per
+      candidate doc, join the (small) pair list to the arrays on each
+      side, and score with ``array_intersect`` — two pair-side joins
+      (AQE broadcasts them when small) instead of the exploded
+      shingle equi-join + per-pair aggregation, measured ~2× faster at
+      sf0.1. Per-row memory is one doc's full shingle set; fine for
+      typical documents, and a hub doc in k pairs ships its set k times.
+    - ``explode``: shingle equi-join + count aggregation — never holds a
+      whole set in one row, so it is the safer shape for corpora with
+      pathologically long documents (at the cost of shuffling the
+      exploded (pair, shingle) stream and skew on ubiquitous shingles).
+
+    Pairs with an empty intersection are dropped (not emitted as 0.0)
+    under both impls — band-hash collisions can pair docs that share no
+    shingle.
 
     No broadcast hints anywhere: on a dirty corpus the candidate set is
     NOT small (it can approach the corpus), so hinting it would pin an
@@ -172,6 +186,32 @@ def jaccard_pairs(
     ids_a = candidates.select(F.col("id_a").alias("id")).distinct()
     ids_b = candidates.select(F.col("id_b").alias("id")).distinct()
     cand_ids = ids_a.unionByName(ids_b).distinct()
+    if impl == "sets":
+        sets = (
+            shingled.join(cand_ids, "id", "left_semi")
+            .groupBy("id")
+            .agg(F.collect_set("shingle").alias("sset"))
+        )
+        scored = (
+            candidates.join(
+                sets.select(F.col("id").alias("id_a"), F.col("sset").alias("s_a")),
+                "id_a",
+            )
+            .join(
+                sets.select(F.col("id").alias("id_b"), F.col("sset").alias("s_b")),
+                "id_b",
+            )
+            .withColumn("n_inter", F.size(F.array_intersect("s_a", "s_b")))
+            .where(F.col("n_inter") > 0)
+        )
+        return scored.select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.size("s_a") + F.size("s_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
     # Set semantics (distinct) applied only AFTER restricting to
     # candidate ids — the input may be a shingle multiset.
     # Materialized once (it feeds sizes + both join sides); bounded by
