@@ -40,6 +40,36 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert jac[(1, 2)] > 0.8
 
 
+def test_jaccard_impls_agree(spark):
+    """The set-based and exploded-join verifies are interchangeable:
+    same pairs, same scores — including dropping zero-intersection
+    candidates (here (1, 4): a band collision with no shared shingle
+    is simulated by injecting the pair directly)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),
+            (3, "a b c q r s t u"),
+            (4, "m n o p q r s t"),
+        ],
+        "id long, text string",
+    )
+    sh = dd.word_shingles(df, "id", "text", n=3)
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    by_impl = {
+        impl: {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in dd.jaccard_pairs(sh, cand, impl=impl).collect()
+        }
+        for impl in ("sets", "explode")
+    }
+    assert by_impl["sets"] == by_impl["explode"]
+    assert (1, 4) not in by_impl["sets"]  # empty intersection dropped
+    assert by_impl["sets"][(1, 2)] > by_impl["sets"][(1, 3)]
+
+
 def test_simhash_near_dup_distance(spark):
     base = " ".join(f"w{i}" for i in range(40))
     near = base + " extra"
