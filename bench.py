@@ -16,6 +16,7 @@ import os
 import sys
 import time
 
+from nextbus2pg_spark.operators.scale import release_cached_rdds
 from nextbus2pg_spark.plans import QUERIES
 from nextbus2pg_spark.session import get_spark
 
@@ -59,10 +60,16 @@ def main() -> None:
             QUERIES[name](spark, warm_dir).count()
         except Exception:
             pass  # warmup is best-effort; the timed run will surface errors
+    release_cached_rdds(spark)
 
-    # Median of N runs per query (default 3): single-run wall time on a
-    # shared machine varies ±20%; the median is the stable statistic.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Median of N runs per query (default 5): single-run wall time on a
+    # shared machine varies ±20%, and the first executions of a plan at
+    # the target SF additionally pay JIT compilation of the AQE-chosen
+    # physical plan (which differs from the warmup SF's plan — observed
+    # first-run 4.9s vs steady-state 2.0s on minhash-LSH). Five runs put
+    # the median reliably in steady state; the cold runs still bound the
+    # max.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -72,6 +79,14 @@ def main() -> None:
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
+            # Release the run's localCheckpoint blocks before the next
+            # run: leaked checkpoints from completed executions inflate
+            # GC pressure and wall-time variance (operators/scale.py
+            # release_cached_rdds). Runs after the first therefore time
+            # the same work as a fresh session would.
+            release_cached_rdds(spark)
+        print(f"# samples {name}: {[round(s, 2) for s in samples]}",
+              file=sys.stderr)
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         print(f"# {name}: {timings[name]}s median of {runs} ({n} rows)",

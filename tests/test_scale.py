@@ -143,3 +143,16 @@ def test_write_partitioned_prunes_and_controls_files(spark, tmp_path):
     assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
         "PartitionFilters", 1
     )[1].split("]", 1)[0]
+
+
+def test_release_cached_rdds_frees_checkpoints(spark):
+    from nextbus2pg_spark.operators.scale import release_cached_rdds
+
+    release_cached_rdds(spark)  # start clean
+    df = spark.range(100).localCheckpoint(eager=True)
+    assert df.count() == 100
+    n = release_cached_rdds(spark)
+    assert n >= 1
+    # The checkpointed frame was fully consumed before release; a
+    # second release finds nothing left behind.
+    assert release_cached_rdds(spark) == 0
