@@ -2,6 +2,10 @@
 training-data extensions + scale primitives). Public API surface."""
 
 from nextbus2pg_spark.operators.asof import asof_join, asof_join_by_id
+from nextbus2pg_spark.operators.components import (
+    connected_components,
+    dedup_corpus,
+)
 from nextbus2pg_spark.operators.dedup import (
     dedup_groups,
     exact_dedup,
@@ -72,6 +76,8 @@ from nextbus2pg_spark.operators.text import (
 __all__ = [
     "asof_join",
     "asof_join_by_id",
+    "connected_components",
+    "dedup_corpus",
     "dedup_groups",
     "exact_dedup",
     "jaccard_pairs",

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nextbus2pg_spark.catalog import load_table
+from nextbus2pg_spark.operators import components
 from nextbus2pg_spark.operators import dedup as dd
 from nextbus2pg_spark.operators import text as tx
 from nextbus2pg_spark.operators.similarity import cosine_topk, lsh_topk, with_norm
@@ -292,6 +293,112 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str):
         docs, "doc_id", "text", bits=16, band_bits=4, max_hamming=2
     )
     return out.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (pairs → components → deduped corpus)
+# ---------------------------------------------------------------------------
+
+#: MinHash-LSH chain ending in verified pairs with rounded jaccard —
+#: shared by the clustering oracles (mirrors the q_minhash_lsh oracle).
+_MINHASH_VERIFIED = """
+perms AS (SELECT unnest(generate_series(0, 7)) AS perm),
+sigs AS (
+  SELECT s.doc_id, p.perm,
+         min(md5(p.perm || ':' || s.shingle)) AS minh
+  FROM shingles s CROSS JOIN perms p
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, perm // 2 AS band,
+         md5(string_agg(minh, '|' ORDER BY perm)) AS band_hash
+  FROM sigs GROUP BY doc_id, perm // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shingles a
+  JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.id_a, i.id_b,
+         round(CAST(i.n_inter AS DOUBLE)
+               / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+),
+edges AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+sym AS (
+  SELECT id_a AS id, id_b AS nb FROM edges WHERE id_a <> id_b
+  UNION
+  SELECT id_b, id_a FROM edges WHERE id_a <> id_b
+),
+reach AS (
+  SELECT id, id AS label FROM (SELECT DISTINCT id FROM sym)
+  UNION
+  SELECT s.nb AS id, r.label FROM reach r JOIN sym s ON s.id = r.id
+),
+comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id)
+"""
+
+
+def _minhash_edges(spark: SparkSession, sf_dir: str):
+    """Verified near-dup pairs at jaccard ≥ 0.5 over docs_plus."""
+    docs = _docs_plus(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=8, rows_per_band=2, shingle_n=3
+    )
+    return pairs.where(F.round(F.col("jaccard"), 4) >= 0.5)
+
+
+@fixture(
+    "q_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_DOCS_PLUS.strip()},
+{_SHINGLES.strip()},
+{_MINHASH_VERIFIED.strip()}
+SELECT doc_id, component FROM comp
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str):
+    """Near-dup pairs → transitive components (near-duplication is
+    transitive in practice: A≈B≈C must collapse together). Iterative
+    min-label propagation with path halving runs ONLY on edge-touched
+    nodes — the LSH-bounded candidate set — never the full corpus."""
+    edges = _minhash_edges(spark, sf_dir)
+    return components.connected_components(edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+@fixture(
+    "q_corpus_dedup",
+    oracle=f"""
+WITH RECURSIVE {_DOCS_PLUS.strip()},
+{_SHINGLES.strip()},
+{_MINHASH_VERIFIED.strip()}
+SELECT d.doc_id, d.lang, d.source FROM docs_plus d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+""",
+)
+def q_corpus_dedup(spark: SparkSession, sf_dir: str):
+    """End-to-end corpus dedup: LSH pairs → components → keep the min-id
+    survivor per component plus every untouched singleton. The corpus
+    side is filtered by a left-anti join against the (small) drop list,
+    so documents the iteration never saw never shuffle."""
+    docs = _docs_plus(spark, sf_dir)
+    comp = components.connected_components(_minhash_edges(spark, sf_dir))
+    return components.dedup_corpus(docs, "doc_id", comp).select(
+        "doc_id", "lang", "source"
+    )
 
 
 # ---------------------------------------------------------------------------
