@@ -70,6 +70,8 @@ from nextbus2pg_spark.operators.text import (
     fingerprint,
     lang_id,
     quality_features,
+    repetition_features,
+    scrub_pii,
     token_count,
 )
 
@@ -123,5 +125,7 @@ __all__ = [
     "fingerprint",
     "lang_id",
     "quality_features",
+    "repetition_features",
+    "scrub_pii",
     "token_count",
 ]

@@ -120,6 +120,76 @@ def token_count(text: Column) -> Column:
     )
 
 
+#: PII patterns in the common Java-regex/RE2 subset (portable between
+#: Spark and ANSI engines): URL first (URLs may contain '@' and long
+#: digit runs), then email, then long digit runs (phone-ish ids).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", "https?://[^ ]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("longnum", "[0-9]{7,}", "<NUM>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str, out_col: str = "clean_text") -> DataFrame:
+    """Redact PII-shaped spans (URLs, emails, long digit runs) and count
+    what was redacted per category — the audit trail a curation pipeline
+    needs to tune patterns.
+
+    Map-only: regexp_replace/extract chains, no shuffle, no Python.
+    Replacement order is significant and fixed by ``PII_PATTERNS``.
+    """
+    t = F.col(text_col)
+    cleaned = t
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cleaned, F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    return df.select("*", *counts, cleaned.alias(out_col))
+
+
+def repetition_features(
+    df: DataFrame, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document repetition ratios (Gopher-style quality signals):
+    duplicate-word fraction and duplicate-``n``-gram fraction.
+
+    Highly repetitive machine-generated text scores near 1.0; natural
+    prose stays low. Both ratios are pure per-row array expressions
+    (``array_distinct`` over the word / shingle arrays) — map-only,
+    ZERO shuffle, so the filter runs at scan speed at any corpus size
+    (the groupBy-based alternative would shuffle one row per n-gram).
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, " "), lambda w: w != "")
+    nw = F.size(words)
+    n_grams = F.greatest(nw - F.lit(n - 1), F.lit(0))
+    grams = F.when(n_grams < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+    dup_word = F.when(
+        nw > 0,
+        F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / nw,
+    ).otherwise(F.lit(0.0))
+    dup_gram = F.when(
+        n_grams > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double") / n_grams,
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "*",
+        nw.alias("n_words"),
+        F.round(dup_word, 4).alias("dup_word_ratio"),
+        F.round(dup_gram, 4).alias(f"dup_{n}gram_ratio"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Canonical document fingerprint: md5 of normalized text.
 

@@ -650,6 +650,186 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str):
     )
 
 
+#: Deterministic PII injection (both engines): every doc gets one
+#: synthetic redactable span so the scrub patterns are actually hit.
+_PII_CORPUS = """
+pii_docs AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN text || ' contact user' || doc_id
+                       || '@example.com now'
+           WHEN 1 THEN text || ' see https://ex.am/p/' || doc_id || ' ok'
+           ELSE text || ' ref 123456789'
+         END AS text
+  FROM documents
+)
+"""
+
+
+def _pii_corpus(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), did,
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.col("text"), F.lit(" see https://ex.am/p/"), did,
+                F.lit(" ok"),
+            ),
+        )
+        .otherwise(F.concat(F.col("text"), F.lit(" ref 123456789"))),
+    )
+
+
+@fixture(
+    "q_pii_scrub",
+    oracle=f"""
+WITH {_PII_CORPUS.strip()}
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER)
+         AS n_url,
+       CAST(len(regexp_extract_all(
+              regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+            AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(
+              regexp_replace(
+                regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                '<EMAIL>', 'g'),
+              '[0-9]{{7,}}')) AS INTEGER) AS n_longnum,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+           '<EMAIL>', 'g'),
+         '[0-9]{{7,}}', '<NUM>', 'g') AS clean_text
+FROM pii_docs
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str):
+    """PII scrubbing over a corpus with deterministically injected
+    redactable spans: URLs, then emails, then long digit runs are
+    replaced with typed markers, with per-category redaction counts.
+    Map-only regexp chain — zero shuffle at any corpus size."""
+    out = tx.scrub_pii(_pii_corpus(spark, sf_dir), "text")
+    return out.select("doc_id", "n_url", "n_email", "n_longnum", "clean_text")
+
+
+_REPETITION = """
+rep AS (
+  SELECT doc_id, words,
+         CASE WHEN len(words) >= 3
+              THEN list_transform(generate_series(1, len(words) - 2),
+                                  i -> array_to_string(words[i:i+2], ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS words
+    FROM documents
+  )
+),
+rep_feat AS (
+  SELECT doc_id,
+         CAST(len(words) AS INTEGER) AS n_words,
+         round(CASE WHEN len(words) > 0
+                    THEN 1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+                               / len(words)
+                    ELSE 0.0 END, 4) AS dup_word_ratio,
+         round(CASE WHEN len(words) - 2 > 0
+                    THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                               / (len(words) - 2)
+                    ELSE 0.0 END, 4) AS dup_3gram_ratio
+  FROM rep
+)
+"""
+
+
+@fixture(
+    "q_repetition",
+    oracle=f"""
+WITH {_REPETITION.strip()}
+SELECT doc_id, n_words, dup_word_ratio, dup_3gram_ratio FROM rep_feat
+""",
+)
+def q_repetition(spark: SparkSession, sf_dir: str):
+    """Repetition quality signals (Gopher-style): duplicate-word and
+    duplicate-trigram fractions per document, computed as per-row
+    array_distinct expressions — map-only, zero shuffle (the exploded
+    groupBy alternative shuffles one row per n-gram)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.repetition_features(docs, "text").select(
+        "doc_id", "n_words", "dup_word_ratio", "dup_3gram_ratio"
+    )
+
+
+@fixture(
+    "q_gopher_filter",
+    oracle=f"""
+WITH {_REPETITION.strip()},
+q_feat AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER)
+           AS n_words_q,
+         length(text) AS n_chars_t,
+         CAST((length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' the ', '')))
+              / length(' the ') AS INTEGER)
+         + CAST((length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' a ', '')))
+              / length(' a ') AS INTEGER)
+         + CAST((length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' and ', '')))
+              / length(' and ') AS INTEGER) AS stop_hits,
+         CAST((length(text) - length(replace(text, '.', ''))) AS INTEGER)
+         + CAST((length(text) - length(replace(text, ',', ''))) AS INTEGER)
+           AS punct
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         round(
+           least(CAST(n_words_q AS DOUBLE) / 100.0, 1.0) * 0.4
+           + least(CAST(stop_hits AS DOUBLE) / n_words_q * 5.0, 1.0) * 0.4
+           + (1.0 - least(CAST(punct AS DOUBLE) / n_chars_t * 10.0, 1.0))
+             * 0.2,
+           4) AS quality_score
+  FROM q_feat
+)
+SELECT r.doc_id, r.n_words, r.dup_3gram_ratio, s.quality_score
+FROM rep_feat r JOIN scored s USING (doc_id)
+WHERE r.n_words >= 50 AND r.dup_3gram_ratio <= 0.2
+  AND s.quality_score >= 0.5
+""",
+)
+def q_gopher_filter(spark: SparkSession, sf_dir: str):
+    """Composite curation filter (the Gopher-rule shape): word-count
+    floor + repetition ceiling + composite quality floor, all map-only
+    expressions composed into one scan-speed predicate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = tx.repetition_features(docs, "text")
+    qual = tx.quality_features(docs, "text").select(
+        "doc_id", "quality_score"
+    )
+    return (
+        rep.join(qual, "doc_id")
+        .where(
+            (F.col("n_words") >= 50)
+            & (F.col("dup_3gram_ratio") <= 0.2)
+            & (F.col("quality_score") >= 0.5)
+        )
+        .select("doc_id", "n_words", "dup_3gram_ratio", "quality_score")
+    )
+
+
 @fixture("q_ivf_topk")  # approximate by construction → rows-only
 def q_ivf_topk(spark: SparkSession, sf_dir: str):
     """IVF-bucketed approximate top-k — centroid inverted-file variant

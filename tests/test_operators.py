@@ -217,3 +217,41 @@ def test_ivf_topk_recall_vs_exact(spark):
             ivf_topk(df, queries, "vec_id", "embedding", k=1,
                      n_centroids=8, nprobe=8).where(F.col("rank") == 1).collect()}
     assert exact == full
+
+
+def test_scrub_pii_order_and_counts(spark):
+    from nextbus2pg_spark.operators.text import scrub_pii
+
+    rows = [
+        # URL containing '@' and digits must be eaten by the URL pass
+        # before the email/number passes can misfire on its pieces.
+        (1, "go to https://u:p@host/12345678 or mail bob@x.io ref 99999999"),
+        (2, "plain text no pii"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in scrub_pii(df, "text").collect()}
+    assert out[1]["clean_text"] == "go to <URL> or mail <EMAIL> ref <NUM>"
+    assert (out[1]["n_url"], out[1]["n_email"], out[1]["n_longnum"]) == (1, 1, 1)
+    assert out[2]["clean_text"] == "plain text no pii"
+    assert (out[2]["n_url"], out[2]["n_email"], out[2]["n_longnum"]) == (0, 0, 0)
+    assert out[3]["clean_text"] == ""
+
+
+def test_repetition_features_bounds(spark):
+    from nextbus2pg_spark.operators.text import repetition_features
+
+    rows = [
+        (1, "spam spam spam spam spam"),   # max repetition
+        (2, "all words here are unique"),  # zero repetition
+        (3, "ab"),                         # shorter than the n-gram
+        (4, ""),                           # empty: ratios defined as 0
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in repetition_features(df, "text").collect()}
+    assert out[1]["dup_word_ratio"] == 0.8          # 1 distinct of 5
+    assert out[1]["dup_3gram_ratio"] == round(1 - 1 / 3, 4)
+    assert out[2]["dup_word_ratio"] == 0.0
+    assert out[2]["dup_3gram_ratio"] == 0.0
+    assert out[3]["n_words"] == 1 and out[3]["dup_3gram_ratio"] == 0.0
+    assert out[4]["n_words"] == 0 and out[4]["dup_word_ratio"] == 0.0
