@@ -47,6 +47,7 @@ from nextbus2pg_spark.operators.quality import (
     quarantine_split,
     run_checks,
 )
+from nextbus2pg_spark.operators.sketch import kmv_distinct, kmv_hash
 from nextbus2pg_spark.operators.scale import (
     count_exchanges,
     ensure_min_parallelism,
@@ -99,6 +100,8 @@ __all__ = [
     "extract_features",
     "fake_media_from_documents",
     "frame_sample",
+    "kmv_distinct",
+    "kmv_hash",
     "count_exchanges",
     "ensure_min_parallelism",
     "salted_agg",

@@ -830,6 +830,46 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str):
     )
 
 
+@fixture(
+    "q_kmv_distinct",
+    oracle="""
+WITH sel AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+),
+hv AS (
+  SELECT event_type,
+         CAST(list_sum(list_transform(generate_series(1, 13),
+              i -> (strpos('0123456789abcdef', substr(hx, i, 1)) - 1)
+                   * CAST(round(power(16, 13 - i)) AS BIGINT))) AS BIGINT)
+           AS hv
+  FROM sel
+),
+ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM (SELECT DISTINCT event_type, hv FROM hv)
+)
+SELECT event_type,
+       round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+                  ELSE 63.0 / (CAST(hv AS DOUBLE) / 4503599627370496.0) END,
+             4) AS n_distinct_est
+FROM ranked WHERE rn = 64 OR (nd < 64 AND rn = nd)
+""",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str):
+    """Distinct users per event type via a KMV (k-minimum-values)
+    sketch — the portable, mergeable, bounded-memory stand-in for
+    COUNT(DISTINCT) at scale. Unlike HLL, the md5-based sketch is
+    bit-reproducible in any engine, so even the *approximate* estimate
+    gets a full value-level oracle check."""
+    from nextbus2pg_spark.operators.sketch import kmv_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    return kmv_distinct(events, ["event_type"], "user_id", k=64)
+
+
 @fixture("q_ivf_topk")  # approximate by construction → rows-only
 def q_ivf_topk(spark: SparkSession, sf_dir: str):
     """IVF-bucketed approximate top-k — centroid inverted-file variant

@@ -255,3 +255,35 @@ def test_repetition_features_bounds(spark):
     assert out[2]["dup_3gram_ratio"] == 0.0
     assert out[3]["n_words"] == 1 and out[3]["dup_3gram_ratio"] == 0.0
     assert out[4]["n_words"] == 0 and out[4]["dup_word_ratio"] == 0.0
+
+
+def test_kmv_distinct_error_bound_and_exact_small(spark):
+    from nextbus2pg_spark.operators.sketch import kmv_distinct
+
+    # 5000 distinct values in one group: estimate within 3/sqrt(k-2).
+    df = spark.range(5000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v")
+    )
+    est = kmv_distinct(df, ["grp"], "v", k=64).collect()[0]["n_distinct_est"]
+    assert abs(est - 5000) / 5000 < 3 / (62 ** 0.5)
+
+    # Fewer distincts than k: the sketch degrades to the exact count,
+    # and duplicate rows don't inflate it.
+    small = spark.range(30).select(
+        F.lit("g").alias("grp"), (F.col("id") % 10).alias("v")
+    )
+    out = kmv_distinct(small, ["grp"], "v", k=64).collect()[0]
+    assert out["n_distinct_est"] == 10.0
+
+
+def test_kmv_distinct_partitioning_invariant(spark):
+    from nextbus2pg_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).alias("grp"), F.col("id").alias("v")
+    )
+    a = {(r["grp"], r["n_distinct_est"])
+         for r in kmv_distinct(df, ["grp"], "v", k=32).collect()}
+    b = {(r["grp"], r["n_distinct_est"])
+         for r in kmv_distinct(df.repartition(17), ["grp"], "v", k=32).collect()}
+    assert a == b  # merge-and-truncate is partitioning-independent
