@@ -1,7 +1,11 @@
 """Operator library (SURVEY.md §2.2-2.8 reference parity + §2.12
 training-data extensions + scale primitives). Public API surface."""
 
-from nextbus2pg_spark.operators.asof import asof_join, asof_join_by_id
+from nextbus2pg_spark.operators.asof import (
+    asof_join,
+    asof_join_bucketed,
+    asof_join_by_id,
+)
 from nextbus2pg_spark.operators.components import (
     connected_components,
     dedup_corpus,
@@ -78,6 +82,7 @@ from nextbus2pg_spark.operators.text import (
 
 __all__ = [
     "asof_join",
+    "asof_join_bucketed",
     "asof_join_by_id",
     "connected_components",
     "dedup_corpus",

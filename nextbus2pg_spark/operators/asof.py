@@ -11,10 +11,11 @@ composition keeps everything in built-in operators (one shuffle join +
 one window).
 
 Scale note: when the right side is large per key, the join explodes
-candidates. The scale path is time-bucketing: assign both sides a
-``time_bucket`` (e.g. day), join on (key, bucket) unioned with (key,
-bucket-1, ...) for a bounded lookback, so each left row only meets a
-bounded slice of the right side. ``bucket_lookback`` enables that mode.
+candidates. The scale path is ``asof_join_bucketed``: both sides get a
+time bucket, the right side is replicated across its visibility window
+(bucket .. bucket+lookback), and the join becomes an equi-join on
+(key, bucket) — each left row only ever meets a bounded time slice of
+the right side, at the cost of a documented bounded-lookback contract.
 """
 
 from __future__ import annotations
@@ -59,6 +60,68 @@ def asof_join(
         joined.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn", "__r_key", "__r_ts")
+    )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    bucket_width: int,
+    lookback: int = 1,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Big-big as-of join with a bounded lookback — the 100 TB path.
+
+    ``left_ts``/``right_ts`` are integer time columns (epoch-µs; exact
+    long arithmetic per PERF.md rule 6). Each right row is replicated
+    into the ``lookback + 1`` buckets it is visible to, turning the
+    range join into a plain equi-join on (key, bucket): a left row
+    meets only the right rows of its own and the previous ``lookback``
+    buckets, never the key's full history — candidate fan-out is
+    bounded by construction regardless of either side's size.
+
+    Contract: a right row older than ``lookback`` buckets before the
+    left row is NOT matched (the left row gets NULLs). Pick
+    ``bucket_width × lookback`` ≥ the staleness your enrichment
+    tolerates. Winner selection is a ``max_by`` aggregation (map-side
+    partial, no window sort), keyed on the unique ``left_id``.
+    """
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__r_ts"),
+        *[F.col(c) for c in right_cols],
+    ).withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.expr(f"__r_ts div {int(bucket_width)}"),
+                F.expr(f"__r_ts div {int(bucket_width)}")
+                + F.lit(int(lookback)),
+            )
+        ),
+    )
+    lb = F.expr(f"{left_ts} div {int(bucket_width)}")
+    l = left.withColumn("__lb", lb)
+    cond = (
+        (l[on] == r["__k"])
+        & (l["__lb"] == r["__b"])
+        & (r["__r_ts"] <= l[left_ts])
+    )
+    joined = l.join(r, cond, "left")
+    order = (
+        F.struct("__r_ts", tiebreak) if tiebreak else F.struct("__r_ts")
+    )
+    best = joined.groupBy(left_id).agg(
+        F.max_by(F.struct(*right_cols), order).alias("__m")
+    )
+    out_cols = [F.col(f"__m.{c}").alias(c) for c in right_cols]
+    return left.join(
+        best.select(left_id, *out_cols), left_id, "left"
     )
 
 

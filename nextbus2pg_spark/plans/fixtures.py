@@ -886,6 +886,65 @@ def q_asof_join(spark: SparkSession, sf_dir: str):
     )
 
 
+@fixture(
+    "q_asof_bucketed",
+    oracle="""
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = 'view'
+),
+r AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS r_ts_us,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id, purchase_id, purchase_value FROM (
+  SELECT l.event_id, l.user_id, r.purchase_id, r.purchase_value,
+         row_number() OVER (
+           PARTITION BY l.event_id
+           ORDER BY r.r_ts_us DESC NULLS LAST,
+                    r.purchase_id DESC NULLS LAST
+         ) AS rn
+  FROM l LEFT JOIN r
+    ON r.user_id = l.user_id AND r.r_ts_us <= l.ts_us
+   AND l.ts_us // 86400000000 - r.r_ts_us // 86400000000 BETWEEN 0 AND 3
+) WHERE rn = 1
+""",
+)
+def q_asof_bucketed(spark: SparkSession, sf_dir: str):
+    """Big-big as-of join with bounded lookback (the 100 TB as-of
+    path): last purchase at-or-before each view per user, looking back
+    at most 3 day-buckets. The right side replicates into its
+    visibility buckets so the range join becomes an equi-join on
+    (user, bucket) — candidate fan-out is bounded by construction and
+    neither side is ever broadcast. Winner via max_by aggregation."""
+    from nextbus2pg_spark.operators.asof import asof_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        "ts_us",
+    )
+    out = asof_join_bucketed(
+        views,
+        purchases,
+        left_id="event_id",
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_cols=["purchase_id", "purchase_value"],
+        bucket_width=86_400_000_000,
+        lookback=3,
+        tiebreak="purchase_id",
+    )
+    return out.select("event_id", "user_id", "purchase_id", "purchase_value")
+
+
 # ---------------------------------------------------------------------------
 # Flagship (entry() + bench headline): the reference's hot path as one
 # batch query — SURVEY.md §7 milestone 0.

@@ -287,3 +287,55 @@ def test_kmv_distinct_partitioning_invariant(spark):
     b = {(r["grp"], r["n_distinct_est"])
          for r in kmv_distinct(df.repartition(17), ["grp"], "v", k=32).collect()}
     assert a == b  # merge-and-truncate is partitioning-independent
+
+
+def test_asof_bucketed_lookback_contract(spark):
+    from nextbus2pg_spark.operators.asof import (
+        asof_join_bucketed,
+        asof_join_by_id,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "k", 1000), (2, "k", 250), (3, "x", 500)],
+        "lid long, key string, lts long",
+    )
+    right = spark.createDataFrame(
+        [("k", 100, 10.0), ("k", 240, 24.0), ("k", 990, 99.0)],
+        "key string, rts long, payload double",
+    )
+    # Bucket width 100, lookback 1: left@250 (bucket 2) sees buckets
+    # 1-2 → only rts=240; rts=100 (bucket 1)... visible; left@1000 sees
+    # buckets 9-10 → rts=990 only. Key 'x' never matches.
+    out = {
+        r["lid"]: r["payload"]
+        for r in asof_join_bucketed(
+            left, right, "lid", "key", "lts", "rts", ["payload"],
+            bucket_width=100, lookback=1,
+        ).collect()
+    }
+    assert out == {1: 99.0, 2: 24.0, 3: None}
+
+    # A lookback that covers the whole time range reproduces the
+    # unbounded as-of join exactly.
+    unbounded = {
+        r["lid"]: r["payload"]
+        for r in asof_join_by_id(
+            left, right, "lid", "key", "key", "lts", "rts", ["payload"]
+        ).collect()
+    }
+    wide = {
+        r["lid"]: r["payload"]
+        for r in asof_join_bucketed(
+            left, right, "lid", "key", "lts", "rts", ["payload"],
+            bucket_width=100, lookback=100,
+        ).collect()
+    }
+    assert wide == unbounded
+
+    # The physical join is an equi-join on (key, bucket) — never a
+    # nested-loop over the range predicate.
+    plan = asof_join_bucketed(
+        left, right, "lid", "key", "lts", "rts", ["payload"],
+        bucket_width=100, lookback=1,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
