@@ -77,6 +77,26 @@ def n_words(text: Column) -> Column:
     return (spaces + F.lit(1)).cast("int")
 
 
+def quality_score_col(t: Column) -> Column:
+    """Composite quality score for one text column (unrounded)."""
+    nw = n_words(t)
+    chars = F.length(t)
+    stop_hits = (
+        word_marker_count(t, "the")
+        + word_marker_count(t, "a")
+        + word_marker_count(t, "and")
+    )
+    punct = occurrence_count(t, ".") + occurrence_count(t, ",")
+    stop_ratio = stop_hits.cast("double") / nw
+    punct_ratio = punct.cast("double") / chars
+    return (
+        F.least(nw.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0)))
+        * F.lit(0.2)
+    )
+
+
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Attach quality-scoring features + a composite score.
 
@@ -85,23 +105,15 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """
     t = F.col(text_col)
     nw = n_words(t)
-    chars = F.length(t)
     word_chars = F.length(F.replace(t, F.lit(" "), F.lit("")))
     stop_hits = (
         word_marker_count(t, "the")
         + word_marker_count(t, "a")
         + word_marker_count(t, "and")
     )
-    punct = occurrence_count(t, ".") + occurrence_count(t, ",")
     mean_wl = word_chars.cast("double") / nw
     stop_ratio = stop_hits.cast("double") / nw
-    punct_ratio = punct.cast("double") / chars
-    score = (
-        F.least(nw.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.4)
-        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0)))
-        * F.lit(0.2)
-    )
+    score = quality_score_col(t)
     return df.select(
         "*",
         nw.alias("n_words"),

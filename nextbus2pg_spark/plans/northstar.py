@@ -496,6 +496,44 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str):
     )
 
 
+@fixture(
+    "q_embedding_clusters",
+    oracle=f"""
+WITH RECURSIVE {_COSINE_NORM_SQL.strip()},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(generate_series(1, len(a.e)),
+                                   i -> a.e[i] * b.e[i]))
+           / (a.nrm * b.nrm), 6) AS sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+),
+edges AS (SELECT id_a, id_b FROM pairs WHERE sim >= 0.4),
+sym AS (
+  SELECT id_a AS id, id_b AS nb FROM edges WHERE id_a <> id_b
+  UNION
+  SELECT id_b, id_a FROM edges WHERE id_a <> id_b
+),
+reach AS (
+  SELECT id, id AS label FROM (SELECT DISTINCT id FROM sym)
+  UNION
+  SELECT s.nb AS id, r.label FROM reach r JOIN sym s ON s.id = r.id
+)
+SELECT id AS vec_id, min(label) AS component FROM reach GROUP BY id
+""",
+)
+def q_embedding_clusters(spark: SparkSession, sf_dir: str):
+    """Embedding-space near-dup clustering: cosine pairs above the
+    threshold → transitive components — the same pairs→clusters closure
+    as the text-side q_dedup_clusters, over the embedding modality
+    (semantic dedup). The component iteration touches only edge-incident
+    vectors."""
+    edges = q_embedding_neardup(spark, sf_dir)
+    return components.connected_components(edges).select(
+        F.col("id").alias("vec_id"), "component"
+    )
+
+
 @fixture("q_lsh_topk")  # approximate + hyperplane internals → rows-only
 def q_lsh_topk(spark: SparkSession, sf_dir: str):
     """LSH-bucketed approximate top-k — the scale path for similarity
