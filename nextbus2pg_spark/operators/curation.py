@@ -119,3 +119,109 @@ def cap_per_group(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 13,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: count, per training document, the
+    distinct word ``ngram``-grams it shares with an eval/benchmark
+    corpus (the GPT-3-style 13-gram overlap test; the fixture uses
+    n=3 so the synthetic corpus actually collides).
+
+    Scale shape: the eval side reduces to a DISTINCT shingle set —
+    benchmark suites are bounded by construction (thousands of
+    documents, not the corpus), so ``broadcast_eval`` defaults to a
+    broadcast semi-structured join and the training corpus NEVER
+    shuffles: shingle explode + broadcast hash join + partial-agg
+    count, all map-side. Set it False if the "eval" side is actually
+    large and let AQE decide.
+
+    Output: (id, n_hits) for contaminated documents only — the join
+    is the filter; clean documents produce no shingle match and are
+    absent (callers left-anti-join to drop flagged docs).
+    """
+    from nextbus2pg_spark.operators.dedup import word_shingles
+
+    doc_sh = word_shingles(docs, id_col, text_col, n=ngram).distinct()
+    eval_sh = (
+        word_shingles(eval_docs, id_col, text_col, n=ngram)
+        .select("shingle")
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_sh = F.broadcast(eval_sh)
+    return (
+        doc_sh.join(eval_sh, "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+    chunk_col: str = "chunk_id",
+    offset_col: str = "start_offset",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in a
+    deterministic order and cut the token stream every ``budget``
+    tokens — each document is assigned the training chunk where it
+    STARTS (the standard concatenate-then-chunk LLM batching layout;
+    documents may straddle a boundary, the loader masks across it).
+
+    Scale shape: one window sum per partition group. ``partition_cols``
+    (e.g. language, or an explicit shard key) bounds every sort to one
+    group — there is deliberately NO global-order variant, because a
+    corpus-wide total order means a single range sort at 100 TB;
+    callers wanting global chunk ids should pack per shard and offset
+    by shard id downstream.
+
+    Output adds ``offset_col`` (running token offset within the group)
+    and ``chunk_col`` (``floor(offset / budget)``).
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("bigint")
+    return df.withColumn(offset_col, start).withColumn(
+        chunk_col, F.floor(F.col(offset_col) / budget)
+    )
+
+
+def quantile_threshold_filter(
+    df: DataFrame,
+    metric_col: str,
+    group_cols: Sequence[str],
+    q: float = 0.75,
+    threshold_col: str = "threshold",
+) -> DataFrame:
+    """Keep rows at or above their group's exact ``q``-quantile of
+    ``metric_col`` (e.g. top-quartile quality score per language).
+
+    Scale shape: the quantile is computed by AGGREGATION (one row per
+    group), then joined back — the threshold frame is bounded by
+    |groups|, so the join broadcasts, and the corpus itself never
+    window-sorts (a percent_rank window over the corpus would shuffle
+    and rank every row; this shuffles only the aggregation). Swap
+    ``F.percentile`` for ``F.approx_percentile`` at extreme scale to
+    avoid holding per-group sorted buffers.
+
+    Output keeps all input columns plus ``threshold_col``.
+    """
+    thr = df.groupBy(*group_cols).agg(
+        F.percentile(metric_col, F.lit(q)).alias(threshold_col)
+    )
+    return df.join(F.broadcast(thr), list(group_cols)).where(
+        F.col(metric_col) >= F.col(threshold_col)
+    )

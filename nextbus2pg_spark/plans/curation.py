@@ -88,6 +88,112 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_decontaminate",
+    oracle="""
+WITH train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+),
+eval_set AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0
+),
+train_sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM train
+    )
+  ) WHERE i <= len(w) - 2
+),
+eval_sh AS (
+  SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+    FROM (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM eval_set
+    )
+  ) WHERE i <= len(w) - 2
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM train_sh t
+WHERE t.shingle IN (SELECT shingle FROM eval_sh)
+GROUP BY t.doc_id
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str):
+    """Benchmark decontamination: training docs sharing any word 3-gram
+    with a held-out eval slice, with overlap counts. The eval shingle
+    set is bounded (benchmarks are small by construction) so it
+    broadcasts; the training corpus never shuffles — explode +
+    broadcast semi join + partial-agg count."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    eval_set = docs.where(F.col("doc_id") % 17 == 0)
+    return (
+        cu.decontaminate(train, eval_set, "doc_id", "text", ngram=3)
+        .select(F.col("id").alias("doc_id"), "n_hits")
+    )
+
+
+@fixture(
+    "q_pack_sequences",
+    oracle="""
+SELECT doc_id, lang, start_offset,
+       CAST(floor(start_offset / 4096.0) AS BIGINT) AS chunk_id
+FROM (
+  SELECT doc_id, lang,
+         CAST(coalesce(sum(n_chars) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM documents
+)
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str):
+    """Concat-and-chunk sequence packing: documents laid end-to-end per
+    language in doc_id order, cut every 4096 tokens (n_chars as the
+    token proxy); each doc is assigned the chunk where it starts. The
+    sort is bounded per group — no corpus-wide total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.pack_sequences(
+        docs,
+        token_col="n_chars",
+        budget=4096,
+        partition_cols=["lang"],
+        order_cols=[F.asc("doc_id")],
+    ).select("doc_id", "lang", "start_offset", "chunk_id")
+
+
+@fixture(
+    "q_quality_quantile",
+    oracle="""
+WITH thr AS (
+  SELECT lang, quantile_cont(n_chars, 0.75) AS threshold
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars, round(t.threshold, 4) AS threshold
+FROM documents d JOIN thr t ON d.lang = t.lang
+WHERE d.n_chars >= t.threshold
+""",
+)
+def q_quality_quantile(spark: SparkSession, sf_dir: str):
+    """Top-quartile-per-language selection via aggregate-then-join:
+    the exact P75 is one row per group (broadcast side), so the corpus
+    is filtered map-side — no percent_rank window over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = cu.quantile_threshold_filter(
+        docs, "n_chars", ["lang"], q=0.75
+    )
+    return kept.select(
+        "doc_id", "lang", "n_chars", F.round("threshold", 4).alias("threshold")
+    )
+
+
+@fixture(
     "q_cap_per_group",
     oracle="""
 SELECT lang, doc_id, n_chars FROM (

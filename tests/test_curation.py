@@ -63,3 +63,49 @@ def test_cap_per_group_bound_and_determinism(spark):
     r1 = sorted((r.lang, r.doc_id) for r in capped.select("lang", "doc_id").collect())
     r2 = sorted((r.lang, r.doc_id) for r in capped.select("lang", "doc_id").collect())
     assert r1 == r2
+
+
+def test_decontaminate_flags_exact_and_partial_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma zeta eta"),      # shares 'alpha beta gamma'
+            (3, "one two three four five"),         # clean
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma delta suffix")],
+        "doc_id long, text string",
+    )
+    hits = {
+        r["id"]: r["n_hits"]
+        for r in cu.decontaminate(train, eval_set, "doc_id", "text", ngram=3).collect()
+    }
+    # doc 1 shares 'alpha beta gamma' and 'beta gamma delta'; doc 2 one.
+    assert hits == {1: 2, 2: 1}
+
+
+def test_pack_sequences_chunk_layout(spark):
+    # 4 docs of 60 tokens in one group, budget 100: offsets 0/60/120/180
+    # -> chunks 0,0,1,1 (doc may straddle; assigned where it starts).
+    df = spark.createDataFrame(
+        [(i, "g", 60) for i in range(4)], "doc_id long, grp string, toks int"
+    )
+    out = cu.pack_sequences(
+        df, "toks", 100, ["grp"], [F.asc("doc_id")]
+    ).orderBy("doc_id")
+    rows = [(r["start_offset"], r["chunk_id"]) for r in out.collect()]
+    assert rows == [(0, 0), (60, 0), (120, 1), (180, 1)]
+
+
+def test_quantile_threshold_filter_keeps_top_quartile(spark):
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(1, 101)],
+        "doc_id long, grp string, score double",
+    )
+    kept = cu.quantile_threshold_filter(df, "score", ["grp"], q=0.75)
+    scores = sorted(r["score"] for r in kept.collect())
+    # exact interpolated P75 of 1..100 is 75.25 -> keep 76..100
+    assert scores == [float(s) for s in range(76, 101)]
+    assert kept.select("threshold").distinct().collect()[0][0] == 75.25
