@@ -38,26 +38,30 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table; normalizes the events ns-timestamp.
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize the ``events`` time column to one downstream schema.
 
-    For ``events`` the parquet physical type is INT64 TIMESTAMP(NANOS,
-    isAdjustedToUTC=false). We read it as a raw long (``nanosAsLong``)
-    and derive:
+    The driver has generated two physical encodings across rounds:
 
-    - ``ts_ns``: the raw epoch-nanosecond long, kept so incremental scans
-      can filter on a *physical* column (the predicate pushes to the
-      parquet reader — derived-expression filters would not),
-    - ``ts_us``: epoch microseconds (exact: integer ``div``, never double
-      division — 1.7e18 ns exceeds the 2^53 double mantissa),
+    - INT64 TIMESTAMP(NANOS, isAdjustedToUTC=false), which Spark's reader
+      only accepts as a raw long (``nanosAsLong``) — ``ts`` arrives as
+      ``bigint`` epoch-nanoseconds;
+    - plain TIMESTAMP(MICROS), which Spark reads natively as
+      ``timestamp_ntz``.
+
+    Either way downstream plans see:
+
     - ``ts``: ``timestamp_ntz`` at µs precision, identical to what DuckDB
-      exposes for the same file (DuckDB coerces ns→µs in its view).
+      exposes for the same file (DuckDB also coerces ns→µs in its view),
+    - ``ts_us``: epoch-microsecond long (exact: integer ``div`` /
+      ``unix_micros``, never double division — 1.7e18 ns exceeds the 2^53
+      double mantissa),
+    - ``ts_ns``: epoch-nanosecond long (raw when the file is ns; µs·1000
+      when the file has no sub-µs precision to preserve).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = (
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return (
             df.withColumn("ts_ns", F.col("ts"))
             .withColumn("ts_us", F.expr("ts div 1000").cast("long"))
             .withColumn(
@@ -65,7 +69,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz"),
             )
         )
+    # Session tz is pinned UTC, so ntz→timestamp→unix_micros is exact.
+    return (
+        df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; normalizes the events time encoding
+    (see :func:`_normalize_events`)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_events(df)
     return df
+
+
+def events_after(spark: SparkSession, sf_dir: str, offset_us: int) -> DataFrame:
+    """Incremental events scan: rows strictly after an epoch-µs offset.
+
+    The offset predicate is applied to the PHYSICAL time column *before*
+    the normalization projection, in the column's native type, so it
+    reaches the parquet reader as a pushed filter (a predicate on the
+    derived ``ts_us`` expression would not push). This is the batch
+    analogue of the streaming source offset (``route.py:151-155``).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.where(F.col("ts") > F.lit(offset_us * 1000))
+    else:
+        cutoff = F.timestamp_micros(F.lit(offset_us)).cast("timestamp_ntz")
+        raw = raw.where(F.col("ts") > cutoff)
+    return _normalize_events(raw)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -76,11 +76,13 @@ def q_scan_filtered(spark: SparkSession, sf_dir: str):
 def q_scan_incremental(spark: SparkSession, sf_dir: str):
     """S4/T2: incremental fetch from an offset (``route.py:151-155``).
 
-    Filters on the raw ns long so the predicate reaches the parquet
-    scan — the batch analogue of the streaming source offset.
+    Filters on the physical time column (in its native parquet type) so
+    the predicate reaches the parquet scan — the batch analogue of the
+    streaming source offset. See ``catalog.events_after``.
     """
-    ev = load_table(spark, sf_dir, "events")
-    return ev.where(F.col("ts_ns") > F.lit(OFFSET_US * 1000)).select(
+    from nextbus2pg_spark.catalog import events_after
+
+    return events_after(spark, sf_dir, OFFSET_US).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
 
