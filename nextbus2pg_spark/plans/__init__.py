@@ -17,5 +17,6 @@ from nextbus2pg_spark.plans import relational as _relational  # noqa: F401,E402
 from nextbus2pg_spark.plans import tpch_full as _tpch_full  # noqa: F401,E402
 from nextbus2pg_spark.plans import curation as _curation  # noqa: F401,E402
 from nextbus2pg_spark.plans import textstats as _textstats  # noqa: F401,E402
+from nextbus2pg_spark.plans import spatial as _spatial  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE", "fixture"]
