@@ -71,6 +71,10 @@ from nextbus2pg_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
 )
+from nextbus2pg_spark.operators.spatial import (
+    grid_nearest_join,
+    within_radius_join,
+)
 from nextbus2pg_spark.operators.text import (
     fingerprint,
     lang_id,
@@ -105,6 +109,8 @@ __all__ = [
     "extract_features",
     "fake_media_from_documents",
     "frame_sample",
+    "grid_nearest_join",
+    "within_radius_join",
     "kmv_distinct",
     "kmv_hash",
     "count_exchanges",

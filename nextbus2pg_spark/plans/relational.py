@@ -361,6 +361,55 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_sliding_window",
+    oracle="""
+WITH half AS (
+  SELECT CAST(time_bucket(INTERVAL 30 MINUTE, ts) AS TIMESTAMP) AS t30,
+         event_type, value
+  FROM events
+),
+expanded AS (
+  SELECT t30 AS window_start, event_type, value FROM half
+  UNION ALL
+  SELECT t30 - INTERVAL 30 MINUTE AS window_start, event_type, value
+  FROM half
+)
+SELECT window_start,
+       CAST(window_start + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM expanded GROUP BY 1, 2, 3
+""",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str):
+    """Sliding (hopping) event-time window: 1-hour windows every 30
+    minutes, so each event lands in exactly width/slide = 2 windows.
+    Spark's ``window(ts, width, slide)`` is a generator expression — the
+    ×2 replication happens map-side before the partial aggregation, so
+    the shuffle carries partial aggregates of the replicated rows, never
+    the raw ×2 rows. The oracle makes the same expansion explicit (two
+    shifted 30-minute buckets unioned)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@fixture(
     "q_label_centroids",
     oracle="""
 SELECT label, CAST(i - 1 AS INTEGER) AS pos, round(avg(e), 5) AS centroid
