@@ -141,6 +141,79 @@ def q_upsert_semantics(spark: SparkSession, sf_dir: str):
     )
 
 
+_SCD2_ORACLE = """
+WITH cur AS (
+  SELECT c_custkey, c_name, c_acctbal,
+         DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer
+),
+inc AS (
+  SELECT c_custkey, upper(c_name) AS c_name,
+         c_acctbal + 100.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, CAST(0.0 AS DOUBLE)
+  FROM customer WHERE c_custkey % 13 = 0
+),
+j AS (
+  SELECT cur.c_custkey, cur.c_name, cur.c_acctbal,
+         cur.valid_from, cur.valid_to,
+         inc.c_custkey AS i_key, inc.c_name AS i_name,
+         inc.c_acctbal AS i_bal,
+         (inc.c_name IS NOT DISTINCT FROM cur.c_name
+          AND inc.c_acctbal IS NOT DISTINCT FROM cur.c_acctbal) AS same
+  FROM cur FULL OUTER JOIN inc ON cur.c_custkey = inc.c_custkey
+)
+SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to
+FROM j WHERE c_custkey IS NOT NULL AND (i_key IS NULL OR same)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, valid_from, DATE '2024-06-01'
+FROM j WHERE c_custkey IS NOT NULL AND i_key IS NOT NULL AND NOT same
+UNION ALL
+SELECT i_key, i_name, i_bal, DATE '2024-06-01', CAST(NULL AS DATE)
+FROM j WHERE i_key IS NOT NULL AND (c_custkey IS NULL OR NOT same)
+"""
+
+
+@fixture("q_scd2_merge", oracle=_SCD2_ORACLE)
+def q_scd2_merge(spark: SparkSession, sf_dir: str):
+    """SCD Type-2 dimension merge: the queryable-history form of the
+    reference's re-snapshot pattern (``service_stop_order`` keeps every
+    day's version under an ``update_timestamp``,
+    ``sql/create_tables.sql:88-110``). Changed keys close their open
+    row at the batch date and insert a new open version; unchanged and
+    unmatched keys pass through — idempotent on re-apply. One
+    full-outer equi-join on the business key; closed rows never join."""
+    from nextbus2pg_spark.operators.scd2 import scd2_bootstrap, scd2_merge
+
+    import datetime as _dt
+
+    base = load_table(spark, sf_dir, "customer")
+    history = scd2_bootstrap(
+        base,
+        key="c_custkey",
+        tracked=["c_name", "c_acctbal"],
+        batch_date=_dt.date(2024, 1, 1),
+    )
+    updates = base.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.upper("c_name").alias("c_name"),
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+    )
+    inserts = base.where(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    return scd2_merge(
+        history,
+        updates.unionByName(inserts),
+        key="c_custkey",
+        tracked=["c_name", "c_acctbal"],
+        batch_date=_dt.date(2024, 6, 1),
+    )
+
+
 @fixture(
     "q_null_safe_key",
     oracle="""
