@@ -55,12 +55,14 @@ from nextbus2pg_spark.operators.sketch import kmv_distinct, kmv_hash
 from nextbus2pg_spark.operators.scale import (
     count_exchanges,
     ensure_min_parallelism,
+    key_skew_profile,
     salted_agg,
     salted_join,
     write_bucketed,
     write_partitioned,
 )
 from nextbus2pg_spark.operators.textstats import (
+    build_vocab,
     ngram_counts,
     tfidf,
     top_terms_per_doc,
@@ -70,6 +72,11 @@ from nextbus2pg_spark.operators.similarity import (
     cosine_topk_vectorized,
     ivf_topk,
     lsh_topk,
+)
+from nextbus2pg_spark.operators.scd2 import (
+    scd2_as_of,
+    scd2_bootstrap,
+    scd2_merge,
 )
 from nextbus2pg_spark.operators.spatial import (
     grid_nearest_join,
@@ -111,10 +118,15 @@ __all__ = [
     "frame_sample",
     "grid_nearest_join",
     "within_radius_join",
+    "scd2_as_of",
+    "scd2_bootstrap",
+    "scd2_merge",
     "kmv_distinct",
     "kmv_hash",
+    "build_vocab",
     "count_exchanges",
     "ensure_min_parallelism",
+    "key_skew_profile",
     "salted_agg",
     "salted_join",
     "write_bucketed",

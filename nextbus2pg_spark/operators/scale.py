@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -236,3 +236,33 @@ def write_partitioned(
     else:
         df = df.repartition(*parts)
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def key_skew_profile(
+    df: DataFrame, key_cols: list[str], top_n: int = 20
+) -> DataFrame:
+    """Heavy-hitter diagnostic for join/agg keys: the top-N keys by row
+    count with their share of the table — the measurement that decides
+    whether a key needs salting (``salted_join``/``salted_agg``) before
+    it becomes the straggler task.
+
+    Output: (*key_cols, cnt, share, rank). Scale shape: one hash
+    aggregation (map-side partial) over the keys; the total enters as a
+    broadcast 1-row aggregate; the ranking window runs over the
+    DISTINCT-KEY relation, and at 100 TB you call this on a sampled or
+    already-aggregated frame — the point is the top of the distribution,
+    which sampling preserves."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.select(F.count(F.lit(1)).cast("double").alias("__total"))
+    w = Window.orderBy(F.col("cnt").desc(), *[F.col(c) for c in key_cols])
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("integer"))
+        .where(F.col("rank") <= F.lit(top_n))
+        .crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+            "rank",
+        )
+    )

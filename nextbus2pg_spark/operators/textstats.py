@@ -97,3 +97,36 @@ def ngram_counts(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.count_distinct("__doc").alias("n_docs"),
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """Token vocabulary with contiguous ids — the tokenizer-training
+    precursor of an LLM data pipeline.
+
+    Output: (term, n_occurrences, n_docs, token_id) where ``token_id``
+    ranks by total frequency descending, ties broken lexicographically
+    (deterministic across runs/partitionings, so downstream token-id
+    assignment is retry-stable).
+
+    Scale shape: one hash aggregation over the exploded corpus (map-side
+    partial count on each partition's tokens, only distinct terms
+    shuffle), then the ranking window runs over the VOCABULARY — bounded
+    by language (~1e5-1e6 terms), not corpus size, so the single-ordering
+    window is safe at 100 TB; the corpus itself is never globally
+    sorted."""
+    terms = doc_terms(df, id_col, text_col)
+    counts = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("id").alias("n_docs"),
+    )
+    if min_count > 1:
+        counts = counts.where(F.col("n_occurrences") >= F.lit(min_count))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
+    return counts.withColumn(
+        "token_id", F.row_number().over(w).cast("long") - F.lit(1)
+    )

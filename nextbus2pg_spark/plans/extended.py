@@ -528,3 +528,32 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str):
             "n_name",
         )
     )
+
+
+@fixture(
+    "q_key_skew",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+total AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM events),
+ranked AS (
+  SELECT user_id, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INTEGER)
+           AS rank
+  FROM counts
+)
+SELECT user_id, cnt, round(cnt / total.t, 6) AS share, rank
+FROM ranked CROSS JOIN total WHERE rank <= 20
+""",
+)
+def q_key_skew(spark: SparkSession, sf_dir: str):
+    """Heavy-hitter key profile: top-20 join/agg keys by row count with
+    their share of the table — the measurement that decides whether a
+    key needs salting (operators/scale.py salted_join/salted_agg). Hash
+    agg + broadcast total; the window runs over distinct keys only."""
+    from nextbus2pg_spark.operators.scale import key_skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_profile(ev, ["user_id"], top_n=20)

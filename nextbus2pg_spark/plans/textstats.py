@@ -88,3 +88,32 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
         .limit(20)
     )
+
+
+@fixture(
+    "q_vocab",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM terms GROUP BY term
+  HAVING count(*) >= 5
+)
+SELECT term, n_occurrences, n_docs,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, term) - 1
+            AS BIGINT) AS token_id
+FROM counts
+""",
+)
+def q_vocab(spark: SparkSession, sf_dir: str):
+    """Token vocabulary with frequency-ranked contiguous ids (min
+    count 5) — the tokenizer-training precursor. One hash agg over the
+    exploded corpus; the ranking window runs over the bounded
+    vocabulary, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ts.build_vocab(docs, "doc_id", "text", min_count=5)
