@@ -171,3 +171,40 @@ def test_whole_stage_codegen_covers_hot_expressions(spark):
     for line in tree.splitlines():
         if "Project" in line:
             assert "* Project" in line, line
+
+
+def test_spatial_grid_join_no_cartesian(spark):
+    """The nearest-site distance join is a grid-cell equi-join: no
+    cartesian product, no broadcast nested loop, and no broadcast HINT
+    pinned on either side (AQE may still broadcast the measured-small
+    sites side at runtime)."""
+    df = q(spark, "q_nearest_site")
+    _bounded_hints_only(df, max_hints=0)
+    p = plan_text(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # Winner selection is min_by aggregation — partial+final pairs
+    # (min_by over a struct ordering compiles to SortAggregate), never
+    # a ranking window sort.
+    assert len(re.findall(r"(Hash|Sort)Aggregate", p)) >= 2, p
+    assert "Window" not in p, p
+
+
+def test_scd2_merge_plan_shape(spark):
+    """SCD2 merge stays equi-join shaped: no cartesian product and no
+    window sort. (Catalyst rewrites the full-outer into per-branch
+    outer/inner joins because each union branch filters one side's
+    null-ness — strictly better than a single full-outer, so the test
+    pins only the invariants, not the join flavor.)"""
+    p = plan_text(q(spark, "q_scd2_merge"))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Window" not in p, p
+
+
+def test_sliding_window_partial_aggregates(spark):
+    """The hopping-window rollup keeps partial+final HashAggregate
+    pairs — the x2 window replication happens map-side, the shuffle
+    carries partials."""
+    p = plan_text(q(spark, "q_sliding_window"))
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
