@@ -27,6 +27,11 @@ from nextbus2pg_spark.operators.joins import (
     top1_per_group,
     two_level_fallback,
 )
+from nextbus2pg_spark.operators.layout import (
+    morton_interleave,
+    quantize,
+    zorder_layout,
+)
 from nextbus2pg_spark.operators.keyed_write import (
     append_dedup,
     insert_if_absent,
@@ -113,6 +118,9 @@ __all__ = [
     "append_dedup",
     "insert_if_absent",
     "upsert_batch",
+    "morton_interleave",
+    "quantize",
+    "zorder_layout",
     "extract_features",
     "fake_media_from_documents",
     "frame_sample",

@@ -557,3 +557,37 @@ def q_key_skew(spark: SparkSession, sf_dir: str):
 
     ev = load_table(spark, sf_dir, "events")
     return key_skew_profile(ev, ["user_id"], top_n=20)
+
+
+def _morton_oracle_terms(col_a: str, col_b: str, mod: int, bits: int) -> str:
+    """The Z-value bit-interleave as portable SQL (generated, since the
+    expression is a fixed unrolled loop — identical tree to
+    operators/layout.py morton_interleave)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({col_a} % {mod}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({col_b} % {mod}) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@fixture(
+    "q_zorder_key",
+    oracle=f"""
+SELECT o_orderkey,
+       CAST({_morton_oracle_terms("o_custkey", "o_orderkey", 256, 8)}
+            AS BIGINT) AS zval
+FROM orders
+""",
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str):
+    """Morton (Z-order) key over two quantized key columns — the
+    data-layout primitive behind multi-column data skipping
+    (operators/layout.py zorder_layout). Pure integer bit arithmetic,
+    codegen'd, bit-identical across engines."""
+    from nextbus2pg_spark.operators.layout import morton_interleave
+
+    o = load_table(spark, sf_dir, "orders")
+    z = morton_interleave(
+        [F.col("o_custkey") % 256, F.col("o_orderkey") % 256], bits=8
+    )
+    return o.select("o_orderkey", z.cast("long").alias("zval"))
