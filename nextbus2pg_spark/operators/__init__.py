@@ -48,7 +48,9 @@ from nextbus2pg_spark.operators.curation import (
     hash_bucket,
     stratified_sample,
     train_test_split,
+    winsorize,
 )
+from nextbus2pg_spark.operators.metrics import observe_stream, observed
 from nextbus2pg_spark.operators.quality import (
     enforce,
     fk_violations,
@@ -144,6 +146,9 @@ __all__ = [
     "hash_bucket",
     "stratified_sample",
     "train_test_split",
+    "winsorize",
+    "observed",
+    "observe_stream",
     "enforce",
     "fk_violations",
     "profile",

@@ -225,3 +225,37 @@ def quantile_threshold_filter(
     return df.join(F.broadcast(thr), list(group_cols)).where(
         F.col(metric_col) >= F.col(threshold_col)
     )
+
+
+def winsorize(
+    df: DataFrame,
+    metric_col: str,
+    group_cols: Sequence[str],
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Cap ``metric_col`` at its group's [p_lo, p_hi] quantiles —
+    outlier clamping before loss-weighting / normalization, without
+    dropping rows (the filter-flavored sibling is
+    ``quantile_threshold_filter``).
+
+    Same scale shape as the threshold filter: per-group bounds by
+    AGGREGATION (one row per group, broadcast back); the corpus never
+    window-sorts. Output keeps all input columns plus the clamped value
+    in ``out_col`` (default ``<metric_col>_w``).
+    """
+    out = out_col or f"{metric_col}_w"
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(metric_col, F.lit(p_lo)).alias("__lo"),
+        F.percentile(metric_col, F.lit(p_hi)).alias("__hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), list(group_cols))
+        if group_cols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    return joined.withColumn(
+        out,
+        F.least(F.greatest(F.col(metric_col), F.col("__lo")), F.col("__hi")),
+    ).drop("__lo", "__hi")

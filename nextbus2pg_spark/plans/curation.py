@@ -212,3 +212,30 @@ def q_cap_per_group(spark: SparkSession, sf_dir: str):
     return cu.cap_per_group(
         docs, ["lang"], [F.desc("n_chars"), F.asc("doc_id")], 3
     ).select("lang", "doc_id", "n_chars")
+
+
+@fixture(
+    "q_winsorize",
+    oracle="""
+WITH bounds AS (
+  SELECT event_type,
+         percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+         percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(least(greatest(e.value, b.lo), b.hi), 4) AS value_w
+FROM events e JOIN bounds b USING (event_type)
+""",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str):
+    """Per-group outlier clamping at the [0.05, 0.95] quantiles —
+    bounds by aggregation + broadcast join-back; the corpus never
+    window-sorts."""
+    from nextbus2pg_spark.operators.curation import winsorize
+
+    ev = load_table(spark, sf_dir, "events")
+    out = winsorize(ev, "value", ["event_type"], p_lo=0.05, p_hi=0.95)
+    return out.select(
+        "event_id", "event_type", F.round("value_w", 4).alias("value_w")
+    )
