@@ -41,6 +41,8 @@ from nextbus2pg_spark.operators.multimodal import (
     extract_features,
     fake_media_from_documents,
     frame_sample,
+    perceptual_hash,
+    phash_pairs,
 )
 from nextbus2pg_spark.operators.curation import (
     cap_per_group,
@@ -126,6 +128,8 @@ __all__ = [
     "extract_features",
     "fake_media_from_documents",
     "frame_sample",
+    "perceptual_hash",
+    "phash_pairs",
     "grid_nearest_join",
     "within_radius_join",
     "scd2_as_of",

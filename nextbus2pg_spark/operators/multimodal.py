@@ -186,3 +186,125 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "frames": frames})
 
     return df.mapInPandas(_sample, schema=out_schema)
+
+
+#: Output schema of ``perceptual_hash``.
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+
+def perceptual_hash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Difference-hash (dHash) over media payloads → 64-bit fingerprint.
+
+    The classic image near-dup fingerprint: downsample to a
+    ``grid×(grid+1)`` grayscale, set bit ``(r, c)`` when pixel
+    ``(r, c) < (r, c+1)`` — robust to re-encoding and resizing, cheap
+    to compare (hamming distance). Here the "decode to grayscale" step
+    averages payload bytes into the grid cells (the deterministic fake
+    standing in for the absent codecs — a real build swaps ONE line for
+    ``PIL.Image.open(...).convert('L').resize(...)``); everything
+    around it — Arrow batching, numpy vectorization, the banded pairing
+    join — is the production shape.
+
+    Empty/NULL payloads hash to NULL (dropped by ``phash_pairs``).
+    """
+    import numpy as np
+
+    cells = grid * (grid + 1)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                if b is None or len(b) == 0:
+                    out.append(None)
+                    continue
+                a = np.frombuffer(bytes(b), dtype=np.uint8)
+                # average into exactly `cells` buckets (pad by wrapping
+                # so short payloads still fill the grid deterministically)
+                if len(a) < cells:
+                    a = np.resize(a, cells)
+                trim = (len(a) // cells) * cells
+                g = a[:trim].reshape(cells, -1).mean(axis=1).reshape(grid, grid + 1)
+                bits = (g[:, :-1] < g[:, 1:]).flatten()
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                # keep the sign bit clear: grid=8 yields 64 bits, so fold
+                # the top bit away to stay a non-negative long
+                out.append(val & 0x7FFFFFFFFFFFFFFF)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "phash": pd.array(out, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(_hash, schema=PHASH_SCHEMA)
+
+
+def phash_pairs(
+    hashed: DataFrame, band_bits: int = 8, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup media pairs from perceptual hashes via banded blocking.
+
+    Same pigeonhole shape as SimHash text pairing (``operators/dedup.py``):
+    with ``63 // band_bits`` bands (7 at the 8-bit default), any pair
+    within ``max_hamming < n_bands`` differing bits shares an unchanged
+    band, so the candidate
+    equi-join on (band, band_value) has perfect recall for the
+    threshold and never compares all pairs. No broadcast hints — the
+    band relation grows with the corpus; AQE picks the strategy.
+
+    Output: (id_a, id_b, hamming).
+    """
+    n_bands = 63 // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError("recall guarantee needs max_hamming < n_bands")
+    fp = hashed.where(F.col("phash").isNotNull())
+    bands = fp.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("phash"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_value"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "media_id", "phash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_value").alias("band_value"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("h_a"),
+        "band", "band_value",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("h_b"),
+        "band", "band_value",
+    )
+    cand = (
+        a.join(b, ["band", "band_value"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+    ).where(F.col("hamming") <= F.lit(max_hamming))

@@ -82,3 +82,50 @@ def write_csv(
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    kind: str,
+    glob: str | None = None,
+    streaming: bool = False,
+) -> DataFrame:
+    """Binary media ingestion: a directory of image/audio/video files →
+    the canonical media schema (``operators/multimodal.MEDIA_SCHEMA``).
+
+    Uses Spark's built-in ``binaryFile`` source — each file becomes one
+    row (path, modificationTime, length, content) read directly by
+    executors; no driver-side file loop, and pushdown on ``length``
+    filters oversized blobs before the bytes ever transfer. The file
+    path hashes to a deterministic ``media_id`` (xxhash64 — stable
+    across runs and retries); metadata stays NULL until a decode stage
+    fills it.
+
+    ``streaming=True`` returns the same definition as a file-watching
+    stream (new files become micro-batches) — the multimodal analogue
+    of the vehicle-feed source.
+    """
+    from pyspark.sql import functions as F
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        if streaming
+        else spark.read.format("binaryFile")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+        F.col("path").alias("source_path"),
+        F.col("length").alias("n_bytes"),
+    )
