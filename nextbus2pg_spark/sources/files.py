@@ -17,6 +17,7 @@ surface an analytics engine needs. Two rules, both scale-motivated:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 SchemaLike = "StructType | str"
@@ -106,8 +107,6 @@ def read_media_dir(
     stream (new files become micro-batches) — the multimodal analogue
     of the vehicle-feed source.
     """
-    from pyspark.sql import functions as F
-
     reader = (
         spark.readStream.format("binaryFile")
         if streaming
@@ -129,3 +128,57 @@ def read_media_dir(
         F.col("path").alias("source_path"),
         F.col("length").alias("n_bytes"),
     )
+
+
+def read_with_deadletter(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "json",
+    streaming: bool = False,
+    **options: str,
+) -> "tuple[DataFrame, DataFrame]":
+    """Schema-enforced scan that captures malformed rows instead of
+    failing or silently nulling them.
+
+    Returns ``(good, bad)``: ``good`` carries the declared columns for
+    rows that parsed cleanly; ``bad`` carries ``(_corrupt_record)`` —
+    the raw text of every row the parser rejected, the input-side
+    dead-letter channel (the transform-side one is
+    ``quality.quarantine_split``). Both come from ONE PERMISSIVE-mode
+    scan: the corrupt column is just another projected column, so the
+    split is two lazy filters, not two reads.
+
+    Note Spark's caveat: a query over ONLY the corrupt column is
+    disallowed, so ``bad`` keeps the parsed columns too (callers
+    typically write it out whole for replay).
+    """
+    if fmt not in ("json", "csv"):
+        raise ValueError(f"unsupported format {fmt!r}")
+    from pyspark.sql.types import StringType, StructField
+
+    declared = (
+        StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    )
+    full = StructType(
+        declared.fields + [StructField("_corrupt_record", StringType(), True)]
+    )
+    reader = (spark.readStream if streaming else spark.read).schema(full)
+    reader_opts = dict(options)
+    reader_opts["mode"] = "PERMISSIVE"
+    reader_opts["columnNameOfCorruptRecord"] = "_corrupt_record"
+    raw = (
+        reader.options(**reader_opts).json(path)
+        if fmt == "json"
+        else reader.options(**reader_opts).csv(path)
+    )
+    if fmt == "csv" and not streaming:
+        # Spark disallows a query whose pruned schema is ONLY the CSV
+        # corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
+        # documented pattern is to materialize the parsed frame first.
+        # Fine for micro-batch/dead-letter volumes; at corpus scale,
+        # write the parsed result to a table and split from there.
+        raw = raw.cache()
+    good = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = raw.where(F.col("_corrupt_record").isNotNull())
+    return good, bad

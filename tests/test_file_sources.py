@@ -142,3 +142,40 @@ def test_streaming_reader_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     back = spark.read.parquet(out)
     assert sorted(tuple(r) for r in back.collect()) == sorted(ROWS)
+
+
+def test_read_with_deadletter_json(spark, tmp_path):
+    from nextbus2pg_spark.sources.files import read_with_deadletter
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.json").write_text(
+        '{"k": 1, "v": "ok"}\n'
+        "this is not json\n"
+        '{"k": 2, "v": "fine"}\n'
+        '{"k": "not-a-number", "v": "bad-type"}\n',
+        encoding="utf-8",
+    )
+    good, bad = read_with_deadletter(
+        spark, str(p), "k long, v string", fmt="json"
+    )
+    assert sorted((r.k, r.v) for r in good.collect()) == [(1, "ok"), (2, "fine")]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 2
+    # the raw text is preserved for replay
+    assert any("not json" in r._corrupt_record for r in bad_rows)
+
+
+def test_read_with_deadletter_csv(spark, tmp_path):
+    from nextbus2pg_spark.sources.files import read_with_deadletter
+
+    p = tmp_path / "in_csv"
+    p.mkdir()
+    (p / "a.csv").write_text(
+        "k,v\n1,ok\nnot-a-number,bad\n2,fine\n", encoding="utf-8"
+    )
+    good, bad = read_with_deadletter(
+        spark, str(p), "k long, v string", fmt="csv", header="true"
+    )
+    assert sorted((r.k, r.v) for r in good.collect()) == [(1, "ok"), (2, "fine")]
+    assert bad.count() == 1
