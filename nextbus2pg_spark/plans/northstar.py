@@ -935,3 +935,21 @@ def q_cosine_topk_vec(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return cosine_topk_vectorized(emb, queries, "vec_id", "embedding", k=5)
+
+
+@fixture("q_media_phash")  # mapInPandas numpy decode → rows-only
+def q_media_phash(spark: SparkSession, sf_dir: str):
+    """Perceptual-hash near-dup pairs over the (fake-decoded) media
+    corpus: dHash per payload in one Arrow pass, banded candidate
+    blocking, bit_count(xor) verify (operators/multimodal.py). The
+    numpy grayscale step is not SQL-expressible → rows-only check; the
+    hash itself is deterministic and pinned by tests/test_phash.py."""
+    from nextbus2pg_spark.operators.multimodal import (
+        fake_media_from_documents,
+        perceptual_hash,
+        phash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = fake_media_from_documents(docs)
+    return phash_pairs(perceptual_hash(media), max_hamming=2)
