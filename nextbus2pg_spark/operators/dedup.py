@@ -260,6 +260,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     materialize_shingles: bool = True,
     materialize: bool = True,
+    verify_from_wide: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs, wide-form fast path.
 
@@ -283,6 +284,16 @@ def minhash_lsh_pairs(
     declarative plan (used by the plan-audit tests to inspect the full
     pipeline; also the right setting when a caller wants to persist
     intermediates to tables instead).
+
+    ``verify_from_wide=True`` folds ``collect_set(shingle)`` into the
+    SAME wide aggregation that computes the signature minima, so the
+    shingle relation is aggregated exactly once and the Jaccard verify
+    joins pairs straight onto the per-doc sets — no second
+    semi-join+collect_set pass. Trade-off: the materialized wide frame
+    holds EVERY doc's shingle set (≈ the tokenized corpus in executor
+    memory), where the default only materializes candidate docs' sets
+    but pays the extra pass. Same output either way; pick by corpus
+    size vs pass cost.
     """
     from nextbus2pg_spark.operators.scale import ensure_min_parallelism
 
@@ -290,7 +301,9 @@ def minhash_lsh_pairs(
     # scan's partition count; spread a narrow input across all cores
     # first (no-op when the scan already has enough partitions).
     sh = word_shingles(ensure_min_parallelism(df), id_col, text_col, n=shingle_n)
-    if materialize_shingles and materialize:
+    if materialize_shingles and materialize and not verify_from_wide:
+        # (with verify_from_wide the shingle frame has exactly one
+        # consumer — the wide agg — so a checkpoint would be pure cost)
         sh = sh.localCheckpoint(eager=True)
     sig_cols = [
         F.min(
@@ -298,7 +311,12 @@ def minhash_lsh_pairs(
         ).alias(f"__m{i}")
         for i in range(num_perm)
     ]
+    if verify_from_wide:
+        sig_cols.append(F.collect_set("shingle").alias("__sset"))
     wide = sh.groupBy("id").agg(*sig_cols)
+    if verify_from_wide and materialize:
+        # now wide has two consumers (bands + verify)
+        wide = wide.localCheckpoint(eager=True)
     n_bands = num_perm // rows_per_band
     band_structs = F.array(
         *[
@@ -330,6 +348,27 @@ def minhash_lsh_pairs(
     cand = lsh_candidate_pairs(bands)
     if materialize:
         cand = cand.localCheckpoint(eager=True)
+    if verify_from_wide:
+        scored = (
+            cand.join(
+                wide.select(F.col("id").alias("id_a"), F.col("__sset").alias("s_a")),
+                "id_a",
+            )
+            .join(
+                wide.select(F.col("id").alias("id_b"), F.col("__sset").alias("s_b")),
+                "id_b",
+            )
+            .withColumn("n_inter", F.size(F.array_intersect("s_a", "s_b")))
+            .where(F.col("n_inter") > 0)
+        )
+        return scored.select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.size("s_a") + F.size("s_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
     return jaccard_pairs(sh, cand)
 
 

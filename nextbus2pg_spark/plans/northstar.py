@@ -202,10 +202,15 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str):
     bands × 2 rows) → candidate pairs → exact Jaccard verify. The LSH
     equi-join on (band, band_hash) is the 100 TB shape: no all-pairs
     comparison ever happens. Uses the wide-form fast path (signature
-    minima as columns — no perm× row blowup)."""
+    minima as columns — no perm× row blowup) with the single-pass
+    verify (shingle sets collected in the SAME aggregation as the
+    signatures — measured 2.2s → 1.8s at sf0.1; the default two-pass
+    verify is the lower-memory shape for corpora whose tokenized form
+    exceeds executor memory)."""
     docs = _docs_plus(spark, sf_dir)
     return dd.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_perm=8, rows_per_band=2, shingle_n=3
+        docs, "doc_id", "text", num_perm=8, rows_per_band=2, shingle_n=3,
+        verify_from_wide=True,
     ).select("id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jaccard"))
 
 
