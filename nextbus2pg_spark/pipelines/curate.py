@@ -1,0 +1,128 @@
+"""End-to-end training-data curation pipeline: one lazy plan from raw
+documents to packed training chunks, with observed per-stage counters.
+
+Composes the individual operators (each oracle-checked on its own
+fixture) into the standard LLM data-curation sequence:
+
+    quality filter → language filter → exact dedup → near-dup dedup
+    (MinHash-LSH → connected components → survivor per cluster) →
+    benchmark decontamination → deterministic sampling → sequence
+    packing
+
+Design stance (100 TB):
+
+- The whole pipeline is ONE DataFrame expression — no intermediate
+  actions, no driver-side loops — so Catalyst plans it end-to-end and
+  AQE re-plans each shuffle with measured sizes. The only
+  materialization points are the ones the near-dup operators own
+  (documented in ``operators/dedup.py``).
+- Stage counters use ``Dataset.observe`` (``operators/metrics.py``):
+  they ride the final action, costing zero extra passes — at corpus
+  scale a ``count()`` per stage would double the pipeline.
+- Every filter is anti-join/hash-filter shaped; nothing global-sorts
+  the corpus. Packing partitions by language shard (see
+  ``pack_sequences``' no-global-order rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.operators.components import (
+    connected_components,
+    dedup_corpus,
+)
+from nextbus2pg_spark.operators.curation import (
+    decontaminate,
+    deterministic_sample,
+    pack_sequences,
+)
+from nextbus2pg_spark.operators.dedup import dedup_groups, minhash_lsh_pairs
+from nextbus2pg_spark.operators.metrics import observed
+from nextbus2pg_spark.operators.text import quality_features, token_count
+
+
+def curate_documents(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_quality: float = 0.3,
+    langs: list[str] | None = None,
+    near_dup_jaccard: float = 0.8,
+    decontam_ngram: int = 13,
+    decontam_max_hits: int = 0,
+    sample_percent: int | None = None,
+    pack_budget: int | None = 2048,
+) -> tuple[DataFrame, dict[str, Observation]]:
+    """Returns ``(curated, metrics)``: the lazy curated/packed frame and
+    a dict of stage-name → ``Observation`` that fills when the caller
+    runs its first action (write/count) over the result.
+
+    Metric semantics: each observation counts the rows SURVIVING that
+    stage, so consecutive deltas are per-stage drop counts — the
+    pipeline-wide version of the reference's fetched/skipped log line
+    (``agency.py:264-301``).
+    """
+    obs: dict[str, Observation] = {}
+
+    def checkpointed_count(df: DataFrame, stage: str) -> DataFrame:
+        out, o = observed(df, n=F.count(F.lit(1)))
+        obs[stage] = o
+        return out
+
+    cur = checkpointed_count(docs, "input")
+
+    # 1. quality: JVM feature expressions + threshold
+    cur = (
+        quality_features(cur, text_col)
+        .where(F.col("quality_score") >= F.lit(min_quality))
+        .drop("n_words", "mean_word_len", "stopword_ratio")
+    )
+    if langs:
+        cur = cur.where(F.col(lang_col).isin(langs))
+    cur = checkpointed_count(cur, "quality_lang")
+
+    # 2. exact dedup: deterministic survivor per identical text
+    keepers = dedup_groups(cur, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    cur = cur.join(keepers, id_col, "left_semi")
+    cur = checkpointed_count(cur, "exact_dedup")
+
+    # 3. near-dup dedup: banded candidates → verified pairs → clusters
+    pairs = minhash_lsh_pairs(cur, id_col, text_col).where(
+        F.col("jaccard") >= F.lit(near_dup_jaccard)
+    )
+    comps = connected_components(pairs)
+    cur = dedup_corpus(cur, id_col, comps)
+    cur = checkpointed_count(cur, "near_dedup")
+
+    # 4. decontamination: drop docs sharing eval n-grams
+    if eval_docs is not None:
+        flagged = decontaminate(
+            cur, eval_docs, id_col, text_col, ngram=decontam_ngram
+        ).where(F.col("n_hits") > F.lit(decontam_max_hits)).select(
+            F.col("id").alias(id_col)
+        )
+        cur = cur.join(flagged, id_col, "left_anti")
+        cur = checkpointed_count(cur, "decontaminated")
+
+    # 5. deterministic sampling (key-hash filter; retry-stable)
+    if sample_percent is not None:
+        cur = deterministic_sample(cur, [id_col], percent=sample_percent)
+        cur = checkpointed_count(cur, "sampled")
+
+    # 6. sequence packing per language shard
+    if pack_budget is not None:
+        cur = cur.withColumn("n_tokens", token_count(F.col(text_col)))
+        cur = pack_sequences(
+            cur,
+            token_col="n_tokens",
+            budget=pack_budget,
+            partition_cols=[lang_col],
+            order_cols=[id_col],
+        )
+    return cur, obs
