@@ -108,3 +108,59 @@ def test_upsert_key_set_is_union(spark, existing, incoming):
     for r in out.collect():
         if r.k in inc:
             assert r.payload == inc[r.k]
+
+
+# --- SCD2 invariants over random snapshot sequences -----------------
+
+scd_vals = st.one_of(st.none(), st.sampled_from(["x", "y", "ü"]))
+
+
+@given(
+    snaps=st.lists(
+        st.lists(st.tuples(keys, scd_vals), min_size=0, max_size=8),
+        min_size=1,
+        max_size=4,
+    )
+)
+@_SETTINGS
+def test_scd2_invariants_hold_for_any_snapshot_sequence(spark, snaps):
+    """For ANY sequence of snapshots: at most one open row per key,
+    validity intervals never overlap per key, and the open row equals
+    the latest snapshot value for keys present in it."""
+    from nextbus2pg_spark.operators.scd2 import scd2_bootstrap, scd2_merge
+
+    dates = [dt.date(2024, 1 + i, 1) for i in range(len(snaps))]
+
+    def frame(rows):
+        # last-wins per key inside a snapshot (merge requires deduped input)
+        dedup = {}
+        for k, v in rows:
+            dedup[k] = v
+        return spark.createDataFrame(
+            [(k, v) for k, v in dedup.items()], "k int, v string"
+        )
+
+    hist = scd2_bootstrap(frame(snaps[0]), "k", ["v"], dates[0])
+    latest = {k: v for k, v in {k: v for k, v in snaps[0]}.items()}
+    for snap, d in zip(snaps[1:], dates[1:]):
+        hist = scd2_merge(hist, frame(snap), "k", ["v"], d)
+        for k, v in snap:
+            latest[k] = v
+    rows = hist.collect()
+
+    open_rows = [r for r in rows if r.valid_to is None]
+    assert len({r.k for r in open_rows}) == len(open_rows)  # ≤1 open/key
+
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    for k, versions in by_key.items():
+        ivs = sorted(
+            (r.valid_from, r.valid_to or dt.date(9999, 1, 1)) for r in versions
+        )
+        for (a1, b1), (a2, b2) in zip(ivs, ivs[1:]):
+            assert b1 <= a2, (k, ivs)  # intervals never overlap
+
+    opens = {r.k: r.v for r in open_rows}
+    for k, v in latest.items():
+        assert opens.get(k) == v, (k, v, opens)
