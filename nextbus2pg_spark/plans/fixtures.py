@@ -215,6 +215,31 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_scd2_as_of",
+    oracle=f"""
+WITH hist AS ({_SCD2_ORACLE.strip()})
+SELECT c_custkey, c_name, c_acctbal, valid_from
+FROM hist
+WHERE valid_from <= DATE '2024-03-01'
+  AND (valid_to IS NULL OR valid_to > DATE '2024-03-01')
+""",
+)
+def q_scd2_as_of(spark: SparkSession, sf_dir: str):
+    """Point-in-time read over the SCD2 history: the dimension exactly
+    as it stood between the two merges (time travel without a
+    transactional table format — a filter on the validity interval,
+    pushable to the scan)."""
+    from nextbus2pg_spark.operators.scd2 import scd2_as_of
+
+    import datetime as _dt
+
+    hist = q_scd2_merge(spark, sf_dir)
+    return scd2_as_of(hist, _dt.date(2024, 3, 1)).select(
+        "c_custkey", "c_name", "c_acctbal", "valid_from"
+    )
+
+
+@fixture(
     "q_null_safe_key",
     oracle="""
 WITH tagged AS (

@@ -958,3 +958,22 @@ def q_media_phash(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     media = fake_media_from_documents(docs)
     return phash_pairs(perceptual_hash(media), max_hamming=2)
+
+
+@fixture("q_curation_pipeline")  # mapInPandas shingles → rows-only
+def q_curation_pipeline(spark: SparkSession, sf_dir: str):
+    """The full curation pipeline as one plan (pipelines/curate.py):
+    quality → exact dedup → near-dup clustering → decontamination →
+    packing, returning (doc_id, lang, chunk_id, start_offset) for the
+    surviving corpus. Stage composition is tested in
+    tests/test_curate_pipeline.py; the shingle stage is mapInPandas →
+    rows-only check here."""
+    from nextbus2pg_spark.pipelines.curate import curate_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.orderBy("doc_id").limit(5)
+    out, _obs = curate_documents(
+        docs, eval_docs=eval_docs, min_quality=0.2,
+        decontam_ngram=3, pack_budget=2048,
+    )
+    return out.select("doc_id", "lang", "chunk_id", "start_offset")
