@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query; keys absent here (q_keygen_uuid,
-    q_lsh_topk) are nondeterministic/approximate → rows-only check."""
+    """DuckDB oracle SQL per query. Keys absent here are exactly the
+    explicitly-declared ``nextbus2pg_spark.plans.ROWS_ONLY`` set
+    (nondeterministic or approximate-by-construction outputs) → the
+    driver applies its weaker rows-only check to those."""
     return dict(ORACLE)

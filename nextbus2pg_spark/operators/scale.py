@@ -89,6 +89,19 @@ def write_bucketed(
     sorting within buckets additionally removes the Sort before a
     sort-merge join.
     """
+    spark = df.sparkSession
+    # A previous process may have left the table's directory in the
+    # warehouse while this session's in-memory catalog has no entry for
+    # it; saveAsTable would then fail with LOCATION_ALREADY_EXISTS.
+    # Drop both the catalog entry and any orphaned location first.
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    jvm = spark._jvm
+    jsc = spark._jsc
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = jvm.org.apache.hadoop.fs.Path(warehouse, table_name.lower())
+    fs = loc.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
@@ -253,7 +266,10 @@ def key_skew_profile(
     already-aggregated frame — the point is the top of the distribution,
     which sampling preserves."""
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
-    total = df.select(F.count(F.lit(1)).cast("double").alias("__total"))
+    # Total from the per-key counts, not a second scan of df: the input
+    # is read once and the 1-row total aggregates the (much smaller)
+    # distinct-key relation.
+    total = counts.select(F.sum("cnt").cast("double").alias("__total"))
     w = Window.orderBy(F.col("cnt").desc(), *[F.col(c) for c in key_cols])
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("integer"))

@@ -84,7 +84,11 @@ def scd2_merge(
         F.col(f"cur.{key}"),
         *(F.col(f"cur.{c}") for c in tracked),
         F.col(f"cur.{valid_from}"),
-        batch.alias(valid_to),
+        # Cast to the history's valid_to type: an uncast lit(batch_date)
+        # of a wider type (e.g. timestamp vs date) would silently widen
+        # the whole column through union type-coercion, drifting the
+        # schema away from bootstrap's across merges.
+        batch.cast(closed.schema[valid_to].dataType).alias(valid_to),
     )
     inserts = j.where(has_inc & (~has_cur | ~unchanged)).select(
         F.col(f"inc.{key}"),
@@ -105,13 +109,17 @@ def scd2_bootstrap(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
 ) -> DataFrame:
-    """Turn a first snapshot into an SCD2 history (all rows open)."""
-    return snapshot.select(
-        key,
-        *tracked,
-        F.lit(batch_date).alias(valid_from),
-        F.lit(None).cast("date").alias(valid_to),
+    """Turn a first snapshot into an SCD2 history (all rows open).
+
+    ``valid_to``'s type is derived from ``batch_date`` (date in → date
+    history, timestamp in → timestamp history) so the bootstrap schema
+    matches what later ``scd2_merge`` calls stamp into ``valid_to``.
+    """
+    stamped = snapshot.select(
+        key, *tracked, F.lit(batch_date).alias(valid_from)
     )
+    vf_type = stamped.schema[valid_from].dataType
+    return stamped.withColumn(valid_to, F.lit(None).cast(vf_type))
 
 
 def scd2_as_of(

@@ -92,9 +92,12 @@ def _cell_pitch(radius: float, metric: str, cell_deg: float | None) -> float:
         return float(cell_deg)
     if metric == "sq_degrees":
         return float(radius)
-    # haversine radius is km → degrees at the equator (worst case for
-    # latitude; callers above ~60° latitude should pass cell_deg).
-    return float(radius) / KM_PER_DEGREE * 1.5
+    # haversine radius is km → degrees of longitude, which shrink by
+    # cos(lat): pitch must be ≥ radius_deg / cos(lat) for the 3×3
+    # neighborhood to cover the search disk. Factor 2.0 is safe up to
+    # acos(1/2) = 60° latitude; callers beyond ±60° must pass cell_deg
+    # (e.g. radius_deg / cos(max_lat)).
+    return float(radius) / KM_PER_DEGREE * 2.0
 
 
 def within_radius_join(

@@ -7,7 +7,7 @@ correctness gate). Names without an ORACLE entry get the weaker
 rows-only check (nondeterministic outputs: uuid, LSH internals).
 """
 
-from nextbus2pg_spark.plans.registry import ORACLE, QUERIES, fixture
+from nextbus2pg_spark.plans.registry import ORACLE, QUERIES, ROWS_ONLY, fixture
 
 # Importing the modules populates the registry.
 from nextbus2pg_spark.plans import fixtures as _fixtures  # noqa: F401,E402
@@ -19,4 +19,4 @@ from nextbus2pg_spark.plans import curation as _curation  # noqa: F401,E402
 from nextbus2pg_spark.plans import textstats as _textstats  # noqa: F401,E402
 from nextbus2pg_spark.plans import spatial as _spatial  # noqa: F401,E402
 
-__all__ = ["QUERIES", "ORACLE", "fixture"]
+__all__ = ["QUERIES", "ORACLE", "ROWS_ONLY", "fixture"]

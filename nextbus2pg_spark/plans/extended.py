@@ -239,7 +239,7 @@ def q_keygen_deterministic(spark: SparkSession, sf_dir: str):
     )
 
 
-@fixture("q_approx_distinct")  # HLL sketch values are engine-specific
+@fixture("q_approx_distinct", rows_only=True)  # HLL sketch is engine-specific
 def q_approx_distinct(spark: SparkSession, sf_dir: str):
     """approx_count_distinct (HyperLogLog++): sketch-based distinct at
     scale. Engine-specific sketch ⇒ rows-only check; exactness is

@@ -356,7 +356,7 @@ def q_project_rename(spark: SparkSession, sf_dir: str):
     )
 
 
-@fixture("q_keygen_uuid")  # nondeterministic → rows-only check
+@fixture("q_keygen_uuid", rows_only=True)  # nondeterministic uuid()
 def q_keygen_uuid(spark: SparkSession, sf_dir: str):
     """P2: surrogate key generation (``agency.py:51-56`` uuid4).
     uuid() is nondeterministic ⇒ no oracle entry by contract."""

@@ -539,7 +539,7 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str):
     )
 
 
-@fixture("q_lsh_topk")  # approximate + hyperplane internals → rows-only
+@fixture("q_lsh_topk", rows_only=True)  # approximate + hyperplane internals
 def q_lsh_topk(spark: SparkSession, sf_dir: str):
     """LSH-bucketed approximate top-k — the scale path for similarity
     search (equi-join on signature buckets instead of a cross join);
@@ -913,7 +913,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str):
     return kmv_distinct(events, ["event_type"], "user_id", k=64)
 
 
-@fixture("q_ivf_topk")  # approximate by construction → rows-only
+@fixture("q_ivf_topk", rows_only=True)  # approximate by construction
 def q_ivf_topk(spark: SparkSession, sf_dir: str):
     """IVF-bucketed approximate top-k — centroid inverted-file variant
     of the ANN scale path (operators.similarity.ivf_topk), with
@@ -942,7 +942,7 @@ def q_cosine_topk_vec(spark: SparkSession, sf_dir: str):
     return cosine_topk_vectorized(emb, queries, "vec_id", "embedding", k=5)
 
 
-@fixture("q_media_phash")  # mapInPandas numpy decode → rows-only
+@fixture("q_media_phash", rows_only=True)  # mapInPandas numpy decode
 def q_media_phash(spark: SparkSession, sf_dir: str):
     """Perceptual-hash near-dup pairs over the (fake-decoded) media
     corpus: dHash per payload in one Arrow pass, banded candidate
@@ -960,7 +960,7 @@ def q_media_phash(spark: SparkSession, sf_dir: str):
     return phash_pairs(perceptual_hash(media), max_hamming=2)
 
 
-@fixture("q_curation_pipeline")  # mapInPandas shingles → rows-only
+@fixture("q_curation_pipeline", rows_only=True)  # mapInPandas shingles
 def q_curation_pipeline(spark: SparkSession, sf_dir: str):
     """The full curation pipeline as one plan (pipelines/curate.py):
     quality → exact dedup → near-dup clustering → decontamination →

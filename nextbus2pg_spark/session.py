@@ -10,6 +10,7 @@ event-time semantics are zone-stable.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -54,12 +55,21 @@ def get_spark(app_name: str = "nextbus2pg_spark") -> SparkSession:
     of empty tasks, while cluster deploys would override via spark-submit.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    # Hermetic warehouse: saveAsTable state (bucketed tables) lives in a
+    # per-process temp dir, never a `spark-warehouse/` in the CWD — a
+    # killed run otherwise leaves a directory the next session's catalog
+    # doesn't know about, and every later saveAsTable dies with
+    # LOCATION_ALREADY_EXISTS. Static conf, so it must be set pre-build.
+    warehouse = os.environ.get("SPARK_GRAFT_WAREHOUSE") or tempfile.mkdtemp(
+        prefix="spark-warehouse-"
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "4g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
     for k, v in RUNTIME_CONFS.items():

