@@ -23,18 +23,21 @@ a mean would make merging wrong.
 
 Scale shape: per batch, one partial aggregation (map-side combine)
 over the batch only, then a key-equi merge against a table whose size
-is the number of *buckets* (days × types), not events. At cluster
-scale the state table becomes a Delta table and the merge a
-``MERGE INTO``; semantics identical.
+is the number of *buckets* (days × types), not events. State lives in
+a ``BucketedParquetStore`` (atomic manifest publish; only hash-buckets
+containing this batch's keys are read and rewritten). At cluster scale
+the state table becomes a Delta table and the merge a ``MERGE INTO``;
+semantics identical.
 """
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from nextbus2pg_spark.sinks.store import BucketedParquetStore
 
 #: aggregate name → (batch partial expr builder, merge expr builder)
 _MERGEABLE = {
@@ -89,12 +92,15 @@ class ContinuousAggregate:
         self.path = path
         self.bucket_cols = list(bucket_cols)
         self.aggs = aggs
+        self.store = BucketedParquetStore(
+            spark, path, self.bucket_cols, n_buckets=16
+        )
 
     def exists(self) -> bool:
-        return os.path.exists(self.path)
+        return self.store.exists()
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        return self.store.read()
 
     def _partials(self, batch: DataFrame) -> DataFrame:
         exprs: list[Column] = [
@@ -108,23 +114,22 @@ class ContinuousAggregate:
         union + re-aggregate with each aggregate's MERGE operator
         (sum-of-counts, sum-of-sums, min-of-mins, max-of-maxes)."""
         partials = self._partials(batch)
-        if self.exists():
-            merged = (
-                self.read()
-                .unionByName(partials)
-                .groupBy(*self.bucket_cols)
-                .agg(
-                    *[
-                        _MERGEABLE[fn][1](F.col(name)).alias(name)
-                        for name, (fn, _) in self.aggs.items()
-                    ]
-                )
+        if not self.exists():
+            self.store.init(partials)
+            return
+        touched = self.store.touched_buckets(partials)
+        merged = (
+            self.store.read(touched)
+            .unionByName(partials)
+            .groupBy(*self.bucket_cols)
+            .agg(
+                *[
+                    _MERGEABLE[fn][1](F.col(name)).alias(name)
+                    for name, (fn, _) in self.aggs.items()
+                ]
             )
-        else:
-            merged = partials
-        tmp = self.path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        )
+        self.store.replace_buckets(merged, touched)
 
     def sink(self):
         """foreachBatch adapter: ``stream.writeStream.foreachBatch(

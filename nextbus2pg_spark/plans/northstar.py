@@ -942,13 +942,56 @@ def q_cosine_topk_vec(spark: SparkSession, sf_dir: str):
     return cosine_topk_vectorized(emb, queries, "vec_id", "embedding", k=5)
 
 
-@fixture("q_media_phash", rows_only=True)  # mapInPandas numpy decode
+@fixture(
+    "q_media_phash",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id AS media_id, text, length(text) AS L
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+sized AS (
+  SELECT media_id, text, L,
+         (CASE WHEN L < 72 THEN 72 ELSE L END) // 72 AS c
+  FROM docs
+),
+cells AS (
+  SELECT media_id, k // c AS j, avg(ord(substr(text, (k % L) + 1, 1))) AS g
+  FROM sized, unnest(generate_series(0, c * 72 - 1)) AS t(k)
+  GROUP BY 1, 2
+),
+bits AS (
+  SELECT a.media_id, (a.j // 9) * 8 + (a.j % 9) AS bitpos
+  FROM cells a JOIN cells b
+    ON a.media_id = b.media_id AND b.j = a.j + 1
+  WHERE a.j % 9 < 8 AND a.g < b.g
+),
+hashes AS (
+  SELECT s.media_id,
+         CAST(coalesce(sum(
+           CASE WHEN 63 - b.bitpos = 63 THEN 0
+                ELSE CAST(round(power(2, 63 - b.bitpos)) AS BIGINT) END
+         ), 0) AS BIGINT) AS phash
+  FROM sized s LEFT JOIN bits b ON b.media_id = s.media_id
+  GROUP BY 1
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+""",
+)
 def q_media_phash(spark: SparkSession, sf_dir: str):
     """Perceptual-hash near-dup pairs over the (fake-decoded) media
     corpus: dHash per payload in one Arrow pass, banded candidate
-    blocking, bit_count(xor) verify (operators/multimodal.py). The
-    numpy grayscale step is not SQL-expressible → rows-only check; the
-    hash itself is deterministic and pinned by tests/test_phash.py."""
+    blocking, bit_count(xor) verify (operators/multimodal.py).
+
+    Oracle-checkable because the fake decode is deterministic byte
+    arithmetic (payload = UTF-8 bytes of ASCII text, so DuckDB's
+    ord(substr(...)) sees the same byte stream) and the banded pairing
+    has perfect recall at max_hamming < n_bands — the oracle computes
+    the all-pairs hamming filter the banding provably equals. The top
+    (r0,c0) bit is folded away on both sides (& 0x7FF.. in Spark, the
+    bitpos=63 CASE here)."""
     from nextbus2pg_spark.operators.multimodal import (
         fake_media_from_documents,
         perceptual_hash,
@@ -957,17 +1000,158 @@ def q_media_phash(spark: SparkSession, sf_dir: str):
 
     docs = load_table(spark, sf_dir, "documents")
     media = fake_media_from_documents(docs)
-    return phash_pairs(perceptual_hash(media), max_hamming=2)
+    return phash_pairs(perceptual_hash(media), max_hamming=2).select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
 
 
-@fixture("q_curation_pipeline", rows_only=True)  # mapInPandas shingles
+@fixture(
+    "q_curation_pipeline",
+    oracle="""
+WITH RECURSIVE
+feat AS (
+  SELECT doc_id, lang, text,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER)
+           AS n_words,
+         length(text) AS n_chars_t,
+         length(replace(text, ' ', '')) AS word_chars,
+         CAST((length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' the ', '')))
+              / length(' the ') AS INTEGER)
+         + CAST((length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' a ', '')))
+              / length(' a ') AS INTEGER)
+         + CAST((length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' and ', '')))
+              / length(' and ') AS INTEGER) AS stop_hits,
+         CAST((length(text) - length(replace(text, '.', ''))) AS INTEGER)
+         + CAST((length(text) - length(replace(text, ',', ''))) AS INTEGER)
+           AS punct
+  FROM documents
+),
+qual AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           round(
+             least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+             + least(CAST(stop_hits AS DOUBLE) / n_words * 5.0, 1.0) * 0.4
+             + (1.0 - least(CAST(punct AS DOUBLE) / n_chars_t * 10.0, 1.0))
+               * 0.2,
+             4) AS quality_score
+    FROM feat
+  ) WHERE quality_score >= 0.2
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+cur0 AS (SELECT q.* FROM qual q JOIN keepers k USING (doc_id)),
+wordlists AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM cur0
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+  FROM wordlists
+),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM idx WHERE i <= len(w) - 2
+),
+perms AS (SELECT unnest(generate_series(0, 7)) AS perm),
+sigs AS (
+  SELECT s.doc_id, p.perm, min(md5(p.perm || ':' || s.shingle)) AS minh
+  FROM shingles s CROSS JOIN perms p GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, perm // 2 AS band,
+         md5(string_agg(minh, '|' ORDER BY perm)) AS band_hash
+  FROM sigs GROUP BY doc_id, perm // 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shingles a
+  JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.8
+),
+sym AS (
+  SELECT id_a AS id, id_b AS nb FROM edges WHERE id_a <> id_b
+  UNION
+  SELECT id_b, id_a FROM edges WHERE id_a <> id_b
+),
+reach AS (
+  SELECT id, id AS label FROM (SELECT DISTINCT id FROM sym)
+  UNION
+  SELECT s.nb AS id, r.label FROM reach r JOIN sym s ON s.id = r.id
+),
+comp AS (SELECT id AS doc_id, min(label) AS component FROM reach GROUP BY id),
+cur1 AS (
+  SELECT * FROM cur0
+  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+),
+eval_wl AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 5)
+),
+eval_idx AS (
+  SELECT w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+  FROM eval_wl
+),
+eval_sh AS (
+  SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS shingle
+  FROM eval_idx WHERE i <= len(w) - 2
+),
+flagged AS (
+  SELECT DISTINCT s.doc_id
+  FROM shingles s JOIN cur1 c ON c.doc_id = s.doc_id
+  WHERE s.shingle IN (SELECT shingle FROM eval_sh)
+),
+cur2 AS (
+  SELECT doc_id, lang, text FROM cur1
+  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+),
+toks AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+              AS INTEGER) AS n_tokens
+  FROM cur2
+),
+packed AS (
+  SELECT doc_id, lang,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM toks
+)
+SELECT doc_id, lang, CAST(floor(start_offset / 2048.0) AS BIGINT) AS chunk_id,
+       start_offset
+FROM packed
+""",
+)
 def q_curation_pipeline(spark: SparkSession, sf_dir: str):
     """The full curation pipeline as one plan (pipelines/curate.py):
     quality → exact dedup → near-dup clustering → decontamination →
     packing, returning (doc_id, lang, chunk_id, start_offset) for the
     surviving corpus. Stage composition is tested in
-    tests/test_curate_pipeline.py; the shingle stage is mapInPandas →
-    rows-only check here."""
+    tests/test_curate_pipeline.py.
+
+    Oracle-checkable end-to-end: every stage is deterministic
+    (md5-minhash, hash sampling, fixed pack order), so the oracle is
+    the stage oracles composed into one CTE chain — the decontam
+    shingles reuse the minhash shingle relation (both are word
+    3-grams at the fixture's settings)."""
     from nextbus2pg_spark.pipelines.curate import curate_documents
 
     docs = load_table(spark, sf_dir, "documents")

@@ -13,9 +13,10 @@ Scale/processing notes:
 
 - The merge joins only the OPEN slice of the history with the batch —
   closed rows never shuffle (see operators/scd2.py).
-- State storage is the same rename-swap parquet pattern as
-  ``ParquetUpsertTable`` — the local stand-in for a transactional
-  MERGE target (MIGRATION.md maps it to Delta).
+- State storage is the same bucketed manifest store as
+  ``ParquetUpsertTable`` (``sinks/store.py``) — atomic publish, merges
+  rewrite only the buckets containing batch keys; the local stand-in
+  for a transactional MERGE target (MIGRATION.md maps it to Delta).
 - Replays are harmless: re-applying a batch whose changes are already
   in the history is a no-op (idempotent merge), which is exactly the
   at-least-once contract ``foreachBatch`` requires.
@@ -23,7 +24,6 @@ Scale/processing notes:
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable, Sequence
 from typing import Any
 
@@ -32,10 +32,18 @@ from pyspark.sql import functions as F
 
 from nextbus2pg_spark.operators.dedup import exact_dedup
 from nextbus2pg_spark.operators.scd2 import scd2_bootstrap, scd2_merge
+from nextbus2pg_spark.sinks.store import BucketedParquetStore
 
 
 class Scd2Table:
-    """Parquet-backed SCD2 history table with rename-swap writes."""
+    """SCD2 history table on a bucketed, manifest-versioned store.
+
+    A key's entire history (open + closed rows) lives in the bucket of
+    its key hash, so a merge touches only the buckets containing batch
+    keys — a long history's untouched buckets are never read or
+    rewritten (O(touched buckets) IO per batch), and the manifest
+    publish is atomic: a crash mid-write leaves the previous history
+    fully intact (no re-bootstrap-and-lose-history window)."""
 
     def __init__(
         self,
@@ -43,58 +51,49 @@ class Scd2Table:
         path: str,
         key: str,
         tracked: Sequence[str],
+        n_buckets: int = 16,
     ):
         self.spark = spark
         self.path = path
         self.key = key
         self.tracked = list(tracked)
+        self.store = BucketedParquetStore(
+            spark, path, [key], n_buckets=n_buckets
+        )
 
     def exists(self) -> bool:
-        return os.path.exists(self.path)
+        return self.store.exists()
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        return self.store.read()
 
     def current(self) -> DataFrame:
         """The open version of every key."""
         return self.read().where(F.col("valid_to").isNull())
 
-    def _write_state(self, df: DataFrame) -> None:
-        # Same swap discipline as ParquetUpsertTable._write_state: the
-        # merged plan reads self.path, so land the new state elsewhere
-        # and swap via FileSystem renames (works on local FS and HDFS).
-        jvm = self.spark._jvm
-        hconf = self.spark._jsc.hadoopConfiguration()
-        Path = jvm.org.apache.hadoop.fs.Path
-        dst = Path(self.path)
-        fs = dst.getFileSystem(hconf)
-        tmp = Path(self.path + ".tmp")
-        old = Path(self.path + ".old")
-        df.write.mode("overwrite").parquet(self.path + ".tmp")
-        if fs.exists(old):
-            fs.delete(old, True)
-        if fs.exists(dst):  # absent on bootstrap
-            fs.rename(dst, old)
-        fs.rename(tmp, dst)
-        fs.delete(old, True)
-
     def apply(self, batch: DataFrame, batch_date) -> None:
         """Merge one snapshot/CDC batch (deduped per key first — the
         reference's within-batch dedup contract, ``agency.py:307-310``;
         last-writer-wins inside a batch is not meaningful for a
-        snapshot, so the deterministic keeper is fine)."""
+        snapshot, so the deterministic keeper is fine).
+
+        Bucket pruning is sound for SCD2 because absence is not a
+        delete (operators/scd2.scd2_merge): keys outside the batch's
+        buckets are bit-for-bit unaffected by the merge."""
         batch = exact_dedup(
             batch.select(self.key, *self.tracked), [self.key]
         )
         if not self.exists():
-            self._write_state(
+            self.store.init(
                 scd2_bootstrap(batch, self.key, self.tracked, batch_date)
             )
             return
+        touched = self.store.touched_buckets(batch)
         merged = scd2_merge(
-            self.read(), batch, self.key, self.tracked, batch_date
+            self.store.read(touched), batch, self.key, self.tracked,
+            batch_date,
         )
-        self._write_state(merged)
+        self.store.replace_buckets(merged, touched)
 
 
 def scd2_foreach_batch(

@@ -23,7 +23,6 @@ conflict clause, giving at-least-once end-to-end like the reference
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +32,7 @@ from nextbus2pg_spark.operators.keyed_write import (
     insert_if_absent,
     upsert_batch,
 )
+from nextbus2pg_spark.sinks.store import BucketedParquetStore
 
 
 def pg_upsert_statement(
@@ -128,10 +128,14 @@ def jdbc_upsert_writer(
 class ParquetUpsertTable:
     """Parquet-backed keyed table: the local/test MERGE target.
 
-    State lives at ``path`` (overwritten per apply — at cluster scale
-    this becomes a Delta ``MERGE INTO`` with file-level pruning; the
-    merge *semantics* are identical because both delegate to
-    ``operators.keyed_write``).
+    State lives under ``path`` as a :class:`~nextbus2pg_spark.sinks.
+    store.BucketedParquetStore` — hash-bucketed immutable parquet plus
+    an atomically published manifest. Each upsert reads and rewrites
+    ONLY the buckets containing batch keys (O(touched buckets) IO, not
+    O(|table|)), and a crash at any point leaves the previous manifest
+    fully readable — the file-pruned ACID-ish behavior a cluster gets
+    from Delta ``MERGE INTO``; the merge *semantics* are identical
+    because both delegate to ``operators.keyed_write``.
     """
 
     def __init__(
@@ -141,79 +145,60 @@ class ParquetUpsertTable:
         key_cols: Sequence[str],
         update_cols: Sequence[str] | None = None,
         null_safe: bool = True,
+        n_buckets: int = 16,
     ):
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.update_cols = update_cols
         self.null_safe = null_safe
+        self.store = BucketedParquetStore(
+            spark, path, self.key_cols, n_buckets=n_buckets,
+            null_safe=null_safe,
+        )
 
     def exists(self) -> bool:
-        return os.path.exists(self.path)
+        return self.store.exists()
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
-
-    def _write_state(self, df: DataFrame) -> None:
-        """Write the merged state ONCE to a temp dir, then swap it into
-        place with filesystem renames (Hadoop FileSystem API, so the
-        same code works on local FS and HDFS).
-
-        The merged plan reads from ``self.path``, so the new state must
-        land elsewhere first (Spark cannot overwrite a path it is
-        reading). The swap window — between retiring the old dir and
-        renaming the new one in — is not atomic: a crash inside it
-        leaves ``path + '.old'`` as the recovery copy. Closing that
-        window entirely needs a transactional table format; this class
-        is the local stand-in for exactly that (Delta ``MERGE INTO`` —
-        see MIGRATION.md)."""
-        jvm = self.spark._jvm
-        hconf = self.spark._jsc.hadoopConfiguration()
-        Path = jvm.org.apache.hadoop.fs.Path
-        dst = Path(self.path)
-        fs = dst.getFileSystem(hconf)
-        tmp = Path(self.path + ".tmp")
-        old = Path(self.path + ".old")
-        df.write.mode("overwrite").parquet(self.path + ".tmp")
-        if fs.exists(old):
-            fs.delete(old, True)
-        fs.rename(dst, old)
-        fs.rename(tmp, dst)
-        fs.delete(old, True)
+        return self.store.read()
 
     def upsert(self, incoming: DataFrame) -> None:
-        """K1-K4: merge incoming, existing-wins-keys/incoming-wins-payload."""
+        """K1-K4: merge incoming, existing-wins-keys/incoming-wins-payload.
+
+        Bucket-pruned: only the buckets containing incoming keys are
+        read, merged, and republished; all other buckets keep their
+        existing files byte-for-byte."""
         if not self.exists():
             self._init(incoming)
             return
+        touched = self.store.touched_buckets(incoming)
         merged = upsert_batch(
-            self.read(),
+            self.store.read(touched),
             incoming,
             self.key_cols,
             self.update_cols,
             null_safe=self.null_safe,
         )
-        self._write_state(merged)
+        self.store.replace_buckets(merged, touched)
 
     def insert_if_absent(self, incoming: DataFrame) -> None:
-        """K5: idempotent append (ON CONFLICT DO NOTHING)."""
+        """K5: idempotent append (ON CONFLICT DO NOTHING) — same
+        bucket pruning as :meth:`upsert`."""
         if not self.exists():
             self._init(incoming)
             return
+        touched = self.store.touched_buckets(incoming)
         merged = insert_if_absent(
-            self.read(), incoming, self.key_cols, null_safe=self.null_safe
+            self.store.read(touched), incoming, self.key_cols,
+            null_safe=self.null_safe,
         )
-        self._write_state(merged)
+        self.store.replace_buckets(merged, touched)
 
     def append_dedup(self, batch: DataFrame) -> None:
-        """K6: append-only log insert with within-batch dedup."""
-        deduped = append_dedup(batch, self.key_cols)
-        if not self.exists():
-            deduped.write.mode("overwrite").parquet(self.path)
-        else:
-            deduped.write.mode("append").parquet(self.path)
+        """K6: append-only log insert with within-batch dedup — pure
+        append of new files, nothing existing is read or rewritten."""
+        self.store.append(append_dedup(batch, self.key_cols))
 
     def _init(self, incoming: DataFrame) -> None:
-        incoming.dropDuplicates(self.key_cols).write.mode("overwrite").parquet(
-            self.path
-        )
+        self.store.init(incoming.dropDuplicates(self.key_cols))

@@ -1,0 +1,196 @@
+"""BucketedParquetStore contracts: bucket-pruned rewrites leave
+untouched buckets byte-identical, publishes are atomic (a crash before
+the manifest rename is invisible), appends never rewrite existing
+files, and SCD2 history survives a crashed merge."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.sinks.scd2 import Scd2Table
+from nextbus2pg_spark.sinks.store import BucketedParquetStore, bucket_expr
+from nextbus2pg_spark.sinks.upsert import ParquetUpsertTable
+
+
+def _file_hashes(root: str) -> dict[str, str]:
+    """md5 of every parquet part file under root, keyed by path."""
+    out = {}
+    for p in glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                       recursive=True):
+        with open(p, "rb") as f:
+            out[p] = hashlib.md5(f.read()).hexdigest()
+    return out
+
+
+def _routes(spark, rows):
+    return spark.createDataFrame(
+        rows, "route_id string, agency_id string, tag string, name string"
+    )
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The Delta-MERGE-shaped contract: after an upsert touching one
+    key, every file of every untouched bucket is byte-identical (same
+    path, same bytes) — per-batch IO is O(touched buckets)."""
+    path = str(tmp_path / "t")
+    t = ParquetUpsertTable(
+        spark, path, key_cols=["agency_id", "tag"], update_cols=["name"],
+        n_buckets=8,
+    )
+    seed = _routes(
+        spark, [(f"u{i}", "sf", f"tag{i}", f"name{i}") for i in range(64)]
+    )
+    t.upsert(seed)
+    before = _file_hashes(path)
+    man_before = t.store.current_manifest()
+    assert len(man_before["buckets"]) > 4, "seed should span many buckets"
+
+    t.upsert(_routes(spark, [("uX", "sf", "tag7", "renamed")]))
+
+    after = _file_hashes(path)
+    man_after = t.store.current_manifest()
+    touched = t.store.touched_buckets(
+        _routes(spark, [("uX", "sf", "tag7", "renamed")])
+    )
+    assert len(touched) == 1
+    untouched = [
+        b for b in man_before["buckets"] if int(b) not in touched
+    ]
+    assert untouched, "fixture degenerate: every bucket touched"
+    for b in untouched:
+        assert man_after["buckets"][b] == man_before["buckets"][b]
+        for d in man_before["buckets"][b]:
+            files = [p for p in before if p.startswith(os.path.join(path, d))]
+            assert files, f"bucket {b} had no files"
+            for p in files:
+                assert after.get(p) == before[p], f"untouched file rewrote: {p}"
+    # and the merge itself is correct
+    rows = {r.tag: r for r in t.read().collect()}
+    assert rows["tag7"].name == "renamed" and rows["tag7"].route_id == "u7"
+    assert len(rows) == 64
+
+
+def test_crash_before_publish_is_invisible(spark, tmp_path):
+    """Simulated crash: a data generation written but never published
+    (the manifest rename is the commit point) must not change reads,
+    and the next successful write reclaims the orphan dir."""
+    path = str(tmp_path / "t")
+    store = BucketedParquetStore(spark, path, ["k"], n_buckets=4)
+    df1 = spark.range(20).select(
+        F.col("id").cast("string").alias("k"), F.lit("v1").alias("v")
+    )
+    store.init(df1)
+    want = sorted((r.k, r.v) for r in store.read().collect())
+
+    # Crash: land gen files with no manifest (orphan), plus a torn
+    # manifest .tmp — readers must see neither.
+    gen = store._next_gen()
+    store._write_generation(
+        spark.range(5).select(
+            F.col("id").cast("string").alias("k"), F.lit("BAD").alias("v")
+        ),
+        gen,
+    )
+    with open(os.path.join(path, f"_manifest-{gen}.json.tmp"), "w") as f:
+        f.write('{"truncated')
+
+    assert sorted((r.k, r.v) for r in store.read().collect()) == want
+
+    # Next real write (same gen number) reclaims the orphan and lands.
+    df2 = spark.range(5).select(
+        F.col("id").cast("string").alias("k"), F.lit("v2").alias("v")
+    )
+    touched = store.touched_buckets(df2)
+    merged = store.read(touched).where(F.lit(False)).unionByName(df2)
+    store.replace_buckets(merged, touched)
+    got = {r.k: r.v for r in store.read().collect()}
+    assert all(got[str(i)] == "v2" for i in range(5))
+
+
+def test_scd2_history_survives_crashed_merge(spark, tmp_path):
+    """The advisor's history-loss scenario, re-run against the manifest
+    store: after a crash mid-write, exists() is still True and the full
+    history is intact — apply() can never re-bootstrap over it."""
+    path = str(tmp_path / "dim")
+    t = Scd2Table(spark, path, key="k", tracked=["v"], n_buckets=4)
+    snap = lambda v: spark.createDataFrame(  # noqa: E731
+        [(str(i), f"{v}-{i}") for i in range(10)], "k string, v string"
+    )
+    t.apply(snap("a"), "2024-01-01")
+    t.apply(snap("b"), "2024-02-01")  # closes 10, opens 10
+    want = sorted(map(tuple, t.read().collect()))
+    assert len(want) == 20
+
+    # Crash mid-merge: generation written, manifest never renamed.
+    t.store._write_generation(
+        spark.createDataFrame([("9", "junk")], "k string, v string"),
+        t.store._next_gen(),
+    )
+    assert t.exists(), "crash must not make the table look absent"
+    assert sorted(map(tuple, t.read().collect())) == want
+
+    # A post-crash apply merges on top of the intact history.
+    t.apply(snap("c"), "2024-03-01")
+    assert t.read().count() == 30
+    assert t.current().count() == 10
+
+
+def test_append_never_rewrites_existing_files(spark, tmp_path):
+    """K6 event-log shape: appends add files; every pre-existing file
+    is still there, byte-identical (O(batch) IO)."""
+    path = str(tmp_path / "log")
+    t = ParquetUpsertTable(
+        spark, path, key_cols=["k", "ts"], n_buckets=4
+    )
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").cast("string").alias("k"), F.col("id").alias("ts")
+    )
+    t.append_dedup(mk(0, 50))
+    before = _file_hashes(path)
+    t.append_dedup(mk(50, 100))
+    after = _file_hashes(path)
+    for p, h in before.items():
+        assert after.get(p) == h, f"append rewrote {p}"
+    assert t.read().count() == 100
+
+
+def test_null_safe_bucket_collocation(spark):
+    """NULL and '' key forms must hash to the same bucket, or the
+    COALESCE(key, '') merge would pair rows across bucket boundaries."""
+    df = spark.createDataFrame([(None, 1), ("", 2)], "tag string, x int")
+    got = df.select(
+        bucket_expr(["tag"], 16, null_safe=True).alias("b")
+    ).distinct().collect()
+    assert len(got) == 1
+
+
+def test_vacuum_bounds_generations(spark, tmp_path):
+    """Old generations are garbage-collected: after many upserts only
+    keep_generations manifests remain and unreferenced data dirs are
+    gone (state does not grow without bound)."""
+    path = str(tmp_path / "t")
+    t = ParquetUpsertTable(spark, path, key_cols=["k"], n_buckets=2)
+    for i in range(6):
+        t.upsert(spark.createDataFrame([("a", i)], "k string, v int"))
+    manifests = glob.glob(os.path.join(path, "_manifest-*.json"))
+    assert len(manifests) == 2  # keep_generations default
+    live = set()
+    for b, dirs in t.store.current_manifest()["buckets"].items():
+        live.update(dirs)
+    prev_gen = sorted(
+        int(m.split("-")[-1].split(".")[0]) for m in manifests
+    )[0]
+    for b, dirs in t.store._read_manifest(prev_gen)["buckets"].items():
+        live.update(dirs)
+    on_disk = {
+        os.path.relpath(d, path)
+        for d in glob.glob(os.path.join(path, "data", "g*", "__bucket=*"))
+    }
+    assert on_disk == live
+    assert t.read().count() == 1
+    assert t.read().collect()[0].v == 5
