@@ -21,7 +21,8 @@ from nextbus2pg_spark.plans import QUERIES
 from nextbus2pg_spark.session import get_spark
 
 #: Headline set: one per operator family — scans, joins, window top-1,
-#: heavy agg, sessionization, dedup (exact + LSH), similarity, text.
+#: heavy agg, sessionization, dedup (exact + LSH), similarity, text,
+#: media (Arrow/mapInPandas decode + banded hamming pairing).
 HEADLINE = [
     "q_flagship_latest",
     "q_tpch_q1",
@@ -35,6 +36,7 @@ HEADLINE = [
     "q_cosine_topk_vec",
     "q_token_count",
     "q_doc_fingerprint",
+    "q_media_phash",
 ]
 
 

@@ -36,30 +36,48 @@ def asof_join(
     right_cols: Sequence[str],
     tiebreak: str | None = None,
     how: str = "left",
+    left_id: str | None = None,
 ) -> DataFrame:
     """Latest right row at-or-before each left row's timestamp.
 
     ``tiebreak``: extra right-side column ordered DESC after the
     timestamp so equal-timestamp candidates resolve deterministically.
+
+    Safe for ANY left grain: the top-1 window partitions on a unique
+    per-row key — ``left_id`` if the caller has one (cheaper: a single
+    column sort key), else a derived physical-row id. The previous
+    formulation partitioned on every left column, which silently
+    collapsed duplicate left rows into one window (dropping rows) and
+    over-partitioned otherwise; that hazard is gone by construction.
+    The derived id is used only to isolate rows from each other, so the
+    output doesn't depend on its values.
     """
+    if left_id is not None:
+        if how != "left":
+            raise ValueError("left_id delegation supports how='left' only")
+        return asof_join_by_id(
+            left, right, left_id, left_on, right_on, left_ts, right_ts,
+            right_cols, tiebreak,
+        )
+    if "__asof_id" in left.columns:
+        raise ValueError("left already has a __asof_id column")
+    l = left.withColumn("__asof_id", F.monotonically_increasing_id())
     r = right.select(
         F.col(right_on).alias("__r_key"),
         F.col(right_ts).alias("__r_ts"),
         *[F.col(c) for c in right_cols],
     )
-    cond = (left[left_on] == r["__r_key"]) & (r["__r_ts"] <= left[left_ts])
-    joined = left.join(r, cond, how)
+    cond = (l[left_on] == r["__r_key"]) & (r["__r_ts"] <= l[left_ts])
+    joined = l.join(r, cond, how)
 
     order = [F.col("__r_ts").desc_nulls_last()]
     if tiebreak:
         order.append(F.col(tiebreak).desc_nulls_last())
-    w = Window.partitionBy(*[left[c] for c in left.columns]).orderBy(*order)
-    # Partitioning by every left column is only viable when the left grain
-    # is unique; callers with a unique left id should pre-project it.
+    w = Window.partitionBy("__asof_id").orderBy(*order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn", "__r_key", "__r_ts")
+        .drop("__rn", "__r_key", "__r_ts", "__asof_id")
     )
 
 

@@ -42,6 +42,7 @@ def pg_upsert_statement(
     update_cols: Sequence[str] | None = None,
     null_safe_keys: Sequence[str] = (),
     do_nothing: bool = False,
+    omit_conflict_target: bool = False,
 ) -> str:
     """Render the reference's ON CONFLICT statement for one row batch.
 
@@ -50,13 +51,17 @@ def pg_upsert_statement(
       ``sql/create_tables.sql:62-63,85-86``); the conflict target must
       name the same expression.
     - ``do_nothing``: K5 insert-if-absent (``agency.py:228``).
+    - ``omit_conflict_target``: emit a targetless ``ON CONFLICT``
+      (matches ANY unique constraint, including expression indexes a
+      dialect can't name in a target). Required for the NULL-tolerant
+      key family on DuckDB, which accepts an expression unique INDEX
+      but not a ``COALESCE`` conflict target; Postgres conversely
+      allows targetless only for ``DO NOTHING``, so its ``DO UPDATE``
+      path keeps the explicit COALESCE target. Only valid when the
+      table has exactly one unique constraint the batch can violate.
     Placeholders are %s-style (psycopg2 ``execute_values`` compatible).
     """
     col_list = ", ".join(columns)
-    conflict_parts = [
-        f"COALESCE({c}, '')" if c in null_safe_keys else c for c in key_cols
-    ]
-    conflict = ", ".join(conflict_parts)
     if do_nothing:
         action = "DO NOTHING"
     else:
@@ -64,6 +69,12 @@ def pg_upsert_statement(
             update_cols = [c for c in columns if c not in key_cols]
         sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
         action = f"DO UPDATE SET {sets}"
+    if omit_conflict_target:
+        return f"INSERT INTO {table} ({col_list}) VALUES %s ON CONFLICT {action}"
+    conflict_parts = [
+        f"COALESCE({c}, '')" if c in null_safe_keys else c for c in key_cols
+    ]
+    conflict = ", ".join(conflict_parts)
     return (
         f"INSERT INTO {table} ({col_list}) VALUES %s "
         f"ON CONFLICT ({conflict}) {action}"
@@ -78,6 +89,7 @@ def jdbc_upsert_writer(
     do_nothing: bool = False,
     connection_factory: Callable | None = None,
     paramstyle: str = "format",
+    omit_conflict_target: bool = False,
 ):
     """Build a ``foreachBatch`` function applying the upsert per batch.
 
@@ -100,7 +112,8 @@ def jdbc_upsert_writer(
         batch_df = append_dedup(batch_df, list(key_cols))
         columns = batch_df.columns
         stmt = pg_upsert_statement(
-            table, columns, key_cols, update_cols, null_safe_keys, do_nothing
+            table, columns, key_cols, update_cols, null_safe_keys, do_nothing,
+            omit_conflict_target,
         )
 
         def write_partition(rows) -> None:

@@ -81,6 +81,18 @@ def make_session_fn(
     the state store stays bounded even when a vehicle never reports
     again. Ticks for keys with no open session are no-ops (no state is
     created for them).
+
+    **Tick cadence contract**: a tick at processing time ``t`` closes
+    every session whose last event is ≤ ``t - gap_seconds``. With
+    ticks injected every ``Δ`` seconds, an idle session is therefore
+    guaranteed closed (and its state evicted) within
+    ``gap_seconds + Δ`` of its last event — choose
+    ``Δ = close_latency_SLA − gap_seconds`` (e.g. gap 1800s, SLA
+    2100s → tick every ≤300s / one per ~10 micro-batches at a 30s
+    trigger). State size between ticks is bounded by the number of
+    keys active within one ``gap + Δ`` horizon. Over-ticking is safe
+    (idempotent; one extra row per key per flush); under-ticking never
+    loses data — it only delays session close and state eviction.
     """
     gap_us = gap_seconds * 1_000_000
 

@@ -8,12 +8,14 @@ K1/K2 ``DO UPDATE`` survivor semantics (``agency.py:60-71``), K5
 ``DO NOTHING`` (``agency.py:221-232``), K7 multi-row VALUES batching
 (``agency.py:35-37``), and the T7 empty-batch short-circuit.
 
-Dialect note (documented in MIGRATION.md): DuckDB supports neither
-expression unique indexes (``COALESCE(tag,'')``) nor generated columns
-as conflict targets, so the NULL-tolerant key family
-(``sql/create_tables.sql:62-63,85-86``) stays Postgres-specific; its
-statement TEXT is pinned by test_keyed_write.py and its merge
-SEMANTICS are covered end-to-end by ParquetUpsertTable(null_safe=True).
+Dialect note (documented in MIGRATION.md): DuckDB accepts an
+expression unique INDEX (``COALESCE(tag,'')``) but cannot NAME that
+expression in a conflict target; a targetless ``ON CONFLICT DO
+UPDATE`` (``omit_conflict_target=True``) matches it instead, so the
+NULL-tolerant K3/K4 family now executes against a real store here too.
+The Postgres deployment keeps the explicit COALESCE target (Postgres
+allows targetless only for DO NOTHING); that statement TEXT is pinned
+by test_keyed_write.py.
 
 The writes run through ``foreachPartition`` on executor Python
 workers; DuckDB allows one writing process per database file, so the
@@ -44,6 +46,16 @@ def db_path(tmp_path):
              service_id TEXT NOT NULL, stop_id TEXT, stop_order INTEGER,
              UNIQUE (service_id, stop_order),
              CHECK (stop_order > 0))"""
+    )
+    # The reference's NULL-tolerant unique index, verbatim
+    # (sql/create_tables.sql:62-63): NULL tag collides with NULL tag.
+    con.sql(
+        """CREATE TABLE service (
+             service_id TEXT, route_id TEXT NOT NULL, tag TEXT, name TEXT)"""
+    )
+    con.sql(
+        "CREATE UNIQUE INDEX service_key ON service "
+        "(route_id, COALESCE(tag, ''))"
     )
     con.close()
     return path
@@ -127,6 +139,61 @@ def test_within_batch_dedup_and_multirow_values(spark, db_path):
     n = con.sql("SELECT count(*) FROM route").fetchone()[0]
     con.close()
     assert n == 2  # dup key collapsed in-batch
+
+
+def _services(spark, rows):
+    return spark.createDataFrame(
+        rows, "service_id string, route_id string, tag string, name string"
+    ).coalesce(1)
+
+
+def test_null_tolerant_key_do_update(spark, db_path):
+    """K3 (agency.py:96-109) against a REAL expression unique index:
+    the NULL-tag sentinel row upserts (NULL collides with NULL), it
+    does not duplicate, and the first surrogate id survives."""
+    write = _writer(
+        "service", ["route_id", "tag"], db_path, update_cols=["name"],
+        omit_conflict_target=True,
+    )
+    write(_services(spark, [("s-old", "r1", None, "No service")]), 0)
+    write(
+        _services(
+            spark,
+            [("s-new", "r1", None, "No service v2"),
+             ("s-x", "r1", "38R", "named")],
+        ),
+        1,
+    )
+    con = duckdb.connect(db_path)
+    rows = con.sql(
+        "SELECT service_id, route_id, tag, name FROM service ORDER BY 1"
+    ).fetchall()
+    con.close()
+    assert rows == [
+        ("s-old", "r1", None, "No service v2"),
+        ("s-x", "r1", "38R", "named"),
+    ]
+
+
+def test_null_tolerant_key_within_batch_dedup_k4(spark, db_path):
+    """K4: two NULL-key rows in ONE batch collapse before the statement
+    (dropDuplicates groups NULLs together), so the multi-row VALUES
+    never violates the expression index mid-statement."""
+    write = _writer(
+        "service", ["route_id", "tag"], db_path, update_cols=["name"],
+        omit_conflict_target=True,
+    )
+    write(
+        _services(
+            spark,
+            [("s1", "r1", None, "a"), ("s2", "r1", None, "b")],
+        ),
+        0,
+    )
+    con = duckdb.connect(db_path)
+    n = con.sql("SELECT count(*) FROM service").fetchone()[0]
+    con.close()
+    assert n == 1
 
 
 def test_empty_batch_is_noop(spark, db_path):

@@ -145,6 +145,42 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert got == {1: "b", 2: "c", 3: None}  # ties → latest; no match → NULL
 
 
+def test_asof_join_generic_keeps_duplicate_left_rows(spark):
+    """Regression (round-2 verdict "What's wrong" #3): the generic
+    entry point used to window over every left column, silently
+    collapsing byte-identical left rows into one window and dropping
+    all but one. Each physical left row must be enriched independently."""
+    from nextbus2pg_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 100), ("k", 100), ("k", 250)],  # two identical rows
+        "key string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("k", 90, "a"), ("k", 200, "c")], "key string, rts long, val string"
+    )
+    out = asof_join(
+        left, right, left_on="key", right_on="key",
+        left_ts="ts", right_ts="rts", right_cols=["val"],
+    ).collect()
+    assert sorted((r.ts, r.val) for r in out) == [
+        (100, "a"), (100, "a"), (250, "c"),
+    ]
+    # and the by-id delegation path matches the direct formulation
+    left_id = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 100), (3, "k", 250)],
+        "event_id long, key string, ts long",
+    )
+    via_delegate = asof_join(
+        left_id, right, left_on="key", right_on="key",
+        left_ts="ts", right_ts="rts", right_cols=["val"],
+        left_id="event_id",
+    ).collect()
+    assert sorted((r.event_id, r.val) for r in via_delegate) == [
+        (1, "a"), (2, "a"), (3, "c"),
+    ]
+
+
 def test_top1_per_group_deterministic(spark):
     df = spark.createDataFrame(
         [("g", 1, "a"), ("g", 1, "b"), ("h", 2, "c")],

@@ -208,3 +208,19 @@ def test_sliding_window_partial_aggregates(spark):
     carries partials."""
     p = plan_text(q(spark, "q_sliding_window"))
     assert len(re.findall(r"HashAggregate", p)) >= 2, p
+
+
+def test_sessionize_windows_bounded_per_key(spark):
+    """Round-2 verdict next-round #7: every window in q_sessionize must
+    be key-partitioned (a windowspec without partition columns means a
+    single-partition global sort — the 100 TB killer), and the lag +
+    running-sum windows must share ONE user_id shuffle, not stack two."""
+    df = q(spark, "q_sessionize")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs, p
+    for spec in specs:
+        # partition cols precede the ORDER BY entries; a global window
+        # starts straight at an "ASC NULLS" ordering clause.
+        assert spec.split(",")[0].strip().startswith("user_id"), spec
+    assert p.count("Exchange") == 1, p
