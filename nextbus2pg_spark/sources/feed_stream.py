@@ -1,0 +1,178 @@
+"""First-class streaming feed source: a Python Data Source V2
+``MicroBatchStream`` with the reference's per-route incremental-offset
+semantics (closes round-2 "What's missing" #5).
+
+The reference polls ``vehicleLocations&...&t=<last_time_ms>`` per route
+and threads the returned ``<lastTime time=...>`` into the next request
+(``/root/reference/route.py:151-170``), keeping the offsets in an
+in-memory dict (``agency.py:281-301``) that a crash wipes. This source
+expresses exactly that contract as a Spark structured-streaming
+DataSource:
+
+- **Offset** = ``{route_tag: last_time_ms}`` — the reference's
+  ``request_times`` dict, but JSON in the streaming checkpoint, so a
+  restart resumes from the committed offset instead of refetching from
+  the epoch ('0' sentinel, ``route.py:169``).
+- **Micro-batch planning** (driver): ``latestOffset`` lists the spool
+  directory; ``partitions(start, end)`` yields ONE InputPartition per
+  route holding the files in ``(start_ms, end_ms]`` — per-route
+  parallelism, the unit the reference loops over sequentially
+  (``agency.py:286-301``).
+- **Read** (executors): each partition parses only its own documents
+  (ElementTree, same fields as ``route.py:197-204``) and emits raw
+  feed rows; no driver-side row materialization ever happens.
+
+Transport: documents arrive as files ``<route>__<time_ms>.xml`` in the
+``path`` directory (a fetcher daemon owns HTTP, matching the engine's
+"the driver owns fetching" stance — ``sources/feed.py`` module doc).
+Swapping the file listing/read for an HTTP fetch turns this into a
+direct polling source without touching the offset or partition logic.
+On a cluster, ``path`` must be shared storage (the same requirement as
+Spark's built-in file source).
+
+Usage::
+
+    spark.dataSource.register(VehicleFeedDataSource)
+    stream = spark.readStream.format("nextbus_feed").option("path", d).load()
+    # stream has RAW_FEED_SCHEMA; feed it to streaming/ingest.transform_feed
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+#: File name convention: <route_tag>__<time_ms>.xml (double underscore
+#: so route tags containing '_' stay unambiguous).
+_FILE_RE = re.compile(r"^(?P<route>.+)__(?P<ms>\d+)\.xml$")
+
+
+def _scan_spool(path: str) -> dict[str, list[tuple[int, str]]]:
+    """Directory listing → {route: sorted [(time_ms, abspath)]}.
+
+    Driver-side metadata only (names, not contents) — the same cost
+    class as the built-in file source's listing."""
+    out: dict[str, list[tuple[int, str]]] = {}
+    if not os.path.isdir(path):
+        return out
+    for name in os.listdir(path):
+        m = _FILE_RE.match(name)
+        if m:
+            out.setdefault(m.group("route"), []).append(
+                (int(m.group("ms")), os.path.join(path, name))
+            )
+    for files in out.values():
+        files.sort()
+    return out
+
+
+class RouteBatchPartition(InputPartition):
+    """One route's documents for one micro-batch."""
+
+    def __init__(self, route: str, files: list[str]):
+        self.route = route
+        self.files = files
+
+
+def _parse_files(route: str, files: Sequence[str]) -> Iterator[tuple]:
+    """Executor-side parse: XML documents → raw feed tuples
+    (RAW_FEED_SCHEMA order). Mirrors route.py:156-204; one row per
+    <vehicle>, document lastTime stamped onto every row."""
+    from nextbus2pg_spark.sources.feed import rows_from_xml
+
+    for f in files:
+        with open(f, encoding="utf-8") as fh:
+            rows, _last = rows_from_xml(fh.read(), route)
+        yield from rows
+
+
+class VehicleFeedStreamReader(DataSourceStreamReader):
+    """MicroBatchStream with {route: last_time_ms} offsets."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def initialOffset(self) -> dict:
+        # The reference's '0' sentinel (route.py:169) generalized: an
+        # empty dict means "every route starts at 0". Restarts never
+        # come through here — Spark replays the checkpointed offset.
+        return {}
+
+    def latestOffset(self) -> dict:
+        spool = _scan_spool(self.path)
+        return {route: files[-1][0] for route, files in spool.items()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        spool = _scan_spool(self.path)
+        parts = []
+        for route, end_ms in end.items():
+            lo = int(start.get(route, 0))
+            files = [
+                p for ms, p in spool.get(route, []) if lo < ms <= int(end_ms)
+            ]
+            if files:
+                parts.append(RouteBatchPartition(route, files))
+        return parts
+
+    def read(self, partition: RouteBatchPartition) -> Iterator[tuple]:
+        return _parse_files(partition.route, partition.files)
+
+    def commit(self, end: dict) -> None:
+        # Spool retention is the fetcher's concern (files may serve
+        # replay/debugging); offsets in the checkpoint already prevent
+        # reprocessing.
+        pass
+
+
+class VehicleFeedBatchReader(DataSourceReader):
+    """Batch mode: the full spool as one relation (bootstrap reads)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def partitions(self) -> Sequence[InputPartition]:
+        spool = _scan_spool(self.path)
+        return [
+            RouteBatchPartition(route, [p for _, p in files])
+            for route, files in sorted(spool.items())
+        ]
+
+    def read(self, partition: RouteBatchPartition) -> Iterator[tuple]:
+        return _parse_files(partition.route, partition.files)
+
+
+class VehicleFeedDataSource(DataSource):
+    """``spark.read[Stream].format("nextbus_feed").option("path", dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "nextbus_feed"
+
+    def schema(self) -> str:
+        # RAW_FEED_SCHEMA (sources/feed.py) as DDL — duplicated as a
+        # literal because this method must not depend on a live session.
+        return (
+            "route_tag string, dir_tag string, vehicle_id string, "
+            "lon string, lat string, secs_since_report string, "
+            "predictable string, request_time_ms bigint"
+        )
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("nextbus_feed requires .option('path', <dir>)")
+        return path
+
+    def reader(self, schema) -> VehicleFeedBatchReader:
+        return VehicleFeedBatchReader(self._path())
+
+    def streamReader(self, schema) -> VehicleFeedStreamReader:
+        return VehicleFeedStreamReader(self._path())
