@@ -128,6 +128,7 @@ def decontaminate(
     text_col: str,
     ngram: int = 13,
     broadcast_eval: bool = True,
+    doc_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: count, per training document, the
     distinct word ``ngram``-grams it shares with an eval/benchmark
@@ -145,10 +146,21 @@ def decontaminate(
     Output: (id, n_hits) for contaminated documents only — the join
     is the filter; clean documents produce no shingle match and are
     absent (callers left-anti-join to drop flagged docs).
+
+    ``doc_shingles``: a precomputed ``(id, shingle)`` relation for the
+    TRAIN side at the same ``ngram`` — a pipeline that already
+    shingled the corpus (near-dup dedup) shares it here instead of
+    tokenizing twice; it is restricted to ``docs``'s ids with a semi
+    join (the provided relation may cover a superset of ``docs``).
     """
     from nextbus2pg_spark.operators.dedup import word_shingles
 
-    doc_sh = word_shingles(docs, id_col, text_col, n=ngram).distinct()
+    if doc_shingles is not None:
+        doc_sh = doc_shingles.join(
+            docs.select(F.col(id_col).alias("id")), "id", "left_semi"
+        ).distinct()
+    else:
+        doc_sh = word_shingles(docs, id_col, text_col, n=ngram).distinct()
     eval_sh = (
         word_shingles(eval_docs, id_col, text_col, n=ngram)
         .select("shingle")

@@ -261,6 +261,7 @@ def minhash_lsh_pairs(
     materialize_shingles: bool = True,
     materialize: bool = True,
     verify_from_wide: bool = False,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs, wide-form fast path.
 
@@ -294,13 +295,24 @@ def minhash_lsh_pairs(
     memory), where the default only materializes candidate docs' sets
     but pays the extra pass. Same output either way; pick by corpus
     size vs pass cost.
+
+    ``shingles``: a precomputed ``(id, shingle)`` relation (the
+    ``word_shingles`` shape) to use instead of tokenizing ``df`` —
+    pipelines running several shingle consumers over the same corpus
+    (near-dup + decontamination in ``pipelines/curate.py``) tokenize
+    once and share it, instead of each operator re-splitting the text.
     """
     from nextbus2pg_spark.operators.scale import ensure_min_parallelism
 
     # The shingle explode + 8-way md5 signature aggregation inherit the
     # scan's partition count; spread a narrow input across all cores
     # first (no-op when the scan already has enough partitions).
-    sh = word_shingles(ensure_min_parallelism(df), id_col, text_col, n=shingle_n)
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = word_shingles(
+            ensure_min_parallelism(df), id_col, text_col, n=shingle_n
+        )
     if materialize_shingles and materialize and not verify_from_wide:
         # (with verify_from_wide the shingle frame has exactly one
         # consumer — the wide agg — so a checkpoint would be pure cost)

@@ -38,7 +38,11 @@ from nextbus2pg_spark.operators.curation import (
     deterministic_sample,
     pack_sequences,
 )
-from nextbus2pg_spark.operators.dedup import dedup_groups, minhash_lsh_pairs
+from nextbus2pg_spark.operators.dedup import (
+    dedup_groups,
+    minhash_lsh_pairs,
+    word_shingles,
+)
 from nextbus2pg_spark.operators.metrics import observed
 from nextbus2pg_spark.operators.text import quality_features, token_count
 
@@ -92,10 +96,19 @@ def curate_documents(
     cur = cur.join(keepers, id_col, "left_semi")
     cur = checkpointed_count(cur, "exact_dedup")
 
-    # 3. near-dup dedup: banded candidates → verified pairs → clusters
-    pairs = minhash_lsh_pairs(cur, id_col, text_col).where(
-        F.col("jaccard") >= F.lit(near_dup_jaccard)
+    # 3. near-dup dedup: banded candidates → verified pairs → clusters.
+    # Tokenize ONCE: the shingle relation feeds both the minhash stage
+    # and (when the n-grams agree) the decontamination stage below —
+    # at corpus scale the tokenize+explode pass is the dominant map
+    # cost, and sharing it halves it (round-2 verdict next-round #6).
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    shingles = word_shingles(
+        ensure_min_parallelism(cur), id_col, text_col, n=3
     )
+    pairs = minhash_lsh_pairs(
+        cur, id_col, text_col, shingle_n=3, shingles=shingles
+    ).where(F.col("jaccard") >= F.lit(near_dup_jaccard))
     comps = connected_components(pairs)
     cur = dedup_corpus(cur, id_col, comps)
     cur = checkpointed_count(cur, "near_dedup")
@@ -103,7 +116,8 @@ def curate_documents(
     # 4. decontamination: drop docs sharing eval n-grams
     if eval_docs is not None:
         flagged = decontaminate(
-            cur, eval_docs, id_col, text_col, ngram=decontam_ngram
+            cur, eval_docs, id_col, text_col, ngram=decontam_ngram,
+            doc_shingles=shingles if decontam_ngram == 3 else None,
         ).where(F.col("n_hits") > F.lit(decontam_max_hits)).select(
             F.col("id").alias(id_col)
         )
