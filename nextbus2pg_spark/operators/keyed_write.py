@@ -30,21 +30,68 @@ _E_FLAG = "__nb2pg_e"
 _I_FLAG = "__nb2pg_i"
 
 
-def _key_condition(key_cols: Sequence[str], null_safe: bool) -> Column:
+def _string_keys(df: DataFrame, key_cols: Sequence[str]) -> frozenset:
+    from pyspark.sql.types import StringType
+
+    return frozenset(
+        c for c in key_cols if isinstance(df.schema[c].dataType, StringType)
+    )
+
+
+def _key_condition(
+    key_cols: Sequence[str], null_safe: bool, string_keys: frozenset = frozenset()
+) -> Column:
     """Join condition over the business key, optionally NULL-tolerant.
 
     Uses alias-qualified column refs ("e."/"i.") so self-derived
     incoming batches don't trip Spark's ambiguous-self-join detection.
     ``null_safe=True`` mirrors the COALESCE-based unique indexes
-    (``sql/create_tables.sql:63,86``): NULL keys collide with NULL keys.
+    EXACTLY (``sql/create_tables.sql:63,86``): STRING keys compare as
+    ``COALESCE(k, '')``, so NULL collides with NULL *and with the
+    empty string* — the two wire forms of a missing XML attribute land
+    on one row, as they do under the reference's Postgres index. (A
+    bare ``eqNullSafe`` would treat NULL and '' as distinct keys and
+    diverge from the reference on that edge; ``sinks/store.
+    bucket_expr`` already co-locates the two forms in one bucket on
+    the same reasoning.) Non-string keys — where '' does not exist —
+    use plain null-safe equality, preserving native numeric equality
+    (-0.0 == 0.0, NaN != NaN).
     """
     cond = None
     for k in key_cols:
         e, i = F.col(f"e.{k}"), F.col(f"i.{k}")
-        c = e.eqNullSafe(i) if null_safe else (e == i)
+        if null_safe and k in string_keys:
+            c = F.coalesce(e, F.lit("")) == F.coalesce(i, F.lit(""))
+        elif null_safe:
+            c = e.eqNullSafe(i)
+        else:
+            c = e == i
         cond = c if cond is None else (cond & c)
     assert cond is not None, "key_cols must be non-empty"
     return cond
+
+
+def _dedup_on_keys(
+    df: DataFrame, key_cols: Sequence[str], null_safe: bool
+) -> DataFrame:
+    """Within-batch key collapse. ``dropDuplicates`` already groups
+    NULL with NULL; ``null_safe`` additionally folds NULL into ``''``
+    for STRING key columns (the COALESCE unique-index key form,
+    ``sql/create_tables.sql:63``) via throwaway normalized columns, so
+    the dedup grain is exactly the merge-join grain."""
+    strs = _string_keys(df, key_cols) if null_safe else frozenset()
+    if not strs:
+        return df.dropDuplicates(list(key_cols))
+    tmp, grain = [], []
+    for j, k in enumerate(key_cols):
+        if k in strs:
+            t = f"__ks_{j}"
+            df = df.withColumn(t, F.coalesce(F.col(k), F.lit("")))
+            tmp.append(t)
+            grain.append(t)
+        else:
+            grain.append(k)
+    return df.dropDuplicates(grain).drop(*tmp)
 
 
 def upsert_batch(
@@ -64,7 +111,12 @@ def upsert_batch(
     - ``dedup_incoming``: collapse duplicate business keys inside the
       batch first, like ``SELECT DISTINCT ON (...)`` over the VALUES list
       (``agency.py:184``); which duplicate survives is unspecified there
-      and here.
+      and here. With ``null_safe`` the collapse uses the SAME
+      NULL-tolerant key form as the join (NULL collides with ``''``) —
+      otherwise a batch carrying both forms of one key would match a
+      single existing row twice and emit duplicate output rows (the
+      multi-row-VALUES case Postgres rejects outright on the COALESCE
+      index).
     """
     out_cols = existing.columns
     if update_cols is None:
@@ -72,11 +124,15 @@ def upsert_batch(
             c for c in out_cols if c not in key_cols and c in incoming.columns
         ]
     if dedup_incoming:
-        incoming = incoming.dropDuplicates(list(key_cols))
+        incoming = _dedup_on_keys(incoming, key_cols, null_safe)
 
     e = existing.withColumn(_E_FLAG, F.lit(True)).alias("e")
     i = incoming.withColumn(_I_FLAG, F.lit(True)).alias("i")
-    joined = e.join(i, _key_condition(key_cols, null_safe), "full_outer")
+    joined = e.join(
+        i,
+        _key_condition(key_cols, null_safe, _string_keys(existing, key_cols)),
+        "full_outer",
+    )
 
     matched_incoming = F.col(f"i.{_I_FLAG}").isNotNull()
     matched_existing = F.col(f"e.{_E_FLAG}").isNotNull()
@@ -122,12 +178,19 @@ def insert_if_absent(
 
     Existing rows pass through untouched; incoming rows join left-anti
     against existing on the key and only the misses append. Idempotent:
-    re-applying the same batch is a no-op.
+    re-applying the same batch is a no-op. Within-batch dedup uses the
+    same null-safe key form as the join (see ``_dedup_on_keys``).
     """
-    incoming = incoming.dropDuplicates(list(key_cols)).select(existing.columns)
+    incoming = _dedup_on_keys(incoming, key_cols, null_safe).select(
+        existing.columns
+    )
     e = existing.alias("e")
     i = incoming.alias("i")
-    fresh = i.join(e, _key_condition(key_cols, null_safe), "left_anti")
+    fresh = i.join(
+        e,
+        _key_condition(key_cols, null_safe, _string_keys(existing, key_cols)),
+        "left_anti",
+    )
     return existing.unionByName(fresh)
 
 

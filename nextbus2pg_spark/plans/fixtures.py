@@ -442,6 +442,50 @@ def q_event_time_derive(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_feed_transform",
+    oracle="""
+SELECT 'r0' AS route_tag,
+       event_type AS dir_tag,
+       CAST(user_id AS VARCHAR) AS vehicle_tag,
+       CAST(value - 250.0 AS DOUBLE) AS lon,
+       CAST(value / 10.0 AS DOUBLE) AS lat,
+       make_timestamp(
+         CAST(round((epoch_us(ts) // 1000) / 1000.0) AS BIGINT) * 1000000
+         - 30000000
+       ) AS location_timestamp,
+       (event_id % 2 = 0) AS is_predictable
+FROM events
+""",
+)
+def q_feed_transform(spark: SparkSession, sf_dir: str):
+    """The reference's hot-path ingest transform as one checkable
+    relation (``route.py:156-204``): raw wire-format strings → typed
+    vehicle rows. Composes ``events_as_feed`` (the fixture adapter that
+    renders events as raw feed strings) with
+    ``streaming/ingest.transform_feed`` — so the driver hash-checks
+    the exact projection the streaming pipeline runs per micro-batch:
+    string casts, ``predictable == 'true'``, the point struct, and the
+    rounded request-time minus secs_since_report event time. The
+    struct is flattened to (lon, lat) for the column-wise compare."""
+    from nextbus2pg_spark.sources.feed import events_as_feed
+    from nextbus2pg_spark.streaming.ingest import transform_feed
+
+    raw = events_as_feed(load_table(spark, sf_dir, "events"))
+    v = transform_feed(raw)
+    return v.select(
+        "route_tag",
+        "dir_tag",
+        "vehicle_tag",
+        F.col("vehicle_location.lon").alias("lon"),
+        F.col("vehicle_location.lat").alias("lat"),
+        F.col("location_timestamp").cast("timestamp_ntz").alias(
+            "location_timestamp"
+        ),
+        "is_predictable",
+    )
+
+
+@fixture(
     "q_string_format",
     oracle=(
         "SELECT printf('nation-%03d:%s', n_nationkey, n_name) AS tag, "

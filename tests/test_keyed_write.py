@@ -50,6 +50,31 @@ def test_upsert_null_safe_key_k3(spark):
     assert out[0].name == "No service v2"
 
 
+def test_upsert_null_and_empty_string_collide_k3(spark):
+    """The reference's index key is COALESCE(tag, '') — a NULL tag and
+    an '' tag are the SAME key (both wire forms of a missing XML
+    attribute). eqNullSafe alone would treat them as distinct and
+    duplicate the sentinel row."""
+    existing = _routes(spark, [("s-old", "r1", None, "No service")])
+    incoming = _routes(spark, [("s-new", "r1", "", "No service v2")])
+    out = upsert_batch(
+        existing, incoming, key_cols=["agency_id", "tag"],
+        update_cols=["name"], null_safe=True,
+    ).collect()
+    assert len(out) == 1
+    assert out[0].route_id == "s-old" and out[0].name == "No service v2"
+    # and both forms in ONE batch collapse before the merge
+    both = _routes(
+        spark,
+        [("sA", "r1", None, "a"), ("sB", "r1", "", "b")],
+    )
+    out2 = upsert_batch(
+        existing, both, key_cols=["agency_id", "tag"],
+        update_cols=["name"], null_safe=True,
+    ).collect()
+    assert len(out2) == 1 and out2[0].route_id == "s-old"
+
+
 def test_upsert_incoming_null_payload_wins(spark):
     """EXCLUDED.col semantics: a NULL incoming payload overwrites."""
     existing = _routes(spark, [("u1", "a", "t", "has name")])

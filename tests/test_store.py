@@ -194,3 +194,68 @@ def test_vacuum_bounds_generations(spark, tmp_path):
     assert on_disk == live
     assert t.read().count() == 1
     assert t.read().collect()[0].v == 5
+
+
+def test_store_random_sequences_match_dict_model(spark, tmp_path):
+    """Property: any interleaving of upsert / insert_if_absent batches
+    over a bucketed store matches a dict model of the keyed-write
+    algebra: surrogate ids never churn once a key exists, upsert
+    overwrites payloads, insert-if-absent keeps the first, and exactly
+    one row survives per null-safe key. Which of several IN-BATCH
+    colliding rows survives is contractually unspecified
+    (upsert_batch docstring), so the model tracks candidate sets for
+    batch-introduced values. Deterministic seed; adversarial keys
+    include NULL/'' collisions and duplicate in-batch rows."""
+    import random
+
+    rnd = random.Random(7)
+    keyspace = [None, "", "a", "b", "c", "d", "e", "f", "g", "h"]
+    path = str(tmp_path / "t")
+    t = ParquetUpsertTable(
+        spark, path, key_cols=["k"], update_cols=["v"], n_buckets=4
+    )
+    # normalized key -> {"rids": allowed surrogate ids,
+    #                    "vs": allowed payloads}
+    model: dict[str, dict] = {}
+
+    def norm(k):  # null_safe=True: NULL and '' collide
+        return "" if k is None else k
+
+    for step in range(8):
+        rows = [
+            (f"id{step}-{i}", rnd.choice(keyspace), f"v{step}-{i}")
+            for i in range(rnd.randint(1, 6))
+        ]
+        batch = spark.createDataFrame(rows, "rid string, k string, v string")
+        op = rnd.choice(["upsert", "insert_if_absent"])
+        by_key: dict[str, list] = {}
+        for rid, k, v in rows:
+            by_key.setdefault(norm(k), []).append((rid, v))
+        if op == "upsert":
+            t.upsert(batch)
+            for nk, cands in by_key.items():
+                if nk in model:
+                    # key exists: id stable, payload becomes one of
+                    # the batch's candidate values
+                    model[nk]["vs"] = {v for _, v in cands}
+                else:
+                    model[nk] = {
+                        "rids": {r for r, _ in cands},
+                        "vs": {v for _, v in cands},
+                    }
+        else:
+            t.insert_if_absent(batch)
+            for nk, cands in by_key.items():
+                model.setdefault(
+                    nk,
+                    {"rids": {r for r, _ in cands},
+                     "vs": {v for _, v in cands}},
+                )
+
+    out = t.read().collect()
+    got = {norm(r.k): (r.rid, r.v) for r in out}
+    assert len(out) == len(model), "exactly one row per null-safe key"
+    assert set(got) == set(model)
+    for nk, m in model.items():
+        assert got[nk][0] in m["rids"], f"surrogate churned for {nk!r}"
+        assert got[nk][1] in m["vs"], f"payload wrong for {nk!r}"
