@@ -271,3 +271,181 @@ def winsorize(
         out,
         F.least(F.greatest(F.col(metric_col), F.col("__lo")), F.col("__hi")),
     ).drop("__lo", "__hi")
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = ". ",
+    out_col: str | None = None,
+) -> DataFrame:
+    """C4-style line-level dedup: across the whole corpus, each
+    distinct line (here: sentence, split on ``sep``) is kept only in
+    the document where it FIRST occurs (minimum id, then minimum
+    position — a deterministic owner); every other occurrence is
+    dropped and the surviving lines are reassembled in their original
+    order. Documents left with zero lines drop entirely.
+
+    This is the boilerplate-removal step of C4/RefinedWeb-class
+    pipelines (navigation chrome, cookie banners, repeated footers
+    appear in thousands of documents; document-level dedup never sees
+    them).
+
+    Scale shape: explode to (line, id, pos) → one hash aggregation per
+    distinct line computes the owner (min struct — map-side partial)
+    → inner join line-occurrences to owners (equi-join on the line
+    hash; AQE picks the strategy) → re-aggregate surviving lines with
+    ``array_agg sorted by pos``. Two shuffles total (owner agg + the
+    join-back/regroup); nothing global-sorts and no window runs over
+    the corpus.
+
+    Output: ``id_col`` + ``out_col`` (default ``<text_col>``) with the
+    deduped text; join back to the input on ``id_col`` for other
+    columns.
+    """
+    out = out_col or text_col
+    # F.split's pattern is a Java REGEX — \\Q..\\E quotes the separator
+    # so '. ' or ' | ' split literally, not as regex metacharacters.
+    lines = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(
+                F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1)
+            ).alias("__pos", "__line"),
+        )
+        .where(F.col("__line") != "")
+        .withColumn("__h", F.md5(F.col("__line")))
+    )
+    owners = lines.groupBy("__h").agg(
+        F.min(F.struct("__id", "__pos")).alias("__owner")
+    )
+    kept = lines.join(owners, "__h").where(
+        (F.col("__id") == F.col("__owner.__id"))
+        & (F.col("__pos") == F.col("__owner.__pos"))
+    )
+    return (
+        kept.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__line"))
+                    ),
+                    lambda s: s["__line"],
+                ),
+                sep,
+            ).alias(out)
+        )
+        .select(F.col("__id").alias(id_col), out)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    stride: int | None = None,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Split each document's whitespace tokens into fixed-size chunks
+    with optional overlap (``stride`` < ``chunk_tokens``) — the
+    context-window shaping step between curation and training (the
+    per-document sibling of ``pack_sequences``' corpus-level
+    concat-and-chunk).
+
+    Pure per-row array arithmetic (split → sequence of chunk starts →
+    slice + rejoin), exploded JVM-side: ZERO shuffle, fully parallel,
+    and chunk ids are deterministic (position-derived, not zipWithIndex).
+
+    Output: (id, chunk_id, chunk_text, n_tokens); trailing chunks
+    shorter than ``min_tokens`` are dropped (a stride tail that is
+    pure overlap carries no new signal).
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    step = chunk_tokens if stride is None else int(stride)
+    if not 1 <= step <= chunk_tokens:
+        raise ValueError("stride must be in [1, chunk_tokens]")
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n = F.size(words)
+    # chunk starts: 1, 1+step, ... while start <= n (1-based slice)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n, F.lit(1)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / step).cast("bigint").alias("chunk_id"),
+            F.array_join(
+                F.slice(words, s, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                n - s + 1, F.lit(chunk_tokens)
+            ).cast("int").alias("n_tokens"),
+        ),
+    )
+    return (
+        df.select(
+            F.col(id_col), F.explode(chunks).alias("__c")
+        )
+        .select(
+            id_col,
+            F.col("__c.chunk_id").alias("chunk_id"),
+            F.col("__c.chunk_text").alias("chunk_text"),
+            F.col("__c.n_tokens").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") >= F.lit(min_tokens))
+    )
+
+
+def language_balance(
+    df: DataFrame,
+    lang_col: str,
+    key_cols: Sequence[str],
+    temperature: float = 0.7,
+    salt: str = "langbal",
+) -> DataFrame:
+    """Temperature-based language rebalancing (the mC4/ROOTS recipe):
+    target shares ∝ p_lang^T with T in (0, 1] flatten the language
+    distribution — T=1 keeps it unchanged, T→0 approaches uniform.
+
+    Physical selection can only DROP rows (duplication-based
+    up-sampling belongs in the data loader), so the target is reached
+    by down-sampling dominant languages: solving
+    ``p_l · keep_l ∝ p_l^T`` gives ``keep_l ∝ p_l^(T-1)``, normalized
+    so the SMALLEST language keeps 100% — every larger language keeps
+    ``(p_small / p_l)^(1-T)`` of its rows. Selection is the same
+    content-hash filter as ``deterministic_sample`` — reproducible,
+    retry-stable, growth-stable — at 1/10000 granularity.
+
+    Scale shape: one aggregation for language counts (tiny result,
+    broadcast back), then a map-side hash filter; the corpus shuffles
+    zero times.
+    """
+    if not 0 < temperature <= 1:
+        raise ValueError("temperature must be in (0, 1]")
+    counts = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("__n"))
+    total = counts.agg(F.sum("__n").alias("__t"))
+    weights = counts.crossJoin(F.broadcast(total)).select(
+        lang_col,
+        F.pow(F.col("__n") / F.col("__t"), F.lit(temperature - 1.0)).alias(
+            "__w"
+        ),
+    )
+    # T-1 < 0 ⇒ the smallest language has the LARGEST weight; dividing
+    # by the max pins its keep-rate at 1.0 and downsamples the rest.
+    max_w = weights.agg(F.max("__w").alias("__mw"))
+    rates = weights.crossJoin(F.broadcast(max_w)).select(
+        lang_col,
+        F.least(F.lit(1.0), F.col("__w") / F.col("__mw")).alias(
+            "__keep_rate"
+        ),
+    )
+    bucket = hash_bucket(*key_cols, n_buckets=10000, salt=salt)
+    return (
+        df.join(F.broadcast(rates), lang_col)
+        .where(bucket < (F.col("__keep_rate") * 10000).cast("int"))
+        .drop("__keep_rate")
+    )

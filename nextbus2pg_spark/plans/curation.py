@@ -239,3 +239,107 @@ def q_winsorize(spark: SparkSession, sf_dir: str):
     return out.select(
         "event_id", "event_type", F.round("value_w", 4).alias("value_w")
     )
+
+
+@fixture(
+    "q_line_dedup",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, replace(text, ' value ', ' | ') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, replace(text, ' value ', ' | ')
+  FROM documents WHERE doc_id % 10 = 0
+),
+parts AS (
+  SELECT doc_id, string_split(text, ' | ') AS p FROM corpus
+),
+lines AS (
+  SELECT doc_id, i - 1 AS pos, p[i] AS ln
+  FROM parts, unnest(generate_series(1, len(p))) AS t(i)
+  WHERE p[i] <> ''
+),
+o1 AS (SELECT ln, min(doc_id) AS odoc FROM lines GROUP BY ln),
+owners AS (
+  SELECT l.ln, o1.odoc, min(l.pos) AS opos
+  FROM lines l JOIN o1 ON o1.ln = l.ln AND o1.odoc = l.doc_id
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.ln
+  FROM lines l JOIN owners o
+    ON o.ln = l.ln AND o.odoc = l.doc_id AND o.opos = l.pos
+)
+SELECT doc_id, string_agg(ln, ' | ' ORDER BY pos) AS text
+FROM kept GROUP BY doc_id
+""",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str):
+    """C4-style corpus-wide line dedup: each distinct line survives
+    only at its first (min doc_id, min position) occurrence; docs
+    reassemble from their surviving lines. The fixture corpus injects
+    full duplicate docs (id + 1,000,000 for every 10th doc) whose
+    every line is a repeat — they must vanish entirely — and derives
+    line boundaries deterministically (' value ' → ' | ') since the
+    synthetic texts carry no natural punctuation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" value "), F.lit(" | ")).alias("text"),
+    )
+    return cu.line_dedup(corpus, "doc_id", "text", sep=" | ")
+
+
+@fixture(
+    "q_doc_chunks",
+    oracle="""
+SELECT doc_id,
+       CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+       array_to_string(w[s:s+31], ' ') AS chunk_text,
+       CAST(least(len(w) - s + 1, 32) AS INTEGER) AS n_tokens
+FROM (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w), 1), 24)) AS s
+  FROM (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+    FROM documents
+  )
+)
+WHERE least(len(w) - s + 1, 32) >= 8
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str):
+    """Context-window chunking: 32-token chunks every 24 tokens (8-token
+    overlap), dropping sub-8-token tails — per-row array arithmetic,
+    zero shuffle (the per-document sibling of q_pack_sequences)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return cu.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, stride=24, min_tokens=8
+    )
+
+
+@fixture(
+    "q_language_balance",
+    oracle=f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT sum(n) AS t FROM counts),
+w AS (SELECT lang, power(n / t, -0.5) AS w FROM counts, tot),
+mw AS (SELECT max(w) AS mw FROM w),
+rates AS (SELECT lang, least(1.0, w / mw) AS r FROM w, mw)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates USING (lang)
+WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)", "langbal").replace("% 100", "% 10000")}
+      < CAST(floor(r * 10000) AS INTEGER)
+""",
+)
+def q_language_balance(spark: SparkSession, sf_dir: str):
+    """Temperature rebalancing at T=0.5: dominant languages
+    down-sampled toward p^0.5 shares, the smallest kept whole, each
+    keep decision a deterministic content-hash filter (mC4/ROOTS
+    recipe; no RNG, no duplication)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.language_balance(
+        docs, "lang", ["doc_id"], temperature=0.5
+    ).select("doc_id", "lang")

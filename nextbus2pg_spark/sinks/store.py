@@ -186,11 +186,35 @@ class BucketedParquetStore:
     def exists(self) -> bool:
         return bool(self._manifest_gens())
 
+    def generations(self) -> list[int]:
+        """Readable generations, oldest first — the last
+        ``keep_generations`` publishes (older ones are vacuumed)."""
+        return self._manifest_gens()
+
     def current_manifest(self) -> dict:
         gens = self._manifest_gens()
         if not gens:
             raise FileNotFoundError(f"no manifest under {self.path}")
         return self._read_manifest(gens[-1])
+
+    def read_generation(self, gen: int) -> DataFrame:
+        """Time-travel read: the table exactly as generation ``gen``
+        published it (manifests pin immutable files, so this is free —
+        the same mechanism as Delta's VERSION AS OF, bounded by
+        ``keep_generations``)."""
+        if gen not in self._manifest_gens():
+            raise ValueError(
+                f"generation {gen} not retained; have {self._manifest_gens()}"
+            )
+        man = self._read_manifest(gen)
+        dirs = [
+            f"{self.path}/{d}"
+            for dd in man["buckets"].values()
+            for d in dd
+        ]
+        if not dirs:
+            raise FileNotFoundError(f"generation {gen} has no data")
+        return self.spark.read.parquet(*dirs)
 
     def bucket_of(self, df: DataFrame) -> Column:
         return bucket_expr(self.key_cols, self.n_buckets, self.null_safe)

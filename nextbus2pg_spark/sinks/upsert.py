@@ -109,7 +109,16 @@ def jdbc_upsert_writer(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # T7 empty-batch short-circuit (agency.py:303)
             return
-        batch_df = append_dedup(batch_df, list(key_cols))
+        if null_safe_keys or omit_conflict_target:
+            # COALESCE-indexed keys: NULL and '' are ONE key at the
+            # store, so they must collapse within the batch too — a
+            # multi-row VALUES touching that key twice errors on
+            # Postgres ("cannot affect row a second time").
+            from nextbus2pg_spark.operators.keyed_write import _dedup_on_keys
+
+            batch_df = _dedup_on_keys(batch_df, list(key_cols), True)
+        else:
+            batch_df = append_dedup(batch_df, list(key_cols))
         columns = batch_df.columns
         stmt = pg_upsert_statement(
             table, columns, key_cols, update_cols, null_safe_keys, do_nothing,

@@ -109,3 +109,90 @@ def test_quantile_threshold_filter_keeps_top_quartile(spark):
     # exact interpolated P75 of 1..100 is 75.25 -> keep 76..100
     assert scores == [float(s) for s in range(76, 101)]
     assert kept.select("threshold").distinct().collect()[0][0] == 75.25
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from nextbus2pg_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha | beta | gamma"),
+            (2, "beta | delta"),       # beta repeats -> dropped here
+            (3, "alpha | beta"),       # both repeats -> doc vanishes
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in
+           line_dedup(docs, "doc_id", "text", sep=" | ").collect()}
+    assert out == {1: "alpha | beta | gamma", 2: "delta"}
+
+
+def test_line_dedup_duplicate_within_doc_kept_once(spark):
+    from nextbus2pg_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x | x | y")], "doc_id long, text string"
+    )
+    out = line_dedup(docs, "doc_id", "text", sep=" | ").collect()
+    assert out[0].text == "x | y"  # first position owns the line
+
+
+def test_line_dedup_sep_is_literal_not_regex(spark):
+    from nextbus2pg_spark.operators.curation import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a. b"), (2, "ab")], "doc_id long, text string"
+    )
+    # '. ' as a regex would split 'ab' on any-char+space; literal must not
+    out = {r.doc_id: r.text for r in
+           line_dedup(docs, "doc_id", "text", sep=". ").collect()}
+    assert out == {1: "a. b", 2: "ab"}
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from nextbus2pg_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.chunk_id, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(
+            docs, "doc_id", "text", chunk_tokens=4, stride=3
+        ).collect()
+    )
+    # starts at tokens 1,4,7,10 -> sizes 4,4,4,1
+    assert rows == [
+        (0, "w0 w1 w2 w3", 4),
+        (1, "w3 w4 w5 w6", 4),
+        (2, "w6 w7 w8 w9", 4),
+        (3, "w9", 1),
+    ]
+    # min_tokens drops the pure-overlap tail
+    rows2 = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=4, stride=3, min_tokens=2
+    ).count()
+    assert rows2 == 3
+
+
+def test_language_balance_downsamples_majority_only(spark):
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.operators.curation import language_balance
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, "en").otherwise("fr").alias("lang"),
+    )
+    out = language_balance(docs, "lang", ["doc_id"], temperature=0.5)
+    got = {r.lang: r.n for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # fr (smallest) keeps everything; en keeps ~ (p_fr/p_en)^0.5 = 1/3
+    assert got["fr"] == 100
+    assert 250 <= got["en"] <= 350
+    # deterministic: rerun identical
+    again = {r.lang: r.n for r in
+             language_balance(docs, "lang", ["doc_id"], temperature=0.5)
+             .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == again

@@ -202,3 +202,23 @@ def test_empty_batch_is_noop(spark, db_path):
     con = duckdb.connect(db_path)
     assert con.sql("SELECT count(*) FROM route").fetchone()[0] == 0
     con.close()
+
+
+def test_null_and_empty_tag_collapse_within_batch(spark, db_path):
+    """NULL and '' tags are one key under the COALESCE index; both in
+    one batch must collapse before the multi-row VALUES statement
+    (Postgres would raise 'cannot affect row a second time')."""
+    write = _writer(
+        "service", ["route_id", "tag"], db_path, update_cols=["name"],
+        omit_conflict_target=True,
+    )
+    write(
+        _services(
+            spark, [("s1", "r1", None, "a"), ("s2", "r1", "", "b")]
+        ),
+        0,
+    )
+    con = duckdb.connect(db_path)
+    n = con.sql("SELECT count(*) FROM service").fetchone()[0]
+    con.close()
+    assert n == 1

@@ -259,3 +259,22 @@ def test_store_random_sequences_match_dict_model(spark, tmp_path):
     for nk, m in model.items():
         assert got[nk][0] in m["rids"], f"surrogate churned for {nk!r}"
         assert got[nk][1] in m["vs"], f"payload wrong for {nk!r}"
+
+
+def test_time_travel_read_previous_generation(spark, tmp_path):
+    """Manifests pin immutable files, so the previous publish stays
+    readable as-of (Delta VERSION AS OF, bounded by keep_generations)."""
+    path = str(tmp_path / "t")
+    t = ParquetUpsertTable(
+        spark, path, key_cols=["k"], update_cols=["v"], n_buckets=2
+    )
+    t.upsert(spark.createDataFrame([("a", 1), ("b", 1)], "k string, v int"))
+    t.upsert(spark.createDataFrame([("a", 2)], "k string, v int"))
+    gens = t.store.generations()
+    assert len(gens) == 2
+    prev = {r.k: r.v for r in t.store.read_generation(gens[0]).collect()}
+    cur = {r.k: r.v for r in t.store.read_generation(gens[-1]).collect()}
+    assert prev == {"a": 1, "b": 1}
+    assert cur == {"a": 2, "b": 1}
+    with pytest.raises(ValueError, match="not retained"):
+        t.store.read_generation(999)
