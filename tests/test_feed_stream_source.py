@@ -92,3 +92,71 @@ def test_batch_mode_reads_full_spool(spark, tmp_path):
     from nextbus2pg_spark.sources.feed import RAW_FEED_SCHEMA
 
     assert df.schema == RAW_FEED_SCHEMA
+
+
+def test_end_to_end_reference_pipeline_on_dsv2_source(spark, tmp_path):
+    """The whole reference app shape (run.py:29-66) on first-class
+    parts: DSv2 feed source (per-route checkpointed offsets) →
+    transform (route.py:197-204) → service resolution (two-level
+    fallback) → event-grain dedup → append-only keyed store. Second
+    run after new documents ingests ONLY the new batch (incremental)
+    and the store accumulates, like vehicle_location (agency.py:
+    303-322)."""
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.sinks.upsert import ParquetUpsertTable
+    from nextbus2pg_spark.streaming.ingest import DEDUP_KEYS, start_ingest
+
+    spark.dataSource.register(VehicleFeedDataSource)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    _drop(spool, "38R", 1_000_000, "v1")
+    _drop(spool, "38R", 2_000_000, "v1")  # same vehicle, later doc
+    _drop(spool, "J", 1_500_000, "v9")
+
+    dims = spark.createDataFrame(
+        [("d1", "svc-d1")], "tag string, service_id string"
+    )
+    table = ParquetUpsertTable(
+        spark, str(tmp_path / "locations"), key_cols=list(DEDUP_KEYS),
+        n_buckets=4,
+    )
+
+    def sink(batch_df, batch_id):
+        table.append_dedup(batch_df)
+
+    raw = (
+        spark.readStream.format("nextbus_feed").option("path", spool).load()
+    )
+    q = start_ingest(
+        raw,
+        dims_provider=lambda: (dims, dims.limit(0)),
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    first = table.read().collect()
+    # v1 appears twice (two request times -> two location timestamps)
+    assert {(r.vehicle_tag, r.service_id) for r in first} == {
+        ("v1", "svc-d1"), ("v9", "svc-d1")
+    }
+    assert len(first) == 3
+    assert all(r.vehicle_location.lon == -122.4 for r in first)
+
+    # Incremental restart: one new document, one new row.
+    _drop(spool, "J", 3_000_000, "v9")
+    q = start_ingest(
+        raw,
+        dims_provider=lambda: (dims, dims.limit(0)),
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert table.read().count() == 4
+    # event time = request time (rounded s) - secsSinceReport (9s)
+    ts = {
+        r.location_timestamp for r in table.read().collect()
+    }
+    import datetime as dt
+
+    assert dt.datetime(1970, 1, 1, 0, 49, 51) in ts  # 3000s - 9s
