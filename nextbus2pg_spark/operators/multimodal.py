@@ -247,7 +247,15 @@ def perceptual_hash(df: DataFrame, grid: int = 8) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(_hash, schema=PHASH_SCHEMA)
+    # A single-file scan arrives as ONE partition; the Arrow decode
+    # stage would then run on one core (measured: 0.54s of the 1.1s
+    # sf0.1 pipeline on local[32]). Spread first — same rationale as
+    # the shingle stage in operators/dedup.minhash_lsh_pairs.
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    return ensure_min_parallelism(
+        df.select("media_id", "kind", "payload")
+    ).mapInPandas(_hash, schema=PHASH_SCHEMA)
 
 
 def phash_pairs(

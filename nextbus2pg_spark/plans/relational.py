@@ -361,6 +361,61 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                   THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sid
+  FROM flagged
+)
+SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sess GROUP BY user_id, sid
+""",
+)
+def q_session_window(spark: SparkSession, sf_dir: str):
+    """Native ``session_window`` aggregation (30-min gap): Spark fuses
+    per-key session assignment INTO the aggregation — one shuffle on
+    (user, session), no lag/running-sum window pass (the expression
+    form q_sessionize uses). A new session starts when the gap to the
+    previous event is >= the timeout (session end = last event + gap,
+    end-exclusive); the oracle replays exactly that rule with
+    lag + running sum. Streaming gets the same operator with
+    watermark-based state eviction (streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@fixture(
     "q_sliding_window",
     oracle="""
 WITH half AS (
