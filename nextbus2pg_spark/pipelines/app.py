@@ -56,6 +56,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument(
         "--store", required=True, help="dimension-store root directory"
     )
+    p.add_argument(
+        "--spool",
+        help="vehicleLocations spool dir for the nextbus_feed source "
+        "(<route>__<time_ms>.xml documents)",
+    )
+    p.add_argument(
+        "--config",
+        help="config-document snapshot dir (agencyList.xml, "
+        "routeList.xml, routeConfig__<tag>.xml)",
+    )
     return p.parse_args(argv)
 
 
@@ -151,4 +161,127 @@ def run_app(
     )
     if await_seconds is not None:
         query.awaitTermination(await_seconds)
+    return query
+
+
+def _parse_route_list(payload: str):
+    """routeList XML → [(tag, title)] (``agency.py:42-49`` projection)."""
+    import xml.etree.ElementTree as ET
+
+    return [
+        (r.get("tag"), r.get("title"))
+        for r in ET.fromstring(payload).iter("route")
+    ]
+
+
+def _parse_agency_list(payload: str):
+    """agencyList XML → [(tag, title, regionTitle)] (``agency.py:19-23``)."""
+    import xml.etree.ElementTree as ET
+
+    return [
+        (a.get("tag"), a.get("title"), a.get("regionTitle"))
+        for a in ET.fromstring(payload).iter("agency")
+    ]
+
+
+def main(argv: list[str] | None = None, spark=None):
+    """The reference's ``run.py`` as one assembled command:
+
+        python -m nextbus2pg_spark -a sf-muni \\
+            --spool SPOOL --config CONFIG --checkpoint CKPT --store STORE
+
+    - ``--config`` holds the document snapshots a fetcher maintains:
+      ``agencyList.xml``, ``routeList.xml``, ``routeConfig__<tag>.xml``
+      (the engine consumes payloads; HTTP stays outside — the module
+      stance of ``sources/feed.py``).
+    - ``--spool`` is the vehicleLocations spool of the ``nextbus_feed``
+      DSv2 source (``<route>__<time_ms>.xml``); offsets live in the
+      streaming checkpoint.
+    - ``--resttime 0`` runs one availableNow sweep and exits (backfill
+      / test mode); otherwise micro-batches fire every resttime
+      seconds with the daily dimension refresh checked between batches
+      exactly like the reference's per-sweep date check.
+
+    Returns the StreamingQuery (already awaited in ``--resttime 0``
+    mode).
+    """
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.pipelines.dimension_refresh import (
+        DimensionStore,
+        make_agency_table,
+        refresh_agencies,
+        run_refresh,
+    )
+    from nextbus2pg_spark.session import get_spark
+    from nextbus2pg_spark.sinks.upsert import ParquetUpsertTable
+    from nextbus2pg_spark.sources.feed_stream import VehicleFeedDataSource
+    from nextbus2pg_spark.sources.route_config import RouteConfig
+    from nextbus2pg_spark.streaming.ingest import DEDUP_KEYS
+
+    args = parse_args(argv)
+    spark = spark or get_spark(f"nextbus2pg-{args.agency}")
+    spark.dataSource.register(VehicleFeedDataSource)
+
+    def read_config(name: str) -> str:
+        with open(os.path.join(args.config, name), encoding="utf-8") as f:
+            return f.read()
+
+    # Bootstrap (run.py:92): agency upsert once at startup.
+    agency_table = make_agency_table(spark, args.store)
+    agencies = spark.createDataFrame(
+        _parse_agency_list(read_config("agencyList.xml")),
+        "tag string, title string, regionTitle string",
+    )
+    refresh_agencies(agency_table, agencies)
+
+    store = DimensionStore(spark, args.store)
+
+    def refresh() -> None:
+        route_list = spark.createDataFrame(
+            _parse_route_list(read_config("routeList.xml")),
+            "tag string, title string",
+        )
+        cfg = RouteConfig()
+        for path in sorted(
+            _glob.glob(os.path.join(args.config, "routeConfig__*.xml"))
+        ):
+            tag = os.path.basename(path)[len("routeConfig__"):-len(".xml")]
+            with open(path, encoding="utf-8") as f:
+                cfg.add_document(tag, f.read())
+        body_stops, directions, direction_stops = cfg.to_dataframes(spark)
+        run_refresh(
+            store, route_list, body_stops, directions, direction_stops,
+            agency_id=args.agency,
+        )
+
+    scheduler = RefreshScheduler(refresh, tz=args.timezone)
+
+    locations = ParquetUpsertTable(
+        spark, os.path.join(args.store, "vehicle_location"),
+        key_cols=list(DEDUP_KEYS),
+    )
+
+    def dims_provider():
+        svc = store.service.read().select("tag", "service_id")
+        return svc, svc
+
+    raw = (
+        spark.readStream.format("nextbus_feed")
+        .option("path", args.spool)
+        .load()
+    )
+    query = run_app(
+        raw,
+        dims_provider,
+        lambda batch_df, batch_id: locations.append_dedup(batch_df),
+        scheduler,
+        args.checkpoint,
+        resttime_seconds=args.resttime,
+    )
+    if not int(args.resttime):  # availableNow backfill mode
+        query.awaitTermination()
     return query

@@ -119,3 +119,65 @@ def test_run_app_end_to_end(spark, tmp_path):
     )
     assert refreshes == [1]   # bootstrap refresh ran exactly once
     assert landed == [1]      # the micro-batch reached the sink
+
+
+def test_main_cli_end_to_end(spark, tmp_path):
+    """`python -m nextbus2pg_spark` assembly, one availableNow sweep:
+    agency bootstrap + dimension refresh from config-document
+    snapshots + DSv2 spool ingest with service resolution into the
+    vehicle_location store — run.py:35-121 end to end on real parts."""
+    import os
+
+    from nextbus2pg_spark.pipelines.app import main
+    from nextbus2pg_spark.sinks.upsert import ParquetUpsertTable
+    from nextbus2pg_spark.streaming.ingest import DEDUP_KEYS
+
+    config = tmp_path / "config"
+    spool = tmp_path / "spool"
+    os.makedirs(config)
+    os.makedirs(spool)
+    (config / "agencyList.xml").write_text(
+        '<body><agency tag="sf-muni" title="SF Muni" '
+        'regionTitle="California"/></body>'
+    )
+    (config / "routeList.xml").write_text(
+        '<body><route tag="38R" title="38R Geary Rapid"/></body>'
+    )
+    (config / "routeConfig__38R.xml").write_text(
+        """<body><route tag="38R">
+             <stop tag="s1" title="First St" lon="-122.4" lat="37.7"/>
+             <direction tag="d1" title="Outbound" name="Outbound"
+                        useForUI="true">
+               <stop tag="s1"/>
+             </direction>
+           </route></body>"""
+    )
+    (spool / "38R__1000000.xml").write_text(
+        '<body><vehicle id="v1" dirTag="d1" lon="-122.41" lat="37.71" '
+        'secsSinceReport="9" predictable="true"/>'
+        '<lastTime time="1000000"/></body>'
+    )
+    main(
+        [
+            "-a", "sf-muni", "-r", "0",
+            "--spool", str(spool),
+            "--config", str(config),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--store", str(tmp_path / "store"),
+        ],
+        spark=spark,
+    )
+    locations = ParquetUpsertTable(
+        spark, str(tmp_path / "store" / "vehicle_location"),
+        key_cols=list(DEDUP_KEYS),
+    )
+    rows = locations.read().collect()
+    assert len(rows) == 1
+    assert rows[0].vehicle_tag == "v1"
+    assert rows[0].service_id is not None  # resolved via the d1 service
+    agency = spark.read.parquet(
+        *[str(p) for p in
+          (tmp_path / "store" / "agency" / "data").glob("g*/__bucket=*")]
+    ).collect()
+    assert agency[0].agency_id == "sf-muni"
+    assert agency[0].region == "California"
