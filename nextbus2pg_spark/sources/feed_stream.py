@@ -82,23 +82,42 @@ class RouteBatchPartition(InputPartition):
         self.files = files
 
 
-def _parse_files(route: str, files: Sequence[str]) -> Iterator[tuple]:
+def _parse_files(
+    route: str, files: Sequence[str], mode: str = "failfast"
+) -> Iterator[tuple]:
     """Executor-side parse: XML documents → raw feed tuples
     (RAW_FEED_SCHEMA order). Mirrors route.py:156-204; one row per
-    <vehicle>, document lastTime stamped onto every row."""
+    <vehicle>, document lastTime stamped onto every row.
+
+    ``mode="permissive"`` skips documents that fail to parse (the
+    fetcher may capture a truncated response mid-write) instead of
+    failing the task; the skip is logged executor-side. Default
+    ``failfast`` surfaces the error — silent data loss must be opted
+    into, per the engine's quarantine stance (``sources/files.py``)."""
+    import logging
+
     from nextbus2pg_spark.sources.feed import rows_from_xml
 
     for f in files:
-        with open(f, encoding="utf-8") as fh:
-            rows, _last = rows_from_xml(fh.read(), route)
+        try:
+            with open(f, encoding="utf-8") as fh:
+                rows, _last = rows_from_xml(fh.read(), route)
+        except Exception:
+            if mode != "permissive":
+                raise
+            logging.getLogger(__name__).warning(
+                "nextbus_feed: skipping unparseable document %s", f
+            )
+            continue
         yield from rows
 
 
 class VehicleFeedStreamReader(DataSourceStreamReader):
     """MicroBatchStream with {route: last_time_ms} offsets."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, mode: str = "failfast"):
         self.path = path
+        self.mode = mode
 
     def initialOffset(self) -> dict:
         # The reference's '0' sentinel (route.py:169) generalized: an
@@ -123,7 +142,7 @@ class VehicleFeedStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: RouteBatchPartition) -> Iterator[tuple]:
-        return _parse_files(partition.route, partition.files)
+        return _parse_files(partition.route, partition.files, self.mode)
 
     def commit(self, end: dict) -> None:
         # Spool retention is the fetcher's concern (files may serve
@@ -135,8 +154,9 @@ class VehicleFeedStreamReader(DataSourceStreamReader):
 class VehicleFeedBatchReader(DataSourceReader):
     """Batch mode: the full spool as one relation (bootstrap reads)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, mode: str = "failfast"):
         self.path = path
+        self.mode = mode
 
     def partitions(self) -> Sequence[InputPartition]:
         spool = _scan_spool(self.path)
@@ -146,7 +166,7 @@ class VehicleFeedBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: RouteBatchPartition) -> Iterator[tuple]:
-        return _parse_files(partition.route, partition.files)
+        return _parse_files(partition.route, partition.files, self.mode)
 
 
 class VehicleFeedDataSource(DataSource):
@@ -171,8 +191,14 @@ class VehicleFeedDataSource(DataSource):
             raise ValueError("nextbus_feed requires .option('path', <dir>)")
         return path
 
+    def _mode(self) -> str:
+        mode = self.options.get("mode", "failfast").lower()
+        if mode not in ("failfast", "permissive"):
+            raise ValueError(f"nextbus_feed: unknown mode {mode!r}")
+        return mode
+
     def reader(self, schema) -> VehicleFeedBatchReader:
-        return VehicleFeedBatchReader(self._path())
+        return VehicleFeedBatchReader(self._path(), self._mode())
 
     def streamReader(self, schema) -> VehicleFeedStreamReader:
-        return VehicleFeedStreamReader(self._path())
+        return VehicleFeedStreamReader(self._path(), self._mode())

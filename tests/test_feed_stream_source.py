@@ -160,3 +160,26 @@ def test_end_to_end_reference_pipeline_on_dsv2_source(spark, tmp_path):
     import datetime as dt
 
     assert dt.datetime(1970, 1, 1, 0, 49, 51) in ts  # 3000s - 9s
+
+
+def test_permissive_mode_skips_corrupt_documents(spark, tmp_path):
+    import pytest
+
+    spark.dataSource.register(VehicleFeedDataSource)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    _drop(spool, "38R", 1000, "v1")
+    with open(os.path.join(spool, "38R__2000.xml"), "w") as f:
+        f.write("<body><vehicle id='truncated")  # mid-write capture
+    # default failfast surfaces the parse error
+    with pytest.raises(Exception):
+        (
+            spark.read.format("nextbus_feed").option("path", spool)
+            .load().collect()
+        )
+    # permissive skips the bad document, keeps the good one
+    rows = (
+        spark.read.format("nextbus_feed").option("path", spool)
+        .option("mode", "permissive").load().collect()
+    )
+    assert [(r.vehicle_id, r.request_time_ms) for r in rows] == [("v1", 1000)]
