@@ -224,3 +224,30 @@ def test_sessionize_windows_bounded_per_key(spark):
         # starts straight at an "ASC NULLS" ordering clause.
         assert spec.split(",")[0].strip().startswith("user_id"), spec
     assert p.count("Exchange") == 1, p
+
+
+def test_doc_chunks_is_shuffle_free(spark):
+    """chunk_documents is pure per-row array arithmetic — the plan must
+    carry ZERO Exchange operators (fully parallel, no data movement)."""
+    p = plan_text(q(spark, "q_doc_chunks"))
+    assert "Exchange" not in p, p
+    assert "Window" not in p, p
+
+
+def test_language_balance_corpus_joins_broadcast(spark):
+    """The corpus side of language_balance only ever meets the tiny
+    per-language rate relation via broadcast — no SortMergeJoin (a
+    corpus shuffle for a <100-row dimension) can appear."""
+    p = plan_text(q(spark, "q_language_balance"))
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_line_dedup_no_window_no_cartesian(spark):
+    """line_dedup's owner selection is a min-struct aggregation and an
+    equi-join back — never a ranking window over the exploded corpus
+    and never a cartesian product."""
+    p = plan_text(q(spark, "q_line_dedup"))
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
