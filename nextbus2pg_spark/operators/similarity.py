@@ -470,3 +470,267 @@ def cosine_topk_vectorized(
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression leg)
+# ---------------------------------------------------------------------------
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two equal-length arrays (JVM fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _unit(df: DataFrame, vec_col: str) -> DataFrame:
+    """Replace ``vec_col`` with its unit-normalized double form (so a
+    subvector dot-product sum reconstructs COSINE similarity)."""
+    withn = with_norm(
+        df.withColumn(
+            vec_col, F.transform(vec_col, lambda x: x.cast("double"))
+        ),
+        vec_col,
+        "__n",
+    )
+    return withn.withColumn(
+        vec_col,
+        F.transform(vec_col, lambda x: x / F.col("__n")),
+    ).drop("__n")
+
+
+def _sub_slices(vec_col: str, m: int, subdim: int):
+    """Array of (sub, slice) structs — one per subspace."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Train a product-quantization codebook → (sub, code_id, c_vec).
+
+    Vectors are unit-normalized, split into ``m`` contiguous
+    subvectors, and each subspace gets its own ``n_codes``-centroid
+    L2 k-means (deterministic first-N seeding + Lloyd refinement —
+    the same distributed step as ``kmeans_centroids``, in the metric
+    PQ reconstruction needs). The codebook is tiny (m × n_codes ×
+    subdim doubles) and broadcasts everywhere downstream.
+
+    Training loops over subspaces on the driver (m is a small
+    constant); each subspace's Lloyd steps are distributed. Dimension
+    is probed from one row (driver action, training-time only).
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    subdim = dim // m
+    unit = _unit(corpus.select(id_col, vec_col), vec_col)
+    books = []
+    for s in range(m):
+        sub = unit.select(
+            F.col(id_col),
+            F.slice(vec_col, s * subdim + 1, subdim).alias("__sv"),
+        )
+        cents = _pq_lloyd(sub, id_col, "__sv", n_codes, n_iters)
+        books.append(
+            cents.select(
+                F.lit(s).alias("sub"),
+                F.col("centroid_id").alias("code_id"),
+                "c_vec",
+            )
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out.localCheckpoint(eager=True)
+
+
+def _pq_lloyd(
+    sub: DataFrame, id_col: str, vec_col: str, n_codes: int, n_iters: int
+) -> DataFrame:
+    """L2 Lloyd iterations on one subspace (seed = first-N by id)."""
+    cents = (
+        sub.orderBy(F.col(id_col).asc())
+        .limit(n_codes)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col(id_col).asc()))
+            .alias("centroid_id"),
+            F.col(vec_col).alias("c_vec"),
+        )
+    )
+    for _ in range(n_iters):
+        assigned = _l2_assign(sub, id_col, vec_col, cents)
+        means = (
+            assigned.join(
+                sub.select(
+                    F.col(id_col).alias("id"), F.col(vec_col).alias("__vec")
+                ),
+                "id",
+            )
+            .select("centroid_id", F.posexplode("__vec").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("mval"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias(
+                    "srt"
+                )
+            )
+            .select(
+                "centroid_id",
+                F.transform("srt", lambda x: x["mval"]).alias("new_vec"),
+            )
+        )
+        cents = (
+            cents.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id", F.coalesce("new_vec", "c_vec").alias("c_vec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def _l2_assign(
+    sub: DataFrame, id_col: str, vec_col: str, cents: DataFrame
+) -> DataFrame:
+    """Nearest centroid per row by squared L2 (centroids broadcast;
+    the data side never shuffles) → (id, centroid_id)."""
+    scored = (
+        sub.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "id",
+            "centroid_id",
+            _l2sq(F.col("__v"), F.col("c_vec")).alias("__d"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.min_by(
+            F.col("centroid_id"), F.struct(F.col("__d"), F.col("centroid_id"))
+        ).alias("centroid_id")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame, codebook: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Encode each vector as ``m`` code ids → (id, codes array<int>).
+
+    The 100 TB point of PQ: after this one pass the corpus's search
+    representation is m small ints per row (64-dim float64 → 8 bytes at
+    the defaults, 64× smaller), so the ANN scan reads codes, never
+    vectors. Shape: explode to (id, sub, subvector) — constant ×m on a
+    projected frame — join the BROADCAST codebook per subspace, pick
+    the nearest code with one min_by aggregation, reassemble the code
+    array with a second (codes are tiny). The corpus itself never
+    shuffles; only (id, codes) rows do.
+    """
+    m = codebook.select(F.max("sub")).first()[0] + 1
+    subdim = len(codebook.select("c_vec").first()[0])
+    unit = _unit(corpus.select(id_col, vec_col), vec_col)
+    exploded = unit.select(
+        F.col(id_col).alias("id"),
+        F.explode(_sub_slices(vec_col, m, subdim)).alias("__s"),
+    ).select("id", F.col("__s.sub").alias("sub"), F.col("__s.sv").alias("sv"))
+    scored = exploded.join(F.broadcast(codebook), "sub").select(
+        "id",
+        "sub",
+        "code_id",
+        _l2sq(F.col("sv"), F.col("c_vec")).alias("__d"),
+    )
+    best = scored.groupBy("id", "sub").agg(
+        F.min_by(F.col("code_id"), F.struct(F.col("__d"), F.col("code_id"))).alias(
+            "code_id"
+        )
+    )
+    return (
+        best.groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sub", "code_id"))).alias(
+                "__sc"
+            )
+        )
+        .select(
+            F.col("id"),
+            F.transform("__sc", lambda x: x["code_id"]).alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: approximate cosine from codes.
+
+    Unit-normalized vectors make cosine decompose over subvectors:
+    ``cos(q, x) = Σ_s dot(q_s, x_s) ≈ Σ_s LUT[s, code(x, s)]`` where
+    ``LUT[s, c] = dot(q_s, codebook[s, c])``. The LUT relation is
+    queries × m × n_codes rows — bounded, broadcast — so the scan side
+    touches ONLY the (id, sub, code) explosion of the code table:
+    per-candidate cost is m lookup-adds, no vector math, no corpus
+    vectors read. Compose with ``ivf_assign`` bucketing to prune the
+    candidate set at real scale (IVF-PQ).
+
+    Output: (query_id, match_id, sim, rank) — same contract as
+    ``cosine_topk`` but sim is the ADC approximation.
+    """
+    m = codebook.select(F.max("sub")).first()[0] + 1
+    subdim = len(codebook.select("c_vec").first()[0])
+    q = _unit(
+        queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col
+    )
+    q_subs = q.select(
+        "query_id", F.explode(_sub_slices(vec_col, m, subdim)).alias("__s")
+    ).select(
+        "query_id", F.col("__s.sub").alias("sub"), F.col("__s.sv").alias("qv")
+    )
+    lut = q_subs.join(F.broadcast(codebook), "sub").select(
+        "query_id",
+        "sub",
+        "code_id",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("c_vec"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("part"),
+    )
+    cand = codes.select(
+        F.col("id").alias("match_id"),
+        F.posexplode("codes").alias("sub", "code_id"),
+    )
+    scored = (
+        cand.join(F.broadcast(lut), ["sub", "code_id"])
+        .groupBy("query_id", "match_id")
+        .agg(F.round(F.sum("part"), 6).alias("sim"))
+        .where(F.col("query_id") != F.col("match_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "sim", "rank")
+    )

@@ -1161,3 +1161,23 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str):
         decontam_ngram=3, pack_budget=2048,
     )
     return out.select("doc_id", "lang", "chunk_id", "start_offset")
+
+
+@fixture("q_pq_topk", rows_only=True)  # approximate by construction
+def q_pq_topk(spark: SparkSession, sf_dir: str):
+    """Product-quantization ANN (the IVF-PQ compression leg): train a
+    per-subspace L2 codebook, encode the corpus as 32 small ints per
+    vector (the query-time scan never reads corpus vectors), score by
+    ADC lookup-table sums reconstructing cosine. recall@5 = 0.80 pinned
+    >= 0.7 at these settings (tests/test_ann_recall.py)."""
+    from nextbus2pg_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    book = pq_train(emb, "vec_id", "embedding", m=32, n_codes=32, n_iters=2)
+    codes = pq_encode(emb, book, "vec_id", "embedding")
+    return pq_topk(codes, book, queries, "vec_id", "embedding", k=5)

@@ -13,6 +13,7 @@ Measured at sf0.01 (500 vectors × 64 dims, 10 queries, k=5):
 | LSH   | n_bits=4, 4 tables   | 0.98     |
 | IVF   | 16 cent, nprobe=4    | 0.46     |
 | IVF   | +3 Lloyd, nprobe=8   | 0.84     |
+| PQ    | m=32, 32 codes       | 0.80     |
 
 The fixture embeddings are near-uniform (synthetic), so IVF recall
 tracks the searched fraction (nprobe/n_centroids); on clustered
@@ -30,6 +31,9 @@ from nextbus2pg_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
     lsh_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
     recall_at_k,
 )
 from tests.conftest import SF_DIR
@@ -99,3 +103,31 @@ def test_ivf_full_probe_is_exact(spark, ann_frames):
         emb, queries, "vec_id", "embedding", k=K, n_centroids=8, nprobe=8
     )
     assert recall_at_k(exact, full) == 1.0
+
+
+def test_pq_topk_recall_floor(spark, ann_frames):
+    """The shipped q_pq_topk settings (m=32 subvectors, 32 codes,
+    2 Lloyd iterations) must keep recall@5 >= 0.7 while scanning ONLY
+    the 32-int code per candidate (no corpus vectors at query time) —
+    measured 0.80 on the near-uniform fixture embeddings, a worst case
+    for quantization; clustered real embeddings recall higher."""
+    emb, queries, exact = ann_frames
+    book = pq_train(emb, "vec_id", "embedding", m=32, n_codes=32, n_iters=2)
+    codes = pq_encode(emb, book, "vec_id", "embedding")
+    approx = pq_topk(codes, book, queries, "vec_id", "embedding", k=K)
+    assert recall_at_k(exact, approx) >= 0.7
+
+
+def test_pq_encode_deterministic(spark, ann_frames):
+    """Training + encoding are RNG-free: two independent runs produce
+    byte-identical codebooks and codes (retry/rerun stability)."""
+    emb, _, _ = ann_frames
+    small = emb.where(F.col("vec_id") < 100)
+    a_book = pq_train(small, "vec_id", "embedding", m=8, n_codes=8, n_iters=1)
+    b_book = pq_train(small, "vec_id", "embedding", m=8, n_codes=8, n_iters=1)
+    assert sorted(map(tuple, a_book.collect())) == sorted(
+        map(tuple, b_book.collect())
+    )
+    a = pq_encode(small, a_book, "vec_id", "embedding")
+    b = pq_encode(small, b_book, "vec_id", "embedding")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
