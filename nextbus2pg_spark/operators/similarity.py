@@ -734,3 +734,88 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "sim", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    m: int = 32,
+    n_codes: int = 32,
+    kmeans_iters: int = 3,
+    pq_iters: int = 2,
+) -> DataFrame:
+    """IVF-PQ: the composed 100 TB ANN shape — coarse centroids prune
+    the candidate set (each query scans only its ``nprobe`` buckets)
+    and product-quantization codes make the per-candidate cost m
+    lookup-adds with NO corpus-vector reads at query time.
+
+    Index side (run once, reuse): coarse Lloyd centroids
+    (``kmeans_centroids``), one bucket id per vector (``ivf_assign``
+    nprobe=1), PQ codebook + codes (``pq_train``/``pq_encode``).
+    Query side: probe ``nprobe`` buckets, equi-join bucket members'
+    CODES (never vectors), ADC-score, top-k. Every join is either
+    broadcast (centroids, codebook, LUT, probes) or an equi-join on
+    the bucket id — no cross join anywhere.
+
+    Output: (query_id, match_id, sim, rank) — ``cosine_topk``'s
+    contract with ADC-approximate sim.
+    """
+    cents = kmeans_centroids(
+        corpus, id_col, vec_col, n_centroids=n_centroids,
+        n_iters=kmeans_iters,
+    )
+    buckets = ivf_assign(corpus, id_col, vec_col, cents, nprobe=1)
+    book = pq_train(
+        corpus, id_col, vec_col, m=m, n_codes=n_codes, n_iters=pq_iters
+    )
+    codes = pq_encode(corpus, book, id_col, vec_col).join(buckets, "id")
+
+    subdim = len(book.select("c_vec").first()[0])
+    q = _unit(
+        queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col
+    )
+    probes = ivf_assign(
+        queries, id_col, vec_col, cents, nprobe=nprobe
+    ).select(F.col("id").alias("query_id"), "centroid_id")
+    q_subs = q.select(
+        "query_id", F.explode(_sub_slices(vec_col, m, subdim)).alias("__s")
+    ).select(
+        "query_id", F.col("__s.sub").alias("sub"), F.col("__s.sv").alias("qv")
+    )
+    lut = q_subs.join(F.broadcast(book), "sub").select(
+        "query_id",
+        "sub",
+        "code_id",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("c_vec"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("part"),
+    )
+    cand = (
+        codes.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("match_id"),
+            F.posexplode("codes").alias("sub", "code_id"),
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(lut), ["query_id", "sub", "code_id"])
+        .groupBy("query_id", "match_id")
+        .agg(F.round(F.sum("part"), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "sim", "rank")
+    )

@@ -1181,3 +1181,18 @@ def q_pq_topk(spark: SparkSession, sf_dir: str):
     book = pq_train(emb, "vec_id", "embedding", m=32, n_codes=32, n_iters=2)
     codes = pq_encode(emb, book, "vec_id", "embedding")
     return pq_topk(codes, book, queries, "vec_id", "embedding", k=5)
+
+
+@fixture("q_ivfpq_topk", rows_only=True)  # approximate by construction
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str):
+    """IVF-PQ composed ANN: coarse-centroid pruning (each query scans
+    nprobe of 16 buckets) x PQ ADC scoring (m lookup-adds per
+    candidate, no corpus-vector reads). recall@5 = 0.72 pinned >= 0.6
+    (tests/test_ann_recall.py) — the full 100 TB shape where neither
+    the candidate set nor the per-candidate cost grows with corpus
+    size."""
+    from nextbus2pg_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return ivfpq_topk(emb, queries, "vec_id", "embedding", k=5)

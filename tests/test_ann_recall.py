@@ -131,3 +131,15 @@ def test_pq_encode_deterministic(spark, ann_frames):
     a = pq_encode(small, a_book, "vec_id", "embedding")
     b = pq_encode(small, b_book, "vec_id", "embedding")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivfpq_topk_recall_floor(spark, ann_frames):
+    """The composed 100 TB shape (coarse IVF pruning x PQ code-only
+    scoring) compounds both error sources; measured 0.72 at the
+    shipped settings, pinned >= 0.6. Bucket-pruned candidates ADC-score
+    without reading any corpus vector at query time."""
+    from nextbus2pg_spark.operators.similarity import ivfpq_topk
+
+    emb, queries, exact = ann_frames
+    approx = ivfpq_topk(emb, queries, "vec_id", "embedding", k=K)
+    assert recall_at_k(exact, approx) >= 0.6
