@@ -526,106 +526,77 @@ def pq_train(
 
     Vectors are unit-normalized, split into ``m`` contiguous
     subvectors, and each subspace gets its own ``n_codes``-centroid
-    L2 k-means (deterministic first-N seeding + Lloyd refinement —
-    the same distributed step as ``kmeans_centroids``, in the metric
-    PQ reconstruction needs). The codebook is tiny (m × n_codes ×
-    subdim doubles) and broadcasts everywhere downstream.
-
-    Training loops over subspaces on the driver (m is a small
-    constant); each subspace's Lloyd steps are distributed. Dimension
-    is probed from one row (driver action, training-time only).
+    L2 k-means (deterministic first-N seeding + Lloyd refinement, in
+    the metric PQ reconstruction needs). ALL subspaces train in one
+    fused loop — centroids are keyed by (sub, code_id), assignment is
+    one broadcast join, means one grouped aggregation — so the job
+    count is O(n_iters), not O(m × n_iters), and the corpus-side work
+    per iteration is a single pass over the exploded (id, sub,
+    subvector) relation. The codebook is tiny (m × n_codes × subdim
+    doubles) and broadcasts everywhere downstream. Dimension is probed
+    from one row (driver action, training-time only).
     """
     dim = len(corpus.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     subdim = dim // m
     unit = _unit(corpus.select(id_col, vec_col), vec_col)
-    books = []
-    for s in range(m):
-        sub = unit.select(
-            F.col(id_col),
-            F.slice(vec_col, s * subdim + 1, subdim).alias("__sv"),
-        )
-        cents = _pq_lloyd(sub, id_col, "__sv", n_codes, n_iters)
-        books.append(
-            cents.select(
-                F.lit(s).alias("sub"),
-                F.col("centroid_id").alias("code_id"),
-                "c_vec",
-            )
-        )
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionByName(b)
-    return out.localCheckpoint(eager=True)
+    sub_rows = unit.select(
+        F.col(id_col).alias("id"),
+        F.explode(_sub_slices(vec_col, m, subdim)).alias("__s"),
+    ).select("id", F.col("__s.sub").alias("sub"), F.col("__s.sv").alias("sv"))
 
-
-def _pq_lloyd(
-    sub: DataFrame, id_col: str, vec_col: str, n_codes: int, n_iters: int
-) -> DataFrame:
-    """L2 Lloyd iterations on one subspace (seed = first-N by id)."""
+    # Seed: first n_codes vectors by id, per subspace (deterministic).
+    w_seed = Window.partitionBy("sub").orderBy(F.col("id").asc())
     cents = (
-        sub.orderBy(F.col(id_col).asc())
-        .limit(n_codes)
+        sub_rows.withColumn("__rn", F.row_number().over(w_seed))
+        .where(F.col("__rn") <= n_codes)
         .select(
-            F.row_number()
-            .over(Window.orderBy(F.col(id_col).asc()))
-            .alias("centroid_id"),
-            F.col(vec_col).alias("c_vec"),
+            "sub", F.col("__rn").alias("code_id"), F.col("sv").alias("c_vec")
         )
     )
     for _ in range(n_iters):
-        assigned = _l2_assign(sub, id_col, vec_col, cents)
+        scored = sub_rows.join(F.broadcast(cents), "sub").select(
+            "id",
+            "sub",
+            "code_id",
+            _l2sq(F.col("sv"), F.col("c_vec")).alias("__d"),
+        )
+        assigned = scored.groupBy("id", "sub").agg(
+            F.min_by(
+                F.col("code_id"),
+                F.struct(F.col("__d"), F.col("code_id")),
+            ).alias("code_id")
+        )
         means = (
-            assigned.join(
-                sub.select(
-                    F.col(id_col).alias("id"), F.col(vec_col).alias("__vec")
-                ),
-                "id",
-            )
-            .select("centroid_id", F.posexplode("__vec").alias("pos", "val"))
-            .groupBy("centroid_id", "pos")
+            assigned.join(sub_rows, ["id", "sub"])
+            .select("sub", "code_id", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub", "code_id", "pos")
             .agg(F.avg("val").alias("mval"))
-            .groupBy("centroid_id")
+            .groupBy("sub", "code_id")
             .agg(
                 F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias(
                     "srt"
                 )
             )
             .select(
-                "centroid_id",
+                "sub",
+                "code_id",
                 F.transform("srt", lambda x: x["mval"]).alias("new_vec"),
             )
         )
+        # A code that loses all members keeps its previous vector so
+        # the codebook shape is stable.
         cents = (
-            cents.join(means, "centroid_id", "left")
+            cents.join(means, ["sub", "code_id"], "left")
             .select(
-                "centroid_id", F.coalesce("new_vec", "c_vec").alias("c_vec")
+                "sub",
+                "code_id",
+                F.coalesce("new_vec", "c_vec").alias("c_vec"),
             )
             .localCheckpoint(eager=True)
         )
     return cents
-
-
-def _l2_assign(
-    sub: DataFrame, id_col: str, vec_col: str, cents: DataFrame
-) -> DataFrame:
-    """Nearest centroid per row by squared L2 (centroids broadcast;
-    the data side never shuffles) → (id, centroid_id)."""
-    scored = (
-        sub.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "id",
-            "centroid_id",
-            _l2sq(F.col("__v"), F.col("c_vec")).alias("__d"),
-        )
-    )
-    return scored.groupBy("id").agg(
-        F.min_by(
-            F.col("centroid_id"), F.struct(F.col("__d"), F.col("centroid_id"))
-        ).alias("centroid_id")
-    )
 
 
 def pq_encode(
