@@ -39,6 +39,11 @@ from pyspark.sql import functions as F
 
 from nextbus2pg_spark.sinks.store import BucketedParquetStore
 
+#: KMV sketch width for the mergeable approx-distinct state
+#: (relative error ~ 1/sqrt(k-2) = ~13%; same sketch as
+#: operators/sketch.kmv_distinct, so estimates are engine-portable).
+KMV_K = 64
+
 #: aggregate name → (batch partial expr builder, merge expr builder)
 _MERGEABLE = {
     "count": (
@@ -57,7 +62,38 @@ _MERGEABLE = {
         lambda c: F.max(c),
         lambda col: F.max(col),
     ),
+    # COUNT(DISTINCT x) is NOT mergeable exactly — but its KMV sketch
+    # is: the stored state is the k smallest value-hashes, and
+    # merge = union-and-retruncate. The numeric estimate is derived at
+    # read time (kmv_estimate), never stored — storing it would make
+    # merging wrong, exactly like storing a mean.
+    "approx_distinct": (
+        lambda c: F.slice(
+            F.array_sort(F.collect_set(_kmv_hash_col(c))), 1, KMV_K
+        ),
+        lambda col: F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(col)))),
+            1,
+            KMV_K,
+        ),
+    ),
 }
+
+
+def _kmv_hash_col(c: Column) -> Column:
+    from nextbus2pg_spark.operators.sketch import kmv_hash
+
+    return kmv_hash(c)
+
+
+def kmv_estimate(state: Column) -> Column:
+    """Distinct-count estimate from a stored ``approx_distinct`` sketch
+    column (exact below the sketch width, standard KMV beyond)."""
+    n = F.size(state)
+    kth = F.element_at(state, KMV_K).cast("double")
+    return F.when(n < KMV_K, n.cast("double")).otherwise(
+        F.lit(float(KMV_K - 1)) / (kth / F.lit(float(16 ** 13)))
+    )
 
 
 class ContinuousAggregate:

@@ -90,3 +90,35 @@ def test_streaming_maintenance(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.day: (r.n, r.total) for r in ca.read().collect()}
     assert got == {"d1": (3, 7.0), "d2": (1, 7.0)}
+
+
+def test_approx_distinct_state_is_mergeable(spark, tmp_path):
+    """COUNT(DISTINCT) via mergeable KMV state: applying two
+    overlapping batches equals one aggregation over their union
+    (exact below the sketch width), and the estimate is derived at
+    read time from the stored sketch."""
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.pipelines.continuous_aggregate import (
+        ContinuousAggregate,
+        kmv_estimate,
+    )
+
+    ca = ContinuousAggregate(
+        spark, str(tmp_path / "rollup"), ["day"],
+        {"n": ("count", None), "users": ("approx_distinct", "user_id")},
+    )
+    b1 = spark.createDataFrame(
+        [("d1", u) for u in range(30)], "day string, user_id int"
+    )
+    b2 = spark.createDataFrame(  # overlap: users 20-29 repeat
+        [("d1", u) for u in range(20, 50)], "day string, user_id int"
+    )
+    ca.apply_batch(b1)
+    ca.apply_batch(b2)
+    out = ca.read().select(
+        "day", "n", kmv_estimate(F.col("users")).alias("users")
+    ).collect()
+    assert len(out) == 1
+    assert out[0].n == 60          # rows add
+    assert out[0].users == 50.0    # distinct users merge, overlap once
