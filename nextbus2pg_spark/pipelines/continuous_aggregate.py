@@ -10,7 +10,8 @@ partial aggregates, which MERGE with the stored partials by key —
 no re-scan of history, ever.
 
 Correct-by-algebra: only *mergeable* aggregate state is stored
-(count, sum, min, max — the classic commutative monoids), so
+(count, sum, min, max — the classic commutative monoids — plus the
+KMV sketch for approximate distinct counts), so
 
     merge(stored, agg(batch)) == agg(stored_rows ∪ batch_rows)
 
@@ -99,8 +100,9 @@ def kmv_estimate(state: Column) -> Column:
 class ContinuousAggregate:
     """Incrementally maintained rollup keyed on ``bucket_cols``.
 
-    ``aggs`` maps output column → ("count"|"sum"|"min"|"max", input
-    column; input ignored for count). Example::
+    ``aggs`` maps output column → ("count"|"sum"|"min"|"max"|
+    "approx_distinct", input column; input ignored for count).
+    Example::
 
         ca = ContinuousAggregate(
             spark, path, ["day", "event_type"],

@@ -1150,3 +1150,36 @@ def q_flagship_latest(spark: SparkSession, sf_dir: str):
         F.round(F.col("last.value"), 2).alias("last_value"),
         "n_events",
     )
+
+
+@fixture(
+    "q_xml_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str):
+    """Executor-side XML parse (§2.11: ``from_xml``, the path the feed
+    source rides — ``sources/feed.py:78-137``) as a hash-checked
+    round-trip: render each row as an XML document string, parse it
+    back with ``from_xml`` on executors, and return the extracted
+    attributes — which must equal the original relation (the oracle is
+    the identity SELECT). TPC-H nation names are XML-safe (uppercase
+    letters and spaces only), so no escaping is exercised here."""
+    n = load_table(spark, sf_dir, "nation")
+    xml = n.select(
+        F.format_string(
+            '<row key="%s" name="%s" region="%s"/>',
+            F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey"),
+        ).alias("payload")
+    )
+    parsed = xml.withColumn(
+        "doc",
+        F.from_xml(
+            "payload",
+            F.lit("STRUCT<_key: BIGINT, _name: STRING, _region: BIGINT>"),
+        ),
+    )
+    return parsed.select(
+        F.col("doc._key").alias("n_nationkey"),
+        F.col("doc._name").alias("n_name"),
+        F.col("doc._region").alias("n_regionkey"),
+    )
