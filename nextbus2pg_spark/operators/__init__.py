@@ -46,8 +46,13 @@ from nextbus2pg_spark.operators.multimodal import (
 )
 from nextbus2pg_spark.operators.curation import (
     cap_per_group,
+    chunk_documents,
+    decontaminate,
     deterministic_sample,
     hash_bucket,
+    language_balance,
+    line_dedup,
+    pack_sequences,
     stratified_sample,
     train_test_split,
     winsorize,
@@ -80,7 +85,11 @@ from nextbus2pg_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_vectorized,
     ivf_topk,
+    ivfpq_topk,
     lsh_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
 )
 from nextbus2pg_spark.operators.scd2 import (
     scd2_as_of,
@@ -146,8 +155,13 @@ __all__ = [
     "write_bucketed",
     "write_partitioned",
     "cap_per_group",
+    "chunk_documents",
+    "decontaminate",
     "deterministic_sample",
     "hash_bucket",
+    "language_balance",
+    "line_dedup",
+    "pack_sequences",
     "stratified_sample",
     "train_test_split",
     "winsorize",
@@ -163,6 +177,10 @@ __all__ = [
     "top_terms_per_doc",
     "cosine_topk",
     "cosine_topk_vectorized",
+    "ivfpq_topk",
+    "pq_encode",
+    "pq_topk",
+    "pq_train",
     "ivf_topk",
     "lsh_topk",
     "fingerprint",
