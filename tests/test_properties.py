@@ -164,3 +164,49 @@ def test_scd2_invariants_hold_for_any_snapshot_sequence(spark, snaps):
     opens = {r.k: r.v for r in open_rows}
     for k, v in latest.items():
         assert opens.get(k) == v, (k, v, opens)
+
+
+lines_strategy = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "x y", ""]),
+    min_size=0, max_size=6,
+)
+
+
+@given(
+    docs=st.lists(lines_strategy, min_size=1, max_size=6),
+)
+@_SETTINGS
+def test_line_dedup_invariants(spark, docs):
+    """Over random corpora: (1) every distinct non-empty input line
+    survives exactly once across the whole corpus; (2) a doc's
+    surviving lines preserve their original relative order; (3) the
+    first (min doc id, min position) occurrence is the one that
+    survives."""
+    from nextbus2pg_spark.operators.curation import line_dedup
+
+    rows = [(i, " | ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in
+           line_dedup(df, "doc_id", "text", sep=" | ").collect()}
+
+    # model
+    first_owner = {}
+    for i, d in enumerate(docs):
+        for pos, ln in enumerate(x for x in d if x != ""):
+            first_owner.setdefault(ln, (i, pos))
+    survivors_by_doc = {}
+    for i, d in enumerate(docs):
+        kept, pos = [], 0
+        for ln in (x for x in d if x != ""):
+            if first_owner[ln] == (i, pos):
+                kept.append(ln)
+            pos += 1
+        if kept:
+            survivors_by_doc[i] = " | ".join(kept)
+    assert out == survivors_by_doc
+    # exactly-once across corpus
+    all_out_lines = [
+        ln for t in out.values() for ln in t.split(" | ")
+    ]
+    assert len(all_out_lines) == len(set(all_out_lines))
+    assert set(all_out_lines) == set(first_owner)
