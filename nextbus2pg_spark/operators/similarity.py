@@ -790,3 +790,46 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding storage quantization (int8 with per-vector scale)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Symmetric int8 quantization with a per-vector scale →
+    (id, scale, codes array<int>): ``code = round(x / scale)``,
+    ``scale = max|x| / 127`` — the standard storage form for large
+    embedding lakes (4-8× smaller than float32/64, reconstruction
+    error ≤ scale/2 per component).
+
+    Pure per-row array arithmetic: zero shuffle, and — unlike the PQ
+    codes — exactly reproducible in ANSI SQL, so this operator gets a
+    full value-level oracle check. All-zero vectors quantize to zero
+    codes with scale 0 (guarded division).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = amax / F.lit(127.0)
+    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    codes = F.transform(v, lambda x: F.round(x / safe, 0).cast("int"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.round(scale, 12).alias("scale"),
+        codes.alias("codes"),
+    )
+
+
+def dequantize_embeddings(
+    codes_df: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings` → (id, vec array<double>)
+    with per-component error ≤ scale/2."""
+    return codes_df.select(
+        F.col(id_col),
+        F.transform(
+            F.col("codes"), lambda c: c.cast("double") * F.col("scale")
+        ).alias("vec"),
+    )

@@ -1196,3 +1196,37 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return ivfpq_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+@fixture(
+    "q_embedding_quantize",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> x) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM v
+)
+SELECT vec_id AS id,
+       round(scale, 12) AS scale,
+       list_transform(
+         e,
+         x -> CAST(round(x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END))
+                   AS INTEGER)
+       ) AS codes
+FROM s
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str):
+    """int8 embedding storage quantization (per-vector symmetric
+    scale): the storage-compression leg of the embedding pipeline,
+    exactly reproducible cross-engine (codes are deterministic integer
+    rounds, scale rounded to 12 places for the value hash). Zero
+    shuffle — pure per-row array arithmetic."""
+    from nextbus2pg_spark.operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, "vec_id", "embedding")

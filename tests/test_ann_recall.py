@@ -143,3 +143,24 @@ def test_ivfpq_topk_recall_floor(spark, ann_frames):
     emb, queries, exact = ann_frames
     approx = ivfpq_topk(emb, queries, "vec_id", "embedding", k=K)
     assert recall_at_k(exact, approx) >= 0.6
+
+
+def test_quantized_cosine_stays_faithful(spark, ann_frames):
+    """int8 storage quantization must not meaningfully perturb
+    similarity search: exact cosine over DEQUANTIZED vectors matches
+    the float baseline's top-5 at recall >= 0.9 (per-component error
+    is <= scale/2 = max|x|/254)."""
+    from nextbus2pg_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb, queries, exact = ann_frames
+    deq = dequantize_embeddings(
+        quantize_embeddings(emb, "vec_id", "embedding")
+    ).select(F.col("id").alias("vec_id"), F.col("vec").alias("embedding"))
+    q_deq = deq.join(
+        queries.select("vec_id"), "vec_id", "left_semi"
+    )
+    approx = cosine_topk(deq, q_deq, "vec_id", "embedding", k=K)
+    assert recall_at_k(exact, approx) >= 0.9
