@@ -426,10 +426,15 @@ def language_balance(
     """
     if not 0 < temperature <= 1:
         raise ValueError("temperature must be in (0, 1]")
-    counts = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("__n"))
+    # NULL languages form their own stratum: the rate join runs on a
+    # NULL-folded key (a plain equi-join would silently DELETE every
+    # NULL-lang row — e.g. the docs where lang-id failed).
+    lang_key = F.coalesce(F.col(lang_col).cast("string"), F.lit("\x00null"))
+    keyed = df.withColumn("__lb_lang", lang_key)
+    counts = keyed.groupBy("__lb_lang").agg(F.count(F.lit(1)).alias("__n"))
     total = counts.agg(F.sum("__n").alias("__t"))
     weights = counts.crossJoin(F.broadcast(total)).select(
-        lang_col,
+        "__lb_lang",
         F.pow(F.col("__n") / F.col("__t"), F.lit(temperature - 1.0)).alias(
             "__w"
         ),
@@ -438,14 +443,14 @@ def language_balance(
     # by the max pins its keep-rate at 1.0 and downsamples the rest.
     max_w = weights.agg(F.max("__w").alias("__mw"))
     rates = weights.crossJoin(F.broadcast(max_w)).select(
-        lang_col,
+        "__lb_lang",
         F.least(F.lit(1.0), F.col("__w") / F.col("__mw")).alias(
             "__keep_rate"
         ),
     )
     bucket = hash_bucket(*key_cols, n_buckets=10000, salt=salt)
     return (
-        df.join(F.broadcast(rates), lang_col)
+        keyed.join(F.broadcast(rates), "__lb_lang")
         .where(bucket < (F.col("__keep_rate") * 10000).cast("int"))
-        .drop("__keep_rate")
+        .drop("__keep_rate", "__lb_lang")
     )

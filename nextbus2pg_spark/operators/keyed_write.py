@@ -72,14 +72,32 @@ def _key_condition(
 
 
 def _dedup_on_keys(
-    df: DataFrame, key_cols: Sequence[str], null_safe: bool
+    df: DataFrame,
+    key_cols: Sequence[str],
+    null_safe: bool,
+    null_safe_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Within-batch key collapse. ``dropDuplicates`` already groups
     NULL with NULL; ``null_safe`` additionally folds NULL into ``''``
-    for STRING key columns (the COALESCE unique-index key form,
-    ``sql/create_tables.sql:63``) via throwaway normalized columns, so
-    the dedup grain is exactly the merge-join grain."""
-    strs = _string_keys(df, key_cols) if null_safe else frozenset()
+    (the COALESCE unique-index key form, ``sql/create_tables.sql:63``)
+    via throwaway normalized columns, so the dedup grain is exactly
+    the merge/constraint grain.
+
+    ``null_safe_cols`` restricts the folding to the columns that are
+    actually COALESCE-indexed (the JDBC writer's per-column
+    ``null_safe_keys``); default = every STRING key column (the
+    engine-internal contract, matching ``_key_condition``). Folding a
+    column the store treats as NULL-distinct would silently drop rows
+    the database considers distinct keys.
+    """
+    if null_safe:
+        strs = (
+            frozenset(null_safe_cols)
+            if null_safe_cols is not None
+            else _string_keys(df, key_cols)
+        )
+    else:
+        strs = frozenset()
     if not strs:
         return df.dropDuplicates(list(key_cols))
     tmp, grain = [], []

@@ -645,6 +645,46 @@ def pq_encode(
     )
 
 
+def _adc_lut(
+    queries: DataFrame, codebook: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-query ADC lookup table → (query_id, sub, code_id, part)
+    where part = dot(query subvector, code centroid). Bounded:
+    queries × m × n_codes rows."""
+    m = codebook.select(F.max("sub")).first()[0] + 1
+    subdim = len(codebook.select("c_vec").first()[0])
+    q = _unit(
+        queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col
+    )
+    q_subs = q.select(
+        "query_id", F.explode(_sub_slices(vec_col, m, subdim)).alias("__s")
+    ).select(
+        "query_id", F.col("__s.sub").alias("sub"), F.col("__s.sv").alias("qv")
+    )
+    return q_subs.join(F.broadcast(codebook), "sub").select(
+        "query_id",
+        "sub",
+        "code_id",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("c_vec"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("part"),
+    )
+
+
+def _adc_rank(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k over ADC-summed similarities."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "sim", "rank")
+    )
+
+
 def pq_topk(
     codes: DataFrame,
     codebook: DataFrame,
@@ -667,26 +707,7 @@ def pq_topk(
     Output: (query_id, match_id, sim, rank) — same contract as
     ``cosine_topk`` but sim is the ADC approximation.
     """
-    m = codebook.select(F.max("sub")).first()[0] + 1
-    subdim = len(codebook.select("c_vec").first()[0])
-    q = _unit(
-        queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col
-    )
-    q_subs = q.select(
-        "query_id", F.explode(_sub_slices(vec_col, m, subdim)).alias("__s")
-    ).select(
-        "query_id", F.col("__s.sub").alias("sub"), F.col("__s.sv").alias("qv")
-    )
-    lut = q_subs.join(F.broadcast(codebook), "sub").select(
-        "query_id",
-        "sub",
-        "code_id",
-        F.aggregate(
-            F.zip_with(F.col("qv"), F.col("c_vec"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("part"),
-    )
+    lut = _adc_lut(queries, codebook, id_col, vec_col)
     cand = codes.select(
         F.col("id").alias("match_id"),
         F.posexplode("codes").alias("sub", "code_id"),
@@ -697,14 +718,7 @@ def pq_topk(
         .agg(F.round(F.sum("part"), 6).alias("sim"))
         .where(F.col("query_id") != F.col("match_id"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("match_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "match_id", "sim", "rank")
-    )
+    return _adc_rank(scored, k)
 
 
 def ivfpq_topk(
@@ -746,28 +760,10 @@ def ivfpq_topk(
     )
     codes = pq_encode(corpus, book, id_col, vec_col).join(buckets, "id")
 
-    subdim = len(book.select("c_vec").first()[0])
-    q = _unit(
-        queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col
-    )
     probes = ivf_assign(
         queries, id_col, vec_col, cents, nprobe=nprobe
     ).select(F.col("id").alias("query_id"), "centroid_id")
-    q_subs = q.select(
-        "query_id", F.explode(_sub_slices(vec_col, m, subdim)).alias("__s")
-    ).select(
-        "query_id", F.col("__s.sub").alias("sub"), F.col("__s.sv").alias("qv")
-    )
-    lut = q_subs.join(F.broadcast(book), "sub").select(
-        "query_id",
-        "sub",
-        "code_id",
-        F.aggregate(
-            F.zip_with(F.col("qv"), F.col("c_vec"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("part"),
-    )
+    lut = _adc_lut(queries, book, id_col, vec_col)
     cand = (
         codes.join(F.broadcast(probes), "centroid_id")
         .where(F.col("query_id") != F.col("id"))
@@ -782,14 +778,7 @@ def ivfpq_topk(
         .groupBy("query_id", "match_id")
         .agg(F.round(F.sum("part"), 6).alias("sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("match_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "match_id", "sim", "rank")
-    )
+    return _adc_rank(scored, k)
 
 
 # ---------------------------------------------------------------------------

@@ -76,11 +76,19 @@ def kmv_distinct(
             k,
         ).alias("__ks")
     )
-    n = F.size("__ks")
-    kth = F.element_at("__ks", k).cast("double")
-    est = F.when(n < k, n.cast("double")).otherwise(
-        F.lit(float(k - 1)) / (kth / F.lit(float(_KMV_DOMAIN)))
-    )
     return merged.select(
-        *group_cols, F.round(est, 4).alias("n_distinct_est")
+        *group_cols,
+        F.round(kmv_estimate(F.col("__ks"), k), 4).alias("n_distinct_est"),
+    )
+
+
+def kmv_estimate(state: Column, k: int) -> Column:
+    """Distinct-count estimate from a k-minimum-hash array (exact when
+    the array holds fewer than ``k`` hashes; the (k-1)/U_(k) estimator
+    beyond). Shared by :func:`kmv_distinct` and the continuous
+    aggregate's mergeable ``approx_distinct`` state."""
+    n = F.size(state)
+    kth = F.element_at(state, k).cast("double")
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / (kth / F.lit(float(_KMV_DOMAIN)))
     )

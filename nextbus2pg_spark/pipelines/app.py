@@ -223,6 +223,12 @@ def main(argv: list[str] | None = None, spark=None):
     from nextbus2pg_spark.streaming.ingest import DEDUP_KEYS
 
     args = parse_args(argv)
+    if not args.spool or not args.config:
+        raise SystemExit(
+            "nextbus2pg_spark: --spool and --config are required for the "
+            "assembled app (they are optional in parse_args only so the "
+            "flags can be introspected without values)"
+        )
     spark = spark or get_spark(f"nextbus2pg-{args.agency}")
     spark.dataSource.register(VehicleFeedDataSource)
 
@@ -266,8 +272,23 @@ def main(argv: list[str] | None = None, spark=None):
     )
 
     def dims_provider():
-        svc = store.service.read().select("tag", "service_id")
-        return svc, svc
+        # Primary: ROUTE-SCOPED (route_tag, tag) -> service, exactly the
+        # reference's per-route dict (route.py:177-186) — the same
+        # direction tag on two routes maps to that route's own service.
+        # Secondary: agency-wide tag -> service with a deterministic
+        # one-row-per-tag collapse (the reference's dict construction
+        # is last-wins; min service_id here so retries agree).
+        svc = store.service.read()
+        routes = store.route.read().select(
+            F.col("route_id"), F.col("tag").alias("route_tag")
+        )
+        primary = svc.join(routes, "route_id").select(
+            "route_tag", "tag", "service_id"
+        )
+        secondary = svc.groupBy("tag").agg(
+            F.min("service_id").alias("service_id")
+        )
+        return primary, secondary
 
     raw = (
         spark.readStream.format("nextbus_feed")

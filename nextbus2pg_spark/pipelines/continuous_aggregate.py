@@ -89,12 +89,11 @@ def _kmv_hash_col(c: Column) -> Column:
 
 def kmv_estimate(state: Column) -> Column:
     """Distinct-count estimate from a stored ``approx_distinct`` sketch
-    column (exact below the sketch width, standard KMV beyond)."""
-    n = F.size(state)
-    kth = F.element_at(state, KMV_K).cast("double")
-    return F.when(n < KMV_K, n.cast("double")).otherwise(
-        F.lit(float(KMV_K - 1)) / (kth / F.lit(float(16 ** 13)))
-    )
+    column (exact below the sketch width, standard KMV beyond) —
+    delegates to the one estimator in ``operators/sketch``."""
+    from nextbus2pg_spark.operators.sketch import kmv_estimate as _est
+
+    return _est(state, KMV_K)
 
 
 class ContinuousAggregate:
@@ -141,11 +140,30 @@ class ContinuousAggregate:
         return self.store.read()
 
     def _partials(self, batch: DataFrame) -> DataFrame:
-        exprs: list[Column] = [
-            _MERGEABLE[fn][0](F.col(col) if col else None).alias(name)
-            for name, (fn, col) in self.aggs.items()
-        ]
-        return batch.groupBy(*self.bucket_cols).agg(*exprs)
+        """Per-bucket partial state for one batch.
+
+        Two-phase: phase 1 aggregates per (bucket, input partition),
+        phase 2 combines with each aggregate's MERGE operator. For the
+        monoid aggs this is what Spark's map-side combine does anyway;
+        for ``approx_distinct`` it is load-bearing — the KMV
+        ``collect_set`` buffer then holds one bucket's distinct hashes
+        within ONE partition before truncating to k, never the
+        bucket's full corpus-wide distinct set (the same bounded shape
+        as ``operators/sketch.kmv_distinct``)."""
+        phase1 = batch.withColumn(
+            "__pid", F.spark_partition_id()
+        ).groupBy(*self.bucket_cols, "__pid").agg(
+            *[
+                _MERGEABLE[fn][0](F.col(col) if col else None).alias(name)
+                for name, (fn, col) in self.aggs.items()
+            ]
+        )
+        return phase1.groupBy(*self.bucket_cols).agg(
+            *[
+                _MERGEABLE[fn][1](F.col(name)).alias(name)
+                for name, (fn, _) in self.aggs.items()
+            ]
+        )
 
     def apply_batch(self, batch: DataFrame) -> None:
         """Merge one batch's partial aggregates into the stored state:

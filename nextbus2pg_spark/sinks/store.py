@@ -216,8 +216,25 @@ class BucketedParquetStore:
             raise FileNotFoundError(f"generation {gen} has no data")
         return self.spark.read.parquet(*dirs)
 
+    def _effective_n_buckets(self) -> int:
+        """The bucket count that actually partitions stored data.
+
+        The MANIFEST is authoritative once the table exists: a caller
+        reopening the table with a different ``n_buckets`` would
+        otherwise prune against the wrong modulus (missing existing
+        keys → silent duplicates) and mix two bucketings in one
+        manifest. The constructor value only seeds a brand-new table.
+        """
+        if self.exists():
+            stored = int(self.current_manifest()["n_buckets"])
+            if stored != self.n_buckets:
+                self.n_buckets = stored
+        return self.n_buckets
+
     def bucket_of(self, df: DataFrame) -> Column:
-        return bucket_expr(self.key_cols, self.n_buckets, self.null_safe)
+        return bucket_expr(
+            self.key_cols, self._effective_n_buckets(), self.null_safe
+        )
 
     def touched_buckets(self, df: DataFrame) -> list[int]:
         """Distinct bucket ids present in ``df`` (bounded by n_buckets,

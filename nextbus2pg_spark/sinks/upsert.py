@@ -109,14 +109,19 @@ def jdbc_upsert_writer(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # T7 empty-batch short-circuit (agency.py:303)
             return
-        if null_safe_keys or omit_conflict_target:
+        if null_safe_keys:
             # COALESCE-indexed keys: NULL and '' are ONE key at the
             # store, so they must collapse within the batch too — a
             # multi-row VALUES touching that key twice errors on
-            # Postgres ("cannot affect row a second time").
+            # Postgres ("cannot affect row a second time"). ONLY the
+            # declared null_safe_keys fold; other key columns keep
+            # NULL-distinct-from-'' semantics, as the store does.
             from nextbus2pg_spark.operators.keyed_write import _dedup_on_keys
 
-            batch_df = _dedup_on_keys(batch_df, list(key_cols), True)
+            batch_df = _dedup_on_keys(
+                batch_df, list(key_cols), True,
+                null_safe_cols=list(null_safe_keys),
+            )
         else:
             batch_df = append_dedup(batch_df, list(key_cols))
         columns = batch_df.columns

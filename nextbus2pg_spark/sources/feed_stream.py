@@ -30,6 +30,24 @@ direct polling source without touching the offset or partition logic.
 On a cluster, ``path`` must be shared storage (the same requirement as
 Spark's built-in file source).
 
+**Fetcher contract** (the same rules every file-based Spark source
+imposes):
+
+- *Atomic publish*: write each document to a temp name (anything the
+  ``<route>__<ms>.xml`` pattern does not match, e.g. ``.xml.tmp``) and
+  ``rename()`` into place. A file matching the pattern is assumed
+  complete; a non-atomic writer can expose a half-written file inside
+  a micro-batch, which ``mode=failfast`` (default) surfaces as a task
+  error and ``mode=permissive`` skips permanently (offsets advance
+  past it — use permissive only for documents that are corrupt at the
+  SOURCE, not as a mid-write race workaround).
+- *Monotone times per route*: ``<time_ms>`` must be the server's
+  ``lastTime`` for that fetch, which NextBus guarantees is monotone
+  per route (``route.py:162-169``). A file landing with ``ms`` at or
+  below the route's committed offset is behind the stream and is
+  never read — exactly the reference's semantics, where a request at
+  offset ``t`` can never return older data.
+
 Usage::
 
     spark.dataSource.register(VehicleFeedDataSource)

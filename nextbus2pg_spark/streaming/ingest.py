@@ -86,8 +86,45 @@ def resolve_service(
     agency-wide; unresolved rows are dropped (F5 logs them — expose the
     count via ``unresolved_count`` instead of a side-effect log).
 
+    Route scoping: when ``route_services`` carries a ``route_tag``
+    column, the primary lookup key is the COMPOSITE (route_tag,
+    dir_tag) — the reference builds its primary dict per route, so the
+    same direction tag on two routes maps to two different services
+    and a tag-only join would fan every matching vehicle row out
+    across routes. Without the column, the single-tag behavior is
+    unchanged (the fixture-dim path). Lookup sides must be unique per
+    key — a duplicate-keyed primary multiplies fact rows.
+
     Both dimension sides broadcast: the vehicle stream never shuffles.
     """
+    if "route_tag" in route_services.columns:
+        sep = "\x1f"  # unit separator: cannot appear in wire tags
+        fact = vehicles.withColumn(
+            "__rt_dir", F.concat_ws(sep, "route_tag", "dir_tag")
+        )
+        primary = route_services.select(
+            F.concat_ws(
+                sep, F.col("route_tag"), F.col("tag")
+            ).alias("__rt_dir"),
+            F.col("service_id").alias("__p_service"),
+        )
+        out = (
+            fact.join(F.broadcast(primary), "__rt_dir", "left_outer")
+            .drop("__rt_dir")
+        )
+        secondary = agency_services.select(
+            F.col("tag").alias("dir_tag"),
+            F.col("service_id").alias("__s_service"),
+        )
+        out = (
+            out.join(F.broadcast(secondary), "dir_tag", "left_outer")
+            .withColumn(
+                "service_id",
+                F.coalesce(F.col("__p_service"), F.col("__s_service")),
+            )
+            .drop("__p_service", "__s_service")
+        )
+        return out.where(F.col("service_id").isNotNull())
     return two_level_fallback(
         vehicles,
         primary=route_services.select(

@@ -181,3 +181,54 @@ def test_main_cli_end_to_end(spark, tmp_path):
     ).collect()
     assert agency[0].agency_id == "sf-muni"
     assert agency[0].region == "California"
+
+
+def test_main_resolves_duplicate_direction_tags_per_route(spark, tmp_path):
+    """Review regression: two routes sharing direction tag 'd1' must
+    resolve each vehicle to ITS OWN route's service, with no row
+    fan-out (a tag-only primary join would 4x the rows and attach
+    wrong service_ids)."""
+    import os
+
+    from nextbus2pg_spark.pipelines.app import main
+    from nextbus2pg_spark.sinks.upsert import ParquetUpsertTable
+    from nextbus2pg_spark.streaming.ingest import DEDUP_KEYS
+
+    config = tmp_path / "config"
+    spool = tmp_path / "spool"
+    os.makedirs(config)
+    os.makedirs(spool)
+    (config / "agencyList.xml").write_text(
+        '<body><agency tag="sf-muni" title="SF Muni" regionTitle="CA"/></body>'
+    )
+    (config / "routeList.xml").write_text(
+        '<body><route tag="38R" title="38R"/><route tag="J" title="J"/></body>'
+    )
+    for route in ("38R", "J"):
+        (config / f"routeConfig__{route}.xml").write_text(
+            f"""<body><route tag="{route}">
+                 <stop tag="s-{route}" title="Stop" lon="-122.4" lat="37.7"/>
+                 <direction tag="d1" title="Out" name="Outbound"
+                            useForUI="true"><stop tag="s-{route}"/></direction>
+               </route></body>"""
+        )
+    for route, vid in (("38R", "vA"), ("J", "vB")):
+        (spool / f"{route}__1000000.xml").write_text(
+            f'<body><vehicle id="{vid}" dirTag="d1" lon="-1" lat="1" '
+            'secsSinceReport="9" predictable="true"/>'
+            '<lastTime time="1000000"/></body>'
+        )
+    main(
+        ["-a", "sf-muni", "-r", "0", "--spool", str(spool),
+         "--config", str(config), "--checkpoint", str(tmp_path / "ckpt"),
+         "--store", str(tmp_path / "store")],
+        spark=spark,
+    )
+    locations = ParquetUpsertTable(
+        spark, str(tmp_path / "store" / "vehicle_location"),
+        key_cols=list(DEDUP_KEYS),
+    )
+    rows = locations.read().collect()
+    assert len(rows) == 2, f"fan-out: {rows}"
+    by_vehicle = {r.vehicle_tag: r.service_id for r in rows}
+    assert by_vehicle["vA"] != by_vehicle["vB"], "route scoping lost"

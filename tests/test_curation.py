@@ -196,3 +196,21 @@ def test_language_balance_downsamples_majority_only(spark):
              language_balance(docs, "lang", ["doc_id"], temperature=0.5)
              .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == again
+
+
+def test_language_balance_keeps_null_language_stratum(spark):
+    """Docs whose lang-id failed (NULL lang) are a stratum, not
+    deletions: a plain equi-join on lang would drop them all."""
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.operators.curation import language_balance
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, "en").otherwise(None).alias("lang"),
+    )
+    out = language_balance(docs, "lang", ["doc_id"], temperature=0.5)
+    got = {r.lang: r.n for r in out.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get(None) == 20  # smallest stratum keeps 100%
+    assert 0 < got["en"] < 180  # majority down-sampled

@@ -153,7 +153,7 @@ def test_null_tolerant_key_do_update(spark, db_path):
     does not duplicate, and the first surrogate id survives."""
     write = _writer(
         "service", ["route_id", "tag"], db_path, update_cols=["name"],
-        omit_conflict_target=True,
+        null_safe_keys=["tag"], omit_conflict_target=True,
     )
     write(_services(spark, [("s-old", "r1", None, "No service")]), 0)
     write(
@@ -181,7 +181,7 @@ def test_null_tolerant_key_within_batch_dedup_k4(spark, db_path):
     never violates the expression index mid-statement."""
     write = _writer(
         "service", ["route_id", "tag"], db_path, update_cols=["name"],
-        omit_conflict_target=True,
+        null_safe_keys=["tag"], omit_conflict_target=True,
     )
     write(
         _services(
@@ -210,7 +210,7 @@ def test_null_and_empty_tag_collapse_within_batch(spark, db_path):
     (Postgres would raise 'cannot affect row a second time')."""
     write = _writer(
         "service", ["route_id", "tag"], db_path, update_cols=["name"],
-        omit_conflict_target=True,
+        null_safe_keys=["tag"], omit_conflict_target=True,
     )
     write(
         _services(

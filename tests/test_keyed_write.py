@@ -151,3 +151,21 @@ def test_pg_upsert_statement_shapes():
         do_nothing=True,
     )
     assert k5.endswith("DO NOTHING")
+
+
+def test_jdbc_dedup_folds_only_declared_null_safe_keys(spark):
+    """Only COALESCE-indexed columns fold NULL into '': with
+    null_safe_keys=('tag',), rows differing as (''/NULL) in agency_id
+    are DISTINCT store keys and must both survive within-batch dedup."""
+    from nextbus2pg_spark.operators.keyed_write import _dedup_on_keys
+
+    batch = spark.createDataFrame(
+        [("u1", "", "x", "a"), ("u2", None, "x", "b")],
+        "route_id string, agency_id string, tag string, name string",
+    )
+    out = _dedup_on_keys(
+        batch, ["agency_id", "tag"], True, null_safe_cols=["tag"]
+    )
+    assert out.count() == 2
+    # whereas the engine-internal all-string contract folds both
+    assert _dedup_on_keys(batch, ["agency_id", "tag"], True).count() == 1

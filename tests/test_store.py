@@ -278,3 +278,30 @@ def test_time_travel_read_previous_generation(spark, tmp_path):
     assert cur == {"a": 2, "b": 1}
     with pytest.raises(ValueError, match="not retained"):
         t.store.read_generation(999)
+
+
+def test_reopen_with_different_n_buckets_uses_stored_bucketing(spark, tmp_path):
+    """The manifest's n_buckets is authoritative: reopening a table
+    with a different constructor value must keep pruning against the
+    STORED modulus (a mismatched modulus would miss existing keys and
+    silently duplicate them)."""
+    path = str(tmp_path / "t")
+    t16 = ParquetUpsertTable(
+        spark, path, key_cols=["k"], update_cols=["v"], n_buckets=16
+    )
+    seed = spark.createDataFrame(
+        [(f"k{i}", 0) for i in range(40)], "k string, v int"
+    )
+    t16.upsert(seed)
+    # reopen claiming 4 buckets; upsert every key again with v=1
+    t4 = ParquetUpsertTable(
+        spark, path, key_cols=["k"], update_cols=["v"], n_buckets=4
+    )
+    t4.upsert(
+        spark.createDataFrame([(f"k{i}", 1) for i in range(40)],
+                              "k string, v int")
+    )
+    rows = t4.read().collect()
+    assert len(rows) == 40, "duplicated keys -> modulus mismatch"
+    assert all(r.v == 1 for r in rows)
+    assert int(t4.store.current_manifest()["n_buckets"]) == 16
