@@ -251,3 +251,13 @@ def test_line_dedup_no_window_no_cartesian(spark):
     assert "Window" not in p, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_feed_transform_is_shuffle_free(spark):
+    """The streaming hot-path projection (casts, point struct, event
+    time) must compile to a pure map — zero Exchange, zero Window, no
+    Python UDFs (everything whole-stage-codegen-able)."""
+    p = plan_text(q(spark, "q_feed_transform"))
+    assert "Exchange" not in p, p
+    assert "Window" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
