@@ -209,3 +209,38 @@ def fingerprint(text: Column) -> Column:
     re-wrapping, the property dedup pipelines need.
     """
     return F.md5(F.regexp_replace(F.lower(text), "[ \\t\\n]+", " "))
+
+
+#: Alphabet for the portable character-entropy estimate: lowercase
+#: letters + space. Chars outside it are ignored (they carry little
+#: repetitiveness signal in natural text and keeping the alphabet
+#: fixed makes the expression portable ANSI SQL).
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (bits/char) of the lowercased text over the
+    letters+space alphabet — the classic repetitiveness signal
+    (boilerplate, keyboard mashing and template spam sit far below
+    natural language's ~4 bits/char; Gopher-class filters cut on it).
+
+    Pure JVM replace-length arithmetic (one ``replace`` per alphabet
+    symbol — 27 codegen'd expressions, zero shuffle), so the SAME
+    formula runs as the DuckDB oracle. NULL/empty/no-alphabet-chars
+    texts score 0.0.
+    """
+    t = F.lower(text)
+    counts = [
+        F.length(t) - F.length(F.replace(t, F.lit(c), F.lit("")))
+        for c in ENTROPY_ALPHABET
+    ]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    n = total.cast("double")
+    terms = None
+    for cnt in counts:
+        p = cnt.cast("double") / n
+        term = F.when(cnt > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+        terms = term if terms is None else terms + term
+    return F.when(total > 0, F.round(terms, 4)).otherwise(F.lit(0.0))

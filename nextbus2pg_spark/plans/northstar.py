@@ -1230,3 +1230,38 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_embeddings(emb, "vec_id", "embedding")
+
+
+def _entropy_oracle() -> str:
+    """DuckDB oracle mirroring operators/text.char_entropy exactly —
+    generated from the same ENTROPY_ALPHABET so the two can't drift."""
+    from nextbus2pg_spark.operators.text import ENTROPY_ALPHABET
+
+    cnt = lambda c: f"(length(t) - length(replace(t, '{c}', '')))"  # noqa: E731
+    counts = " + ".join(cnt(c) for c in ENTROPY_ALPHABET)
+    terms = "\n         + ".join(
+        f"(CASE WHEN {cnt(c)} > 0 THEN -(CAST({cnt(c)} AS DOUBLE) / n)"
+        f" * log2(CAST({cnt(c)} AS DOUBLE) / n) ELSE 0.0 END)"
+        for c in ENTROPY_ALPHABET
+    )
+    return f"""
+WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+tot AS (SELECT doc_id, t, CAST({counts} AS DOUBLE) AS n FROM lowered)
+SELECT doc_id,
+       CASE WHEN n > 0 THEN round(
+         {terms}, 4) ELSE 0.0 END AS entropy_bits
+FROM tot
+"""
+
+
+@fixture("q_char_entropy", oracle=_entropy_oracle())
+def q_char_entropy(spark: SparkSession, sf_dir: str):
+    """Character-entropy quality signal (bits/char over letters+space):
+    boilerplate and template spam sit far below natural language's ~4
+    bits/char — the Gopher-class repetitiveness cut. 27 codegen'd
+    replace-length expressions, zero shuffle; the oracle is generated
+    from the same alphabet constant so Spark and SQL cannot drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.char_entropy(F.col("text")).alias("entropy_bits")
+    )

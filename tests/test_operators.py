@@ -375,3 +375,25 @@ def test_asof_bucketed_lookback_contract(spark):
         bucket_width=100, lookback=1,
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def test_char_entropy_orders_repetitiveness(spark):
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa aaaa aaaa"),                   # ~degenerate
+            (2, "the quick brown fox jumps over"),   # natural-ish
+            (3, ""),                                 # empty -> 0
+            (4, "1234 5678"),                        # no alphabet chars
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.e for r in df.select(
+        "id", char_entropy(F.col("text")).alias("e")).collect()}
+    assert got[3] == 0.0
+    assert got[4] > 0.0  # the spaces still count
+    assert got[1] < got[2], got
+    assert got[2] > 3.0
