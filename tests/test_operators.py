@@ -394,6 +394,8 @@ def test_char_entropy_orders_repetitiveness(spark):
     got = {r.id: r.e for r in df.select(
         "id", char_entropy(F.col("text")).alias("e")).collect()}
     assert got[3] == 0.0
-    assert got[4] > 0.0  # the spaces still count
+    # digits are outside the alphabet; only the one space symbol counts
+    # -> a single-symbol distribution has zero entropy by definition
+    assert got[4] == 0.0
     assert got[1] < got[2], got
     assert got[2] > 3.0
