@@ -131,11 +131,35 @@ def _parse_files(
 
 
 class VehicleFeedStreamReader(DataSourceStreamReader):
-    """MicroBatchStream with {route: last_time_ms} offsets."""
+    """MicroBatchStream with {route: last_time_ms} offsets.
 
-    def __init__(self, path: str, mode: str = "failfast"):
+    ``max_docs_per_batch`` is the admission-control knob (the
+    maxFilesPerTrigger analogue): each micro-batch advances every
+    route's offset by at most N documents, so a backfilled spool
+    drains in bounded batches instead of one giant first batch. The
+    throttle baseline rides ``commit()`` (the committed offsets Spark
+    reports back), so restarts resume correctly; an un-baselined
+    post-restart ``latestOffset`` can at worst plan one empty batch
+    (``partitions`` yields nothing for end < start) before the next
+    commit re-baselines it.
+
+    Pair the knob with a continuous trigger (``processingTime``):
+    ``availableNow`` snapshots ``latestOffset`` ONCE as the run's end
+    boundary, so a throttled offset bounds that whole run to one step
+    (re-invoking the query resumes from the checkpoint — fine for
+    scripted catch-up, surprising if unexpected).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        mode: str = "failfast",
+        max_docs_per_batch: int | None = None,
+    ):
         self.path = path
         self.mode = mode
+        self.max_docs_per_batch = max_docs_per_batch
+        self._baseline: dict[str, int] = {}
 
     def initialOffset(self) -> dict:
         # The reference's '0' sentinel (route.py:169) generalized: an
@@ -145,7 +169,20 @@ class VehicleFeedStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         spool = _scan_spool(self.path)
-        return {route: files[-1][0] for route, files in spool.items()}
+        if not self.max_docs_per_batch:
+            return {route: files[-1][0] for route, files in spool.items()}
+        out = {}
+        for route, files in spool.items():
+            lo = self._baseline.get(route, 0)
+            newer = [ms for ms, _ in files if ms > lo]
+            if newer:
+                out[route] = newer[
+                    min(len(newer), self.max_docs_per_batch) - 1
+                ]
+            elif lo:
+                out[route] = lo
+        self._baseline.update(out)
+        return out
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         spool = _scan_spool(self.path)
@@ -165,8 +202,11 @@ class VehicleFeedStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # Spool retention is the fetcher's concern (files may serve
         # replay/debugging); offsets in the checkpoint already prevent
-        # reprocessing.
-        pass
+        # reprocessing. The committed offsets re-baseline the
+        # admission-control throttle across restarts.
+        for route, ms in end.items():
+            if int(ms) > self._baseline.get(route, 0):
+                self._baseline[route] = int(ms)
 
 
 class VehicleFeedBatchReader(DataSourceReader):
@@ -219,4 +259,8 @@ class VehicleFeedDataSource(DataSource):
         return VehicleFeedBatchReader(self._path(), self._mode())
 
     def streamReader(self, schema) -> VehicleFeedStreamReader:
-        return VehicleFeedStreamReader(self._path(), self._mode())
+        max_docs = self.options.get("max_docs_per_batch")
+        return VehicleFeedStreamReader(
+            self._path(), self._mode(),
+            int(max_docs) if max_docs else None,
+        )

@@ -183,3 +183,39 @@ def test_permissive_mode_skips_corrupt_documents(spark, tmp_path):
         .option("mode", "permissive").load().collect()
     )
     assert [(r.vehicle_id, r.request_time_ms) for r in rows] == [("v1", 1000)]
+
+
+def test_max_docs_per_batch_bounds_backfill(spark, tmp_path):
+    """Admission control: a 9-document backfill with
+    max_docs_per_batch=3 drains in multiple bounded micro-batches —
+    every document still lands exactly once."""
+    spark.dataSource.register(VehicleFeedDataSource)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    for i in range(1, 10):
+        _drop(spool, "38R", i * 1000, f"v{i}")
+    batches = []
+
+    def record(batch_df, batch_id):
+        batches.append(batch_df.count())
+
+    import time
+
+    q = (
+        spark.readStream.format("nextbus_feed")
+        .option("path", spool)
+        .option("max_docs_per_batch", "3")
+        .load()
+        .writeStream.foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    # continuous trigger: wait until the backfill drains, then stop
+    deadline = time.time() + 120
+    while sum(batches) < 9 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    assert sum(batches) == 9
+    assert max(batches) <= 3
+    assert len([b for b in batches if b]) >= 3
