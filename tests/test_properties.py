@@ -210,3 +210,39 @@ def test_line_dedup_invariants(spark, docs):
     ]
     assert len(all_out_lines) == len(set(all_out_lines))
     assert set(all_out_lines) == set(first_owner)
+
+
+@given(
+    n_words=st.integers(min_value=0, max_value=40),
+    chunk=st.integers(min_value=1, max_value=8),
+    stride_frac=st.integers(min_value=1, max_value=8),
+)
+@_SETTINGS
+def test_chunk_documents_covers_every_token(spark, n_words, chunk, stride_frac):
+    """Invariants over random (length, chunk, stride): every token
+    appears in at least one chunk; chunk ids are dense from 0; each
+    chunk starts exactly stride tokens after the previous; no chunk
+    exceeds chunk_tokens."""
+    from nextbus2pg_spark.operators.curation import chunk_documents
+
+    stride = max(1, min(chunk, stride_frac))
+    words = [f"w{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        (r.chunk_id, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=chunk, stride=stride
+        ).collect()
+    )
+    if n_words == 0:
+        assert rows == []
+        return
+    assert [cid for cid, _, _ in rows] == list(range(len(rows)))
+    seen = set()
+    for cid, text, n_tokens in rows:
+        toks = text.split(" ") if text else []
+        assert len(toks) == n_tokens <= chunk
+        start = cid * stride
+        assert toks == words[start:start + chunk]
+        seen.update(toks)
+    assert seen == set(words), "some token missing from all chunks"
