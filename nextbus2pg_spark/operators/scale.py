@@ -93,15 +93,28 @@ def write_bucketed(
     # A previous process may have left the table's directory in the
     # warehouse while this session's in-memory catalog has no entry for
     # it; saveAsTable would then fail with LOCATION_ALREADY_EXISTS.
-    # Drop both the catalog entry and any orphaned location first.
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    jvm = spark._jvm
-    jsc = spark._jsc
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    loc = jvm.org.apache.hadoop.fs.Path(warehouse, table_name.lower())
-    fs = loc.getFileSystem(jsc.hadoopConfiguration())
-    if fs.exists(loc):
-        fs.delete(loc, True)
+    # When the catalog DOES know the table, DROP TABLE removes the
+    # managed location itself (wherever the catalog says it lives) —
+    # deleting a hand-computed path there could destroy a directory
+    # belonging to a live table at a non-default location. Only when
+    # the catalog has NO entry do we clear the would-be default
+    # location (the orphan case), derived per-namespace so qualified
+    # names ('db.tbl' → <warehouse>/db.db/tbl) resolve correctly.
+    if spark.catalog.tableExists(table_name):
+        spark.sql(f"DROP TABLE {table_name}")
+    else:
+        parts = table_name.lower().split(".")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        if len(parts) == 2 and parts[0] != "default":
+            rel = f"{parts[0]}.db/{parts[1]}"
+        else:
+            rel = parts[-1]
+        jvm = spark._jvm
+        jsc = spark._jsc
+        loc = jvm.org.apache.hadoop.fs.Path(warehouse, rel)
+        fs = loc.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -487,7 +487,14 @@ def _l2sq(a: Column, b: Column) -> Column:
 
 def _unit(df: DataFrame, vec_col: str) -> DataFrame:
     """Replace ``vec_col`` with its unit-normalized double form (so a
-    subvector dot-product sum reconstructs COSINE similarity)."""
+    subvector dot-product sum reconstructs COSINE similarity).
+
+    The norm is floored at a tiny epsilon: an all-zero embedding keeps
+    its zero components instead of becoming NaN subvectors that would
+    poison ``pq_train`` centroid means and make ADC top-k ordering
+    unpredictable (mirrors the explicit scale==0 guard in
+    :func:`quantize_embeddings`).
+    """
     withn = with_norm(
         df.withColumn(
             vec_col, F.transform(vec_col, lambda x: x.cast("double"))
@@ -495,9 +502,10 @@ def _unit(df: DataFrame, vec_col: str) -> DataFrame:
         vec_col,
         "__n",
     )
+    safe_n = F.greatest(F.col("__n"), F.lit(1e-12))
     return withn.withColumn(
         vec_col,
-        F.transform(vec_col, lambda x: x / F.col("__n")),
+        F.transform(vec_col, lambda x: x / safe_n),
     ).drop("__n")
 
 

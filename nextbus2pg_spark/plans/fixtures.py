@@ -356,14 +356,36 @@ def q_project_rename(spark: SparkSession, sf_dir: str):
     )
 
 
-@fixture("q_keygen_uuid", rows_only=True)  # nondeterministic uuid()
+@fixture(
+    "q_keygen_uuid",
+    oracle=(
+        "SELECT count(*) AS n_rows, count(*) AS n_valid_uuid, "
+        "count(*) AS n_distinct_uuid FROM nation"
+    ),
+)
 def q_keygen_uuid(spark: SparkSession, sf_dir: str):
     """P2: surrogate key generation (``agency.py:51-56`` uuid4).
-    uuid() is nondeterministic ⇒ no oracle entry by contract."""
-    return load_table(spark, sf_dir, "nation").select(
-        F.expr("uuid()").alias("nation_uuid"),
-        F.col("n_nationkey").alias("nation_key"),
-        F.col("n_name").alias("nation_name"),
+
+    The uuids themselves are nondeterministic, so the checkable output
+    is the generator's INVARIANTS as deterministic aggregates: every
+    row got a key, every key matches the RFC-4122 v4 shape Spark's
+    ``uuid()`` emits, and all keys are distinct. The oracle states the
+    same three counts off the row count alone — any generator bug
+    (null, malformed, colliding keys) breaks the hash match.
+    """
+    v4 = (
+        "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}"
+        "-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    )
+    keyed = load_table(spark, sf_dir, "nation").select(
+        F.expr("uuid()").alias("nation_uuid")
+    )
+    return keyed.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("nation_uuid").rlike(v4), 1)).alias(
+            "n_valid_uuid"
+        ),
+        F.countDistinct("nation_uuid").alias("n_distinct_uuid"),
     )
 
 

@@ -1212,11 +1212,13 @@ s AS (
 )
 SELECT vec_id AS id,
        round(scale, 12) AS scale,
-       list_transform(
-         e,
-         x -> CAST(round(x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END))
-                   AS INTEGER)
-       ) AS codes
+       array_to_string(
+         list_transform(
+           e,
+           x -> CAST(CAST(round(x / (CASE WHEN scale = 0 THEN 1.0
+                                       ELSE scale END))
+                          AS INTEGER) AS VARCHAR)
+         ), ',') AS codes
 FROM s
 """,
 )
@@ -1225,11 +1227,24 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str):
     scale): the storage-compression leg of the embedding pipeline,
     exactly reproducible cross-engine (codes are deterministic integer
     rounds, scale rounded to 12 places for the value hash). Zero
-    shuffle — pure per-row array arithmetic."""
+    shuffle — pure per-row array arithmetic.
+
+    The operator keeps ``codes`` as ``array<int>`` (that is what
+    ``dequantize_embeddings`` consumes); the fixture serializes it to
+    a comma-joined string because the external checker canonicalizes
+    results through a pandas sort, where Python lists are unhashable.
+    """
     from nextbus2pg_spark.operators.similarity import quantize_embeddings
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_embeddings(emb, "vec_id", "embedding")
+    out = quantize_embeddings(emb, "vec_id", "embedding")
+    return out.select(
+        "id",
+        "scale",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+            "codes"
+        ),
+    )
 
 
 def _entropy_oracle() -> str:

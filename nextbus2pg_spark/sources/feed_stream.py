@@ -53,6 +53,12 @@ Usage::
     spark.dataSource.register(VehicleFeedDataSource)
     stream = spark.readStream.format("nextbus_feed").option("path", d).load()
     # stream has RAW_FEED_SCHEMA; feed it to streaming/ingest.transform_feed
+
+Options: ``path`` (required), ``mode`` (failfast|permissive),
+``max_docs_per_batch`` (admission control), ``purge_committed``
+(delete spool files once their offsets commit — keeps the
+``latestOffset`` directory listing bounded on long-running streams),
+``archive_dir`` (move instead of delete; implies purge).
 """
 
 from __future__ import annotations
@@ -136,12 +142,27 @@ class VehicleFeedStreamReader(DataSourceStreamReader):
     ``max_docs_per_batch`` is the admission-control knob (the
     maxFilesPerTrigger analogue): each micro-batch advances every
     route's offset by at most N documents, so a backfilled spool
-    drains in bounded batches instead of one giant first batch. The
-    throttle baseline rides ``commit()`` (the committed offsets Spark
-    reports back), so restarts resume correctly; an un-baselined
-    post-restart ``latestOffset`` can at worst plan one empty batch
-    (``partitions`` yields nothing for end < start) before the next
-    commit re-baselines it.
+    drains in bounded batches instead of one giant first batch.
+
+    **The throttle must never emit an end offset behind the stream** —
+    a throttled ``latestOffset`` computed against an empty in-memory
+    baseline after a restart would land BELOW the checkpointed offset,
+    rewinding the offset log and re-reading committed documents
+    (duplicates in the append-only store). The measured PySpark call
+    contract (probed against this build, both orders asserted in
+    ``tests/test_feed_stream_source.py``) is:
+
+    - restart: ``partitions(start, end)`` replaying the last planned
+      batch is ALWAYS called before the first ``latestOffset`` — so
+      ``partitions`` seeds the baseline from its ``start`` dict (the
+      true checkpointed position) and the throttle can never regress;
+    - cold start: ``latestOffset`` is called first, with nothing
+      seeded — position 0 everywhere, where throttling from 0 is
+      exactly right (the bounded-backfill case).
+
+    ``commit`` additionally max-merges each batch's committed end, and
+    every baseline update is monotone (max per route), so no call
+    order can move an emitted offset backward.
 
     Pair the knob with a continuous trigger (``processingTime``):
     ``availableNow`` snapshots ``latestOffset`` ONCE as the run's end
@@ -155,11 +176,21 @@ class VehicleFeedStreamReader(DataSourceStreamReader):
         path: str,
         mode: str = "failfast",
         max_docs_per_batch: int | None = None,
+        purge_committed: bool = False,
+        archive_dir: str | None = None,
     ):
         self.path = path
         self.mode = mode
         self.max_docs_per_batch = max_docs_per_batch
+        self.purge_committed = purge_committed or archive_dir is not None
+        self.archive_dir = archive_dir
         self._baseline: dict[str, int] = {}
+        # Positions PROVEN committed: seeded only from partitions()'s
+        # start dict (a batch is planned only after its predecessor
+        # fully committed) and commit()'s end. The purge floor — never
+        # from latestOffset's merely-planned ends, whose files a
+        # crash-replay may still need.
+        self._committed: dict[str, int] = {}
 
     def initialOffset(self) -> dict:
         # The reference's '0' sentinel (route.py:169) generalized: an
@@ -167,24 +198,47 @@ class VehicleFeedStreamReader(DataSourceStreamReader):
         # come through here — Spark replays the checkpointed offset.
         return {}
 
+    def _seed_baseline(self, offsets: dict) -> None:
+        for route, ms in offsets.items():
+            if int(ms) > self._baseline.get(route, 0):
+                self._baseline[route] = int(ms)
+
+    def _seed_committed(self, offsets: dict) -> None:
+        for route, ms in offsets.items():
+            if int(ms) > self._committed.get(route, 0):
+                self._committed[route] = int(ms)
+
     def latestOffset(self) -> dict:
+        # Purge here too: latestOffset ticks every trigger interval
+        # even when the stream is idle, while commit() only fires when
+        # the NEXT batch is planned (measured contract of this build's
+        # Python source runner) — without this, an idle stream never
+        # reclaims its last batches' files.
+        self._purge_upto(self._committed)
         spool = _scan_spool(self.path)
-        if not self.max_docs_per_batch:
-            return {route: files[-1][0] for route, files in spool.items()}
-        out = {}
+        throttle = self.max_docs_per_batch
+        out = dict(self._baseline)  # routes with no new files keep place
         for route, files in spool.items():
             lo = self._baseline.get(route, 0)
             newer = [ms for ms, _ in files if ms > lo]
             if newer:
-                out[route] = newer[
-                    min(len(newer), self.max_docs_per_batch) - 1
-                ]
-            elif lo:
-                out[route] = lo
-        self._baseline.update(out)
+                take = min(len(newer), throttle) if throttle else len(newer)
+                out[route] = newer[take - 1]
+        self._seed_baseline(out)
         return out
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # A restart replaying a planned-but-uncommitted batch reaches
+        # here before any commit: the start dict IS the stream
+        # position — seed the throttle baseline from it.
+        self._seed_baseline(start)
+        # Everything at-or-below start is committed (a micro-batch is
+        # only planned after its predecessor fully committed), so it
+        # joins the purge floor — the only committed-position signal
+        # that fires under Trigger.AvailableNow, where Spark's Python
+        # source fallback never calls commit() on the reader.
+        self._seed_committed(start)
+        self._purge_upto(self._committed)
         spool = _scan_spool(self.path)
         parts = []
         for route, end_ms in end.items():
@@ -200,13 +254,43 @@ class VehicleFeedStreamReader(DataSourceStreamReader):
         return _parse_files(partition.route, partition.files, self.mode)
 
     def commit(self, end: dict) -> None:
-        # Spool retention is the fetcher's concern (files may serve
-        # replay/debugging); offsets in the checkpoint already prevent
-        # reprocessing. The committed offsets re-baseline the
-        # admission-control throttle across restarts.
-        for route, ms in end.items():
-            if int(ms) > self._baseline.get(route, 0):
-                self._baseline[route] = int(ms)
+        # The committed offsets re-baseline the admission-control
+        # throttle. By default spool retention is the fetcher's
+        # concern (files may serve replay/debugging; offsets in the
+        # checkpoint already prevent reprocessing) — but an unpurged
+        # spool makes every latestOffset() listing grow without bound
+        # on a long-running stream, the classic file-source cliff.
+        # ``purge_committed`` deletes (or ``archive_dir`` moves) files
+        # at-or-below each route's committed offset: safe because a
+        # committed batch can never be replayed (replays only cover
+        # planned-but-uncommitted batches, whose files are above the
+        # committed offset by definition).
+        self._seed_baseline(end)
+        self._seed_committed(end)
+        self._purge_upto(self._committed)
+
+    def _purge_upto(self, committed: dict) -> None:
+        if not self.purge_committed or not committed:
+            return
+        if self.archive_dir:
+            os.makedirs(self.archive_dir, exist_ok=True)
+        spool = _scan_spool(self.path)
+        for route, ms in committed.items():
+            for file_ms, fpath in spool.get(route, []):
+                if file_ms > int(ms):
+                    break  # sorted ascending — rest are uncommitted
+                try:
+                    if self.archive_dir:
+                        os.replace(
+                            fpath,
+                            os.path.join(
+                                self.archive_dir, os.path.basename(fpath)
+                            ),
+                        )
+                    else:
+                        os.remove(fpath)
+                except FileNotFoundError:
+                    pass  # already purged by a prior commit
 
 
 class VehicleFeedBatchReader(DataSourceReader):
@@ -260,7 +344,12 @@ class VehicleFeedDataSource(DataSource):
 
     def streamReader(self, schema) -> VehicleFeedStreamReader:
         max_docs = self.options.get("max_docs_per_batch")
+        purge = str(
+            self.options.get("purge_committed", "false")
+        ).lower() in ("true", "1", "yes")
         return VehicleFeedStreamReader(
             self._path(), self._mode(),
             int(max_docs) if max_docs else None,
+            purge_committed=purge,
+            archive_dir=self.options.get("archive_dir"),
         )

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nextbus2pg_spark.functions.scalar import (
@@ -98,14 +98,24 @@ def resolve_service(
     Both dimension sides broadcast: the vehicle stream never shuffles.
     """
     if "route_tag" in route_services.columns:
+        # concat_ws silently DROPS null components, so ('A', NULL) and
+        # (NULL, 'A') would both key as 'A'. Coalesce each component to
+        # a NUL sentinel first: nulls stay positional and NULL==NULL
+        # matches — the same null-safe key semantics the keyed-write
+        # layer uses (COALESCE conflict keys, SURVEY §2.2 K3).
         sep = "\x1f"  # unit separator: cannot appear in wire tags
+        nul = "\x00"
+
+        def _key(a: Column, b: Column) -> Column:
+            return F.concat_ws(
+                sep, F.coalesce(a, F.lit(nul)), F.coalesce(b, F.lit(nul))
+            )
+
         fact = vehicles.withColumn(
-            "__rt_dir", F.concat_ws(sep, "route_tag", "dir_tag")
+            "__rt_dir", _key(F.col("route_tag"), F.col("dir_tag"))
         )
         primary = route_services.select(
-            F.concat_ws(
-                sep, F.col("route_tag"), F.col("tag")
-            ).alias("__rt_dir"),
+            _key(F.col("route_tag"), F.col("tag")).alias("__rt_dir"),
             F.col("service_id").alias("__p_service"),
         )
         out = (

@@ -164,3 +164,20 @@ def test_quantized_cosine_stays_faithful(spark, ann_frames):
     )
     approx = cosine_topk(deq, q_deq, "vec_id", "embedding", k=K)
     assert recall_at_k(exact, approx) >= 0.9
+
+
+def test_unit_normalization_guards_zero_vectors(spark):
+    """An all-zero embedding must stay all-zero after unit
+    normalization (norm floored at epsilon), not become NaN subvectors
+    that poison pq_train centroids and ADC score ordering (mirrors the
+    quantize_embeddings scale==0 guard)."""
+    from nextbus2pg_spark.operators.similarity import _unit
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0]), (2, [3.0, 0.0, 4.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    rows = {r.vec_id: r.embedding for r in _unit(df, "embedding").collect()}
+    assert rows[1] == [0.0, 0.0, 0.0, 0.0]
+    assert all(x == x for x in rows[1])  # no NaN
+    assert abs(rows[2][0] - 0.6) < 1e-12 and abs(rows[2][2] - 0.8) < 1e-12

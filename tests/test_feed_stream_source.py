@@ -219,3 +219,178 @@ def test_max_docs_per_batch_bounds_backfill(spark, tmp_path):
     assert sum(batches) == 9
     assert max(batches) <= 3
     assert len([b for b in batches if b]) >= 3
+
+
+def test_restart_with_throttle_never_regresses_offsets(spark, tmp_path):
+    """ADVICE r3 (high): after a restart the in-memory throttle
+    baseline is empty — a throttled latestOffset computed from 0 would
+    emit per-route offsets BELOW the checkpointed start, rewinding the
+    offset log and re-reading committed documents. The first
+    post-restart latestOffset must return the unthrottled latest
+    instead; every document lands exactly once across the restart."""
+    import time
+
+    spark.dataSource.register(VehicleFeedDataSource)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    counts: list[int] = []
+
+    def run_until(n_total):
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+            counts.append(batch_df.count())
+
+        q = (
+            spark.readStream.format("nextbus_feed")
+            .option("path", spool)
+            .option("max_docs_per_batch", "2")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = time.time() + 120
+        while sum(counts) < n_total and time.time() < deadline:
+            time.sleep(0.5)
+        time.sleep(1.5)  # let the in-flight trigger finish cleanly
+        q.stop()
+        q.awaitTermination(30)
+
+    for i in range(1, 6):
+        _drop(spool, "38R", i * 1000, f"v{i}")
+    run_until(5)
+    assert spark.read.parquet(out).count() == 5
+    assert max(counts) <= 2  # throttle held on the cold-start drain
+
+    # Restart with the throttle still set and MORE documents behind
+    # the committed offset available in the spool: the buggy reader
+    # re-read v3..v5 here (duplicates); the fixed one resumes at 5000.
+    counts.clear()
+    for i in range(6, 10):
+        _drop(spool, "38R", i * 1000, f"v{i}")
+    run_until(4)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 9  # exactly once — no re-reads across restart
+    assert {r.vehicle_id for r in rows} == {f"v{i}" for i in range(1, 10)}
+
+
+def test_reader_call_order_contract_throttled(tmp_path):
+    """Unit-level pin of the measured PySpark call orders (no Spark
+    session): cold start = latestOffset first (throttle from 0 is the
+    bounded-backfill contract); restart = partitions(start, …) first
+    (the start dict seeds the baseline, so the next throttled
+    latestOffset resumes FROM the checkpoint, never behind it)."""
+    from nextbus2pg_spark.sources.feed_stream import (
+        VehicleFeedStreamReader,
+    )
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    for i in range(1, 10):
+        _drop(spool, "38R", i * 1000, f"v{i}")
+
+    # cold start: first call is latestOffset — bounded from 0
+    cold = VehicleFeedStreamReader(spool, max_docs_per_batch=2)
+    assert cold.latestOffset() == {"38R": 2000}
+    assert cold.latestOffset() == {"38R": 4000}
+
+    # restart: replay partitions(start=checkpoint) always precedes the
+    # first latestOffset — the throttle resumes at 5000, not 2000
+    warm = VehicleFeedStreamReader(spool, max_docs_per_batch=2)
+    warm.partitions({"38R": 5000}, {"38R": 5000})
+    assert warm.latestOffset() == {"38R": 7000}
+    # a committed end behind the baseline can never pull it back
+    warm.commit({"38R": 3000})
+    assert warm.latestOffset() == {"38R": 9000}
+
+def test_purge_committed_bounds_spool_and_resumes(spark, tmp_path):
+    """Spool hygiene: with purge_committed, files at-or-below each
+    route's PROVEN-committed offset are removed. The proof signals the
+    Python source API exposes are partitions()'s start dict and
+    commit()'s end, and commit only fires when the NEXT batch is
+    planned — so purge lags exactly one batch: after a drain, only the
+    final batch's files remain (bounded by the throttle), everything
+    older is gone, and the latestOffset() listing stays bounded on a
+    long-running stream. Restart from the checkpoint still resumes at
+    the right position (offsets live in the checkpoint, not the
+    spool) and reclaims that final batch."""
+    import time
+
+    spark.dataSource.register(VehicleFeedDataSource)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    counts: list[int] = []
+
+    def run_until(n_batch_rows):
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+            counts.append(batch_df.count())
+
+        q = (
+            spark.readStream.format("nextbus_feed")
+            .option("path", spool)
+            .option("purge_committed", "true")
+            .option("max_docs_per_batch", "2")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = time.time() + 120
+        while sum(counts) < n_batch_rows and time.time() < deadline:
+            time.sleep(0.5)
+        time.sleep(2.5)  # idle trigger ticks run the purge floor
+        q.stop()
+        q.awaitTermination(30)
+
+    for i in range(1, 6):
+        _drop(spool, "38R", i * 1000, f"v{i}")
+    _drop(spool, "J", 1500, "v9")
+    run_until(6)
+    assert spark.read.parquet(out).count() == 6
+    # everything up to the last batch's start is purged; only the
+    # final (committed-but-unproven) batch's files may remain
+    assert os.listdir(spool) == ["38R__5000.xml"]
+
+    # restart: the replay's start dict proves the checkpointed offsets
+    # → the leftover file purges, and only new documents land
+    counts.clear()
+    _drop(spool, "38R", 9000, "v9b")
+    run_until(1)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 7  # no re-reads, no losses
+    assert {r.vehicle_id for r in rows} == {
+        "v1", "v2", "v3", "v4", "v5", "v9", "v9b"
+    }
+    assert os.listdir(spool) == ["38R__9000.xml"]
+
+
+def test_archive_dir_moves_committed_files(tmp_path):
+    """archive_dir variant (reader-level): committed documents move to
+    the archive instead of being deleted (replay/debug retention), in
+    both the commit() and partitions() purge hooks."""
+    from nextbus2pg_spark.sources.feed_stream import (
+        VehicleFeedStreamReader,
+    )
+
+    spool = str(tmp_path / "spool")
+    arch = str(tmp_path / "archive")
+    os.makedirs(spool)
+    _drop(spool, "38R", 1000, "v1")
+    _drop(spool, "38R", 2000, "v2")
+    _drop(spool, "38R", 3000, "v3")
+    r = VehicleFeedStreamReader(spool, archive_dir=arch)
+    assert r.purge_committed  # archive_dir implies purge
+    r.commit({"38R": 1000})
+    assert sorted(os.listdir(arch)) == ["38R__1000.xml"]
+    # partitions() purges everything at-or-below its start dict
+    r.partitions({"38R": 2000}, {"38R": 3000})
+    assert sorted(os.listdir(arch)) == ["38R__1000.xml", "38R__2000.xml"]
+    assert sorted(os.listdir(spool)) == ["38R__3000.xml"]

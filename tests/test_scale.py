@@ -156,3 +156,26 @@ def test_release_cached_rdds_frees_checkpoints(spark):
     # The checkpointed frame was fully consumed before release; a
     # second release finds nothing left behind.
     assert release_cached_rdds(spark) == 0
+
+
+def test_write_bucketed_qualified_name_and_live_table_safety(spark):
+    """ADVICE r3: write_bucketed must not hand-compute a delete path
+    from the bare table name. For a qualified 'db.tbl' the managed
+    location lives under <warehouse>/db.db/tbl; and when the catalog
+    already owns the table, DROP TABLE (not a raw directory delete)
+    must be what clears it. Re-writing both an unqualified and a
+    qualified table twice must succeed and preserve the other table."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS wbtest")
+    try:
+        small = spark.range(10).withColumn("k", F.col("id") % 3)
+        write_bucketed(small, "wbtest.t1", ["k"], n_buckets=2)
+        write_bucketed(small, "wb_plain", ["k"], n_buckets=2)
+        # second write over live catalog entries (the DROP path)
+        write_bucketed(small.limit(5), "wbtest.t1", ["k"], n_buckets=2)
+        assert spark.table("wbtest.t1").count() == 5
+        # the qualified rewrite must not have clobbered the plain table
+        assert spark.table("wb_plain").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS wbtest.t1")
+        spark.sql("DROP TABLE IF EXISTS wb_plain")
+        spark.sql("DROP DATABASE IF EXISTS wbtest")

@@ -18,6 +18,7 @@ from nextbus2pg_spark.sources.feed import (
 )
 from nextbus2pg_spark.streaming.ingest import (
     DEDUP_KEYS,
+    resolve_service,
     start_ingest,
     transform_feed,
     unresolved_count,
@@ -318,3 +319,26 @@ def test_stateful_sessionizer_applyinpandaswithstate(spark, tmp_path):
     assert s.vehicle_tag == "v1"
     assert (s.session_start_us, s.session_end_us) == (B, B + MIN)
     assert s.n_events == 2 and abs(s.mean_value - 15.0) < 1e-9
+
+
+def test_resolve_service_null_components_do_not_collide(spark):
+    """Null-safe composite lookup key (ADVICE r3): a vehicle with
+    (route_tag='A', dir_tag=NULL) must NOT resolve through a primary
+    entry keyed (route_tag=NULL, tag='A') — concat_ws would have
+    collapsed both to 'A'. A primary entry keyed (route_tag='A',
+    tag=NULL) DOES match it (NULL==NULL, the keyed-write null-safe
+    semantics)."""
+    vehicles = spark.createDataFrame(
+        [("A", None, "v1"), (None, "A", "v2")],
+        "route_tag string, dir_tag string, vehicle_tag string",
+    )
+    route_services = spark.createDataFrame(
+        [(None, "A", "svc_null_A"), ("A", None, "svc_A_null")],
+        "route_tag string, tag string, service_id string",
+    )
+    agency_services = spark.createDataFrame(
+        [], "tag string, service_id string"
+    )
+    out = resolve_service(vehicles, route_services, agency_services)
+    got = {r.vehicle_tag: r.service_id for r in out.collect()}
+    assert got == {"v1": "svc_A_null", "v2": "svc_null_A"}
