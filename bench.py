@@ -22,7 +22,8 @@ from nextbus2pg_spark.session import get_spark
 
 #: Headline set: one per operator family — scans, joins, window top-1,
 #: heavy agg, sessionization, dedup (exact + LSH), similarity, text,
-#: media (Arrow/mapInPandas decode + banded hamming pairing).
+#: media (Arrow/mapInPandas decode + banded hamming pairing), and the
+#: curation family (line dedup, chunking, language rebalancing).
 HEADLINE = [
     "q_flagship_latest",
     "q_tpch_q1",
@@ -37,6 +38,9 @@ HEADLINE = [
     "q_token_count",
     "q_doc_fingerprint",
     "q_media_phash",
+    "q_line_dedup",
+    "q_doc_chunks",
+    "q_language_balance",
 ]
 
 

@@ -529,6 +529,7 @@ def pq_train(
     m: int = 8,
     n_codes: int = 16,
     n_iters: int = 2,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """Train a product-quantization codebook → (sub, code_id, c_vec).
 
@@ -543,11 +544,27 @@ def pq_train(
     subvector) relation. The codebook is tiny (m × n_codes × subdim
     doubles) and broadcasts everywhere downstream. Dimension is probed
     from one row (driver action, training-time only).
+
+    ``train_fraction`` < 1 trains on a deterministic hash-sampled
+    subset (``pmod(xxhash64(id), 10^6) < frac·10^6`` — reproducible,
+    no RNG state): codebook training then scans frac·|corpus| per
+    Lloyd iteration while ``pq_encode`` still encodes the FULL corpus
+    in its single pass. This is the 100 TB training path — k-means
+    quality depends on sample coverage of the distribution, not corpus
+    size, so a fixed-size sample trains a codebook of the same recall
+    (pinned in tests/test_ann_recall.py) without n_iters full scans.
     """
     dim = len(corpus.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if not 0.0 < train_fraction <= 1.0:
+        raise ValueError(f"train_fraction must be in (0, 1]: {train_fraction}")
     subdim = dim // m
+    if train_fraction < 1.0:
+        corpus = corpus.where(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(1_000_000))
+            < int(train_fraction * 1_000_000)
+        )
     unit = _unit(corpus.select(id_col, vec_col), vec_col)
     sub_rows = unit.select(
         F.col(id_col).alias("id"),

@@ -94,7 +94,14 @@ class BucketedParquetStore:
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
         self.null_safe = null_safe
-        self.keep_generations = max(1, keep_generations)
+        # Floor of 2: the concurrent-reader grace window REQUIRES the
+        # previous manifest's files to survive one publish — a reader
+        # that resolved gen N just before the writer publishes N+1 must
+        # still find gen N's files afterward (proven by
+        # tests/test_store.py::test_reader_survives_concurrent_publish
+        # _and_gc). keep_generations=1 would vacuum them at publish
+        # time, silently invalidating in-flight reads.
+        self.keep_generations = max(2, keep_generations)
 
     # -- filesystem plumbing -------------------------------------------
 

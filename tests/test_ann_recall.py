@@ -181,3 +181,28 @@ def test_unit_normalization_guards_zero_vectors(spark):
     assert rows[1] == [0.0, 0.0, 0.0, 0.0]
     assert all(x == x for x in rows[1])  # no NaN
     assert abs(rows[2][0] - 0.6) < 1e-12 and abs(rows[2][2] - 0.8) < 1e-12
+
+
+def test_pq_sampled_training_recall_floor(spark, ann_frames):
+    """The 100 TB training path: codebook trained on a deterministic
+    hash-sampled HALF of the corpus (Lloyd scans frac·|corpus| per
+    iteration) while encoding still covers every vector. Recall must
+    hold the same >= 0.7 floor as full-corpus training — k-means
+    quality rides sample coverage of the distribution, not corpus
+    size."""
+    emb, queries, exact = ann_frames
+    book = pq_train(
+        emb, "vec_id", "embedding", m=32, n_codes=32, n_iters=2,
+        train_fraction=0.5,
+    )
+    codes = pq_encode(emb, book, "vec_id", "embedding")
+    approx = pq_topk(codes, book, queries, "vec_id", "embedding", k=K)
+    assert recall_at_k(exact, approx) >= 0.7
+    # deterministic: same fraction → byte-identical codebook
+    book2 = pq_train(
+        emb, "vec_id", "embedding", m=32, n_codes=32, n_iters=2,
+        train_fraction=0.5,
+    )
+    assert sorted(map(tuple, book.collect())) == sorted(
+        map(tuple, book2.collect())
+    )

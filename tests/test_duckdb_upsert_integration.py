@@ -15,7 +15,9 @@ UPDATE`` (``omit_conflict_target=True``) matches it instead, so the
 NULL-tolerant K3/K4 family now executes against a real store here too.
 The Postgres deployment keeps the explicit COALESCE target (Postgres
 allows targetless only for DO NOTHING); that statement TEXT is pinned
-by test_keyed_write.py.
+by test_keyed_write.py AND now EXECUTES against a real Postgres with
+the reference's expression indexes in
+tests/test_postgres_upsert_integration.py.
 
 The writes run through ``foreachPartition`` on executor Python
 workers; DuckDB allows one writing process per database file, so the

@@ -305,3 +305,36 @@ def test_reopen_with_different_n_buckets_uses_stored_bucketing(spark, tmp_path):
     assert len(rows) == 40, "duplicated keys -> modulus mismatch"
     assert all(r.v == 1 for r in rows)
     assert int(t4.store.current_manifest()["n_buckets"]) == 16
+
+
+def test_reader_survives_concurrent_publish_and_gc(spark, tmp_path):
+    """The concurrent-reader grace window (round-3 verdict #6): a
+    reader that resolved the CURRENT generation's file list keeps
+    working across the writer's next publish+vacuum cycle, because
+    vacuum always retains the previous manifest's files
+    (keep_generations is floored at 2 — an explicit 1 must not be able
+    to break in-flight readers)."""
+    path = str(tmp_path / "t")
+    # an explicit keep_generations=1 is floored to 2
+    assert BucketedParquetStore(
+        spark, path, ["k"], keep_generations=1
+    ).keep_generations == 2
+    t = ParquetUpsertTable(spark, path, key_cols=["k"], n_buckets=2)
+    t.upsert(spark.createDataFrame([("a", 1), ("b", 1)], "k string, v int"))
+    gen = t.store.generations()[-1]
+
+    # Reader resolves gen's manifest NOW; execution is deferred (lazy
+    # DataFrame) — the in-flight-read model.
+    snapshot = t.store.read_generation(gen)
+
+    # Writer publishes the next generation and vacuums.
+    t.upsert(spark.createDataFrame([("a", 2)], "k string, v int"))
+
+    # The reader's deferred execution still sees gen's exact state.
+    got = {(r.k, r.v) for r in snapshot.collect()}
+    assert got == {("a", 1), ("b", 1)}
+
+    # The bound is ONE publish cycle: after a second publish, gen's
+    # files are legitimately vacuumed (documented retention window).
+    t.upsert(spark.createDataFrame([("a", 3)], "k string, v int"))
+    assert gen not in t.store.generations()
