@@ -47,6 +47,7 @@ from nextbus2pg_spark.operators.multimodal import (
 from nextbus2pg_spark.operators.curation import (
     cap_per_group,
     chunk_documents,
+    bloom_decontaminate,
     decontaminate,
     deterministic_sample,
     hash_bucket,
@@ -156,6 +157,7 @@ __all__ = [
     "write_partitioned",
     "cap_per_group",
     "chunk_documents",
+    "bloom_decontaminate",
     "decontaminate",
     "deterministic_sample",
     "hash_bucket",

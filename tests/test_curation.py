@@ -214,3 +214,67 @@ def test_language_balance_keeps_null_language_stratum(spark):
            .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got.get(None) == 20  # smallest stratum keeps 100%
     assert 0 < got["en"] < 180  # majority down-sampled
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    """Exactness contract: bloom prefilter + verify == exact operator
+    on the fixture corpus (no false negatives by construction; false
+    positives removed by the verify join) — including at an aggressive
+    bits_per_element=8 where bloom FPs actually occur."""
+    from nextbus2pg_spark.catalog import load_table
+    from tests.conftest import SF_DIR_SMALL
+
+    docs = load_table(spark, SF_DIR_SMALL, "documents").select(
+        "doc_id", "text"
+    )
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    eval_set = docs.where(F.col("doc_id") % 17 == 0)
+    exact = {
+        (r.id, r.n_hits)
+        for r in cu.decontaminate(
+            train, eval_set, "doc_id", "text", ngram=3
+        ).collect()
+    }
+    assert exact  # fixture must actually collide
+    for bpe in (8, 16):
+        bloom = {
+            (r.id, r.n_hits)
+            for r in cu.bloom_decontaminate(
+                train, eval_set, "doc_id", "text", ngram=3,
+                bits_per_element=bpe,
+            ).collect()
+        }
+        assert bloom == exact
+
+
+def test_bloom_decontaminate_small_docs(spark):
+    """Unit shape: same flags as the exact operator on a controlled
+    corpus; docs shorter than the n-gram produce nothing; an empty
+    eval set flags nothing."""
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma zeta eta"),
+            (3, "one two three four five"),
+            (4, "tiny doc"),  # shorter than the 3-gram window
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma delta suffix")],
+        "doc_id long, text string",
+    )
+    hits = {
+        r["id"]: r["n_hits"]
+        for r in cu.bloom_decontaminate(
+            train, eval_set, "doc_id", "text", ngram=3
+        ).collect()
+    }
+    assert hits == {1: 2, 2: 1}
+    empty_eval = eval_set.limit(0)
+    assert (
+        cu.bloom_decontaminate(
+            train, empty_eval, "doc_id", "text", ngram=3
+        ).count()
+        == 0
+    )

@@ -261,3 +261,14 @@ def test_feed_transform_is_shuffle_free(spark):
     assert "Exchange" not in p, p
     assert "Window" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_bloom_decontaminate_corpus_never_sortmerges_eval(spark):
+    """Bloom decontamination's corpus side meets only (a) the 1-row
+    broadcast bitset and (b) — AFTER the bloom filter prunes it to a
+    sliver — the broadcast eval shingle set. A SortMergeJoin (i.e. a
+    full corpus-shingle shuffle against the eval set) must never
+    appear; the only shuffle is the final per-id count aggregation."""
+    p = plan_text(q(spark, "q_bloom_decontaminate"))
+    assert "SortMergeJoin" not in p, p
+    assert "xxhash64" in p, p  # the codegen'd bloom probes are present
