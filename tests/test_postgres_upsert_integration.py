@@ -118,13 +118,13 @@ def test_k3_null_tolerant_service_upsert_executes(pg):
     through COALESCE(tag, ''), the existing surrogate id wins, the
     payload updates, and a distinct-tag row inserts fresh."""
     pg(
-        "CREATE TABLE service (service_id TEXT, route_id TEXT, tag TEXT,"
+        "CREATE TABLE service_u (service_id TEXT, route_id TEXT, tag TEXT,"
         " name TEXT);"
-        "CREATE UNIQUE INDEX service_key ON service"
+        "CREATE UNIQUE INDEX service_u_key ON service_u"
         " (route_id, COALESCE(tag, ''))"
     )
     stmt = pg_upsert_statement(
-        table="service",
+        table="service_u",
         columns=["service_id", "route_id", "tag", "name"],
         key_cols=["route_id", "tag"],
         update_cols=["name"],
@@ -137,7 +137,7 @@ def test_k3_null_tolerant_service_upsert_executes(pg):
     pg(_render(stmt, [("s9", "r1", None, "second")]))
     rows = pg(
         "SELECT service_id, COALESCE(tag, '<null>'), name"
-        " FROM service ORDER BY 1"
+        " FROM service_u ORDER BY 1"
     ).splitlines()
     assert rows == ["s1|<null>|second", "s2|38R_out|outbound"]
 
@@ -148,13 +148,13 @@ def test_k4_stop_upsert_with_location_text_key_executes(pg):
     against the real index, and within-batch duplicates are deduped
     before the statement (DISTINCT ON equivalent, agency.py:184)."""
     pg(
-        "CREATE TABLE stop (stop_id TEXT, route_id TEXT, tag TEXT,"
+        "CREATE TABLE stop_u (stop_id TEXT, route_id TEXT, tag TEXT,"
         " location TEXT, name TEXT);"
-        "CREATE UNIQUE INDEX stop_key ON stop"
+        "CREATE UNIQUE INDEX stop_u_key ON stop_u"
         " (route_id, tag, COALESCE(location, ''))"
     )
     stmt = pg_upsert_statement(
-        table="stop",
+        table="stop_u",
         columns=["stop_id", "route_id", "tag", "location", "name"],
         key_cols=["route_id", "tag", "location"],
         update_cols=["name"],
@@ -170,7 +170,7 @@ def test_k4_stop_upsert_with_location_text_key_executes(pg):
     pg(_render(stmt, [("p9", "r1", "elm", None, "repaired-2")]))
     rows = pg(
         "SELECT stop_id, tag, COALESCE(location, '<null>'), name"
-        " FROM stop ORDER BY 1"
+        " FROM stop_u ORDER BY 1"
     ).splitlines()
     assert rows == [
         "p1|main|-122.4,37.7|Main St",
@@ -196,3 +196,142 @@ def test_k5_insert_if_absent_executes(pg):
     pg(_render(stmt, rows))
     pg(_render(stmt, rows))  # idempotent re-run
     assert pg("SELECT count(*) FROM sso") == "2"
+
+
+def test_jdbc_upsert_writer_end_to_end_on_real_postgres(pg, spark, tmp_path):
+    """The DEPLOYMENT path end-to-end: a Spark batch flows through
+    jdbc_upsert_writer's foreachPartition into a real Postgres over
+    the zero-dependency psql DB-API shim — executors each open their
+    own connection and run the rendered multi-row ON CONFLICT
+    statement. Second batch proves K2 key-stability (the fresh
+    surrogate id is discarded, the payload updates) on the actual
+    store, with real executor-side concurrency (4 partitions)."""
+    from nextbus2pg_spark.sinks.psql_dbapi import psql_connection_factory
+    from nextbus2pg_spark.sinks.upsert import jdbc_upsert_writer
+
+    # the server knows its own socket directory
+    sock_dir = pg("SHOW unix_socket_directories")
+
+    pg(
+        "CREATE TABLE route_w (route_id TEXT, agency_id TEXT, tag TEXT,"
+        " name TEXT, CONSTRAINT route_w_key UNIQUE (agency_id, tag))"
+    )
+    writer = jdbc_upsert_writer(
+        table="route_w",
+        key_cols=["agency_id", "tag"],
+        update_cols=["name"],
+        connection_factory=psql_connection_factory(sock_dir),
+        paramstyle="format",
+    )
+    b1 = spark.createDataFrame(
+        [(f"r{i}", "sf-muni", f"tag{i}", f"name{i}") for i in range(20)],
+        "route_id string, agency_id string, tag string, name string",
+    ).repartition(4)
+    writer(b1, 0)
+    assert pg("SELECT count(*) FROM route_w") == "20"
+
+    # refresh snapshot: new uuids, 5 renamed routes, 1 brand-new
+    b2 = spark.createDataFrame(
+        [(f"fresh{i}", "sf-muni", f"tag{i}", f"renamed{i}") for i in range(5)]
+        + [("fresh99", "sf-muni", "tag99", "name99")],
+        "route_id string, agency_id string, tag string, name string",
+    ).repartition(3)
+    writer(b2, 1)
+    assert pg("SELECT count(*) FROM route_w") == "21"
+    # old surrogate ids survived; payloads updated (K2)
+    assert pg(
+        "SELECT count(*) FROM route_w WHERE route_id LIKE 'fresh%'"
+    ) == "1"  # only the genuinely-new row carries a fresh id
+    assert pg(
+        "SELECT name FROM route_w WHERE tag = 'tag3'"
+    ) == "renamed3"
+
+
+def test_dimension_refresh_postgres_equals_parquet_store(pg, spark, tmp_path):
+    """THE deployment-parity proof: the full four-stage dimension
+    refresh (routes → services → stops → stop orders, with sentinel
+    services, missing-stop repair and the K3/K4 NULL-tolerant
+    expression-index upserts) runs UNCHANGED against a real Postgres
+    store and produces row-for-row identical tables to the parquet
+    manifest store. Second refresh on Postgres proves key stability
+    and K5 idempotence on the real constraints."""
+    import datetime as dt
+
+    from nextbus2pg_spark.pipelines.dimension_refresh import (
+        DimensionStore,
+        run_refresh,
+    )
+    from nextbus2pg_spark.sinks.postgres import PostgresDimensionStore
+    from nextbus2pg_spark.sinks.psql_dbapi import psql_connection_factory
+    from tests.test_dimension_refresh import _inputs
+
+    sock_dir = pg("SHOW unix_socket_directories")
+    factory = psql_connection_factory(sock_dir)
+
+    route_list, body, dirs, dstops = _inputs(spark)
+    ts = dt.datetime(2024, 1, 15, 8, 0, 0)
+
+    pstore = DimensionStore(spark, str(tmp_path / "dims"))
+    gstore = PostgresDimensionStore(spark, factory)
+    run_refresh(pstore, route_list, body, dirs, dstops, "sf-muni", ts)
+    run_refresh(gstore, route_list, body, dirs, dstops, "sf-muni", ts)
+
+    def canon_routes(store):
+        return {
+            (r.route_id, r.agency_id, r.tag, r.name)
+            for r in store.route.read().collect()
+        }
+
+    def canon_services(store):
+        return {
+            (r.service_id, r.route_id, r.tag, r.name, r.direction,
+             r.use_for_ui)
+            for r in store.service.read().collect()
+        }
+
+    def canon_stops(store):
+        return {
+            (
+                r.stop_id, r.route_id, r.tag, r.name,
+                None if r.location is None else
+                (round(r.location.lon, 9), round(r.location.lat, 9)),
+                r.location_text,
+            )
+            for r in store.stop.read().collect()
+        }
+
+    def canon_sso(store):
+        return {
+            (r.service_id, r.stop_id, r.stop_order, r.update_timestamp)
+            for r in store.service_stop_order.read().collect()
+        }
+
+    assert canon_routes(gstore) == canon_routes(pstore)
+    assert canon_services(gstore) == canon_services(pstore)
+    assert canon_stops(gstore) == canon_stops(pstore)
+    assert canon_sso(gstore) == canon_sso(pstore)
+    assert len(canon_sso(gstore)) > 0
+
+    # Re-refresh on Postgres: surrogate ids stable, stop orders
+    # idempotent (K5 DO NOTHING on the real unique constraint).
+    before = canon_sso(gstore)
+    svc_before = canon_services(gstore)
+    run_refresh(gstore, route_list, body, dirs, dstops, "sf-muni", ts)
+    assert canon_sso(gstore) == before
+    assert canon_services(gstore) == svc_before
+
+
+def test_render_format_params_quoting():
+    """The psql shim's client-side parameter rendering: quoting,
+    escaping, NULL/bool/number forms, and a hard error on
+    placeholder/parameter count mismatch (a silent mismatch would ship
+    a malformed statement)."""
+    from nextbus2pg_spark.sinks.psql_dbapi import render_format_params
+
+    out = render_format_params(
+        "INSERT INTO t VALUES (%s, %s, %s, %s, %s)",
+        ["o'brien", None, True, 3, 2.5],
+    )
+    assert out == "INSERT INTO t VALUES ('o''brien', NULL, TRUE, 3, 2.5)"
+    with pytest.raises(ValueError):
+        render_format_params("VALUES (%s, %s)", ["only-one"])
