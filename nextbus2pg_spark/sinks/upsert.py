@@ -90,6 +90,7 @@ def jdbc_upsert_writer(
     connection_factory: Callable | None = None,
     paramstyle: str = "format",
     omit_conflict_target: bool = False,
+    append_only: bool = False,
 ):
     """Build a ``foreachBatch`` function applying the upsert per batch.
 
@@ -101,6 +102,12 @@ def jdbc_upsert_writer(
     ``"qmark"`` renders ``?`` (DuckDB and most embedded DB-APIs).
     Executes one multi-row statement per partition via
     ``foreachPartition`` — distributed writes, no driver collect.
+
+    ``append_only``: K6 event-log mode (``agency.py:303-322``) — plain
+    ``INSERT`` with NO conflict clause after within-batch dedup on
+    ``key_cols`` (the ``SELECT DISTINCT ON`` over the VALUES list);
+    the table has no unique index by design, duplicates across batches
+    are accepted (at-least-once, T4).
     """
     if paramstyle not in ("format", "qmark"):
         raise ValueError(f"unsupported paramstyle: {paramstyle}")
@@ -108,6 +115,16 @@ def jdbc_upsert_writer(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # T7 empty-batch short-circuit (agency.py:303)
+            return
+        if append_only:
+            deduped = append_dedup(batch_df, list(key_cols))
+            col_list = ", ".join(deduped.columns)
+            _execute_per_partition(
+                deduped,
+                f"INSERT INTO {table} ({col_list}) VALUES %s",
+                connection_factory,
+                ph,
+            )
             return
         if null_safe_keys:
             # COALESCE-indexed keys: NULL and '' are ONE key at the
@@ -124,32 +141,41 @@ def jdbc_upsert_writer(
             )
         else:
             batch_df = append_dedup(batch_df, list(key_cols))
-        columns = batch_df.columns
         stmt = pg_upsert_statement(
-            table, columns, key_cols, update_cols, null_safe_keys, do_nothing,
-            omit_conflict_target,
+            table, batch_df.columns, key_cols, update_cols, null_safe_keys,
+            do_nothing, omit_conflict_target,
         )
-
-        def write_partition(rows) -> None:
-            rows = list(rows)
-            if not rows:
-                return
-            conn = connection_factory()
-            try:
-                cur = conn.cursor()
-                values = ", ".join(
-                    "(" + ", ".join(ph for _ in columns) + ")" for _ in rows
-                )
-                flat = [v for row in rows for v in row]
-                cur.execute(stmt.replace("VALUES %s", f"VALUES {values}"), flat)
-                if hasattr(conn, "commit"):
-                    conn.commit()
-            finally:
-                conn.close()
-
-        batch_df.foreachPartition(write_partition)
+        _execute_per_partition(batch_df, stmt, connection_factory, ph)
 
     return write_batch
+
+
+def _execute_per_partition(
+    df: DataFrame, stmt: str, connection_factory: Callable, ph: str
+) -> None:
+    """Run ``stmt`` (containing one ``VALUES %s`` slot) as one
+    multi-row statement per non-empty partition — executor-side
+    connections, no driver collect (K7 batching, agency.py:35-37)."""
+    columns = df.columns
+
+    def write_partition(rows) -> None:
+        rows = list(rows)
+        if not rows:
+            return
+        conn = connection_factory()
+        try:
+            cur = conn.cursor()
+            values = ", ".join(
+                "(" + ", ".join(ph for _ in columns) + ")" for _ in rows
+            )
+            flat = [v for row in rows for v in row]
+            cur.execute(stmt.replace("VALUES %s", f"VALUES {values}"), flat)
+            if hasattr(conn, "commit"):
+                conn.commit()
+        finally:
+            conn.close()
+
+    df.foreachPartition(write_partition)
 
 
 class ParquetUpsertTable:

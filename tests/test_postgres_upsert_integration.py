@@ -335,3 +335,90 @@ def test_render_format_params_quoting():
     assert out == "INSERT INTO t VALUES ('o''brien', NULL, TRUE, 3, 2.5)"
     with pytest.raises(ValueError):
         render_format_params("VALUES (%s, %s)", ["only-one"])
+
+
+def test_streaming_vehicle_ingest_into_real_postgres(pg, spark, tmp_path):
+    """The reference's HOT PATH end-to-end on the real deployment
+    store: DSv2 feed source (checkpointed per-route offsets) →
+    transform/resolve/dedup pipeline → foreachBatch append-only INSERT
+    (K6: no unique index, within-batch dedup only, agency.py:303-322)
+    into a Postgres vehicle_location table. A restart with a new
+    document appends exactly one row — offsets live in the checkpoint,
+    the log stays at-least-once."""
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.sinks.psql_dbapi import psql_connection_factory
+    from nextbus2pg_spark.sinks.upsert import jdbc_upsert_writer
+    from nextbus2pg_spark.sources.feed_stream import VehicleFeedDataSource
+    from nextbus2pg_spark.streaming.ingest import DEDUP_KEYS, start_ingest
+
+    sock_dir = pg("SHOW unix_socket_directories")
+    pg(
+        "CREATE TABLE vehicle_location ("
+        " service_id TEXT, vehicle_tag TEXT,"
+        " lon DOUBLE PRECISION, lat DOUBLE PRECISION,"
+        " location_timestamp TIMESTAMP, is_predictable BOOLEAN)"
+    )  # reference DDL shape (sql/create_tables.sql:113-125), no PK
+    writer = jdbc_upsert_writer(
+        table="vehicle_location",
+        key_cols=list(DEDUP_KEYS),
+        connection_factory=psql_connection_factory(sock_dir),
+        append_only=True,
+    )
+
+    def sink(batch_df, batch_id):
+        writer(
+            batch_df.select(
+                "service_id", "vehicle_tag",
+                F.col("vehicle_location.lon").alias("lon"),
+                F.col("vehicle_location.lat").alias("lat"),
+                "location_timestamp", "is_predictable",
+            ),
+            batch_id,
+        )
+
+    spark.dataSource.register(VehicleFeedDataSource)
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    dims = spark.createDataFrame(
+        [("d1", "svc-d1")], "tag string, service_id string"
+    )
+    xml = (
+        '<?xml version="1.0"?><body>'
+        '<vehicle id="{vid}" dirTag="d1" lon="-122.4" lat="37.7"'
+        ' secsSinceReport="9" predictable="true"/>'
+        '<lastTime time="{ms}"/></body>'
+    )
+    for vid, ms in (("v1", 1_000_000), ("v1", 1_000_000), ("v2", 2_000_000)):
+        with open(os.path.join(spool, f"38R__{ms}.xml"), "w") as f:
+            f.write(xml.format(vid=vid, ms=ms))
+
+    def run():
+        raw = (
+            spark.readStream.format("nextbus_feed")
+            .option("path", spool).load()
+        )
+        q = start_ingest(
+            raw,
+            dims_provider=lambda: (dims, dims.limit(0)),
+            sink=sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert pg("SELECT count(*) FROM vehicle_location") == "2"
+    rows = pg(
+        "SELECT vehicle_tag, service_id, lon, is_predictable,"
+        " location_timestamp FROM vehicle_location ORDER BY 1"
+    ).splitlines()
+    assert rows[0].startswith("v1|svc-d1|-122.4|t|")
+    assert rows[1].startswith("v2|svc-d1|-122.4|t|")
+    # event time = request (rounded s) − secsSinceReport (9s)
+    assert "1970-01-01 00:16:31" in rows[0]  # 1000s − 9s
+
+    # restart: one new doc → exactly one appended row
+    with open(os.path.join(spool, "38R__3000000.xml"), "w") as f:
+        f.write(xml.format(vid="v3", ms=3_000_000))
+    run()
+    assert pg("SELECT count(*) FROM vehicle_location") == "3"
