@@ -94,6 +94,17 @@ def curate_documents(
         F.col("keeper_id").alias(id_col)
     )
     cur = cur.join(keepers, id_col, "left_semi")
+    # LAZY lineage cut: the post-exact-dedup frame feeds four
+    # downstream consumers (shingling, the corpus side of dedup_corpus,
+    # the decontam anti-join, packing) — without this each one
+    # recomputes the quality+dedup chain. localCheckpoint(eager=False)
+    # keeps the pipeline's laziness contract (nothing runs until the
+    # caller's first action) but materializes once and reuses after;
+    # release via release_cached_rdds when done (operators/scale.py).
+    # Order matters: the checkpoint goes BELOW the observation — a
+    # checkpoint materialization above it would bypass the observe
+    # accumulator and report a zero stage count.
+    cur = cur.localCheckpoint(eager=False)
     cur = checkpointed_count(cur, "exact_dedup")
 
     # 3. near-dup dedup: banded candidates → verified pairs → clusters.
@@ -101,11 +112,13 @@ def curate_documents(
     # and (when the n-grams agree) the decontamination stage below —
     # at corpus scale the tokenize+explode pass is the dominant map
     # cost, and sharing it halves it (round-2 verdict next-round #6).
+    # Same lazy checkpoint: shingling (the dominant map cost) would
+    # otherwise run once for minhash and again for decontamination.
     from nextbus2pg_spark.operators.scale import ensure_min_parallelism
 
     shingles = word_shingles(
         ensure_min_parallelism(cur), id_col, text_col, n=3
-    )
+    ).localCheckpoint(eager=False)
     pairs = minhash_lsh_pairs(
         cur, id_col, text_col, shingle_n=3, shingles=shingles
     ).where(F.col("jaccard") >= F.lit(near_dup_jaccard))

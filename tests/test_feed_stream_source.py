@@ -394,3 +394,134 @@ def test_archive_dir_moves_committed_files(tmp_path):
     r.partitions({"38R": 2000}, {"38R": 3000})
     assert sorted(os.listdir(arch)) == ["38R__1000.xml", "38R__2000.xml"]
     assert sorted(os.listdir(spool)) == ["38R__3000.xml"]
+
+# ---------------------------------------------------------------------------
+# Model-based property test: the reader vs a simulated Spark driver
+# ---------------------------------------------------------------------------
+
+def test_reader_model_random_schedules(tmp_path):
+    """Property (hypothesis): under ANY interleaving of document
+    arrivals, micro-batches, crashes mid-batch (uncommitted replay)
+    and clean restarts — with and without spool purging, issued in
+    the call orders this build's Spark
+    measurably uses (cold: latestOffset first; restart: partitions
+    replay first; the source-commit callback fires only when the NEXT
+    batch is planned) — the reader delivers every document to exactly
+    one batch id and loses nothing. Throttled and unthrottled readers
+    both hold the invariant."""
+    from hypothesis import given, settings, strategies as st
+
+    from nextbus2pg_spark.sources.feed_stream import (
+        VehicleFeedStreamReader,
+    )
+
+    class DriverSim:
+        """The measured MicroBatchExecution contract, minus Spark.
+
+        Distinguishes Spark's OWN commit log (written the moment a
+        batch finishes running) from the source-commit callback
+        (invoked only while planning the next batch): crash recovery
+        replays only batches absent from the commit log."""
+
+        def __init__(self, spool, throttle, purge):
+            self.spool = spool
+            self.throttle = throttle
+            self.purge = purge
+            self.reader = VehicleFeedStreamReader(
+                spool, max_docs_per_batch=throttle,
+                purge_committed=purge,
+            )
+            self.committed: dict = {}      # commit-log head position
+            self.pending: dict | None = None  # planned, crashed mid-run
+            self.n_batches = 0
+            self.delivered: list[set[str]] = []
+            self.reader.initialOffset()  # cold start only
+
+        def _read(self, start, end):
+            parts = self.reader.partitions(start, end)
+            return {f for p in parts for f in p.files}
+
+        def plan_and_run(self, complete=True):
+            assert self.pending is None  # crash first to clear it
+            end = self.reader.latestOffset()
+            if end == self.committed or not end:
+                return
+            if self.n_batches:
+                # source-commit of the previous batch fires now
+                self.reader.commit(self.committed)
+            files = self._read(self.committed, end)
+            self.delivered.append(files)
+            self.n_batches += 1
+            if complete:
+                self.committed = end  # Spark's commit log, immediate
+            else:
+                self.pending = end    # crashed before the commit log
+
+        def restart(self):
+            self.reader = VehicleFeedStreamReader(
+                self.spool, max_docs_per_batch=self.throttle,
+                purge_committed=self.purge,
+            )
+            if self.pending is not None:
+                # replay the uncommitted offset-log head: same batch
+                # id re-runs — re-delivery REPLACES it, as foreachBatch
+                # rerun with an identical batch id does
+                files = self._read(self.committed, self.pending)
+                self.delivered[-1] = files
+                self.committed = self.pending
+                self.pending = None
+            else:
+                # measured: Spark still replays the committed head as
+                # a no-op partitions(start == end) call
+                self._read(self.committed, self.committed)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        ops=st.lists(
+            st.sampled_from(
+                ["drop_a", "drop_b", "batch", "crash_mid", "restart"]
+            ),
+            min_size=1, max_size=30,
+        ),
+        throttle=st.sampled_from([None, 1, 2]),
+        purge=st.booleans(),
+    )
+    def run(ops, throttle, purge):
+        import shutil as _sh
+        import tempfile
+
+        spool = tempfile.mkdtemp(prefix="model-", dir=str(tmp_path))
+        try:
+            sim = DriverSim(spool, throttle, purge)
+            clock = {"A": 0, "B": 0}
+            expected: set[str] = set()
+            for op in ops:
+                if op.startswith("drop"):
+                    route = "A" if op == "drop_a" else "B"
+                    clock[route] += 1000
+                    _drop(spool, route, clock[route],
+                          f"v{route}{clock[route]}")
+                    expected.add(f"{route}__{clock[route]}.xml")
+                elif op == "batch":
+                    sim.plan_and_run(complete=True)
+                elif op == "crash_mid":
+                    sim.plan_and_run(complete=False)
+                    sim.restart()
+                else:
+                    sim.restart()
+            for _ in range(2 * len(ops) + 2):  # drain the tail
+                sim.plan_and_run(complete=True)
+
+            got = [
+                {os.path.basename(f) for f in batch}
+                for batch in sim.delivered
+            ]
+            flat = [n for b in got for n in b]
+            assert len(flat) == len(set(flat)), f"double-delivery: {got}"
+            assert set(flat) == expected, (
+                f"lost={expected - set(flat)} extra={set(flat) - expected}"
+            )
+        finally:
+            _sh.rmtree(spool, ignore_errors=True)
+
+    run()
