@@ -16,6 +16,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -490,11 +492,17 @@ def simhash(
 ) -> DataFrame:
     """SimHash fingerprint per document → (id, simhash).
 
-    Explodes words × bit positions, sums votes per bit, packs bits whose
-    vote is >= 0. Near-dup docs then differ in few bits; pairing is a
+    Sums per-bit votes over the word stream, packs bits whose vote is
+    >= 0. Near-dup docs then differ in few bits; pairing is a
     self-join on band slices of the fingerprint (same LSH idea as
     MinHash). ``bits`` stays small for oracle fixtures; the library
     default is fine up to 64.
+
+    Shape: ONE pass over the exploded words computing all ``bits``
+    vote sums as parallel aggregates on a single groupBy (the same
+    one-pass form as ``minhash_signatures``) — no words×bits crossJoin
+    row blowup and no second shuffle: the bit packing folds the wide
+    vote row directly.
     """
     from nextbus2pg_spark.operators.scale import ensure_min_parallelism
 
@@ -502,15 +510,17 @@ def simhash(
     exploded = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode(words).alias("word")
     )
-    bit_ids = df.sparkSession.range(bits).withColumnRenamed("id", "bit")
-    votes = (
-        exploded.crossJoin(F.broadcast(bit_ids))
-        .groupBy("id", "bit")
-        .agg(F.sum(simhash_bit_vote(F.col("word"), F.col("bit"))).alias("vote"))
+    aggs = [
+        F.sum(simhash_bit_vote(F.col("word"), F.lit(b))).alias(f"__v{b}")
+        for b in range(bits)
+    ]
+    wide = exploded.groupBy("id").agg(*aggs)
+    packed = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"__v{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(bits),
+        F.lit(0).cast("long"),
     )
-    bit_value = F.round(F.pow(F.lit(2.0), F.col("bit")), 0).cast("long")
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("vote") >= 0, bit_value).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+    return wide.select("id", packed.alias("simhash"))
