@@ -230,21 +230,34 @@ def bloom_decontaminate(
     # -- build ---------------------------------------------------------
     n_eval = eval_sh.count()  # driver action; eval side is bounded
     m = max(64, ((bits_per_element * max(n_eval, 1) + 63) // 64) * 64)
-    pos = eval_sh.select(
-        F.explode(
-            F.array(
-                *[
-                    F.expr(f"pmod(xxhash64({j}, shingle), {m})")
-                    for j in range(n_hashes)
-                ]
-            )
-        ).alias("p")
-    ).distinct()
+    # Distributed OR-fold: positions group by word index and bit_or
+    # into 64-bit words BEFORE collecting, so the driver receives at
+    # most m/64 longs (the bitset itself) — never the k·|eval shingles|
+    # individual positions, which at the motivating 100M-ngram scale
+    # would be hundreds of millions of driver-side rows. shiftleft's
+    # signed bit 63 is already the two's-complement long Spark stores.
+    packed = (
+        eval_sh.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(f"pmod(xxhash64({j}, shingle), {m})")
+                        for j in range(n_hashes)
+                    ]
+                )
+            ).alias("p")
+        )
+        .select(
+            (F.col("p") / 64).cast("int").alias("widx"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .collect()
+    )
     words = [0] * (m // 64)
-    for r in pos.collect():
-        words[r.p // 64] |= 1 << (r.p % 64)
-    # array<long> is signed; fold bit 63 back into two's complement
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    for r in packed:
+        words[r.widx] = r.word
     bf = docs.sparkSession.createDataFrame([(words,)], "bf array<bigint>")
 
     # -- prefilter (pure codegen'd bit tests, no join on the corpus) --

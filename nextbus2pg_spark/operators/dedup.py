@@ -515,9 +515,16 @@ def simhash(
         for b in range(bits)
     ]
     wide = exploded.groupBy("id").agg(*aggs)
+
+    def _bit_value(b: int):
+        # bit 63 is the long's sign bit: 1<<63 overflows LongType, but
+        # its two's-complement value -(2^63) sums to the same bit
+        # pattern (bits=64 is the documented library maximum).
+        return F.lit(-(1 << 63) if b == 63 else 1 << b).cast("long")
+
     packed = reduce(
         lambda acc, b: acc
-        + F.when(F.col(f"__v{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+        + F.when(F.col(f"__v{b}") >= 0, _bit_value(b)).otherwise(
             F.lit(0).cast("long")
         ),
         range(bits),

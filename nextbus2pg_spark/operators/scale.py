@@ -100,21 +100,47 @@ def write_bucketed(
     # the catalog has NO entry do we clear the would-be default
     # location (the orphan case), derived per-namespace so qualified
     # names ('db.tbl' → <warehouse>/db.db/tbl) resolve correctly.
+    jvm = spark._jvm
+    jsc = spark._jsc
+
+    def _delete_dir(path_str: str) -> None:
+        loc = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = loc.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
+
     if spark.catalog.tableExists(table_name):
+        # Resolve the CATALOG's location before dropping: for a managed
+        # table DROP removes the files itself, but for an EXTERNAL
+        # table (or one registered over a pre-existing directory) the
+        # files survive the drop and saveAsTable would then fail with
+        # LOCATION_ALREADY_EXISTS. write_bucketed is an overwrite API,
+        # so clearing the location of the table being replaced is the
+        # contract — and it is the catalog-resolved location, never a
+        # hand-computed warehouse path that might belong to another
+        # table.
+        loc_rows = [
+            r.data_type
+            for r in spark.sql(
+                f"DESCRIBE TABLE EXTENDED {table_name}"
+            ).collect()
+            if r.col_name == "Location"
+        ]
         spark.sql(f"DROP TABLE {table_name}")
+        if loc_rows:
+            _delete_dir(loc_rows[0])
     else:
+        # No catalog entry: clear only the would-be default location
+        # (the orphaned-directory case), derived per-namespace so
+        # qualified names ('db.tbl' → <warehouse>/db.db/tbl) resolve
+        # correctly.
         parts = table_name.lower().split(".")
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
         if len(parts) == 2 and parts[0] != "default":
             rel = f"{parts[0]}.db/{parts[1]}"
         else:
             rel = parts[-1]
-        jvm = spark._jvm
-        jsc = spark._jsc
-        loc = jvm.org.apache.hadoop.fs.Path(warehouse, rel)
-        fs = loc.getFileSystem(jsc.hadoopConfiguration())
-        if fs.exists(loc):
-            fs.delete(loc, True)
+        _delete_dir(f"{warehouse}/{rel}")
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -19,7 +19,8 @@ asserts the two stores produce IDENTICAL rows from identical inputs.
 
 Scale/typing notes:
 
-- ``read()`` is a driver-side COPY(csv) — dimension tables are small
+- ``read()`` is a driver-side COPY (text format via the psql shim;
+  typed fetchall on a real DB-API driver) — dimension tables are small
   by construction (the reference re-reads them per sweep the same
   way). The fact stream (vehicle_location) is append-only and never
   read back by the pipeline, so no distributed JDBC scan is needed for
@@ -35,8 +36,7 @@ Scale/typing notes:
 
 from __future__ import annotations
 
-import csv
-import io
+import re
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,6 +44,23 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from nextbus2pg_spark.sinks.upsert import jdbc_upsert_writer
+
+_COPY_ESCAPES = {
+    "t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f", "v": "\v",
+    "\\": "\\",
+}
+
+
+def _copy_text_field(v: str):
+    """Decode one COPY TO STDOUT (text format) field: ``\\N`` alone is
+    NULL; otherwise unescape in a SINGLE pass (chained str.replace
+    would mis-decode a literal backslash followed by 't')."""
+    if v == "\\N":
+        return None
+    return re.sub(
+        r"\\(.)", lambda m: _COPY_ESCAPES.get(m.group(1), m.group(1)), v
+    )
+
 
 _PG_TYPES = {
     "string": "TEXT",
@@ -102,6 +119,8 @@ class PostgresUpsertTable:
                 f"CREATE UNIQUE INDEX IF NOT EXISTS {self.table}_key "
                 f"ON {self.table} ({target})"
             )
+            if hasattr(conn, "commit"):
+                conn.commit()  # non-autocommit DB-APIs (psycopg2 default)
         finally:
             conn.close()
         self._ensured = True
@@ -130,23 +149,35 @@ class PostgresUpsertTable:
         self.ensure()
         self._writer(do_nothing=True)(self._project(incoming), 0)
 
-    # -- read (driver-side COPY; dims are small by construction) -------
+    # -- read (driver-side; dims are small by construction) ------------
 
     def read(self) -> DataFrame:
         self.ensure()
         conn = self.connection_factory()
         try:
-            out = conn._run(
-                f"COPY (SELECT * FROM {self.table}) TO STDOUT "
-                "(FORMAT csv, NULL '\\N')"
-            )
+            if hasattr(conn, "_run"):
+                # psql shim: COPY in TEXT format. Unlike csv, text
+                # format is unambiguous — NULL is the two characters
+                # \N while a literal backslash in data is \\, so a
+                # column VALUE of "\N" round-trips correctly.
+                out = conn._run(
+                    f"COPY (SELECT * FROM {self.table}) TO STDOUT"
+                )
+                rows = [
+                    tuple(_copy_text_field(v) for v in line.split("\t"))
+                    for line in out.splitlines()
+                ]
+                return self._from_strings(rows)
+            # real DB-API driver (psycopg2): typed rows directly
+            cur = conn.cursor()
+            cur.execute(f"SELECT * FROM {self.table}")
+            typed = [tuple(r) for r in cur.fetchall()]
+            return self.spark.createDataFrame(typed, self.schema)
         finally:
             conn.close()
+
+    def _from_strings(self, rows: list[tuple]) -> DataFrame:
         names = [f.name for f in self.schema.fields]
-        rows = [
-            tuple(None if v == "\\N" else v for v in rec)
-            for rec in csv.reader(io.StringIO(out))
-        ]
         raw = self.spark.createDataFrame(
             rows, ", ".join(f"{n} string" for n in names)
         )
@@ -154,7 +185,7 @@ class PostgresUpsertTable:
         for f in self.schema.fields:
             c = F.col(f.name)
             if isinstance(f.dataType, T.BooleanType):
-                # COPY csv renders booleans as t/f
+                # COPY text renders booleans as t/f
                 casts.append(
                     F.when(c == "t", F.lit(True))
                     .when(c == "f", F.lit(False))

@@ -40,7 +40,17 @@ def _literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # Postgres accepts non-finite floats only in their quoted
+        # spelled-out forms; a bare nan/inf is a syntax error.
+        if v != v:
+            return "'NaN'"
+        if v == float("inf"):
+            return "'Infinity'"
+        if v == float("-inf"):
+            return "'-Infinity'"
+        return str(v)
+    if isinstance(v, int):
         return str(v)
     return "'" + str(v).replace("'", "''") + "'"
 
@@ -104,8 +114,13 @@ class PsqlConnection:
         ]
 
     def _run(self, sql: str) -> str:
+        # SQL goes through stdin (psql -f -), NOT as a -c argument:
+        # Linux caps a single argv element at ~128 KB (MAX_ARG_STRLEN),
+        # which a multi-row VALUES statement for one healthy partition
+        # easily exceeds — stdin has no such limit.
         p = subprocess.run(
-            [*self.args, "-c", sql], capture_output=True, text=True,
+            [*self.args, "-f", "-"], input=sql,
+            capture_output=True, text=True,
         )
         if p.returncode != 0:
             raise RuntimeError(f"psql failed: {p.stderr.strip()[:500]}")

@@ -281,7 +281,12 @@ class VehicleFeedStreamReader(DataSourceStreamReader):
                     break  # sorted ascending — rest are uncommitted
                 try:
                     if self.archive_dir:
-                        os.replace(
+                        # shutil.move, not os.replace: archive storage
+                        # commonly sits on a different filesystem,
+                        # where a raw rename raises EXDEV.
+                        import shutil
+
+                        shutil.move(
                             fpath,
                             os.path.join(
                                 self.archive_dir, os.path.basename(fpath)

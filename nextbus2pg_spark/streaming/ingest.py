@@ -100,15 +100,16 @@ def resolve_service(
     if "route_tag" in route_services.columns:
         # concat_ws silently DROPS null components, so ('A', NULL) and
         # (NULL, 'A') would both key as 'A'. Coalesce each component to
-        # a NUL sentinel first: nulls stay positional and NULL==NULL
-        # matches — the same null-safe key semantics the keyed-write
-        # layer uses (COALESCE conflict keys, SURVEY §2.2 K3).
+        # '' instead: components stay positional (the separator always
+        # renders, so 'A'+sep+'' ≠ ''+sep+'A') and NULL keys equal ''
+        # keys — EXACTLY the keyed-write/store semantics, where the
+        # COALESCE(col, '') unique index makes NULL and '' one key
+        # (SURVEY §2.2 K3, sql/create_tables.sql:62-63).
         sep = "\x1f"  # unit separator: cannot appear in wire tags
-        nul = "\x00"
 
         def _key(a: Column, b: Column) -> Column:
             return F.concat_ws(
-                sep, F.coalesce(a, F.lit(nul)), F.coalesce(b, F.lit(nul))
+                sep, F.coalesce(a, F.lit("")), F.coalesce(b, F.lit(""))
             )
 
         fact = vehicles.withColumn(

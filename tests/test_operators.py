@@ -399,3 +399,20 @@ def test_char_entropy_orders_repetitiveness(spark):
     assert got[4] == 0.0
     assert got[1] < got[2], got
     assert got[2] > 3.0
+
+
+def test_simhash_bits_64_no_overflow(spark):
+    """Bit 63 is the long sign bit: bits=64 must produce non-NULL
+    fingerprints (1<<63 would overflow LongType; the packing uses the
+    two's-complement value instead)."""
+    from nextbus2pg_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r.simhash for r in simhash(df, "doc_id", "text", bits=64).collect()}
+    assert all(v is not None for v in rows.values())
+    assert rows[1] == rows[2]          # identical docs, identical hash
+    assert rows[1] != rows[3]

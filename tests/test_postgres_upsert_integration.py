@@ -422,3 +422,40 @@ def test_streaming_vehicle_ingest_into_real_postgres(pg, spark, tmp_path):
         f.write(xml.format(vid="v3", ms=3_000_000))
     run()
     assert pg("SELECT count(*) FROM vehicle_location") == "3"
+
+
+def test_psql_shim_large_statement_and_special_values(pg, spark):
+    """The shim must survive a statement far beyond Linux's ~128KB
+    per-argv limit (SQL goes via stdin), and round-trip values that
+    break naive escaping: literal backslash-N, embedded tabs/newlines,
+    quotes, NaN floats."""
+    from nextbus2pg_spark.sinks.postgres import PostgresUpsertTable
+    from nextbus2pg_spark.sinks.psql_dbapi import psql_connection_factory
+
+    sock_dir = pg("SHOW unix_socket_directories")
+    factory = psql_connection_factory(sock_dir)
+    t = PostgresUpsertTable(
+        spark, factory, "big_t",
+        "k string, payload string, x double",
+        key_cols=["k"], update_cols=["payload", "x"],
+    )
+    # ~200 rows × ~1 KB payload ≈ 250KB statement, one partition
+    big = spark.createDataFrame(
+        [(f"k{i}", "p" * 1000, float(i)) for i in range(250)],
+        "k string, payload string, x double",
+    ).coalesce(1)
+    t.upsert(big)
+    assert pg("SELECT count(*) FROM big_t") == "250"
+
+    tricky = spark.createDataFrame(
+        [
+            ("nul", "\\N", float("nan")),        # literal backslash-N
+            ("tab", "a\tb\nc'd", 1.5),           # tab, newline, quote
+        ],
+        "k string, payload string, x double",
+    )
+    t.upsert(tricky)
+    rows = {r.k: (r.payload, r.x) for r in t.read().collect()}
+    assert rows["nul"][0] == "\\N"               # NOT corrupted to NULL
+    assert rows["nul"][1] != rows["nul"][1]      # NaN round-trips
+    assert rows["tab"][0] == "a\tb\nc'd"

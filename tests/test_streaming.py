@@ -342,3 +342,22 @@ def test_resolve_service_null_components_do_not_collide(spark):
     out = resolve_service(vehicles, route_services, agency_services)
     got = {r.vehicle_tag: r.service_id for r in out.collect()}
     assert got == {"v1": "svc_A_null", "v2": "svc_null_A"}
+
+
+def test_resolve_service_null_equals_empty_key(spark):
+    """Store-semantics parity: the composite lookup key treats NULL
+    and '' as ONE key (the COALESCE(col,'') unique-index semantics the
+    keyed-write layer uses) — a primary entry with tag='' resolves a
+    vehicle with dir_tag NULL, and vice versa."""
+    vehicles = spark.createDataFrame(
+        [("A", None, "v1"), ("B", "", "v2")],
+        "route_tag string, dir_tag string, vehicle_tag string",
+    )
+    route_services = spark.createDataFrame(
+        [("A", "", "svc_A"), ("B", None, "svc_B")],
+        "route_tag string, tag string, service_id string",
+    )
+    agency_services = spark.createDataFrame([], "tag string, service_id string")
+    out = resolve_service(vehicles, route_services, agency_services)
+    got = {r.vehicle_tag: r.service_id for r in out.collect()}
+    assert got == {"v1": "svc_A", "v2": "svc_B"}
