@@ -413,6 +413,11 @@ def line_dedup(
     columns.
     """
     out = out_col or text_col
+    # NOT ensure_min_parallelism'd: unlike the Arrow shingle/media
+    # stages (whole-stage Python work per row), the explode+md5 map
+    # here is cheap JVM codegen and the owner aggregation immediately
+    # reshuffles anyway — measured 0.6-1.0s without vs 1.7-3.1s with a
+    # pre-repartition at sf0.1.
     # F.split's pattern is a Java REGEX — \\Q..\\E quotes the separator
     # so '. ' or ' | ' split literally, not as regex metacharacters.
     lines = (
