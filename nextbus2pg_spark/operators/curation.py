@@ -567,3 +567,187 @@ def language_balance(
         .where(bucket < (F.col("__keep_rate") * 10000).cast("int"))
         .drop("__keep_rate", "__lb_lang")
     )
+
+
+def substring_span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 50,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact substring-level dedup: any run of ``n`` consecutive word
+    tokens that occurs more than once ANYWHERE in the corpus is kept
+    only at its first occurrence (minimum id, then minimum start
+    position); every other occurrence's tokens are removed and the
+    survivors reassembled in order. The Lee-et-al ExactSubstr dedup
+    semantics (suffix-array dedup of 50-token spans), re-expressed as
+    relational n-gram algebra — the span-granular sibling of
+    :func:`line_dedup` (lines) and document-level minhash (whole docs).
+
+    Scale shape (reference semantics only — the reference pipeline
+    has no corpus-dedup stage; this is training-data surface):
+
+    1. tokenize + enumerate n-gram start positions per row — pure
+       per-row array arithmetic, ZERO shuffle, no corpus-wide suffix
+       array (which needs global sort; n-gram hashing is the
+       shuffle-friendly equivalent for fixed n);
+    2. one hash-aggregation over (gram) computes occurrence count and
+       the min-struct owner — map-side partials bound the shuffle by
+       distinct grams, not occurrences;
+    3. occurrences equi-join the duplicated grams (hash join on the
+       gram hash; AQE picks the strategy) and drop the owner
+       occurrence;
+    4. covered token positions aggregate per id over DUPLICATE
+       occurrences only (clean documents never reach this shuffle);
+    5. the corpus joins the per-id coverage sets back on ``id_col``
+       and rebuilds text with a filter-by-index — AQE broadcasts the
+       coverage side when duplication is sparse (the common case).
+
+    Grams are md5'd before the aggregation so the shuffle carries a
+    fixed 32-byte key instead of an ``n``-token string.
+
+    Output: ``id_col``, ``n_removed`` (tokens removed, long), and
+    ``out_col`` (default ``<text_col>_dedup``) — every input row
+    appears exactly once (a fully-duplicated document keeps an empty
+    string, letting callers decide the drop policy).
+    """
+    out = out_col or f"{text_col}_dedup"
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.filter(
+            F.split(F.col(text_col), " ", -1), lambda x: x != ""
+        ).alias("__words"),
+    )
+    # sequence(1, stop) with stop < 1 would generate DESCENDING
+    # [1, 0, ...] — guard short documents with an empty array instead.
+    starts = F.when(
+        F.size("__words") >= n,
+        F.sequence(F.lit(1), F.size("__words") - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    occ = toks.select(
+        "__id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("__pos"),
+                    F.md5(
+                        F.array_join(F.slice("__words", i, n), " ")
+                    ).alias("__h"),
+                ),
+            )
+        ).alias("__o"),
+    ).select("__id", F.col("__o.__pos").alias("__pos"), F.col("__o.__h").alias("__h"))
+    dup_grams = (
+        occ.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct("__id", "__pos")).alias("__owner"),
+        )
+        .where(F.col("__cnt") > 1)
+        .select("__h", "__owner")
+    )
+    dup_occ = (
+        occ.join(dup_grams, "__h")
+        .where(
+            (F.col("__id") != F.col("__owner.__id"))
+            | (F.col("__pos") != F.col("__owner.__pos"))
+        )
+        .select("__id", "__pos")
+    )
+    cov = dup_occ.groupBy("__id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.sequence(
+                            F.col("__pos"), F.col("__pos") + F.lit(n - 1)
+                        )
+                    )
+                )
+            )
+        ).alias("__covered")
+    )
+    indexed = F.transform(
+        F.col("__words"),
+        lambda w, i: F.struct((i + F.lit(1)).alias("__i"), w.alias("__w")),
+    )
+    survivors = F.filter(
+        indexed,
+        lambda s: F.col("__covered").isNull()
+        | ~F.array_contains(F.col("__covered"), s["__i"]),
+    )
+    return (
+        toks.join(cov, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.size("__covered"), F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(survivors, lambda s: s["__w"]), " "
+            ).alias(out),
+        )
+    )
+
+
+def contamination_fraction(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 13,
+    broadcast_eval: bool = True,
+    doc_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document contamination SCORE: the fraction of the document's
+    distinct word ``ngram``-grams that appear in the eval/benchmark
+    corpus — the continuous companion of :func:`decontaminate`'s
+    hit-count (which only surfaces contaminated docs). A score lets
+    curation policies threshold ("drop everything over 20% overlap,
+    audit 5-20%") instead of hard-dropping on a single shared n-gram.
+
+    Same scale shape as :func:`decontaminate`: the eval side reduces
+    to a bounded distinct-shingle set and broadcasts; the corpus
+    explodes, LEFT-joins the eval set map-side, and partial-aggregates
+    — the training corpus never shuffles its text, only (id, counts).
+
+    Output: one row per document that produced at least one shingle
+    (docs shorter than ``ngram`` words have no defined score and are
+    absent): ``(id, n_shingles, n_hits, contamination)`` with
+    ``contamination = n_hits / n_shingles`` as double.
+
+    ``doc_shingles``: share a precomputed ``(id, shingle)`` relation
+    exactly as in :func:`decontaminate`.
+    """
+    from nextbus2pg_spark.operators.dedup import word_shingles
+
+    if doc_shingles is not None:
+        doc_sh = doc_shingles.join(
+            docs.select(F.col(id_col).alias("id")), "id", "left_semi"
+        ).distinct()
+    else:
+        doc_sh = word_shingles(docs, id_col, text_col, n=ngram).distinct()
+    eval_sh = (
+        word_shingles(eval_docs, id_col, text_col, n=ngram)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    if broadcast_eval:
+        eval_sh = F.broadcast(eval_sh)
+    return (
+        doc_sh.join(eval_sh, "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .select(
+            "id",
+            "n_shingles",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_shingles")).alias("contamination"),
+        )
+    )

@@ -363,3 +363,104 @@ def q_language_balance(spark: SparkSession, sf_dir: str):
     return cu.language_balance(
         docs, "lang", ["doc_id"], temperature=0.5
     ).select("doc_id", "lang")
+
+
+@fixture(
+    "q_substring_dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(words[i:i+4], ' ')) AS gram
+  FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(words) - 4, 0))) AS t(i)
+  WHERE len(words) >= 5
+),
+marked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY gram) AS cnt,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM grams
+),
+dup_occ AS (SELECT doc_id, pos FROM marked WHERE cnt > 1 AND rn > 1),
+cov AS (
+  SELECT doc_id,
+         list_sort(list_distinct(flatten(list(generate_series(pos, pos + 4)))))
+           AS covered
+  FROM dup_occ GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(len(c.covered), 0) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(
+         [t.words[i] for i in generate_series(1, len(t.words))
+          if c.covered IS NULL OR NOT list_contains(c.covered, i)],
+         ' '), '') AS text_dedup
+FROM toks t LEFT JOIN cov c USING (doc_id)
+""",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str):
+    """ExactSubstr-style span dedup at n=5 word tokens: any 5-token
+    run occurring twice anywhere in the corpus survives only at its
+    first (min doc, min pos) occurrence; other occurrences' tokens are
+    cut and the text reassembled. The oracle replays the identical
+    owner rule with window functions; the Spark plan uses a min-struct
+    hash aggregation instead of a corpus-wide sort (n=5, not the
+    production 50, so the synthetic corpus actually collides)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return cu.substring_span_dedup(
+        docs, "doc_id", "text", n=5, out_col="text_dedup"
+    )
+
+
+@fixture(
+    "q_contamination_frac",
+    oracle="""
+WITH train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+),
+eval_set AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0
+),
+train_sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM train
+    )
+  ) WHERE i <= len(w) - 2
+),
+eval_sh AS (
+  SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT w, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+    FROM (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM eval_set
+    )
+  ) WHERE i <= len(w) - 2
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(e.shingle) AS BIGINT) AS n_hits,
+       count(e.shingle) / CAST(count(*) AS DOUBLE) AS contamination
+FROM train_sh t
+LEFT JOIN eval_sh e USING (shingle)
+GROUP BY t.doc_id
+""",
+)
+def q_contamination_frac(spark: SparkSession, sf_dir: str):
+    """Continuous contamination scoring: per training document, the
+    fraction of its distinct word 3-grams shared with the held-out
+    eval slice — q_decontaminate's boolean gate upgraded to a
+    thresholdable score; same broadcast-eval shape, corpus text never
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    eval_set = docs.where(F.col("doc_id") % 17 == 0)
+    return cu.contamination_fraction(
+        train, eval_set, "doc_id", "text", ngram=3
+    ).select(F.col("id").alias("doc_id"), "n_shingles", "n_hits", "contamination")

@@ -278,3 +278,87 @@ def test_bloom_decontaminate_small_docs(spark):
         ).count()
         == 0
     )
+
+
+def test_substring_dedup_owner_keeps_later_occurrences_cut(spark):
+    """A 3-token span shared by two docs survives only in the lower
+    doc_id; the later doc loses exactly those tokens."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y"),
+            (2, "p q a b c"),
+            (3, "unique words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in cu.substring_span_dedup(
+            df, "doc_id", "text", n=3, out_col="text_dedup"
+        ).collect()
+    }
+    assert out[1].text_dedup == "a b c x y" and out[1].n_removed == 0
+    assert out[2].text_dedup == "p q" and out[2].n_removed == 3
+    assert out[3].text_dedup == "unique words only here"
+
+
+def test_substring_dedup_within_doc_repeat_and_overlap(spark):
+    """A span repeated WITHIN one doc is cut at its second occurrence,
+    and overlapping duplicate grams union their coverage (no
+    double-count in n_removed)."""
+    df = spark.createDataFrame(
+        [(7, "a b c d a b c d")], "doc_id long, text string"
+    )
+    out = cu.substring_span_dedup(
+        df, "doc_id", "text", n=3, out_col="t"
+    ).collect()[0]
+    # occurrences of 'a b c' at pos 1 and 5, 'b c d' at 2 and 6; the
+    # second halves (positions 5..8) are covered, first 4 survive.
+    assert out.t == "a b c d"
+    assert out.n_removed == 4
+
+
+def test_substring_dedup_token_conservation(spark):
+    """n_removed + surviving tokens == original tokens, every doc
+    present exactly once, short docs untouched."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = cu.substring_span_dedup(docs, "doc_id", "text", n=5, out_col="t")
+    joined = out.join(docs, "doc_id").select(
+        F.size(F.filter(F.split("text", " ", -1), lambda x: x != ""))
+        .alias("orig"),
+        F.when(F.col("t") == "", 0)
+        .otherwise(F.size(F.split("t", " ", -1)))
+        .alias("kept"),
+        "n_removed",
+    )
+    bad = joined.where(
+        F.col("orig") != F.col("kept") + F.col("n_removed")
+    ).count()
+    assert bad == 0
+    assert out.count() == docs.count()
+
+
+def test_contamination_fraction_bounds_and_exact_doc(spark):
+    """Scores live in [0, 1]; a doc that IS an eval doc verbatim
+    scores 1.0; a fully disjoint doc scores 0.0."""
+    eval_docs = spark.createDataFrame(
+        [(100, "w1 w2 w3 w4")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4"),          # verbatim eval copy
+            (2, "z1 z2 z3 z4 z5"),       # disjoint
+            (3, "w1 w2 w3 z9 z8"),       # partial: 1 of 3 shingles
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.id: r
+        for r in cu.contamination_fraction(
+            train, eval_docs, "doc_id", "text", ngram=3
+        ).collect()
+    }
+    assert rows[1].contamination == 1.0
+    assert rows[2].contamination == 0.0
+    assert rows[3].n_shingles == 3 and rows[3].n_hits == 1
+    assert abs(rows[3].contamination - 1 / 3) < 1e-12

@@ -272,3 +272,24 @@ def test_bloom_decontaminate_corpus_never_sortmerges_eval(spark):
     p = plan_text(q(spark, "q_bloom_decontaminate"))
     assert "SortMergeJoin" not in p, p
     assert "xxhash64" in p, p  # the codegen'd bloom probes are present
+
+
+def test_substring_dedup_no_window_no_cartesian(spark):
+    """substring_span_dedup's owner selection is a min-struct hash
+    aggregation, never a ranking window over the exploded n-gram
+    stream (the oracle uses windows; the Spark plan must not), and the
+    join-backs are equi-joins — no cartesian / nested-loop shapes."""
+    p = plan_text(q(spark, "q_substring_dedup"))
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_contamination_frac_corpus_side_broadcast_only(spark):
+    """contamination_fraction joins the corpus shingles to the eval
+    set via broadcast only — a SortMergeJoin would shuffle every
+    corpus shingle against a benchmark-sized relation."""
+    p = plan_text(q(spark, "q_contamination_frac"))
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
