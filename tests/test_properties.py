@@ -246,3 +246,49 @@ def test_chunk_documents_covers_every_token(spark, n_words, chunk, stride_frac):
         assert toks == words[start:start + chunk]
         seen.update(toks)
     assert seen == set(words), "some token missing from all chunks"
+
+
+words_strategy = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14
+)
+
+
+@given(docs=st.lists(words_strategy, min_size=1, max_size=5))
+@_SETTINGS
+def test_substring_span_dedup_matches_reference_model(spark, docs):
+    """Over random tiny-vocab corpora (max collision pressure), the
+    relational span dedup equals a direct Python model of the
+    semantics: every duplicated n-gram occurrence except the global
+    (min doc, min pos) owner has its token span cut; coverage unions;
+    survivors keep order."""
+    from nextbus2pg_spark.operators.curation import substring_span_dedup
+
+    n = 3
+    grams: dict[tuple, list] = {}
+    for i, ws in enumerate(docs):
+        for p in range(len(ws) - n + 1):
+            grams.setdefault(tuple(ws[p:p + n]), []).append((i, p))
+    covered: dict[int, set] = {i: set() for i in range(len(docs))}
+    for occs in grams.values():
+        if len(occs) > 1:
+            owner = min(occs)
+            for i, p in occs:
+                if (i, p) != owner:
+                    covered[i].update(range(p, p + n))
+    expected = {
+        i: (len(covered[i]),
+            " ".join(w for j, w in enumerate(ws) if j not in covered[i]))
+        for i, ws in enumerate(docs)
+    }
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_removed, r.t)
+        for r in substring_span_dedup(
+            df, "doc_id", "text", n=n, out_col="t"
+        ).collect()
+    }
+    assert out == expected
