@@ -662,3 +662,49 @@ def q_conditional_funcs(spark: SparkSession, sf_dir: str):
             "floored"
         ),
     )
+
+
+@fixture(
+    "q_interval_join",
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 6 HOUR
+""",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str):
+    """Event-time interval join (streaming/joins.py::interval_join run
+    in batch mode — the IDENTICAL plan watermark-bounds state on two
+    live streams): every view matched to same-user purchases within
+    the following 6 hours, the classic attribution join. Equi key
+    carries the join; the two-sided time band is evaluated inside the
+    join operator, never a cartesian."""
+    from nextbus2pg_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return interval_join(
+        views,
+        purchases,
+        "user_id",
+        "view_ts",
+        "purchase_ts",
+        lower="0 seconds",
+        upper="6 hours",
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")

@@ -293,3 +293,13 @@ def test_contamination_frac_corpus_side_broadcast_only(spark):
     p = plan_text(q(spark, "q_contamination_frac"))
     assert "SortMergeJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_interval_join_no_cartesian(spark):
+    """The interval join must ride the user_id equi key (hash or
+    broadcast join) with the time band as an in-join predicate — a
+    CartesianProduct / BroadcastNestedLoopJoin would mean the range
+    condition became the join itself."""
+    p = plan_text(q(spark, "q_interval_join"))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
