@@ -317,3 +317,63 @@ def phash_pairs(
         "id_b",
         F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
     ).where(F.col("hamming") <= F.lit(max_hamming))
+
+
+#: Output schema of ``resize_media``: fixed-size grayscale thumbnail as
+#: bytes (row-major, out_w × out_h), with the recorded new dimensions.
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("thumb", BinaryType(), True),
+    ]
+)
+
+
+def resize_media(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Resize every media payload to a fixed ``out_w × out_h`` grayscale
+    thumbnail — the normalize-before-embedding step of an image
+    pipeline, in the same honest-fake regime as :func:`perceptual_hash`:
+    the "decode" interprets payload bytes as a square grayscale image
+    (a real build swaps ONE line for ``PIL.Image.open(...).convert('L')``),
+    while everything that matters for planning is production-shaped —
+    Arrow batches, numpy nearest-neighbor index math (no per-pixel
+    Python), bounded output size per row (out_w·out_h bytes regardless
+    of input size, so downstream stages can budget memory exactly).
+
+    Pair with :func:`repartition_for_media` upstream for batch-memory
+    control; NULL/empty payloads produce NULL thumbs.
+    """
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for b in pdf["payload"]:
+                if b is None or len(b) == 0:
+                    thumbs.append(None)
+                    continue
+                a = np.frombuffer(bytes(b), dtype=np.uint8)
+                side = max(int(np.sqrt(len(a))), 1)
+                img = np.resize(a, side * side).reshape(side, side)
+                # nearest-neighbor: one fancy-index gather per axis
+                rows = (np.arange(out_h) * side) // out_h
+                cols = (np.arange(out_w) * side) // out_w
+                thumbs.append(img[np.ix_(rows, cols)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": out_w,
+                    "height": out_h,
+                    "thumb": thumbs,
+                }
+            )
+
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    return ensure_min_parallelism(
+        df.select("media_id", "kind", "payload")
+    ).mapInPandas(_resize, schema=RESIZE_SCHEMA)

@@ -91,3 +91,46 @@ def test_decode_media_is_explicit_stub(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_resize_media_fixed_output_size(spark):
+    """Every thumb is exactly out_w*out_h bytes regardless of input
+    payload size; NULL/empty payloads give NULL thumbs; dimensions are
+    recorded in the row."""
+    from nextbus2pg_spark.operators.multimodal import (
+        fake_media_from_documents,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 5, 5), (2, "y" * 5000, 5000), (3, "", 0)],
+        "doc_id long, text string, n_chars long",
+    )
+    out = {
+        r.media_id: r
+        for r in resize_media(
+            fake_media_from_documents(docs), out_w=16, out_h=16
+        ).collect()
+    }
+    assert len(out[1].thumb) == 256 and len(out[2].thumb) == 256
+    assert out[3].thumb is None
+    assert out[1].width == 16 and out[1].height == 16
+
+
+def test_resize_media_deterministic_and_content_sensitive(spark):
+    """Same payload -> identical thumb across runs; different payloads
+    -> different thumbs (the fake decode is a function of the bytes)."""
+    from nextbus2pg_spark.operators.multimodal import (
+        fake_media_from_documents,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc def ghi jkl" * 40, 600), (2, "zzz yyy xxx www" * 40, 600)],
+        "doc_id long, text string, n_chars long",
+    )
+    media = fake_media_from_documents(docs)
+    a = {r.media_id: r.thumb for r in resize_media(media).collect()}
+    b = {r.media_id: r.thumb for r in resize_media(media).collect()}
+    assert a == b
+    assert a[1] != a[2]
