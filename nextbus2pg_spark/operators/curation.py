@@ -121,6 +121,28 @@ def cap_per_group(
     )
 
 
+def _resolve_doc_shingles(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    doc_shingles: DataFrame | None,
+) -> DataFrame:
+    """Shared TRAIN-side shingle resolution for the decontamination
+    family: a caller-provided ``(id, shingle)`` relation (restricted to
+    ``docs``'s ids — it may cover a superset) or a fresh tokenization;
+    distinct either way. NOTE: the ``.distinct()`` shuffles the
+    (id, shingle) pairs — shingle strings and all — once per call; the
+    eval-side join after it is broadcast."""
+    from nextbus2pg_spark.operators.dedup import word_shingles
+
+    if doc_shingles is not None:
+        return doc_shingles.join(
+            docs.select(F.col(id_col).alias("id")), "id", "left_semi"
+        ).distinct()
+    return word_shingles(docs, id_col, text_col, n=ngram).distinct()
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -138,10 +160,11 @@ def decontaminate(
     Scale shape: the eval side reduces to a DISTINCT shingle set —
     benchmark suites are bounded by construction (thousands of
     documents, not the corpus), so ``broadcast_eval`` defaults to a
-    broadcast semi-structured join and the training corpus NEVER
-    shuffles: shingle explode + broadcast hash join + partial-agg
-    count, all map-side. Set it False if the "eval" side is actually
-    large and let AQE decide.
+    broadcast semi join: shingle explode, one ``distinct`` shuffle of
+    the (id, shingle) pairs (the per-document dedup the overlap count
+    requires — see :func:`_resolve_doc_shingles`), then broadcast hash
+    join + partial-agg count map-side. Set it False if the "eval" side
+    is actually large and let AQE decide.
 
     Output: (id, n_hits) for contaminated documents only — the join
     is the filter; clean documents produce no shingle match and are
@@ -155,12 +178,7 @@ def decontaminate(
     """
     from nextbus2pg_spark.operators.dedup import word_shingles
 
-    if doc_shingles is not None:
-        doc_sh = doc_shingles.join(
-            docs.select(F.col(id_col).alias("id")), "id", "left_semi"
-        ).distinct()
-    else:
-        doc_sh = word_shingles(docs, id_col, text_col, n=ngram).distinct()
+    doc_sh = _resolve_doc_shingles(docs, id_col, text_col, ngram, doc_shingles)
     eval_sh = (
         word_shingles(eval_docs, id_col, text_col, n=ngram)
         .select("shingle")
@@ -215,12 +233,7 @@ def bloom_decontaminate(
     """
     from nextbus2pg_spark.operators.dedup import word_shingles
 
-    if doc_shingles is not None:
-        doc_sh = doc_shingles.join(
-            docs.select(F.col(id_col).alias("id")), "id", "left_semi"
-        ).distinct()
-    else:
-        doc_sh = word_shingles(docs, id_col, text_col, n=ngram).distinct()
+    doc_sh = _resolve_doc_shingles(docs, id_col, text_col, ngram, doc_shingles)
     eval_sh = (
         word_shingles(eval_docs, id_col, text_col, n=ngram)
         .select("shingle")
@@ -610,11 +623,16 @@ def substring_span_dedup(
     Output: ``id_col``, ``n_removed`` (tokens removed, long), and
     ``out_col`` (default ``<text_col>_dedup``) — every input row
     appears exactly once (a fully-duplicated document keeps an empty
-    string, letting callers decide the drop policy).
+    string, letting callers decide the drop policy). Documents with
+    NOTHING removed pass their text through byte-identical; documents
+    that lost a span are reassembled from their surviving tokens with
+    single spaces (original whitespace inside a cut document is not
+    reconstructed).
     """
     out = out_col or f"{text_col}_dedup"
     toks = df.select(
         F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
         F.filter(
             F.split(F.col(text_col), " ", -1), lambda x: x != ""
         ).alias("__words"),
@@ -685,9 +703,13 @@ def substring_span_dedup(
             F.coalesce(F.size("__covered"), F.lit(0))
             .cast("long")
             .alias("n_removed"),
-            F.array_join(
-                F.transform(survivors, lambda s: s["__w"]), " "
-            ).alias(out),
+            F.when(F.col("__covered").isNull(), F.col("__text"))
+            .otherwise(
+                F.array_join(
+                    F.transform(survivors, lambda s: s["__w"]), " "
+                )
+            )
+            .alias(out),
         )
     )
 
@@ -710,8 +732,10 @@ def contamination_fraction(
 
     Same scale shape as :func:`decontaminate`: the eval side reduces
     to a bounded distinct-shingle set and broadcasts; the corpus
-    explodes, LEFT-joins the eval set map-side, and partial-aggregates
-    — the training corpus never shuffles its text, only (id, counts).
+    explodes, takes one ``distinct`` shuffle of its (id, shingle)
+    pairs (the per-document dedup the score definition requires),
+    LEFT-joins the eval set map-side, and partial-aggregates down to
+    (id, counts).
 
     Output: one row per document that produced at least one shingle
     (docs shorter than ``ngram`` words have no defined score and are
@@ -723,12 +747,7 @@ def contamination_fraction(
     """
     from nextbus2pg_spark.operators.dedup import word_shingles
 
-    if doc_shingles is not None:
-        doc_sh = doc_shingles.join(
-            docs.select(F.col(id_col).alias("id")), "id", "left_semi"
-        ).distinct()
-    else:
-        doc_sh = word_shingles(docs, id_col, text_col, n=ngram).distinct()
+    doc_sh = _resolve_doc_shingles(docs, id_col, text_col, ngram, doc_shingles)
     eval_sh = (
         word_shingles(eval_docs, id_col, text_col, n=ngram)
         .select("shingle")

@@ -198,7 +198,9 @@ PHASH_SCHEMA = StructType(
 )
 
 
-def perceptual_hash(df: DataFrame, grid: int = 8) -> DataFrame:
+def perceptual_hash(
+    df: DataFrame, grid: int = 8, spread: bool = True
+) -> DataFrame:
     """Difference-hash (dHash) over media payloads → 64-bit fingerprint.
 
     The classic image near-dup fingerprint: downsample to a
@@ -250,12 +252,16 @@ def perceptual_hash(df: DataFrame, grid: int = 8) -> DataFrame:
     # A single-file scan arrives as ONE partition; the Arrow decode
     # stage would then run on one core (measured: 0.54s of the 1.1s
     # sf0.1 pipeline on local[32]). Spread first — same rationale as
-    # the shingle stage in operators/dedup.minhash_lsh_pairs.
-    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+    # the shingle stage in operators/dedup.minhash_lsh_pairs. Pass
+    # spread=False when an upstream repartition_for_media already
+    # sized the partitions (the spread decides from the scan's file
+    # count and would undo that sizing).
+    src = df.select("media_id", "kind", "payload")
+    if spread:
+        from nextbus2pg_spark.operators.scale import ensure_min_parallelism
 
-    return ensure_min_parallelism(
-        df.select("media_id", "kind", "payload")
-    ).mapInPandas(_hash, schema=PHASH_SCHEMA)
+        src = ensure_min_parallelism(src)
+    return src.mapInPandas(_hash, schema=PHASH_SCHEMA)
 
 
 def phash_pairs(
@@ -332,7 +338,9 @@ RESIZE_SCHEMA = StructType(
 )
 
 
-def resize_media(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+def resize_media(
+    df: DataFrame, out_w: int = 32, out_h: int = 32, spread: bool = True
+) -> DataFrame:
     """Resize every media payload to a fixed ``out_w × out_h`` grayscale
     thumbnail — the normalize-before-embedding step of an image
     pipeline, in the same honest-fake regime as :func:`perceptual_hash`:
@@ -343,8 +351,13 @@ def resize_media(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
     Python), bounded output size per row (out_w·out_h bytes regardless
     of input size, so downstream stages can budget memory exactly).
 
-    Pair with :func:`repartition_for_media` upstream for batch-memory
-    control; NULL/empty payloads produce NULL thumbs.
+    When pairing with :func:`repartition_for_media` upstream for
+    batch-memory control, pass ``spread=False``: the default
+    ``ensure_min_parallelism`` spread decides from the SCAN's file
+    count (it cannot see an intermediate ``repartition``) and would
+    re-coalesce the carefully sized partitions back to
+    ``defaultParallelism``, un-capping the Arrow batch memory. NULL/
+    empty payloads produce NULL thumbs.
     """
     import numpy as np
 
@@ -372,8 +385,9 @@ def resize_media(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
                 }
             )
 
-    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+    src = df.select("media_id", "kind", "payload")
+    if spread:
+        from nextbus2pg_spark.operators.scale import ensure_min_parallelism
 
-    return ensure_min_parallelism(
-        df.select("media_id", "kind", "payload")
-    ).mapInPandas(_resize, schema=RESIZE_SCHEMA)
+        src = ensure_min_parallelism(src)
+    return src.mapInPandas(_resize, schema=RESIZE_SCHEMA)

@@ -369,7 +369,8 @@ def q_language_balance(spark: SparkSession, sf_dir: str):
     "q_substring_dedup",
     oracle="""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS words
   FROM documents
 ),
 grams AS (
@@ -392,10 +393,12 @@ cov AS (
 )
 SELECT t.doc_id,
        CAST(coalesce(len(c.covered), 0) AS BIGINT) AS n_removed,
-       coalesce(array_to_string(
-         [t.words[i] for i in generate_series(1, len(t.words))
-          if c.covered IS NULL OR NOT list_contains(c.covered, i)],
-         ' '), '') AS text_dedup
+       CASE WHEN c.covered IS NULL THEN t.text
+            ELSE coalesce(array_to_string(
+              [t.words[i] for i in generate_series(1, len(t.words))
+               if NOT list_contains(c.covered, i)],
+              ' '), '')
+       END AS text_dedup
 FROM toks t LEFT JOIN cov c USING (doc_id)
 """,
 )

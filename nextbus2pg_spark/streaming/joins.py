@@ -57,6 +57,13 @@ def interval_join(
             f"left_ts and right_ts must differ (both {left_ts!r}); "
             "rename one side before joining"
         )
+    # Right-preserving joins would lose the key entirely: the output
+    # keeps only l.<key>, which is NULL on right-unmatched rows.
+    if how.replace("_", "").lower() not in {"inner", "leftouter", "left"}:
+        raise ValueError(
+            f"how={how!r} unsupported: only inner/leftOuter keep the "
+            "join key intact (right keys are dropped from the output)"
+        )
     keys = [key] if isinstance(key, str) else list(key)
     l = left
     r = right

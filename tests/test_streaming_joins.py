@@ -125,7 +125,7 @@ def test_interval_join_stream_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream-stream query timed out"
 
     got = sorted(
         (r.view_id, r.purchase_id)
