@@ -92,3 +92,109 @@ def kmv_estimate(state: Column, k: int) -> Column:
     return F.when(n < k, n.cast("double")).otherwise(
         F.lit(float(k - 1)) / (kth / F.lit(float(_KMV_DOMAIN)))
     )
+
+
+def _cms_bucket(value: Column, row: int, width: int) -> Column:
+    """Row-``row``'s bucket for a value: md5 of ``"<row>:<value>"``
+    folded to 32 bits, mod ``width`` — the same engine-portable hash
+    family as :func:`kmv_hash`, salted per sketch row."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(row)), value.cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(width),
+    )
+
+
+def countmin_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Build a count-min sketch over ``value_col`` as a LONG-FORM cell
+    relation ``(row, bucket, cnt)`` — the frequency-estimation sibling
+    of the KMV distinct sketch (Cormode-Muthukrishnan CM sketch): at
+    most ``depth × width`` rows regardless of input size, point-query
+    estimates overcount by at most ~2e/width · N with probability
+    1 - (1/2)^depth, and NEVER undercount.
+
+    Mergeable by construction: cells are counts, so two sketches (two
+    days, two partitions of the corpus) combine with
+    ``union → groupBy(row, bucket) → sum(cnt)`` — the same
+    merge-not-recompute contract as the continuous aggregate's KMV
+    state. Engine-portable (md5 bucket hash) ⇒ full value oracle, the
+    reason this isn't a JVM-opaque sketch.
+
+    Scale shape: per input row, ``depth`` (row, bucket) pairs explode
+    map-side; ONE hash aggregation bounds the shuffle at depth×width
+    cells per partition (map-side partials) — the input never shuffles.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1: {depth}x{width}")
+    v = F.col(value_col)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_bucket(v, j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__c")
+    ).select("__c.row", "__c.bucket")
+    return cells.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch for each key in ``keys`` →
+    ``(key_col, est_count)`` with ``est_count = min over rows of the
+    key's cell`` (0 when a cell is absent — the sketch stores no
+    zeros). ``depth``/``width`` must match the build call.
+
+    The keys side is the small one by construction (a vocabulary, the
+    heavy-hitter candidates); the sketch is at most depth×width cells,
+    so both sides of the probe join broadcast comfortably.
+    """
+    k = F.col(key_col)
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_bucket(k, j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__p"),
+    ).select(key_col, "__p.row", "__p.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .select(key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy(key_col)
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+    )

@@ -1280,3 +1280,45 @@ def q_char_entropy(spark: SparkSession, sf_dir: str):
     return docs.select(
         "doc_id", tx.char_entropy(F.col("text")).alias("entropy_bits")
     )
+
+
+@fixture(
+    "q_countmin",
+    oracle="""
+WITH cells AS (
+  SELECT j AS row,
+         ('0x' || substr(md5(j || ':' || event_type), 1, 8))::BIGINT % 64
+           AS bucket,
+         count(*) AS cnt
+  FROM events, LATERAL UNNEST([0, 1, 2]) AS t(j)
+  GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT event_type FROM events),
+probes AS (
+  SELECT event_type, j AS row,
+         ('0x' || substr(md5(j || ':' || event_type), 1, 8))::BIGINT % 64
+           AS bucket
+  FROM keys, LATERAL UNNEST([0, 1, 2]) AS t(j)
+)
+SELECT p.event_type, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+FROM probes p LEFT JOIN cells c USING (row, bucket)
+GROUP BY p.event_type
+""",
+)
+def q_countmin(spark: SparkSession, sf_dir: str):
+    """Count-min sketch frequency estimates for every event type: the
+    sketch (3×64 cells, engine-portable md5 buckets) is built in one
+    map-side explode + hash aggregation bounded at depth×width rows,
+    then point-queried for the distinct keys. Deterministic cell
+    layout ⇒ the DuckDB oracle reproduces the exact estimates,
+    collisions included — the same portability argument as the KMV
+    sketch (sketch.py docstring)."""
+    from nextbus2pg_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = countmin_build(ev, "event_type", depth=3, width=64)
+    keys = ev.select("event_type").distinct()
+    return countmin_estimate(sketch, keys, "event_type", depth=3, width=64)

@@ -416,3 +416,41 @@ def test_simhash_bits_64_no_overflow(spark):
     assert all(v is not None for v in rows.values())
     assert rows[1] == rows[2]          # identical docs, identical hash
     assert rows[1] != rows[3]
+
+
+def test_countmin_never_undercounts_and_merges(spark):
+    """CM sketch invariants: est >= exact for every key, exact when no
+    bucket collision, and sketch(A union B) == merge(sketch(A),
+    sketch(B)) cell-for-cell (the mergeable-state contract)."""
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 7
+    df = spark.createDataFrame(rows, "k string")
+    sketch = countmin_build(df, "k", depth=3, width=64)
+    keys = df.select("k").distinct()
+    est = {
+        r.k: r.est_count
+        for r in countmin_estimate(sketch, keys, "k", depth=3, width=64).collect()
+    }
+    exact = {"a": 50, "b": 30, "c": 7}
+    assert all(est[k] >= v for k, v in exact.items())
+    # 3 keys in 64 buckets x 3 rows: some row is collision-free, so
+    # the min over rows is exact here
+    assert est == exact
+
+    half_a = spark.createDataFrame(rows[:40], "k string")
+    half_b = spark.createDataFrame(rows[40:], "k string")
+    merged = (
+        countmin_build(half_a, "k", depth=3, width=64)
+        .unionByName(countmin_build(half_b, "k", depth=3, width=64))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    m = sorted(tuple(r) for r in merged.collect())
+    s = sorted(tuple(r) for r in sketch.collect())
+    assert m == s
