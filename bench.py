@@ -41,6 +41,8 @@ HEADLINE = [
     "q_line_dedup",
     "q_doc_chunks",
     "q_language_balance",
+    "q_substring_dedup",
+    "q_interval_join",
 ]
 
 

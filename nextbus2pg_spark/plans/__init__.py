@@ -81,19 +81,19 @@ DRIVER_CHECKED = DRIVER_CHECKED_R1_R2 | DRIVER_CHECKED_R3
 #:  null-safe lookup key) plus the headline bench set — the driver
 #: should re-verify these even though they were green before.
 REGRESSION_PRIORITY = (
+    # -- code changed in rounds 3-4: must stay inside the window ------
     "q_embedding_quantize",   # round-3 red row, contract fixed round 4
     "q_keygen_uuid",          # converted rows-only -> oracle round 4
     "q_upsert_semantics", "q_null_safe_key", "q_dedup_keys",
     "q_feed_transform",       # ingest lookup-key null handling changed
     "q_asof_join", "q_asof_bucketed", "q_scd2_merge", "q_scd2_as_of",
-    "q_cosine_topk_vec",  # headline bench entry
-    "q_minhash_lsh",
+    "q_minhash_lsh",                 # one-pass signatures, round 4
     "q_simhash", "q_simhash_pairs",  # one-pass vote rewrite, round 4
     "q_curation_pipeline",           # shared-frame checkpoints, round 4
-    "q_flagship_latest", "q_tpch_q1",
+    # -- untouched headline / multiply-covered entries last: they fall
+    #    out of the 50-slot window first when the buckets above grow --
+    "q_cosine_topk_vec", "q_flagship_latest", "q_tpch_q1",
     "q_join_broadcast", "q_top1_per_group", "q_dedup_exact",
-    # untouched multiply-covered entries last: they fall out of the
-    # 50-slot window first when the buckets above grow
     "q_session_window", "q_scan_full",
 )
 
