@@ -770,3 +770,61 @@ def contamination_fraction(
             (F.col("n_hits") / F.col("n_shingles")).alias("contamination"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight_col: str,
+    k: int,
+    group_cols: Sequence[str] | None = None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted reservoir sampling without replacement (Efraimidis-
+    Spirakis A-Res), deterministic: keep the ``k`` rows (per group,
+    when ``group_cols`` is given) with the largest priority
+    ``ln(u) / w`` where ``u`` is the row key's md5-uniform in (0, 1]
+    and ``w`` its weight — inclusion probability proportional to
+    weight, so a curation pipeline can oversample high-quality
+    documents instead of cutting a hard threshold.
+
+    Deterministic (same corpus ⇒ same sample, independent of
+    partitioning — the hash-uniform replaces RNG state, the same
+    retry-stability argument as :func:`deterministic_sample`), and
+    membership is stable under corpus growth except where a new row
+    genuinely displaces the k-th priority.
+
+    Scale shape: priorities are map-side arithmetic; selection is the
+    ``cap_per_group`` shape — one shuffle on the group key (or a
+    constant key for a global sample: fine for bounded k, the sort is
+    a partial top-k under Spark's window TopK optimization).
+
+    Rows with NULL, zero, or negative weight are excluded (their
+    inclusion probability is 0 by definition).
+    """
+    # 52 hash bits → uniform in (0, 1]: (h + 1) / 2^52 never yields 0,
+    # so ln(u) is finite; u = 1 gives priority 0, the maximum of
+    # ln(u)/w for w > 0 — consistent with "weight ∞ ⇒ always kept".
+    cols = [F.col(c).cast("string") for c in key_cols]
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), *cols)), 1, 13),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(16**13))
+    w = F.col(weight_col).cast("double")
+    pri = F.log(u) / w
+    groups = list(group_cols) if group_cols else []
+    ranked = (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__pri", pri)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*groups).orderBy(
+                    F.col("__pri").desc(), *[F.col(c) for c in key_cols]
+                )
+            ),
+        )
+    )
+    return ranked.where(F.col("__rn") <= k).drop("__pri", "__rn")

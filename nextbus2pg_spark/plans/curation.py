@@ -467,3 +467,33 @@ def q_contamination_frac(spark: SparkSession, sf_dir: str):
     return cu.contamination_fraction(
         train, eval_set, "doc_id", "text", ngram=3
     ).select(F.col("id").alias("doc_id"), "n_shingles", "n_hits", "contamination")
+
+
+@fixture(
+    "q_weighted_sample",
+    oracle="""
+WITH pri AS (
+  SELECT doc_id, lang, n_chars,
+         ln((('0x' || substr(md5('wsample:' || doc_id), 1, 13))::BIGINT + 1)
+            / 4503599627370496.0) / n_chars AS p
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY p DESC, doc_id) AS rn
+  FROM pri
+)
+SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 20
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str):
+    """Weighted reservoir sample (A-Res), 20 docs per language with
+    inclusion probability proportional to document length — the
+    importance-sampling step between hard quality filters and uniform
+    hash sampling. Deterministic md5-uniform priorities, so the oracle
+    replays the identical ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.weighted_sample(
+        docs, ["doc_id"], "n_chars", k=20, group_cols=["lang"]
+    ).select("doc_id", "lang", "n_chars")

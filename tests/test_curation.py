@@ -362,3 +362,25 @@ def test_contamination_fraction_bounds_and_exact_doc(spark):
     assert rows[2].contamination == 0.0
     assert rows[3].n_shingles == 3 and rows[3].n_hits == 1
     assert abs(rows[3].contamination - 1 / 3) < 1e-12
+
+
+def test_weighted_sample_invariants(spark):
+    """Deterministic under repartitioning; k bound respected per
+    group; zero/NULL-weight rows never sampled; heavier rows are
+    overrepresented vs a uniform sample on aggregate."""
+    rows = [(i, "g", float(10_000 if i < 50 else 1)) for i in range(1000)]
+    rows += [(2000, "g", 0.0), (2001, "g", None)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    out = cu.weighted_sample(df, ["id"], "w", k=100, group_cols=["grp"])
+    ids = {r.id for r in out.collect()}
+    ids2 = {
+        r.id
+        for r in cu.weighted_sample(
+            df.repartition(13), ["id"], "w", k=100, group_cols=["grp"]
+        ).collect()
+    }
+    assert ids == ids2 and len(ids) == 100
+    assert 2000 not in ids and 2001 not in ids
+    # the 50 heavy rows (10000x weight) should essentially all be kept
+    heavy = sum(1 for i in ids if i < 50)
+    assert heavy >= 45
