@@ -617,8 +617,14 @@ def substring_span_dedup(
        and rebuilds text with a filter-by-index — AQE broadcasts the
        coverage side when duplication is sparse (the common case).
 
-    Grams are md5'd before the aggregation so the shuffle carries a
-    fixed 32-byte key instead of an ``n``-token string.
+    Grams are hashed to a 60-bit integer (15 hex chars of md5 — the
+    same engine-portable fold as ``kmv_hash``) before the aggregation,
+    so the shuffle carries an 8-byte key instead of an ``n``-token
+    string (~50× narrower at n=50). A 60-bit collision merges two
+    distinct grams — expected ≈0.4 false merges per 10⁹ distinct grams
+    (birthday bound), each erroneously cutting one span: the right
+    trade for a training-data filter, and parity-exact regardless
+    because the oracle replays the identical hash.
 
     Output: ``id_col``, ``n_removed`` (tokens removed, long), and
     ``out_col`` (default ``<text_col>_dedup``) — every input row
@@ -650,9 +656,19 @@ def substring_span_dedup(
                 starts,
                 lambda i: F.struct(
                     i.alias("__pos"),
-                    F.md5(
-                        F.array_join(F.slice("__words", i, n), " ")
-                    ).alias("__h"),
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.array_join(F.slice("__words", i, n), " ")
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("bigint")
+                    .alias("__h"),
                 ),
             )
         ).alias("__o"),

@@ -374,7 +374,9 @@ WITH toks AS (
   FROM documents
 ),
 grams AS (
-  SELECT doc_id, i AS pos, md5(array_to_string(words[i:i+4], ' ')) AS gram
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(array_to_string(words[i:i+4], ' ')), 1, 15))::BIGINT
+           AS gram
   FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(words) - 4, 0))) AS t(i)
   WHERE len(words) >= 5
 ),
