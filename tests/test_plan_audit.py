@@ -274,13 +274,24 @@ def test_bloom_decontaminate_corpus_never_sortmerges_eval(spark):
     assert "xxhash64" in p, p  # the codegen'd bloom probes are present
 
 
-def test_substring_dedup_no_window_no_cartesian(spark):
-    """substring_span_dedup's owner selection is a min-struct hash
-    aggregation, never a ranking window over the exploded n-gram
-    stream (the oracle uses windows; the Spark plan must not), and the
-    join-backs are equi-joins — no cartesian / nested-loop shapes."""
-    p = plan_text(q(spark, "q_substring_dedup"))
-    assert "Window" not in p, p
+def test_substring_dedup_single_pass_no_cartesian(spark):
+    """substring_span_dedup identifies duplicate occurrences with
+    gram-key-partitioned window aggregates over ONE exchange of the
+    occurrence stream — every windowspec must be __h-partitioned (a
+    spec without partition columns = single-partition global sort, the
+    100 TB killer), the corpus must be scanned at most twice (once for
+    the n-gram pass, once for the rebuild join — the old
+    aggregate-then-self-join shape scanned it three times), and no
+    cartesian / nested-loop / Python-eval shapes appear."""
+    df = q(spark, "q_substring_dedup")
+    p = plan_text(df)
+    import re as _re
+
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs, p
+    for spec in specs:
+        assert spec.split(",")[0].strip().startswith("__h"), spec
+    assert p.count("FileScan") <= 2, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
