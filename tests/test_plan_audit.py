@@ -243,12 +243,18 @@ def test_language_balance_corpus_joins_broadcast(spark):
     assert "BroadcastHashJoin" in p, p
 
 
-def test_line_dedup_no_window_no_cartesian(spark):
-    """line_dedup's owner selection is a min-struct aggregation and an
-    equi-join back — never a ranking window over the exploded corpus
-    and never a cartesian product."""
-    p = plan_text(q(spark, "q_line_dedup"))
-    assert "Window" not in p, p
+def test_line_dedup_single_pass_no_cartesian(spark):
+    """line_dedup marks owners with a line-hash-partitioned window
+    min-struct over ONE exchange of the exploded corpus: every
+    windowspec must be __h-partitioned (no global sort), the corpus
+    scans once, and no cartesian / nested-loop shapes appear."""
+    df = q(spark, "q_line_dedup")
+    p = plan_text(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs, p
+    for spec in specs:
+        assert spec.split(",")[0].strip().startswith("__h"), spec
+    assert p.count("FileScan") <= 1, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
 
