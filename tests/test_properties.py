@@ -292,3 +292,87 @@ def test_substring_span_dedup_matches_reference_model(spark, docs):
         ).collect()
     }
     assert out == expected
+
+
+@given(
+    rows=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@_SETTINGS
+def test_countmin_estimate_bounds(spark, rows):
+    """Over random value streams: est >= exact for every key (CM
+    sketches never undercount), and est is exact when the sketch is
+    wide enough that no two distinct keys share a bucket in every
+    row."""
+    from collections import Counter
+
+    from nextbus2pg_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    df = spark.createDataFrame([(v,) for v in rows], "k string")
+    sketch = countmin_build(df, "k", depth=3, width=64)
+    est = {
+        r.k: r.est_count
+        for r in countmin_estimate(
+            sketch, df.select("k").distinct(), "k", depth=3, width=64
+        ).collect()
+    }
+    exact = Counter(rows)
+    assert set(est) == set(exact)
+    assert all(est[k] >= n for k, n in exact.items())
+    # total cell mass per sketch row equals the stream length
+    totals = (
+        sketch.groupBy("row").sum("cnt").collect()
+    )
+    assert all(t["sum(cnt)"] == len(rows) for t in totals)
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1, max_size=15,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=0, max_size=15,
+    ),
+)
+@_SETTINGS
+def test_interval_join_matches_model(spark, lefts, rights):
+    """Random keyed event sets: the interval join equals the direct
+    nested-loop model key == key and rt in [lt, lt + 10]."""
+    import datetime as _dt
+
+    from nextbus2pg_spark.streaming.joins import interval_join
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + _dt.timedelta(minutes=m)
+
+    ldf = spark.createDataFrame(
+        [(k, i, ts(m)) for i, (k, m) in enumerate(lefts)],
+        "k long, lid long, lt timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, i, ts(m)) for i, (k, m) in enumerate(rights)],
+        "k long, rid long, rt timestamp",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_join(
+            ldf, rdf, "k", "lt", "rt", upper="10 minutes"
+        ).collect()
+    )
+    expected = sorted(
+        (li, ri)
+        for li, (lk, lm) in enumerate(lefts)
+        for ri, (rk, rm) in enumerate(rights)
+        if lk == rk and lm <= rm <= lm + 10
+    )
+    assert got == expected
