@@ -113,12 +113,22 @@ def lsh_signatures(
     in cosine angle collide with high probability; the signature is an
     equi-joinable bucket key.
     """
+    # NOTE: the per-bit plane must come from a factory function, not a
+    # default-arg lambda (``lambda d, b=b``): pyspark passes (element,
+    # index) to TWO-parameter lambdas, so the default would be silently
+    # overwritten with the array index — every bit then hashes against
+    # the same effective plane and the signature degenerates to one bit
+    # repeated n times (two giant buckets: candidate sets half the
+    # corpus, the 100 TB blow-up this operator exists to avoid).
+    def _plane(b: int):
+        return F.transform(
+            F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+            lambda d: _plane_component(table, F.lit(b), d),
+        )
+
     bits = []
     for b in range(n_bits):
-        plane = F.transform(
-            F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-            lambda d, b=b: _plane_component(table, F.lit(b), d),
-        )
+        plane = _plane(b)
         dot = F.aggregate(
             F.zip_with(
                 F.transform(F.col(vec_col), lambda x: x.cast("double")),
@@ -142,6 +152,7 @@ def lsh_topk(
     k: int = 5,
     n_bits: int = 8,
     n_tables: int = 1,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact cosine, restricted to same-bucket pairs.
 
@@ -150,8 +161,14 @@ def lsh_topk(
     (``1 - (1-p)^n_tables``): each table uses a different deterministic
     hyperplane seed, candidate pairs union + dedup before the (exact)
     verify, so cost grows linearly in tables while misses decay
-    geometrically. Measured on the sf0.01 embeddings fixture at
-    ``n_bits=4``: recall@5 0.58 (1 table) → 0.82 (2) → 0.98 (4)
+    geometrically. ``multiprobe=1`` additionally probes, per table,
+    every bucket at Hamming distance 1 from the query's signature
+    (flip each bit) — near neighbors that land one plane-sign away are
+    recovered at the cost of ``n_bits`` extra QUERY-side rows per
+    table, never extra corpus rows: the standard multi-probe trade
+    that buys table-count-like recall without re-hashing the corpus.
+    Measured on the sf0.01 embeddings fixture at ``n_bits=4``,
+    multiprobe=1: recall@5 0.50 (1 table) → 0.62 (2) → 0.84 (4)
     (tests/test_ann_recall.py pins the floor).
     """
     cands = None
@@ -162,6 +179,23 @@ def lsh_topk(
         q_sig = lsh_signatures(
             queries, id_col, vec_col, n_bits, table=t
         ).withColumnRenamed("id", "query_id")
+        if multiprobe >= 1:
+            flips = [
+                F.concat(
+                    F.substring("bucket", 1, i),
+                    F.when(
+                        F.substring("bucket", i + 1, 1) == "1", F.lit("0")
+                    ).otherwise(F.lit("1")),
+                    F.substring("bucket", i + 2, n_bits - i - 1),
+                )
+                for i in range(n_bits)
+            ]
+            q_sig = q_sig.select(
+                "query_id",
+                F.explode(
+                    F.array(F.col("bucket"), *flips)
+                ).alias("bucket"),
+            )
         p = c_sig.join(q_sig, "bucket").select("query_id", "match_id")
         cands = p if cands is None else cands.unionByName(p)
     cands = cands.where(F.col("query_id") != F.col("match_id")).distinct()

@@ -1322,3 +1322,75 @@ def q_countmin(spark: SparkSession, sf_dir: str):
     sketch = countmin_build(ev, "event_type", depth=3, width=64)
     keys = ev.select("event_type").distinct()
     return countmin_estimate(sketch, keys, "event_type", depth=3, width=64)
+
+
+@fixture(
+    "q_lsh_buckets",
+    oracle="""
+SELECT vec_id AS id,
+       CASE WHEN list_reduce(
+       list_transform(generate_series(0, len(embedding) - 1),
+         d -> CAST(embedding[d + 1] AS DOUBLE) *
+              ((('0x' || substr(md5('0:' || 0 || ':' || d), 1, 6))::BIGINT
+                / 16777216.0) - 0.5)),
+       (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END
+    || CASE WHEN list_reduce(
+       list_transform(generate_series(0, len(embedding) - 1),
+         d -> CAST(embedding[d + 1] AS DOUBLE) *
+              ((('0x' || substr(md5('0:' || 1 || ':' || d), 1, 6))::BIGINT
+                / 16777216.0) - 0.5)),
+       (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END
+    || CASE WHEN list_reduce(
+       list_transform(generate_series(0, len(embedding) - 1),
+         d -> CAST(embedding[d + 1] AS DOUBLE) *
+              ((('0x' || substr(md5('0:' || 2 || ':' || d), 1, 6))::BIGINT
+                / 16777216.0) - 0.5)),
+       (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END
+    || CASE WHEN list_reduce(
+       list_transform(generate_series(0, len(embedding) - 1),
+         d -> CAST(embedding[d + 1] AS DOUBLE) *
+              ((('0x' || substr(md5('0:' || 3 || ':' || d), 1, 6))::BIGINT
+                / 16777216.0) - 0.5)),
+       (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END
+    || CASE WHEN list_reduce(
+       list_transform(generate_series(0, len(embedding) - 1),
+         d -> CAST(embedding[d + 1] AS DOUBLE) *
+              ((('0x' || substr(md5('0:' || 4 || ':' || d), 1, 6))::BIGINT
+                / 16777216.0) - 0.5)),
+       (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END
+    || CASE WHEN list_reduce(
+       list_transform(generate_series(0, len(embedding) - 1),
+         d -> CAST(embedding[d + 1] AS DOUBLE) *
+              ((('0x' || substr(md5('0:' || 5 || ':' || d), 1, 6))::BIGINT
+                / 16777216.0) - 0.5)),
+       (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END
+    || CASE WHEN list_reduce(
+       list_transform(generate_series(0, len(embedding) - 1),
+         d -> CAST(embedding[d + 1] AS DOUBLE) *
+              ((('0x' || substr(md5('0:' || 6 || ':' || d), 1, 6))::BIGINT
+                / 16777216.0) - 0.5)),
+       (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END
+    || CASE WHEN list_reduce(
+       list_transform(generate_series(0, len(embedding) - 1),
+         d -> CAST(embedding[d + 1] AS DOUBLE) *
+              ((('0x' || substr(md5('0:' || 7 || ':' || d), 1, 6))::BIGINT
+                / 16777216.0) - 0.5)),
+       (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END
+  AS bucket
+FROM embeddings
+""",
+)
+def q_lsh_buckets(spark: SparkSession, sf_dir: str):
+    """Hyperplane-LSH bucket assignment (the deterministic CORE of the
+    otherwise rows-only q_lsh_topk): 8 sign bits of md5-derived
+    hyperplane dot products, table 0. The oracle replays the identical
+    planes with DuckDB list_reduce — the same left-fold summation
+    order as Spark's aggregate(), so the float dot products (and
+    therefore every sign bit) match exactly. This pins the bucketing
+    math that the approximate top-k's recall depends on; a regression
+    like all-bits-sharing-one-plane (the round-4 fixed two-parameter
+    lambda bug, similarity.py:113-120) breaks this hash row."""
+    from nextbus2pg_spark.operators.similarity import lsh_signatures
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_signatures(emb, "vec_id", "embedding", n_bits=8, table=0)
