@@ -1394,3 +1394,56 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_signatures(emb, "vec_id", "embedding", n_bits=8, table=0)
+
+
+_IVF_DOT = (
+    "list_reduce(list_transform(generate_series(0, len({a}) - 1), "
+    "d -> CAST({a}[d + 1] AS DOUBLE) * CAST({b}[d + 1] AS DOUBLE)), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@fixture(
+    "q_ivf_assign",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS cv,
+         sqrt({_IVF_DOT.format(a='embedding', b='embedding')}) AS cn
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+v AS (
+  SELECT vec_id AS id, embedding AS vv,
+         sqrt({_IVF_DOT.format(a='embedding', b='embedding')}) AS vn
+  FROM embeddings
+),
+scored AS (
+  SELECT id, centroid_id,
+         {_IVF_DOT.format(a='vv', b='cv')} / (vn * cn) AS sim
+  FROM v, c
+),
+ranked AS (
+  SELECT id, centroid_id,
+         row_number() OVER (PARTITION BY id ORDER BY sim DESC, centroid_id)
+           AS rn
+  FROM scored
+)
+SELECT id, centroid_id FROM ranked WHERE rn = 1
+""",
+)
+def q_ivf_assign(spark: SparkSession, sf_dir: str):
+    """IVF nearest-centroid assignment (the deterministic partitioning
+    CORE of the otherwise rows-only q_ivf_topk): every vector mapped
+    to its nearest of the 16 first-N-seeded centroids by exact cosine,
+    ties to the lower centroid id. DuckDB list_reduce replays Spark's
+    left-fold dot products and sqrt norms bit-for-bit, so the argmax —
+    and therefore every assignment — hash-matches exactly, pinning the
+    bucketing math the IVF rung's recall stands on (companion of
+    q_lsh_buckets for the LSH rung)."""
+    from nextbus2pg_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, "vec_id", "embedding", n_centroids=16)
+    return ivf_assign(emb, "vec_id", "embedding", cents, nprobe=1)
