@@ -97,17 +97,30 @@ REGRESSION_PRIORITY = (
     "q_session_window", "q_scan_full",
 )
 
+#: Never-checked queries deferred to the NEXT round's window: the 50
+#: slots cannot hold every never-checked query AND a driver row for
+#: every operator rewritten this round; these two are the stablest
+#: never-checked entries (spatial pair, code untouched since round 2,
+#: green in the repo's own oracle-parity suite every session), so they
+#: wait one round rather than evicting regression coverage for code
+#: that actually changed.
+DEFERRED_TO_NEXT_ROUND = ("q_nearest_site", "q_radius_count")
+
 _bucket1 = [
     n for n in QUERIES
     if n not in DRIVER_CHECKED and n in ORACLE
+    and n not in DEFERRED_TO_NEXT_ROUND
 ]
 _bucket2 = [
     n for n in REGRESSION_PRIORITY
     if n in QUERIES and n in ORACLE and n not in _bucket1
 ]
-_bucket3 = sorted(
+_bucket3 = list(DEFERRED_TO_NEXT_ROUND) + sorted(
     n for n in QUERIES
-    if n in ORACLE and n not in _bucket1 and n not in set(_bucket2)
+    if n in ORACLE
+    and n not in _bucket1
+    and n not in set(_bucket2)
+    and n not in DEFERRED_TO_NEXT_ROUND
 )
 _bucket4 = [n for n in QUERIES if n not in ORACLE]  # rows-only last
 _reordered = {
