@@ -44,6 +44,7 @@ see MIGRATION.md).
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import re
 from collections.abc import Sequence
@@ -52,6 +53,46 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MANIFEST_RE = re.compile(r"_manifest-(\d+)\.json$")
+
+#: sentinel for min/max values whose type the manifest cannot order
+_UNSUPPORTED = object()
+
+
+def _stat_ser(v):
+    """JSON-safe, ORDER-PRESERVING serialization of a column min/max.
+
+    Numbers and strings keep their native ordering; datetimes/dates
+    serialize to isoformat, which is lexicographically order-preserving
+    within one column (uniform precision/tz-awareness per parquet
+    type). Anything else returns ``_UNSUPPORTED`` and the column's
+    stats are simply omitted for that dir — pruning stays conservative.
+    """
+    if v is None:
+        return None
+    if isinstance(v, bool) or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return _UNSUPPORTED
+
+
+def _range_overlaps(st: dict, lower, upper) -> bool:
+    """Can a dir with min/max stats ``st`` contain a row passing
+    ``lower <= col <= upper``?  Conservative: unknown/odd cases keep
+    the dir. Range predicates are NULL-rejecting (SQL semantics), so an
+    all-null dir (min and max both None) is prunable when any bound is
+    given."""
+    mn, mx = st.get("min"), st.get("max")
+    if mn is None and mx is None:
+        return lower is None and upper is None
+    try:
+        if lower is not None and mx is not None and mx < lower:
+            return False
+        if upper is not None and mn is not None and mn > upper:
+            return False
+    except TypeError:  # incomparable bound vs stored type → keep
+        return True
+    return True
 
 
 def bucket_expr(
@@ -86,6 +127,7 @@ class BucketedParquetStore:
         n_buckets: int = 16,
         null_safe: bool = False,
         keep_generations: int = 2,
+        stats_cols: Sequence[str] | None = None,
     ):
         if n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
@@ -94,6 +136,12 @@ class BucketedParquetStore:
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
         self.null_safe = null_safe
+        # Data-skipping stats (Delta-style): per-bucket-dir min/max of
+        # these columns land in the manifest at write time, and
+        # range reads prune whole dirs BEFORE any file is listed or
+        # opened — at 100 TB that is the difference between touching
+        # O(matching dirs) and O(table) on every time-bounded query.
+        self.stats_cols = list(stats_cols or [])
         # Floor of 2: the concurrent-reader grace window REQUIRES the
         # previous manifest's files to survive one publish — a reader
         # that resolved gen N just before the writer publishes N+1 must
@@ -136,20 +184,30 @@ class BucketedParquetStore:
             stream.close()
         return json.loads(data)
 
-    def _publish(self, gen: int, buckets: dict[int, list[str]]) -> None:
+    def _publish(
+        self,
+        gen: int,
+        buckets: dict[int, list[str]],
+        stats: dict[str, dict] | None = None,
+    ) -> None:
         """Atomically publish generation ``gen``: write the manifest to a
         .tmp file and rename to its final (fresh) name — the commit
-        point. Nothing before this rename is visible to readers."""
+        point. Nothing before this rename is visible to readers.
+        ``stats`` maps data-dir relpath → per-column min/max; only
+        entries for dirs actually referenced by ``buckets`` are kept."""
         jvm, fs, _ = self._fs()
-        payload = json.dumps(
-            {
-                "gen": gen,
-                "n_buckets": self.n_buckets,
-                "buckets": {str(b): dirs for b, dirs in sorted(buckets.items())},
-            },
-            indent=0,
-            sort_keys=True,
-        ).encode()
+        live_dirs = {d for dirs in buckets.values() for d in dirs}
+        doc = {
+            "gen": gen,
+            "n_buckets": self.n_buckets,
+            "buckets": {str(b): dirs for b, dirs in sorted(buckets.items())},
+        }
+        kept_stats = {
+            d: s for d, s in (stats or {}).items() if d in live_dirs and s
+        }
+        if kept_stats:
+            doc["stats"] = kept_stats
+        payload = json.dumps(doc, indent=0, sort_keys=True).encode()
         tmp = self._jpath(f"_manifest-{gen}.json.tmp")
         final = self._jpath(f"_manifest-{gen}.json")
         out = fs.create(tmp, True)
@@ -266,6 +324,54 @@ class BucketedParquetStore:
                 out.extend(f"{self.path}/{d}" for d in dirs)
         return out
 
+    def dirs_for_range(self, col: str, lower=None, upper=None) -> list[str]:
+        """Data-dir relpaths that might hold rows with
+        ``lower <= col <= upper`` (either bound optional). Dirs with no
+        recorded stats for ``col`` are always kept — pruning is an
+        optimization, never a correctness filter. Bounds of datetime/
+        date type are compared in isoformat (matching ``_stat_ser``)."""
+        man = self.current_manifest()
+        stats = man.get("stats", {})
+        lo = _stat_ser(lower)
+        hi = _stat_ser(upper)
+        if lo is _UNSUPPORTED or hi is _UNSUPPORTED:
+            lo = hi = None  # unorderable bound → keep everything
+        out: list[str] = []
+        for dirs in man["buckets"].values():
+            for d in dirs:
+                st = stats.get(d, {}).get(col)
+                if st is None or _range_overlaps(st, lo, hi):
+                    out.append(d)
+        return sorted(set(out))
+
+    def read_range(
+        self, col: str, lower=None, upper=None, apply_filter: bool = True
+    ) -> DataFrame:
+        """Range read with manifest-level data skipping: only dirs whose
+        recorded [min, max] for ``col`` intersects [lower, upper] are
+        ever listed or opened (the same move as Delta file skipping, at
+        dir granularity — file footers are never even fetched for
+        pruned dirs, which on object storage is the entire cost of a
+        needle query against a 100 TB log). With ``apply_filter`` the
+        exact predicate is also applied, so results are identical to
+        ``read().filter(...)``."""
+        kept = self.dirs_for_range(col, lower, upper)
+        if not kept:
+            all_dirs = self._bucket_dirs(None)
+            if not all_dirs:
+                raise FileNotFoundError(f"store {self.path} has no data")
+            df = self.spark.read.parquet(all_dirs[0]).limit(0)
+        else:
+            df = self.spark.read.parquet(
+                *[f"{self.path}/{d}" for d in kept]
+            )
+        if apply_filter:
+            if lower is not None:
+                df = df.filter(F.col(col) >= F.lit(lower))
+            if upper is not None:
+                df = df.filter(F.col(col) <= F.lit(upper))
+        return df
+
     def read(self, buckets: Sequence[int] | None = None) -> DataFrame:
         """Current state (optionally only the given buckets — partition
         pruning by construction: unlisted dirs are never opened)."""
@@ -309,6 +415,40 @@ class BucketedParquetStore:
                 written[b] = f"data/g{gen}/{name}"
         return written
 
+    def _collect_stats(
+        self, gen: int, written: dict[int, str], schema_cols: Sequence[str]
+    ) -> dict[str, dict]:
+        """Per-dir min/max of ``stats_cols`` for a freshly written
+        generation. Reads BACK the written parquet (not the input plan):
+        one column-pruned job over just-landed files — never a second
+        execution of the upstream plan — grouped by the bucket partition
+        column, so the collect is bounded by |touched buckets|."""
+        cols = [c for c in self.stats_cols if c in schema_cols]
+        if not cols or not written:
+            return {}
+        out = f"{self.path}/data/g{gen}"
+        gen_df = self.spark.read.option("basePath", out).parquet(out)
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"mn__{c}"))
+            aggs.append(F.max(c).alias(f"mx__{c}"))
+        rows = gen_df.groupBy(self.BUCKET_COL).agg(*aggs).collect()
+        stats: dict[str, dict] = {}
+        for r in rows:
+            d = written.get(r[self.BUCKET_COL])
+            if d is None:
+                continue
+            per_col = {}
+            for c in cols:
+                mn = _stat_ser(r[f"mn__{c}"])
+                mx = _stat_ser(r[f"mx__{c}"])
+                if mn is _UNSUPPORTED or mx is _UNSUPPORTED:
+                    continue
+                per_col[c] = {"min": mn, "max": mx}
+            if per_col:
+                stats[d] = per_col
+        return stats
+
     def _next_gen(self) -> int:
         gens = self._manifest_gens()
         return (gens[-1] + 1) if gens else 0
@@ -317,7 +457,8 @@ class BucketedParquetStore:
         """Bootstrap the table from a first full frame."""
         gen = self._next_gen()
         written = self._write_generation(df, gen)
-        self._publish(gen, {b: [d] for b, d in written.items()})
+        stats = self._collect_stats(gen, written, df.columns)
+        self._publish(gen, {b: [d] for b, d in written.items()}, stats)
 
     def replace_buckets(self, merged: DataFrame, touched: Sequence[int]) -> None:
         """Publish a new generation in which every bucket in ``touched``
@@ -333,7 +474,9 @@ class BucketedParquetStore:
             buckets[int(b)] = []
         for b, d in written.items():
             buckets[int(b)] = [d]
-        self._publish(gen, {b: d for b, d in buckets.items() if d})
+        stats = dict(man.get("stats", {}))  # retained dirs keep stats
+        stats.update(self._collect_stats(gen, written, merged.columns))
+        self._publish(gen, {b: d for b, d in buckets.items() if d}, stats)
 
     def append(self, df: DataFrame) -> None:
         """Append-only write: adds new dirs to the touched buckets
@@ -350,4 +493,6 @@ class BucketedParquetStore:
         }
         for b, d in written.items():
             buckets.setdefault(int(b), []).append(d)
-        self._publish(gen, buckets)
+        stats = dict(man.get("stats", {}))
+        stats.update(self._collect_stats(gen, written, df.columns))
+        self._publish(gen, buckets, stats)

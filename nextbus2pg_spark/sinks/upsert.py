@@ -199,6 +199,7 @@ class ParquetUpsertTable:
         update_cols: Sequence[str] | None = None,
         null_safe: bool = True,
         n_buckets: int = 16,
+        stats_cols: Sequence[str] | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -207,7 +208,7 @@ class ParquetUpsertTable:
         self.null_safe = null_safe
         self.store = BucketedParquetStore(
             spark, path, self.key_cols, n_buckets=n_buckets,
-            null_safe=null_safe,
+            null_safe=null_safe, stats_cols=stats_cols,
         )
 
     def exists(self) -> bool:

@@ -338,3 +338,90 @@ def test_reader_survives_concurrent_publish_and_gc(spark, tmp_path):
     # files are legitimately vacuumed (documented retention window).
     t.upsert(spark.createDataFrame([("a", 3)], "k string, v int"))
     assert gen not in t.store.generations()
+
+
+def test_data_skipping_prunes_appended_dirs(spark, tmp_path):
+    """Manifest min/max stats: a range read over an appended log must
+    open ONLY the generation dirs whose recorded [min, max] intersects
+    the bounds — and still return exactly filter()'s rows."""
+    path = str(tmp_path / "skiplog")
+    store = BucketedParquetStore(
+        spark, path, key_cols=["k"], n_buckets=2, stats_cols=["ts", "v"]
+    )
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").cast("string").alias("k"),
+        F.col("id").alias("ts"),
+        (F.col("id") * 2).alias("v"),
+    )
+    store.append(mk(0, 100))
+    store.append(mk(100, 200))
+    store.append(mk(200, 300))
+    man = store.current_manifest()
+    n_dirs = sum(len(d) for d in man["buckets"].values())
+    assert set(man.get("stats", {})) == {
+        d for dirs in man["buckets"].values() for d in dirs
+    }, "every data dir should carry stats"
+    # bounds inside the middle batch → only its dirs survive pruning
+    kept = store.dirs_for_range("ts", 120, 180)
+    assert 0 < len(kept) < n_dirs
+    assert all("/g1/" in d for d in kept), kept
+    got = sorted(r[0] for r in store.read_range("ts", 120, 180).select("ts").collect())
+    want = sorted(
+        r[0]
+        for r in store.read().filter("ts between 120 and 180").select("ts").collect()
+    )
+    assert got == want == list(range(120, 181))
+    # column with no recorded stats → conservative: keep everything
+    assert len(store.dirs_for_range("k", "0", "1")) == n_dirs
+    # open-ended bound prunes too
+    assert all("/g2/" in d for d in store.dirs_for_range("ts", lower=250))
+
+
+def test_data_skipping_survives_bucket_merge(spark, tmp_path):
+    """replace_buckets: rewritten buckets get fresh stats, untouched
+    buckets keep their old stats entries, and pruned range reads stay
+    exactly equal to the unpruned filter."""
+    path = str(tmp_path / "skipmerge")
+    t = ParquetUpsertTable(
+        spark, path, key_cols=["k"], update_cols=["v"], n_buckets=8,
+        stats_cols=["v"],
+    )
+    base = spark.range(64).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    t.upsert(base)
+    # shift ONE key's v far outside the original range
+    t.upsert(
+        spark.createDataFrame([("k7", 10_000)], "k string, v long")
+    )
+    man = t.store.current_manifest()
+    dirs = {d for dd in man["buckets"].values() for d in dd}
+    assert set(man["stats"]) == dirs
+    kept = t.store.dirs_for_range("v", 9_000, 11_000)
+    assert len(kept) < len(dirs), "needle query must prune most buckets"
+    rows = t.store.read_range("v", 9_000, 11_000).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("k7", 10_000)]
+    full = t.read().filter("v between 9000 and 11000").collect()
+    assert [(r["k"], r["v"]) for r in full] == [("k7", 10_000)]
+
+
+def test_data_skipping_handles_nulls_and_plain_manifests(spark, tmp_path):
+    """All-null dirs are prunable (range predicates reject NULL); a
+    store written without stats_cols keeps every dir — pruning is never
+    a correctness filter."""
+    path = str(tmp_path / "skipnull")
+    store = BucketedParquetStore(
+        spark, path, key_cols=["k"], n_buckets=1, stats_cols=["ts"]
+    )
+    store.append(
+        spark.createDataFrame([("a", None), ("b", None)], "k string, ts long")
+    )
+    store.append(spark.createDataFrame([("c", 5)], "k string, ts long"))
+    kept = store.dirs_for_range("ts", 0, 10)
+    assert all("/g1/" in d for d in kept), "all-null dir should be pruned"
+    assert [r["k"] for r in store.read_range("ts", 0, 10).collect()] == ["c"]
+    # no-stats store: everything kept
+    plain = BucketedParquetStore(spark, str(tmp_path / "plain"), ["k"], n_buckets=1)
+    plain.append(spark.createDataFrame([("a", 1)], "k string, ts long"))
+    assert len(plain.dirs_for_range("ts", 100, 200)) == 1
+    assert plain.read_range("ts", 100, 200).count() == 0
