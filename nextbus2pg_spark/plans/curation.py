@@ -499,3 +499,145 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str):
     return cu.weighted_sample(
         docs, ["doc_id"], "n_chars", k=20, group_cols=["lang"]
     ).select("doc_id", "lang", "n_chars")
+
+
+# -- URL canonicalization (operators/url.py) ---------------------------
+#
+# documents carries no URL column, so both engines construct the SAME
+# deterministic per-doc URL (4 shapes by doc_id % 4, exercising case,
+# www, default ports, tracking params, fragments, root slash, and a
+# co.uk public-suffix domain) and then normalize it. The DuckDB chain
+# below is the step-for-step contract of operators/url.py — every
+# regex is anchored/single-match so RE2 first-match and Java
+# replace-all agree (see the module docstring).
+
+_URL_RAW_SQL = """
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/'
+           WHEN 1 THEN 'http://' || source || '.example.co.uk:80/docs/'
+                       || CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2&a=1'
+           WHEN 2 THEN 'HTTP://' || source || '.Example.COM/Dir/'
+                       || CAST(doc_id AS VARCHAR) || '#sec'
+           ELSE 'https://sub.' || source || '.example.org/p?id='
+                || CAST(doc_id AS VARCHAR) || '&utm_campaign=c&ref=r'
+         END AS u
+  FROM documents
+"""
+
+_URL_NORM_CTES = r"""
+s2 AS (SELECT doc_id, regexp_replace(trim(u), '#.*', '') AS u FROM raw),
+s3p AS (SELECT doc_id, u,
+         regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)', 1) AS a
+        FROM s2),
+s3 AS (SELECT doc_id,
+        CASE WHEN a <> '' THEN lower(a) || substring(u, length(a)+1)
+             ELSE u END AS u FROM s3p),
+s4 AS (SELECT doc_id,
+        regexp_replace(
+          regexp_replace(u, '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2'),
+          '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2') AS u FROM s3),
+s5 AS (SELECT doc_id,
+        regexp_replace(u, '^([a-z][a-z0-9+.\-]*)://www\.', '\1://') AS u
+       FROM s4),
+s6 AS (SELECT doc_id,
+        regexp_replace(split_part(u, '?', 1),
+                       '^([a-z][a-z0-9+.\-]*://[^/?#]+)/$', '\1') AS base,
+        CASE WHEN position('?' IN u) > 0
+             THEN substring(u, length(split_part(u, '?', 1)) + 2)
+             ELSE '' END AS q
+       FROM s5),
+s7 AS (SELECT doc_id, base,
+        COALESCE(array_to_string(list_sort(list_filter(string_split(q, '&'),
+          t -> NOT (t LIKE 'utm_%' OR t LIKE 'fbclid=%' OR t LIKE 'gclid=%'
+                    OR t LIKE 'ref=%' OR t = ''))), '&'), '') AS qs
+       FROM s6),
+s8 AS (SELECT doc_id,
+        CASE WHEN qs = '' THEN base ELSE base || '?' || qs END AS norm_url
+       FROM s7),
+s9 AS (SELECT doc_id, norm_url,
+        regexp_extract(norm_url,
+                       '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)', 1) AS host
+       FROM s8),
+s10 AS (SELECT doc_id, norm_url, host,
+         string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS n FROM s9),
+normed AS (
+  SELECT doc_id, norm_url, host,
+    CASE WHEN n <= 2 THEN host
+         WHEN length(labels[n]) = 2
+              AND labels[n-1] IN ('co','com','net','org','ac','gov','edu')
+           THEN array_to_string(labels[n-2:n], '.')
+         ELSE array_to_string(labels[n-1:n], '.') END AS domain
+  FROM s10
+)
+"""
+
+
+def _doc_url_col():
+    shape = (F.col("doc_id") % 4).cast("int")
+    did = F.col("doc_id").cast("string")
+    return (
+        F.when(shape == 0, F.concat(
+            F.lit("HTTPS://WWW."), F.upper("source"), F.lit(".EXAMPLE.COM:443/")))
+        .when(shape == 1, F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.co.uk:80/docs/"),
+            did, F.lit("?utm_source=x&b=2&a=1")))
+        .when(shape == 2, F.concat(
+            F.lit("HTTP://"), F.col("source"), F.lit(".Example.COM/Dir/"),
+            did, F.lit("#sec")))
+        .otherwise(F.concat(
+            F.lit("https://sub."), F.col("source"), F.lit(".example.org/p?id="),
+            did, F.lit("&utm_campaign=c&ref=r")))
+    )
+
+
+@fixture(
+    "q_url_canon",
+    oracle=f"""
+WITH raw AS ({_URL_RAW_SQL}),
+{_URL_NORM_CTES}
+SELECT doc_id, norm_url, host, domain FROM normed
+""",
+)
+def q_url_canon(spark: SparkSession, sf_dir: str):
+    """Canonical URL + host + registrable domain for every document:
+    one pure-codegen projection chain (regex/split/array ops), zero
+    shuffle — the scan-speed key-derivation step before any per-URL
+    dedup or per-domain policy at crawl scale."""
+    from nextbus2pg_spark.operators import url as u
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", _doc_url_col().alias("u"))
+        .select("doc_id", u.normalize_url(F.col("u")).alias("norm_url"))
+        .withColumn("host", u.url_host(F.col("norm_url")))
+        .withColumn("domain", u.registrable_domain(F.col("host")))
+    )
+
+
+@fixture(
+    "q_domain_cap",
+    oracle=f"""
+WITH raw AS ({_URL_RAW_SQL}),
+{_URL_NORM_CTES}
+SELECT doc_id, domain FROM (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+  FROM normed
+) WHERE rn <= 3
+""",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str):
+    """Per-registrable-domain document cap (keep the 3 lowest doc_ids
+    per domain): the anti-monoculture step of a crawl pipeline. One
+    shuffle on the domain key; the cap itself is exactly the skew
+    remover — no domain contributes more than max_per_domain rows
+    downstream."""
+    from nextbus2pg_spark.operators import url as u
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _doc_url_col().alias("url"))
+    return u.domain_cap(d, "url", max_per_domain=3, order_col="doc_id").select(
+        "doc_id", "domain"
+    )

@@ -1,0 +1,94 @@
+"""URL canonicalization operators (operators/url.py): hand-written
+expected values for the full normalization contract, plus the dedup
+and domain-cap composites."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.operators.url import (
+    domain_cap,
+    normalize_url,
+    registrable_domain,
+    url_dedup,
+    url_host,
+)
+
+CASES = [
+    # (raw, normalized, host, registrable domain)
+    ("  HTTPS://WWW.Web.EXAMPLE.COM:443/  ",
+     "https://web.example.com", "web.example.com", "example.com"),
+    ("http://news.example.co.uk:80/docs/42?utm_source=x&b=2&a=1",
+     "http://news.example.co.uk/docs/42?a=1&b=2",
+     "news.example.co.uk", "example.co.uk"),
+    ("HTTP://Books.Example.COM/A/b/7#sec",
+     "http://books.example.com/A/b/7", "books.example.com", "example.com"),
+    ("https://sub.wiki.example.org/p?id=9&utm_campaign=c&ref=r",
+     "https://sub.wiki.example.org/p?id=9",
+     "sub.wiki.example.org", "example.org"),
+    ("https://x.com/?utm_medium=email", "https://x.com", "x.com", "x.com"),
+    ("http://x.com", "http://x.com", "x.com", "x.com"),
+    # scheme+authority lowercase, path case PRESERVED
+    ("ftp://Mixed.Case.Host/Path",
+     "ftp://mixed.case.host/Path", "mixed.case.host", "case.host"),
+    # no scheme: passes through untouched, host/domain empty
+    ("no-scheme/path?a=1", "no-scheme/path?a=1", "", ""),
+    ("https://a.b.c.co.uk/deep?z=1&y=2&fbclid=abc&gclid=q",
+     "https://a.b.c.co.uk/deep?y=2&z=1", "a.b.c.co.uk", "c.co.uk"),
+    # non-default port kept; ':80' inside the PATH untouched; empty
+    # trailing param dropped
+    ("http://www.only.com:8080/keep:80?ref=z&",
+     "http://only.com:8080/keep:80", "only.com", "only.com"),
+]
+
+
+def test_normalize_host_domain_table(spark):
+    df = spark.createDataFrame([(u,) for u, *_ in CASES], "u string")
+    out = (
+        df.select("u", normalize_url(F.col("u")).alias("norm"))
+        .withColumn("host", url_host(F.col("norm")))
+        .withColumn("domain", registrable_domain(F.col("host")))
+    )
+    got = {r["u"]: (r["norm"], r["host"], r["domain"]) for r in out.collect()}
+    for raw, norm, host, dom in CASES:
+        assert got[raw] == (norm, host, dom), raw
+
+
+def test_normalization_is_idempotent(spark):
+    """normalize(normalize(u)) == normalize(u) — canonical forms are
+    fixed points, so re-running a pipeline never churns keys."""
+    df = spark.createDataFrame([(u,) for u, *_ in CASES], "u string")
+    out = df.select(
+        normalize_url(F.col("u")).alias("once"),
+    ).select("once", normalize_url(F.col("once")).alias("twice"))
+    for r in out.collect():
+        assert r["once"] == r["twice"]
+
+
+def test_url_dedup_collapses_aliases(spark):
+    """Tracking params, case, www, default ports: all alias forms of
+    one resource collapse to a single deterministic survivor."""
+    rows = [
+        ("https://x.com/a?utm_source=1", 3),
+        ("HTTPS://WWW.X.COM:443/a", 1),
+        ("https://x.com/a", 2),
+        ("https://x.com/b", 9),
+    ]
+    df = spark.createDataFrame(rows, "url string, prio int")
+    out = url_dedup(df, "url", ["prio"]).orderBy("norm_url").collect()
+    assert [(r["norm_url"], r["prio"]) for r in out] == [
+        ("https://x.com/a", 1),
+        ("https://x.com/b", 9),
+    ]
+
+
+def test_domain_cap_keeps_top_n(spark):
+    rows = [(f"https://www.heavy.com/p{i}?utm_source=s", i) for i in range(10)]
+    rows += [("https://light.org/only", 99)]
+    df = spark.createDataFrame(rows, "url string, rank int")
+    out = domain_cap(df, "url", max_per_domain=3, order_col="rank")
+    by_dom = {}
+    for r in out.collect():
+        by_dom.setdefault(r["domain"], []).append(r["rank"])
+    assert sorted(by_dom["heavy.com"]) == [0, 1, 2]
+    assert by_dom["light.org"] == [99]
