@@ -1,0 +1,187 @@
+"""Incremental near-duplicate index — dedup a NEW batch against the
+whole historical corpus without ever re-reading or re-shingling it.
+
+The batch MinHash-LSH operators (operators/dedup.py) are corpus-at-
+once: fine for a backfill, wrong for a daily feed over a 100 TB
+archive — re-shingling history per batch is O(|corpus|) every day.
+This pipeline persists the two small derived relations the LSH probe
+actually needs, in bucketed manifest stores (sinks/store.py):
+
+- ``bands``:  (id, band, band_hash) — hash-bucketed on
+  ``(band, band_hash)``. A new batch's band hashes select exactly the
+  buckets that can contain colliding history; every other bucket of
+  the index is never opened. Probe IO is O(|batch| x bucket fraction),
+  independent of corpus size.
+- ``sigs``:   (id, sig array<string>) — hash-bucketed on ``id``; read
+  only for the candidate ids a probe surfaces, to score estimated
+  Jaccard (fraction of agreeing MinHash minima — the standard unbiased
+  estimator) without any shingle storage.
+
+Index size per doc is ``num_perm`` hex strings + ``num_perm /
+rows_per_band`` band rows — a few hundred bytes, ~5 orders of
+magnitude below the documents themselves, so the index is the thing
+that CAN live on fast storage while the corpus sits in cold object
+store.
+
+Writes are manifest appends (O(batch) IO, atomic publish, crash-safe —
+see sinks/store.py); a crashed ``add`` leaves the index exactly at the
+previous batch boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.operators.dedup import (
+    lsh_bands,
+    minhash_signatures,
+    word_shingles,
+)
+from nextbus2pg_spark.sinks.store import BucketedParquetStore
+
+
+class NearDupIndex:
+    """Persistent MinHash-LSH index with batch-vs-corpus probing."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_perm: int = 8,
+        rows_per_band: int = 2,
+        shingle_n: int = 3,
+        n_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.num_perm = num_perm
+        self.rows_per_band = rows_per_band
+        self.shingle_n = shingle_n
+        self.bands = BucketedParquetStore(
+            spark, f"{path.rstrip('/')}/bands", ["band", "band_hash"],
+            n_buckets=n_buckets,
+        )
+        self.sigs = BucketedParquetStore(
+            spark, f"{path.rstrip('/')}/sigs", ["id"], n_buckets=n_buckets,
+        )
+
+    # -- derivation ----------------------------------------------------
+
+    def _derive(self, docs: DataFrame, id_col: str, text_col: str):
+        """(bands, wide-signature) frames for a batch. One shingle
+        pass feeds both, and both are bounded-size derivations of the
+        batch — nothing here touches the stored corpus."""
+        sh = word_shingles(docs, id_col, text_col, n=self.shingle_n)
+        sig = minhash_signatures(sh, num_perm=self.num_perm)
+        bands = lsh_bands(sig, rows_per_band=self.rows_per_band)
+        wide = (
+            sig.groupBy("id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "minh"))),
+                    lambda x: x["minh"],
+                ).alias("sig")
+            )
+        )
+        return bands, wide
+
+    # -- probe ---------------------------------------------------------
+
+    def probe(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        min_est_jaccard: float = 0.5,
+    ) -> DataFrame:
+        """Near-dup matches of ``docs`` against the INDEXED corpus:
+        ``(new_id, indexed_id, est_jaccard)``. Does not modify the
+        index. Returns an empty frame when the index is empty.
+
+        Scale shape: the stored bands are read ONLY for the buckets the
+        batch's own band hashes select (manifest pruning — unselected
+        buckets are never listed); the equi-join on (band, band_hash)
+        is the LSH collision probe; signatures are then read only for
+        the candidate ids. No stage's input grows with corpus size
+        except through genuine collisions."""
+        bands, wide = self._derive(docs, id_col, text_col)
+        if not self.bands.exists():
+            id_dt = dict(docs.dtypes)[id_col]
+            return self.spark.createDataFrame(
+                [], f"new_id {id_dt}, indexed_id {id_dt}, est_jaccard double"
+            )
+        bands = bands.localCheckpoint()  # consumed twice: bucket ids + join
+        touched = self.bands.touched_buckets(bands)
+        stored_bands = self.bands.read(touched)
+        cand = (
+            bands.join(stored_bands.withColumnRenamed("id", "indexed_id"),
+                       ["band", "band_hash"])
+            .select(F.col("id").alias("new_id"), "indexed_id")
+            .distinct()
+        )
+        cand = cand.localCheckpoint()  # consumed twice: id list + join
+        id_probe = cand.select(F.col("indexed_id").alias("id"))
+        sig_buckets = self.sigs.touched_buckets(id_probe)
+        stored_sigs = (
+            self.sigs.read(sig_buckets)
+            .withColumnsRenamed({"id": "indexed_id", "sig": "sig_old"})
+        )
+        est = (
+            cand.join(wide.withColumnsRenamed({"id": "new_id", "sig": "sig_new"}),
+                      "new_id")
+            .join(stored_sigs, "indexed_id")
+            .withColumn(
+                "est_jaccard",
+                F.aggregate(
+                    F.zip_with(
+                        "sig_new", "sig_old",
+                        lambda a, b: (a == b).cast("int"),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double") / F.lit(float(self.num_perm)),
+            )
+            .filter(F.col("est_jaccard") >= min_est_jaccard)
+            .select("new_id", "indexed_id", "est_jaccard")
+        )
+        return est
+
+    # -- ingest --------------------------------------------------------
+
+    def add(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        """Index a batch: append its bands and signatures. Ids must be
+        new (the caller's id space is append-only — re-adding an id
+        would double its band rows). Probe first, add after: the usual
+        loop is ``matches = idx.probe(batch); idx.add(unique_part)``."""
+        bands, wide = self._derive(docs, id_col, text_col)
+        # One batch feeds two stores; checkpoint so the shingle pass
+        # runs once, not once per store write.
+        bands = bands.localCheckpoint()
+        wide = wide.localCheckpoint()
+        self.bands.append(bands)
+        self.sigs.append(wide)
+
+    def add_unique(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        min_est_jaccard: float = 0.5,
+    ) -> DataFrame:
+        """Probe-then-add in one call: index only the docs that did NOT
+        match the existing corpus, and return the matches (the rejected
+        docs' evidence). The batch's own internal near-dups are NOT
+        collapsed here — run the batch dedup operator first when the
+        feed can contain within-batch duplicates."""
+        matches = self.probe(
+            docs, id_col, text_col, min_est_jaccard
+        ).localCheckpoint()
+        dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
+        fresh = docs.join(dup_ids, id_col, "left_anti")
+        self.add(fresh, id_col, text_col)
+        return matches

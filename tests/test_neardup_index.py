@@ -1,0 +1,130 @@
+"""Incremental near-dup index (pipelines/neardup_index.py): probe
+correctness against the batch operator, append-only incrementality,
+and bucket-pruned probing of the stored corpus."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.operators.dedup import (
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    word_shingles,
+)
+from nextbus2pg_spark.pipelines.neardup_index import NearDupIndex
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "while the sun sets slowly behind distant purple mountains tonight"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _file_hashes(path):
+    out = {}
+    for p in glob.glob(f"{path}/**/*.parquet", recursive=True):
+        with open(p, "rb") as f:
+            out[os.path.relpath(p, path)] = hashlib.md5(f.read()).hexdigest()
+    return out
+
+
+def test_probe_matches_batch_operator(spark, tmp_path):
+    """Index batch 1, probe batch 2: the cross-batch pairs must equal
+    what the corpus-at-once LSH operator finds on the union (restricted
+    to cross-batch pairs) at the same banding parameters."""
+    b1 = _docs(spark, [(i, f"{BASE} variant {i}") for i in range(10)])
+    # 20/21 share b1 doc 3's text nearly verbatim; 22 is unrelated
+    b2 = _docs(spark, [
+        (20, f"{BASE} variant 3"),
+        (21, f"{BASE} variant 3 extra"),
+        (22, "completely different text about cooking pasta with "
+             "garlic olive oil and fresh basil leaves in a copper pan"),
+    ])
+    idx = NearDupIndex(spark, str(tmp_path / "idx"), n_buckets=8)
+    assert idx.probe(b1).count() == 0, "empty index must match nothing"
+    idx.add(b1)
+    got = {
+        (r["new_id"], r["indexed_id"])
+        for r in idx.probe(b2, min_est_jaccard=0.5).collect()
+    }
+    # Reference: the SAME banding + signature-estimate semantics,
+    # computed corpus-at-once from the primitives (no store, no
+    # pruning) — store roundtrip + bucket-pruned probe must agree.
+    union = b1.unionByName(b2)
+    sig = minhash_signatures(word_shingles(union, "doc_id", "text"))
+    cand = lsh_candidate_pairs(lsh_bands(sig))
+    sa = sig.select(F.col("id").alias("id_a"), "perm",
+                    F.col("minh").alias("m_a"))
+    sb = sig.select(F.col("id").alias("id_b"), "perm",
+                    F.col("minh").alias("m_b"))
+    est = (
+        cand.join(sa, "id_a").join(sb, ["id_b", "perm"])
+        .groupBy("id_a", "id_b")
+        .agg((F.sum((F.col("m_a") == F.col("m_b")).cast("int")) / 8.0)
+             .alias("est"))
+        .filter("est >= 0.5")
+    )
+    want = set()
+    for r in est.collect():
+        lo, hi = sorted([r["id_a"], r["id_b"]])
+        if lo < 20 <= hi:  # cross-batch only
+            want.add((hi, lo))
+    assert got == want and (20, 3) in got
+    assert all(nid != 22 for nid, _ in got)
+
+
+def test_add_is_append_only_and_probe_prunes(spark, tmp_path):
+    """Adding batch 2 must not rewrite batch 1's index files, and a
+    probe must read only the band buckets the batch's hashes select."""
+    idx = NearDupIndex(spark, str(tmp_path / "idx"), n_buckets=16)
+    # fully distinct word sets per doc — only doc 7 should match below
+    mk_text = lambda i: " ".join(  # noqa: E731
+        f"word{i}x{j}" for j in range(30)
+    )
+    idx.add(_docs(spark, [(i, mk_text(i)) for i in range(20)]))
+    before = _file_hashes(str(tmp_path / "idx"))
+    b2 = _docs(spark, [(100, mk_text(7) + " extra")])
+    reads: list = []
+    orig = idx.bands.read
+
+    def spy(buckets=None):
+        reads.append(buckets)
+        return orig(buckets)
+
+    idx.bands.read = spy
+    matches = idx.add_unique(b2)
+    assert {(r["new_id"], r["indexed_id"]) for r in matches.collect()} == {
+        (100, 7)
+    }
+    assert reads and reads[0] is not None and 0 < len(reads[0]) < 16, (
+        "probe must pass a pruned bucket list, not read the full index"
+    )
+    after = _file_hashes(str(tmp_path / "idx"))
+    for p, h in before.items():
+        assert after.get(p) == h, f"add rewrote existing index file {p}"
+    # the matched doc was NOT indexed; a fresh doc would have been
+    assert idx.sigs.read().filter(F.col("id") == 100).count() == 0
+
+
+def test_add_unique_indexes_fresh_docs(spark, tmp_path):
+    idx = NearDupIndex(spark, str(tmp_path / "idx"), n_buckets=8)
+    idx.add(_docs(spark, [(1, f"{BASE} one")]))
+    matches = idx.add_unique(
+        _docs(spark, [(2, "entirely new content on deep sea creatures "
+                          "glowing softly in the midnight zone of oceans")])
+    )
+    assert matches.count() == 0
+    assert idx.sigs.read().filter(F.col("id") == 2).count() == 1
+    # and the fresh doc is now probe-able as corpus
+    hits = idx.probe(_docs(spark, [(3, "entirely new content on deep sea "
+                                       "creatures glowing softly in the "
+                                       "midnight zone of oceans")]))
+    assert {(r["new_id"], r["indexed_id"]) for r in hits.collect()} == {(3, 2)}
