@@ -198,3 +198,116 @@ def countmin_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").cast("long").alias("est_count"))
     )
+
+
+# -- fixed-bin histogram: mergeable quantile state ---------------------
+#
+# The quantile-at-scale problem: exact percentiles need a global sort
+# (or Spark's GK/HLL-style approx_percentile, whose state — like
+# HLL++ — is an opaque JVM buffer no other engine can reproduce). A
+# fixed-bin histogram is the engine-portable mergeable alternative:
+# state is an array<long> of bin counts over a declared [lo, hi)
+# domain, merge is element-wise addition (a commutative monoid, so
+# batch boundaries/restarts can't corrupt it — the same algebra as
+# pipelines/continuous_aggregate), and any quantile is derived at
+# read time by an interpolated cumulative walk. Accuracy is bounded
+# by bin width — a deliberate, *declared* error bar, vs approx-
+# percentile's data-dependent one. Values outside [lo, hi) clamp to
+# the edge bins (min/max monoids alongside recover true extremes).
+
+
+def histogram_bin(value: Column, lo: float, hi: float, nbins: int) -> Column:
+    """Bin index in [0, nbins) for ``value`` over [lo, hi), clamped at
+    both edges. NULL for NULL values (SQL aggregates skip them)."""
+    width = (hi - lo) / nbins
+    raw = F.floor((value - F.lit(lo)) / F.lit(width)).cast("int")
+    return F.when(
+        value.isNull(), F.lit(None).cast("int")
+    ).otherwise(F.greatest(F.lit(0), F.least(F.lit(nbins - 1), raw)))
+
+
+def histogram_state(value: Column, lo: float, hi: float, nbins: int) -> Column:
+    """Aggregate expression: array<long> of per-bin counts — the
+    mergeable histogram state. nbins parallel conditional counts in
+    ONE partial-aggregatable pass (map-side combine collapses each
+    partition to a single nbins-long array before the shuffle)."""
+    b = histogram_bin(value, lo, hi, nbins)
+    return F.array(
+        *[F.sum((b == i).cast("long")).alias(f"_b{i}") for i in range(nbins)]
+    )
+
+
+def histogram_merge(state: Column, nbins: int) -> Column:
+    """Aggregate expression merging histogram states: element-wise sum
+    (the monoid op). ``merge(h(A), h(B)) == h(A ∪ B)`` exactly."""
+    zero = F.array(*[F.lit(0).cast("long")] * nbins)
+    return F.aggregate(
+        F.collect_list(state),
+        zero,
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+
+
+def histogram_quantile(
+    state: Column, q: float, lo: float, hi: float, nbins: int
+) -> Column:
+    """Interpolated quantile estimate from a histogram state column.
+
+    Standard linearly-interpolated cumulative walk (the PromQL
+    ``histogram_quantile`` estimator): find the bin where the
+    cumulative count crosses ``q * total`` and interpolate within it.
+    Pure array expressions — evaluable on any engine with the same
+    IEEE arithmetic, hence fully oracle-checkable. NULL for an empty
+    state (total == 0)."""
+    width = (hi - lo) / nbins
+    total = F.aggregate(state, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = F.lit(float(q)) * total.cast("double")
+    indexed = F.zip_with(
+        state,
+        F.sequence(F.lit(0), F.lit(nbins - 1)),
+        lambda cnt, i: F.struct(cnt.alias("cnt"), i.alias("i")),
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    walk = F.aggregate(
+        indexed,
+        acc0,
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["cnt"]).alias("cum"),
+            F.when(acc["val"].isNotNull(), acc["val"])
+            .when(
+                (x["cnt"] > 0)
+                & ((acc["cum"] + x["cnt"]).cast("double") >= target),
+                F.lit(lo)
+                + F.lit(width)
+                * (
+                    x["i"].cast("double")
+                    + (target - acc["cum"].cast("double"))
+                    / x["cnt"].cast("double")
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("val"),
+        ),
+        lambda acc: acc["val"],
+    )
+    return F.when(total > 0, walk).otherwise(F.lit(None).cast("double"))
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lo: float,
+    hi: float,
+    nbins: int = 32,
+) -> DataFrame:
+    """Per-group histogram state over ``df[value_col]`` →
+    ``group_cols + (hist array<long>)``. One partial-aggregatable
+    pass; state size is nbins longs per group regardless of row
+    count."""
+    return df.groupBy(*group_cols).agg(
+        histogram_state(F.col(value_col), lo, hi, nbins).alias("hist")
+    )

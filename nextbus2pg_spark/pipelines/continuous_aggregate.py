@@ -100,7 +100,10 @@ class ContinuousAggregate:
     """Incrementally maintained rollup keyed on ``bucket_cols``.
 
     ``aggs`` maps output column → ("count"|"sum"|"min"|"max"|
-    "approx_distinct", input column; input ignored for count).
+    "approx_distinct", input column; input ignored for count), or
+    → ("histogram", input column, (lo, hi, nbins)) for mergeable
+    binned-quantile state (read back via
+    ``operators.sketch.histogram_quantile``).
     Example::
 
         ca = ContinuousAggregate(
@@ -117,18 +120,28 @@ class ContinuousAggregate:
         spark: SparkSession,
         path: str,
         bucket_cols: Sequence[str],
-        aggs: dict[str, tuple[str, str | None]],
+        aggs: dict[str, tuple],
     ) -> None:
-        for name, (fn, _) in aggs.items():
-            if fn not in _MERGEABLE:
+        # entries are (fn, col) or (fn, col, params) — today only
+        # "histogram" takes params: (lo, hi, nbins), the declared bin
+        # domain of its mergeable count-array state.
+        norm: dict[str, tuple[str, str | None, tuple | None]] = {}
+        for name, spec in aggs.items():
+            fn, col, params = (*spec, None) if len(spec) == 2 else spec
+            if fn not in _MERGEABLE and fn != "histogram":
                 raise ValueError(
                     f"{name}: '{fn}' is not mergeable state; store the "
                     "monoid parts (e.g. sum+count for mean) instead"
                 )
+            if fn == "histogram" and (params is None or len(params) != 3):
+                raise ValueError(
+                    f"{name}: histogram needs params=(lo, hi, nbins)"
+                )
+            norm[name] = (fn, col, params)
         self.spark = spark
         self.path = path
         self.bucket_cols = list(bucket_cols)
-        self.aggs = aggs
+        self.aggs = norm
         self.store = BucketedParquetStore(
             spark, path, self.bucket_cols, n_buckets=16
         )
@@ -154,16 +167,33 @@ class ContinuousAggregate:
             "__pid", F.spark_partition_id()
         ).groupBy(*self.bucket_cols, "__pid").agg(
             *[
-                _MERGEABLE[fn][0](F.col(col) if col else None).alias(name)
-                for name, (fn, col) in self.aggs.items()
+                self._builders(fn, params)[0](
+                    F.col(col) if col else None
+                ).alias(name)
+                for name, (fn, col, params) in self.aggs.items()
             ]
         )
         return phase1.groupBy(*self.bucket_cols).agg(
             *[
-                _MERGEABLE[fn][1](F.col(name)).alias(name)
-                for name, (fn, _) in self.aggs.items()
+                self._builders(fn, params)[1](F.col(name)).alias(name)
+                for name, (fn, _, params) in self.aggs.items()
             ]
         )
+
+    def _builders(self, fn: str, params: tuple | None):
+        """(partial, merge) expression builders for one aggregate."""
+        if fn == "histogram":
+            from nextbus2pg_spark.operators.sketch import (
+                histogram_merge,
+                histogram_state,
+            )
+
+            lo, hi, nbins = params
+            return (
+                lambda c: histogram_state(c, lo, hi, nbins),
+                lambda col: histogram_merge(col, nbins),
+            )
+        return _MERGEABLE[fn]
 
     def apply_batch(self, batch: DataFrame) -> None:
         """Merge one batch's partial aggregates into the stored state:
@@ -180,8 +210,8 @@ class ContinuousAggregate:
             .groupBy(*self.bucket_cols)
             .agg(
                 *[
-                    _MERGEABLE[fn][1](F.col(name)).alias(name)
-                    for name, (fn, _) in self.aggs.items()
+                    self._builders(fn, params)[1](F.col(name)).alias(name)
+                    for name, (fn, _, params) in self.aggs.items()
                 ]
             )
         )

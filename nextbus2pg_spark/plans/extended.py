@@ -613,3 +613,72 @@ def q_zorder_key(spark: SparkSession, sf_dir: str):
         [F.col("o_custkey") % 256, F.col("o_orderkey") % 256], bits=8
     )
     return o.select("o_orderkey", z.cast("long").alias("zval"))
+
+
+@fixture(
+    "q_histogram_quantile",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         greatest(0, least(31, CAST(floor((value - 0.0) / 15.625) AS INT)))
+           AS bin
+  FROM events WHERE value IS NOT NULL
+),
+t AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1),
+c AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS total
+  FROM c
+),
+qs AS (SELECT * FROM (VALUES (0.5), (0.95)) v(q)),
+hit AS (
+  SELECT event_type, q, bin, cnt, cum, total,
+         row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+  FROM cum CROSS JOIN qs
+  WHERE CAST(cum AS DOUBLE) >= q * CAST(total AS DOUBLE)
+),
+vals AS (
+  SELECT event_type, q,
+         0.0 + 15.625 * (CAST(bin AS DOUBLE)
+           + (q * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+             / CAST(cnt AS DOUBLE)) AS v
+  FROM hit WHERE rn = 1
+)
+SELECT t.event_type, CAST(t.n AS BIGINT) AS n,
+       round(max(CASE WHEN q = 0.5 THEN v END), 6) AS p50,
+       round(max(CASE WHEN q = 0.95 THEN v END), 6) AS p95
+FROM vals JOIN t USING (event_type)
+GROUP BY 1, 2
+""",
+)
+def q_histogram_quantile(spark: SparkSession, sf_dir: str):
+    """Quantiles from MERGEABLE fixed-bin histogram state
+    (operators/sketch.histogram_*): one partial-aggregatable pass
+    builds a 32-bin count array per event type; p50/p95 derive from
+    the array by interpolated cumulative walk. The scale point vs
+    exact percentile: no global sort, state is 32 longs per group
+    regardless of row count, and the same state merges across
+    batches/days (pipelines/continuous_aggregate) — the oracle replays
+    the identical estimator in SQL, so the whole path is value-checked,
+    unlike an engine-opaque approx_percentile sketch."""
+    from nextbus2pg_spark.operators.sketch import (
+        histogram_quantile,
+        histogram_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        histogram_state(F.col("value"), 0.0, 500.0, 32).alias("h")
+    )
+    return st.select(
+        "event_type",
+        F.aggregate("h", F.lit(0).cast("long"), lambda a, x: a + x).alias("n"),
+        F.round(
+            histogram_quantile(F.col("h"), 0.5, 0.0, 500.0, 32), 6
+        ).alias("p50"),
+        F.round(
+            histogram_quantile(F.col("h"), 0.95, 0.0, 500.0, 32), 6
+        ).alias("p95"),
+    )

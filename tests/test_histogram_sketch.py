@@ -1,0 +1,128 @@
+"""Mergeable fixed-bin histogram (operators/sketch.py): exact state,
+merge algebra, interpolated quantiles, and the ContinuousAggregate
+integration."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.operators.sketch import (
+    histogram_merge,
+    histogram_quantile,
+    histogram_sketch,
+    histogram_state,
+)
+from nextbus2pg_spark.pipelines.continuous_aggregate import ContinuousAggregate
+
+
+def _py_hist(vals, lo, hi, nbins):
+    width = (hi - lo) / nbins
+    out = [0] * nbins
+    for v in vals:
+        if v is None:
+            continue
+        out[max(0, min(nbins - 1, int((v - lo) // width)))] += 1
+    return out
+
+
+def _py_quantile(counts, q, lo, hi, nbins):
+    width = (hi - lo) / nbins
+    total = sum(counts)
+    target = q * total
+    cum = 0
+    for i, c in enumerate(counts):
+        if c > 0 and cum + c >= target:
+            return lo + width * (i + (target - cum) / c)
+        cum += c
+    return None
+
+
+def test_state_counts_clamp_and_nulls(spark):
+    vals = [0.0, 1.0, 5.0, 9.99, 10.0, -3.0, 42.0, None, 2.5]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    row = df.agg(histogram_state(F.col("v"), 0.0, 10.0, 4).alias("h")).first()
+    assert row["h"] == _py_hist(vals, 0.0, 10.0, 4)
+    # out-of-range clamps into edge bins, NULL skipped entirely
+    assert sum(row["h"]) == len([v for v in vals if v is not None])
+
+
+def test_merge_equals_whole(spark):
+    """h(A ∪ B) == merge(h(A), h(B)) — the monoid law the continuous
+    aggregate relies on, for an arbitrary 3-way split."""
+    import random
+
+    rnd = random.Random(7)
+    vals = [rnd.uniform(-5, 105) for _ in range(500)]
+    parts = [vals[:100], vals[100:350], vals[350:]]
+    df_all = spark.createDataFrame([(v,) for v in vals], "v double")
+    whole = df_all.agg(
+        histogram_state(F.col("v"), 0.0, 100.0, 16).alias("h")
+    ).first()["h"]
+    states = [
+        spark.createDataFrame([(v,) for v in p], "v double")
+        .agg(histogram_state(F.col("v"), 0.0, 100.0, 16).alias("h"))
+        for p in parts
+    ]
+    merged = (
+        states[0].unionAll(states[1]).unionAll(states[2])
+        .agg(histogram_merge(F.col("h"), 16).alias("h"))
+        .first()["h"]
+    )
+    assert merged == whole == _py_hist(vals, 0.0, 100.0, 16)
+
+
+def test_quantile_matches_python_model(spark):
+    vals = [float(i) for i in range(1, 101)]  # uniform 1..100
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    st = df.agg(histogram_state(F.col("v"), 0.0, 100.0, 20).alias("h"))
+    got = st.select(
+        *[
+            histogram_quantile(F.col("h"), q, 0.0, 100.0, 20).alias(f"q{q}")
+            for q in (0.1, 0.5, 0.9, 0.99)
+        ]
+    ).first()
+    counts = _py_hist(vals, 0.0, 100.0, 20)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        assert abs(got[f"q{q}"] - _py_quantile(counts, q, 0.0, 100.0, 20)) < 1e-9
+        # estimator error is bounded by one bin width (5.0) vs truth
+        assert abs(got[f"q{q}"] - q * 100) <= 5.0
+    # empty state -> NULL
+    empty = spark.createDataFrame([([0] * 20,)], "h array<bigint>")
+    assert empty.select(
+        histogram_quantile(F.col("h"), 0.5, 0.0, 100.0, 20).alias("q")
+    ).first()["q"] is None
+
+
+def test_histogram_sketch_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("b", 5.0)], "g string, v double"
+    )
+    out = {
+        r["g"]: r["hist"]
+        for r in histogram_sketch(df, "v", ["g"], 0.0, 10.0, 2).collect()
+    }
+    assert out == {"a": [1, 1], "b": [0, 1]}
+
+
+def test_continuous_aggregate_histogram_merges_across_batches(spark, tmp_path):
+    """Two batches through the rollup == one batch of the union, and
+    the derived quantile is readable from stored state."""
+    mk = lambda rows: spark.createDataFrame(rows, "day string, v double")  # noqa: E731
+    b1 = mk([("d1", float(v)) for v in range(0, 50)])
+    b2 = mk([("d1", float(v)) for v in range(50, 100)] + [("d2", 7.0)])
+    ca = ContinuousAggregate(
+        spark, str(tmp_path / "ca"), ["day"],
+        {"n": ("count", None), "hist": ("histogram", "v", (0.0, 100.0, 10))},
+    )
+    ca.apply_batch(b1)
+    ca.apply_batch(b2)
+    got = {r["day"]: (r["n"], r["hist"]) for r in ca.read().collect()}
+    assert got["d1"][0] == 100
+    assert got["d1"][1] == _py_hist([float(v) for v in range(100)], 0.0, 100.0, 10)
+    assert got["d2"] == (1, _py_hist([7.0], 0.0, 100.0, 10))
+    p50 = (
+        ca.read().filter("day = 'd1'")
+        .select(histogram_quantile(F.col("hist"), 0.5, 0.0, 100.0, 10).alias("p"))
+        .first()["p"]
+    )
+    assert abs(p50 - 50.0) <= 10.0
