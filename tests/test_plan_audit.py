@@ -320,3 +320,24 @@ def test_interval_join_no_cartesian(spark):
     p = plan_text(q(spark, "q_interval_join"))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_url_canon_is_shuffle_free(spark):
+    """normalize_url/url_host/registrable_domain are pure codegen'd
+    expression chains — the whole q_url_canon plan must carry ZERO
+    Exchange operators and no Python evaluation."""
+    p = plan_text(q(spark, "q_url_canon"))
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_histogram_quantile_single_partial_agg(spark):
+    """The histogram sketch is one partial-aggregatable pass: exactly
+    one shuffle (on the tiny group key), map-side partial HashAggregate
+    before it, and no Window/sort over the events table (the whole
+    point vs exact percentiles)."""
+    p = plan_text(q(spark, "q_histogram_quantile"))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "partial" in p.lower(), p
+    assert "Window" not in p, p
+    assert not re.search(r"\(\d+\) Sort\b", p), p
