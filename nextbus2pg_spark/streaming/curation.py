@@ -108,3 +108,67 @@ def start_curation(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_neardup_dedup(
+    raw_stream: DataFrame,
+    index,
+    store,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est_jaccard: float = 0.5,
+    matches_sink=None,
+):
+    """Cross-batch NEAR-dup dedup as a streaming stage: each micro-batch
+    is probed against the persistent :class:`~nextbus2pg_spark.
+    pipelines.neardup_index.NearDupIndex`, survivors land idempotently
+    in ``store``, and the index learns the survivors — so a document
+    near-duplicating ANYTHING seen
+    since the stream began is dropped, not just within-batch or
+    within-watermark duplicates.
+
+    This is the piece ``curate_documents``'s fingerprint dedup cannot
+    do: its cross-batch state (dropDuplicatesWithinWatermark) is exact-
+    match and watermark-bounded. The near-dup index's state is the
+    bounded-size signature store (hundreds of bytes per doc), probed by
+    bucket-pruned reads — O(batch) work per batch regardless of history
+    length, the only admissible shape for an always-on feed over an
+    unbounded corpus.
+
+    ``store`` must be a KEYED idempotent table (``ParquetUpsertTable``
+    keyed on ``id_col`` — ``insert_if_absent`` is used), NOT a raw
+    appender: idempotence is what makes crash-replay safe. Write order
+    is store-then-index: if the batch crashes after the store write but
+    before indexing, the replay re-probes (no self-match yet, ids are
+    source-stable), re-derives the same survivors, and
+    ``insert_if_absent`` lands zero duplicate rows before indexing
+    completes. (Index-first would be wrong: replayed docs would
+    self-match and the survivors would never reach the store.)
+
+    ``matches_sink(matches_df, batch_id)`` (optional) receives the
+    rejected-pair evidence per batch — at-least-once, may replay."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint()  # probed + filtered + stored
+        matches = index.probe(
+            batch_df, id_col, text_col, min_est_jaccard
+        ).localCheckpoint()
+        dup_ids = matches.select(
+            F.col("new_id").alias(id_col)
+        ).distinct()
+        fresh = batch_df.join(dup_ids, id_col, "left_anti").localCheckpoint()
+        store.insert_if_absent(fresh)
+        index.add(fresh, id_col, text_col)
+        if matches_sink is not None:
+            matches_sink(matches, batch_id)
+
+    return (
+        raw_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
