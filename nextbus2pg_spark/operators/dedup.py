@@ -81,8 +81,12 @@ def word_shingles(
                         ids.extend([i] * k)
                 yield pd.DataFrame({"id": ids, "shingle": shs})
 
+        # id keeps the caller's type: a hard-coded 'long' would crash
+        # (or silently coerce) string/uuid document ids at the Arrow
+        # boundary.
+        id_dt = dict(df.dtypes)[id_col]
         return df.select(id_col, text_col).mapInPandas(
-            gen, "id long, shingle string"
+            gen, f"id {id_dt}, shingle string"
         )
 
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")

@@ -232,8 +232,15 @@ def histogram_state(value: Column, lo: float, hi: float, nbins: int) -> Column:
     ONE partial-aggregatable pass (map-side combine collapses each
     partition to a single nbins-long array before the shuffle)."""
     b = histogram_bin(value, lo, hi, nbins)
+    # coalesce: SUM over zero non-null rows is NULL, and one NULL
+    # element would zip_with-poison every later merge of that bucket
+    # (a group whose rows in one partition are all NULL-valued is
+    # enough to hit this in the two-phase continuous aggregate).
     return F.array(
-        *[F.sum((b == i).cast("long")).alias(f"_b{i}") for i in range(nbins)]
+        *[
+            F.coalesce(F.sum((b == i).cast("long")), F.lit(0).cast("long"))
+            for i in range(nbins)
+        ]
     )
 
 
@@ -244,7 +251,12 @@ def histogram_merge(state: Column, nbins: int) -> Column:
     return F.aggregate(
         F.collect_list(state),
         zero,
-        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        # element coalesce: a NULL bin (possible in states written
+        # before histogram_state guarded the all-NULL-group case) must
+        # act as 0, not poison the whole fold
+        lambda acc, x: F.zip_with(
+            acc, x, lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+        ),
     )
 
 

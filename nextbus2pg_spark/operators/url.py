@@ -117,16 +117,26 @@ def url_dedup(df: DataFrame, url_col: str, order_cols: list[str]) -> DataFrame:
     """One row per canonical URL, deterministic winner by
     ``order_cols`` (min-struct aggregation — partial-aggregatable, so
     duplicates collapse map-side before the shuffle; only distinct
-    canonical URLs cross the wire)."""
+    canonical URLs cross the wire). Rows whose URL is NULL pass
+    through UNTOUCHED: NULL is a missing key, not a shared resource —
+    grouping would silently collapse unrelated rows into one."""
     norm = df.withColumn("__norm_url", normalize_url(F.col(url_col)))
     payload = F.struct(*[F.col(c) for c in order_cols], *[
         F.col(c) for c in df.columns if c not in order_cols
     ])
-    return (
-        norm.groupBy("__norm_url")
+    out_cols = [c for c in order_cols] + [
+        c for c in df.columns if c not in order_cols
+    ]
+    deduped = (
+        norm.filter(F.col("__norm_url").isNotNull())
+        .groupBy("__norm_url")
         .agg(F.min(payload).alias("__win"))
         .select(F.col("__norm_url").alias("norm_url"), "__win.*")
     )
+    passthrough = norm.filter(F.col("__norm_url").isNull()).select(
+        F.col("__norm_url").alias("norm_url"), *[F.col(c) for c in out_cols]
+    )
+    return deduped.unionByName(passthrough)
 
 
 def domain_cap(
@@ -143,15 +153,19 @@ def domain_cap(
     task."""
     from pyspark.sql import Window
 
-    d = df.withColumn(
-        "__domain", registrable_domain(url_host(normalize_url(F.col(url_col))))
+    d = df.withColumn("__norm", normalize_url(F.col(url_col))).withColumn(
+        "__domain", registrable_domain(url_host(F.col("__norm")))
     )
-    w = Window.partitionBy("__domain").orderBy(F.col(order_col), *[
-        F.col(c) for c in df.columns if c != order_col
-    ])
+    # Tie-break on the canonical URL only — ordering by every payload
+    # column would drag full row payloads (document bodies!) through
+    # the per-domain sort comparator. Rows equal on (order_col, url)
+    # are indistinguishable duplicates; which survives is immaterial.
+    w = Window.partitionBy("__domain").orderBy(
+        F.col(order_col), F.col("__norm")
+    )
     return (
         d.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_per_domain)
-        .drop("__rn")
+        .drop("__rn", "__norm")
         .withColumnRenamed("__domain", "domain")
     )

@@ -105,6 +105,18 @@ class NearDupIndex:
         the candidate ids. No stage's input grows with corpus size
         except through genuine collisions."""
         bands, wide = self._derive(docs, id_col, text_col)
+        return self._probe_derived(docs, id_col, bands, wide, min_est_jaccard)
+
+    def _probe_derived(
+        self,
+        docs: DataFrame,
+        id_col: str,
+        bands: DataFrame,
+        wide: DataFrame,
+        min_est_jaccard: float,
+    ) -> DataFrame:
+        """Probe with already-derived batch (bands, wide) frames —
+        lets :meth:`add_unique` shingle the batch exactly once."""
         if not self.bands.exists():
             id_dt = dict(docs.dtypes)[id_col]
             return self.spark.createDataFrame(
@@ -124,6 +136,10 @@ class NearDupIndex:
         sig_buckets = self.sigs.touched_buckets(id_probe)
         stored_sigs = (
             self.sigs.read(sig_buckets)
+            # a crash-replayed add can leave duplicate signature rows
+            # for one id (see add()'s crash contract); the rows are
+            # identical, so one representative keeps matches exact
+            .dropDuplicates(["id"])
             .withColumnsRenamed({"id": "indexed_id", "sig": "sig_old"})
         )
         est = (
@@ -154,17 +170,28 @@ class NearDupIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
     ) -> None:
-        """Index a batch: append its bands and signatures. Ids must be
-        new (the caller's id space is append-only — re-adding an id
-        would double its band rows). Probe first, add after: the usual
-        loop is ``matches = idx.probe(batch); idx.add(unique_part)``."""
+        """Index a batch: append its signatures, then its bands. Ids
+        must be new (the caller's id space is append-only — re-adding
+        an id would double its band rows). Probe first, add after: the
+        usual loop is ``matches = idx.probe(batch); idx.add(unique)``.
+
+        Crash contract (two stores, two atomic publishes, no cross-
+        store transaction): sigs land FIRST. A crash in between leaves
+        ids with signatures but no band rows — such ids can never
+        surface as candidates (collisions come from bands), so the
+        index behaves exactly as if the batch was never added; the
+        caller re-adds, producing duplicate sig rows, which
+        ``_probe_derived`` collapses (dropDuplicates on id). Bands-
+        first would be worse: half-indexed docs would surface as
+        candidates and then silently drop in the signature join —
+        permanent false negatives."""
         bands, wide = self._derive(docs, id_col, text_col)
         # One batch feeds two stores; checkpoint so the shingle pass
         # runs once, not once per store write.
         bands = bands.localCheckpoint()
         wide = wide.localCheckpoint()
-        self.bands.append(bands)
         self.sigs.append(wide)
+        self.bands.append(bands)
 
     def add_unique(
         self,
@@ -175,13 +202,24 @@ class NearDupIndex:
     ) -> DataFrame:
         """Probe-then-add in one call: index only the docs that did NOT
         match the existing corpus, and return the matches (the rejected
-        docs' evidence). The batch's own internal near-dups are NOT
-        collapsed here — run the batch dedup operator first when the
-        feed can contain within-batch duplicates."""
-        matches = self.probe(
-            docs, id_col, text_col, min_est_jaccard
+        docs' evidence, self-matches excluded). The batch's own internal
+        near-dups are NOT collapsed here — run the batch dedup operator
+        first when the feed can contain within-batch duplicates.
+
+        Replay-idempotent: a re-delivered batch whose docs were already
+        indexed sees them SELF-match (new_id == indexed_id at
+        est_jaccard 1.0); self-matched docs are skipped for indexing
+        (no duplicate rows) and excluded from the returned evidence (a
+        unique doc is not a near-dup of itself). The batch is shingled
+        exactly once — the derived frames feed both the probe and the
+        appends."""
+        bands, wide = self._derive(docs, id_col, text_col)
+        bands = bands.localCheckpoint()
+        wide = wide.localCheckpoint()
+        matches = self._probe_derived(
+            docs, id_col, bands, wide, min_est_jaccard
         ).localCheckpoint()
-        dup_ids = matches.select(F.col("new_id").alias(id_col)).distinct()
-        fresh = docs.join(dup_ids, id_col, "left_anti")
-        self.add(fresh, id_col, text_col)
-        return matches
+        dup_ids = matches.select(F.col("new_id").alias("id")).distinct()
+        self.sigs.append(wide.join(dup_ids, "id", "left_anti"))
+        self.bands.append(bands.join(dup_ids, "id", "left_anti"))
+        return matches.filter(F.col("new_id") != F.col("indexed_id"))

@@ -549,8 +549,9 @@ s6 AS (SELECT doc_id,
        FROM s5),
 s7 AS (SELECT doc_id, base,
         COALESCE(array_to_string(list_sort(list_filter(string_split(q, '&'),
-          t -> NOT (t LIKE 'utm_%' OR t LIKE 'fbclid=%' OR t LIKE 'gclid=%'
-                    OR t LIKE 'ref=%' OR t = ''))), '&'), '') AS qs
+          t -> NOT (t LIKE 'utm\_%' ESCAPE '\' OR t LIKE 'fbclid=%'
+                    OR t LIKE 'gclid=%' OR t LIKE 'ref=%' OR t = ''))),
+          '&'), '') AS qs
        FROM s6),
 s8 AS (SELECT doc_id,
         CASE WHEN qs = '' THEN base ELSE base || '?' || qs END AS norm_url

@@ -138,13 +138,11 @@ def start_neardup_dedup(
 
     ``store`` must be a KEYED idempotent table (``ParquetUpsertTable``
     keyed on ``id_col`` — ``insert_if_absent`` is used), NOT a raw
-    appender: idempotence is what makes crash-replay safe. Write order
-    is store-then-index: if the batch crashes after the store write but
-    before indexing, the replay re-probes (no self-match yet, ids are
-    source-stable), re-derives the same survivors, and
-    ``insert_if_absent`` lands zero duplicate rows before indexing
-    completes. (Index-first would be wrong: replayed docs would
-    self-match and the survivors would never reach the store.)
+    appender: idempotence is what makes crash-replay safe. The index
+    side is idempotent by itself (``add_unique``: replayed docs
+    self-match and are neither re-indexed nor reported), so EITHER half
+    completing before a crash leaves the replay convergent — ids must
+    be source-stable, which they are by the streaming contract.
 
     ``matches_sink(matches_df, batch_id)`` (optional) receives the
     rejected-pair evidence per batch — at-least-once, may replay."""
@@ -153,15 +151,14 @@ def start_neardup_dedup(
         if batch_df.isEmpty():
             return
         batch_df = batch_df.localCheckpoint()  # probed + filtered + stored
-        matches = index.probe(
+        matches = index.add_unique(
             batch_df, id_col, text_col, min_est_jaccard
         ).localCheckpoint()
         dup_ids = matches.select(
             F.col("new_id").alias(id_col)
         ).distinct()
-        fresh = batch_df.join(dup_ids, id_col, "left_anti").localCheckpoint()
+        fresh = batch_df.join(dup_ids, id_col, "left_anti")
         store.insert_if_absent(fresh)
-        index.add(fresh, id_col, text_col)
         if matches_sink is not None:
             matches_sink(matches, batch_id)
 

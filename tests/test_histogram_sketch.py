@@ -126,3 +126,29 @@ def test_continuous_aggregate_histogram_merges_across_batches(spark, tmp_path):
         .first()["p"]
     )
     assert abs(p50 - 50.0) <= 10.0
+
+
+def test_all_null_partition_does_not_poison_merge(spark, tmp_path):
+    """A group whose rows in one partition are ALL NULL-valued must
+    contribute a zero state, not a NULL state that wipes real counts
+    at merge time (regression: SUM over zero non-null rows is NULL)."""
+    nulls = spark.createDataFrame(
+        [("a", None), ("a", None)], "g string, v double"
+    ).repartition(1)
+    vals = spark.createDataFrame([("a", 5.0)], "g string, v double").repartition(1)
+    st = histogram_sketch(nulls.unionAll(vals), "v", ["g"], 0.0, 10.0, 4)
+    assert st.first()["hist"] == [0, 0, 1, 0]
+    # same shape through the continuous aggregate's two-phase path
+    ca = ContinuousAggregate(
+        spark, str(tmp_path / "ca0"), ["g"],
+        {"hist": ("histogram", "v", (0.0, 10.0, 4))},
+    )
+    ca.apply_batch(nulls.unionAll(vals))
+    assert ca.read().first()["hist"] == [0, 0, 1, 0]
+    # merging a legacy NULL-element state acts as zero
+    legacy = spark.createDataFrame(
+        [([None, None, None, None],), ([0, 0, 2, 0],)], "h array<bigint>"
+    )
+    assert legacy.agg(histogram_merge(F.col("h"), 4).alias("m")).first()[
+        "m"
+    ] == [0, 0, 2, 0]

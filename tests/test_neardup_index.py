@@ -128,3 +128,31 @@ def test_add_unique_indexes_fresh_docs(spark, tmp_path):
                                        "creatures glowing softly in the "
                                        "midnight zone of oceans")]))
     assert {(r["new_id"], r["indexed_id"]) for r in hits.collect()} == {(3, 2)}
+
+
+def test_add_unique_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering the same batch (crash-replay) must not duplicate
+    index rows and must not report self-matches as evidence."""
+    idx = NearDupIndex(spark, str(tmp_path / "idx"), n_buckets=8)
+    batch = _docs(spark, [(1, " ".join(f"a{j}" for j in range(30))),
+                          (2, " ".join(f"b{j}" for j in range(30)))])
+    assert idx.add_unique(batch).count() == 0
+    replay = idx.add_unique(batch)          # same batch again
+    assert replay.count() == 0, "self-matches must not be evidence"
+    assert idx.sigs.read().groupBy("id").count().filter("count > 1").count() == 0
+    assert (
+        idx.bands.read().groupBy("id", "band").count().filter("count > 1").count()
+        == 0
+    ), "replay duplicated band rows"
+
+
+def test_string_ids_supported(spark, tmp_path):
+    """id_col keeps the caller's type end-to-end (regression: the
+    shingle stage hard-coded 'id long')."""
+    idx = NearDupIndex(spark, str(tmp_path / "idx"), n_buckets=4)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id string, text string")  # noqa: E731
+    idx.add(mk([("alpha", " ".join(f"c{j}" for j in range(30)))]))
+    hits = idx.probe(mk([("beta", " ".join(f"c{j}" for j in range(30)) + " x")]))
+    assert {(r["new_id"], r["indexed_id"]) for r in hits.collect()} == {
+        ("beta", "alpha")
+    }

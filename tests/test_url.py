@@ -92,3 +92,25 @@ def test_domain_cap_keeps_top_n(spark):
         by_dom.setdefault(r["domain"], []).append(r["rank"])
     assert sorted(by_dom["heavy.com"]) == [0, 1, 2]
     assert by_dom["light.org"] == [99]
+
+
+def test_url_dedup_null_urls_pass_through(spark):
+    """NULL urls are missing keys, not one shared resource — they must
+    NOT collapse into a single survivor (regression)."""
+    rows = [(None, 1), (None, 2), ("https://x.com/a", 3)]
+    df = spark.createDataFrame(rows, "url string, prio int")
+    out = url_dedup(df, "url", ["prio"]).collect()
+    assert len(out) == 3
+    assert sorted(r["prio"] for r in out if r["norm_url"] is None) == [1, 2]
+
+
+def test_tracking_prefix_is_literal_not_wildcard(spark):
+    """'utm_' matches literally: 'utmx=2' (no underscore) survives;
+    'utm_x=1' is dropped. Guards the LIKE-wildcard hazard in the
+    DuckDB oracle (utm\\_% ESCAPE) staying aligned with Spark's
+    literal startswith."""
+    df = spark.createDataFrame(
+        [("https://x.com/p?utmx=2&utm_x=1&b=1",)], "u string"
+    )
+    got = df.select(normalize_url(F.col("u")).alias("n")).first()["n"]
+    assert got == "https://x.com/p?b=1&utmx=2"
