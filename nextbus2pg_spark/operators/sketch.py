@@ -323,3 +323,63 @@ def histogram_sketch(
     return df.groupBy(*group_cols).agg(
         histogram_state(F.col(value_col), lo, hi, nbins).alias("hist")
     )
+
+
+# -- count-min as FLAT-ARRAY state: the continuous-aggregate form -----
+#
+# countmin_build's long-form (row, bucket, cnt) relation is the right
+# shape for a standalone sketch table; a keyed rollup
+# (pipelines/continuous_aggregate) instead needs ONE mergeable column
+# per aggregate. cms_state packs the depth x width cells into a single
+# array<long> (layout: cell [j][b] at index j*width + b), merged by the
+# same element-wise addition as the histogram sketch — per rollup key,
+# per-key frequency estimates with NO per-key rows stored anywhere:
+# state size is depth*width longs however many distinct values stream
+# through. The md5 bucket family matches countmin_build, so estimates
+# stay engine-portable and oracle-checkable.
+
+
+def cms_state(value: Column, depth: int = 3, width: int = 32) -> Column:
+    """Aggregate expression: flat count-min state over ``value``.
+    depth*width conditional counts in one partial-aggregatable pass;
+    NULL values are skipped (no cell increments, matching SQL count
+    semantics)."""
+    cells = []
+    for j in range(depth):
+        b = _cms_bucket(value, j, width)
+        for k in range(width):
+            cells.append(
+                F.coalesce(
+                    F.sum(
+                        (value.isNotNull() & (b == k)).cast("long")
+                    ),
+                    F.lit(0).cast("long"),
+                )
+            )
+    return F.array(*cells)
+
+
+def cms_state_estimate(
+    state: Column, key: Column, depth: int = 3, width: int = 32
+) -> Column:
+    """Point frequency estimate of ``key`` from a flat CMS state:
+    min over rows of the key's cell (never undercounts; overcounts
+    bounded by the sketch dimensions)."""
+    return F.least(
+        *[
+            F.element_at(
+                state,
+                (F.lit(j * width) + _cms_bucket(key, j, width) + F.lit(1))
+                .cast("int"),
+            )
+            for j in range(depth)
+        ]
+    )
+
+
+def cms_state_total(state: Column, width: int = 32) -> Column:
+    """Total (non-NULL) row count folded into a flat CMS state — the
+    sum of any one sketch row; row 0 is used."""
+    return F.aggregate(
+        F.slice(state, 1, width), F.lit(0).cast("long"), lambda a, x: a + x
+    )

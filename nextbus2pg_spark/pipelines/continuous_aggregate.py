@@ -103,7 +103,11 @@ class ContinuousAggregate:
     "approx_distinct", input column; input ignored for count), or
     → ("histogram", input column, (lo, hi, nbins)) for mergeable
     binned-quantile state (read back via
-    ``operators.sketch.histogram_quantile``).
+    ``operators.sketch.histogram_quantile``), or
+    → ("countmin", input column, (depth, width)) for mergeable
+    per-key frequency state (read back via
+    ``operators.sketch.cms_state_estimate`` — heavy hitters and
+    point frequencies with no per-key rows stored).
     Example::
 
         ca = ContinuousAggregate(
@@ -122,13 +126,13 @@ class ContinuousAggregate:
         bucket_cols: Sequence[str],
         aggs: dict[str, tuple],
     ) -> None:
-        # entries are (fn, col) or (fn, col, params) — today only
-        # "histogram" takes params: (lo, hi, nbins), the declared bin
-        # domain of its mergeable count-array state.
+        # entries are (fn, col) or (fn, col, params): "histogram"
+        # takes (lo, hi, nbins) — the declared bin domain of its
+        # count-array state — and "countmin" takes (depth, width).
         norm: dict[str, tuple[str, str | None, tuple | None]] = {}
         for name, spec in aggs.items():
             fn, col, params = (*spec, None) if len(spec) == 2 else spec
-            if fn not in _MERGEABLE and fn != "histogram":
+            if fn not in _MERGEABLE and fn not in ("histogram", "countmin"):
                 raise ValueError(
                     f"{name}: '{fn}' is not mergeable state; store the "
                     "monoid parts (e.g. sum+count for mean) instead"
@@ -136,6 +140,10 @@ class ContinuousAggregate:
             if fn == "histogram" and (params is None or len(params) != 3):
                 raise ValueError(
                     f"{name}: histogram needs params=(lo, hi, nbins)"
+                )
+            if fn == "countmin" and (params is None or len(params) != 2):
+                raise ValueError(
+                    f"{name}: countmin needs params=(depth, width)"
                 )
             norm[name] = (fn, col, params)
         self.spark = spark
@@ -192,6 +200,20 @@ class ContinuousAggregate:
             return (
                 lambda c: histogram_state(c, lo, hi, nbins),
                 lambda col: histogram_merge(col, nbins),
+            )
+        if fn == "countmin":
+            from nextbus2pg_spark.operators.sketch import (
+                cms_state,
+                histogram_merge,
+            )
+
+            depth, width = params
+            # a flat CMS state is an array of counts like the
+            # histogram's — the merge monoid is the same element-wise
+            # addition
+            return (
+                lambda c: cms_state(c, depth, width),
+                lambda col: histogram_merge(col, depth * width),
             )
         return _MERGEABLE[fn]
 

@@ -1447,3 +1447,57 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_centroids(emb, "vec_id", "embedding", n_centroids=16)
     return ivf_assign(emb, "vec_id", "embedding", cents, nprobe=1)
+
+
+@fixture(
+    "q_heavy_hitters",
+    oracle="""
+WITH cells AS (
+  SELECT j AS row,
+         ('0x' || substr(md5(j || ':' || lang), 1, 8))::BIGINT % 64 AS bucket,
+         count(*) AS cnt
+  FROM documents, LATERAL UNNEST([0, 1, 2]) AS t(j)
+  GROUP BY 1, 2
+),
+total AS (SELECT count(*) AS n FROM documents),
+keys AS (SELECT DISTINCT lang FROM documents),
+probes AS (
+  SELECT lang, j AS row,
+         ('0x' || substr(md5(j || ':' || lang), 1, 8))::BIGINT % 64 AS bucket
+  FROM keys, LATERAL UNNEST([0, 1, 2]) AS t(j)
+),
+est AS (
+  SELECT p.lang, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+  FROM probes p LEFT JOIN cells c USING (row, bucket)
+  GROUP BY p.lang
+)
+SELECT lang, est_count FROM est, total
+WHERE CAST(est_count AS DOUBLE) >= 0.2 * CAST(n AS DOUBLE)
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str):
+    """Heavy hitters (keys with estimated frequency >= 20% of the
+    corpus) from a count-min sketch: the sketch bounds memory at
+    depth x width cells however many distinct keys exist — the
+    streaming-safe alternative to a full per-key count when the key
+    space is unbounded (user ids, URLs). The candidate probe here is
+    the distinct key set; in the continuous-aggregate deployment the
+    probe side is whatever candidate stream the caller tracks, and the
+    sketch state merges across batches (cms_state). CMS never
+    undercounts, so recall at the threshold is perfect; precision is
+    bounded by the collision overcount."""
+    from nextbus2pg_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sketch = countmin_build(docs, "lang", depth=3, width=64)
+    keys = docs.select("lang").distinct()
+    est = countmin_estimate(sketch, keys, "lang", depth=3, width=64)
+    total = docs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est_count").cast("double") >= 0.2 * F.col("n").cast("double"))
+        .select("lang", "est_count")
+    )

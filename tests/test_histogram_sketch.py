@@ -152,3 +152,48 @@ def test_all_null_partition_does_not_poison_merge(spark, tmp_path):
     assert legacy.agg(histogram_merge(F.col("h"), 4).alias("m")).first()[
         "m"
     ] == [0, 0, 2, 0]
+
+
+def test_cms_state_in_continuous_aggregate(spark, tmp_path):
+    """Flat count-min state merges across batches exactly like building
+    it from the union, and point estimates never undercount the true
+    frequency (here: no collisions at 3x32 for 3 keys, so exact)."""
+    from nextbus2pg_spark.operators.sketch import (
+        cms_state,
+        cms_state_estimate,
+        cms_state_total,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "day string, k string")  # noqa: E731
+    b1 = mk([("d1", "x")] * 30 + [("d1", "y")] * 5)
+    b2 = mk([("d1", "x")] * 10 + [("d1", "z")] * 2)
+    ca = ContinuousAggregate(
+        spark, str(tmp_path / "cms"), ["day"],
+        {"freq": ("countmin", "k", (3, 32))},
+    )
+    ca.apply_batch(b1)
+    ca.apply_batch(b2)
+    whole = (
+        b1.unionAll(b2)
+        .groupBy("day")
+        .agg(cms_state(F.col("k"), 3, 32).alias("freq"))
+        .first()["freq"]
+    )
+    stored = ca.read().first()
+    assert stored["freq"] == whole
+    probe = spark.createDataFrame(
+        [("x",), ("y",), ("z",), ("never",)], "k string"
+    ).crossJoin(ca.read().select("freq"))
+    got = {
+        r["k"]: (r["est"], r["total"])
+        for r in probe.select(
+            "k",
+            cms_state_estimate(F.col("freq"), F.col("k"), 3, 32).alias("est"),
+            cms_state_total(F.col("freq"), 32).alias("total"),
+        ).collect()
+    }
+    assert got["x"][0] >= 40 and got["y"][0] >= 5 and got["z"][0] >= 2
+    assert got["x"][1] == 47  # total events folded into the state
+    # heavy hitters: est >= 20% of total picks exactly x
+    heavy = [k for k, (e, t) in got.items() if e >= 0.2 * t]
+    assert heavy == ["x"]
