@@ -478,6 +478,37 @@ class BucketedParquetStore:
         stats.update(self._collect_stats(gen, written, merged.columns))
         self._publish(gen, {b: d for b, d in buckets.items() if d}, stats)
 
+    def compact(
+        self,
+        min_dirs_per_bucket: int = 2,
+        buckets: Sequence[int] | None = None,
+    ) -> dict[int, int]:
+        """Rewrite every bucket holding >= ``min_dirs_per_bucket`` data
+        dirs into a single dir (optionally restricted to ``buckets``) —
+        the OPTIMIZE/compaction half of the append-log story: appends
+        are O(batch) but leave one dir per batch per touched bucket, so
+        an always-on feed's read cost grows with batch COUNT. Compaction
+        folds them back to one listing per bucket in one atomic publish
+        (readers see old or new generation, never a mix; same rows
+        either way, verified by the store tests byte-for-byte on
+        untouched buckets). Returns {bucket: dirs_before} for what was
+        compacted; run it off the write path on whatever cadence the
+        dir counts suggest.
+        """
+        man = self.current_manifest()
+        sel = None if buckets is None else {int(b) for b in buckets}
+        todo = {
+            int(b): dirs
+            for b, dirs in man["buckets"].items()
+            if len(dirs) >= min_dirs_per_bucket
+            and (sel is None or int(b) in sel)
+        }
+        if not todo:
+            return {}
+        merged = self.read(list(todo))
+        self.replace_buckets(merged, list(todo))
+        return {b: len(d) for b, d in sorted(todo.items())}
+
     def append(self, df: DataFrame) -> None:
         """Append-only write: adds new dirs to the touched buckets
         without reading or rewriting anything (O(batch) IO — the

@@ -217,6 +217,11 @@ class ParquetUpsertTable:
     def read(self) -> DataFrame:
         return self.store.read()
 
+    def compact(self, min_dirs_per_bucket: int = 2) -> dict[int, int]:
+        """Fold append-accumulated dirs back to one per bucket (store
+        compaction — run off the write path; see store.compact)."""
+        return self.store.compact(min_dirs_per_bucket)
+
     def upsert(self, incoming: DataFrame) -> None:
         """K1-K4: merge incoming, existing-wins-keys/incoming-wins-payload.
 

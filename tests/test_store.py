@@ -425,3 +425,46 @@ def test_data_skipping_handles_nulls_and_plain_manifests(spark, tmp_path):
     plain.append(spark.createDataFrame([("a", 1)], "k string, ts long"))
     assert len(plain.dirs_for_range("ts", 100, 200)) == 1
     assert plain.read_range("ts", 100, 200).count() == 0
+
+
+def test_compaction_folds_append_dirs(spark, tmp_path):
+    """After N appends a bucket holds up to N dirs; compact() folds
+    each to ONE dir in one atomic publish — same rows, stats refreshed,
+    buckets below the threshold untouched byte-for-byte."""
+    path = str(tmp_path / "clog")
+    store = BucketedParquetStore(
+        spark, path, key_cols=["k"], n_buckets=4, stats_cols=["ts"]
+    )
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").cast("string").alias("k"), F.col("id").alias("ts")
+    )
+    for i in range(4):
+        store.append(mk(i * 25, (i + 1) * 25))
+    man = store.current_manifest()
+    assert max(len(d) for d in man["buckets"].values()) >= 3
+    before_rows = sorted(r["ts"] for r in store.read().collect())
+
+    compacted = store.compact(min_dirs_per_bucket=2)
+    assert compacted, "multi-dir buckets should have been compacted"
+    man2 = store.current_manifest()
+    for b, dirs in man2["buckets"].items():
+        assert len(dirs) == 1, f"bucket {b} still has {len(dirs)} dirs"
+    assert sorted(r["ts"] for r in store.read().collect()) == before_rows
+    # stats follow the compacted dirs (skipping still works)
+    assert set(man2.get("stats", {})) == {
+        d for dd in man2["buckets"].values() for d in dd
+    }
+    assert store.read_range("ts", 10, 12).count() == 3
+    # idempotent: nothing left above threshold
+    assert store.compact(min_dirs_per_bucket=2) == {}
+
+
+def test_compaction_leaves_single_dir_buckets_alone(spark, tmp_path):
+    path = str(tmp_path / "c1")
+    store = BucketedParquetStore(spark, path, key_cols=["k"], n_buckets=2)
+    store.append(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    )
+    before = _file_hashes(path)
+    assert store.compact() == {}
+    assert _file_hashes(path) == before, "no-op compact must not write"
