@@ -162,6 +162,18 @@ class NearDupIndex:
         )
         return est
 
+    # -- maintenance ---------------------------------------------------
+
+    def compact(self, min_dirs_per_bucket: int = 8) -> dict[str, dict]:
+        """Fold per-batch append dirs in both index stores back to one
+        per bucket (store OPTIMIZE; run off the ingest path). Every
+        ``add`` leaves one dir per touched bucket per store, so probe
+        listing cost grows with batch count until compacted."""
+        return {
+            "sigs": self.sigs.compact(min_dirs_per_bucket),
+            "bands": self.bands.compact(min_dirs_per_bucket),
+        }
+
     # -- ingest --------------------------------------------------------
 
     def add(

@@ -156,3 +156,18 @@ def test_string_ids_supported(spark, tmp_path):
     assert {(r["new_id"], r["indexed_id"]) for r in hits.collect()} == {
         ("beta", "alpha")
     }
+
+
+def test_index_compaction_preserves_probes(spark, tmp_path):
+    """compact() folds per-batch dirs in both stores; probing is
+    unchanged afterward."""
+    idx = NearDupIndex(spark, str(tmp_path / "idx"), n_buckets=4)
+    mk = lambda i: " ".join(f"d{i}w{j}" for j in range(30))  # noqa: E731
+    for i in range(4):
+        idx.add(_docs(spark, [(i, mk(i))]))
+    res = idx.compact(min_dirs_per_bucket=2)
+    assert res["bands"] or res["sigs"], "multi-dir buckets expected"
+    man = idx.bands.current_manifest()
+    assert all(len(d) == 1 for d in man["buckets"].values())
+    hits = idx.probe(_docs(spark, [(50, mk(2) + " tail")]))
+    assert {(r["new_id"], r["indexed_id"]) for r in hits.collect()} == {(50, 2)}

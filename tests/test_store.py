@@ -468,3 +468,30 @@ def test_compaction_leaves_single_dir_buckets_alone(spark, tmp_path):
     before = _file_hashes(path)
     assert store.compact() == {}
     assert _file_hashes(path) == before, "no-op compact must not write"
+
+
+def test_data_skipping_timestamp_bounds(spark, tmp_path):
+    """Datetime stats serialize to isoformat (order-preserving) and
+    datetime bounds prune correctly — the time-bounded needle-query
+    shape over an event log."""
+    import datetime as dt
+
+    path = str(tmp_path / "tslog")
+    store = BucketedParquetStore(
+        spark, path, key_cols=["k"], n_buckets=1, stats_cols=["ts"]
+    )
+    day = lambda d, n: spark.createDataFrame(  # noqa: E731
+        [(f"{d}-{i}", dt.datetime(2024, 3, d, i)) for i in range(n)],
+        "k string, ts timestamp",
+    )
+    store.append(day(1, 5))
+    store.append(day(2, 5))
+    store.append(day(3, 5))
+    kept = store.dirs_for_range(
+        "ts", dt.datetime(2024, 3, 2), dt.datetime(2024, 3, 2, 23)
+    )
+    assert kept and all("/g1/" in d for d in kept), kept
+    got = store.read_range(
+        "ts", dt.datetime(2024, 3, 2), dt.datetime(2024, 3, 2, 23)
+    ).count()
+    assert got == 5
