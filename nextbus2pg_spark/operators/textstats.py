@@ -132,3 +132,66 @@ def build_vocab(
     return counts.withColumn(
         "token_id", F.row_number().over(w).cast("long") - F.lit(1)
     )
+
+
+def oov_ngram_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    top_k: int = 1000,
+) -> DataFrame:
+    """Out-of-vocabulary n-gram ratio per document — the integer-exact
+    stand-in for n-gram LM perplexity filtering (CCNet/C4 style): train
+    a top-``top_k`` n-gram "model" on the corpus, score each document
+    by the fraction of its n-grams OUTSIDE the model. Gibberish,
+    boilerplate soup, and wrong-language text score high; fluent text
+    scores low. Unlike log-prob scoring there is no transcendental
+    anywhere, so the score is bit-identical across engines and takes a
+    full value oracle.
+
+    Scale shape: the model is bounded at ``top_k`` rows however large
+    the corpus (sort-limit = per-partition partial top-k, then a
+    single merged take) and joins back by BROADCAST; the scoring pass
+    is explode → broadcast-probe → one groupBy(id). Two corpus passes
+    total (train + score) — inherent to any train-then-score filter.
+
+    Output: ``(id, n_grams, n_oov, oov_ratio)``; documents with fewer
+    than ``n`` words have no n-grams and are absent (no evidence).
+    Ties at the model boundary break deterministically by
+    (count DESC, ngram ASC)."""
+    model = (
+        ngram_counts(df, id_col, text_col, n)
+        .orderBy(F.col("n_occurrences").desc(), "ngram")
+        .limit(top_k)
+        .select("ngram", F.lit(1).alias("__in_model"))
+    )
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n_grams = F.size(words) - F.lit(n - 1)
+    grams = F.when(n_grams < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+    exploded = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("ngram")
+    )
+    return (
+        exploded.join(F.broadcast(model), "ngram", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(
+                F.sum(F.col("__in_model").isNull().cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ratio",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_grams").cast("double"),
+                6,
+            ),
+        )
+    )

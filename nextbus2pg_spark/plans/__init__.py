@@ -110,7 +110,7 @@ REGRESSION_PRIORITY = (
 #: meanwhile, like everything else).
 DEFERRED_TO_NEXT_ROUND = (
     "q_nearest_site", "q_radius_count", "q_url_canon", "q_domain_cap",
-    "q_histogram_quantile", "q_heavy_hitters",
+    "q_histogram_quantile", "q_heavy_hitters", "q_oov_ratio",
 )
 
 _bucket1 = [

@@ -117,3 +117,42 @@ def q_vocab(spark: SparkSession, sf_dir: str):
     vocabulary, never the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     return ts.build_vocab(docs, "doc_id", "text", min_count=5)
+
+
+@fixture(
+    "q_oov_ratio",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS ngram
+  FROM words, LATERAL UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+model AS (
+  SELECT ngram FROM (
+    SELECT ngram, count(*) AS c FROM grams GROUP BY ngram
+  ) QUALIFY row_number() OVER (ORDER BY c DESC, ngram) <= 500
+),
+scored AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN m.ngram IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM grams g LEFT JOIN model m USING (ngram)
+  GROUP BY g.doc_id
+)
+SELECT doc_id AS id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       round(CAST(n_oov AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS oov_ratio
+FROM scored
+""",
+)
+def q_oov_ratio(spark: SparkSession, sf_dir: str):
+    """Out-of-vocabulary bigram ratio per document against a top-500
+    corpus bigram model — integer-exact LM-lite quality filtering (see
+    operators/textstats.oov_ngram_ratio). Model bounded + broadcast;
+    one groupBy(id) scoring pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ts.oov_ngram_ratio(docs, "doc_id", "text", n=2, top_k=500)
