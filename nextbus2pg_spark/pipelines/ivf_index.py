@@ -1,0 +1,174 @@
+"""Persistent IVF embedding index — incremental ANN over a growing
+vector corpus, the embedding-space sibling of the MinHash
+:class:`~nextbus2pg_spark.pipelines.neardup_index.NearDupIndex`.
+
+The batch ANN operators (operators/similarity.py) recompute centroids
+and assignments from the full corpus per call. An always-on pipeline
+(new embeddings land daily, similarity queries run continuously)
+instead wants:
+
+- **train once**: fit the centroid set (deterministic distributed
+  Lloyd) on a corpus snapshot and persist it — a few KB however large
+  the corpus;
+- **add cheaply**: assign each new batch to its nearest existing
+  centroid (broadcast centroids; the batch never shuffles) and append
+  ``(id, centroid_id, vec, norm)`` rows — O(batch) IO, no retrain, no
+  history rescan;
+- **search narrowly**: assign queries to their ``nprobe`` nearest
+  cells, then read ONLY those cells' rows. Vectors are hash-bucketed
+  on ``centroid_id`` in the manifest store, so the probe prunes whole
+  buckets before any file is listed — search IO is proportional to
+  the probed cells' population, independent of corpus size.
+
+Centroids drift as the corpus grows; that is inherent to IVF (FAISS
+has the same contract). The recall floor against the trained snapshot
+is pinned by tests; retraining = build a fresh index path and swap.
+
+Writes are atomic manifest publishes (crash at any point leaves the
+previous index state fully readable — sinks/store.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.operators.similarity import (
+    cosine,
+    ivf_assign,
+    ivf_centroids,
+    kmeans_centroids,
+    with_norm,
+)
+from nextbus2pg_spark.sinks.store import BucketedParquetStore
+
+
+class IvfIndex:
+    """Train-once / add-incrementally / search-pruned IVF ANN index."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_centroids: int = 16,
+        kmeans_iters: int = 2,
+        n_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.n_centroids = n_centroids
+        self.kmeans_iters = kmeans_iters
+        self.centroids = BucketedParquetStore(
+            spark, f"{path.rstrip('/')}/centroids", ["centroid_id"],
+            n_buckets=1,
+        )
+        # bucketed on centroid_id: the search-time pruning key
+        self.vectors = BucketedParquetStore(
+            spark, f"{path.rstrip('/')}/vectors", ["centroid_id"],
+            n_buckets=n_buckets,
+        )
+
+    def exists(self) -> bool:
+        return self.centroids.exists()
+
+    def _cents(self) -> DataFrame:
+        return self.centroids.read()
+
+    def train(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Fit centroids on ``vectors`` and index them. One-time cost;
+        the centroid relation is n_centroids rows (broadcast-sized
+        forever after)."""
+        if self.exists():
+            raise ValueError(
+                "index already trained; build a new path to retrain"
+            )
+        if self.kmeans_iters > 0:
+            cents = kmeans_centroids(
+                vectors, id_col, vec_col, self.n_centroids,
+                n_iters=self.kmeans_iters,
+            )
+        else:
+            cents = ivf_centroids(vectors, id_col, vec_col, self.n_centroids)
+        self.centroids.init(cents)
+        self.add(vectors, id_col, vec_col)
+
+    def add(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Index a batch against the EXISTING centroids: one broadcast
+        assignment pass over the batch, one O(batch) append. Ids must
+        be new (append-only id space, as in NearDupIndex)."""
+        cents = self._cents()
+        assigned = ivf_assign(vectors, id_col, vec_col, cents, nprobe=1)
+        rows = assigned.join(
+            with_norm(vectors, vec_col, "norm").select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("vec"),
+                "norm",
+            ),
+            "id",
+        )
+        self.vectors.append(rows)
+
+    def search(
+        self,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 5,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Approximate top-k neighbors → (query_id, match_id, sim,
+        rank), self-pairs excluded — the :func:`ivf_topk` output
+        contract. Reads only the manifest buckets holding the probed
+        cells (spy-tested), then exact cosine within them."""
+        cents = self._cents()
+        q_assigned = ivf_assign(queries, id_col, vec_col, cents, nprobe=nprobe)
+        probe_cells = q_assigned.select(
+            F.col("centroid_id").alias("centroid_id")
+        ).distinct()
+        touched = self.vectors.touched_buckets(probe_cells)
+        stored = self.vectors.read(touched).withColumnsRenamed(
+            {"id": "match_id", "vec": "t_vec", "norm": "t_norm"}
+        )
+        qn = with_norm(queries, vec_col, "q_norm").select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("q_vec"),
+            "q_norm",
+        )
+        q = q_assigned.join(qn, "id").select(
+            F.col("id").alias("query_id"), "centroid_id", "q_vec", "q_norm"
+        )
+        sim = F.round(
+            cosine(
+                F.col("q_vec"), F.col("t_vec"),
+                F.col("q_norm"), F.col("t_norm"),
+            ),
+            6,
+        )
+        pairs = (
+            stored.join(q, "centroid_id")
+            .where(F.col("query_id") != F.col("match_id"))
+            .select("query_id", "match_id", sim.alias("sim"))
+            .distinct()  # a pair can meet via several probed cells
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("match_id").asc()
+        )
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "match_id", "sim", "rank")
+        )
+
+    def compact(self, min_dirs_per_bucket: int = 8) -> dict[int, int]:
+        """Fold per-batch append dirs back to one per bucket (store
+        OPTIMIZE; off the ingest path)."""
+        return self.vectors.compact(min_dirs_per_bucket)

@@ -1,0 +1,120 @@
+"""Persistent IVF index (pipelines/ivf_index.py): search equivalence
+with the batch operator, incremental adds without retrain, and
+cell-bucket pruning."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.catalog import load_table
+from nextbus2pg_spark.operators.similarity import ivf_topk
+from nextbus2pg_spark.pipelines.ivf_index import IvfIndex
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _file_hashes(path):
+    out = {}
+    for p in glob.glob(f"{path}/**/*.parquet", recursive=True):
+        with open(p, "rb") as f:
+            out[os.path.relpath(p, path)] = hashlib.md5(f.read()).hexdigest()
+    return out
+
+
+def test_search_matches_batch_operator(spark, tmp_path):
+    """Trained on the same corpus with the same parameters, index
+    search must reproduce ivf_topk EXACTLY (both are deterministic)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter("vec_id >= 10")
+    queries = emb.filter("vec_id < 5")
+    idx = IvfIndex(
+        spark, str(tmp_path / "ivf"), n_centroids=8, kmeans_iters=2
+    )
+    idx.train(corpus)
+    got = sorted(
+        tuple(r) for r in idx.search(queries, k=5, nprobe=3).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            corpus, queries, "vec_id", "embedding",
+            k=5, n_centroids=8, nprobe=3, kmeans_iters=2,
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_add_is_incremental_and_search_prunes(spark, tmp_path):
+    """add() must not rewrite existing index files or retrain; search
+    must pass a pruned bucket list and still surface matches from the
+    post-train batch."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    part_a = emb.filter("vec_id >= 10 and vec_id < 60")
+    part_b = emb.filter("vec_id >= 60 and vec_id < 90")
+    queries = emb.filter("vec_id >= 60 and vec_id < 63")
+
+    idx = IvfIndex(
+        spark, str(tmp_path / "ivf"), n_centroids=8, kmeans_iters=1,
+        n_buckets=8,
+    )
+    idx.train(part_a)
+    cents_before = sorted(
+        tuple(r) for r in idx.centroids.read().select("centroid_id").collect()
+    )
+    before = _file_hashes(str(tmp_path / "ivf"))
+    idx.add(part_b)
+    after = _file_hashes(str(tmp_path / "ivf"))
+    for p, h in before.items():
+        assert after.get(p) == h, f"add rewrote {p}"
+    assert cents_before == sorted(
+        tuple(r) for r in idx.centroids.read().select("centroid_id").collect()
+    ), "add must not retrain centroids"
+
+    reads: list = []
+    orig = idx.vectors.read
+
+    def spy(buckets=None):
+        reads.append(buckets)
+        return orig(buckets)
+
+    idx.vectors.read = spy
+    res = idx.search(queries, k=3, nprobe=2).collect()
+    assert reads and reads[0] is not None, "search must prune buckets"
+    # each query's identical twin lives in part_b → must be rank 1
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid in (60, 61, 62):
+        top = min(by_q[qid], key=lambda r: r["rank"])
+        assert top["sim"] >= 0.99 or top["match_id"] != qid
+
+    with pytest.raises(ValueError):
+        idx.train(part_a)  # retrain must be an explicit new path
+
+
+def test_recall_floor_after_incremental_adds(spark, tmp_path):
+    """Recall@5 vs exact cosine stays above the ivf floor even when
+    half the corpus arrived AFTER training (centroid drift case)."""
+    from nextbus2pg_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        recall_at_k,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter("vec_id >= 10")
+    half_a = corpus.filter("vec_id % 2 = 0")
+    half_b = corpus.filter("vec_id % 2 = 1")
+    queries = emb.filter("vec_id < 5")
+    idx = IvfIndex(
+        spark, str(tmp_path / "ivf"), n_centroids=8, kmeans_iters=2
+    )
+    idx.train(half_a)
+    idx.add(half_b)
+    approx = idx.search(queries, k=5, nprobe=4)
+    exact = cosine_topk_vectorized(corpus, queries, "vec_id", "embedding", k=5)
+    assert recall_at_k(exact, approx) >= 0.6
