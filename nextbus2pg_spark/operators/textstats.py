@@ -77,13 +77,14 @@ def top_terms_per_doc(
     )
 
 
-def ngram_counts(
+def doc_ngrams(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:
-    """Corpus n-gram frequency table: (ngram, n_occurrences,
-    n_docs). The explode emits word n-grams per document; both counts
-    come out of ONE aggregation (count + count_distinct share the
-    grouping)."""
+    """Exploded per-document word n-grams → ``(id, ngram)`` rows —
+    the ONE tokenization used by both the model-training and scoring
+    sides of the n-gram family (a divergent copy would silently
+    desynchronize them). Guards Spark's descending ``sequence(1, 0)``
+    for docs shorter than ``n`` words (they emit no rows)."""
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     n_grams = F.size(words) - F.lit(n - 1)
     grams = F.when(n_grams < 1, F.array().cast("array<string>")).otherwise(
@@ -92,12 +93,21 @@ def ngram_counts(
             lambda i: F.array_join(F.slice(words, i, n), " "),
         )
     )
-    exploded = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("__doc"), F.explode(grams).alias("ngram")
+    return ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("ngram")
     )
-    return exploded.groupBy("ngram").agg(
+
+
+def ngram_counts(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Corpus n-gram frequency table: (ngram, n_occurrences,
+    n_docs). The explode emits word n-grams per document; both counts
+    come out of ONE aggregation (count + count_distinct share the
+    grouping)."""
+    return doc_ngrams(df, id_col, text_col, n).groupBy("ngram").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
-        F.count_distinct("__doc").alias("n_docs"),
+        F.count_distinct("id").alias("n_docs"),
     )
 
 
@@ -166,19 +176,9 @@ def oov_ngram_ratio(
         .limit(top_k)
         .select("ngram", F.lit(1).alias("__in_model"))
     )
-    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    n_grams = F.size(words) - F.lit(n - 1)
-    grams = F.when(n_grams < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        )
-    )
-    exploded = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("id"), F.explode(grams).alias("ngram")
-    )
     return (
-        exploded.join(F.broadcast(model), "ngram", "left")
+        doc_ngrams(df, id_col, text_col, n)
+        .join(F.broadcast(model), "ngram", "left")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

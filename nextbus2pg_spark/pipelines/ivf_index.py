@@ -93,8 +93,14 @@ class IvfIndex:
             )
         else:
             cents = ivf_centroids(vectors, id_col, vec_col, self.n_centroids)
+        cents = cents.localCheckpoint()  # consumed by assignment + init
+        # Vectors FIRST, centroid publish LAST: exists() keys on the
+        # centroid manifest, so a crash anywhere before the final
+        # publish leaves exists() False and train() safely rerunnable —
+        # vectors.init() on the rerun publishes a manifest referencing
+        # only its own fresh generation, superseding any crash debris.
+        self.vectors.init(self._assigned_rows(cents, vectors, id_col, vec_col))
         self.centroids.init(cents)
-        self.add(vectors, id_col, vec_col)
 
     def add(
         self,
@@ -105,9 +111,15 @@ class IvfIndex:
         """Index a batch against the EXISTING centroids: one broadcast
         assignment pass over the batch, one O(batch) append. Ids must
         be new (append-only id space, as in NearDupIndex)."""
-        cents = self._cents()
+        self.vectors.append(
+            self._assigned_rows(self._cents(), vectors, id_col, vec_col)
+        )
+
+    def _assigned_rows(
+        self, cents: DataFrame, vectors: DataFrame, id_col: str, vec_col: str
+    ) -> DataFrame:
         assigned = ivf_assign(vectors, id_col, vec_col, cents, nprobe=1)
-        rows = assigned.join(
+        return assigned.join(
             with_norm(vectors, vec_col, "norm").select(
                 F.col(id_col).alias("id"),
                 F.col(vec_col).alias("vec"),
@@ -115,7 +127,6 @@ class IvfIndex:
             ),
             "id",
         )
-        self.vectors.append(rows)
 
     def search(
         self,

@@ -103,11 +103,13 @@ REGRESSION_PRIORITY = (
 #: never-checked entries (spatial pair, code untouched since round 2,
 #: green in the repo's own oracle-parity suite every session), so they
 #: wait one round rather than evicting regression coverage for code
-#: that actually changed. The URL pair was ADDED late in round 4: new
-#: queries default to bucket 1, but slotting them now would evict the
-#: regression rows for operators rewritten this round, so they debut
-#: in the next window instead (covered by tests/test_oracle_parity.py
-#: meanwhile, like everything else).
+#: that actually changed. Everything after the spatial pair was ADDED
+#: late in round 4 (URL canonicalization, histogram quantiles, CMS
+#: heavy hitters, OOV ratio): new queries default to bucket 1, but
+#: slotting them now would evict the regression rows for operators
+#: rewritten this round, so ALL late-round debuts wait for the next
+#: window (each is green in tests/test_oracle_parity.py meanwhile,
+#: like everything else).
 DEFERRED_TO_NEXT_ROUND = (
     "q_nearest_site", "q_radius_count", "q_url_canon", "q_domain_cap",
     "q_histogram_quantile", "q_heavy_hitters", "q_oov_ratio",

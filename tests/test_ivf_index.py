@@ -56,7 +56,12 @@ def test_add_is_incremental_and_search_prunes(spark, tmp_path):
     emb = load_table(spark, SF_DIR, "embeddings")
     part_a = emb.filter("vec_id >= 10 and vec_id < 60")
     part_b = emb.filter("vec_id >= 60 and vec_id < 90")
-    queries = emb.filter("vec_id >= 60 and vec_id < 63")
+    # queries are EXACT COPIES of three part_b vectors under fresh ids:
+    # their twins must come back at sim 1.0 — provable evidence that
+    # the post-train batch was assigned and is searchable
+    queries = emb.filter("vec_id >= 60 and vec_id < 63").select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
 
     idx = IvfIndex(
         spark, str(tmp_path / "ivf"), n_centroids=8, kmeans_iters=1,
@@ -84,14 +89,16 @@ def test_add_is_incremental_and_search_prunes(spark, tmp_path):
 
     idx.vectors.read = spy
     res = idx.search(queries, k=3, nprobe=2).collect()
-    assert reads and reads[0] is not None, "search must prune buckets"
-    # each query's identical twin lives in part_b → must be rank 1
+    assert reads and reads[0] is not None and 0 < len(reads[0]) < 8, (
+        "search must pass a STRICTLY pruned bucket list"
+    )
+    # each query's identical twin lives in part_b → rank 1 at sim 1.0
     by_q = {}
     for r in res:
         by_q.setdefault(r["query_id"], []).append(r)
-    for qid in (60, 61, 62):
+    for qid in (1060, 1061, 1062):
         top = min(by_q[qid], key=lambda r: r["rank"])
-        assert top["sim"] >= 0.99 or top["match_id"] != qid
+        assert top["match_id"] == qid - 1000 and top["sim"] == 1.0, top
 
     with pytest.raises(ValueError):
         idx.train(part_a)  # retrain must be an explicit new path
