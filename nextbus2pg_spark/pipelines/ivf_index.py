@@ -128,6 +128,28 @@ class IvfIndex:
             "id",
         )
 
+    def add_if_absent(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Idempotent add: skip ids already indexed. The membership
+        check is BOUNDED — a replayed id lands in the same cell (same
+        centroids), so only the batch's own cells' buckets are read
+        for the anti-join, never the full index. This is the correct
+        form under at-least-once delivery (crash-replayed micro-
+        batches); plain :meth:`add` is for append-only id feeds."""
+        rows = self._assigned_rows(
+            self._cents(), vectors, id_col, vec_col
+        ).localCheckpoint()  # consumed by bucket-id collect + anti-join
+        if self.vectors.exists():
+            cells = rows.select("centroid_id").distinct()
+            touched = self.vectors.touched_buckets(cells)
+            seen = self.vectors.read(touched).select("id")
+            rows = rows.join(seen, "id", "left_anti")
+        self.vectors.append(rows)
+
     def search(
         self,
         queries: DataFrame,

@@ -169,3 +169,33 @@ def start_neardup_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_embedding_index(
+    raw_stream: DataFrame,
+    index,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Stream new embeddings into a trained persistent
+    :class:`~nextbus2pg_spark.pipelines.ivf_index.IvfIndex`: each
+    micro-batch is assigned to its nearest existing centroids and
+    appended — searches elsewhere always see the current corpus, no
+    retrain, no rescan. Uses ``add_if_absent`` so crash-replayed
+    batches land zero duplicate rows (the membership anti-join is
+    bounded to the batch's own cells). The index must be trained
+    before the stream starts."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        index.add_if_absent(batch_df, id_col, vec_col)
+
+    return (
+        raw_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -125,3 +125,64 @@ def test_recall_floor_after_incremental_adds(spark, tmp_path):
     approx = idx.search(queries, k=5, nprobe=4)
     exact = cosine_topk_vectorized(corpus, queries, "vec_id", "embedding", k=5)
     assert recall_at_k(exact, approx) >= 0.6
+
+
+def test_add_if_absent_is_replay_safe(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), n_centroids=4, kmeans_iters=0)
+    idx.train(emb.filter("vec_id < 40"))
+    batch = emb.filter("vec_id >= 40 and vec_id < 50")
+    idx.add_if_absent(batch)
+    idx.add_if_absent(batch)  # replay
+    dup = (
+        idx.vectors.read().groupBy("id").count().filter("count > 1").count()
+    )
+    assert dup == 0, "replayed batch duplicated index rows"
+    assert idx.vectors.read().filter("id >= 40 and id < 50").count() == 10
+
+
+def test_streaming_embedding_index(spark, tmp_path):
+    """File-streamed embeddings reach the index across two availableNow
+    runs (restart included); a twin query finds the streamed vector."""
+    import json
+    import os
+
+    from nextbus2pg_spark.streaming.curation import start_embedding_index
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), n_centroids=4, kmeans_iters=0)
+    idx.train(emb.filter("vec_id < 30"))
+
+    rows = emb.filter("vec_id >= 30 and vec_id < 34").collect()
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+
+    def write_batch(name, rs):
+        with open(os.path.join(spool, name), "w") as f:
+            for r in rs:
+                f.write(json.dumps(
+                    {"vec_id": r["vec_id"],
+                     "embedding": [float(x) for x in r["embedding"]]}
+                ) + "\n")
+
+    stream_schema = "vec_id long, embedding array<float>"
+    write_batch("b1.json", rows[:2])
+    q = start_embedding_index(
+        spark.readStream.schema(stream_schema).json(spool),
+        idx, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    write_batch("b2.json", rows[2:])
+    q = start_embedding_index(
+        spark.readStream.schema(stream_schema).json(spool),
+        idx, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    assert idx.vectors.read().filter("id >= 30 and id < 34").count() == 4
+    twin = spark.createDataFrame(
+        [(9000, rows[3]["embedding"])], stream_schema
+    )
+    res = idx.search(twin, k=1, nprobe=2).collect()
+    assert res and res[0]["match_id"] == rows[3]["vec_id"]
+    assert res[0]["sim"] == 1.0
