@@ -114,3 +114,72 @@ def test_tracking_prefix_is_literal_not_wildcard(spark):
     )
     got = df.select(normalize_url(F.col("u")).alias("n")).first()["n"]
     assert got == "https://x.com/p?b=1&utmx=2"
+
+
+def test_normalize_url_differential_vs_duckdb(spark):
+    """Seeded-random structured URLs through BOTH engines: the Spark
+    operator chain and the oracle's DuckDB CTE chain
+    (plans/curation._URL_NORM_CTES) must agree byte-for-byte on
+    normalized url, host, and domain — the portability contract the
+    fixture query relies on, exercised far beyond the fixture's four
+    shapes."""
+    import random
+
+    import duckdb
+
+    from nextbus2pg_spark.plans.curation import _URL_NORM_CTES
+
+    rnd = random.Random(20260814)
+    schemes = ["http://", "https://", "HTTP://", "HtTpS://", "ftp://", ""]
+    hosts = [
+        "Example.COM", "www.example.com", "WWW.Sub.Example.ORG",
+        "a.b.co.uk", "x.com", "deep.sub.domain.example.com.au",
+        "single", "UPPER.CASE.NET",
+    ]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b/C", "/docs/42", "/p/"]
+    queries = [
+        "", "?a=1", "?b=2&a=1", "?utm_source=x", "?utm_source=x&z=9",
+        "?fbclid=f&gclid=g&keep=1", "?ref=r&", "?utmx=2&utm_x=1",
+        "?z=1&y=1&z=1",
+    ]
+    frags = ["", "#frag", "#a/b?c=1"]
+    urls = []
+    for i in range(200):
+        u = (
+            rnd.choice(schemes) + rnd.choice(hosts) + rnd.choice(ports)
+            + rnd.choice(paths) + rnd.choice(queries) + rnd.choice(frags)
+        )
+        if i % 7 == 0:
+            u = "  " + u + " "
+        urls.append((i, u))
+
+    from nextbus2pg_spark.operators.url import (
+        normalize_url,
+        registrable_domain,
+        url_host,
+    )
+
+    df = spark.createDataFrame(urls, "doc_id long, u string")
+    got = {
+        r["doc_id"]: (r["norm_url"], r["host"], r["domain"])
+        for r in df.select(
+            "doc_id", normalize_url(F.col("u")).alias("norm_url")
+        )
+        .withColumn("host", url_host(F.col("norm_url")))
+        .withColumn("domain", registrable_domain(F.col("host")))
+        .collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src (doc_id BIGINT, u VARCHAR)")
+    con.executemany("INSERT INTO src VALUES (?, ?)", urls)
+    sql = (
+        "WITH raw AS (SELECT doc_id, u FROM src),\n"
+        + _URL_NORM_CTES
+        + "SELECT doc_id, norm_url, host, domain FROM normed"
+    )
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.sql(sql).fetchall()}
+    assert set(got) == set(want)
+    bad = {i: (got[i], want[i], urls[i][1]) for i in got if got[i] != want[i]}
+    assert not bad, f"{len(bad)} diverging urls, first: {sorted(bad.items())[0]}"
