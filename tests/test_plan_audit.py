@@ -341,3 +341,24 @@ def test_histogram_quantile_single_partial_agg(spark):
     assert "partial" in p.lower(), p
     assert "Window" not in p, p
     assert not re.search(r"\(\d+\) Sort\b", p), p
+
+
+def test_heavy_hitters_bounded_sketch_joins(spark):
+    """The CMS build explodes map-side into one bounded aggregation and
+    every probe join is broadcast (sketch and candidate sides are both
+    bounded) — the corpus must never reach a SortMergeJoin or
+    cartesian."""
+    p = plan_text(q(spark, "q_heavy_hitters"))
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_oov_ratio_model_joins_broadcast(spark):
+    """The top-k n-gram model is bounded and must meet the exploded
+    corpus by broadcast; scoring is hash-aggregated (map-side partial),
+    never a corpus sort."""
+    p = plan_text(q(spark, "q_oov_ratio"))
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "partial" in p.lower(), p
