@@ -139,7 +139,12 @@ class IvfIndex:
         centroids), so only the batch's own cells' buckets are read
         for the anti-join, never the full index. This is the correct
         form under at-least-once delivery (crash-replayed micro-
-        batches); plain :meth:`add` is for append-only id feeds."""
+        batches); plain :meth:`add` is for append-only id feeds.
+
+        The batch itself dedups on id first: a producer retry can land
+        the same record twice within ONE batch, which the
+        store-membership anti-join alone cannot see."""
+        vectors = vectors.dropDuplicates([id_col])
         rows = self._assigned_rows(
             self._cents(), vectors, id_col, vec_col
         ).localCheckpoint()  # consumed by bucket-id collect + anti-join
@@ -147,7 +152,9 @@ class IvfIndex:
             cells = rows.select("centroid_id").distinct()
             touched = self.vectors.touched_buckets(cells)
             seen = self.vectors.read(touched).select("id")
-            rows = rows.join(seen, "id", "left_anti")
+            rows = rows.join(seen, "id", "left_anti").localCheckpoint()
+            if rows.isEmpty():
+                return  # full replay: no write job, no manifest churn
         self.vectors.append(rows)
 
     def search(

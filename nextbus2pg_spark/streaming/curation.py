@@ -80,6 +80,25 @@ def curate_documents(
     return out.dropDuplicates(["fp"])
 
 
+def _start_foreach_batch(stream: DataFrame, fn, checkpoint_dir: str):
+    """Shared writeStream wiring for every curation-family stage:
+    foreachBatch (skipping empty batches), checkpointed offsets,
+    availableNow trigger."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fn(batch_df, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_curation(
     raw_stream: DataFrame,
     sink,
@@ -95,19 +114,7 @@ def start_curation(
     Offsets and dedup state commit with the checkpoint; empty batches
     are skipped."""
     curated = curate_documents(raw_stream, ts_col=ts_col, **curate_kwargs)
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        sink(batch_df, batch_id)
-
-    return (
-        curated.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_foreach_batch(curated, sink, checkpoint_dir)
 
 
 def start_neardup_dedup(
@@ -148,8 +155,6 @@ def start_neardup_dedup(
     rejected-pair evidence per batch — at-least-once, may replay."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         batch_df = batch_df.localCheckpoint()  # probed + filtered + stored
         matches = index.add_unique(
             batch_df, id_col, text_col, min_est_jaccard
@@ -162,13 +167,7 @@ def start_neardup_dedup(
         if matches_sink is not None:
             matches_sink(matches, batch_id)
 
-    return (
-        raw_stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_foreach_batch(raw_stream, process_batch, checkpoint_dir)
 
 
 def start_embedding_index(
@@ -187,15 +186,10 @@ def start_embedding_index(
     bounded to the batch's own cells). The index must be trained
     before the stream starts."""
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        index.add_if_absent(batch_df, id_col, vec_col)
-
-    return (
-        raw_stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _start_foreach_batch(
+        raw_stream,
+        lambda batch_df, batch_id: index.add_if_absent(
+            batch_df, id_col, vec_col
+        ),
+        checkpoint_dir,
     )

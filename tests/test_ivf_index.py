@@ -186,3 +186,19 @@ def test_streaming_embedding_index(spark, tmp_path):
     res = idx.search(twin, k=1, nprobe=2).collect()
     assert res and res[0]["match_id"] == rows[3]["vec_id"]
     assert res[0]["sim"] == 1.0
+
+
+def test_add_if_absent_dedups_within_batch(spark, tmp_path):
+    """A producer retry landing the same record twice in ONE batch must
+    not duplicate index rows (regression: the store anti-join alone
+    cannot see within-batch duplicates)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), n_centroids=4, kmeans_iters=0)
+    idx.train(emb.filter("vec_id < 40"))
+    one = emb.filter("vec_id = 40")
+    idx.add_if_absent(one.unionAll(one))
+    assert idx.vectors.read().filter("id = 40").count() == 1
+    # a FULLY replayed batch publishes no new generation at all
+    gens_before = idx.vectors.generations()
+    idx.add_if_absent(one)
+    assert idx.vectors.generations() == gens_before
