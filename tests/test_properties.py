@@ -376,3 +376,68 @@ def test_interval_join_matches_model(spark, lefts, rights):
         if lk == rk and lm <= rm <= lm + 10
     )
     assert got == expected
+
+
+hist_vals = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(
+            min_value=-50.0, max_value=150.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(vals=hist_vals, cut=st.integers(min_value=0, max_value=40))
+@_SETTINGS
+def test_histogram_merge_law_and_quantile_model(spark, vals, cut):
+    """For ANY value set (NULLs, out-of-range, empty) and ANY 2-way
+    split: merge(h(A), h(B)) == h(A ∪ B), and the interpolated
+    quantile matches the pure-Python estimator bit-for-bit."""
+    from nextbus2pg_spark.operators.sketch import (
+        histogram_merge,
+        histogram_quantile,
+        histogram_state,
+    )
+
+    lo, hi, nbins = 0.0, 100.0, 8
+    cut = min(cut, len(vals))
+    parts = [vals[:cut], vals[cut:]]
+
+    def h(vs):
+        df = spark.createDataFrame([(v,) for v in vs], "v double")
+        return df.agg(histogram_state(F.col("v"), lo, hi, nbins).alias("h"))
+
+    whole = h(vals).first()["h"]
+    merged = (
+        h(parts[0]).unionAll(h(parts[1]))
+        .agg(histogram_merge(F.col("h"), nbins).alias("h"))
+        .first()["h"]
+    )
+    # python model
+    width = (hi - lo) / nbins
+    model = [0] * nbins
+    for v in vals:
+        if v is not None:
+            model[max(0, min(nbins - 1, int((v - lo) // width)))] += 1
+    assert whole == merged == model
+
+    got = h(vals).select(
+        histogram_quantile(F.col("h"), 0.5, lo, hi, nbins).alias("q")
+    ).first()["q"]
+    total = sum(model)
+    if total == 0:
+        assert got is None
+        return
+    target = 0.5 * total
+    cum = 0
+    want = None
+    for i, c in enumerate(model):
+        if c > 0 and cum + c >= target:
+            want = lo + width * (i + (target - cum) / c)
+            break
+        cum += c
+    assert got == want
