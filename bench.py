@@ -43,6 +43,10 @@ HEADLINE = [
     "q_language_balance",
     "q_substring_dedup",
     "q_interval_join",
+    "q_url_canon",
+    "q_histogram_quantile",
+    "q_heavy_hitters",
+    "q_oov_ratio",
 ]
 
 
