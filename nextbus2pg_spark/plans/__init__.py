@@ -73,52 +73,72 @@ DRIVER_CHECKED_R3 = frozenset({
     "q_tpch_q2",
 })
 
-DRIVER_CHECKED = DRIVER_CHECKED_R1_R2 | DRIVER_CHECKED_R3
-
-#: Queries whose underlying operator code was rewritten in rounds 3-4
-#: (NULL-key semantics, as-of partitioning, SCD2 retyping, the
-#: quantize contract fix, the similarity zero-norm guard, the ingest
-#:  null-safe lookup key) plus the headline bench set — the driver
-#: should re-verify these even though they were green before.
-REGRESSION_PRIORITY = (
-    # -- code changed in rounds 3-4: must stay inside the window ------
-    "q_embedding_quantize",   # round-3 red row, contract fixed round 4
-    "q_keygen_uuid",          # converted rows-only -> oracle round 4
+#: Driver rows earned in round 4 (CORRECTNESS_r04.json keys, 50/50
+#: green — includes the first rows for the sampling/decontamination/
+#: packing family, the TF-IDF/vocab family, the remaining TPC-H
+#: shapes, and the re-checks of every operator rewritten in round 4).
+DRIVER_CHECKED_R4 = frozenset({
+    "q_countmin", "q_lsh_buckets", "q_ivf_assign", "q_approx_distinct",
+    "q_interval_join", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8",
+    "q_tpch_q9", "q_tpch_q11", "q_tpch_q13", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q17", "q_tpch_q20", "q_tpch_q21",
+    "q_tpch_q22", "q_deterministic_sample", "q_train_test_split",
+    "q_stratified_sample", "q_decontaminate", "q_bloom_decontaminate",
+    "q_pack_sequences", "q_quality_quantile", "q_cap_per_group",
+    "q_winsorize", "q_line_dedup", "q_doc_chunks",
+    "q_language_balance", "q_substring_dedup", "q_contamination_frac",
+    "q_weighted_sample", "q_tfidf_topterms", "q_bigram_counts",
+    "q_vocab", "q_embedding_quantize", "q_keygen_uuid",
     "q_upsert_semantics", "q_null_safe_key", "q_dedup_keys",
-    "q_feed_transform",       # ingest lookup-key null handling changed
-    "q_asof_join", "q_asof_bucketed", "q_scd2_merge", "q_scd2_as_of",
-    "q_minhash_lsh",                 # one-pass signatures, round 4
-    "q_simhash", "q_simhash_pairs",  # one-pass vote rewrite, round 4
-    "q_curation_pipeline",           # shared-frame checkpoints, round 4
+    "q_feed_transform", "q_asof_join", "q_asof_bucketed",
+    "q_scd2_merge", "q_scd2_as_of", "q_minhash_lsh", "q_simhash",
+    "q_simhash_pairs", "q_curation_pipeline", "q_cosine_topk_vec",
+})
+
+DRIVER_CHECKED = DRIVER_CHECKED_R1_R2 | DRIVER_CHECKED_R3 | DRIVER_CHECKED_R4
+
+#: Queries whose underlying operator code was rewritten in rounds 4-5
+#: (the round-5 zero-norm cosine guard, the domain_cap column-collision
+#: guard, the CMS array-state rework) plus the headline bench set — the
+#: driver should re-verify these even though they were green before.
+REGRESSION_PRIORITY = (
+    # -- code changed in round 5: must stay inside the window ---------
+    "q_cosine_topk_vec", "q_cosine_topk",  # zero-norm guard, round 5
+    "q_embedding_neardup",                 # shares the cosine kernel
+    "q_countmin",                          # CMS state rework, round 5
+    "q_lang_id",                           # shares textstats tokenizer
+    # -- round-4 rewrites, one more confirmation round ----------------
+    "q_minhash_lsh", "q_upsert_semantics", "q_null_safe_key",
+    "q_feed_transform", "q_curation_pipeline",
     # -- untouched headline / multiply-covered entries last: they fall
     #    out of the 50-slot window first when the buckets above grow --
-    "q_cosine_topk_vec", "q_flagship_latest", "q_tpch_q1",
+    "q_flagship_latest", "q_tpch_q1",
     "q_join_broadcast", "q_top1_per_group", "q_dedup_exact",
     "q_session_window", "q_scan_full",
 )
 
-#: Never-checked queries deferred to the NEXT round's window: the 50
-#: slots cannot hold every never-checked query AND a driver row for
-#: every operator rewritten this round; these two are the stablest
-#: never-checked entries (spatial pair, code untouched since round 2,
-#: green in the repo's own oracle-parity suite every session), so they
-#: wait one round rather than evicting regression coverage for code
-#: that actually changed. Everything after the spatial pair was ADDED
-#: late in round 4 (URL canonicalization, histogram quantiles, CMS
-#: heavy hitters, OOV ratio): new queries default to bucket 1, but
-#: slotting them now would evict the regression rows for operators
-#: rewritten this round, so ALL late-round debuts wait for the next
-#: window (each is green in tests/test_oracle_parity.py meanwhile,
-#: like everything else).
-DEFERRED_TO_NEXT_ROUND = (
+#: Round-5 policy: the deferred bucket is DRAINED — the seven entries
+#: that waited out round 4 (spatial pair, URL family, histogram
+#: quantiles, CMS heavy hitters, OOV ratio) now LEAD the window as
+#: never-checked bucket-1 entries, exactly as the round-4 code comment
+#: committed. New round-5 queries also land in bucket 1 by default.
+DEFERRED_TO_NEXT_ROUND = ()
+
+#: Lead order inside bucket 1: the seven formerly deferred entries go
+#: first (they are the only oracle-backed queries without a driver
+#: row), then any queries newly registered this round.
+_FORMERLY_DEFERRED = (
     "q_nearest_site", "q_radius_count", "q_url_canon", "q_domain_cap",
     "q_histogram_quantile", "q_heavy_hitters", "q_oov_ratio",
 )
 
-_bucket1 = [
+_bucket1_unordered = [
     n for n in QUERIES
     if n not in DRIVER_CHECKED and n in ORACLE
     and n not in DEFERRED_TO_NEXT_ROUND
+]
+_bucket1 = [n for n in _FORMERLY_DEFERRED if n in _bucket1_unordered] + [
+    n for n in _bucket1_unordered if n not in _FORMERLY_DEFERRED
 ]
 _bucket2 = [
     n for n in REGRESSION_PRIORITY
