@@ -35,11 +35,20 @@ def with_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
 
 
 def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine similarity with a zero-norm floor.
+
+    The denominator is floored at 1e-12: an all-zero embedding (padding
+    rows are common in real corpora) otherwise yields 0.0/0.0 = NaN,
+    and Spark sorts NaN ABOVE every double — one zero vector would rank
+    first in every descending top-k. With the floor a zero vector
+    scores 0.0 against everything and never enters a top-k. Mirrors
+    the ``_unit`` guard used by the PQ paths.
+    """
     d = _dot(
         F.transform(a, lambda x: x.cast("double")),
         F.transform(b, lambda x: x.cast("double")),
     )
-    return d / (norm_a * norm_b)
+    return d / F.greatest(norm_a * norm_b, F.lit(1e-12))
 
 
 def cosine_topk(
@@ -462,7 +471,11 @@ def cosine_topk_vectorized(
         )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # Zero-norm floor: a padding (all-zero) query must score 0 against
+    # everything, not NaN (NaN sorts above every double in Spark).
+    q_mat = q_mat / np.maximum(
+        np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12
+    )
 
     out_schema = "query_id long, match_id long, sim double"
 
@@ -474,7 +487,9 @@ def cosine_topk_vectorized(
             mat = np.stack(pdf[vec_col].map(np.asarray).to_list()).astype(
                 np.float64
             )
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
             sims = mat @ q_mat.T  # (batch, queries)
             for qi, qid in enumerate(q_ids):
                 col = sims[:, qi]

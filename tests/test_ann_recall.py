@@ -183,6 +183,38 @@ def test_unit_normalization_guards_zero_vectors(spark):
     assert abs(rows[2][0] - 0.6) < 1e-12 and abs(rows[2][2] - 0.8) < 1e-12
 
 
+def test_zero_vector_never_enters_exact_topk(spark):
+    """A padding (all-zero) embedding in the corpus or query set must
+    score 0.0 — not NaN — in BOTH exact cosine paths. Spark sorts NaN
+    above every double, so before the zero-norm floor a single zero
+    vector would rank FIRST in every descending top-k."""
+    from nextbus2pg_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_vectorized,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),          # padding row
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id").isin(0, 1))
+    for fn in (cosine_topk, cosine_topk_vectorized):
+        got = {
+            (r.query_id, r.rank): (r.match_id, r.sim)
+            for r in fn(emb, queries, "vec_id", "embedding", k=2).collect()
+        }
+        # query 1: zero vector must NOT outrank real neighbours
+        assert got[(1, 1)][0] == 2
+        assert all(v == v for _, v in got.values())  # no NaN anywhere
+        # zero-vector query scores 0.0 against everything; top-k is
+        # then deterministic by id, all sims exactly 0.0
+        assert got[(0, 1)] == (1, 0.0) and got[(0, 2)] == (2, 0.0)
+
+
 def test_pq_sampled_training_recall_floor(spark, ann_frames):
     """The 100 TB training path: codebook trained on a deterministic
     hash-sampled HALF of the corpus (Lloyd scans frac·|corpus| per
