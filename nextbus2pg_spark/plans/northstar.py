@@ -1450,6 +1450,80 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_pq_assign",
+    oracle="""
+WITH e AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+n AS (
+  SELECT id, ev,
+         greatest(
+           sqrt(list_reduce(list_transform(ev, x -> x * x),
+                            (acc, v) -> acc + v)),
+           1e-12) AS nn
+  FROM e
+),
+uv AS (SELECT id, list_transform(ev, x -> x / nn) AS v FROM n),
+seed_ids AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS code_id
+  FROM uv ORDER BY id LIMIT 8
+),
+codebook AS (
+  SELECT CAST(s.sub AS BIGINT) AS sub, si.code_id,
+         list_slice(u2.v, s.sub * 16 + 1, s.sub * 16 + 16) AS cv
+  FROM seed_ids si
+  JOIN uv u2 ON u2.id = si.id,
+  LATERAL UNNEST([0, 1, 2, 3]) AS s(sub)
+),
+ev2 AS (
+  SELECT id, CAST(s.sub AS BIGINT) AS sub,
+         list_slice(v, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
+  FROM uv, LATERAL UNNEST([0, 1, 2, 3]) AS s(sub)
+),
+scored AS (
+  SELECT ev2.id, ev2.sub, cb.code_id,
+         list_reduce(
+           list_transform(generate_series(1, 16),
+             i -> (ev2.sv[i] - cb.cv[i]) * (ev2.sv[i] - cb.cv[i])),
+           (acc, x) -> acc + x) AS d
+  FROM ev2 JOIN codebook cb ON ev2.sub = cb.sub
+)
+SELECT id, sub, code_id FROM (
+  SELECT id, sub, code_id,
+         row_number() OVER (PARTITION BY id, sub
+                            ORDER BY d ASC, code_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+""",
+)
+def q_pq_assign(spark: SparkSession, sf_dir: str):
+    """PQ subspace-codebook nearest-centroid assignment (the
+    deterministic compression CORE of the otherwise rows-only
+    q_pq_topk / q_ivfpq_topk): every vector unit-normalized, split
+    into 4 contiguous 16-dim subvectors, each assigned to the nearest
+    of 8 first-N-seeded codes by exact squared L2, ties to the lower
+    code id. DuckDB list_reduce replays Spark's left-fold norms and
+    (x−y)² sums bit-for-bit, so every code assignment hash-matches —
+    completing the internals-oracle trio (q_lsh_buckets for LSH,
+    q_ivf_assign for IVF, this for PQ); only final top-k selection
+    remains rows-only, and that is pinned by recall-floor tests."""
+    from nextbus2pg_spark.operators.similarity import pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = pq_train(emb, "vec_id", "embedding", m=4, n_codes=8, n_iters=0)
+    codes = pq_encode(emb, book, "vec_id", "embedding")
+    return codes.select(
+        "id", F.posexplode("codes").alias("sub", "code_id")
+    ).select(
+        "id",
+        F.col("sub").cast("long").alias("sub"),
+        F.col("code_id").cast("long").alias("code_id"),
+    )
+
+
+@fixture(
     "q_heavy_hitters",
     oracle="""
 WITH cells AS (
