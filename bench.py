@@ -24,6 +24,26 @@ from nextbus2pg_spark.session import get_spark
 #: heavy agg, sessionization, dedup (exact + LSH), similarity, text,
 #: media (Arrow/mapInPandas decode + banded hamming pairing), and the
 #: curation family (line dedup, chunking, language rebalancing).
+#: Vintage subsets (frozen): the headline set has grown each round
+#: (13 → 22 → …), which makes the raw total incomparable round-over-
+#: round. bench.py therefore also emits a subtotal per FROZEN vintage
+#: so BENCH_r{N}.json deltas are readable without hand-computation:
+#: ``subtotal_r3_set`` = the original 13 queries benched since round 3;
+#: ``subtotal_r4_set`` = the 9 queries added in round 4. New queries
+#: added in round 5+ appear in the total and their own vintage field
+#: but never move between vintages.
+R3_SET = [
+    "q_flagship_latest", "q_tpch_q1", "q_join_broadcast",
+    "q_top1_per_group", "q_window_running", "q_sessionize", "q_asof_join",
+    "q_dedup_exact", "q_minhash_lsh", "q_cosine_topk_vec",
+    "q_token_count", "q_doc_fingerprint", "q_media_phash",
+]
+R4_SET = [
+    "q_line_dedup", "q_doc_chunks", "q_language_balance",
+    "q_substring_dedup", "q_interval_join", "q_url_canon",
+    "q_histogram_quantile", "q_heavy_hitters", "q_oov_ratio",
+]
+
 HEADLINE = [
     "q_flagship_latest",
     "q_tpch_q1",
@@ -128,6 +148,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpu_calibration_sec": round(cal[1], 3),
+                "subtotal_r3_set": round(
+                    sum(timings[n] for n in R3_SET if n in timings), 3
+                ),
+                "subtotal_r4_set": round(
+                    sum(timings[n] for n in R4_SET if n in timings), 3
+                ),
             }
         )
     )

@@ -225,6 +225,7 @@ class ContinuousAggregate:
         if not self.exists():
             self.store.init(partials)
             return
+        base_gen = self.store.current_manifest()["gen"]
         touched = self.store.touched_buckets(partials)
         merged = (
             self.store.read(touched)
@@ -237,7 +238,7 @@ class ContinuousAggregate:
                 ]
             )
         )
-        self.store.replace_buckets(merged, touched)
+        self.store.replace_buckets(merged, touched, expected_gen=base_gen)
 
     def sink(self):
         """foreachBatch adapter: ``stream.writeStream.foreachBatch(

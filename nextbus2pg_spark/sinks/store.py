@@ -47,12 +47,22 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import re
+import time
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MANIFEST_RE = re.compile(r"_manifest-(\d+)\.json$")
+_CLAIM_RE = re.compile(r"_claim-(\d+)$")
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer holds (or published) the generation this writer
+    was about to publish. The store's commit protocol REJECTS the
+    conflicting write loudly instead of letting last-rename-wins drop a
+    generation silently; the caller should re-read table state and
+    retry the whole operation (its merge may be stale)."""
 
 #: sentinel for min/max values whose type the manifest cannot order
 _UNSUPPORTED = object()
@@ -128,6 +138,7 @@ class BucketedParquetStore:
         null_safe: bool = False,
         keep_generations: int = 2,
         stats_cols: Sequence[str] | None = None,
+        claim_ttl_sec: float = 600.0,
     ):
         if n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
@@ -150,6 +161,20 @@ class BucketedParquetStore:
         # _and_gc). keep_generations=1 would vacuum them at publish
         # time, silently invalidating in-flight reads.
         self.keep_generations = max(2, keep_generations)
+        # Concurrency contract: publishes are serialized by per-
+        # generation CLAIM files (``_claim-<N>``, created with
+        # overwrite=False — atomic-exclusive on HDFS; exists+create on
+        # the local FS, adequate for the crash cases it arbitrates).
+        # Exactly one writer can claim generation N, so two concurrent
+        # writers can never both rename onto ``_manifest-<N>.json`` —
+        # the loser raises ConcurrentWriteError BEFORE writing any data
+        # instead of silently dropping the winner's generation
+        # (last-rename-wins). A claim left by a crashed writer blocks
+        # its generation until ``claim_ttl_sec`` has passed, after
+        # which the next writer takes it over. On object storage
+        # (no atomic create/rename) use a real commit service —
+        # MIGRATION.md maps this onto Delta's LogStore.
+        self.claim_ttl_sec = claim_ttl_sec
 
     # -- filesystem plumbing -------------------------------------------
 
@@ -184,17 +209,73 @@ class BucketedParquetStore:
             stream.close()
         return json.loads(data)
 
+    def _try_claim(self, gen: int) -> bool:
+        """Atomically create the claim file for ``gen``; False if any
+        other writer (live or crashed) already holds it."""
+        _, fs, root = self._fs()
+        if not fs.exists(root):
+            fs.mkdirs(root)
+        p = self._jpath(f"_claim-{gen}")
+        try:
+            if fs.exists(p):
+                return False
+            out = fs.create(p, False)  # overwrite=False: atomic on HDFS
+            out.close()
+            return True
+        except Exception:
+            return False
+
+    def claim_next_generation(self) -> int:
+        """Claim the next unpublished generation number, serializing
+        concurrent writers. Raises :class:`ConcurrentWriteError` if an
+        in-flight writer holds the next generation; a claim older than
+        ``claim_ttl_sec`` with no published manifest is treated as a
+        crashed writer and taken over (its never-published data dirs
+        are removed before reuse by ``_write_generation``)."""
+        for _ in range(2):
+            # Recompute after a failed claim: the holder may have
+            # PUBLISHED between our listing and our claim attempt, in
+            # which case the next number has simply moved on.
+            gen = self._next_gen()
+            if self._try_claim(gen):
+                return gen
+        _, fs, _ = self._fs()
+        gen = self._next_gen()
+        claim = self._jpath(f"_claim-{gen}")
+        try:
+            age = time.time() - fs.getFileStatus(claim).getModificationTime() / 1000.0
+        except Exception:
+            age = None  # claim vanished (holder published or aborted)
+        if age is not None and age > self.claim_ttl_sec:
+            fs.delete(claim, False)
+            if self._try_claim(gen):
+                return gen
+        raise ConcurrentWriteError(
+            f"generation {gen} of {self.path} is claimed by another "
+            f"writer (claim age: {age if age is None else round(age, 1)}s, "
+            f"ttl {self.claim_ttl_sec}s); re-read table state and retry"
+        )
+
+    def _release_claim(self, gen: int) -> None:
+        """Vacate a claim after a FAILED write so the generation is not
+        blocked until the TTL. No-op once the manifest is published
+        (the claim then guards the number against stale racers)."""
+        _, fs, _ = self._fs()
+        if not fs.exists(self._jpath(f"_manifest-{gen}.json")):
+            fs.delete(self._jpath(f"_claim-{gen}"), False)
+
     def _publish(
         self,
         gen: int,
         buckets: dict[int, list[str]],
         stats: dict[str, dict] | None = None,
     ) -> None:
-        """Atomically publish generation ``gen``: write the manifest to a
-        .tmp file and rename to its final (fresh) name — the commit
-        point. Nothing before this rename is visible to readers.
-        ``stats`` maps data-dir relpath → per-column min/max; only
-        entries for dirs actually referenced by ``buckets`` are kept."""
+        """Atomically publish generation ``gen`` (which the caller must
+        have CLAIMED): write the manifest to a .tmp file and rename to
+        its final (fresh) name — the commit point. Nothing before this
+        rename is visible to readers. ``stats`` maps data-dir relpath →
+        per-column min/max; only entries for dirs actually referenced
+        by ``buckets`` are kept."""
         jvm, fs, _ = self._fs()
         live_dirs = {d for dirs in buckets.values() for d in dirs}
         doc = {
@@ -210,6 +291,17 @@ class BucketedParquetStore:
         payload = json.dumps(doc, indent=0, sort_keys=True).encode()
         tmp = self._jpath(f"_manifest-{gen}.json.tmp")
         final = self._jpath(f"_manifest-{gen}.json")
+        if fs.exists(final):
+            # A manifest for OUR claimed generation can only appear if
+            # the claim protocol was bypassed (e.g. two writers with
+            # clock-skewed TTL takeover). Never overwrite a published
+            # manifest — that is exactly the silent lost-generation
+            # failure the claims exist to prevent.
+            raise ConcurrentWriteError(
+                f"manifest for generation {gen} of {self.path} already "
+                "published by another writer; this write is lost — "
+                "re-read table state and retry"
+            )
         out = fs.create(tmp, True)
         try:
             out.write(payload)
@@ -230,10 +322,20 @@ class BucketedParquetStore:
         for g in keep:
             for dirs in self._read_manifest(g)["buckets"].values():
                 live.update(dirs)
-        _, fs, _ = self._fs()
+        _, fs, root = self._fs()
         for g in gens:
             if g not in keep:
                 fs.delete(self._jpath(f"_manifest-{g}.json"), False)
+        # Claims for published generations stay in place while their
+        # manifest is retained (they are the arbiter that stops a racer
+        # whose _next_gen read predates the publish from re-claiming the
+        # number); once the manifest itself is vacuumed the claim is
+        # vacated too. Claims ABOVE the latest manifest belong to
+        # in-flight or crashed writers and are never touched here.
+        for st in fs.listStatus(root):
+            m = _CLAIM_RE.search(st.getPath().getName())
+            if m and int(m.group(1)) < min(keep, default=0):
+                fs.delete(st.getPath(), False)
         data_root = self._jpath("data")
         if not fs.exists(data_root):
             return
@@ -354,7 +456,17 @@ class BucketedParquetStore:
         pruned dirs, which on object storage is the entire cost of a
         needle query against a 100 TB log). With ``apply_filter`` the
         exact predicate is also applied, so results are identical to
-        ``read().filter(...)``."""
+        ``read().filter(...)``.
+
+        NULL semantics are NULL-REJECTING regardless of
+        ``apply_filter`` (SQL range semantics): rows where ``col`` IS
+        NULL never appear in the result. This is enforced with an
+        explicit ``IS NOT NULL`` filter even when ``apply_filter`` is
+        False — dir-level stats (min/max ignore NULLs) cannot say
+        which surviving dirs also hold NULL rows, so without the
+        filter the NULL rows a caller saw would depend on physical dir
+        layout. Callers that need NULL rows (e.g. to apply
+        ``col >= x OR col IS NULL`` themselves) must use ``read()``."""
         kept = self.dirs_for_range(col, lower, upper)
         if not kept:
             all_dirs = self._bucket_dirs(None)
@@ -370,6 +482,8 @@ class BucketedParquetStore:
                 df = df.filter(F.col(col) >= F.lit(lower))
             if upper is not None:
                 df = df.filter(F.col(col) <= F.lit(upper))
+        elif lower is not None or upper is not None:
+            df = df.filter(F.col(col).isNotNull())
         return df
 
     def read(self, buckets: Sequence[int] | None = None) -> DataFrame:
@@ -455,28 +569,57 @@ class BucketedParquetStore:
 
     def init(self, df: DataFrame) -> None:
         """Bootstrap the table from a first full frame."""
-        gen = self._next_gen()
-        written = self._write_generation(df, gen)
-        stats = self._collect_stats(gen, written, df.columns)
-        self._publish(gen, {b: [d] for b, d in written.items()}, stats)
+        gen = self.claim_next_generation()
+        try:
+            written = self._write_generation(df, gen)
+            stats = self._collect_stats(gen, written, df.columns)
+            self._publish(gen, {b: [d] for b, d in written.items()}, stats)
+        except BaseException:
+            self._release_claim(gen)
+            raise
 
-    def replace_buckets(self, merged: DataFrame, touched: Sequence[int]) -> None:
+    def replace_buckets(
+        self,
+        merged: DataFrame,
+        touched: Sequence[int],
+        expected_gen: int | None = None,
+    ) -> None:
         """Publish a new generation in which every bucket in ``touched``
         is exactly ``merged``'s rows for it and every other bucket keeps
-        its existing dirs untouched (byte-identical files)."""
-        man = self.current_manifest()
-        gen = self._next_gen()
-        written = self._write_generation(merged, gen)
-        buckets: dict[int, list[str]] = {
-            int(b): list(dirs) for b, dirs in man["buckets"].items()
-        }
-        for b in touched:
-            buckets[int(b)] = []
-        for b, d in written.items():
-            buckets[int(b)] = [d]
-        stats = dict(man.get("stats", {}))  # retained dirs keep stats
-        stats.update(self._collect_stats(gen, written, merged.columns))
-        self._publish(gen, {b: d for b, d in buckets.items() if d}, stats)
+        its existing dirs untouched (byte-identical files).
+
+        ``expected_gen`` is the optimistic-concurrency check for
+        read-merge-write callers: pass the generation the MERGE was
+        computed from, and the publish is rejected with
+        :class:`ConcurrentWriteError` if any other writer published in
+        between — without it, a concurrent append to a touched bucket
+        would be silently erased by this replace (the merge never saw
+        its rows)."""
+        gen = self.claim_next_generation()
+        try:
+            man = self.current_manifest()  # after the claim: authoritative
+            if expected_gen is not None and int(man["gen"]) != int(
+                expected_gen
+            ):
+                raise ConcurrentWriteError(
+                    f"table {self.path} advanced from generation "
+                    f"{expected_gen} to {man['gen']} since this merge was "
+                    "computed; re-read and re-merge"
+                )
+            written = self._write_generation(merged, gen)
+            buckets: dict[int, list[str]] = {
+                int(b): list(dirs) for b, dirs in man["buckets"].items()
+            }
+            for b in touched:
+                buckets[int(b)] = []
+            for b, d in written.items():
+                buckets[int(b)] = [d]
+            stats = dict(man.get("stats", {}))  # retained dirs keep stats
+            stats.update(self._collect_stats(gen, written, merged.columns))
+            self._publish(gen, {b: d for b, d in buckets.items() if d}, stats)
+        except BaseException:
+            self._release_claim(gen)
+            raise
 
     def compact(
         self,
@@ -506,7 +649,11 @@ class BucketedParquetStore:
         if not todo:
             return {}
         merged = self.read(list(todo))
-        self.replace_buckets(merged, list(todo))
+        # expected_gen: compaction runs OFF the write path, so a
+        # concurrent append between our read and the publish is a real
+        # possibility — without the check its rows would be erased from
+        # the compacted buckets.
+        self.replace_buckets(merged, list(todo), expected_gen=man["gen"])
         return {b: len(d) for b, d in sorted(todo.items())}
 
     def append(self, df: DataFrame) -> None:
@@ -516,14 +663,18 @@ class BucketedParquetStore:
         if not self.exists():
             self.init(df)
             return
-        man = self.current_manifest()
-        gen = self._next_gen()
-        written = self._write_generation(df, gen)
-        buckets: dict[int, list[str]] = {
-            int(b): list(dirs) for b, dirs in man["buckets"].items()
-        }
-        for b, d in written.items():
-            buckets.setdefault(int(b), []).append(d)
-        stats = dict(man.get("stats", {}))
-        stats.update(self._collect_stats(gen, written, df.columns))
-        self._publish(gen, buckets, stats)
+        gen = self.claim_next_generation()
+        try:
+            man = self.current_manifest()  # after the claim: authoritative
+            written = self._write_generation(df, gen)
+            buckets: dict[int, list[str]] = {
+                int(b): list(dirs) for b, dirs in man["buckets"].items()
+            }
+            for b, d in written.items():
+                buckets.setdefault(int(b), []).append(d)
+            stats = dict(man.get("stats", {}))
+            stats.update(self._collect_stats(gen, written, df.columns))
+            self._publish(gen, buckets, stats)
+        except BaseException:
+            self._release_claim(gen)
+            raise

@@ -231,6 +231,10 @@ class ParquetUpsertTable:
         if not self.exists():
             self._init(incoming)
             return
+        # expected_gen pins the generation this merge READS; a
+        # concurrent publish between read and republish is rejected
+        # loudly instead of silently dropping its rows.
+        base_gen = self.store.current_manifest()["gen"]
         touched = self.store.touched_buckets(incoming)
         merged = upsert_batch(
             self.store.read(touched),
@@ -239,7 +243,7 @@ class ParquetUpsertTable:
             self.update_cols,
             null_safe=self.null_safe,
         )
-        self.store.replace_buckets(merged, touched)
+        self.store.replace_buckets(merged, touched, expected_gen=base_gen)
 
     def insert_if_absent(self, incoming: DataFrame) -> None:
         """K5: idempotent append (ON CONFLICT DO NOTHING) — same
@@ -247,12 +251,13 @@ class ParquetUpsertTable:
         if not self.exists():
             self._init(incoming)
             return
+        base_gen = self.store.current_manifest()["gen"]
         touched = self.store.touched_buckets(incoming)
         merged = insert_if_absent(
             self.store.read(touched), incoming, self.key_cols,
             null_safe=self.null_safe,
         )
-        self.store.replace_buckets(merged, touched)
+        self.store.replace_buckets(merged, touched, expected_gen=base_gen)
 
     def append_dedup(self, batch: DataFrame) -> None:
         """K6: append-only log insert with within-batch dedup — pure

@@ -495,3 +495,128 @@ def test_data_skipping_timestamp_bounds(spark, tmp_path):
         "ts", dt.datetime(2024, 3, 2), dt.datetime(2024, 3, 2, 23)
     ).count()
     assert got == 5
+
+
+def test_inflight_claim_rejects_second_writer_loudly(spark, tmp_path):
+    """Two concurrent writers: once writer B claims the next
+    generation, writer A's publish is REJECTED with
+    ConcurrentWriteError before any data lands — last-rename-wins can
+    no longer drop B's generation silently."""
+    from nextbus2pg_spark.sinks.store import ConcurrentWriteError
+
+    path = str(tmp_path / "t")
+    a = BucketedParquetStore(spark, path, ["k"], n_buckets=2)
+    b = BucketedParquetStore(spark, path, ["k"], n_buckets=2)
+    df = spark.range(8).select(
+        F.col("id").cast("string").alias("k"), F.lit("v").alias("v")
+    )
+    a.init(df)
+
+    claimed = b.claim_next_generation()  # B is mid-write
+    with pytest.raises(ConcurrentWriteError):
+        a.append(df)
+    # B publishes normally on its claimed generation ... (simulated by
+    # releasing) and A's retry then succeeds on a fresh number.
+    b._release_claim(claimed)
+    a.append(df)
+    assert a.read().count() == 16
+
+
+def test_expected_gen_rejects_interleaved_merge(spark, tmp_path):
+    """Read-merge-write OCC: a merge computed against generation g must
+    not publish after another writer advanced the table — its merge
+    never saw the interleaved rows, so publishing would erase them.
+    With expected_gen the store rejects loudly and the interleaved
+    rows survive."""
+    from nextbus2pg_spark.sinks.store import ConcurrentWriteError
+
+    path = str(tmp_path / "t")
+    store = BucketedParquetStore(spark, path, ["k"], n_buckets=1)
+    df1 = spark.createDataFrame([("a", "v1")], "k string, v string")
+    store.init(df1)
+    base_gen = store.current_manifest()["gen"]
+    touched = store.touched_buckets(df1)
+    stale_merge = store.read(touched)  # computed at base_gen
+
+    # Interleaved writer lands a row the merge never saw.
+    store.append(spark.createDataFrame([("b", "v2")], "k string, v string"))
+
+    with pytest.raises(ConcurrentWriteError):
+        store.replace_buckets(stale_merge, touched, expected_gen=base_gen)
+    assert sorted(r.k for r in store.read().collect()) == ["a", "b"]
+    # The rejected attempt released its claim: a fresh merge succeeds.
+    base_gen = store.current_manifest()["gen"]
+    store.replace_buckets(
+        store.read(touched), store.touched_buckets(store.read()),
+        expected_gen=base_gen,
+    )
+    assert sorted(r.k for r in store.read().collect()) == ["a", "b"]
+
+
+def test_stale_claim_of_crashed_writer_is_taken_over(spark, tmp_path):
+    """A claim left by a crashed writer blocks its generation only
+    until claim_ttl_sec; after that the next writer takes it over (and
+    the crashed writer's never-published data dirs are reclaimed)."""
+    from nextbus2pg_spark.sinks.store import ConcurrentWriteError
+
+    path = str(tmp_path / "t")
+    fast = BucketedParquetStore(
+        spark, path, ["k"], n_buckets=2, claim_ttl_sec=0.0
+    )
+    slow = BucketedParquetStore(
+        spark, path, ["k"], n_buckets=2, claim_ttl_sec=3600.0
+    )
+    df = spark.createDataFrame([("a", "v")], "k string, v string")
+    fast.init(df)
+    crashed_gen = fast.claim_next_generation()  # writer dies here
+
+    with pytest.raises(ConcurrentWriteError):
+        slow.append(df)  # within TTL: blocked loudly
+    fast.append(df)  # ttl 0: takes the stale claim over
+    assert fast.read().count() == 2
+    assert fast.current_manifest()["gen"] == crashed_gen
+
+
+def test_manifest_overwrite_is_refused(spark, tmp_path):
+    """Belt-and-braces: even if the claim protocol were bypassed,
+    _publish never overwrites an existing manifest file."""
+    from nextbus2pg_spark.sinks.store import ConcurrentWriteError
+
+    path = str(tmp_path / "t")
+    store = BucketedParquetStore(spark, path, ["k"], n_buckets=1)
+    store.init(spark.createDataFrame([("a", "v")], "k string, v string"))
+    man = store.current_manifest()
+    with pytest.raises(ConcurrentWriteError):
+        store._publish(
+            int(man["gen"]),
+            {int(b): list(d) for b, d in man["buckets"].items()},
+        )
+
+
+def test_read_range_null_semantics_are_layout_independent(spark, tmp_path):
+    """read_range is NULL-rejecting regardless of apply_filter: NULL
+    rows never appear, whether they sit in an all-null dir (pruned by
+    stats) or share a dir with matching rows (caught by the explicit
+    IS NOT NULL filter) — results no longer depend on dir layout."""
+    path = str(tmp_path / "t")
+    store = BucketedParquetStore(
+        spark, path, ["k"], n_buckets=1, stats_cols=["ts"]
+    )
+    # dir 1: NULL row mixed WITH a matching row (stats exist: 5..5)
+    store.append(
+        spark.createDataFrame(
+            [("a", None), ("b", 5)], "k string, ts long"
+        )
+    )
+    # dir 2: all-null dir (stats record null min/max -> pruned)
+    store.append(
+        spark.createDataFrame([("c", None)], "k string, ts long")
+    )
+    for apply_filter in (True, False):
+        got = sorted(
+            r.k
+            for r in store.read_range(
+                "ts", 0, 10, apply_filter=apply_filter
+            ).collect()
+        )
+        assert got == ["b"], f"apply_filter={apply_filter}: {got}"
