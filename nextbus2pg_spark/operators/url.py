@@ -29,6 +29,8 @@ and the oracle bit-identical.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -91,12 +93,34 @@ def url_host(url: Column) -> Column:
     return F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)", 1)
 
 
-def registrable_domain(host: Column) -> Column:
+def registrable_domain(
+    host: Column,
+    second_level_suffixes: Sequence[str] | None = None,
+) -> Column:
     """Heuristic eTLD+1: the last two host labels, or three when the
     ending is ``<second-level-suffix>.<2-letter-cc>`` (co.uk, com.au,
-    ac.jp, …). A full public-suffix-list lookup is a broadcast join
-    against the published list; this covers the dominant patterns with
-    zero data movement."""
+    ac.jp, …).
+
+    KNOWN GAP — this is a 7-label SUBSET of the real public-suffix
+    list, not the list itself. It covers the dominant country-code
+    second-level patterns, but at crawl scale it is silently wrong for
+    the long tail: suffixes outside the subset (``gob.mx``, ``or.jp``,
+    ``ne.jp``, ``id.au`` → grouped one label too coarse), multi-label
+    suffixes (``pref.aichi.jp``), and private-registry suffixes
+    (``github.io``, ``blogspot.com`` → grouped one label too fine —
+    every user site collapses into one "domain" for capping). Pass
+    ``second_level_suffixes`` to widen the subset without touching
+    this module; for exact semantics join hosts against the published
+    public-suffix list (a broadcast join — the list is ~10k rows) and
+    feed the resulting domain column to the capping/grouping operator
+    directly. The default stays frozen because normalized domains are
+    *keys*: changing it re-partitions history.
+    """
+    suffixes = tuple(
+        SECOND_LEVEL_SUFFIXES
+        if second_level_suffixes is None
+        else second_level_suffixes
+    )
     labels = F.split(host, r"\.")
     n = F.size(labels)
     second = F.element_at(labels, -2)
@@ -104,7 +128,7 @@ def registrable_domain(host: Column) -> Column:
     take3 = (
         (n >= 3)
         & (F.length(last) == 2)
-        & second.isin(*SECOND_LEVEL_SUFFIXES)
+        & second.isin(*suffixes)
     )
     tail3 = F.concat_ws(".", F.slice(labels, n - 2, 3))
     tail2 = F.concat_ws(".", F.slice(labels, n - 1, 2))
@@ -113,13 +137,27 @@ def registrable_domain(host: Column) -> Column:
     )
 
 
-def url_dedup(df: DataFrame, url_col: str, order_cols: list[str]) -> DataFrame:
+def url_dedup(
+    df: DataFrame,
+    url_col: str,
+    order_cols: list[str],
+    out_col: str = "norm_url",
+) -> DataFrame:
     """One row per canonical URL, deterministic winner by
     ``order_cols`` (min-struct aggregation — partial-aggregatable, so
     duplicates collapse map-side before the shuffle; only distinct
     canonical URLs cross the wire). Rows whose URL is NULL pass
     through UNTOUCHED: NULL is a missing key, not a shared resource —
-    grouping would silently collapse unrelated rows into one."""
+    grouping would silently collapse unrelated rows into one.
+
+    The canonical URL lands in ``out_col`` (default ``norm_url``);
+    a name already present in the input raises instead of silently
+    producing a duplicate/ambiguous column."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"url_dedup output column {out_col!r} already exists in the "
+            "input; pass out_col=<fresh name>"
+        )
     norm = df.withColumn("__norm_url", normalize_url(F.col(url_col)))
     payload = F.struct(*[F.col(c) for c in order_cols], *[
         F.col(c) for c in df.columns if c not in order_cols
@@ -131,10 +169,10 @@ def url_dedup(df: DataFrame, url_col: str, order_cols: list[str]) -> DataFrame:
         norm.filter(F.col("__norm_url").isNotNull())
         .groupBy("__norm_url")
         .agg(F.min(payload).alias("__win"))
-        .select(F.col("__norm_url").alias("norm_url"), "__win.*")
+        .select(F.col("__norm_url").alias(out_col), "__win.*")
     )
     passthrough = norm.filter(F.col("__norm_url").isNull()).select(
-        F.col("__norm_url").alias("norm_url"), *[F.col(c) for c in out_cols]
+        F.col("__norm_url").alias(out_col), *[F.col(c) for c in out_cols]
     )
     return deduped.unionByName(passthrough)
 
@@ -144,17 +182,31 @@ def domain_cap(
     url_col: str,
     max_per_domain: int,
     order_col: str,
+    domain_col: str = "domain",
+    second_level_suffixes: Sequence[str] | None = None,
 ) -> DataFrame:
     """Keep at most ``max_per_domain`` rows per registrable domain,
     deterministically preferring lower ``order_col``. The row_number
     window shuffles once on the (bounded-cardinality) domain key; at
     100 TB a heavy domain is exactly the skew the cap exists to remove,
     and the window never materializes more than one domain's rows per
-    task."""
+    task.
+
+    The grouping domain lands in ``domain_col`` (default ``domain``);
+    a name already present in the input raises instead of silently
+    producing a duplicate/ambiguous column. ``second_level_suffixes``
+    widens the public-suffix heuristic (see
+    :func:`registrable_domain`'s known-gap note)."""
     from pyspark.sql import Window
 
+    if domain_col in df.columns:
+        raise ValueError(
+            f"domain_cap output column {domain_col!r} already exists in "
+            "the input; pass domain_col=<fresh name>"
+        )
     d = df.withColumn("__norm", normalize_url(F.col(url_col))).withColumn(
-        "__domain", registrable_domain(url_host(F.col("__norm")))
+        "__domain",
+        registrable_domain(url_host(F.col("__norm")), second_level_suffixes),
     )
     # Tie-break on the canonical URL only — ordering by every payload
     # column would drag full row payloads (document bodies!) through
@@ -167,5 +219,5 @@ def domain_cap(
         d.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_per_domain)
         .drop("__rn", "__norm")
-        .withColumnRenamed("__domain", "domain")
+        .withColumnRenamed("__domain", domain_col)
     )

@@ -395,6 +395,68 @@ def test_archive_dir_moves_committed_files(tmp_path):
     assert sorted(os.listdir(arch)) == ["38R__1000.xml", "38R__2000.xml"]
     assert sorted(os.listdir(spool)) == ["38R__3000.xml"]
 
+def test_purge_archive_crash_between_plan_and_commit(tmp_path):
+    """The crossed restart case: purge+archive ON, crash AFTER a batch
+    is planned but BEFORE it commits (including a crash mid-purge that
+    leaves the archive half-moved). The restart replays
+    partitions(start, end) for the in-flight batch — every document of
+    that batch must still be readable from the spool at replay time
+    (purge only ever touches files at-or-below the PROVEN-committed
+    start, never the replayed window), and the interrupted purge
+    completes idempotently."""
+    from nextbus2pg_spark.sources.feed_stream import (
+        VehicleFeedStreamReader,
+        _parse_files,
+    )
+
+    spool = str(tmp_path / "spool")
+    arch = str(tmp_path / "archive")
+    os.makedirs(spool)
+    for i in range(1, 6):
+        _drop(spool, "38R", i * 1000, f"v{i}")
+
+    # Session 1: batch 1 (<=2000) commits; batch 2 (2000, 4000] is
+    # planned; the process dies before batch 2 commits.
+    r1 = VehicleFeedStreamReader(
+        spool, max_docs_per_batch=2, archive_dir=arch
+    )
+    r1.partitions({}, {"38R": 2000})
+    r1.commit({"38R": 2000})  # purge moves v1, v2 to the archive
+    assert sorted(os.listdir(arch)) == ["38R__1000.xml", "38R__2000.xml"]
+    planned = r1.partitions({"38R": 2000}, {"38R": 4000})
+    assert len(planned) == 1  # batch 2 in flight ... crash here
+
+    # Simulate a crash MID-PURGE too: one committed file was moved to
+    # the archive but its sibling was not (partial purge of a racing
+    # commit) — replay must tolerate and complete it.
+    os.rename(
+        os.path.join(arch, "38R__2000.xml"),
+        os.path.join(spool, "38R__2000.xml"),
+    )
+
+    # Session 2 (restart): Spark replays the planned-but-uncommitted
+    # batch with the SAME offsets before anything else.
+    r2 = VehicleFeedStreamReader(
+        spool, max_docs_per_batch=2, archive_dir=arch
+    )
+    replay = r2.partitions({"38R": 2000}, {"38R": 4000})
+    assert len(replay) == 1
+    rows = list(_parse_files("38R", replay[0].files))
+    assert [t[2] for t in rows] == ["v3", "v4"], (
+        "replayed batch must read every document it planned"
+    )
+    # the half-moved committed file completed its purge idempotently
+    assert sorted(os.listdir(arch)) == ["38R__1000.xml", "38R__2000.xml"]
+    # stream continues: batch 2 commits, batch 3 drains the tail
+    r2.commit({"38R": 4000})
+    assert sorted(os.listdir(arch)) == [
+        "38R__1000.xml", "38R__2000.xml", "38R__3000.xml", "38R__4000.xml",
+    ]
+    assert r2.latestOffset() == {"38R": 5000}
+    tail = r2.partitions({"38R": 4000}, {"38R": 5000})
+    assert [t[2] for t in _parse_files("38R", tail[0].files)] == ["v5"]
+
+
 # ---------------------------------------------------------------------------
 # Model-based property test: the reader vs a simulated Spark driver
 # ---------------------------------------------------------------------------

@@ -183,3 +183,64 @@ def test_normalize_url_differential_vs_duckdb(spark):
     assert set(got) == set(want)
     bad = {i: (got[i], want[i], urls[i][1]) for i in got if got[i] != want[i]}
     assert not bad, f"{len(bad)} diverging urls, first: {sorted(bad.items())[0]}"
+
+
+def test_output_column_collisions_raise(spark):
+    """domain_cap/url_dedup refuse an input that already has their
+    output column name (silent duplicate/ambiguous columns otherwise);
+    the name is a parameter, so callers can pick a fresh one."""
+    import pytest
+
+    from nextbus2pg_spark.operators.url import domain_cap, url_dedup
+
+    df = spark.createDataFrame(
+        [("http://a.com/x", "keep", 1)], "u string, domain string, q int"
+    )
+    with pytest.raises(ValueError, match="domain"):
+        domain_cap(df, "u", 1, "q")
+    out = domain_cap(df, "u", 1, "q", domain_col="site_domain")
+    assert "site_domain" in out.columns and out.count() == 1
+
+    df2 = spark.createDataFrame(
+        [("http://a.com/x", "taken")], "u string, norm_url string"
+    )
+    with pytest.raises(ValueError, match="norm_url"):
+        url_dedup(df2, "u", ["u"])
+    out2 = url_dedup(df2, "u", ["u"], out_col="canon_url")
+    assert "canon_url" in out2.columns and out2.count() == 1
+
+
+def test_public_suffix_override_hook(spark):
+    """The known-gap escape hatch: pass a wider second-level-suffix
+    set and previously mis-grouped hosts (or.jp, id.au) regroup at the
+    right granularity without touching the frozen default."""
+    from nextbus2pg_spark.operators.url import registrable_domain
+
+    hosts = spark.createDataFrame(
+        [("x.example.or.jp",), ("y.shop.id.au",), ("z.news.co.uk",)],
+        "h string",
+    )
+    default = {
+        r.h: r.d
+        for r in hosts.select(
+            "h", registrable_domain(F.col("h")).alias("d")
+        ).collect()
+    }
+    # default subset misses or/id: grouped one label too coarse
+    assert default["x.example.or.jp"] == "or.jp"
+    assert default["y.shop.id.au"] == "id.au"
+    assert default["z.news.co.uk"] == "news.co.uk"
+
+    widened = {
+        r.h: r.d
+        for r in hosts.select(
+            "h",
+            registrable_domain(
+                F.col("h"),
+                second_level_suffixes=("co", "com", "or", "id"),
+            ).alias("d"),
+        ).collect()
+    }
+    assert widened["x.example.or.jp"] == "example.or.jp"
+    assert widened["y.shop.id.au"] == "shop.id.au"
+    assert widened["z.news.co.uk"] == "news.co.uk"
