@@ -339,11 +339,39 @@ def histogram_sketch(
 # stay engine-portable and oracle-checkable.
 
 
+#: Hard cap on depth*width for the flat-state form. Each cell is an
+#: independent conditional-SUM aggregate buffer: past a few hundred
+#: buffers Spark falls out of whole-stage codegen and planning time
+#: grows linearly, and past a few thousand the plan itself becomes the
+#: bottleneck. The default 3x32 = 96 cells is comfortably inside the
+#: codegen regime; genuinely wide sketches belong in countmin_build's
+#: long-form (row, bucket, cnt) relation, whose single hash aggregate
+#: scales to any width.
+CMS_STATE_MAX_CELLS = 1024
+
+
 def cms_state(value: Column, depth: int = 3, width: int = 32) -> Column:
     """Aggregate expression: flat count-min state over ``value``.
     depth*width conditional counts in one partial-aggregatable pass;
     NULL values are skipped (no cell increments, matching SQL count
-    semantics)."""
+    semantics).
+
+    PRACTICAL BOUND: this form materializes depth*width independent
+    aggregate buffers (one conditional SUM per cell), so it is only
+    appropriate for rollup-state widths — depth*width above
+    ``CMS_STATE_MAX_CELLS`` raises. A heavy-hitter rollup rarely needs
+    more (error scales as 2e/width of the TOTAL stream count, and the
+    candidate set is re-scored exactly downstream); when you truly
+    need a wide sketch, build it as a standalone long-form relation
+    with :func:`countmin_build` instead, which aggregates all cells in
+    ONE hash aggregate at any width."""
+    if depth * width > CMS_STATE_MAX_CELLS:
+        raise ValueError(
+            f"cms_state depth*width = {depth * width} exceeds "
+            f"{CMS_STATE_MAX_CELLS}: the flat form emits one aggregate "
+            "buffer per cell and stops being a sane plan at this size — "
+            "use countmin_build's long-form relation for wide sketches"
+        )
     cells = []
     for j in range(depth):
         b = _cms_bucket(value, j, width)

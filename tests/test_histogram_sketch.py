@@ -197,3 +197,21 @@ def test_cms_state_in_continuous_aggregate(spark, tmp_path):
     # heavy hitters: est >= 20% of total picks exactly x
     heavy = [k for k, (e, t) in got.items() if e >= 0.2 * t]
     assert heavy == ["x"]
+
+
+def test_cms_state_width_bound_raises(spark):
+    """The flat CMS form emits one aggregate buffer per cell; above
+    CMS_STATE_MAX_CELLS it refuses with a pointer to countmin_build's
+    long-form relation (which scales to any width)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.operators.sketch import (
+        CMS_STATE_MAX_CELLS,
+        cms_state,
+    )
+
+    with pytest.raises(ValueError, match="countmin_build"):
+        cms_state(F.col("x"), depth=4, width=CMS_STATE_MAX_CELLS)
+    # the default rollup shape stays well inside the bound
+    cms_state(F.col("x"))
