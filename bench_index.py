@@ -1,0 +1,169 @@
+"""Index-pipeline benchmark: NearDupIndex probe/add and IvfIndex
+add/search wall-times at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1), with the pruned-IO claim MEASURED — data dirs
+actually listed/opened by a probe/search vs the index's total.
+
+Companion to bench.py (which benches the registry's stateless
+queries; these pipelines are stateful — they write an index under a
+temp dir — so they get their own harness). Prints ONE JSON line:
+
+  {"metric": "index_pipelines_total_wall_seconds", "value": N,
+   "unit": "sec", "stages": {...}, "pruning": {...}, "sf": ...}
+
+Stages:
+  neardup_add_history   index 90% of documents (the corpus)
+  neardup_probe_batch   probe the held-out 10% against it
+  neardup_compact       fold per-batch dirs (OPTIMIZE)
+  ivf_train             train centroids on 90% of embeddings
+  ivf_add               add the held-out 10%
+  ivf_search_nprobe{1,2,4}  10-query search at each nprobe
+
+Pruning (dirs_read / dirs_total, < 1.0 is the claim):
+  neardup_probe         band dirs the probe listed vs all band dirs
+  ivf_search            vector dirs a 10-query nprobe=2 search listed
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.operators.scale import release_cached_rdds
+from nextbus2pg_spark.pipelines.ivf_index import IvfIndex
+from nextbus2pg_spark.pipelines.neardup_index import NearDupIndex
+from nextbus2pg_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("nextbus2pg-bench-index")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(base.removeprefix("sf")) if base.startswith("sf") else base
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    history = docs.where(F.pmod("doc_id", F.lit(10)) != 0)
+    batch = docs.where(F.pmod("doc_id", F.lit(10)) == 0)
+    emb_hist = emb.where(F.pmod("vec_id", F.lit(10)) != 0)
+    emb_batch = emb.where(F.pmod("vec_id", F.lit(10)) == 0)
+    queries = emb.orderBy("vec_id").limit(10)
+
+    stages: dict[str, float] = {}
+    pruning: dict[str, dict] = {}
+    work = tempfile.mkdtemp(prefix="bench_index_")
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        stages[name] = round(time.perf_counter() - t0, 3)
+        release_cached_rdds(spark)
+        print(f"# {name}: {stages[name]}s", file=sys.stderr)
+        return out
+
+    try:
+        # -- near-dup index ------------------------------------------
+        nd = NearDupIndex(spark, f"{work}/neardup", n_buckets=64)
+        timed("neardup_add_history", lambda: nd.add(history))
+        # spy on the band store's read to capture the pruned bucket
+        # list the probe actually passes
+        band_reads: list = []
+        orig_bands_read = nd.bands.read
+
+        def spy_bands(buckets=None):
+            band_reads.append(buckets)
+            return orig_bands_read(buckets)
+
+        nd.bands.read = spy_bands
+        n_matches = timed(
+            "neardup_probe_batch", lambda: nd.probe(batch).count()
+        )
+        print(f"# neardup matches: {n_matches}", file=sys.stderr)
+        pruned = len(nd.bands._bucket_dirs(band_reads[0]))
+        total = len(nd.bands._bucket_dirs(None))
+        pruning["neardup_probe"] = {
+            "dirs_read": pruned,
+            "dirs_total": total,
+            "ratio": round(pruned / total, 3),
+        }
+        # the needle shape: ONE document probing the whole index —
+        # this is where bucket pruning carries the 100 TB argument
+        # (a big batch legitimately fans out over most buckets)
+        band_reads.clear()
+        timed(
+            "neardup_probe_1doc", lambda: nd.probe(batch.limit(1)).count()
+        )
+        pruned = len(nd.bands._bucket_dirs(band_reads[0]))
+        pruning["neardup_probe_1doc"] = {
+            "dirs_read": pruned,
+            "dirs_total": total,
+            "ratio": round(pruned / total, 3),
+        }
+        timed("neardup_compact", nd.compact)
+
+        # -- IVF embedding index -------------------------------------
+        ivf = IvfIndex(
+            spark, f"{work}/ivf", n_centroids=16, kmeans_iters=2,
+            n_buckets=16,
+        )
+        timed("ivf_train", lambda: ivf.train(emb_hist))
+        timed("ivf_add", lambda: ivf.add(emb_batch))
+        vec_reads: list = []
+        orig_vec_read = ivf.vectors.read
+
+        def spy_vec(buckets=None):
+            vec_reads.append(buckets)
+            return orig_vec_read(buckets)
+
+        ivf.vectors.read = spy_vec
+        for nprobe in (1, 2, 4):
+            timed(
+                f"ivf_search_nprobe{nprobe}",
+                lambda np=nprobe: ivf.search(queries, k=5, nprobe=np).count(),
+            )
+        # pruning measured on the nprobe=2 search (vec_reads[1])
+        pruned = len(ivf.vectors._bucket_dirs(vec_reads[1]))
+        total = len(ivf.vectors._bucket_dirs(None))
+        pruning["ivf_search"] = {
+            "dirs_read": pruned,
+            "dirs_total": total,
+            "ratio": round(pruned / total, 3),
+        }
+        vec_reads.clear()
+        timed(
+            "ivf_search_1query",
+            lambda: ivf.search(queries.limit(1), k=5, nprobe=2).count(),
+        )
+        pruned = len(ivf.vectors._bucket_dirs(vec_reads[0]))
+        pruning["ivf_search_1query"] = {
+            "dirs_read": pruned,
+            "dirs_total": total,
+            "ratio": round(pruned / total, 3),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "index_pipelines_total_wall_seconds",
+                "value": round(sum(stages.values()), 3),
+                "unit": "sec",
+                "stages": stages,
+                "pruning": pruning,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

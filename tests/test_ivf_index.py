@@ -92,6 +92,18 @@ def test_add_is_incremental_and_search_prunes(spark, tmp_path):
     assert reads and reads[0] is not None and 0 < len(reads[0]) < 8, (
         "search must pass a STRICTLY pruned bucket list"
     )
+    # Pruned-IO ratio at FILE granularity, single-query shape (3
+    # queries x nprobe=2 legitimately touch most of 8 toy buckets):
+    # one query probes 2 cells -> at most 2 store buckets' dirs are
+    # ever listed/opened.
+    reads.clear()
+    idx.search(queries.limit(1), k=3, nprobe=2).collect()
+    pruned_dirs = len(idx.vectors._bucket_dirs(reads[0]))
+    total_dirs = len(idx.vectors._bucket_dirs(None))
+    assert 0 < pruned_dirs <= total_dirs * 0.5, (
+        f"search read {pruned_dirs}/{total_dirs} vector dirs — pruning "
+        "ratio regressed"
+    )
     # each query's identical twin lives in part_b → rank 1 at sim 1.0
     by_q = {}
     for r in res:

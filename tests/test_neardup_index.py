@@ -107,6 +107,15 @@ def test_add_is_append_only_and_probe_prunes(spark, tmp_path):
     assert reads and reads[0] is not None and 0 < len(reads[0]) < 16, (
         "probe must pass a pruned bucket list, not read the full index"
     )
+    # The pruned-IO claim, measured at FILE granularity: the probe
+    # listed/opened at most half the index's data dirs (one-doc batch
+    # vs 20-doc corpus; at 100 TB this ratio is the whole point).
+    pruned_dirs = len(idx.bands._bucket_dirs(reads[0]))
+    total_dirs = len(idx.bands._bucket_dirs(None))
+    assert 0 < pruned_dirs <= total_dirs * 0.5, (
+        f"probe read {pruned_dirs}/{total_dirs} band dirs — pruning "
+        "ratio regressed"
+    )
     after = _file_hashes(str(tmp_path / "idx"))
     for p, h in before.items():
         assert after.get(p) == h, f"add rewrote existing index file {p}"
