@@ -144,6 +144,89 @@ def build_vocab(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: "list[str]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """BM25 lexical retrieval: top-``k`` documents for a bag-of-terms
+    query → ``(id, score, rank)`` — the sparse sibling of the dense
+    ANN rungs (``cosine_topk``/``ivf_topk``); a retrieval stack wants
+    both.
+
+    Standard Okapi BM25 with the Lucene non-negative IDF:
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    ``score = Σ_q idf_q · tf_q·(k1+1) / (tf_q + k1·(1 − b + b·dl/avgdl))``.
+
+    Determinism-by-construction (full value oracle, no FP luck): every
+    model input is an exact integer — per-doc length ``dl``, per-term
+    ``tf`` (conditional counts), per-term ``df``, corpus size ``N``,
+    and ``avgdl`` enters as the exact ratio sum(dl)/N rather than a
+    float AVG whose summation order differs between engines. The
+    per-term scores then combine in FIXED query order, so the double
+    arithmetic is the same expression tree on any engine.
+
+    Scale shape: ONE tokenize pass; the per-doc aggregation carries
+    one long per query term (queries are a handful of terms, so this
+    is a narrow partial-aggregatable hash agg — no per-term rows
+    shuffle); corpus stats are a broadcast 1-row aggregate; docs with
+    no query term are filtered BEFORE the top-k, and the top-k itself
+    is a sort-limit (per-partition partial top-k, never a global
+    sort of the corpus)."""
+    if not query_terms:
+        raise ValueError("bm25_topk requires at least one query term")
+    terms = doc_terms(df, id_col, text_col)
+    per_doc = terms.groupBy("id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("term") == F.lit(q)).cast("long")).alias(f"tf{i}")
+            for i, q in enumerate(query_terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n  # exact ints -> one div
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        dfreq = F.col(f"df{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (n - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl
+        )
+        s = idf * tf * F.lit(k1 + 1.0) / denom
+        score = s if score is None else score + s
+    return (
+        scored.select(
+            "id", F.round(score, round_digits).alias("score")
+        )
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("id").asc())
+            ),
+        )
+    )
+
+
 def oov_ngram_ratio(
     df: DataFrame,
     id_col: str,

@@ -156,3 +156,76 @@ def q_oov_ratio(spark: SparkSession, sf_dir: str):
     one groupBy(id) scoring pass."""
     docs = load_table(spark, sf_dir, "documents")
     return ts.oov_ngram_ratio(docs, "doc_id", "text", n=2, top_k=500)
+
+
+@fixture(
+    "q_bm25_topk",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS dl,
+         CAST(sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf0,
+         CAST(sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf1,
+         CAST(sum(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf2
+  FROM terms GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM per_doc
+),
+scored AS (
+  SELECT doc_id AS id,
+         round(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                    / (CAST(df0 AS DOUBLE) + 0.5))
+             * CAST(tf0 AS DOUBLE) * 2.2
+             / (CAST(tf0 AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                    / (CAST(df1 AS DOUBLE) + 0.5))
+             * CAST(tf1 AS DOUBLE) * 2.2
+             / (CAST(tf1 AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                    / (CAST(df2 AS DOUBLE) + 0.5))
+             * CAST(tf2 AS DOUBLE) * 2.2
+             / (CAST(tf2 AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         , 6) AS score
+  FROM per_doc CROSS JOIN stats
+)
+SELECT id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER)
+         AS "rank"
+FROM scored WHERE score > 0
+ORDER BY score DESC, id LIMIT 10
+""",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str):
+    """BM25 top-10 for the bag-of-terms query {spark, vector, merge} —
+    lexical retrieval over the documents table (the sparse complement
+    of the dense ANN rungs). Deterministic by construction: every
+    model input (tf, df, dl, N, sum_dl) is an exact integer and the
+    per-term double scores combine in fixed query order, so the DuckDB
+    oracle replays the identical expression tree (see
+    operators/textstats.bm25_topk). One tokenize pass; top-k is a
+    sort-limit, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ts.bm25_topk(
+        docs, "doc_id", "text", ["spark", "vector", "merge"], k=10
+    )
