@@ -269,20 +269,30 @@ class BucketedParquetStore:
         gen: int,
         buckets: dict[int, list[str]],
         stats: dict[str, dict] | None = None,
+        schema_json: str | None = None,
     ) -> None:
         """Atomically publish generation ``gen`` (which the caller must
         have CLAIMED): write the manifest to a .tmp file and rename to
         its final (fresh) name — the commit point. Nothing before this
         rename is visible to readers. ``stats`` maps data-dir relpath →
         per-column min/max; only entries for dirs actually referenced
-        by ``buckets`` are kept."""
+        by ``buckets`` are kept. ``schema_json`` records the table
+        schema in the manifest (so an EMPTY table — e.g. after a
+        delete-all — still reads with a typed schema); omitted, the
+        previous manifest's schema carries forward."""
         jvm, fs, _ = self._fs()
+        if schema_json is None:
+            gens = self._manifest_gens()
+            if gens:
+                schema_json = self._read_manifest(gens[-1]).get("schema")
         live_dirs = {d for dirs in buckets.values() for d in dirs}
         doc = {
             "gen": gen,
             "n_buckets": self.n_buckets,
             "buckets": {str(b): dirs for b, dirs in sorted(buckets.items())},
         }
+        if schema_json:
+            doc["schema"] = schema_json
         kept_stats = {
             d: s for d, s in (stats or {}).items() if d in live_dirs and s
         }
@@ -383,6 +393,119 @@ class BucketedParquetStore:
             raise FileNotFoundError(f"generation {gen} has no data")
         return self.spark.read.parquet(*dirs)
 
+    def read_changes(
+        self, from_gen: int, to_gen: int | None = None
+    ) -> DataFrame:
+        """Row-level changes between two retained generations — the
+        CHANGE-DATA-FEED read (Delta CDF analogue): downstream
+        consumers resync incrementally instead of re-reading a 100 TB
+        table after every publish. Output: the table's columns plus
+        ``_change_type`` ('insert' | 'delete'); an upsert that changed
+        a row's payload appears as a delete of the old row plus an
+        insert of the new one.
+
+        IO is bounded by what actually changed, at two granularities:
+
+        - a bucket whose dir list merely GREW (the append path) emits
+          the rows of its NEW dirs directly — zero join, zero read of
+          pre-existing dirs, and correct even for duplicate-row event
+          logs;
+        - a REWRITTEN bucket (merge/delete/compaction) is diffed as a
+          row multiset: old vs new bucket contents aggregated per full
+          row and subtracted, so no key-uniqueness assumption is
+          needed (SCD2 history tables have many rows per key). A
+          compaction that rewrote bytes but not rows emits nothing.
+
+        Both generations must still be retained (``keep_generations``
+        bounds the CDC window, exactly like time-travel)."""
+        gens = self._manifest_gens()
+        to_gen = gens[-1] if to_gen is None else to_gen
+        for g in (from_gen, to_gen):
+            if g not in gens:
+                raise ValueError(
+                    f"generation {g} not retained; have {gens}"
+                )
+        man_a = self._read_manifest(from_gen)
+        man_b = self._read_manifest(to_gen)
+        ba = {b: list(d) for b, d in man_a["buckets"].items()}
+        bb = {b: list(d) for b, d in man_b["buckets"].items()}
+
+        appended_dirs: list[str] = []
+        rewritten_old: list[str] = []
+        rewritten_new: list[str] = []
+        for b in set(ba) | set(bb):
+            da, db = ba.get(b, []), bb.get(b, [])
+            if da == db:
+                continue  # untouched bucket: never read
+            if set(da) <= set(db):
+                appended_dirs.extend(d for d in db if d not in set(da))
+            else:
+                rewritten_old.extend(da)
+                rewritten_new.extend(db)
+
+        parts: list[DataFrame] = []
+        if appended_dirs:
+            parts.append(
+                self.spark.read.parquet(
+                    *[f"{self.path}/{d}" for d in appended_dirs]
+                ).withColumn("_change_type", F.lit("insert"))
+            )
+        if rewritten_old or rewritten_new:
+            empty = self._empty_frame()
+            old = (
+                self.spark.read.parquet(
+                    *[f"{self.path}/{d}" for d in rewritten_old]
+                )
+                if rewritten_old
+                else empty
+            )
+            new = (
+                self.spark.read.parquet(
+                    *[f"{self.path}/{d}" for d in rewritten_new]
+                )
+                if rewritten_new
+                else empty
+            )
+            cols = old.columns
+            oc = old.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c_old"))
+            nc = new.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c_new"))
+            cond = F.struct(*[F.col(f"o.{c}") for c in cols]).eqNullSafe(
+                F.struct(*[F.col(f"n.{c}") for c in cols])
+            )
+            j = oc.alias("o").join(nc.alias("n"), cond, "full_outer").select(
+                *[
+                    F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+                    for c in cols
+                ],
+                F.coalesce(F.col("o.__c_old"), F.lit(0)).alias("__c_old"),
+                F.coalesce(F.col("n.__c_new"), F.lit(0)).alias("__c_new"),
+            )
+            diff = (
+                j.withColumn("__d", F.col("__c_new") - F.col("__c_old"))
+                .where(F.col("__d") != 0)
+                .withColumn(
+                    "_change_type",
+                    F.when(F.col("__d") > 0, F.lit("insert")).otherwise(
+                        F.lit("delete")
+                    ),
+                )
+                # multiplicity: a row whose count changed by |d| emits
+                # |d| change rows (duplicate-row tables stay exact)
+                .withColumn(
+                    "__i", F.explode(F.sequence(F.lit(1), F.abs("__d")))
+                )
+                .select(*cols, "_change_type")
+            )
+            parts.append(diff)
+        if not parts:
+            return self._empty_frame().withColumn(
+                "_change_type", F.lit("").cast("string")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _effective_n_buckets(self) -> int:
         """The bucket count that actually partitions stored data.
 
@@ -469,10 +592,7 @@ class BucketedParquetStore:
         ``col >= x OR col IS NULL`` themselves) must use ``read()``."""
         kept = self.dirs_for_range(col, lower, upper)
         if not kept:
-            all_dirs = self._bucket_dirs(None)
-            if not all_dirs:
-                raise FileNotFoundError(f"store {self.path} has no data")
-            df = self.spark.read.parquet(all_dirs[0]).limit(0)
+            df = self._empty_frame()
         else:
             df = self.spark.read.parquet(
                 *[f"{self.path}/{d}" for d in kept]
@@ -486,17 +606,31 @@ class BucketedParquetStore:
             df = df.filter(F.col(col).isNotNull())
         return df
 
+    def _empty_frame(self) -> DataFrame:
+        """Typed zero-row frame for valid-but-empty selections: from
+        the manifest's recorded schema when present (survives a
+        delete-all that leaves no data dir anywhere), else derived
+        from any data dir (legacy manifests)."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        s = self.current_manifest().get("schema")
+        if s:
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(_json.loads(s))
+            )
+        all_dirs = self._bucket_dirs(None)
+        if not all_dirs:
+            raise FileNotFoundError(f"store {self.path} has no data")
+        return self.spark.read.parquet(all_dirs[0]).limit(0)
+
     def read(self, buckets: Sequence[int] | None = None) -> DataFrame:
         """Current state (optionally only the given buckets — partition
         pruning by construction: unlisted dirs are never opened)."""
         dirs = self._bucket_dirs(buckets)
         if not dirs:
-            # Valid state with zero rows in the selected buckets; derive
-            # the schema from any dir so callers get a typed empty frame.
-            all_dirs = self._bucket_dirs(None)
-            if not all_dirs:
-                raise FileNotFoundError(f"store {self.path} has no data")
-            return self.spark.read.parquet(all_dirs[0]).limit(0)
+            return self._empty_frame()
         return self.spark.read.parquet(*dirs)
 
     # -- writes -------------------------------------------------------
@@ -573,7 +707,12 @@ class BucketedParquetStore:
         try:
             written = self._write_generation(df, gen)
             stats = self._collect_stats(gen, written, df.columns)
-            self._publish(gen, {b: [d] for b, d in written.items()}, stats)
+            self._publish(
+                gen,
+                {b: [d] for b, d in written.items()},
+                stats,
+                df.schema.json(),
+            )
         except BaseException:
             self._release_claim(gen)
             raise
@@ -616,10 +755,57 @@ class BucketedParquetStore:
                 buckets[int(b)] = [d]
             stats = dict(man.get("stats", {}))  # retained dirs keep stats
             stats.update(self._collect_stats(gen, written, merged.columns))
-            self._publish(gen, {b: d for b, d in buckets.items() if d}, stats)
+            self._publish(
+                gen,
+                {b: d for b, d in buckets.items() if d},
+                stats,
+                merged.schema.json(),
+            )
         except BaseException:
             self._release_claim(gen)
             raise
+
+    def delete_keys(self, keys: DataFrame) -> None:
+        """Delete every row matching a key in ``keys`` — the DELETE
+        half of the MERGE story (corpus retraction / right-to-erasure:
+        at 100 TB the operation that CANNOT be "re-ingest without the
+        rows"). Same physical shape as a merge: only the buckets
+        containing delete keys are read, anti-joined, and republished;
+        every other bucket keeps its files byte-identical, and the
+        publish is claim-serialized + OCC-checked so a concurrent
+        append can't be erased.
+
+        Key matching follows the store's own key notion: with
+        ``null_safe`` each component compares as
+        ``COALESCE(CAST(k AS STRING), '')`` — exactly the
+        ``bucket_expr`` form, so a NULL/''-keyed row is deletable and
+        the probe provably lands in the row's bucket. Without
+        ``null_safe``, SQL equality: NULL-keyed delete rows match
+        nothing (``DELETE WHERE k = NULL`` semantics).
+
+        Deleting every row of a bucket is a valid publish (the bucket
+        disappears from the manifest); deleting every row of the table
+        leaves an empty-but-existing table."""
+        if not self.exists():
+            raise FileNotFoundError(f"store {self.path} has no data")
+        base_gen = self.current_manifest()["gen"]
+        probe = keys.select(*self.key_cols).distinct()
+        touched = self.touched_buckets(probe)
+        if not touched:
+            return
+        existing = self.read(touched).alias("e")
+        cond = None
+        for k in self.key_cols:
+            e, i = F.col(f"e.{k}"), F.col(f"i.{k}")
+            if self.null_safe:
+                c = F.coalesce(e.cast("string"), F.lit("")) == F.coalesce(
+                    i.cast("string"), F.lit("")
+                )
+            else:
+                c = e == i
+            cond = c if cond is None else (cond & c)
+        merged = existing.join(probe.alias("i"), cond, "left_anti")
+        self.replace_buckets(merged, touched, expected_gen=base_gen)
 
     def compact(
         self,
@@ -674,7 +860,7 @@ class BucketedParquetStore:
                 buckets.setdefault(int(b), []).append(d)
             stats = dict(man.get("stats", {}))
             stats.update(self._collect_stats(gen, written, df.columns))
-            self._publish(gen, buckets, stats)
+            self._publish(gen, buckets, stats, df.schema.json())
         except BaseException:
             self._release_claim(gen)
             raise

@@ -222,6 +222,13 @@ class ParquetUpsertTable:
         compaction — run off the write path; see store.compact)."""
         return self.store.compact(min_dirs_per_bucket)
 
+    def delete(self, keys: DataFrame) -> None:
+        """Delete rows by business key (DELETE analogue; bucket-pruned,
+        claim-serialized — see store.delete_keys). ``keys`` needs only
+        the key columns; null-safe key matching follows the table's
+        ``null_safe`` setting."""
+        self.store.delete_keys(keys)
+
     def upsert(self, incoming: DataFrame) -> None:
         """K1-K4: merge incoming, existing-wins-keys/incoming-wins-payload.
 

@@ -620,3 +620,128 @@ def test_read_range_null_semantics_are_layout_independent(spark, tmp_path):
             ).collect()
         )
         assert got == ["b"], f"apply_filter={apply_filter}: {got}"
+
+
+def test_delete_keys_bucket_pruned_and_null_safe(spark, tmp_path):
+    """DELETE analogue: rows matching the key set vanish, untouched
+    buckets keep byte-identical files, NULL/'' keys are deletable under
+    null_safe (the bucket_expr key notion), and deleting everything
+    leaves an empty-but-existing table."""
+    path = str(tmp_path / "t")
+    t = ParquetUpsertTable(
+        spark, path, key_cols=["k"], update_cols=["v"], n_buckets=8,
+        null_safe=True,
+    )
+    rows = [(f"k{i}", f"v{i}") for i in range(32)] + [(None, "vnull")]
+    t.upsert(spark.createDataFrame(rows, "k string, v string"))
+    assert t.read().count() == 33
+    before = _file_hashes(path)
+
+    # delete two normal keys + the NULL key (probe uses '' for it)
+    t.delete(
+        spark.createDataFrame([("k3",), ("k7",), ("",)], "k string")
+    )
+    got = {r.k for r in t.read().collect()}
+    assert "k3" not in got and "k7" not in got and None not in got
+    assert len(got) == 30
+    # untouched buckets byte-identical
+    touched = t.store.touched_buckets(
+        spark.createDataFrame([("k3",), ("k7",), ("",)], "k string")
+    )
+    after = _file_hashes(path)
+    man = t.store.current_manifest()
+    untouched_dirs = {
+        d
+        for b, dirs in man["buckets"].items()
+        if int(b) not in touched
+        for d in dirs
+    }
+    for p, h in after.items():
+        rel = os.path.relpath(p, path)
+        if any(rel.startswith(d) for d in untouched_dirs):
+            assert before.get(p) == h, f"delete rewrote untouched {p}"
+
+    # non-null-safe table: NULL-keyed delete rows match nothing
+    t2 = ParquetUpsertTable(
+        spark, str(tmp_path / "t2"), key_cols=["k"], update_cols=["v"],
+        n_buckets=4, null_safe=False,
+    )
+    t2.upsert(
+        spark.createDataFrame([("a", "v"), (None, "vn")], "k string, v string")
+    )
+    t2.delete(spark.createDataFrame([(None,)], "k string"))
+    assert t2.read().count() == 2, "DELETE WHERE k = NULL matches nothing"
+
+    # delete ALL rows -> empty but existing
+    t.delete(spark.createDataFrame([(k,) for k in got], "k string"))
+    assert t.exists()
+    assert t.read().count() == 0
+
+
+def test_read_changes_cdc(spark, tmp_path):
+    """Change-data-feed read: an upsert surfaces as delete(old row) +
+    insert(new row) + insert(brand-new row); an append surfaces its
+    rows (duplicates included) as inserts WITHOUT reading pre-existing
+    dirs; a delete surfaces as deletes; a compaction that rewrites
+    bytes but not rows emits nothing."""
+    # -- merge path (rewritten buckets -> multiset diff) --------------
+    t = ParquetUpsertTable(
+        spark, str(tmp_path / "m"), key_cols=["k"], update_cols=["v"],
+        n_buckets=4,
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(f"k{i}", f"v{i}") for i in range(8)], "k string, v string"
+        )
+    )
+    g0 = t.store.current_manifest()["gen"]
+    t.upsert(
+        spark.createDataFrame(
+            [("k1", "v1-new"), ("k8", "v8")], "k string, v string"
+        )
+    )
+    changes = {
+        (r.k, r.v, r._change_type)
+        for r in t.store.read_changes(g0).select(
+            "k", "v", "_change_type"
+        ).collect()
+    }
+    assert changes == {
+        ("k1", "v1", "delete"),
+        ("k1", "v1-new", "insert"),
+        ("k8", "v8", "insert"),
+    }
+
+    # -- delete path --------------------------------------------------
+    g1 = t.store.current_manifest()["gen"]
+    t.delete(spark.createDataFrame([("k3",)], "k string"))
+    dels = {
+        (r.k, r._change_type)
+        for r in t.store.read_changes(g1).select("k", "_change_type").collect()
+    }
+    assert dels == {("k3", "delete")}
+
+    # -- append path: new dirs only, duplicate rows exact -------------
+    a = BucketedParquetStore(spark, str(tmp_path / "a"), ["k"], n_buckets=2)
+    a.init(spark.createDataFrame([("x", 1)], "k string, n int"))
+    ga = a.current_manifest()["gen"]
+    a.append(
+        spark.createDataFrame([("y", 2), ("y", 2)], "k string, n int")
+    )
+    app = [
+        (r.k, r.n, r._change_type)
+        for r in a.read_changes(ga).collect()
+    ]
+    assert sorted(app) == [("y", 2, "insert"), ("y", 2, "insert")]
+
+    # -- compaction: dirs change, rows don't -> empty feed ------------
+    a.append(spark.createDataFrame([("z", 3)], "k string, n int"))
+    gb = a.current_manifest()["gen"]
+    assert a.compact(min_dirs_per_bucket=2)
+    assert a.read_changes(gb).count() == 0
+
+    # -- unretained generation refused --------------------------------
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        a.read_changes(ga)  # vacuumed out of the retention window
