@@ -100,6 +100,51 @@ def stratified_sample(
     return df.where(hash_bucket(*keys, salt=salt) < threshold)
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    epoch: int = 0,
+    n_shards: int | None = None,
+    order_col: str = "shuffle_key",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic epoch-seeded global shuffle + shard assignment —
+    the training-order export step (WebDataset/tf.data shard prep):
+    every epoch needs a DIFFERENT pseudorandom document order, but the
+    same epoch must produce the SAME order on every rerun/retry, with
+    no RNG state and no driver-side permutation of 100 TB.
+
+    ``order_col`` gets a 32-bit content hash of (epoch, key) — sorting
+    by (order_col, key) IS the epoch's permutation; a different
+    ``epoch`` re-salts the hash into an independent order. With
+    ``n_shards``, ``shard_col`` gets ``hash % n_shards``:
+    balanced-in-expectation shards whose membership also reshuffles
+    per epoch. The export pattern is
+    ``out.repartition(shard_col).sortWithinPartitions(order_col)`` —
+    one shuffle, each shard written as one sorted file set; no global
+    sort ever runs (the per-shard sort is the only ordering work, and
+    readers stream shards independently).
+
+    Pure map-side column derivation (same portable md5 family as
+    :func:`hash_bucket` — exact in BIGINT on any engine)."""
+    cols = [F.col(c).cast("string") for c in key_cols]
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(f"epoch{epoch}"), *cols)), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    out = df.withColumn(order_col, h)
+    if n_shards is not None:
+        if n_shards < 1:
+            raise ValueError(f"n_shards must be >= 1: {n_shards}")
+        out = out.withColumn(
+            shard_col, F.pmod(F.col(order_col), F.lit(n_shards)).cast("int")
+        )
+    return out
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

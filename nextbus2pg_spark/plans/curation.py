@@ -642,3 +642,44 @@ def q_domain_cap(spark: SparkSession, sf_dir: str):
     return u.domain_cap(d, "url", max_per_domain=3, order_col="doc_id").select(
         "doc_id", "domain"
     )
+
+
+@fixture(
+    "q_epoch_shuffle",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT AS shuffle_key
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, shuffle_key,
+         CAST(shuffle_key % 8 AS INTEGER) AS shard
+  FROM keyed
+)
+SELECT doc_id, shuffle_key, shard,
+       CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY shuffle_key, doc_id
+       ) AS INTEGER) AS pos
+FROM sharded
+""",
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str):
+    """Epoch-1 deterministic training-order shuffle of documents into
+    8 shards with within-shard positions — the shard-export step of a
+    training pipeline (operators/curation.epoch_shuffle): same epoch
+    ⇒ same permutation on any engine/retry; next epoch re-salts into
+    an independent order. Hash derivation is map-side; the only
+    ordering work is per-shard (the window here proves the order —
+    the export itself uses repartition + sortWithinPartitions, never
+    a global sort)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cu.epoch_shuffle(docs, ["doc_id"], epoch=1, n_shards=8)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return out.select(
+        "doc_id", "shuffle_key", "shard",
+        F.row_number().over(w).alias("pos"),
+    )

@@ -384,3 +384,45 @@ def test_weighted_sample_invariants(spark):
     # the 50 heavy rows (10000x weight) should essentially all be kept
     heavy = sum(1 for i in ids if i < 50)
     assert heavy >= 45
+
+
+def test_epoch_shuffle_permutes_per_epoch_and_balances_shards(spark):
+    """Same epoch => identical order on rerun; different epochs =>
+    different permutations; shards are balanced-in-expectation and
+    exhaustive."""
+    from nextbus2pg_spark.operators.curation import epoch_shuffle
+
+    df = spark.range(400).select(F.col("id").alias("doc_id"))
+    e1a = [
+        r.doc_id
+        for r in epoch_shuffle(df, ["doc_id"], epoch=1)
+        .orderBy("shuffle_key", "doc_id")
+        .collect()
+    ]
+    e1b = [
+        r.doc_id
+        for r in epoch_shuffle(df, ["doc_id"], epoch=1)
+        .orderBy("shuffle_key", "doc_id")
+        .collect()
+    ]
+    e2 = [
+        r.doc_id
+        for r in epoch_shuffle(df, ["doc_id"], epoch=2)
+        .orderBy("shuffle_key", "doc_id")
+        .collect()
+    ]
+    assert e1a == e1b, "same epoch must reproduce the same order"
+    assert e1a != e2, "epochs must produce different permutations"
+    assert sorted(e1a) == list(range(400)) == sorted(e2)
+
+    sharded = epoch_shuffle(df, ["doc_id"], epoch=1, n_shards=8)
+    sizes = {
+        r.shard: r.n
+        for r in sharded.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert set(sizes) == set(range(8)), "shards must be exhaustive"
+    assert max(sizes.values()) < 3 * min(sizes.values()), (
+        f"shard skew out of expectation band: {sizes}"
+    )
