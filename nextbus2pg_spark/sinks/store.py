@@ -594,9 +594,11 @@ class BucketedParquetStore:
         if not kept:
             df = self._empty_frame()
         else:
-            df = self.spark.read.parquet(
-                *[f"{self.path}/{d}" for d in kept]
-            )
+            st = self._stored_schema()
+            reader = self.spark.read
+            if st is not None:
+                reader = reader.schema(st)
+            df = reader.parquet(*[f"{self.path}/{d}" for d in kept])
         if apply_filter:
             if lower is not None:
                 df = df.filter(F.col(col) >= F.lit(lower))
@@ -606,32 +608,109 @@ class BucketedParquetStore:
             df = df.filter(F.col(col).isNotNull())
         return df
 
-    def _empty_frame(self) -> DataFrame:
-        """Typed zero-row frame for valid-but-empty selections: from
-        the manifest's recorded schema when present (survives a
-        delete-all that leaves no data dir anywhere), else derived
-        from any data dir (legacy manifests)."""
+    def _stored_schema(self):
+        """StructType recorded in the current manifest, or None
+        (legacy manifests written before schemas were recorded)."""
         import json as _json
 
         from pyspark.sql.types import StructType
 
         s = self.current_manifest().get("schema")
-        if s:
-            return self.spark.createDataFrame(
-                [], StructType.fromJson(_json.loads(s))
-            )
+        return StructType.fromJson(_json.loads(s)) if s else None
+
+    def _empty_frame(self) -> DataFrame:
+        """Typed zero-row frame for valid-but-empty selections: from
+        the manifest's recorded schema when present (survives a
+        delete-all that leaves no data dir anywhere), else derived
+        from any data dir (legacy manifests)."""
+        st = self._stored_schema()
+        if st is not None:
+            return self.spark.createDataFrame([], st)
         all_dirs = self._bucket_dirs(None)
         if not all_dirs:
             raise FileNotFoundError(f"store {self.path} has no data")
         return self.spark.read.parquet(all_dirs[0]).limit(0)
 
+    def _check_schema(self, df: DataFrame, allow_evolution: bool) -> str:
+        """Schema gate for every write into an existing table: a frame
+        whose columns silently differ from the stored schema is the
+        classic mixed-schema-dirs hazard (parquet reads then take the
+        column set of whichever file is sampled first — columns
+        vanish or NULL out depending on dir layout). Contract:
+
+        - identical column names + types → fine;
+        - NEW columns → rejected unless ``allow_evolution=True``, in
+          which case the manifest schema widens and old dirs read the
+          new columns as NULL (reads are schema-pinned, below);
+        - MISSING or re-typed columns → always rejected (a frame
+          missing a stored column is a bug upstream, not evolution).
+
+        Returns the schema JSON to publish."""
+        stored = self._stored_schema()
+        if stored is None:
+            return df.schema.json()
+        stored_f = {f.name: f.dataType for f in stored.fields}
+        new_f = {f.name: f.dataType for f in df.schema.fields}
+        missing = sorted(set(stored_f) - set(new_f))
+        if missing:
+            raise ValueError(
+                f"write into {self.path} is missing stored columns "
+                f"{missing}; a partial frame would silently NULL them"
+            )
+        # simpleString ignores nullability (array<bigint> regardless of
+        # containsNull) — nullability drift between batches is normal,
+        # only genuine type changes are corruption
+        retyped = sorted(
+            n
+            for n, t in stored_f.items()
+            if new_f[n].simpleString() != t.simpleString()
+        )
+        if retyped:
+            raise ValueError(
+                f"write into {self.path} changes the type of {retyped} "
+                f"(stored: {[str(stored_f[n]) for n in retyped]}, "
+                f"incoming: {[str(new_f[n]) for n in retyped]}); cast "
+                "explicitly — implicit retyping corrupts mixed reads"
+            )
+        added = [f.name for f in df.schema.fields if f.name not in stored_f]
+        if added and not allow_evolution:
+            raise ValueError(
+                f"write into {self.path} adds columns {added}; pass "
+                "allow_evolution=True to widen the table schema "
+                "(existing rows read the new columns as NULL)"
+            )
+        if not added:
+            return stored.json()
+        # widened schema: stored fields first (stable order), then the
+        # new ones, all nullable (old dirs have no values for them)
+        from pyspark.sql.types import StructField, StructType
+
+        widened = StructType(
+            list(stored.fields)
+            + [
+                StructField(f.name, f.dataType, True)
+                for f in df.schema.fields
+                if f.name not in stored_f
+            ]
+        )
+        return widened.json()
+
     def read(self, buckets: Sequence[int] | None = None) -> DataFrame:
         """Current state (optionally only the given buckets — partition
-        pruning by construction: unlisted dirs are never opened)."""
+        pruning by construction: unlisted dirs are never opened).
+        Schema-PINNED when the manifest records one: every read yields
+        exactly the table schema regardless of which dirs happen to be
+        selected — dirs written before a schema widening supply NULL
+        for the added columns instead of dropping them layout-
+        dependently."""
         dirs = self._bucket_dirs(buckets)
         if not dirs:
             return self._empty_frame()
-        return self.spark.read.parquet(*dirs)
+        st = self._stored_schema()
+        reader = self.spark.read
+        if st is not None:
+            reader = reader.schema(st)
+        return reader.parquet(*dirs)
 
     # -- writes -------------------------------------------------------
 
@@ -722,6 +801,7 @@ class BucketedParquetStore:
         merged: DataFrame,
         touched: Sequence[int],
         expected_gen: int | None = None,
+        allow_evolution: bool = False,
     ) -> None:
         """Publish a new generation in which every bucket in ``touched``
         is exactly ``merged``'s rows for it and every other bucket keeps
@@ -759,7 +839,7 @@ class BucketedParquetStore:
                 gen,
                 {b: d for b, d in buckets.items() if d},
                 stats,
-                merged.schema.json(),
+                self._check_schema(merged, allow_evolution),
             )
         except BaseException:
             self._release_claim(gen)
@@ -842,16 +922,18 @@ class BucketedParquetStore:
         self.replace_buckets(merged, list(todo), expected_gen=man["gen"])
         return {b: len(d) for b, d in sorted(todo.items())}
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, allow_evolution: bool = False) -> None:
         """Append-only write: adds new dirs to the touched buckets
         without reading or rewriting anything (O(batch) IO — the
-        vehicle_location event-log shape, agency.py:303-322)."""
+        vehicle_location event-log shape, agency.py:303-322).
+        Schema-gated: see :meth:`_check_schema`."""
         if not self.exists():
             self.init(df)
             return
         gen = self.claim_next_generation()
         try:
             man = self.current_manifest()  # after the claim: authoritative
+            schema_json = self._check_schema(df, allow_evolution)
             written = self._write_generation(df, gen)
             buckets: dict[int, list[str]] = {
                 int(b): list(dirs) for b, dirs in man["buckets"].items()
@@ -860,7 +942,7 @@ class BucketedParquetStore:
                 buckets.setdefault(int(b), []).append(d)
             stats = dict(man.get("stats", {}))
             stats.update(self._collect_stats(gen, written, df.columns))
-            self._publish(gen, buckets, stats, df.schema.json())
+            self._publish(gen, buckets, stats, schema_json)
         except BaseException:
             self._release_claim(gen)
             raise

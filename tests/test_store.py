@@ -745,3 +745,46 @@ def test_read_changes_cdc(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         a.read_changes(ga)  # vacuumed out of the retention window
+
+
+def test_schema_evolution_gate_and_pinned_reads(spark, tmp_path):
+    """Writes into an existing table are schema-gated (silent
+    mixed-schema dirs are the bug this prevents): new columns need
+    allow_evolution=True, missing/retyped columns always raise. After
+    a widening, reads are schema-PINNED — pre-widening dirs supply
+    NULL for the added column no matter which dirs a read selects."""
+    path = str(tmp_path / "t")
+    store = BucketedParquetStore(spark, path, ["k"], n_buckets=2)
+    store.init(spark.createDataFrame([("a", 1)], "k string, n int"))
+
+    # new column without opt-in -> loud rejection
+    wider = spark.createDataFrame(
+        [("b", 2, "x")], "k string, n int, extra string"
+    )
+    with pytest.raises(ValueError, match="allow_evolution"):
+        store.append(wider)
+    # missing column -> always rejected
+    with pytest.raises(ValueError, match="missing"):
+        store.append(spark.createDataFrame([("c",)], "k string"))
+    # retyped column -> always rejected
+    with pytest.raises(ValueError, match="type"):
+        store.append(
+            spark.createDataFrame([("c", "9")], "k string, n string")
+        )
+
+    # opt-in widening: publishes, and EVERY read (old dirs included)
+    # now yields the widened schema with NULL backfill
+    store.append(wider, allow_evolution=True)
+    rows = {r.k: (r.n, r.extra) for r in store.read().collect()}
+    assert rows == {"a": (1, None), "b": (2, "x")}
+    # subsequent appends must carry the widened schema
+    with pytest.raises(ValueError, match="missing"):
+        store.append(spark.createDataFrame([("d", 3)], "k string, n int"))
+    store.append(
+        spark.createDataFrame(
+            [("d", 3, None)], "k string, n int, extra string"
+        )
+    )
+    assert store.read().count() == 3
+    # claims were released by the rejected writes: gens stay compact
+    assert store.current_manifest()["gen"] == store._manifest_gens()[-1]
