@@ -43,6 +43,9 @@ R4_SET = [
     "q_substring_dedup", "q_interval_join", "q_url_canon",
     "q_histogram_quantile", "q_heavy_hitters", "q_oov_ratio",
 ]
+R5_SET = [
+    "q_bm25_topk",
+]
 
 HEADLINE = [
     "q_flagship_latest",
@@ -67,6 +70,7 @@ HEADLINE = [
     "q_histogram_quantile",
     "q_heavy_hitters",
     "q_oov_ratio",
+    "q_bm25_topk",
 ]
 
 
@@ -153,6 +157,9 @@ def main() -> None:
                 ),
                 "subtotal_r4_set": round(
                     sum(timings[n] for n in R4_SET if n in timings), 3
+                ),
+                "subtotal_r5_set": round(
+                    sum(timings[n] for n in R5_SET if n in timings), 3
                 ),
             }
         )

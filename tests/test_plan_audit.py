@@ -362,3 +362,28 @@ def test_oov_ratio_model_joins_broadcast(spark):
     assert "SortMergeJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
     assert "partial" in p.lower(), p
+
+
+def test_bm25_stats_broadcast_topk_is_sort_limit(spark):
+    """BM25's corpus stats are a broadcast 1-row aggregate; the top-k
+    is TakeOrdered (per-partition partial top-k), NEVER a global sort
+    of the scored corpus; scoring aggregates are map-side partial."""
+    p = plan_text(q(spark, "q_bm25_topk"))
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrdered" in p, p
+    assert "partial" in p.lower(), p
+
+
+def test_epoch_shuffle_is_shuffle_free(spark):
+    """epoch_shuffle's key/shard derivation is a pure map-side
+    expression chain — the only Exchange allowed in the fixture plan is
+    the per-shard window's (which exists to PROVE the order; the export
+    itself uses repartition + sortWithinPartitions)."""
+    from nextbus2pg_spark.operators.curation import epoch_shuffle
+    from nextbus2pg_spark.catalog import load_table
+
+    df = load_table(spark, SF_DIR, "documents")
+    p = plan_text(epoch_shuffle(df, ["doc_id"], epoch=1, n_shards=8))
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
