@@ -788,3 +788,62 @@ def test_schema_evolution_gate_and_pinned_reads(spark, tmp_path):
     assert store.read().count() == 3
     # claims were released by the rejected writes: gens stay compact
     assert store.current_manifest()["gen"] == store._manifest_gens()[-1]
+
+
+def test_cdc_reconstructs_any_snapshot(spark, tmp_path):
+    """Property: for ANY random interleaving of upserts, deletes and
+    compactions, applying read_changes(g → head) to the generation-g
+    snapshot reconstructs the head table exactly (as a row multiset):
+        snapshot(g) − deletes + inserts == snapshot(head).
+    This is the contract an incremental downstream consumer relies on
+    instead of re-reading the table after every publish."""
+    import random
+    from collections import Counter
+
+    rnd = random.Random(11)
+    t = ParquetUpsertTable(
+        spark, str(tmp_path / "t"), key_cols=["k"], update_cols=["v"],
+        n_buckets=4,
+    )
+    t.store.keep_generations = 10  # retain a window to diff across
+    keyspace = [f"k{i}" for i in range(12)]
+    t.upsert(
+        spark.createDataFrame(
+            [(k, f"v0-{k}") for k in keyspace[:8]], "k string, v string"
+        )
+    )
+    snapshots = {}
+    for step in range(6):
+        g = t.store.current_manifest()["gen"]
+        snapshots[g] = Counter(
+            (r.k, r.v) for r in t.read().collect()
+        )
+        op = rnd.choice(["upsert", "delete", "compact"])
+        if op == "upsert":
+            rows = [
+                (rnd.choice(keyspace), f"v{step}-{i}")
+                for i in range(rnd.randint(1, 4))
+            ]
+            t.upsert(spark.createDataFrame(rows, "k string, v string"))
+        elif op == "delete":
+            t.delete(
+                spark.createDataFrame(
+                    [(rnd.choice(keyspace),)], "k string"
+                )
+            )
+        else:
+            t.compact(min_dirs_per_bucket=2)
+
+    head = Counter((r.k, r.v) for r in t.read().collect())
+    for g, snap in snapshots.items():
+        if g not in t.store.generations():
+            continue
+        want = Counter(snap)
+        for r in t.store.read_changes(g).collect():
+            if r._change_type == "insert":
+                want[(r.k, r.v)] += 1
+            else:
+                want[(r.k, r.v)] -= 1
+                if want[(r.k, r.v)] == 0:
+                    del want[(r.k, r.v)]
+        assert want == head, f"CDC from gen {g} fails to reconstruct head"
