@@ -126,11 +126,21 @@ def epoch_shuffle(
     readers stream shards independently).
 
     Pure map-side column derivation (same portable md5 family as
-    :func:`hash_bucket` — exact in BIGINT on any engine)."""
-    cols = [F.col(c).cast("string") for c in key_cols]
+    :func:`hash_bucket`, but 60 hash bits — 15 hex chars, exact in a
+    signed BIGINT on any engine — because a 32-bit order key collides
+    for a meaningful fraction of a billion-document corpus and
+    colliding docs would fall back to ingestion order, exactly the
+    correlation the shuffle exists to destroy; at 60 bits collisions
+    are birthday-negligible at any realistic corpus size). NULL key
+    components fold to a sentinel before hashing (concat_ws silently
+    DROPS nulls, which would alias ('a', NULL) with (NULL, 'a'))."""
+    cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+        for c in key_cols
+    ]
     h = F.conv(
         F.substring(
-            F.md5(F.concat_ws(":", F.lit(f"epoch{epoch}"), *cols)), 1, 8
+            F.md5(F.concat_ws(":", F.lit(f"epoch{epoch}"), *cols)), 1, 15
         ),
         16,
         10,

@@ -649,7 +649,7 @@ def q_domain_cap(spark: SparkSession, sf_dir: str):
     oracle="""
 WITH keyed AS (
   SELECT doc_id,
-         ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 15))
            ::BIGINT AS shuffle_key
   FROM documents
 ),

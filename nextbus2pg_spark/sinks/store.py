@@ -138,7 +138,7 @@ class BucketedParquetStore:
         null_safe: bool = False,
         keep_generations: int = 2,
         stats_cols: Sequence[str] | None = None,
-        claim_ttl_sec: float = 600.0,
+        claim_ttl_sec: float = 3600.0,
     ):
         if n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
@@ -171,8 +171,14 @@ class BucketedParquetStore:
         # instead of silently dropping the winner's generation
         # (last-rename-wins). A claim left by a crashed writer blocks
         # its generation until ``claim_ttl_sec`` has passed, after
-        # which the next writer takes it over. On object storage
-        # (no atomic create/rename) use a real commit service —
+        # which the next writer takes it over (atomically, via a
+        # tombstone rename). TTL CONTRACT: claim_ttl_sec must exceed
+        # the longest write job the table can see — a takeover of a
+        # merely-SLOW living writer re-opens the very race the claims
+        # close (the default is deliberately generous; size it to your
+        # write SLA, or disable takeover with claim_ttl_sec=inf and
+        # clear crashed claims operationally). On object storage (no
+        # atomic create/rename) use a real commit service —
         # MIGRATION.md maps this onto Delta's LogStore.
         self.claim_ttl_sec = claim_ttl_sec
 
@@ -211,19 +217,25 @@ class BucketedParquetStore:
 
     def _try_claim(self, gen: int) -> bool:
         """Atomically create the claim file for ``gen``; False if any
-        other writer (live or crashed) already holds it."""
+        other writer (live or crashed) already holds it. Only a
+        lost-the-race condition maps to False — a real IO/permission
+        failure re-raises instead of masquerading as a concurrency
+        conflict (which would send the operator chasing a phantom
+        writer)."""
         _, fs, root = self._fs()
         if not fs.exists(root):
             fs.mkdirs(root)
         p = self._jpath(f"_claim-{gen}")
+        if fs.exists(p):
+            return False
         try:
-            if fs.exists(p):
-                return False
             out = fs.create(p, False)  # overwrite=False: atomic on HDFS
             out.close()
             return True
         except Exception:
-            return False
+            if fs.exists(p):
+                return False  # lost the create race — genuine conflict
+            raise
 
     def claim_next_generation(self) -> int:
         """Claim the next unpublished generation number, serializing
@@ -239,7 +251,7 @@ class BucketedParquetStore:
             gen = self._next_gen()
             if self._try_claim(gen):
                 return gen
-        _, fs, _ = self._fs()
+        jvm, fs, _ = self._fs()
         gen = self._next_gen()
         claim = self._jpath(f"_claim-{gen}")
         try:
@@ -247,8 +259,13 @@ class BucketedParquetStore:
         except Exception:
             age = None  # claim vanished (holder published or aborted)
         if age is not None and age > self.claim_ttl_sec:
-            fs.delete(claim, False)
-            if self._try_claim(gen):
+            # Atomic takeover: RENAME the aged claim to a tombstone.
+            # Two racing reapers both see it stale, but rename's source
+            # vanishes for the loser — exactly one proceeds to re-claim
+            # (a delete+create takeover would let both "win" gen N).
+            tomb = self._jpath(f"_claim-{gen}.tomb")
+            fs.delete(tomb, False)
+            if fs.rename(claim, tomb) and self._try_claim(gen):
                 return gen
         raise ConcurrentWriteError(
             f"generation {gen} of {self.path} is claimed by another "
@@ -343,7 +360,10 @@ class BucketedParquetStore:
         # vacated too. Claims ABOVE the latest manifest belong to
         # in-flight or crashed writers and are never touched here.
         for st in fs.listStatus(root):
-            m = _CLAIM_RE.search(st.getPath().getName())
+            name = st.getPath().getName()
+            m = _CLAIM_RE.search(name) or re.search(
+                r"_claim-(\d+)\.tomb$", name
+            )
             if m and int(m.group(1)) < min(keep, default=0):
                 fs.delete(st.getPath(), False)
         data_root = self._jpath("data")
@@ -425,8 +445,33 @@ class BucketedParquetStore:
                 raise ValueError(
                     f"generation {g} not retained; have {gens}"
                 )
+        if from_gen > to_gen:
+            raise ValueError(
+                f"read_changes range is backwards ({from_gen} > "
+                f"{to_gen}); a swapped range would silently invert "
+                "every insert/delete label"
+            )
         man_a = self._read_manifest(from_gen)
         man_b = self._read_manifest(to_gen)
+        # Pin every dir read to the TO-side schema: dirs written before
+        # a schema widening backfill the added columns with NULL, so
+        # the diff sees NULL→value changes instead of dropping the
+        # column (or failing the union) layout-dependently.
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        to_schema = (
+            StructType.fromJson(_json.loads(man_b["schema"]))
+            if man_b.get("schema")
+            else None
+        )
+
+        def _read_dirs(dirs: list[str]) -> DataFrame:
+            reader = self.spark.read
+            if to_schema is not None:
+                reader = reader.schema(to_schema)
+            return reader.parquet(*[f"{self.path}/{d}" for d in dirs])
         ba = {b: list(d) for b, d in man_a["buckets"].items()}
         bb = {b: list(d) for b, d in man_b["buckets"].items()}
 
@@ -446,26 +491,18 @@ class BucketedParquetStore:
         parts: list[DataFrame] = []
         if appended_dirs:
             parts.append(
-                self.spark.read.parquet(
-                    *[f"{self.path}/{d}" for d in appended_dirs]
-                ).withColumn("_change_type", F.lit("insert"))
+                _read_dirs(appended_dirs).withColumn(
+                    "_change_type", F.lit("insert")
+                )
             )
         if rewritten_old or rewritten_new:
-            empty = self._empty_frame()
-            old = (
-                self.spark.read.parquet(
-                    *[f"{self.path}/{d}" for d in rewritten_old]
-                )
-                if rewritten_old
-                else empty
+            empty = (
+                self.spark.createDataFrame([], to_schema)
+                if to_schema is not None
+                else self._empty_frame()
             )
-            new = (
-                self.spark.read.parquet(
-                    *[f"{self.path}/{d}" for d in rewritten_new]
-                )
-                if rewritten_new
-                else empty
-            )
+            old = _read_dirs(rewritten_old) if rewritten_old else empty
+            new = _read_dirs(rewritten_new) if rewritten_new else empty
             cols = old.columns
             oc = old.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c_old"))
             nc = new.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c_new"))
@@ -648,7 +685,14 @@ class BucketedParquetStore:
         Returns the schema JSON to publish."""
         stored = self._stored_schema()
         if stored is None:
-            return df.schema.json()
+            # Legacy manifest (pre-schema-recording): derive the
+            # baseline from existing data (single-dir sample) so the
+            # first post-upgrade write cannot pin a NARROWED schema
+            # that hides historical columns from every future read.
+            all_dirs = self._bucket_dirs(None)
+            if not all_dirs:
+                return df.schema.json()
+            stored = self.spark.read.parquet(all_dirs[0]).schema
         stored_f = {f.name: f.dataType for f in stored.fields}
         new_f = {f.name: f.dataType for f in df.schema.fields}
         missing = sorted(set(stored_f) - set(new_f))
@@ -825,6 +869,10 @@ class BucketedParquetStore:
                     f"{expected_gen} to {man['gen']} since this merge was "
                     "computed; re-read and re-merge"
                 )
+            # Schema-gate BEFORE the write job: df.schema is plan
+            # metadata, so a bad frame fails in milliseconds instead of
+            # after hours of touched-bucket IO.
+            schema_json = self._check_schema(merged, allow_evolution)
             written = self._write_generation(merged, gen)
             buckets: dict[int, list[str]] = {
                 int(b): list(dirs) for b, dirs in man["buckets"].items()
@@ -839,7 +887,7 @@ class BucketedParquetStore:
                 gen,
                 {b: d for b, d in buckets.items() if d},
                 stats,
-                self._check_schema(merged, allow_evolution),
+                schema_json,
             )
         except BaseException:
             self._release_claim(gen)
