@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -535,3 +535,73 @@ def simhash(
         F.lit(0).cast("long"),
     )
     return wide.select("id", packed.alias("simhash"))
+
+
+def setsim_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> DataFrame:
+    """EXACT set-similarity self-join: every document pair whose
+    word-SET Jaccard is >= ``threshold`` → (id_a, id_b, jaccard),
+    id_a < id_b. The deterministic, no-missed-pairs complement of the
+    MinHash-LSH rung (which trades recall for speed): use this when
+    the dedup decision must be exhaustive at a declared threshold.
+
+    PPJoin-style prefix filtering keeps it off the all-pairs cliff:
+    tokens get a GLOBAL rarest-first order (corpus doc-frequency asc,
+    token asc — rarest tokens prune hardest); each document's tokens
+    sort in that order and only its PREFIX of length
+    ``n - ceil(t*n) + 1`` emits join rows. Any pair with Jaccard >= t
+    shares >= ceil(t*max(n_a, n_b)) tokens, so it must collide inside
+    both prefixes (the standard prefix-filter theorem) — completeness
+    holds while the candidate join touches only prefix tokens, whose
+    stream shrinks as t grows. Verification reuses
+    :func:`jaccard_pairs` (exact integer arithmetic; same candidate-
+    restricted scale shape as the LSH verify).
+
+    Scale notes: the token-frequency table is vocabulary-sized and
+    broadcasts; the candidate join's worst key is the most common
+    PREFIX token — documents whose sets are mostly rare tokens prune
+    to near-nothing, and a stop-word-like token only enters prefixes
+    of documents that consist almost entirely of other stop words.
+    ``ceil`` takes a 1e-9 slack so float noise in t*n can only
+    LENGTHEN a prefix (extra candidates), never shorten one (missed
+    pairs).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(words).alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds freq, prefix AND verify
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    freq = toks.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("__df").asc(), F.col("shingle").asc()
+    )
+    prefix = (
+        toks.join(F.broadcast(freq), "shingle")
+        .withColumn("__r", F.row_number().over(w))
+        .join(sizes, "id")
+        .where(
+            F.col("__r")
+            <= F.col("__n")
+            - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+            + F.lit(1)
+        )
+        .select("id", "shingle")
+    )
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "shingle")
+        .join(prefix.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_pairs(toks, cand).where(
+        F.col("jaccard") >= F.lit(threshold)
+    )

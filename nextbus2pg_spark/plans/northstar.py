@@ -1575,3 +1575,44 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str):
         .filter(F.col("est_count").cast("double") >= 0.2 * F.col("n").cast("double"))
         .select("lang", "est_count")
     )
+
+
+@fixture(
+    "q_setsim_join",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
+""",
+)
+def q_setsim_join(spark: SparkSession, sf_dir: str):
+    """EXACT set-similarity self-join at Jaccard >= 0.9 over word sets
+    (operators/dedup.setsim_join): PPJoin-style prefix filtering on a
+    global rarest-first token order generates candidates, exact
+    integer-arithmetic Jaccard verifies — no missed pairs by the
+    prefix-filter theorem, which is precisely what the ORACLE proves:
+    DuckDB computes the answer from the naive all-pairs DEFINITION, so
+    any pair the pruned plan missed (or invented) hash-mismatches.
+    The deterministic complement of the recall-bounded MinHash rung."""
+    from nextbus2pg_spark.operators.dedup import setsim_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = setsim_join(docs, "doc_id", "text", threshold=0.9)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )

@@ -454,3 +454,39 @@ def test_countmin_never_undercounts_and_merges(spark):
     m = sorted(tuple(r) for r in merged.collect())
     s = sorted(tuple(r) for r in sketch.collect())
     assert m == s
+
+
+def test_setsim_join_matches_brute_force(spark):
+    """Property: prefix-filtered exact set-similarity join equals the
+    all-pairs definition on a randomized corpus, across thresholds
+    that land exactly ON integer boundaries (ceil(t*n) integral — the
+    float-noise edge the 1e-9 slack guards) and between them."""
+    import itertools
+    import random
+
+    rnd = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rnd.sample(vocab, rnd.randint(2, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def brute(t):
+        sets = {i: set(s.split()) for i, s in docs}
+        out = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= t:
+                out.add((a, b, round(inter / union, 6)))
+        return out
+
+    from nextbus2pg_spark.operators.dedup import setsim_join
+
+    for t in (0.25, 0.5, 0.6, 0.75):  # 0.5/0.25 hit exact boundaries
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard, 6))
+            for r in setsim_join(df, "doc_id", "text", t).collect()
+        }
+        assert got == brute(t), f"threshold {t}: mismatch"
