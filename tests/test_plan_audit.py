@@ -387,3 +387,13 @@ def test_epoch_shuffle_is_shuffle_free(spark):
     p = plan_text(epoch_shuffle(df, ["doc_id"], epoch=1, n_shards=8))
     assert "Exchange" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_setsim_join_no_cartesian_freq_broadcast(spark):
+    """The exact set-similarity join must reach its candidates through
+    the prefix-token equi-join — never a cartesian/BNLJ — with the
+    vocabulary-sized frequency table broadcast onto the token stream."""
+    p = plan_text(q(spark, "q_setsim_join"))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
