@@ -48,20 +48,30 @@ class ChangeFeedFollower:
     # -- marker -------------------------------------------------------
 
     def last_applied(self) -> int | None:
+        """Marker generation, or None when absent OR unreadable: a
+        torn/empty marker (power loss between rename and data flush)
+        must route into the documented RetentionLapsedError → resync
+        recovery path, not crash every poll with a JSON error."""
         try:
             with open(self.marker_path, encoding="utf-8") as f:
                 return int(json.load(f)["gen"])
         except FileNotFoundError:
             return None
+        except (ValueError, KeyError, json.JSONDecodeError):
+            return None  # torn marker == no marker: resync recovers
 
     def _advance(self, gen: int) -> None:
-        """Atomic marker publish (tmp + rename — same commit shape as
-        the store's manifests; on HDFS/object storage keep the marker
-        beside the store and use its FS)."""
+        """Atomic marker publish: tmp + fsync + rename — the fsync
+        matters (ext4 delayed allocation can journal the rename before
+        the data, leaving a zero-length marker after power loss). Same
+        commit shape as the store's manifests; on HDFS/object storage
+        keep the marker beside the store and use its FS."""
         tmp = f"{self.marker_path}.tmp"
         os.makedirs(os.path.dirname(self.marker_path) or ".", exist_ok=True)
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump({"gen": gen}, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self.marker_path)
 
     # -- consumption --------------------------------------------------
@@ -71,7 +81,8 @@ class ChangeFeedFollower:
         receives the change frame (table columns + ``_change_type``);
         the marker advances to the head generation only after it
         returns. Returns the generation caught up to, or None when
-        already current. First poll (no marker) raises
+        already current. First poll (no marker, including a torn
+        unreadable one) raises
         RetentionLapsedError — a new follower must start from a
         snapshot, not from an arbitrary mid-history delta."""
         head = self.store.current_manifest()["gen"]

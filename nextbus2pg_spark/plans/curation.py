@@ -649,7 +649,8 @@ def q_domain_cap(spark: SparkSession, sf_dir: str):
     oracle="""
 WITH keyed AS (
   SELECT doc_id,
-         ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         ('0x' || substr(md5('epoch1:' ||
+            COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 15))
            ::BIGINT AS shuffle_key
   FROM documents
 ),

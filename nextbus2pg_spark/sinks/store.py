@@ -171,8 +171,8 @@ class BucketedParquetStore:
         # instead of silently dropping the winner's generation
         # (last-rename-wins). A claim left by a crashed writer blocks
         # its generation until ``claim_ttl_sec`` has passed, after
-        # which the next writer takes it over (atomically, via a
-        # tombstone rename). TTL CONTRACT: claim_ttl_sec must exceed
+        # which exactly ONE writer takes it over (arbitrated by an
+        # exclusive reap-lock create). TTL CONTRACT: claim_ttl_sec must exceed
         # the longest write job the table can see — a takeover of a
         # merely-SLOW living writer re-opens the very race the claims
         # close (the default is deliberately generous; size it to your
@@ -215,17 +215,16 @@ class BucketedParquetStore:
             stream.close()
         return json.loads(data)
 
-    def _try_claim(self, gen: int) -> bool:
-        """Atomically create the claim file for ``gen``; False if any
-        other writer (live or crashed) already holds it. Only a
-        lost-the-race condition maps to False — a real IO/permission
-        failure re-raises instead of masquerading as a concurrency
-        conflict (which would send the operator chasing a phantom
-        writer)."""
+    def _create_exclusive(self, rel: str) -> bool:
+        """Atomically create ``rel`` as a zero-byte lock file; False if
+        it already exists. Only a lost-the-race condition maps to
+        False — a real IO/permission failure re-raises instead of
+        masquerading as a concurrency conflict (which would send the
+        operator chasing a phantom writer)."""
         _, fs, root = self._fs()
         if not fs.exists(root):
             fs.mkdirs(root)
-        p = self._jpath(f"_claim-{gen}")
+        p = self._jpath(rel)
         if fs.exists(p):
             return False
         try:
@@ -236,6 +235,49 @@ class BucketedParquetStore:
             if fs.exists(p):
                 return False  # lost the create race — genuine conflict
             raise
+
+    def _try_claim(self, gen: int) -> bool:
+        """Atomically create the claim file for ``gen``; False if any
+        other writer (live or crashed) already holds it."""
+        return self._create_exclusive(f"_claim-{gen}")
+
+    def _age_of(self, rel: str) -> float | None:
+        """Seconds since ``rel``'s modification time, None if absent."""
+        _, fs, _ = self._fs()
+        try:
+            st = fs.getFileStatus(self._jpath(rel))
+        except Exception:
+            return None
+        return time.time() - st.getModificationTime() / 1000.0
+
+    def _takeover_stale_claim(self, gen: int) -> bool:
+        """Single-winner takeover of a stale claim. The arbitration is
+        an EXCLUSIVE create of a reap-lock file — all blocked writers
+        cross the TTL at the same wall-clock moment, so reapers racing
+        each other is the expected case, and a rename/delete-based
+        takeover lets two of them both 'win' the generation (the
+        round-5 review's corruption scenario). Holding the reap lock,
+        the winner re-verifies the claim is STILL stale (it may have
+        been refreshed), deletes it, and claims normally; every other
+        writer keeps failing on the ordinary claim path meanwhile. A
+        reaper that crashes mid-takeover leaves a reap file that is
+        itself reaped (deleted, then re-raced) once IT ages past the
+        TTL."""
+        _, fs, _ = self._fs()
+        reap = f"_claim-{gen}.reap"
+        reap_age = self._age_of(reap)
+        if reap_age is not None and reap_age > self.claim_ttl_sec:
+            fs.delete(self._jpath(reap), False)  # abandoned reaper
+        if not self._create_exclusive(reap):
+            return False  # another reaper owns this takeover
+        try:
+            claim_age = self._age_of(f"_claim-{gen}")
+            if claim_age is not None and claim_age <= self.claim_ttl_sec:
+                return False  # refreshed under us — not stale after all
+            fs.delete(self._jpath(f"_claim-{gen}"), False)
+            return self._try_claim(gen)
+        finally:
+            fs.delete(self._jpath(reap), False)
 
     def claim_next_generation(self) -> int:
         """Claim the next unpublished generation number, serializing
@@ -251,21 +293,10 @@ class BucketedParquetStore:
             gen = self._next_gen()
             if self._try_claim(gen):
                 return gen
-        jvm, fs, _ = self._fs()
         gen = self._next_gen()
-        claim = self._jpath(f"_claim-{gen}")
-        try:
-            age = time.time() - fs.getFileStatus(claim).getModificationTime() / 1000.0
-        except Exception:
-            age = None  # claim vanished (holder published or aborted)
+        age = self._age_of(f"_claim-{gen}")
         if age is not None and age > self.claim_ttl_sec:
-            # Atomic takeover: RENAME the aged claim to a tombstone.
-            # Two racing reapers both see it stale, but rename's source
-            # vanishes for the loser — exactly one proceeds to re-claim
-            # (a delete+create takeover would let both "win" gen N).
-            tomb = self._jpath(f"_claim-{gen}.tomb")
-            fs.delete(tomb, False)
-            if fs.rename(claim, tomb) and self._try_claim(gen):
+            if self._takeover_stale_claim(gen):
                 return gen
         raise ConcurrentWriteError(
             f"generation {gen} of {self.path} is claimed by another "
@@ -362,7 +393,7 @@ class BucketedParquetStore:
         for st in fs.listStatus(root):
             name = st.getPath().getName()
             m = _CLAIM_RE.search(name) or re.search(
-                r"_claim-(\d+)\.tomb$", name
+                r"_claim-(\d+)\.reap$", name
             )
             if m and int(m.group(1)) < min(keep, default=0):
                 fs.delete(st.getPath(), False)
@@ -457,21 +488,12 @@ class BucketedParquetStore:
         # a schema widening backfill the added columns with NULL, so
         # the diff sees NULL→value changes instead of dropping the
         # column (or failing the union) layout-dependently.
-        import json as _json
-
-        from pyspark.sql.types import StructType
-
-        to_schema = (
-            StructType.fromJson(_json.loads(man_b["schema"]))
-            if man_b.get("schema")
-            else None
-        )
+        to_schema = self._schema_of_manifest(man_b)
 
         def _read_dirs(dirs: list[str]) -> DataFrame:
-            reader = self.spark.read
-            if to_schema is not None:
-                reader = reader.schema(to_schema)
-            return reader.parquet(*[f"{self.path}/{d}" for d in dirs])
+            return self._pinned_reader(to_schema).parquet(
+                *[f"{self.path}/{d}" for d in dirs]
+            )
         ba = {b: list(d) for b, d in man_a["buckets"].items()}
         bb = {b: list(d) for b, d in man_b["buckets"].items()}
 
@@ -631,11 +653,9 @@ class BucketedParquetStore:
         if not kept:
             df = self._empty_frame()
         else:
-            st = self._stored_schema()
-            reader = self.spark.read
-            if st is not None:
-                reader = reader.schema(st)
-            df = reader.parquet(*[f"{self.path}/{d}" for d in kept])
+            df = self._pinned_reader().parquet(
+                *[f"{self.path}/{d}" for d in kept]
+            )
         if apply_filter:
             if lower is not None:
                 df = df.filter(F.col(col) >= F.lit(lower))
@@ -645,15 +665,28 @@ class BucketedParquetStore:
             df = df.filter(F.col(col).isNotNull())
         return df
 
-    def _stored_schema(self):
-        """StructType recorded in the current manifest, or None
-        (legacy manifests written before schemas were recorded)."""
-        import json as _json
-
+    @staticmethod
+    def _schema_of_manifest(man: dict):
+        """StructType recorded in a manifest doc, or None (legacy
+        manifests written before schemas were recorded)."""
         from pyspark.sql.types import StructType
 
-        s = self.current_manifest().get("schema")
-        return StructType.fromJson(_json.loads(s)) if s else None
+        s = man.get("schema")
+        return StructType.fromJson(json.loads(s)) if s else None
+
+    def _stored_schema(self):
+        return self._schema_of_manifest(self.current_manifest())
+
+    def _pinned_reader(self, schema=None):
+        """DataFrameReader pinned to ``schema`` (default: the stored
+        schema) when one exists — the single construction point for
+        schema-pinned dir reads (read / read_range / read_changes must
+        never diverge on pinning semantics)."""
+        st = self._stored_schema() if schema is None else schema
+        reader = self.spark.read
+        if st is not None:
+            reader = reader.schema(st)
+        return reader
 
     def _empty_frame(self) -> DataFrame:
         """Typed zero-row frame for valid-but-empty selections: from
@@ -686,13 +719,21 @@ class BucketedParquetStore:
         stored = self._stored_schema()
         if stored is None:
             # Legacy manifest (pre-schema-recording): derive the
-            # baseline from existing data (single-dir sample) so the
-            # first post-upgrade write cannot pin a NARROWED schema
-            # that hides historical columns from every future read.
+            # baseline from existing data so the first post-upgrade
+            # write cannot pin a NARROWED schema that hides historical
+            # columns from every future read. mergeSchema, because a
+            # pre-gate table may hold mixed-schema dirs — the baseline
+            # must be the WIDEST legacy schema, not whichever dir gets
+            # sampled first (one-time footer-union cost on the first
+            # post-upgrade write only).
             all_dirs = self._bucket_dirs(None)
             if not all_dirs:
                 return df.schema.json()
-            stored = self.spark.read.parquet(all_dirs[0]).schema
+            stored = (
+                self.spark.read.option("mergeSchema", True)
+                .parquet(*all_dirs)
+                .schema
+            )
         stored_f = {f.name: f.dataType for f in stored.fields}
         new_f = {f.name: f.dataType for f in df.schema.fields}
         missing = sorted(set(stored_f) - set(new_f))
@@ -750,11 +791,7 @@ class BucketedParquetStore:
         dirs = self._bucket_dirs(buckets)
         if not dirs:
             return self._empty_frame()
-        st = self._stored_schema()
-        reader = self.spark.read
-        if st is not None:
-            reader = reader.schema(st)
-        return reader.parquet(*dirs)
+        return self._pinned_reader().parquet(*dirs)
 
     # -- writes -------------------------------------------------------
 
