@@ -907,3 +907,55 @@ def test_read_changes_across_schema_evolution(spark, tmp_path):
 
     with pytest.raises(ValueError, match="backwards"):
         store.read_changes(store.current_manifest()["gen"], g0)
+
+
+def test_true_concurrent_appends_lose_nothing(spark, tmp_path):
+    """REAL concurrency (two threads, one store path): each append
+    either publishes or raises ConcurrentWriteError — and every row of
+    every SUCCESSFUL append is present afterward. Lost updates are
+    impossible regardless of interleaving; losers are told loudly and
+    their retry lands."""
+    import threading
+
+    from nextbus2pg_spark.sinks.store import ConcurrentWriteError
+
+    path = str(tmp_path / "t")
+    store = BucketedParquetStore(spark, path, ["k"], n_buckets=2)
+    store.init(spark.createDataFrame([("seed", -1)], "k string, n int"))
+
+    results: dict[str, str] = {}
+    barrier = threading.Barrier(2)
+
+    def writer(tag: str):
+        # each thread gets its OWN store handle (no shared state) but
+        # the same path — the on-disk claim files are the arbiter
+        s = BucketedParquetStore(spark, path, ["k"], n_buckets=2)
+        df = spark.createDataFrame(
+            [(f"{tag}{i}", i) for i in range(4)], "k string, n int"
+        )
+        barrier.wait()
+        for attempt in range(10):
+            try:
+                s.append(df)
+                results[tag] = f"ok(attempt {attempt})"
+                return
+            except ConcurrentWriteError:
+                # loud rejection -> backoff and retry is the contract
+                # (the claim is held for the winner's WHOLE write job,
+                # so an immediate retry just burns attempts)
+                import time as _time
+
+                _time.sleep(2.0)
+        results[tag] = "gave up"
+
+    threads = [
+        threading.Thread(target=writer, args=(t,)) for t in ("a", "b")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert all(v.startswith("ok") for v in results.values()), results
+    got = {r.k for r in store.read().collect()}
+    want = {"seed"} | {f"a{i}" for i in range(4)} | {f"b{i}" for i in range(4)}
+    assert got == want, f"lost rows: {want - got}"
