@@ -229,3 +229,26 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str):
     return ts.bm25_topk(
         docs, "doc_id", "text", ["spark", "vector", "merge"], k=10
     )
+
+
+@fixture("q_bpe_merges", rows_only=True)  # iterative training: not
+# SQL-expressible (each merge's pair counts depend on all previous
+# merges); correctness is pinned instead by tests/test_bpe.py, which
+# proves the distributed trainer merge-for-merge equal to a pure-
+# Python reference implementation on randomized corpora.
+def q_bpe_merges(spark: SparkSession, sf_dir: str):
+    """First 10 BPE merge rules learned from the documents corpus
+    (operators/bpe.bpe_train): one corpus pass builds word
+    frequencies, then every iteration runs on the vocabulary-sized
+    symbol table — 10 merges cost 10 tiny jobs, not 10 corpus scans.
+    Deterministic (frequency ties break lexicographically), so the
+    row set is stable across runs/partitionings even without an
+    oracle."""
+    from nextbus2pg_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=10)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, left string, right string, token string",
+    )
