@@ -153,7 +153,10 @@ def bpe_encode(
             ids, toks_col, counts = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 toks: list[str] = []
-                for w in t.split(" "):
+                # NULL text → zero tokens, matching bpe_train (whose
+                # explode drops NULL word arrays): a corpus that
+                # trains must also encode, not die in the executor.
+                for w in t.split(" ") if isinstance(t, str) else ():
                     if not w:
                         continue
                     got = cache.get(w)

@@ -56,6 +56,10 @@ from pyspark.sql import functions as F
 _MANIFEST_RE = re.compile(r"_manifest-(\d+)\.json$")
 _CLAIM_RE = re.compile(r"_claim-(\d+)$")
 
+#: default sentinel for ``_pinned_reader`` — "pin to the stored
+#: schema"; distinct from an explicit None ("legacy: do not pin").
+_PIN_TO_STORED = object()
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer holds (or published) the generation this writer
@@ -241,43 +245,71 @@ class BucketedParquetStore:
         other writer (live or crashed) already holds it."""
         return self._create_exclusive(f"_claim-{gen}")
 
-    def _age_of(self, rel: str) -> float | None:
-        """Seconds since ``rel``'s modification time, None if absent."""
+    def _mtime_of(self, rel: str) -> int | None:
+        """``rel``'s modification time in epoch-ms, None if absent.
+        Same error contract as :meth:`_create_exclusive`: only genuine
+        absence maps to None — a real IO/permission failure re-raises
+        instead of reading as "claim vanished", which would let a
+        transient FS blip drive a takeover of a live writer's claim."""
         _, fs, _ = self._fs()
+        p = self._jpath(rel)
         try:
-            st = fs.getFileStatus(self._jpath(rel))
+            st = fs.getFileStatus(p)
         except Exception:
-            return None
-        return time.time() - st.getModificationTime() / 1000.0
+            if not fs.exists(p):
+                return None  # genuinely absent (or deleted mid-check)
+            raise
+        return int(st.getModificationTime())
+
+    def _age_of(self, rel: str) -> float | None:
+        """Seconds since ``rel``'s modification time, None if absent
+        (error contract per :meth:`_mtime_of`)."""
+        m = self._mtime_of(rel)
+        return None if m is None else time.time() - m / 1000.0
 
     def _takeover_stale_claim(self, gen: int) -> bool:
         """Single-winner takeover of a stale claim. The arbitration is
-        an EXCLUSIVE create of a reap-lock file — all blocked writers
-        cross the TTL at the same wall-clock moment, so reapers racing
-        each other is the expected case, and a rename/delete-based
-        takeover lets two of them both 'win' the generation (the
-        round-5 review's corruption scenario). Holding the reap lock,
-        the winner re-verifies the claim is STILL stale (it may have
-        been refreshed), deletes it, and claims normally; every other
-        writer keeps failing on the ordinary claim path meanwhile. A
-        reaper that crashes mid-takeover leaves a reap file that is
-        itself reaped (deleted, then re-raced) once IT ages past the
-        TTL."""
+        an EXCLUSIVE create of a reap-lock file whose NAME is keyed to
+        the stale claim INSTANCE (its mtime): all blocked writers cross
+        the TTL at the same wall-clock moment and race, but racers for
+        the same instance compute the same reap name, so exactly one
+        wins the create. Instance keying is what makes inline deletion
+        of 'abandoned' reap files unnecessary — an earlier design
+        deleted a reap older than the TTL and re-created it, which let
+        a second racer (whose age read predated the re-create) delete
+        the winner's FRESH reap and double-claim the generation. A
+        reap file for instance M is inert the moment claim M is gone
+        (later takeovers key on the new instance); it is GC'd by
+        ``_vacuum`` with its generation.
+
+        Holding the reap lock, the winner re-verifies the claim is
+        STILL instance M (a completed parallel takeover or a release +
+        re-claim replaces it with a fresh instance), deletes it, and
+        claims normally. The mtime equality check — not just an age
+        check — is what stops a reaper from deleting a successor's
+        fresh claim.
+
+        Liveness caveat (documented, loud): a reaper that crashes
+        INSIDE the two-metadata-op critical section leaves reap-M held
+        with claim M still present; takeover of that instance then
+        needs operator intervention (delete both files), signalled by
+        :class:`ConcurrentWriteError` from the ordinary path. That
+        window is two FS metadata calls — vastly narrower than the
+        crashed-WRITER window the TTL exists for — and trading it for
+        silent double-claim corruption is the right side of the trade.
+        Perfect mutual exclusion on object storage needs a commit
+        service (MIGRATION.md maps this onto Delta's LogStore)."""
         _, fs, _ = self._fs()
-        reap = f"_claim-{gen}.reap"
-        reap_age = self._age_of(reap)
-        if reap_age is not None and reap_age > self.claim_ttl_sec:
-            fs.delete(self._jpath(reap), False)  # abandoned reaper
-        if not self._create_exclusive(reap):
-            return False  # another reaper owns this takeover
-        try:
-            claim_age = self._age_of(f"_claim-{gen}")
-            if claim_age is not None and claim_age <= self.claim_ttl_sec:
-                return False  # refreshed under us — not stale after all
-            fs.delete(self._jpath(f"_claim-{gen}"), False)
-            return self._try_claim(gen)
-        finally:
-            fs.delete(self._jpath(reap), False)
+        claim = f"_claim-{gen}"
+        m = self._mtime_of(claim)
+        if m is None or time.time() - m / 1000.0 <= self.claim_ttl_sec:
+            return False  # vanished or fresh instance — not ours to reap
+        if not self._create_exclusive(f"{claim}.reap-{m}"):
+            return False  # another reaper owns takeover of instance m
+        if self._mtime_of(claim) != m:
+            return False  # replaced under us — new instance, not stale
+        fs.delete(self._jpath(claim), False)
+        return self._try_claim(gen)
 
     def claim_next_generation(self) -> int:
         """Claim the next unpublished generation number, serializing
@@ -393,7 +425,7 @@ class BucketedParquetStore:
         for st in fs.listStatus(root):
             name = st.getPath().getName()
             m = _CLAIM_RE.search(name) or re.search(
-                r"_claim-(\d+)\.reap$", name
+                r"_claim-(\d+)\.reap(?:-\d+)?$", name
             )
             if m and int(m.group(1)) < min(keep, default=0):
                 fs.delete(st.getPath(), False)
@@ -677,12 +709,17 @@ class BucketedParquetStore:
     def _stored_schema(self):
         return self._schema_of_manifest(self.current_manifest())
 
-    def _pinned_reader(self, schema=None):
-        """DataFrameReader pinned to ``schema`` (default: the stored
-        schema) when one exists — the single construction point for
-        schema-pinned dir reads (read / read_range / read_changes must
-        never diverge on pinning semantics)."""
-        st = self._stored_schema() if schema is None else schema
+    def _pinned_reader(self, schema=_PIN_TO_STORED):
+        """DataFrameReader pinned to ``schema`` when one is given —
+        the single construction point for schema-pinned dir reads
+        (read / read_range / read_changes must never diverge on
+        pinning semantics). The default sentinel means "pin to the
+        CURRENT manifest's stored schema"; an explicit ``None`` means
+        "do not pin" (legacy manifests with no recorded schema — the
+        dirs read with their native layout). The two must stay
+        distinct: pinning a legacy read_changes range to the LATEST
+        schema would backfill columns neither generation had."""
+        st = self._stored_schema() if schema is _PIN_TO_STORED else schema
         reader = self.spark.read
         if st is not None:
             reader = reader.schema(st)
@@ -802,6 +839,17 @@ class BucketedParquetStore:
         independently (the pruning unit)."""
         out = f"{self.path}/data/g{gen}"
         _, fs, _ = self._fs()
+        if fs.exists(self._jpath(f"_manifest-{gen}.json")):
+            # Last-ditch guard behind the claim protocol: if this
+            # generation already PUBLISHED, our claim was stolen in a
+            # takeover race — deleting/rewriting its data dirs now
+            # would silently corrupt a live, published generation.
+            # Fail loudly instead; the published state is untouched.
+            raise ConcurrentWriteError(
+                f"generation {gen} of {self.path} is already published; "
+                "refusing to rewrite its data (claim was taken over by "
+                "another writer) — re-read table state and retry"
+            )
         gen_dir = self._jpath(f"data/g{gen}")
         if fs.exists(gen_dir):
             # Only a crashed, never-published write can leave this dir

@@ -89,3 +89,19 @@ def test_encode_applies_merges_and_roundtrips(spark):
         assert "".join(enc[i].tokens) == EOW.join(t.split(" ")) + EOW
     # merges actually compress: fewer tokens than characters
     assert enc[0].n_tokens < len(texts[0].replace(" ", "")) + 2
+
+
+def test_encode_tolerates_null_text(spark):
+    """A corpus that TRAINS (explode drops NULL word arrays) must also
+    ENCODE: NULL text yields zero tokens instead of an executor
+    AttributeError."""
+    df = spark.createDataFrame(
+        [(1, "low lower"), (2, None), (3, "low")], "id long, text string"
+    )
+    merges = bpe_train(df, "text", n_merges=3, min_pair_freq=2)
+    rows = {
+        r.id: (r.tokens, r.n_tokens)
+        for r in bpe_encode(df, "id", "text", merges).collect()
+    }
+    assert rows[2] == ([], 0)
+    assert rows[3][1] >= 1 and "".join(rows[3][0]) == "low" + EOW

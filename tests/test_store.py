@@ -955,7 +955,98 @@ def test_true_concurrent_appends_lose_nothing(spark, tmp_path):
         t.start()
     for t in threads:
         t.join(timeout=300)
+    # A hung thread must fail HERE as a deadlock, not fall through to
+    # a misleading 'lost rows' failure while the writer still runs.
+    hung = [t.name for t in threads if t.is_alive()]
+    assert not hung, f"writer threads deadlocked (still alive): {hung}"
     assert all(v.startswith("ok") for v in results.values()), results
     got = {r.k for r in store.read().collect()}
     want = {"seed"} | {f"a{i}" for i in range(4)} | {f"b{i}" for i in range(4)}
     assert got == want, f"lost rows: {want - got}"
+
+
+def test_abandoned_reaper_blocks_loudly_not_silently(spark, tmp_path):
+    """A reaper that crashed inside its (two metadata ops wide)
+    critical section leaves a reap lock keyed to the claim INSTANCE;
+    takeover of that instance then fails LOUDLY until an operator
+    clears the pair — it must never let a second reaper race a
+    delete/re-create into a silent double claim. A reap file keyed to
+    an OLD instance is inert and never blocks a fresh takeover."""
+    from nextbus2pg_spark.sinks.store import ConcurrentWriteError
+
+    path = str(tmp_path / "t")
+    store = BucketedParquetStore(
+        spark, path, ["k"], n_buckets=2, claim_ttl_sec=0.0
+    )
+    df = spark.createDataFrame([("a", 1)], "k string, n int")
+    store.init(df)
+
+    gen = store.claim_next_generation()  # writer "crashes" here
+    m = store._mtime_of(f"_claim-{gen}")
+    # a reap for a BOGUS old instance must not block the takeover
+    assert store._create_exclusive(f"_claim-{gen}.reap-{m - 99999}")
+    # crashed reaper: reap for the LIVE instance exists, claim remains
+    assert store._create_exclusive(f"_claim-{gen}.reap-{m}")
+    with pytest.raises(ConcurrentWriteError):
+        store.append(df)
+    # operator remediation: clear the pair -> writes flow again
+    _, fs, _ = store._fs()
+    fs.delete(store._jpath(f"_claim-{gen}"), False)
+    fs.delete(store._jpath(f"_claim-{gen}.reap-{m}"), False)
+    store.append(df)
+    assert store.read().count() == 2
+    # ...and the takeover path itself works with the stale-instance
+    # reap still on disk (keyed to a mtime no live claim has)
+    gen2 = store.claim_next_generation()
+    store.append(df.selectExpr("k", "n + 1 as n"))
+    assert store.current_manifest()["gen"] == gen2
+
+
+def test_write_generation_refuses_published_generation(spark, tmp_path):
+    """Belt behind the claim protocol: _write_generation must never
+    delete/rewrite the data dirs of a generation whose manifest is
+    already published (the corruption a stolen claim would cause)."""
+    from nextbus2pg_spark.sinks.store import ConcurrentWriteError
+
+    path = str(tmp_path / "t")
+    store = BucketedParquetStore(spark, path, ["k"], n_buckets=1)
+    df = spark.createDataFrame([("a", 1)], "k string, n int")
+    store.init(df)
+    published = store.current_manifest()["gen"]
+    with pytest.raises(ConcurrentWriteError, match="already published"):
+        store._write_generation(df, published)
+    assert store.read().count() == 1  # published data untouched
+
+
+def test_read_changes_legacy_manifests_stay_unpinned(spark, tmp_path):
+    """read_changes between two LEGACY generations (manifests written
+    before schemas were recorded) must read dirs with their native
+    layout — pinning them to the CURRENT manifest's widened schema
+    would emit a column neither generation's table shape has."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    store = BucketedParquetStore(
+        spark, path, ["k"], n_buckets=1, keep_generations=4
+    )
+    store.init(spark.createDataFrame([("a", 1)], "k string, n int"))
+    store.append(spark.createDataFrame([("b", 2)], "k string, n int"))
+    g1, g2 = store.generations()[-2:]
+    # strip the recorded schema -> legacy manifests
+    _, fs, _ = store._fs()
+    for g in (g1, g2):
+        man = store._read_manifest(g)
+        man.pop("schema", None)
+        p = store._jpath(f"_manifest-{g}.json")
+        fs.delete(p, False)
+        out = fs.create(p, True)
+        out.write(_json.dumps(man).encode())
+        out.close()
+    # current head then records a WIDENED schema
+    store.append(
+        spark.createDataFrame([("c", 3, "x")], "k string, n int, extra string"),
+        allow_evolution=True,
+    )
+    ch = store.read_changes(g1, g2)
+    assert set(ch.columns) == {"k", "n", "_change_type"}, ch.columns
+    assert [(r.k, r.n) for r in ch.collect()] == [("b", 2)]
