@@ -231,19 +231,63 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str):
     )
 
 
-@fixture("q_bpe_merges", rows_only=True)  # iterative training: not
-# SQL-expressible (each merge's pair counts depend on all previous
-# merges); correctness is pinned instead by tests/test_bpe.py, which
-# proves the distributed trainer merge-for-merge equal to a pure-
-# Python reference implementation on randomized corpora.
+def _bpe_oracle_sql(n_merges: int, min_freq: int = 2, eow: str = "▁") -> str:
+    """DuckDB replay of BPE training with the iteration loop UNROLLED
+    as CTE pairs (p{k}: weighted pair counts, m{k}: best pair, s{k}:
+    symbols after applying merge k). The greedy left-to-right merge is
+    the same left fold as operators/bpe._apply_merge, expressed with
+    ``list_reduce`` over singleton-wrapped symbols (list_reduce seeds
+    the accumulator with the FIRST element, and a lone first symbol
+    can never merge — identical semantics to Spark's empty-seeded
+    ``F.aggregate``). All inputs are exact integers; ordering (cnt
+    DESC, a, b) is binary-collation identical in both engines, so the
+    replay is merge-for-merge exact, which turns iterative tokenizer
+    training from a rows-only entry into a full value-hash oracle."""
+    ctes = [f"""w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE word <> '' GROUP BY word
+),
+s0 AS (
+  SELECT freq, list_append(string_split(word, ''), '{eow}') AS syms
+  FROM w0
+)"""]
+    sel = []
+    for k in range(1, n_merges + 1):
+        p = f"s{k - 1}"
+        ctes.append(f"""p{k} AS (
+  SELECT s.syms[i.i] AS a, s.syms[i.i + 1] AS b, sum(s.freq) AS cnt
+  FROM {p} s, LATERAL (SELECT unnest(range(1, len(s.syms))) AS i) i
+  GROUP BY 1, 2 HAVING sum(s.freq) >= {min_freq}
+),
+m{k} AS (SELECT a, b FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+s{k} AS (
+  SELECT s.freq, list_reduce(
+    list_transform(s.syms, x -> [x]),
+    (acc, x) -> CASE WHEN acc[len(acc)] = m.a AND x[1] = m.b
+      THEN acc[1:len(acc) - 1] || [m.a || m.b]
+      ELSE acc || x END
+  ) AS syms
+  FROM {p} s, m{k} m
+)""")
+        sel.append(
+            f'SELECT CAST({k - 1} AS INTEGER) AS merge_rank, a AS "left",'
+            f' b AS "right", a || b AS token FROM m{k}'
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@fixture("q_bpe_merges", oracle=_bpe_oracle_sql(10))
 def q_bpe_merges(spark: SparkSession, sf_dir: str):
     """First 10 BPE merge rules learned from the documents corpus
     (operators/bpe.bpe_train): one corpus pass builds word
     frequencies, then every iteration runs on the vocabulary-sized
     symbol table — 10 merges cost 10 tiny jobs, not 10 corpus scans.
     Deterministic (frequency ties break lexicographically), so the
-    row set is stable across runs/partitionings even without an
-    oracle."""
+    DuckDB oracle replays training merge-for-merge (see
+    ``_bpe_oracle_sql``); tests/test_bpe.py additionally pins the
+    trainer to a pure-Python reference on randomized corpora."""
     from nextbus2pg_spark.operators.bpe import bpe_train
 
     docs = load_table(spark, sf_dir, "documents")
