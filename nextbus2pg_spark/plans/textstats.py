@@ -231,7 +231,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str):
     )
 
 
-def _bpe_oracle_sql(n_merges: int, min_freq: int = 2, eow: str = "▁") -> str:
+def _bpe_oracle_sql(
+    n_merges: int,
+    min_freq: int = 2,
+    eow: str = "▁",
+    final: str = "merges",
+) -> str:
     """DuckDB replay of BPE training with the iteration loop UNROLLED
     as CTE pairs (p{k}: weighted pair counts, m{k}: best pair, s{k}:
     symbols after applying merge k). The greedy left-to-right merge is
@@ -242,7 +247,13 @@ def _bpe_oracle_sql(n_merges: int, min_freq: int = 2, eow: str = "▁") -> str:
     ``F.aggregate``). All inputs are exact integers; ordering (cnt
     DESC, a, b) is binary-collation identical in both engines, so the
     replay is merge-for-merge exact, which turns iterative tokenizer
-    training from a rows-only entry into a full value-hash oracle."""
+    training from a rows-only entry into a full value-hash oracle.
+
+    ``final='merges'`` emits the learned merge table;
+    ``final='token_counts'`` reuses the LAST symbol table — s{n} IS
+    the fully encoded vocabulary — and joins every document's word
+    occurrences against it to replay ``bpe_encode``'s per-document
+    token counts (NULL/empty text → 0 tokens, matching encode)."""
     ctes = [f"""w0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
     SELECT unnest(string_split(text, ' ')) AS word
@@ -250,7 +261,8 @@ def _bpe_oracle_sql(n_merges: int, min_freq: int = 2, eow: str = "▁") -> str:
   ) WHERE word <> '' GROUP BY word
 ),
 s0 AS (
-  SELECT freq, list_append(string_split(word, ''), '{eow}') AS syms
+  SELECT word, freq,
+         list_append(string_split(word, ''), '{eow}') AS syms
   FROM w0
 )"""]
     sel = []
@@ -263,7 +275,7 @@ s0 AS (
 ),
 m{k} AS (SELECT a, b FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
 s{k} AS (
-  SELECT s.freq, list_reduce(
+  SELECT s.word, s.freq, list_reduce(
     list_transform(s.syms, x -> [x]),
     (acc, x) -> CASE WHEN acc[len(acc)] = m.a AND x[1] = m.b
       THEN acc[1:len(acc) - 1] || [m.a || m.b]
@@ -275,7 +287,21 @@ s{k} AS (
             f'SELECT CAST({k - 1} AS INTEGER) AS merge_rank, a AS "left",'
             f' b AS "right", a || b AS token FROM m{k}'
         )
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+    if final == "token_counts":
+        tail = f"""SELECT d.doc_id,
+       CAST(COALESCE(sum(len(v.syms)), 0) AS BIGINT) AS n_tokens
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE word <> ''
+) w ON d.doc_id = w.doc_id
+LEFT JOIN s{n_merges} v ON w.word = v.word
+GROUP BY d.doc_id"""
+    else:
+        tail = "\nUNION ALL\n".join(sel)
+    return "WITH " + ",\n".join(ctes) + "\n" + tail
 
 
 @fixture("q_bpe_merges", oracle=_bpe_oracle_sql(10))
@@ -296,3 +322,22 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str):
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "merge_rank int, left string, right string, token string",
     )
+
+
+@fixture("q_bpe_token_count", oracle=_bpe_oracle_sql(10, final="token_counts"))
+def q_bpe_token_count(spark: SparkSession, sf_dir: str):
+    """End-to-end tokenizer: train 10 BPE merges on the documents
+    corpus, ENCODE every document with them (operators/bpe.bpe_encode,
+    the Arrow/mapInPandas path — the merge list ships in the closure,
+    no join, output rows = input rows), and emit per-document token
+    counts. The oracle replays training via the unrolled-CTE fold and
+    encoding by joining word occurrences against the final symbol
+    table (s10 = the fully encoded vocabulary), so BOTH halves of the
+    tokenizer are value-hash checked — encode is deterministic given
+    the merges, and the merges are deterministic given the corpus."""
+    from nextbus2pg_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=10)
+    enc = bpe_encode(docs, "doc_id", "text", merges)
+    return enc.select(F.col("id").alias("doc_id"), "n_tokens")
