@@ -76,6 +76,59 @@ def train_test_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    edges: DataFrame,
+    test_percent: int = 10,
+    salt: str = "split",
+    out_col: str = "split",
+    group_col: str | None = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Train/test split that can never separate near-duplicates: rows
+    whose ids share a connected component of ``edges`` (e.g. verified
+    MinHash-LSH near-dup pairs) land on the SAME side, because the
+    split hash runs on the component representative (min id in the
+    component), not the row's own id. A plain per-row hash split
+    leaks — a test document's near-duplicate sitting in train inflates
+    every evaluation — which is exactly the contamination the dedup
+    pipeline exists to stop.
+
+    Scale shape: the component relation covers only edge-touched ids
+    (LSH-bounded — orders of magnitude smaller than the corpus), so
+    the corpus pays ONE join against a small side (broadcast in
+    practice) and a map-side hash; untouched rows fall back to their
+    own id via COALESCE and never shuffle. Membership is stable under
+    corpus growth as long as a row's component representative is
+    unchanged. Set ``group_col`` to also emit the representative for
+    audits (e.g. proving no component straddles the split)."""
+    from nextbus2pg_spark.operators.components import connected_components
+
+    comp = connected_components(edges, src=src, dst=dst)
+    joined = df.join(
+        F.broadcast(
+            comp.select(
+                F.col("id").alias("__cid"),
+                F.col("component").alias("__comp"),
+            )
+        ),
+        F.col(id_col) == F.col("__cid"),
+        "left",
+    ).drop("__cid")
+    grp = F.coalesce(F.col("__comp"), F.col(id_col))
+    out = joined.withColumn(
+        out_col,
+        F.when(
+            hash_bucket(grp, salt=salt) < F.lit(test_percent), "test"
+        ).otherwise("train"),
+    )
+    if group_col is not None:
+        out = out.withColumn(group_col, grp)
+    return out.drop("__comp")
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from nextbus2pg_spark.catalog import load_table
 from nextbus2pg_spark.operators import components
+from nextbus2pg_spark.operators import curation as cu
 from nextbus2pg_spark.operators import dedup as dd
 from nextbus2pg_spark.operators import text as tx
 from nextbus2pg_spark.operators.similarity import cosine_topk, lsh_topk, with_norm
@@ -404,6 +405,41 @@ def q_corpus_dedup(spark: SparkSession, sf_dir: str):
     return components.dedup_corpus(docs, "doc_id", comp).select(
         "doc_id", "lang", "source"
     )
+
+
+@fixture(
+    "q_leakage_safe_split",
+    oracle=f"""
+WITH RECURSIVE {_DOCS_PLUS.strip()},
+{_SHINGLES.strip()},
+{_MINHASH_VERIFIED.strip()},
+grouped AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS grp
+  FROM docs_plus d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, grp AS split_group,
+       CASE WHEN (('0x' || substr(md5('split:' || CAST(grp AS VARCHAR)), 1, 8))::BIGINT
+                  % 100) < 10
+            THEN 'test' ELSE 'train' END AS split
+FROM grouped
+""",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str):
+    """Decontaminated train/test split: near-dup components (the same
+    verified MinHash-LSH edges as q_dedup_clusters) are hashed by
+    their component REPRESENTATIVE, so a test document's near-twin
+    can never sit in train (curation.leakage_safe_split). The corpus
+    pays one broadcast join against the LSH-bounded component
+    relation; untouched rows split map-side on their own id."""
+    docs = _docs_plus(spark, sf_dir)
+    out = cu.leakage_safe_split(
+        docs,
+        "doc_id",
+        _minhash_edges(spark, sf_dir),
+        test_percent=10,
+        group_col="split_group",
+    )
+    return out.select("doc_id", "split_group", "split")
 
 
 # ---------------------------------------------------------------------------

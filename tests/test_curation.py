@@ -426,3 +426,34 @@ def test_epoch_shuffle_permutes_per_epoch_and_balances_shards(spark):
     assert max(sizes.values()) < 3 * min(sizes.values()), (
         f"shard skew out of expectation band: {sizes}"
     )
+
+
+def test_leakage_safe_split_keeps_components_together(spark):
+    """Near-dup groups never straddle train/test: every id in a
+    connected component gets the component representative's side, ids
+    with no edges split exactly like a plain per-id hash split, and
+    the output stays disjoint + exhaustive."""
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # components: {0..9} chained, {100,101}, rest untouched
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(100, 101)],
+        "id_a long, id_b long",
+    )
+    out = cu.leakage_safe_split(
+        df, "doc_id", edges, test_percent=30, group_col="grp"
+    ).collect()
+    side = {r.doc_id: r.split for r in out}
+    grp = {r.doc_id: r.grp for r in out}
+    assert len(side) == 200 and set(side.values()) <= {"train", "test"}
+    assert len({side[i] for i in range(10)}) == 1, "component 0-9 split"
+    assert side[100] == side[101], "component {100,101} split"
+    assert all(grp[i] == 0 for i in range(10))
+    # untouched ids match the plain hash split exactly
+    plain = {
+        r.doc_id: r.split
+        for r in cu.train_test_split(
+            df, ["doc_id"], test_percent=30
+        ).collect()
+    }
+    untouched = set(range(200)) - set(range(10)) - {100, 101}
+    assert all(side[i] == plain[i] for i in untouched)
