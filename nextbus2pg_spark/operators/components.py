@@ -61,6 +61,18 @@ def connected_components(
     fixpoint (with path halving that needs a component diameter around
     2**max_iter — pathological for any real near-dup graph).
     """
+    integral = {"tinyint", "smallint", "int", "bigint", "long"}
+    dts = dict(edges.dtypes)
+    bad = {c: dts[c] for c in (src, dst) if dts[c] not in integral}
+    if bad:
+        # cast('long') maps non-numeric ids to NULL SILENTLY, which
+        # empties the edge set and makes every caller degrade to
+        # "no duplicates found" — fail loudly instead (string ids
+        # must be mapped to a numeric key, e.g. xxhash64, first).
+        raise TypeError(
+            f"connected_components needs integral edge id columns; got "
+            f"{bad} — hash or dictionary-encode string ids first"
+        )
     sym = (
         edges.select(F.col(src).cast("long").alias("id"),
                      F.col(dst).cast("long").alias("nb"))

@@ -117,16 +117,19 @@ def leakage_safe_split(
         F.col(id_col) == F.col("__cid"),
         "left",
     ).drop("__cid")
-    grp = F.coalesce(F.col("__comp"), F.col(id_col))
-    out = joined.withColumn(
-        out_col,
-        F.when(
-            hash_bucket(grp, salt=salt) < F.lit(test_percent), "test"
-        ).otherwise("train"),
+    # Delegate the labeling to train_test_split on the derived group
+    # key — ONE construction point for split semantics, so the two
+    # splits can never diverge on bucket count or label values.
+    grouped = joined.withColumn(
+        "__grp", F.coalesce(F.col("__comp"), F.col(id_col))
+    ).drop("__comp")
+    out = train_test_split(
+        grouped, ["__grp"], test_percent=test_percent, salt=salt,
+        out_col=out_col,
     )
     if group_col is not None:
-        out = out.withColumn(group_col, grp)
-    return out.drop("__comp")
+        out = out.withColumn(group_col, F.col("__grp"))
+    return out.drop("__grp")
 
 
 def stratified_sample(

@@ -253,7 +253,14 @@ def _bpe_oracle_sql(
     ``final='token_counts'`` reuses the LAST symbol table — s{n} IS
     the fully encoded vocabulary — and joins every document's word
     occurrences against it to replay ``bpe_encode``'s per-document
-    token counts (NULL/empty text → 0 tokens, matching encode)."""
+    token counts (NULL/empty text → 0 tokens, matching encode).
+
+    Early merge exhaustion (no pair reaches ``min_freq`` before
+    iteration n, where ``bpe_train`` breaks) is replayed by the LEFT
+    JOIN on the possibly-empty best-pair CTE: s{k} passes symbols
+    through unchanged instead of going empty via a cross join — a
+    corpus with fewer learnable merges than ``n_merges`` still gets
+    correct token counts, not all-zero."""
     ctes = [f"""w0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
     SELECT unnest(string_split(text, ' ')) AS word
@@ -275,13 +282,14 @@ s0 AS (
 ),
 m{k} AS (SELECT a, b FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
 s{k} AS (
-  SELECT s.word, s.freq, list_reduce(
-    list_transform(s.syms, x -> [x]),
-    (acc, x) -> CASE WHEN acc[len(acc)] = m.a AND x[1] = m.b
-      THEN acc[1:len(acc) - 1] || [m.a || m.b]
-      ELSE acc || x END
-  ) AS syms
-  FROM {p} s, m{k} m
+  SELECT s.word, s.freq,
+    CASE WHEN m.a IS NULL THEN s.syms ELSE list_reduce(
+      list_transform(s.syms, x -> [x]),
+      (acc, x) -> CASE WHEN acc[len(acc)] = m.a AND x[1] = m.b
+        THEN acc[1:len(acc) - 1] || [m.a || m.b]
+        ELSE acc || x END
+    ) END AS syms
+  FROM {p} s LEFT JOIN m{k} m ON TRUE
 )""")
         sel.append(
             f'SELECT CAST({k - 1} AS INTEGER) AS merge_rank, a AS "left",'

@@ -309,7 +309,18 @@ class BucketedParquetStore:
         if self._mtime_of(claim) != m:
             return False  # replaced under us — new instance, not stale
         fs.delete(self._jpath(claim), False)
-        return self._try_claim(gen)
+        if not self._try_claim(gen):
+            return False
+        # Instance keys are mtimes, so the SUCCESSOR claim must never
+        # share the reaped instance's mtime (possible only when the
+        # filesystem's mtime granularity exceeds claim_ttl_sec — e.g.
+        # second-granularity mtimes with a sub-second test TTL): the
+        # inert reap-m file would then block the successor's own
+        # future takeover forever. Bump the successor's mtime clear of
+        # the collision.
+        if self._mtime_of(claim) == m:
+            fs.setTimes(self._jpath(claim), m + 1, -1)
+        return True
 
     def claim_next_generation(self) -> int:
         """Claim the next unpublished generation number, serializing

@@ -105,3 +105,33 @@ def test_encode_tolerates_null_text(spark):
     }
     assert rows[2] == ([], 0)
     assert rows[3][1] >= 1 and "".join(rows[3][0]) == "low" + EOW
+
+
+def test_oracle_survives_early_merge_exhaustion(spark):
+    """A corpus with fewer learnable merges than n_merges must yield
+    correct token counts from the DuckDB oracle (the best-pair CTE
+    goes empty; a cross join there would zero every count)."""
+    import duckdb
+
+    from nextbus2pg_spark.plans.textstats import _bpe_oracle_sql
+
+    rows = [(1, "ab ab ab"), (2, "ab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, "text", n_merges=5, min_pair_freq=2)
+    assert len(merges) < 5, "fixture must exhaust merges early"
+    want = {
+        r.id: r.n_tokens
+        for r in bpe_encode(df, "doc_id", "text", merges).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = dict(
+        con.execute(_bpe_oracle_sql(5, final="token_counts")).fetchall()
+    )
+    assert got == want, (got, want)
+    # ...and the merge table itself still matches
+    got_m = sorted(
+        con.execute(_bpe_oracle_sql(5)).fetchall()
+    )
+    assert got_m == [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]

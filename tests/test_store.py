@@ -983,16 +983,22 @@ def test_abandoned_reaper_blocks_loudly_not_silently(spark, tmp_path):
 
     gen = store.claim_next_generation()  # writer "crashes" here
     m = store._mtime_of(f"_claim-{gen}")
-    # a reap for a BOGUS old instance must not block the takeover
+    # a reap keyed to a BOGUS old instance is inert: the takeover of
+    # the live (stale, ttl=0) instance still succeeds around it
     assert store._create_exclusive(f"_claim-{gen}.reap-{m - 99999}")
+    assert store._takeover_stale_claim(gen), (
+        "old-instance reap file must not block a fresh takeover"
+    )
+    m2 = store._mtime_of(f"_claim-{gen}")
+    assert m2 != m, "successor claim must be a distinct instance key"
     # crashed reaper: reap for the LIVE instance exists, claim remains
-    assert store._create_exclusive(f"_claim-{gen}.reap-{m}")
+    assert store._create_exclusive(f"_claim-{gen}.reap-{m2}")
     with pytest.raises(ConcurrentWriteError):
         store.append(df)
     # operator remediation: clear the pair -> writes flow again
     _, fs, _ = store._fs()
     fs.delete(store._jpath(f"_claim-{gen}"), False)
-    fs.delete(store._jpath(f"_claim-{gen}.reap-{m}"), False)
+    fs.delete(store._jpath(f"_claim-{gen}.reap-{m2}"), False)
     store.append(df)
     assert store.read().count() == 2
     # ...and the takeover path itself works with the stale-instance
