@@ -80,3 +80,13 @@ def test_unconverged_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=1)
+
+
+def test_connected_components_rejects_string_ids(spark):
+    """cast('long') on string edge ids silently empties the edge set;
+    the operator must fail loudly instead (hash string ids first)."""
+    edges = spark.createDataFrame(
+        [("doc-1", "doc-2")], "id_a string, id_b string"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        connected_components(edges)
