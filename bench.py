@@ -45,6 +45,8 @@ R4_SET = [
 ]
 R5_SET = [
     "q_bm25_topk",
+    "q_bpe_token_count",
+    "q_leakage_safe_split",
 ]
 
 HEADLINE = [
@@ -71,6 +73,8 @@ HEADLINE = [
     "q_heavy_hitters",
     "q_oov_ratio",
     "q_bm25_topk",
+    "q_bpe_token_count",
+    "q_leakage_safe_split",
 ]
 
 
