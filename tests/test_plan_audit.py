@@ -397,3 +397,35 @@ def test_setsim_join_no_cartesian_freq_broadcast(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_leakage_safe_split_comp_broadcast(spark):
+    """The corpus meets the LSH-bounded component relation by
+    BROADCAST (pinned with an explicit hint) — the corpus side must
+    never sort-merge-shuffle for the split — and the split label is a
+    pure projection on top (no extra Exchange after the join)."""
+    from nextbus2pg_spark.catalog import load_table
+    from nextbus2pg_spark.operators.curation import leakage_safe_split
+
+    docs = load_table(spark, SF_DIR, "documents")
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    p = plan_text(leakage_safe_split(docs, "doc_id", edges))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_bpe_token_count_encode_is_single_python_stage(spark):
+    """bpe_encode ships the merge list in the closure: the encode plan
+    is scan → ONE Arrow mapInPandas stage — no join against a merge
+    table, no shuffle, output rows = input rows."""
+    from nextbus2pg_spark.catalog import load_table
+    from nextbus2pg_spark.operators.bpe import bpe_encode
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p = plan_text(bpe_encode(docs, "doc_id", "text", [("a", "b")]))
+    # one tree node (it also appears once more in the detail section)
+    assert p.count("MapInPandas (") == 1, p
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
