@@ -224,11 +224,23 @@ class BucketedParquetStore:
         it already exists. Only a lost-the-race condition maps to
         False — a real IO/permission failure re-raises instead of
         masquerading as a concurrency conflict (which would send the
-        operator chasing a phantom writer)."""
-        _, fs, root = self._fs()
+        operator chasing a phantom writer).
+
+        Scheme matters for atomicity: ``fs.create(overwrite=False)``
+        is atomic on HDFS (namenode arbitration) but CHECK-THEN-ACT on
+        RawLocalFileSystem — two local writers crossing the window both
+        'win' and double-claim a generation (caught live by the
+        two-writer race test). On file:// the lock therefore goes
+        through ``java.io.File.createNewFile`` (POSIX O_CREAT|O_EXCL —
+        the kernel arbitrates). Object stores without atomic create
+        need a commit service (MIGRATION.md → Delta LogStore)."""
+        jvm, fs, root = self._fs()
         if not fs.exists(root):
             fs.mkdirs(root)
         p = self._jpath(rel)
+        uri = p.toUri()
+        if uri.getScheme() in (None, "file"):
+            return bool(jvm.java.io.File(uri.getPath()).createNewFile())
         if fs.exists(p):
             return False
         try:

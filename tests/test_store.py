@@ -1056,3 +1056,29 @@ def test_read_changes_legacy_manifests_stay_unpinned(spark, tmp_path):
     ch = store.read_changes(g1, g2)
     assert set(ch.columns) == {"k", "n", "_change_type"}, ch.columns
     assert [(r.k, r.n) for r in ch.collect()] == [("b", 2)]
+
+
+def test_create_exclusive_is_atomic_under_thread_storm(spark, tmp_path):
+    """The lock primitive itself: 16 threads racing the same lock path
+    must produce EXACTLY one winner per round. RawLocalFileSystem's
+    create(overwrite=False) is check-then-act (two racers can both
+    'win'); the file:// path must go through POSIX O_CREAT|O_EXCL."""
+    import threading
+
+    store = BucketedParquetStore(spark, str(tmp_path / "t"), ["k"])
+    for rnd in range(20):
+        wins = []
+        barrier = threading.Barrier(16)
+
+        def racer():
+            barrier.wait()
+            if store._create_exclusive(f"_lock-{rnd}"):
+                wins.append(1)
+
+        ts = [threading.Thread(target=racer) for _ in range(16)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=60)
+        assert not any(t.is_alive() for t in ts)
+        assert len(wins) == 1, f"round {rnd}: {len(wins)} winners"
