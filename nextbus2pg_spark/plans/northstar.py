@@ -1560,6 +1560,142 @@ def q_pq_assign(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_ivfpq_seeded",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS cv,
+         sqrt({_IVF_DOT.format(a='cv', b='cv')}) AS cn
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16) _
+),
+v AS (
+  SELECT vec_id AS id, embedding AS vv,
+         sqrt({_IVF_DOT.format(a='embedding', b='embedding')}) AS vn
+  FROM embeddings
+),
+asn AS (
+  SELECT id, centroid_id,
+         row_number() OVER (
+           PARTITION BY id
+           ORDER BY {_IVF_DOT.format(a='vv', b='cv')} / (vn * cn) DESC,
+                    centroid_id
+         ) AS rn
+  FROM v, c
+),
+bucket AS (SELECT id, centroid_id FROM asn WHERE rn = 1),
+probes AS (
+  SELECT id AS query_id, centroid_id FROM asn
+  WHERE rn <= 4 AND id % 50 = 0
+),
+e AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+n AS (
+  SELECT id, ev,
+         greatest(
+           sqrt(list_reduce(list_transform(ev, x -> x * x),
+                            (acc, q) -> acc + q)),
+           1e-12) AS nn
+  FROM e
+),
+uv AS (SELECT id, list_transform(ev, x -> x / nn) AS u FROM n),
+seed_ids AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS code_id
+  FROM uv ORDER BY id LIMIT 8
+),
+codebook AS (
+  SELECT CAST(s.sub AS BIGINT) AS sub, si.code_id,
+         list_slice(u2.u, s.sub * 16 + 1, s.sub * 16 + 16) AS cvv
+  FROM seed_ids si
+  JOIN uv u2 ON u2.id = si.id,
+  LATERAL UNNEST([0, 1, 2, 3]) AS s(sub)
+),
+ev2 AS (
+  SELECT id, CAST(s.sub AS BIGINT) AS sub,
+         list_slice(u, s.sub * 16 + 1, s.sub * 16 + 16) AS sv
+  FROM uv, LATERAL UNNEST([0, 1, 2, 3]) AS s(sub)
+),
+pqd AS (
+  SELECT ev2.id, ev2.sub, cb.code_id,
+         list_reduce(
+           list_transform(generate_series(1, 16),
+             i -> (ev2.sv[i] - cb.cvv[i]) * (ev2.sv[i] - cb.cvv[i])),
+           (acc, x) -> acc + x) AS d
+  FROM ev2 JOIN codebook cb ON ev2.sub = cb.sub
+),
+codes AS (
+  SELECT id, sub, code_id FROM (
+    SELECT id, sub, code_id,
+           row_number() OVER (PARTITION BY id, sub
+                              ORDER BY d ASC, code_id ASC) AS rn
+    FROM pqd
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.id AS query_id, q.sub, cb.code_id,
+         list_reduce(
+           list_transform(generate_series(1, 16),
+             i -> q.sv[i] * cb.cvv[i]),
+           (acc, x) -> acc + x) AS part
+  FROM ev2 q JOIN codebook cb ON q.sub = cb.sub
+  WHERE q.id % 50 = 0
+),
+cand AS (
+  SELECT p.query_id, b.id AS match_id, cd.sub, cd.code_id
+  FROM probes p
+  JOIN bucket b USING (centroid_id)
+  JOIN codes cd ON cd.id = b.id
+  WHERE p.query_id <> b.id
+),
+sc AS (
+  SELECT c2.query_id, c2.match_id, round(sum(l.part), 6) AS sim
+  FROM cand c2
+  JOIN lut l ON l.query_id = c2.query_id AND l.sub = c2.sub
+            AND l.code_id = c2.code_id
+  GROUP BY 1, 2
+)
+SELECT query_id, match_id, sim,
+       CAST(rk AS INTEGER) AS rank
+FROM (
+  SELECT query_id, match_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, match_id ASC) AS rk
+  FROM sc
+) WHERE rk <= 5
+""",
+)
+def q_ivfpq_seeded(spark: SparkSession, sf_dir: str):
+    """The REAL ivfpq_topk operator end-to-end — probe, candidate
+    equi-join on bucket id, ADC lookup-add scoring, ranked top-5 — at
+    the fully seeded configuration (kmeans_iters=0, pq_iters=0, where
+    centroids and codebooks are the deterministic first-N seeds), so
+    the ENTIRE composed pipeline value-hash-matches a DuckDB replay:
+    the last ANN rung's end-to-end path joins the oracle regime.
+    Only the Lloyd-TRAINED configuration (q_ivfpq_topk) stays
+    rows-only, and its recall floor is pinned in
+    tests/test_ann_recall.py. ADC sims are rounded in-query (6 dp)
+    per the FP-aggregate portability rule; ranks tie-break on
+    match_id, so they replay exactly."""
+    from nextbus2pg_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        emb.where(F.col("vec_id") % 50 == 0),
+        "vec_id",
+        "embedding",
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        m=4,
+        n_codes=8,
+        kmeans_iters=0,
+        pq_iters=0,
+    )
+
+
+@fixture(
     "q_heavy_hitters",
     oracle="""
 WITH cells AS (
