@@ -238,9 +238,13 @@ class BucketedParquetStore:
         if not fs.exists(root):
             fs.mkdirs(root)
         p = self._jpath(rel)
-        uri = p.toUri()
-        if uri.getScheme() in (None, "file"):
-            return bool(jvm.java.io.File(uri.getPath()).createNewFile())
+        # Branch on the RESOLVED filesystem, not the raw path URI: a
+        # scheme-less path on a cluster with fs.defaultFS=hdfs:// must
+        # stay on the HDFS branch — java.io.File on the driver's local
+        # disk would create a claim no other writer can see.
+        qp = fs.makeQualified(p)
+        if qp.toUri().getScheme() == "file":
+            return bool(jvm.java.io.File(qp.toUri().getPath()).createNewFile())
         if fs.exists(p):
             return False
         try:
