@@ -76,6 +76,70 @@ def train_test_split(
     )
 
 
+def token_budget_mixture(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    weights: dict[str, int],
+    token_budget: int,
+    key_cols: Sequence[str],
+    salt: str = "mixture",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic mixture sampling to a TOTAL token budget: source
+    ``s`` targets ``token_budget * w_s / Σw`` tokens, met by keeping a
+    hash-selected fraction of its rows (the data-mixing step of corpus
+    assembly — "webtext:books:code at 7:2:1, 500B tokens total").
+    A source with fewer tokens than its target keeps everything (no
+    upweighting/duplication here — epochs belong to the trainer);
+    sources absent from ``weights`` are dropped.
+
+    Scale + determinism shape: per-source token totals are ONE
+    bounded aggregation (rows = distinct sources) broadcast back, and
+    the keep decision is a map-side hash filter — the corpus never
+    shuffles. The keep threshold is computed in EXACT integer
+    arithmetic (``budget·w·resolution DIV (Σw·src_tokens)``, never
+    float division, which rounds across integer boundaries
+    differently per engine), so the kept set is bit-stable across
+    runs, partitionings, retries, and the DuckDB oracle. Expected
+    kept-token error is O(mean doc length / resolution-quantile), not
+    a bias."""
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative, non-empty: {weights}")
+    w_total = sum(weights.values())
+    if w_total <= 0:
+        raise ValueError("at least one weight must be positive")
+    w_expr: Column = F.lit(0)
+    for s, w in sorted(weights.items()):
+        w_expr = F.when(F.col(source_col) == s, F.lit(w)).otherwise(w_expr)
+    totals = df.groupBy(source_col).agg(
+        F.sum(F.col(token_col)).cast("long").alias("__src_tokens")
+    )
+    joined = (
+        df.join(F.broadcast(totals), source_col)
+        .withColumn(
+            "__num",
+            F.lit(int(token_budget)).cast("long")
+            * w_expr.cast("long")
+            * F.lit(resolution),
+        )
+        .withColumn(
+            "__den", F.lit(w_total).cast("long") * F.col("__src_tokens")
+        )
+        .withColumn(
+            "__thr",
+            F.least(
+                F.lit(resolution).cast("long"), F.expr("__num div __den")
+            ),
+        )
+    )
+    kept = joined.where(
+        hash_bucket(*key_cols, n_buckets=resolution, salt=salt)
+        < F.col("__thr")
+    )
+    return kept.drop("__num", "__den", "__thr", "__src_tokens")
+
+
 def leakage_safe_split(
     df: DataFrame,
     id_col: str,

@@ -684,3 +684,42 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str):
         "doc_id", "shuffle_key", "shard",
         F.row_number().over(w).alias("pos"),
     )
+
+
+@fixture(
+    "q_token_budget_mixture",
+    oracle="""
+WITH totals AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS st
+  FROM documents GROUP BY source
+),
+j AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         CASE d.source WHEN 'src0' THEN 3 WHEN 'src1' THEN 1
+                       WHEN 'src2' THEN 1 ELSE 0 END AS w,
+         t.st
+  FROM documents d JOIN totals t USING (source)
+)
+SELECT doc_id, source, n_chars
+FROM j
+WHERE (('0x' || substr(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       % 1000000)
+      < least(1000000,
+              (CAST(6000 AS BIGINT) * w * 1000000) // NULLIF(5 * st, 0))
+""",
+)
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str):
+    """Mixture sampling to a total token budget (n_chars as the token
+    proxy): sources src0:src1:src2 weighted 3:1:1 toward 6000 total
+    tokens, every other source dropped
+    (curation.token_budget_mixture). One bounded per-source aggregate
+    broadcasts back; the keep decision is a map-side hash filter with
+    an EXACT-integer threshold, so the kept set replays bit-stable in
+    DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = cu.token_budget_mixture(
+        docs, "source", "n_chars",
+        weights={"src0": 3, "src1": 1, "src2": 1},
+        token_budget=6000, key_cols=["doc_id"],
+    )
+    return out.select("doc_id", "source", "n_chars")

@@ -457,3 +457,41 @@ def test_leakage_safe_split_keeps_components_together(spark):
     }
     untouched = set(range(200)) - set(range(10)) - {100, 101}
     assert all(side[i] == plain[i] for i in untouched)
+
+
+def test_token_budget_mixture_targets_and_determinism(spark):
+    """Each weighted source's kept tokens land near budget*w/Σw
+    (within one max-doc-length quantum), a source smaller than its
+    target keeps ALL rows, unlisted sources are dropped, and the kept
+    set is identical across repartitionings."""
+    rows = [
+        (i, "big", 100) for i in range(200)
+    ] + [
+        (1000 + i, "small", 10) for i in range(5)
+    ] + [
+        (2000 + i, "unlisted", 50) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = cu.token_budget_mixture(
+        df, "source", "n_chars",
+        weights={"big": 1, "small": 1}, token_budget=8000,
+        key_cols=["doc_id"],
+    )
+    got = out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("tok")
+    ).collect()
+    by = {r.source: (r.n, r.tok) for r in got}
+    assert "unlisted" not in by
+    # small: target 4000 tokens > its 50 total -> keeps everything
+    assert by["small"] == (5, 50)
+    # big: target 4000 of 20000 -> ~40 docs; hash noise within ±30%
+    assert 2500 <= by["big"][1] <= 5500, by
+    # deterministic under repartitioning
+    again = cu.token_budget_mixture(
+        df.repartition(13), "source", "n_chars",
+        weights={"big": 1, "small": 1}, token_budget=8000,
+        key_cols=["doc_id"],
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
