@@ -495,3 +495,25 @@ def test_token_budget_mixture_targets_and_determinism(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_token_budget_mixture_monotone_in_budget(spark):
+    """Raising the budget only ADDS documents (the hash threshold is
+    monotone in the budget), so staged corpus builds are stable: a
+    500B-token corpus is a superset of the 100B one."""
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", 50 + i % 7) for i in range(300)],
+        "doc_id long, source string, n_chars long",
+    )
+    w = {"s0": 2, "s1": 1, "s2": 1}
+    kept = [
+        {
+            r.doc_id
+            for r in cu.token_budget_mixture(
+                df, "source", "n_chars", w, budget, key_cols=["doc_id"]
+            ).collect()
+        }
+        for budget in (1000, 4000, 16000)
+    ]
+    assert kept[0] <= kept[1] <= kept[2]
+    assert len(kept[0]) < len(kept[2])
