@@ -94,14 +94,22 @@ def token_budget_mixture(
     upweighting/duplication here — epochs belong to the trainer);
     sources absent from ``weights`` are dropped.
 
-    Scale + determinism shape: per-source token totals are ONE
-    bounded aggregation (rows = distinct sources) broadcast back, and
-    the keep decision is a map-side hash filter — the corpus never
-    shuffles. The keep threshold is computed in EXACT integer
-    arithmetic (``budget·w·resolution DIV (Σw·src_tokens)``, never
-    float division, which rounds across integer boundaries
-    differently per engine), so the kept set is bit-stable across
-    runs, partitionings, retries, and the DuckDB oracle. Expected
+    Scale + determinism shape: per-source token totals are ONE bounded
+    aggregation whose result — rows = distinct sources, the same bound
+    the ``weights`` dict itself implies — is collected and turned into
+    per-source keep thresholds DRIVER-SIDE in Python arbitrary-
+    precision integers: ``min(res, budget·w·res // (Σw·src_tokens))``
+    is exact at ANY scale (an executor-side int64 product overflows at
+    real budgets — 500e9 tokens × percentage weights × 1e6 resolution
+    is ~3.5e19 > 2^63 — and float division rounds across integer
+    boundaries differently per engine). The keep decision is then a
+    pure map-side hash filter against literal thresholds — no join,
+    no shuffle, and the kept set is bit-stable across runs,
+    partitionings, retries, and the DuckDB oracle. A source whose
+    token sum is 0 keeps all rows (0 < any target; they cost no
+    budget). NULL key components fold to a sentinel before hashing
+    (the ``concat_ws``-drops-NULLs pitfall; oracle replays need
+    ``COALESCE(CAST(k AS VARCHAR), chr(0)||'null')``). Expected
     kept-token error is O(mean doc length / resolution-quantile), not
     a bias."""
     if not weights or any(w < 0 for w in weights.values()):
@@ -109,35 +117,36 @@ def token_budget_mixture(
     w_total = sum(weights.values())
     if w_total <= 0:
         raise ValueError("at least one weight must be positive")
-    w_expr: Column = F.lit(0)
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0: {token_budget}")
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col)
+        .agg(F.sum(F.col(token_col)).cast("long"))
+        .collect()
+    }
+    thr_expr: Column = F.lit(0)
     for s, w in sorted(weights.items()):
-        w_expr = F.when(F.col(source_col) == s, F.lit(w)).otherwise(w_expr)
-    totals = df.groupBy(source_col).agg(
-        F.sum(F.col(token_col)).cast("long").alias("__src_tokens")
-    )
-    joined = (
-        df.join(F.broadcast(totals), source_col)
-        .withColumn(
-            "__num",
-            F.lit(int(token_budget)).cast("long")
-            * w_expr.cast("long")
-            * F.lit(resolution),
+        if s not in totals:
+            continue  # source absent from the data: no rows to keep
+        st = totals[s]
+        if st is None or st <= 0:
+            thr = resolution  # zero/NULL-token source: keep-all, costs nothing
+        else:
+            thr = min(
+                resolution,
+                (int(token_budget) * w * resolution) // (w_total * int(st)),
+            )
+        thr_expr = F.when(F.col(source_col) == s, F.lit(thr)).otherwise(
+            thr_expr
         )
-        .withColumn(
-            "__den", F.lit(w_total).cast("long") * F.col("__src_tokens")
-        )
-        .withColumn(
-            "__thr",
-            F.least(
-                F.lit(resolution).cast("long"), F.expr("__num div __den")
-            ),
-        )
+    keys = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+        for c in key_cols
+    ]
+    return df.where(
+        hash_bucket(*keys, n_buckets=resolution, salt=salt) < thr_expr
     )
-    kept = joined.where(
-        hash_bucket(*key_cols, n_buckets=resolution, salt=salt)
-        < F.col("__thr")
-    )
-    return kept.drop("__num", "__den", "__thr", "__src_tokens")
 
 
 def leakage_safe_split(

@@ -705,7 +705,8 @@ FROM j
 WHERE (('0x' || substr(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
        % 1000000)
       < least(1000000,
-              (CAST(6000 AS BIGINT) * w * 1000000) // NULLIF(5 * st, 0))
+              coalesce((CAST(6000 AS BIGINT) * w * 1000000)
+                       // NULLIF(5 * st, 0), 1000000))
 """,
 )
 def q_token_budget_mixture(spark: SparkSession, sf_dir: str):

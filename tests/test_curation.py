@@ -517,3 +517,30 @@ def test_token_budget_mixture_monotone_in_budget(spark):
     ]
     assert kept[0] <= kept[1] <= kept[2]
     assert len(kept[0]) < len(kept[2])
+
+
+def test_token_budget_mixture_survives_real_world_scale_and_edges(spark):
+    """The reproduced crash modes: a 500B-token budget with
+    percentage weights must not overflow int64 (thresholds are
+    driver-side Python ints), a weighted source with zero total
+    tokens keeps all rows instead of dividing by zero, NULL keys fold
+    to a sentinel rather than silently hashing the bare salt, and a
+    negative budget raises like the sibling validations."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "web", 900), (2, "web", 100), (3, "books", 500),
+         (4, "empty", 0), (5, "empty", 0), (None, "web", 100)],
+        "doc_id long, source string, n_chars long",
+    )
+    w = {"web": 70, "books": 20, "empty": 10}
+    out = cu.token_budget_mixture(
+        df, "source", "n_chars", w, 500_000_000_000, key_cols=["doc_id"]
+    ).collect()
+    # budget >> corpus: every weighted row kept, including the
+    # zero-token source and the NULL-key row
+    assert len(out) == 6
+    with _pytest.raises(ValueError, match="token_budget"):
+        cu.token_budget_mixture(
+            df, "source", "n_chars", w, -1, key_cols=["doc_id"]
+        )
