@@ -47,6 +47,20 @@ def hash_bucket(
     )
 
 
+def null_folded(c: Column | str) -> Column:
+    """Key component with NULL folded to a sentinel string, for use
+    inside hash keys: ``concat_ws`` silently DROPS NULL components,
+    which aliases ('a', NULL) with (NULL, 'a') and hashes a lone NULL
+    key as the bare salt. Callers whose keys can be NULL wrap each
+    component (oracle replays use the matching
+    ``COALESCE(CAST(k AS VARCHAR), chr(0) || 'null')``); operators
+    whose fixture oracles hash UNfolded keys (deterministic_sample,
+    train_test_split, stratified_sample) keep the raw form for parity
+    and require non-NULL keys."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.coalesce(col.cast("string"), F.lit("\x00null"))
+
+
 def deterministic_sample(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -112,16 +126,27 @@ def token_budget_mixture(
     ``COALESCE(CAST(k AS VARCHAR), chr(0)||'null')``). Expected
     kept-token error is O(mean doc length / resolution-quantile), not
     a bias."""
-    if not weights or any(w < 0 for w in weights.values()):
-        raise ValueError(f"weights must be non-negative, non-empty: {weights}")
+    if not weights or any(
+        not isinstance(w, int) or w < 0 for w in weights.values()
+    ):
+        raise ValueError(
+            f"weights must be non-negative INTEGERS (float weights void "
+            f"the exact-integer threshold guarantee — scale them up, "
+            f"e.g. 7:2:1 not 0.7:0.2:0.1), non-empty: {weights}"
+        )
     w_total = sum(weights.values())
     if w_total <= 0:
         raise ValueError("at least one weight must be positive")
     if token_budget < 0:
         raise ValueError(f"token_budget must be >= 0: {token_budget}")
+    # Bounded EAGER aggregation (an action at call time, like the dim
+    # probe in pq_train): restricted to the weighted sources, so the
+    # collected row count is <= len(weights) and the source filter
+    # pushes down to the scan.
     totals = {
         r[0]: r[1]
-        for r in df.groupBy(source_col)
+        for r in df.where(F.col(source_col).isin(list(weights)))
+        .groupBy(source_col)
         .agg(F.sum(F.col(token_col)).cast("long"))
         .collect()
     }
@@ -130,7 +155,12 @@ def token_budget_mixture(
         if s not in totals:
             continue  # source absent from the data: no rows to keep
         st = totals[s]
-        if st is None or st <= 0:
+        if st is not None and st < 0:
+            raise ValueError(
+                f"source {s!r} has negative token sum {st}: corrupt "
+                f"{token_col!r} values — refusing to sample against it"
+            )
+        if st is None or st == 0:
             thr = resolution  # zero/NULL-token source: keep-all, costs nothing
         else:
             thr = min(
@@ -140,10 +170,7 @@ def token_budget_mixture(
         thr_expr = F.when(F.col(source_col) == s, F.lit(thr)).otherwise(
             thr_expr
         )
-    keys = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-        for c in key_cols
-    ]
+    keys = [null_folded(c) for c in key_cols]
     return df.where(
         hash_bucket(*keys, n_buckets=resolution, salt=salt) < thr_expr
     )
@@ -263,10 +290,7 @@ def epoch_shuffle(
     are birthday-negligible at any realistic corpus size). NULL key
     components fold to a sentinel before hashing (concat_ws silently
     DROPS nulls, which would alias ('a', NULL) with (NULL, 'a'))."""
-    cols = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-        for c in key_cols
-    ]
+    cols = [null_folded(c) for c in key_cols]
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws(":", F.lit(f"epoch{epoch}"), *cols)), 1, 15
@@ -742,7 +766,7 @@ def language_balance(
     # NULL languages form their own stratum: the rate join runs on a
     # NULL-folded key (a plain equi-join would silently DELETE every
     # NULL-lang row — e.g. the docs where lang-id failed).
-    lang_key = F.coalesce(F.col(lang_col).cast("string"), F.lit("\x00null"))
+    lang_key = null_folded(lang_col)
     keyed = df.withColumn("__lb_lang", lang_key)
     counts = keyed.groupBy("__lb_lang").agg(F.count(F.lit(1)).alias("__n"))
     total = counts.agg(F.sum("__n").alias("__t"))

@@ -702,11 +702,14 @@ j AS (
 )
 SELECT doc_id, source, n_chars
 FROM j
-WHERE (('0x' || substr(md5('mixture:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+WHERE (('0x' || substr(md5('mixture:'
+         || COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 8))::BIGINT
        % 1000000)
-      < least(1000000,
-              coalesce((CAST(6000 AS BIGINT) * w * 1000000)
-                       // NULLIF(5 * st, 0), 1000000))
+      < CASE WHEN w = 0 THEN 0
+             ELSE least(1000000,
+                        coalesce((CAST(6000 AS BIGINT) * w * 1000000)
+                                 // NULLIF(5 * st, 0), 1000000))
+        END
 """,
 )
 def q_token_budget_mixture(spark: SparkSession, sf_dir: str):

@@ -544,3 +544,25 @@ def test_token_budget_mixture_survives_real_world_scale_and_edges(spark):
         cu.token_budget_mixture(
             df, "source", "n_chars", w, -1, key_cols=["doc_id"]
         )
+
+
+def test_token_budget_mixture_rejects_float_weights_and_bad_totals(spark):
+    """Float weights void the exact-integer guarantee (the product
+    exceeds the 2^53 double mantissa at real budgets) and negative
+    token sums signal corrupt counts — both raise instead of silently
+    drifting or keep-all-flipping."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", -50)], "doc_id long, source string, n_chars long"
+    )
+    with _pytest.raises(ValueError, match="INTEGER"):
+        cu.token_budget_mixture(
+            df, "source", "n_chars", {"a": 0.7, "b": 0.3}, 100,
+            key_cols=["doc_id"],
+        )
+    with _pytest.raises(ValueError, match="negative token sum"):
+        cu.token_budget_mixture(
+            df, "source", "n_chars", {"a": 1, "b": 1}, 100,
+            key_cols=["doc_id"],
+        )
