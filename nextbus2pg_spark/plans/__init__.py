@@ -95,26 +95,64 @@ DRIVER_CHECKED_R4 = frozenset({
     "q_simhash_pairs", "q_curation_pipeline", "q_cosine_topk_vec",
 })
 
-DRIVER_CHECKED = DRIVER_CHECKED_R1_R2 | DRIVER_CHECKED_R3 | DRIVER_CHECKED_R4
+#: Driver rows earned in round 5 (CORRECTNESS_r05.json keys, 50/50
+#: green — first rows for the round-5 surface: BM25, setsim join,
+#: epoch shuffle, BPE train+encode, leakage-safe split, token-budget
+#: mixture, PQ/IVF-PQ internals oracles, plus re-checks of every
+#: operator rewritten in rounds 4-5 and the formerly deferred seven).
+DRIVER_CHECKED_R5 = frozenset({
+    "q_agg_stats", "q_anti_join", "q_approx_distinct", "q_array_funcs",
+    "q_asof_bucketed", "q_asof_join", "q_bigram_counts",
+    "q_bloom_decontaminate", "q_bm25_topk", "q_bool_cast",
+    "q_bpe_merges", "q_bpe_token_count", "q_cap_per_group",
+    "q_cast_double", "q_char_entropy", "q_check_positive",
+    "q_coalesce_fallback", "q_conditional_funcs", "q_contamination_frac",
+    "q_corpus_dedup", "q_cosine_topk", "q_cosine_topk_vec", "q_countmin",
+    "q_curation_pipeline", "q_dedup_exact", "q_domain_cap",
+    "q_embedding_neardup", "q_epoch_shuffle", "q_feed_transform",
+    "q_flagship_latest", "q_heavy_hitters", "q_histogram_quantile",
+    "q_ivfpq_seeded", "q_join_broadcast", "q_lang_id",
+    "q_leakage_safe_split", "q_minhash_lsh", "q_nearest_site",
+    "q_null_safe_key", "q_oov_ratio", "q_pq_assign", "q_radius_count",
+    "q_scan_full", "q_session_window", "q_setsim_join",
+    "q_token_budget_mixture", "q_top1_per_group", "q_tpch_q1",
+    "q_upsert_semantics", "q_url_canon",
+})
 
-#: Queries whose underlying operator code was rewritten in rounds 4-5
-#: (the round-5 zero-norm cosine guard, the domain_cap column-collision
-#: guard, the CMS array-state rework) plus the headline bench set — the
-#: driver should re-verify these even though they were green before.
+DRIVER_CHECKED = (
+    DRIVER_CHECKED_R1_R2 | DRIVER_CHECKED_R3 | DRIVER_CHECKED_R4
+    | DRIVER_CHECKED_R5
+)
+
+#: Round a query's driver row was LAST earned (r1/r2 merged as 2).
+#: Bucket 3 below re-checks the stalest rows first: the r1/r2 vintage
+#: has not been driver-verified in 3+ rounds, and 50-slot windows only
+#: rotate if staleness is the explicit sort key.
+_LAST_CHECKED_ROUND: dict = {}
+for _round, _names in (
+    (2, DRIVER_CHECKED_R1_R2), (3, DRIVER_CHECKED_R3),
+    (4, DRIVER_CHECKED_R4), (5, DRIVER_CHECKED_R5),
+):
+    for _n in _names:
+        _LAST_CHECKED_ROUND[_n] = _round
+
+#: Queries whose underlying operator code changes in round 6 (the
+#: forced-broadcast removals in setsim_join / leakage_safe_split /
+#: TF-IDF docfreq, the BM25 duplicate-term fix, the registrable-domain
+#: PSL join path) plus a small headline tail — the driver re-verifies
+#: exactly what was rewritten.
 REGRESSION_PRIORITY = (
-    # -- code changed in round 5: must stay inside the window ---------
-    "q_cosine_topk_vec", "q_cosine_topk",  # zero-norm guard, round 5
-    "q_embedding_neardup",                 # shares the cosine kernel
-    "q_countmin",                          # CMS state rework, round 5
-    "q_lang_id",                           # shares textstats tokenizer
-    # -- round-4 rewrites, one more confirmation round ----------------
-    "q_minhash_lsh", "q_upsert_semantics", "q_null_safe_key",
-    "q_feed_transform", "q_curation_pipeline",
-    # -- untouched headline / multiply-covered entries last: they fall
-    #    out of the 50-slot window first when the buckets above grow --
-    "q_flagship_latest", "q_tpch_q1",
-    "q_join_broadcast", "q_top1_per_group", "q_dedup_exact",
-    "q_session_window", "q_scan_full",
+    # -- code changed in round 6: must stay inside the window ---------
+    "q_setsim_join",           # broadcast hint removed, round 6
+    "q_leakage_safe_split",    # broadcast hint removed, round 6
+    "q_tfidf_topterms",        # docfreq broadcast hint removed, round 6
+    "q_bm25_topk",             # duplicate query-term dedup, round 6
+    "q_domain_cap",            # registrable_domain PSL path, round 6
+    "q_epoch_shuffle",         # docstring fix, cheap re-check
+    "q_token_budget_mixture",  # shares curation module with the audit
+    # -- untouched headline entries last: they fall out of the 50-slot
+    #    window first when the buckets above grow ---------------------
+    "q_flagship_latest", "q_tpch_q1", "q_minhash_lsh",
 )
 
 #: Round-5 policy: the deferred bucket is DRAINED — the seven entries
@@ -145,11 +183,17 @@ _bucket2 = [
     if n in QUERIES and n in ORACLE and n not in _bucket1
 ]
 _bucket3 = list(DEFERRED_TO_NEXT_ROUND) + sorted(
-    n for n in QUERIES
-    if n in ORACLE
-    and n not in _bucket1
-    and n not in set(_bucket2)
-    and n not in DEFERRED_TO_NEXT_ROUND
+    (
+        n for n in QUERIES
+        if n in ORACLE
+        and n not in _bucket1
+        and n not in set(_bucket2)
+        and n not in DEFERRED_TO_NEXT_ROUND
+    ),
+    # Oldest driver row first (round-6 policy): r1/r2-vintage rows are
+    # 3+ rounds stale and should burn the free window slots before
+    # anything re-checked recently; ties break by name for stability.
+    key=lambda n: (_LAST_CHECKED_ROUND.get(n, 99), n),
 )
 _bucket4 = [n for n in QUERIES if n not in ORACLE]  # rows-only last
 _reordered = {
