@@ -196,23 +196,25 @@ def leakage_safe_split(
     every evaluation — which is exactly the contamination the dedup
     pipeline exists to stop.
 
-    Scale shape: the component relation covers only edge-touched ids
-    (LSH-bounded — orders of magnitude smaller than the corpus), so
-    the corpus pays ONE join against a small side (broadcast in
-    practice) and a map-side hash; untouched rows fall back to their
-    own id via COALESCE and never shuffle. Membership is stable under
-    corpus growth as long as a row's component representative is
-    unchanged. Set ``group_col`` to also emit the representative for
-    audits (e.g. proving no component straddles the split)."""
+    Scale shape: the corpus pays ONE join against the component
+    relation and a map-side hash; untouched rows fall back to their
+    own id via COALESCE. The component side covers only edge-touched
+    ids, but on real crawls near-dup rates run 20-40% of documents —
+    a corpus FRACTION, not a constant — so the join is deliberately
+    NOT hint-broadcast: the planner / AQE broadcasts when the measured
+    size fits (it does at test scale) and shuffles when it doesn't,
+    instead of blowing the broadcast ceiling at crawl scale.
+    Membership is stable under corpus growth as long as a row's
+    component representative is unchanged. Set ``group_col`` to also
+    emit the representative for audits (e.g. proving no component
+    straddles the split)."""
     from nextbus2pg_spark.operators.components import connected_components
 
     comp = connected_components(edges, src=src, dst=dst)
     joined = df.join(
-        F.broadcast(
-            comp.select(
-                F.col("id").alias("__cid"),
-                F.col("component").alias("__comp"),
-            )
+        comp.select(
+            F.col("id").alias("__cid"),
+            F.col("component").alias("__comp"),
         ),
         F.col(id_col) == F.col("__cid"),
         "left",
@@ -270,7 +272,7 @@ def epoch_shuffle(
     same epoch must produce the SAME order on every rerun/retry, with
     no RNG state and no driver-side permutation of 100 TB.
 
-    ``order_col`` gets a 32-bit content hash of (epoch, key) — sorting
+    ``order_col`` gets a 60-bit content hash of (epoch, key) — sorting
     by (order_col, key) IS the epoch's permutation; a different
     ``epoch`` re-salts the hash into an independent order. With
     ``n_shards``, ``shard_col`` gets ``hash % n_shards``:

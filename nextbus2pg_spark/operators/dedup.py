@@ -561,14 +561,19 @@ def setsim_join(
     :func:`jaccard_pairs` (exact integer arithmetic; same candidate-
     restricted scale shape as the LSH verify).
 
-    Scale notes: the token-frequency table is vocabulary-sized and
-    broadcasts; the candidate join's worst key is the most common
-    PREFIX token — documents whose sets are mostly rare tokens prune
-    to near-nothing, and a stop-word-like token only enters prefixes
-    of documents that consist almost entirely of other stop words.
-    ``ceil`` takes a 1e-9 slack so float noise in t*n can only
-    LENGTHEN a prefix (extra candidates), never shorten one (missed
-    pairs).
+    Scale notes: the token doc-frequency table is NOT hint-broadcast —
+    a web-scale vocabulary (typos, URLs, non-Latin scripts) easily
+    exceeds 10^8 distinct tokens, where a forced broadcast blows the
+    broadcast/driver ceiling and kills the job that a plain shuffled
+    equi-join would finish. The join stays declarative so the planner
+    / AQE broadcasts exactly when the MEASURED size allows (it does at
+    test scale) and degrades to shuffle when it doesn't. The candidate
+    join's worst key is the most common PREFIX token — documents whose
+    sets are mostly rare tokens prune to near-nothing, and a
+    stop-word-like token only enters prefixes of documents that
+    consist almost entirely of other stop words. ``ceil`` takes a 1e-9
+    slack so float noise in t*n can only LENGTHEN a prefix (extra
+    candidates), never shorten one (missed pairs).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")
@@ -584,7 +589,7 @@ def setsim_join(
         F.col("__df").asc(), F.col("shingle").asc()
     )
     prefix = (
-        toks.join(F.broadcast(freq), "shingle")
+        toks.join(freq, "shingle")
         .withColumn("__r", F.row_number().over(w))
         .join(sizes, "id")
         .where(

@@ -35,12 +35,16 @@ def tfidf(
     """Per-(doc, term) TF-IDF: tf × ln(N / df).
 
     ``N`` (corpus size) enters as a scalar subquery-style cross join of
-    a 1-row aggregate (broadcast — no shuffle); ``df`` per term DERIVES
-    from the TF relation — (id, term) is unique there, so a plain
-    per-term row count equals the distinct-doc count. Deriving instead
-    of re-aggregating the exploded token stream avoids a second
-    corpus tokenization pass and replaces the count_distinct with a
-    cheap count (measured 20% faster at sf0.1, identical output).
+    a 1-row aggregate (broadcast — bounded, so the hint is safe);
+    ``df`` per term DERIVES from the TF relation — (id, term) is unique
+    there, so a plain per-term row count equals the distinct-doc count.
+    Deriving instead of re-aggregating the exploded token stream avoids
+    a second corpus tokenization pass and replaces the count_distinct
+    with a cheap count (measured 20% faster at sf0.1, identical
+    output). The docfreq join is NOT hint-broadcast: it is
+    vocabulary-sized, and web-scale vocabularies (10^8+ distinct
+    tokens) overflow a forced broadcast — the planner / AQE broadcasts
+    when the measured size fits and shuffles when it doesn't.
     Output: (id, term, tf, score).
     """
     terms = doc_terms(df, id_col, text_col)
@@ -50,7 +54,7 @@ def tfidf(
         F.count(F.lit(1)).cast("double").alias("n_docs")
     )
     return (
-        tf.join(F.broadcast(docfreq), "term")
+        tf.join(docfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "id",

@@ -389,21 +389,26 @@ def test_epoch_shuffle_is_shuffle_free(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
-def test_setsim_join_no_cartesian_freq_broadcast(spark):
+def test_setsim_join_no_cartesian_no_forced_broadcast(spark):
     """The exact set-similarity join must reach its candidates through
-    the prefix-token equi-join — never a cartesian/BNLJ — with the
-    vocabulary-sized frequency table broadcast onto the token stream."""
+    the prefix-token equi-join — never a cartesian/BNLJ. The frequency
+    join's STRATEGY is deliberately unpinned (round-6 policy): the
+    vocabulary grows with the corpus, so the planner/AQE must be free
+    to pick broadcast (small data) or shuffle (web scale); what must
+    NOT exist is a forced broadcast hint on the vocabulary side."""
     p = plan_text(q(spark, "q_setsim_join"))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
-    assert "BroadcastHashJoin" in p, p
+    _bounded_hints_only(q(spark, "q_setsim_join"))
 
 
-def test_leakage_safe_split_comp_broadcast(spark):
-    """The corpus meets the LSH-bounded component relation by
-    BROADCAST (pinned with an explicit hint) — the corpus side must
-    never sort-merge-shuffle for the split — and the split label is a
-    pure projection on top (no extra Exchange after the join)."""
+def test_leakage_safe_split_no_forced_broadcast(spark):
+    """The corpus meets the component relation through an equi-join
+    whose strategy is deliberately unpinned (round-6 policy): near-dup
+    components are a corpus FRACTION on real crawls, so the planner/
+    AQE must be free to shuffle when the measured size demands it. No
+    forced broadcast hint may be pinned on the component side, and the
+    split label stays a pure projection on top of the join."""
     from nextbus2pg_spark.catalog import load_table
     from nextbus2pg_spark.operators.curation import leakage_safe_split
 
@@ -411,9 +416,11 @@ def test_leakage_safe_split_comp_broadcast(spark):
     edges = spark.createDataFrame(
         [(1, 2), (3, 4)], "id_a long, id_b long"
     )
-    p = plan_text(leakage_safe_split(docs, "doc_id", edges))
-    assert "BroadcastHashJoin" in p, p
-    assert "SortMergeJoin" not in p, p
+    out = leakage_safe_split(docs, "doc_id", edges)
+    p = plan_text(out)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    _bounded_hints_only(out)
 
 
 def test_bpe_token_count_encode_is_single_python_stage(spark):
