@@ -184,6 +184,11 @@ def bm25_topk(
     sort of the corpus)."""
     if not query_terms:
         raise ValueError("bm25_topk requires at least one query term")
+    # BM25 scores a term SET: a repeated query term must not double its
+    # contribution. Dedup preserving first-seen order so the fixed
+    # combination order (and thus the oracle's expression tree) is
+    # stable regardless of how the caller spelled the query.
+    query_terms = list(dict.fromkeys(query_terms))
     terms = doc_terms(df, id_col, text_col)
     per_doc = terms.groupBy("id").agg(
         F.count(F.lit(1)).alias("dl"),

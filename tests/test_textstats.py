@@ -22,3 +22,21 @@ def test_oov_ngram_ratio_model_and_scoring(spark):
     assert 200 not in out
     assert out[0]["oov_ratio"] == 0.0 and out[0]["n_grams"] == 5
     assert out[100]["n_oov"] == 3 and out[100]["oov_ratio"] == 1.0
+
+
+def test_bm25_duplicate_query_terms_score_once(spark):
+    """A repeated query term must not double its contribution: BM25
+    scores a term SET, so ['rare', 'rare'] ranks and scores exactly
+    like ['rare'] (ADVICE round-5: duplicates silently skewed
+    rankings relative to standard BM25)."""
+    from nextbus2pg_spark.operators.textstats import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "rare word here"), (2, "other words entirely"),
+         (3, "rare rare filler")],
+        "doc_id long, text string",
+    )
+    once = bm25_topk(df, "doc_id", "text", ["rare"], k=3).collect()
+    twice = bm25_topk(df, "doc_id", "text", ["rare", "rare"], k=3).collect()
+    assert [r.asDict() for r in once] == [r.asDict() for r in twice]
+    assert {r["id"] for r in once} == {1, 3}
