@@ -185,6 +185,10 @@ class BucketedParquetStore:
         # atomic create/rename) use a real commit service —
         # MIGRATION.md maps this onto Delta's LogStore.
         self.claim_ttl_sec = claim_ttl_sec
+        # Claim INSTANCE keys (mtime at claim/takeover time) for claims
+        # THIS writer holds — _release_claim releases only the recorded
+        # instance, never a successor's fresh claim (see its docstring).
+        self._claimed_instances: dict[int, int] = {}
 
     # -- filesystem plumbing -------------------------------------------
 
@@ -351,25 +355,48 @@ class BucketedParquetStore:
             # which case the next number has simply moved on.
             gen = self._next_gen()
             if self._try_claim(gen):
-                return gen
+                return self._record_claim_instance(gen)
         gen = self._next_gen()
         age = self._age_of(f"_claim-{gen}")
         if age is not None and age > self.claim_ttl_sec:
             if self._takeover_stale_claim(gen):
-                return gen
+                return self._record_claim_instance(gen)
         raise ConcurrentWriteError(
             f"generation {gen} of {self.path} is claimed by another "
             f"writer (claim age: {age if age is None else round(age, 1)}s, "
             f"ttl {self.claim_ttl_sec}s); re-read table state and retry"
         )
 
+    def _record_claim_instance(self, gen: int) -> int:
+        """Remember the mtime (instance key) of the claim file this
+        writer just created/took over, so release can verify it still
+        owns the on-disk claim. A None mtime (claim vanished between
+        create and stat — only a concurrent takeover-after-TTL can do
+        that) leaves no record, making release a deliberate no-op."""
+        m = self._mtime_of(f"_claim-{gen}")
+        if m is not None:
+            self._claimed_instances[gen] = m
+        return gen
+
     def _release_claim(self, gen: int) -> None:
         """Vacate a claim after a FAILED write so the generation is not
         blocked until the TTL. No-op once the manifest is published
-        (the claim then guards the number against stale racers)."""
+        (the claim then guards the number against stale racers).
+
+        Deletes ONLY the claim instance this writer recorded at claim
+        time (mtime equality — the same instance keying
+        :meth:`_takeover_stale_claim` uses): a slow-but-live writer
+        that exceeded the TTL, was taken over, and then failed must
+        not delete the SUCCESSOR's fresh claim — that would let a
+        third writer claim the same generation and race the
+        successor's in-flight write."""
         _, fs, _ = self._fs()
+        instance = self._claimed_instances.pop(gen, None)
+        if instance is None:
+            return  # never recorded ownership — nothing provably ours
         if not fs.exists(self._jpath(f"_manifest-{gen}.json")):
-            fs.delete(self._jpath(f"_claim-{gen}"), False)
+            if self._mtime_of(f"_claim-{gen}") == instance:
+                fs.delete(self._jpath(f"_claim-{gen}"), False)
 
     def _publish(
         self,

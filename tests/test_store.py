@@ -577,6 +577,47 @@ def test_stale_claim_of_crashed_writer_is_taken_over(spark, tmp_path):
     assert fast.current_manifest()["gen"] == crashed_gen
 
 
+def test_failed_loser_release_spares_successor_claim(spark, tmp_path):
+    """Instance-keyed release (ADVICE round-5): a slow-but-live writer
+    that exceeded the TTL, was taken over, and THEN fails must not
+    delete the successor's fresh claim — otherwise a third writer
+    could claim the same generation and race the successor's in-flight
+    write. Release verifies the on-disk claim is still the instance it
+    recorded at claim time before deleting anything."""
+    import time as _time
+
+    from nextbus2pg_spark.sinks.store import ConcurrentWriteError
+
+    path = str(tmp_path / "t")
+    slow = BucketedParquetStore(
+        spark, path, ["k"], n_buckets=2, claim_ttl_sec=0.05
+    )
+    successor = BucketedParquetStore(
+        spark, path, ["k"], n_buckets=2, claim_ttl_sec=0.05
+    )
+    third = BucketedParquetStore(
+        spark, path, ["k"], n_buckets=2, claim_ttl_sec=3600.0
+    )
+    df = spark.createDataFrame([("a", "v")], "k string, v string")
+    slow.init(df)
+
+    gen = slow.claim_next_generation()  # slow writer starts its job
+    _time.sleep(0.2)  # ... and blows past the TTL mid-write
+    assert successor.claim_next_generation() == gen  # takeover
+
+    # The slow writer's job now fails and its except-handler releases.
+    slow._release_claim(gen)
+
+    # The successor's claim must still stand: a third writer is
+    # rejected loudly instead of double-claiming the generation.
+    with pytest.raises(ConcurrentWriteError):
+        third.claim_next_generation()
+    # And the successor itself can still publish on its claim.
+    successor._release_claim(gen)
+    third.append(df)
+    assert third.read().count() == 2
+
+
 def test_manifest_overwrite_is_refused(spark, tmp_path):
     """Belt-and-braces: even if the claim protocol were bypassed,
     _publish never overwrites an existing manifest file."""
