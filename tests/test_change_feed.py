@@ -95,3 +95,86 @@ def test_follower_lagging_past_retention_must_resync(spark, tmp_path):
     t.upsert(_mk(spark, [("z", "v")]))
     follower.poll(_apply_keyed(replica))
     assert replica["z"] == "v"
+
+
+def test_follower_with_hadoop_marker_io(spark, tmp_path):
+    """HadoopMarkerIO keeps the marker on the STORE's filesystem
+    (ADVICE round-5: a driver-local marker for a cluster store is only
+    as durable as one machine): full follower lifecycle — resync,
+    incremental poll, no-op poll, simulated lost-marker replay — runs
+    against the gen-file marker directory, and stale gen files are
+    pruned on advance."""
+    import os
+
+    from nextbus2pg_spark.pipelines.change_feed import HadoopMarkerIO
+
+    t = ParquetUpsertTable(
+        spark, str(tmp_path / "t"), key_cols=["k"], update_cols=["v"],
+        n_buckets=4,
+    )
+    t.store.keep_generations = 10
+    marker_dir = str(tmp_path / "t" / "_follower_marker")
+    follower = ChangeFeedFollower(
+        t.store, marker_dir, marker_io=HadoopMarkerIO(t.store)
+    )
+    replica: dict = {}
+
+    t.upsert(_mk(spark, [("a", "v1"), ("b", "v1")]))
+    with pytest.raises(RetentionLapsedError):  # no marker yet
+        follower.poll(_apply_keyed(replica))
+    follower.resync(
+        lambda df: replica.update({r.k: r.v for r in df.collect()})
+    )
+    assert replica == {"a": "v1", "b": "v1"}
+
+    t.upsert(_mk(spark, [("a", "v2"), ("c", "v1")]))
+    t.delete(spark.createDataFrame([("b",)], "k string"))
+    assert follower.poll(_apply_keyed(replica)) is not None
+    assert replica == {"a": "v2", "c": "v1"}
+    assert follower.poll(_apply_keyed(replica)) is None
+
+    # lost-marker replay: rollback then re-poll re-delivers idempotently
+    t.upsert(_mk(spark, [("d", "v1")]))
+    marker_before = follower.last_applied()
+    follower.poll(_apply_keyed(replica))
+    follower._advance(marker_before)
+    follower.poll(_apply_keyed(replica))
+    assert replica == {"a": "v2", "c": "v1", "d": "v1"}
+
+    # exactly one gen file survives each advance (stale ones pruned)
+    gen_files = [
+        f for f in os.listdir(marker_dir) if f.startswith("gen-")
+    ]
+    assert len(gen_files) == 1, gen_files
+    assert int(gen_files[0].split("-")[1]) == follower.last_applied()
+
+
+def test_custom_marker_io_is_injectable(spark, tmp_path):
+    """Any read/write pair works as marker IO (e.g. a database row):
+    the follower never touches the filesystem directly."""
+
+    class DictMarkerIO:
+        def __init__(self):
+            self.store: dict = {}
+
+        def read(self, path):
+            return self.store.get(path)
+
+        def write(self, path, gen):
+            self.store[path] = gen
+
+    io = DictMarkerIO()
+    t = ParquetUpsertTable(
+        spark, str(tmp_path / "t"), key_cols=["k"], update_cols=["v"],
+        n_buckets=2,
+    )
+    follower = ChangeFeedFollower(t.store, "replica-7", marker_io=io)
+    replica: dict = {}
+    t.upsert(_mk(spark, [("a", "v1")]))
+    follower.resync(
+        lambda df: replica.update({r.k: r.v for r in df.collect()})
+    )
+    t.upsert(_mk(spark, [("b", "v1")]))
+    follower.poll(_apply_keyed(replica))
+    assert replica == {"a": "v1", "b": "v1"}
+    assert io.store["replica-7"] == follower.last_applied()
