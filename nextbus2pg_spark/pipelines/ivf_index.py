@@ -208,6 +208,69 @@ class IvfIndex:
             .select("query_id", "match_id", "sim", "rank")
         )
 
+    def delete(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Remove vectors from the index WITHOUT a rebuild — a doc
+        deleted from the corpus must stop appearing as an ANN
+        neighbor. Takes the PREIMAGE rows (id + embedding — exactly
+        what the change feed's delete rows carry): re-deriving the
+        cell assignment from the vector prunes the rewrite to the
+        assigned cells' buckets, the same IO shape as ``delete_keys``
+        — an id-only delete would have to scan every bucket. Centroids
+        are train-once-immutable, so the recomputed assignment equals
+        the add-time one. Absent ids are a no-op (idempotent under
+        at-least-once replay; the anti-join also sweeps out a replayed
+        upsert's re-added row if it shares the touched buckets — the
+        paired insert re-applies it)."""
+        if not self.vectors.exists():
+            return
+        assigned = ivf_assign(
+            vectors.dropDuplicates([id_col]), id_col, vec_col,
+            self._cents(), nprobe=1,
+        ).localCheckpoint()  # feeds cell collect AND the anti-join
+        cells = assigned.select("centroid_id").distinct()
+        touched = self.vectors.touched_buckets(cells)
+        if not touched:
+            return
+        base_gen = self.vectors.current_manifest()["gen"]
+        existing = self.vectors.read(touched)
+        doomed = assigned.select("id")
+        if existing.join(doomed, "id", "left_semi").isEmpty():
+            return  # replay of a completed delete: no write, no churn
+        merged = existing.join(doomed, "id", "left_anti")
+        self.vectors.replace_buckets(merged, touched, expected_gen=base_gen)
+
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Keep the index in sync with an embedding store's CHANGE
+        FEED (same consumer shape as ``NearDupIndex.apply_changes``)::
+
+            follower = ChangeFeedFollower(corpus.store, marker)
+            follower.poll(lambda df: index.apply_changes(df))
+
+        Deletes (preimage rows) drop the id from its assigned cell;
+        inserts add-if-absent. Deletes FIRST so an upsert (delete old
+        + insert new, same id) re-indexes the new embedding — possibly
+        into a different cell. Both halves are idempotent, so a
+        re-delivered delta converges."""
+        changes = changes.localCheckpoint()  # consumed by both halves
+        self.delete(
+            changes.where(F.col("_change_type") == "delete"),
+            id_col, vec_col,
+        )
+        self.add_if_absent(
+            changes.where(F.col("_change_type") == "insert"),
+            id_col, vec_col,
+        )
+
     def compact(self, min_dirs_per_bucket: int = 8) -> dict[int, int]:
         """Fold per-batch append dirs back to one per bucket (store
         OPTIMIZE; off the ingest path)."""

@@ -164,6 +164,120 @@ class NearDupIndex:
 
     # -- maintenance ---------------------------------------------------
 
+    def _bands_from_wide(self, wide: DataFrame) -> DataFrame:
+        """Re-derive (id, band, band_hash) from stored WIDE signatures.
+        The wide array is the long (perm, minh) relation sorted by
+        perm, so ``posexplode`` reconstructs it exactly and the band
+        hashing is the literal add-time :func:`lsh_bands` — a deleted
+        doc's band rows are found without re-reading its text."""
+        long_sig = wide.select(
+            "id", F.posexplode("sig").alias("perm", "minh")
+        )
+        return lsh_bands(long_sig, rows_per_band=self.rows_per_band)
+
+    def delete(self, ids: DataFrame, id_col: str = "doc_id") -> None:
+        """Remove documents from the index WITHOUT a rebuild — the
+        GDPR-delete / recrawl-retraction path: a doc deleted from the
+        corpus must stop surfacing as a near-dup candidate. Takes a
+        frame of ids; absent ids are a no-op (idempotent under
+        at-least-once replay).
+
+        Bucket-pruned at both stores: the doc's band rows are
+        re-derived from its STORED signature (read via the id-bucketed
+        sigs store), so only the sig buckets holding the ids and the
+        band buckets holding those exact (band, band_hash) keys are
+        read and rewritten — same IO shape as ``delete_keys``, never a
+        full index scan.
+
+        Crash contract (two stores, bands deleted FIRST — the reverse
+        of ``add``'s publish order, for the same reason): a crash
+        after the bands rewrite leaves sig rows with no band rows —
+        invisible to probes (candidates come from bands) and still
+        reconstructable, so a replayed delete completes the job.
+        Sigs-first would strand band rows that nothing can re-derive,
+        and every future probe would surface the deleted id as a
+        candidate forever."""
+        if not self.sigs.exists():
+            return
+        ids = (
+            ids.select(F.col(id_col).alias("id")).distinct()
+            .localCheckpoint()
+        )
+        sig_buckets = self.sigs.touched_buckets(ids)
+        doomed = (
+            self.sigs.read(sig_buckets)
+            .join(ids, "id", "left_semi")
+            .dropDuplicates(["id"])
+            .localCheckpoint()  # feeds band derivation AND emptiness check
+        )
+        if doomed.isEmpty():
+            return  # replay of a completed delete: no write, no churn
+        bands = self._bands_from_wide(doomed)
+        probe = bands.select("band", "band_hash").distinct()
+        if self.bands.exists():
+            touched = self.bands.touched_buckets(probe)
+            if touched:
+                base_gen = self.bands.current_manifest()["gen"]
+                merged = self.bands.read(touched).join(
+                    ids, "id", "left_anti"
+                )
+                self.bands.replace_buckets(
+                    merged, touched, expected_gen=base_gen
+                )
+        self.sigs.delete_keys(ids)
+
+    def add_if_absent(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        """Idempotent add by ID — the replay-safe MIRROR form: index
+        every doc whose id is not already present, including near-dup
+        CONTENT under a new id (:meth:`add_unique` is the ingest-dedup
+        form that skips those). The membership anti-join reads only
+        the sig buckets the batch's own ids select."""
+        docs = docs.dropDuplicates([id_col])
+        if self.sigs.exists():
+            ids = docs.select(F.col(id_col).alias("id")).distinct()
+            seen = (
+                self.sigs.read(self.sigs.touched_buckets(ids))
+                .select(F.col("id").alias(id_col))
+            )
+            docs = docs.join(seen, id_col, "left_anti").localCheckpoint()
+            if docs.isEmpty():
+                return  # full replay: no write job, no manifest churn
+        self.add(docs, id_col, text_col)
+
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        """Keep the index in sync with a corpus store's CHANGE FEED —
+        the consumer loop the CDC layer exists for::
+
+            follower = ChangeFeedFollower(corpus.store, marker)
+            follower.poll(lambda df: index.apply_changes(df))
+
+        ``changes`` is a ``read_changes`` frame (table columns +
+        ``_change_type``). Deletes drop the doc's sig + band rows;
+        inserts index-if-absent. Deletes apply FIRST so an upsert
+        (delete of the old row + insert of the new one, same id)
+        re-indexes the new payload instead of skipping on the stale
+        membership row. Both halves are idempotent, so a re-delivered
+        delta (the follower's at-least-once contract) converges to the
+        same index state."""
+        changes = changes.localCheckpoint()  # consumed by both halves
+        self.delete(
+            changes.where(F.col("_change_type") == "delete"), id_col
+        )
+        self.add_if_absent(
+            changes.where(F.col("_change_type") == "insert"),
+            id_col, text_col,
+        )
+
     def compact(self, min_dirs_per_bucket: int = 8) -> dict[str, dict]:
         """Fold per-batch append dirs in both index stores back to one
         per bucket (store OPTIMIZE; run off the ingest path). Every

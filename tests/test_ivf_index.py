@@ -214,3 +214,108 @@ def test_add_if_absent_dedups_within_batch(spark, tmp_path):
     gens_before = idx.vectors.generations()
     idx.add_if_absent(one)
     assert idx.vectors.generations() == gens_before
+
+
+def test_delete_removes_vector_from_search_without_rebuild(spark, tmp_path):
+    """A deleted embedding stops appearing as an ANN neighbor — no
+    rebuild: delete() re-derives the cell assignment from the preimage
+    vector, so only the assigned cells' buckets rewrite and untouched
+    buckets keep their dir lists byte-identical."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter("vec_id >= 10 and vec_id < 80")
+    idx = IvfIndex(
+        spark, str(tmp_path / "ivf"), n_centroids=8, kmeans_iters=1
+    )
+    idx.train(corpus)
+
+    # query with an exact copy of vec 42: the twin comes back at sim 1.0
+    twin = corpus.filter("vec_id = 42").select(
+        F.lit(9001).alias("vec_id"), "embedding"
+    )
+    hits = idx.search(twin, k=5, nprobe=3).collect()
+    assert 42 in {r["match_id"] for r in hits}
+    before = dict(idx.vectors.current_manifest()["buckets"])
+
+    idx.delete(corpus.filter("vec_id = 42"))
+
+    assert 42 not in {
+        r["match_id"] for r in idx.search(twin, k=5, nprobe=3).collect()
+    }
+    assert idx.vectors.read().filter("id = 42").count() == 0
+    # bucket pruning: at least one vector bucket untouched
+    after = dict(idx.vectors.current_manifest()["buckets"])
+    untouched = [b for b in before if b in after and before[b] == after[b]]
+    assert untouched, (before, after)
+    # idempotent: re-deleting is a no-op for the manifest
+    gen = idx.vectors.current_manifest()["gen"]
+    idx.delete(corpus.filter("vec_id = 42"))
+    assert idx.vectors.current_manifest()["gen"] == gen
+
+
+def test_apply_changes_follows_embedding_store(spark, tmp_path):
+    """CDC loop for the vector index: store deletes drop index rows,
+    an upsert that CHANGES an embedding moves it (possibly across
+    cells), and a replayed delta converges."""
+    from nextbus2pg_spark.pipelines.change_feed import ChangeFeedFollower
+    from nextbus2pg_spark.sinks.upsert import ParquetUpsertTable
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus_df = emb.filter("vec_id >= 10 and vec_id < 80")
+    store = ParquetUpsertTable(
+        spark, str(tmp_path / "emb"), key_cols=["vec_id"],
+        update_cols=["embedding"], n_buckets=4,
+    )
+    store.store.keep_generations = 10
+    store.upsert(corpus_df)
+
+    idx = IvfIndex(
+        spark, str(tmp_path / "ivf"), n_centroids=8, kmeans_iters=1
+    )
+    follower = ChangeFeedFollower(store.store, str(tmp_path / "marker"))
+
+    def bootstrap(df):
+        idx.train(df)
+
+    follower.resync(bootstrap)
+
+    twin42 = corpus_df.filter("vec_id = 42").select(
+        F.lit(9001).alias("vec_id"), "embedding"
+    ).localCheckpoint()
+    assert 42 in {
+        r["match_id"] for r in idx.search(twin42, k=5, nprobe=3).collect()
+    }
+
+    # delete 42; move 50 onto 60's embedding (payload change)
+    store.delete(spark.createDataFrame([(42,)], "vec_id long"))
+    assert follower.poll(lambda df: idx.apply_changes(df)) is not None
+    assert 42 not in {
+        r["match_id"] for r in idx.search(twin42, k=5, nprobe=3).collect()
+    }
+
+    moved = corpus_df.filter("vec_id = 60").select(
+        F.lit(50).alias("vec_id"), "embedding"
+    )
+    store.upsert(moved)
+    marker_before = follower.last_applied()
+    assert follower.poll(lambda df: idx.apply_changes(df)) is not None
+    twin60 = corpus_df.filter("vec_id = 60").select(
+        F.lit(9002).alias("vec_id"), "embedding"
+    ).localCheckpoint()
+    hits60 = {
+        r["match_id"]: r["sim"]
+        for r in idx.search(twin60, k=5, nprobe=3).collect()
+    }
+    assert hits60.get(50) == 1.0 and hits60.get(60) == 1.0, hits60
+
+    # replay the delta: index must converge, exactly one row per id
+    follower._advance(marker_before)
+    follower.poll(lambda df: idx.apply_changes(df))
+    hits60 = {
+        r["match_id"]: r["sim"]
+        for r in idx.search(twin60, k=5, nprobe=3).collect()
+    }
+    assert hits60.get(50) == 1.0 and hits60.get(60) == 1.0, hits60
+    per_id = idx.vectors.read().groupBy("id").count().collect()
+    assert all(r["count"] == 1 for r in per_id), [
+        r for r in per_id if r["count"] != 1
+    ]

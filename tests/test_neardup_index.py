@@ -180,3 +180,89 @@ def test_index_compaction_preserves_probes(spark, tmp_path):
     assert all(len(d) == 1 for d in man["buckets"].values())
     hits = idx.probe(_docs(spark, [(50, mk(2) + " tail")]))
     assert {(r["new_id"], r["indexed_id"]) for r in hits.collect()} == {(50, 2)}
+
+
+def test_delete_removes_doc_from_probe_without_rebuild(spark, tmp_path):
+    """A deleted doc stops surfacing as a near-dup candidate — no
+    rebuild: delete() re-derives its band rows from the STORED
+    signature and rewrites only the touched buckets; untouched band
+    buckets keep their dir lists byte-identical."""
+    docs = _docs(spark, [(i, f"{BASE} variant {i}") for i in range(10)])
+    idx = NearDupIndex(spark, str(tmp_path / "idx"), n_buckets=8)
+    idx.add(docs)
+
+    probe = _docs(spark, [(99, f"{BASE} variant 3")])
+    assert {r["indexed_id"] for r in idx.probe(probe).collect()} >= {3}
+    before = dict(idx.bands.current_manifest()["buckets"])
+
+    idx.delete(_docs(spark, [(3, "ignored")]).select("doc_id"))
+
+    got = {r["indexed_id"] for r in idx.probe(probe).collect()}
+    assert 3 not in got, got
+    # no orphan rows anywhere in either store
+    assert idx.bands.read().filter("id = 3").count() == 0
+    assert idx.sigs.read().filter("id = 3").count() == 0
+    # other docs still probe fine
+    probe7 = _docs(spark, [(98, f"{BASE} variant 7")])
+    assert {r["indexed_id"] for r in idx.probe(probe7).collect()} >= {7}
+    # bucket pruning: at least one band bucket untouched by the rewrite
+    after = dict(idx.bands.current_manifest()["buckets"])
+    untouched = [
+        b for b in before
+        if b in after and before[b] == after[b]
+    ]
+    assert untouched, (before, after)
+    # idempotent: deleting an absent id is a no-op (no manifest churn)
+    gen = idx.bands.current_manifest()["gen"]
+    idx.delete(_docs(spark, [(3, "x")]).select("doc_id"))
+    assert idx.bands.current_manifest()["gen"] == gen
+
+
+def test_apply_changes_follows_corpus_store(spark, tmp_path):
+    """The CDC loop closes (round-5 verdict 'What's missing #1'): a
+    ChangeFeedFollower drives apply_changes, so corpus deletes drop
+    index entries, upserts re-index the new payload, and a replayed
+    delta (at-least-once poll) converges to the same index state."""
+    from nextbus2pg_spark.pipelines.change_feed import ChangeFeedFollower
+    from nextbus2pg_spark.sinks.upsert import ParquetUpsertTable
+
+    corpus = ParquetUpsertTable(
+        spark, str(tmp_path / "corpus"), key_cols=["doc_id"],
+        update_cols=["text"], n_buckets=4,
+    )
+    corpus.store.keep_generations = 10
+    idx = NearDupIndex(spark, str(tmp_path / "idx"), n_buckets=8)
+    follower = ChangeFeedFollower(corpus.store, str(tmp_path / "marker"))
+
+    corpus.upsert(_docs(spark, [(i, f"{BASE} variant {i}") for i in range(6)]))
+    follower.resync(lambda df: idx.add_if_absent(df))
+
+    probe3 = _docs(spark, [(99, f"{BASE} variant 3")])
+    assert {r["indexed_id"] for r in idx.probe(probe3).collect()} >= {3}
+
+    # corpus delete + an upsert changing doc 5's payload, one poll each
+    corpus.delete(spark.createDataFrame([(3,)], "doc_id long"))
+    assert follower.poll(lambda df: idx.apply_changes(df)) is not None
+    assert 3 not in {
+        r["indexed_id"] for r in idx.probe(probe3).collect()
+    }
+
+    new_text = ("entirely rewritten content about sailing boats across "
+                "cold northern seas under bright star filled winter skies")
+    corpus.upsert(_docs(spark, [(5, new_text)]))
+    marker_before = follower.last_applied()
+    assert follower.poll(lambda df: idx.apply_changes(df)) is not None
+    probe_new = _docs(spark, [(98, new_text + " extra")])
+    assert {r["indexed_id"] for r in idx.probe(probe_new).collect()} == {5}
+    probe_old = _docs(spark, [(97, f"{BASE} variant 5")])
+    assert 5 not in {
+        r["indexed_id"] for r in idx.probe(probe_old).collect()
+    }
+
+    # replay: lose the marker write, re-poll the same delta — the index
+    # must converge (same probe results, exactly one sig row per id)
+    follower._advance(marker_before)
+    follower.poll(lambda df: idx.apply_changes(df))
+    assert {r["indexed_id"] for r in idx.probe(probe_new).collect()} == {5}
+    sig_rows = idx.sigs.read().groupBy("id").count().collect()
+    assert all(r["count"] == 1 for r in sig_rows), sig_rows
