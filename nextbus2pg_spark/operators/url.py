@@ -137,6 +137,131 @@ def registrable_domain(
     )
 
 
+def psl_registrable_domain(
+    df: DataFrame,
+    host_col: str,
+    suffixes: DataFrame,
+    out_col: str = "domain",
+    max_rule_labels: int = 5,
+) -> DataFrame:
+    """EXACT eTLD+1 against a published public-suffix list — the
+    documented upgrade path from :func:`registrable_domain`'s 7-label
+    heuristic: multi-label suffixes (``pref.aichi.jp``), long-tail
+    country rules (``gob.mx``, ``or.jp``), wildcard rules (``*.ck``)
+    and exception rules (``!www.ck``) all resolve per the
+    publicsuffix.org algorithm; private-registry suffixes
+    (``github.io``) group correctly when the list includes them.
+
+    ``suffixes`` is a one-column frame of PSL rules (plain ``co.uk``,
+    wildcard ``*.ck``, exception ``!www.ck``; comment ``//`` and blank
+    lines are tolerated and ignored, so the published file loads
+    as-is). Matching follows the spec: every rule that is a label-wise
+    suffix of the host matches (``*`` spans exactly one label);
+    an exception rule prevails, else the rule with the most labels;
+    no match falls back to the implicit ``*`` rule (the bare TLD).
+    The registrable domain is the public suffix plus one label — NULL
+    when the host IS a public suffix (nothing is registrable).
+
+    Scale shape: the mapping is computed once per DISTINCT host (the
+    per-row work is a join back on the host key), and each distinct
+    host emits at most ``2 * max_rule_labels`` candidate tails (exact
+    + wildcardized per length) — a bounded explode, not a cartesian.
+    The rule table is the global PSL: a published, hard-bounded ~10k
+    rows, so the candidate join broadcasts under any planner; no hint
+    is needed and none is pinned. Everything is codegen'd split/slice
+    expressions — zero Python.
+    """
+    if out_col in df.columns:
+        raise ValueError(
+            f"psl_registrable_domain output column {out_col!r} already "
+            "exists in the input; pass out_col=<fresh name>"
+        )
+    rule_col = suffixes.columns[0]
+    rules = (
+        suffixes.select(F.trim(F.col(rule_col)).alias("__rule"))
+        .where(
+            (F.col("__rule") != "") & ~F.col("__rule").startswith("//")
+        )
+        .select(
+            F.when(
+                F.col("__rule").startswith("!"),
+                F.expr("substring(__rule, 2)"),
+            )
+            .otherwise(F.col("__rule"))
+            .alias("__match"),
+            F.col("__rule").startswith("!").alias("__exc"),
+        )
+        .withColumn("__m", F.size(F.split(F.col("__match"), r"\.")))
+        # public-suffix label count if this rule prevails: an exception
+        # rule's own match IS registrable, so its suffix is one shorter
+        .withColumn(
+            "__ps_len",
+            F.when(F.col("__exc"), F.col("__m") - 1).otherwise(F.col("__m")),
+        )
+        .distinct()
+    )
+    hosts = (
+        df.select(F.col(host_col).alias("__host"))
+        .where(F.col("__host").isNotNull() & (F.col("__host") != ""))
+        .distinct()
+        .withColumn("__labels", F.split(F.col("__host"), r"\."))
+        .withColumn("__n", F.size(F.col("__labels")))
+    )
+    k = F.col("__k")
+    n = F.col("__n")
+    tail = F.concat_ws(".", F.slice(F.col("__labels"), n - k + 1, k))
+    wild = F.when(
+        k >= 2,
+        F.concat(
+            F.lit("*."),
+            F.concat_ws(".", F.slice(F.col("__labels"), n - k + 2, k - 1)),
+        ),
+    ).otherwise(F.lit("*"))
+    cand = hosts.select(
+        "__host",
+        F.explode(
+            F.sequence(F.lit(1), F.least(n, F.lit(max_rule_labels)))
+        ).alias("__k"),
+        F.col("__labels"),
+        F.col("__n"),
+    ).select(
+        "__host", F.explode(F.array(tail, wild)).alias("__cand")
+    )
+    best = (
+        cand.join(rules, cand["__cand"] == rules["__match"])
+        .groupBy("__host")
+        # max struct: exception rules first (false < true), then most
+        # labels — exactly the spec's prevailing-rule order
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__exc"), F.col("__m"), F.col("__ps_len")
+                )
+            ).alias("__w")
+        )
+        .select("__host", F.col("__w.__ps_len").alias("__ps_len"))
+    )
+    s = F.coalesce(F.col("__ps_len"), F.lit(1))  # implicit '*' rule
+    mapping = (
+        hosts.join(best, "__host", "left")
+        .select(
+            "__host",
+            F.when(
+                F.col("__n") > s,
+                F.concat_ws(
+                    ".", F.slice(F.col("__labels"), F.col("__n") - s, s + 1)
+                ),
+            ).alias("__domain"),
+        )
+    )
+    out = df.join(
+        mapping, df[host_col] == mapping["__host"], "left"
+    ).drop("__host")
+    if out_col != "__domain":
+        out = out.withColumnRenamed("__domain", out_col)
+    return out
+
+
 def url_dedup(
     df: DataFrame,
     url_col: str,
@@ -184,6 +309,7 @@ def domain_cap(
     order_col: str,
     domain_col: str = "domain",
     second_level_suffixes: Sequence[str] | None = None,
+    suffixes: DataFrame | None = None,
 ) -> DataFrame:
     """Keep at most ``max_per_domain`` rows per registrable domain,
     deterministically preferring lower ``order_col``. The row_number
@@ -196,7 +322,11 @@ def domain_cap(
     a name already present in the input raises instead of silently
     producing a duplicate/ambiguous column. ``second_level_suffixes``
     widens the public-suffix heuristic (see
-    :func:`registrable_domain`'s known-gap note)."""
+    :func:`registrable_domain`'s known-gap note); ``suffixes`` (a PSL
+    rule frame) switches to the EXACT
+    :func:`psl_registrable_domain` semantics instead — rows whose
+    host has no registrable domain (bare public suffixes) then group
+    under a NULL domain."""
     from pyspark.sql import Window
 
     if domain_col in df.columns:
@@ -204,10 +334,19 @@ def domain_cap(
             f"domain_cap output column {domain_col!r} already exists in "
             "the input; pass domain_col=<fresh name>"
         )
-    d = df.withColumn("__norm", normalize_url(F.col(url_col))).withColumn(
-        "__domain",
-        registrable_domain(url_host(F.col("__norm")), second_level_suffixes),
-    )
+    d = df.withColumn("__norm", normalize_url(F.col(url_col)))
+    if suffixes is not None:
+        d = psl_registrable_domain(
+            d.withColumn("__h", url_host(F.col("__norm"))),
+            "__h", suffixes, out_col="__domain",
+        ).drop("__h")
+    else:
+        d = d.withColumn(
+            "__domain",
+            registrable_domain(
+                url_host(F.col("__norm")), second_level_suffixes
+            ),
+        )
     # Tie-break on the canonical URL only — ordering by every payload
     # column would drag full row payloads (document bodies!) through
     # the per-domain sort comparator. Rows equal on (order_col, url)

@@ -4,6 +4,7 @@ and domain-cap composites."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nextbus2pg_spark.operators.url import (
@@ -244,3 +245,81 @@ def test_public_suffix_override_hook(spark):
     assert widened["x.example.or.jp"] == "example.or.jp"
     assert widened["y.shop.id.au"] == "shop.id.au"
     assert widened["z.news.co.uk"] == "news.co.uk"
+
+
+def test_psl_registrable_domain_exact_semantics(spark):
+    """Exact publicsuffix.org semantics against a rule table: plain
+    rules, MULTI-LABEL rules (pref.aichi.jp), long-tail country rules
+    (gob.mx), wildcard rules (*.ck), exception rules (!www.ck),
+    private-registry rules (github.io), the implicit '*' fallback, and
+    NULL for a host that IS a public suffix."""
+    from nextbus2pg_spark.operators.url import psl_registrable_domain
+
+    psl = spark.createDataFrame(
+        [("// comment line",), ("",), ("com",), ("uk",), ("co.uk",),
+         ("jp",), ("aichi.jp",), ("pref.aichi.jp",), ("mx",), ("gob.mx",),
+         ("ck",), ("*.ck",), ("!www.ck",), ("io",), ("github.io",)],
+        "suffix string",
+    )
+    hosts = [
+        ("a.example.com", "example.com"),       # plain 1-label rule
+        ("example.com", "example.com"),
+        ("deep.sub.foo.co.uk", "foo.co.uk"),    # 2-label rule
+        ("city.pref.aichi.jp", "city.pref.aichi.jp"),  # 3-label rule wins
+        ("x.city.pref.aichi.jp", "city.pref.aichi.jp"),
+        ("tramites.gob.mx", "tramites.gob.mx"), # gob.mx, not just mx
+        ("foo.bar.ck", "foo.bar.ck"),           # *.ck: bar.ck is a PS
+        ("www.ck", "www.ck"),                   # !www.ck exception
+        ("sub.www.ck", "www.ck"),               # exception beats *.ck
+        ("user.github.io", "user.github.io"),   # private registry
+        ("host.unknowntld", "host.unknowntld"), # implicit '*' fallback
+        ("co.uk", None),                        # bare public suffix
+        ("com", None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    got = {
+        r["host"]: r["domain"]
+        for r in psl_registrable_domain(df, "host", psl).collect()
+    }
+    assert got == dict(hosts), got
+
+
+def test_psl_domain_cap_and_fallback_heuristic(spark):
+    """domain_cap with a PSL frame groups by the exact domain (gob.mx
+    subdomains collapse into one registrable domain, capped together);
+    without it the heuristic path is unchanged."""
+    from nextbus2pg_spark.operators.url import domain_cap
+
+    psl = spark.createDataFrame(
+        [("mx",), ("gob.mx",)], "suffix string"
+    )
+    rows = [
+        (i, f"http://s{i}.tramites.gob.mx/page") for i in range(5)
+    ] + [(10, "http://other.gob.mx/x"), (11, "http://other.gob.mx/y")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+
+    capped = domain_cap(
+        df, "url", max_per_domain=2, order_col="doc_id", suffixes=psl
+    )
+    got = {(r["doc_id"], r["domain"]) for r in capped.collect()}
+    assert got == {
+        (0, "tramites.gob.mx"), (1, "tramites.gob.mx"),
+        (10, "other.gob.mx"), (11, "other.gob.mx"),
+    }, got
+
+    # heuristic path (no PSL): gob.mx is outside the 7-label subset, so
+    # everything groups under the 2-label tail gob.mx — the documented
+    # known-gap the PSL path exists to close
+    heur = domain_cap(df, "url", max_per_domain=2, order_col="doc_id")
+    assert {r["domain"] for r in heur.collect()} == {"gob.mx"}
+
+
+def test_psl_output_column_collision_raises(spark):
+    from nextbus2pg_spark.operators.url import psl_registrable_domain
+
+    psl = spark.createDataFrame([("com",)], "suffix string")
+    df = spark.createDataFrame(
+        [("a.com", "x")], "host string, domain string"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        psl_registrable_domain(df, "host", psl)
