@@ -644,6 +644,140 @@ def q_domain_cap(spark: SparkSession, sf_dir: str):
     )
 
 
+# Shared PSL fixture rules: one literal drives BOTH the Spark rule
+# frame and the oracle's VALUES list, so the two engines can never see
+# different lists. Covers plain, multi-label, wildcard, exception and
+# private-registry rules plus bare TLDs.
+_PSL_RULES = (
+    "com", "uk", "co.uk", "jp", "aichi.jp", "pref.aichi.jp",
+    "mx", "gob.mx", "ck", "*.ck", "!www.ck", "io", "github.io",
+)
+
+# 8 host shapes by doc_id % 8, exercising every PSL rule class; the
+# same expression is written twice (Spark Column / DuckDB CASE) below.
+_PSL_HOST_SQL = """
+  SELECT doc_id,
+         CASE CAST(doc_id % 8 AS INT)
+           WHEN 0 THEN source || '.example.com'
+           WHEN 1 THEN 'deep.sub.' || source || '.co.uk'
+           WHEN 2 THEN 'city' || CAST(doc_id % 3 AS VARCHAR)
+                       || '.pref.aichi.jp'
+           WHEN 3 THEN 'tramites' || CAST(doc_id % 3 AS VARCHAR)
+                       || '.gob.mx'
+           WHEN 4 THEN 'foo.bar' || CAST(doc_id % 3 AS VARCHAR) || '.ck'
+           WHEN 5 THEN CASE WHEN doc_id % 2 = 1
+                            THEN 'sub.www.ck' ELSE 'www.ck' END
+           WHEN 6 THEN 'user' || CAST(doc_id % 3 AS VARCHAR)
+                       || '.github.io'
+           ELSE CASE WHEN doc_id % 2 = 1
+                     THEN 'host.unknowntld' ELSE 'co.uk' END
+         END AS host
+  FROM documents
+"""
+
+
+def _psl_host_col():
+    shape = (F.col("doc_id") % 8).cast("int")
+    v3 = (F.col("doc_id") % 3).cast("string")
+    odd = F.col("doc_id") % 2 == 1
+    return (
+        F.when(shape == 0, F.concat(F.col("source"), F.lit(".example.com")))
+        .when(shape == 1, F.concat(
+            F.lit("deep.sub."), F.col("source"), F.lit(".co.uk")))
+        .when(shape == 2, F.concat(
+            F.lit("city"), v3, F.lit(".pref.aichi.jp")))
+        .when(shape == 3, F.concat(
+            F.lit("tramites"), v3, F.lit(".gob.mx")))
+        .when(shape == 4, F.concat(F.lit("foo.bar"), v3, F.lit(".ck")))
+        .when(shape == 5, F.when(odd, F.lit("sub.www.ck"))
+              .otherwise(F.lit("www.ck")))
+        .when(shape == 6, F.concat(F.lit("user"), v3, F.lit(".github.io")))
+        .otherwise(F.when(odd, F.lit("host.unknowntld"))
+                   .otherwise(F.lit("co.uk")))
+    )
+
+
+_PSL_RULE_VALUES = ", ".join(f"('{r}')" for r in _PSL_RULES)
+
+
+@fixture(
+    "q_url_psl",
+    oracle=f"""
+WITH hostsrc AS ({_PSL_HOST_SQL}),
+rules(rule) AS (VALUES {_PSL_RULE_VALUES}),
+prules AS (
+  SELECT CASE WHEN rule LIKE '!%' THEN substring(rule, 2)
+              ELSE rule END AS match_str,
+         rule LIKE '!%' AS is_exc
+  FROM rules
+),
+prules2 AS (
+  SELECT match_str, is_exc,
+         len(string_split(match_str, '.')) AS m,
+         CASE WHEN is_exc THEN len(string_split(match_str, '.')) - 1
+              ELSE len(string_split(match_str, '.')) END AS ps_len
+  FROM prules
+),
+hosts AS (SELECT DISTINCT host FROM hostsrc),
+hl AS (
+  SELECT host, string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS n
+  FROM hosts
+),
+cand AS (
+  SELECT hl.host, hl.labels, hl.n, k.k AS k
+  FROM hl, unnest(generate_series(1, least(hl.n, 5))) AS k(k)
+),
+cand2 AS (
+  SELECT host, array_to_string(labels[n-k+1:n], '.') AS c FROM cand
+  UNION ALL
+  SELECT host, CASE WHEN k >= 2
+                    THEN '*.' || array_to_string(labels[n-k+2:n], '.')
+                    ELSE '*' END AS c
+  FROM cand
+),
+best AS (
+  SELECT host, ps_len FROM (
+    SELECT c2.host, p.ps_len,
+           row_number() OVER (
+             PARTITION BY c2.host
+             ORDER BY p.is_exc DESC, p.m DESC, p.ps_len DESC
+           ) AS rn
+    FROM cand2 c2 JOIN prules2 p ON c2.c = p.match_str
+  ) WHERE rn = 1
+),
+mapping AS (
+  SELECT hl.host,
+         CASE WHEN hl.n > COALESCE(b.ps_len, 1)
+              THEN array_to_string(
+                hl.labels[hl.n - COALESCE(b.ps_len, 1):hl.n], '.')
+         END AS domain
+  FROM hl LEFT JOIN best b ON hl.host = b.host
+)
+SELECT s.doc_id, s.host, m.domain
+FROM hostsrc s LEFT JOIN mapping m ON s.host = m.host
+""",
+)
+def q_url_psl(spark: SparkSession, sf_dir: str):
+    """Exact public-suffix-list eTLD+1 for every document host
+    (operators/url.psl_registrable_domain): plain, MULTI-LABEL
+    (pref.aichi.jp), long-tail (gob.mx), wildcard (*.ck), exception
+    (!www.ck) and private-registry (github.io) rules, the implicit
+    '*' fallback, and NULL for bare public suffixes — the oracle
+    replays the publicsuffix.org prevailing-rule algorithm
+    independently in SQL. Scale shape: per-DISTINCT-host bounded
+    candidate explode joined to the ~10k-row global rule table, then
+    one join back on the host key."""
+    from nextbus2pg_spark.operators.url import psl_registrable_domain
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = spark.createDataFrame(
+        [(r,) for r in _PSL_RULES], "suffix string"
+    )
+    d = docs.select("doc_id", _psl_host_col().alias("host"))
+    return psl_registrable_domain(d, "host", rules, out_col="domain")
+
+
 @fixture(
     "q_epoch_shuffle",
     oracle="""
