@@ -186,6 +186,7 @@ def leakage_safe_split(
     group_col: str | None = None,
     src: str = "id_a",
     dst: str = "id_b",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Train/test split that can never separate near-duplicates: rows
     whose ids share a connected component of ``edges`` (e.g. verified
@@ -207,10 +208,18 @@ def leakage_safe_split(
     Membership is stable under corpus growth as long as a row's
     component representative is unchanged. Set ``group_col`` to also
     emit the representative for audits (e.g. proving no component
-    straddles the split)."""
+    straddles the split). Pass ``components`` (a precomputed
+    ``connected_components(edges)`` frame) when the caller already ran
+    the iteration — e.g. the assembly pipeline uses the same
+    components for dedup — so it is not run twice; ``edges`` is
+    ignored then."""
     from nextbus2pg_spark.operators.components import connected_components
 
-    comp = connected_components(edges, src=src, dst=dst)
+    comp = (
+        components
+        if components is not None
+        else connected_components(edges, src=src, dst=dst)
+    )
     joined = df.join(
         comp.select(
             F.col("id").alias("__cid"),
