@@ -176,6 +176,67 @@ def token_budget_mixture(
     )
 
 
+def mixture_audit(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    weights: dict[str, int],
+    token_budget: int,
+    key_cols: Sequence[str],
+    salt: str = "mixture",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Companion audit for :func:`token_budget_mixture` — the sampler
+    is correct-in-expectation; the data lead wants the REALIZED error
+    surfaced before a training run. One row per weighted source:
+    ``(source, total_tokens, target_tokens, kept_docs, kept_tokens,
+    excess_tokens)`` where ``excess_tokens = kept − target`` (negative
+    = undershoot; a source whose corpus is smaller than its target
+    keeps everything and undershoots by construction).
+
+    Everything stays in exact integers — targets use the same
+    arbitrary-precision ``budget·w // Σw`` the sampler's thresholds
+    derive from, so the audit replays bit-identically in an oracle.
+    Cost: the kept-set filter plus two bounded per-source aggregates
+    (rows ≤ len(weights)); the audit never shuffles the corpus."""
+    w_total = sum(weights.values())
+    kept = token_budget_mixture(
+        df, source_col, token_col, weights, token_budget, key_cols,
+        salt=salt, resolution=resolution,
+    )
+    totals = (
+        df.where(F.col(source_col).isin(list(weights)))
+        .groupBy(source_col)
+        .agg(F.sum(F.col(token_col)).cast("long").alias("total_tokens"))
+    )
+    kept_agg = kept.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("kept_tokens"),
+    )
+    target: Column = F.lit(None).cast("long")
+    for s, w in sorted(weights.items()):
+        target = F.when(
+            F.col(source_col) == s,
+            F.lit(int(token_budget) * w // w_total).cast("long"),
+        ).otherwise(target)
+    return (
+        totals.join(kept_agg, source_col, "left")
+        .select(
+            source_col,
+            "total_tokens",
+            target.alias("target_tokens"),
+            F.coalesce(F.col("kept_docs"), F.lit(0)).alias("kept_docs"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0).cast("long")).alias(
+                "kept_tokens"
+            ),
+            (
+                F.coalesce(F.col("kept_tokens"), F.lit(0).cast("long"))
+                - target
+            ).alias("excess_tokens"),
+        )
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     id_col: str,

@@ -861,3 +861,65 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str):
         token_budget=6000, key_cols=["doc_id"],
     )
     return out.select("doc_id", "source", "n_chars")
+
+
+@fixture(
+    "q_mixture_audit",
+    oracle="""
+WITH totals AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS st
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+  GROUP BY source
+),
+j AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         CASE d.source WHEN 'src0' THEN 3 WHEN 'src1' THEN 1
+                       WHEN 'src2' THEN 1 ELSE 0 END AS w,
+         t.st
+  FROM documents d JOIN totals t USING (source)
+),
+kept AS (
+  SELECT source, n_chars FROM j
+  WHERE (('0x' || substr(md5('mixture:'
+           || COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 8))
+           ::BIGINT % 1000000)
+        < CASE WHEN w = 0 THEN 0
+               ELSE least(1000000,
+                          coalesce((CAST(6000 AS BIGINT) * w * 1000000)
+                                   // NULLIF(5 * st, 0), 1000000))
+          END
+),
+k AS (
+  SELECT source, count(*) AS kept_docs,
+         CAST(sum(n_chars) AS BIGINT) AS kept_tokens
+  FROM kept GROUP BY source
+),
+tgt AS (
+  SELECT t.source, t.st AS total_tokens,
+         CAST(CASE t.source WHEN 'src0' THEN 3600
+                            WHEN 'src1' THEN 1200
+                            WHEN 'src2' THEN 1200 END AS BIGINT)
+           AS target_tokens,
+         COALESCE(k.kept_docs, 0) AS kept_docs,
+         COALESCE(k.kept_tokens, 0) AS kept_tokens
+  FROM totals t LEFT JOIN k USING (source)
+)
+SELECT source, total_tokens, target_tokens, kept_docs, kept_tokens,
+       kept_tokens - target_tokens AS excess_tokens
+FROM tgt
+""",
+)
+def q_mixture_audit(spark: SparkSession, sf_dir: str):
+    """Realized-vs-target audit of the same 3:1:1 / 6000-token mixture
+    as q_token_budget_mixture (curation.mixture_audit): per source,
+    input tokens, exact-integer target, kept docs/tokens, and the
+    signed excess — the sampler is correct-in-expectation and this is
+    the row a data lead reads to see the realized quantization error
+    before training. All-integer arithmetic, so the oracle replays the
+    audit bit-identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cu.mixture_audit(
+        docs, "source", "n_chars",
+        weights={"src0": 3, "src1": 1, "src2": 1},
+        token_budget=6000, key_cols=["doc_id"],
+    )

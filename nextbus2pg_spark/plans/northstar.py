@@ -442,6 +442,94 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str):
     return out.select("doc_id", "split_group", "split")
 
 
+@fixture(
+    "q_corpus_assembly",
+    oracle=f"""
+WITH RECURSIVE {_DOCS_PLUS.strip()},
+{_SHINGLES.strip()},
+{_MINHASH_VERIFIED.strip()},
+dp AS (
+  SELECT doc_id, source, length(text) AS n_tokens FROM docs_plus
+),
+dd AS (
+  SELECT * FROM dp
+  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+),
+totals AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS st
+  FROM dd WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+),
+j AS (
+  SELECT d.doc_id, d.source, d.n_tokens,
+         CASE d.source WHEN 'src0' THEN 3 WHEN 'src1' THEN 1
+                       WHEN 'src2' THEN 1 ELSE 0 END AS w,
+         t.st
+  FROM dd d JOIN totals t USING (source)
+),
+mixed AS (
+  SELECT doc_id, source, n_tokens FROM j
+  WHERE (('0x' || substr(md5('mixture:'
+           || COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 8))
+           ::BIGINT % 1000000)
+        < CASE WHEN w = 0 THEN 0
+               ELSE least(1000000,
+                          coalesce((CAST(12000 AS BIGINT) * w * 1000000)
+                                   // NULLIF(5 * st, 0), 1000000))
+          END
+),
+grouped AS (
+  SELECT m.doc_id, m.source, m.n_tokens,
+         COALESCE(c.component, m.doc_id) AS grp
+  FROM mixed m LEFT JOIN comp c USING (doc_id)
+),
+sp AS (
+  SELECT doc_id, source, n_tokens,
+         CASE WHEN (('0x' || substr(md5('split:' || CAST(grp AS VARCHAR)),
+                     1, 8))::BIGINT % 100) < 10
+              THEN 'test' ELSE 'train' END AS split
+  FROM grouped
+),
+sharded AS (
+  SELECT source, split, n_tokens,
+         CAST((('0x' || substr(md5('epoch1:'
+                || COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'null')),
+                1, 15))::BIGINT % 8) AS INTEGER) AS shard
+  FROM sp
+)
+SELECT source, split, shard,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM sharded GROUP BY 1, 2, 3
+""",
+)
+def q_corpus_assembly(spark: SparkSession, sf_dir: str):
+    """The corpus-assembly ENDGAME as one composed, fully replayed
+    pipeline (pipelines/corpus_assembly.assemble_corpus): verified
+    near-dup components drive dedup, the token-budget mixture
+    (src0:src1:src2 at 3:1:1 toward 12000 tokens, length(text) as the
+    proxy) is computed from the DEDUPED per-source totals, the
+    train/test split hashes component representatives (leakage-safe,
+    epoch-independent), and epoch 1 shards everything 8 ways. The
+    oracle replays every stage — component iteration, exact-integer
+    thresholds, split and shard hashes — and aggregates the same
+    per-(source, split, shard) audit counts, so a drift anywhere in
+    the composition hash-mismatches."""
+    from nextbus2pg_spark.pipelines.corpus_assembly import (
+        assemble_corpus,
+        assembly_report,
+    )
+
+    docs = _docs_plus(spark, sf_dir).withColumn(
+        "n_tokens", F.length("text")
+    )
+    out = assemble_corpus(
+        docs, _minhash_edges(spark, sf_dir),
+        weights={"src0": 3, "src1": 1, "src2": 1},
+        token_budget=12000, token_col="n_tokens",
+        epoch=1, n_shards=8,
+    )
+    return assembly_report(out)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -566,3 +566,47 @@ def test_token_budget_mixture_rejects_float_weights_and_bad_totals(spark):
             df, "source", "n_chars", {"a": 1, "b": 1}, 100,
             key_cols=["doc_id"],
         )
+
+
+def test_mixture_audit_reports_realized_vs_target(spark):
+    """The audit row agrees with the sampler it audits: kept_docs /
+    kept_tokens equal the realized token_budget_mixture output, the
+    target is the exact-integer share, and a source smaller than its
+    target keeps everything (negative excess)."""
+    rows = [(i, "big", 100) for i in range(200)] + [
+        (1000 + i, "tiny", 10) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, t long")
+    weights = {"big": 1, "tiny": 1}
+    audit = {
+        r["source"]: r
+        for r in cu.mixture_audit(
+            df, "source", "t", weights, token_budget=2000,
+            key_cols=["doc_id"],
+        ).collect()
+    }
+    kept = cu.token_budget_mixture(
+        df, "source", "t", weights, token_budget=2000, key_cols=["doc_id"]
+    ).collect()
+    realized = {}
+    for r in kept:
+        d = realized.setdefault(r["source"], [0, 0])
+        d[0] += 1
+        d[1] += r["t"]
+    assert set(audit) == {"big", "tiny"}
+    for s in audit:
+        assert audit[s]["kept_docs"] == realized.get(s, [0, 0])[0]
+        assert audit[s]["kept_tokens"] == realized.get(s, [0, 0])[1]
+        assert (
+            audit[s]["excess_tokens"]
+            == audit[s]["kept_tokens"] - audit[s]["target_tokens"]
+        )
+    assert audit["big"]["target_tokens"] == 1000
+    assert audit["tiny"]["target_tokens"] == 1000
+    # tiny holds only 30 tokens: keep-all, undershoot surfaced
+    assert audit["tiny"]["kept_docs"] == 3
+    assert audit["tiny"]["kept_tokens"] == 30
+    assert audit["tiny"]["excess_tokens"] == -970
+    # big is oversupplied: sampled down toward (never past by more
+    # than one quantile step) its target
+    assert 0 < audit["big"]["kept_docs"] < 200
