@@ -48,6 +48,10 @@ R5_SET = [
     "q_bpe_token_count",
     "q_leakage_safe_split",
 ]
+R6_SET = [
+    "q_url_psl",
+    "q_corpus_assembly",
+]
 
 HEADLINE = [
     "q_flagship_latest",
@@ -75,6 +79,8 @@ HEADLINE = [
     "q_bm25_topk",
     "q_bpe_token_count",
     "q_leakage_safe_split",
+    "q_url_psl",
+    "q_corpus_assembly",
 ]
 
 
@@ -164,6 +170,9 @@ def main() -> None:
                 ),
                 "subtotal_r5_set": round(
                     sum(timings[n] for n in R5_SET if n in timings), 3
+                ),
+                "subtotal_r6_set": round(
+                    sum(timings[n] for n in R6_SET if n in timings), 3
                 ),
             }
         )

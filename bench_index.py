@@ -21,6 +21,10 @@ Stages:
 Pruning (dirs_read / dirs_total, < 1.0 is the claim):
   neardup_probe         band dirs the probe listed vs all band dirs
   ivf_search            vector dirs a 10-query nprobe=2 search listed
+
+Also emits ``bpe`` — docs/s of the Arrow bpe_encode pass over every
+document (the package's only corpus-hot-path Python stage; tracked so
+the bounded-tradeoff claim is falsifiable round-over-round).
 """
 
 from __future__ import annotations
@@ -147,6 +151,32 @@ def main() -> None:
             "dirs_total": total,
             "ratio": round(pruned / total, 3),
         }
+
+        # -- BPE encode throughput (round-5 verdict task #6) ---------
+        # The package's only corpus-hot-path Python stage: a tracked
+        # docs/s number makes the "bounded Arrow tradeoff" claim
+        # falsifiable round-over-round. Train is untimed (50 merges on
+        # the sf corpus, one-off); the timed pass encodes EVERY doc.
+        # A JVM path (codegen'd nested expressions or a Scala UDF)
+        # becomes worth building if this number ever dominates the
+        # curation pipeline totals in bench.py — at current scale the
+        # Arrow stage is a single-digit share.
+        from nextbus2pg_spark.operators.bpe import bpe_encode, bpe_train
+
+        merges = bpe_train(docs, "text", n_merges=50)
+        n_docs = docs.count()
+        timed(
+            "bpe_encode_all_docs",
+            lambda: bpe_encode(docs, "doc_id", "text", merges).count(),
+        )
+        bpe = {
+            "n_docs": n_docs,
+            "n_merges": len(merges),
+            "wall_sec": stages["bpe_encode_all_docs"],
+            "docs_per_sec": round(
+                n_docs / max(stages["bpe_encode_all_docs"], 1e-9), 1
+            ),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -158,6 +188,7 @@ def main() -> None:
                 "unit": "sec",
                 "stages": stages,
                 "pruning": pruning,
+                "bpe": bpe,
                 "sf": sf,
             }
         )

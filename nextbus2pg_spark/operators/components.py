@@ -73,12 +73,18 @@ def connected_components(
             f"connected_components needs integral edge id columns; got "
             f"{bad} — hash or dictionary-encode string ids first"
         )
+    # Materialize the (edge-bounded) pair list BEFORE symmetrizing:
+    # the union consumes it twice, and the caller's edge lineage is
+    # typically the whole LSH-verify chain — without this checkpoint
+    # that chain executes twice per call (measured ~1s at sf0.1 on
+    # q_corpus_assembly).
+    pairs = edges.select(
+        F.col(src).cast("long").alias("id"),
+        F.col(dst).cast("long").alias("nb"),
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(src).cast("long").alias("id"),
-                     F.col(dst).cast("long").alias("nb"))
-        .unionByName(
-            edges.select(F.col(dst).cast("long").alias("id"),
-                         F.col(src).cast("long").alias("nb"))
+        pairs.unionByName(
+            pairs.select(F.col("nb").alias("id"), F.col("id").alias("nb"))
         )
         .where(F.col("id") != F.col("nb"))
         .distinct()
