@@ -90,6 +90,25 @@ def train_test_split(
     )
 
 
+def _source_token_totals(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    weights: dict[str, int],
+) -> dict:
+    """Per-source token sums restricted to the weighted sources — ONE
+    bounded eager aggregation (rows ≤ len(weights)); the source filter
+    pushes down to the scan. Shared by the sampler and its audit so
+    an audit call never pays a second corpus scan."""
+    return {
+        r[0]: r[1]
+        for r in df.where(F.col(source_col).isin(list(weights)))
+        .groupBy(source_col)
+        .agg(F.sum(F.col(token_col)).cast("long"))
+        .collect()
+    }
+
+
 def token_budget_mixture(
     df: DataFrame,
     source_col: str,
@@ -99,6 +118,7 @@ def token_budget_mixture(
     key_cols: Sequence[str],
     salt: str = "mixture",
     resolution: int = 1_000_000,
+    totals: dict | None = None,
 ) -> DataFrame:
     """Deterministic mixture sampling to a TOTAL token budget: source
     ``s`` targets ``token_budget * w_s / Σw`` tokens, met by keeping a
@@ -125,7 +145,9 @@ def token_budget_mixture(
     (the ``concat_ws``-drops-NULLs pitfall; oracle replays need
     ``COALESCE(CAST(k AS VARCHAR), chr(0)||'null')``). Expected
     kept-token error is O(mean doc length / resolution-quantile), not
-    a bias."""
+    a bias. ``totals`` injects a precomputed
+    :func:`_source_token_totals` result (the audit shares one
+    aggregation with the sampler); leave it None otherwise."""
     if not weights or any(
         not isinstance(w, int) or w < 0 for w in weights.values()
     ):
@@ -140,16 +162,9 @@ def token_budget_mixture(
     if token_budget < 0:
         raise ValueError(f"token_budget must be >= 0: {token_budget}")
     # Bounded EAGER aggregation (an action at call time, like the dim
-    # probe in pq_train): restricted to the weighted sources, so the
-    # collected row count is <= len(weights) and the source filter
-    # pushes down to the scan.
-    totals = {
-        r[0]: r[1]
-        for r in df.where(F.col(source_col).isin(list(weights)))
-        .groupBy(source_col)
-        .agg(F.sum(F.col(token_col)).cast("long"))
-        .collect()
-    }
+    # probe in pq_train) unless the caller already ran it.
+    if totals is None:
+        totals = _source_token_totals(df, source_col, token_col, weights)
     thr_expr: Column = F.lit(0)
     for s, w in sorted(weights.items()):
         if s not in totals:
@@ -197,43 +212,46 @@ def mixture_audit(
     Everything stays in exact integers — targets use the same
     arbitrary-precision ``budget·w // Σw`` the sampler's thresholds
     derive from, so the audit replays bit-identically in an oracle.
-    Cost: the kept-set filter plus two bounded per-source aggregates
-    (rows ≤ len(weights)); the audit never shuffles the corpus."""
+    The source universe comes from the WEIGHTS dict, not the data: a
+    weighted source with zero input rows (typo'd name, upstream filter
+    ate it) still gets its row — total 0, kept 0, excess = −target —
+    which is exactly the failure the audit exists to catch. Cost: the
+    sampler's one bounded totals aggregation (shared — not re-run)
+    plus one bounded aggregate of the kept set; the audit never
+    shuffles the corpus."""
     w_total = sum(weights.values())
+    totals = _source_token_totals(df, source_col, token_col, weights)
     kept = token_budget_mixture(
         df, source_col, token_col, weights, token_budget, key_cols,
-        salt=salt, resolution=resolution,
-    )
-    totals = (
-        df.where(F.col(source_col).isin(list(weights)))
-        .groupBy(source_col)
-        .agg(F.sum(F.col(token_col)).cast("long").alias("total_tokens"))
+        salt=salt, resolution=resolution, totals=totals,
     )
     kept_agg = kept.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("kept_docs"),
         F.sum(F.col(token_col)).cast("long").alias("kept_tokens"),
     )
-    target: Column = F.lit(None).cast("long")
-    for s, w in sorted(weights.items()):
-        target = F.when(
-            F.col(source_col) == s,
-            F.lit(int(token_budget) * w // w_total).cast("long"),
-        ).otherwise(target)
-    return (
-        totals.join(kept_agg, source_col, "left")
-        .select(
-            source_col,
-            "total_tokens",
-            target.alias("target_tokens"),
-            F.coalesce(F.col("kept_docs"), F.lit(0)).alias("kept_docs"),
-            F.coalesce(F.col("kept_tokens"), F.lit(0).cast("long")).alias(
-                "kept_tokens"
-            ),
+    base = df.sparkSession.createDataFrame(
+        [
             (
-                F.coalesce(F.col("kept_tokens"), F.lit(0).cast("long"))
-                - target
-            ).alias("excess_tokens"),
-        )
+                s,
+                int(totals.get(s) or 0),
+                int(token_budget) * w // w_total,
+            )
+            for s, w in sorted(weights.items())
+        ],
+        f"{source_col} string, total_tokens long, target_tokens long",
+    )
+    return base.join(kept_agg, source_col, "left").select(
+        source_col,
+        "total_tokens",
+        "target_tokens",
+        F.coalesce(F.col("kept_docs"), F.lit(0)).alias("kept_docs"),
+        F.coalesce(F.col("kept_tokens"), F.lit(0).cast("long")).alias(
+            "kept_tokens"
+        ),
+        (
+            F.coalesce(F.col("kept_tokens"), F.lit(0).cast("long"))
+            - F.col("target_tokens")
+        ).alias("excess_tokens"),
     )
 
 

@@ -159,7 +159,9 @@ def psl_registrable_domain(
     suffix of the host matches (``*`` spans exactly one label);
     an exception rule prevails, else the rule with the most labels;
     no match falls back to the implicit ``*`` rule (the bare TLD).
-    The registrable domain is the public suffix plus one label — NULL
+    Hosts and rules are case-canonicalized (lowercased) per the spec
+    before matching, and the domain is emitted in lowercase. The
+    registrable domain is the public suffix plus one label — NULL
     when the host IS a public suffix (nothing is registrable).
 
     Scale shape: the mapping is computed once per DISTINCT host (the
@@ -176,9 +178,15 @@ def psl_registrable_domain(
             f"psl_registrable_domain output column {out_col!r} already "
             "exists in the input; pass out_col=<fresh name>"
         )
+    clash = {"__host", "__domain"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"psl_registrable_domain uses {sorted(clash)} internally; "
+            "rename those input columns first"
+        )
     rule_col = suffixes.columns[0]
     rules = (
-        suffixes.select(F.trim(F.col(rule_col)).alias("__rule"))
+        suffixes.select(F.lower(F.trim(F.col(rule_col))).alias("__rule"))
         .where(
             (F.col("__rule") != "") & ~F.col("__rule").startswith("//")
         )
@@ -200,11 +208,15 @@ def psl_registrable_domain(
         )
         .distinct()
     )
+    # The PSL algorithm canonicalizes to lowercase first: candidates
+    # derive from the LOWERED host (and the domain is emitted
+    # lowercase, the PSL canonical form), while the mapping joins back
+    # on the host exactly as the caller spelled it.
     hosts = (
         df.select(F.col(host_col).alias("__host"))
         .where(F.col("__host").isNotNull() & (F.col("__host") != ""))
         .distinct()
-        .withColumn("__labels", F.split(F.col("__host"), r"\."))
+        .withColumn("__labels", F.split(F.lower(F.col("__host")), r"\."))
         .withColumn("__n", F.size(F.col("__labels")))
     )
     k = F.col("__k")

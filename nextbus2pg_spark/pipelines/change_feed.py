@@ -54,8 +54,10 @@ class LocalMarkerIO:
                 return int(json.load(f)["gen"])
         except FileNotFoundError:
             return None
-        except (ValueError, KeyError, json.JSONDecodeError):
-            return None  # torn marker == no marker: resync recovers
+        except (ValueError, KeyError, TypeError, json.JSONDecodeError):
+            # torn OR foreign-format marker (e.g. a bare int, a list)
+            # == no marker: resync recovers instead of crashing poll
+            return None
 
     def write(self, marker_path: str, gen: int) -> None:
         tmp = f"{marker_path}.tmp"

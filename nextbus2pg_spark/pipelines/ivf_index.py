@@ -237,7 +237,9 @@ class IvfIndex:
         if not touched:
             return
         base_gen = self.vectors.current_manifest()["gen"]
-        existing = self.vectors.read(touched)
+        # checkpoint: consumed by the emptiness guard AND the rewrite —
+        # without it the touched buckets' parquet is read twice
+        existing = self.vectors.read(touched).localCheckpoint()
         doomed = assigned.select("id")
         if existing.join(doomed, "id", "left_semi").isEmpty():
             return  # replay of a completed delete: no write, no churn

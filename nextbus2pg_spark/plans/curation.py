@@ -866,16 +866,18 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str):
 @fixture(
     "q_mixture_audit",
     oracle="""
-WITH totals AS (
+WITH srcs(source, w) AS (VALUES ('src0', 3), ('src1', 1), ('src2', 1)),
+agg AS (
   SELECT source, CAST(sum(n_chars) AS BIGINT) AS st
   FROM documents WHERE source IN ('src0', 'src1', 'src2')
   GROUP BY source
 ),
+totals AS (
+  SELECT s.source, s.w, COALESCE(a.st, 0) AS st
+  FROM srcs s LEFT JOIN agg a USING (source)
+),
 j AS (
-  SELECT d.doc_id, d.source, d.n_chars,
-         CASE d.source WHEN 'src0' THEN 3 WHEN 'src1' THEN 1
-                       WHEN 'src2' THEN 1 ELSE 0 END AS w,
-         t.st
+  SELECT d.doc_id, d.source, d.n_chars, t.w, t.st
   FROM documents d JOIN totals t USING (source)
 ),
 kept AS (
@@ -883,10 +885,9 @@ kept AS (
   WHERE (('0x' || substr(md5('mixture:'
            || COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 8))
            ::BIGINT % 1000000)
-        < CASE WHEN w = 0 THEN 0
+        < CASE WHEN st = 0 THEN 1000000
                ELSE least(1000000,
-                          coalesce((CAST(6000 AS BIGINT) * w * 1000000)
-                                   // NULLIF(5 * st, 0), 1000000))
+                          (CAST(6000 AS BIGINT) * w * 1000000) // (5 * st))
           END
 ),
 k AS (
@@ -896,10 +897,7 @@ k AS (
 ),
 tgt AS (
   SELECT t.source, t.st AS total_tokens,
-         CAST(CASE t.source WHEN 'src0' THEN 3600
-                            WHEN 'src1' THEN 1200
-                            WHEN 'src2' THEN 1200 END AS BIGINT)
-           AS target_tokens,
+         CAST(CAST(6000 AS BIGINT) * t.w // 5 AS BIGINT) AS target_tokens,
          COALESCE(k.kept_docs, 0) AS kept_docs,
          COALESCE(k.kept_tokens, 0) AS kept_tokens
   FROM totals t LEFT JOIN k USING (source)

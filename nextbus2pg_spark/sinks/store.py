@@ -453,6 +453,10 @@ class BucketedParquetStore:
             out.close()
         if not fs.rename(tmp, final):
             raise IOError(f"manifest publish failed: {final}")
+        # The claim's job is done (the published manifest now guards
+        # the number); drop the instance record so a long-lived writer
+        # doesn't accumulate one dict entry per generation forever.
+        self._claimed_instances.pop(gen, None)
         self._vacuum(gen)
 
     def _vacuum(self, latest_gen: int) -> None:

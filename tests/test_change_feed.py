@@ -178,3 +178,26 @@ def test_custom_marker_io_is_injectable(spark, tmp_path):
     follower.poll(_apply_keyed(replica))
     assert replica == {"a": "v1", "b": "v1"}
     assert io.store["replica-7"] == follower.last_applied()
+
+
+def test_foreign_format_marker_routes_to_resync(spark, tmp_path):
+    """A marker whose JSON parses to a non-dict (hand-written gen
+    number, foreign tool) must read as 'no marker' and take the
+    documented RetentionLapsedError -> resync path, not crash poll."""
+    t = ParquetUpsertTable(
+        spark, str(tmp_path / "t"), key_cols=["k"], update_cols=["v"],
+        n_buckets=2,
+    )
+    t.upsert(_mk(spark, [("a", "v1")]))
+    marker = tmp_path / "marker.json"
+    for payload in ("3", "[3]", '"gen"', "{}", "not json"):
+        marker.write_text(payload)
+        follower = ChangeFeedFollower(t.store, str(marker))
+        assert follower.last_applied() is None, payload
+        with pytest.raises(RetentionLapsedError):
+            follower.poll(lambda df: None)
+    replica: dict = {}
+    follower.resync(
+        lambda df: replica.update({r.k: r.v for r in df.collect()})
+    )
+    assert replica == {"a": "v1"}

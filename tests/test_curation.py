@@ -610,3 +610,26 @@ def test_mixture_audit_reports_realized_vs_target(spark):
     # big is oversupplied: sampled down toward (never past by more
     # than one quantile step) its target
     assert 0 < audit["big"]["kept_docs"] < 200
+
+
+def test_mixture_audit_surfaces_zero_row_weighted_source(spark):
+    """A weighted source entirely absent from the data still gets an
+    audit row (total 0, kept 0, excess = -target): the typo'd-source /
+    upstream-filter failure is exactly what the audit must catch."""
+    df = spark.createDataFrame(
+        [(1, "web", 100), (2, "web", 100)],
+        "doc_id long, source string, t long",
+    )
+    audit = {
+        r["source"]: r
+        for r in cu.mixture_audit(
+            df, "source", "t", {"web": 3, "code": 1}, token_budget=400,
+            key_cols=["doc_id"],
+        ).collect()
+    }
+    assert set(audit) == {"web", "code"}
+    assert audit["code"]["total_tokens"] == 0
+    assert audit["code"]["kept_docs"] == 0
+    assert audit["code"]["kept_tokens"] == 0
+    assert audit["code"]["target_tokens"] == 100
+    assert audit["code"]["excess_tokens"] == -100

@@ -323,3 +323,37 @@ def test_psl_output_column_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="already exists"):
         psl_registrable_domain(df, "host", psl)
+
+
+def test_psl_case_canonicalization(spark):
+    """The PSL algorithm lowercases before matching: an upper-case
+    host must resolve against lower-case rules (and emit the
+    lower-case canonical domain), not fall through to the implicit
+    '*' rule."""
+    from nextbus2pg_spark.operators.url import psl_registrable_domain
+
+    psl = spark.createDataFrame(
+        [("uk",), ("co.uk",), ("COM",)], "suffix string"
+    )
+    df = spark.createDataFrame(
+        [("A.B.CO.UK",), ("WWW.Example.COM",)], "host string"
+    )
+    got = {
+        r["host"]: r["domain"]
+        for r in psl_registrable_domain(df, "host", psl).collect()
+    }
+    assert got == {
+        "A.B.CO.UK": "b.co.uk",
+        "WWW.Example.COM": "example.com",
+    }, got
+
+
+def test_psl_internal_column_collision_raises(spark):
+    from nextbus2pg_spark.operators.url import psl_registrable_domain
+
+    psl = spark.createDataFrame([("com",)], "suffix string")
+    df = spark.createDataFrame(
+        [("a.com", "x")], "host string, __host string"
+    )
+    with pytest.raises(ValueError, match="internally"):
+        psl_registrable_domain(df, "host", psl)
