@@ -148,6 +148,75 @@ def build_vocab(
     )
 
 
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document log-probability under a Laplace-smoothed bigram
+    LM trained on the corpus itself — the CCNet-style "perplexity
+    filter" rung of a quality stack: fluent prose scores near the
+    corpus average, keyboard mash / boilerplate repetition scores far
+    below, and the threshold is a downstream policy choice. Output:
+    ``(id, n_bigrams, sum_logprob, avg_logprob)`` (documents with
+    fewer than 2 words emit no row, matching ``oov_ngram_ratio``).
+
+    Model: ``p(w2 | w1) = (c(w1,w2) + 1) / (ctx(w1) + V)`` with
+    ``ctx(w1)`` the bigram-context count (Σ_w2 c(w1, w2), derived
+    from the bigram relation — no extra corpus pass) and ``V`` the
+    number of distinct tokens appearing in any bigram (a bounded
+    1-value eager count, collected like the mixture totals).
+
+    Determinism-by-construction: every model input is an exact
+    integer, each bigram's double log-prob is a fixed expression tree,
+    and the per-document SUM runs as a left fold over the
+    (w1, w2)-sorted contribution array — never a float ``SUM`` whose
+    partition order varies — so a DuckDB ``list_reduce`` over the
+    same sorted list replays the total bit-for-bit (the established
+    ANN-internals recipe). Scale shape: one tokenize pass feeds the
+    per-doc AND corpus bigram counts; the model join keys on
+    (w1, w2) / (w1) — vocabulary-sized relations deliberately left
+    to the planner (no broadcast hint, per the round-6 policy)."""
+    grams = doc_ngrams(df, id_col, text_col, n=2)
+    pair = grams.select(
+        "id",
+        F.split(F.col("ngram"), " ")[0].alias("w1"),
+        F.split(F.col("ngram"), " ")[1].alias("w2"),
+    )
+    per_doc = pair.groupBy("id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    c2 = pair.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    vocab = (
+        pair.select(F.explode(F.array("w1", "w2")).alias("w"))
+        .distinct()
+        .count()
+    )
+    lp = F.col("m").cast("double") * F.log(
+        (F.col("c2") + F.lit(1)).cast("double")
+        / (F.col("c1") + F.lit(int(vocab))).cast("double")
+    )
+    scored = (
+        per_doc.join(c2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .select("id", "w1", "w2", "m", lp.alias("lp"))
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w1", "w2", "lp"))),
+            lambda s: s["lp"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return scored.groupBy("id").agg(
+        F.sum("m").alias("n_bigrams"),
+        F.round(folded, 6).alias("sum_logprob"),
+        F.round(folded / F.sum("m").cast("double"), 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     id_col: str,

@@ -349,3 +349,67 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str):
     merges = bpe_train(docs, "text", n_merges=10)
     enc = bpe_encode(docs, "doc_id", "text", merges)
     return enc.select(F.col("id").alias("doc_id"), "n_tokens")
+
+
+@fixture(
+    "q_lm_logprob",
+    oracle="""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM words, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2
+),
+m AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+  FROM grams GROUP BY 1, 2, 3
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM grams GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+vocab AS (
+  SELECT count(*) AS v FROM (
+    SELECT DISTINCT w FROM (
+      SELECT w1 AS w FROM grams UNION SELECT w2 FROM grams
+    )
+  )
+),
+lp AS (
+  SELECT m.doc_id, m.w1, m.w2, m.m,
+         CAST(m.m AS DOUBLE)
+           * ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(ctx.c1 + vocab.v AS DOUBLE))
+           AS lp
+  FROM m JOIN c2 USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+),
+folded AS (
+  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(w1 := w1, w2 := w2, lp := lp))),
+             s -> s.lp
+           ),
+           (acc, x) -> acc + x
+         ) AS s
+  FROM lp GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, round(s, 6) AS sum_logprob,
+       round(s / n_bigrams, 6) AS avg_logprob
+FROM folded
+""",
+)
+def q_lm_logprob(spark: SparkSession, sf_dir: str):
+    """Per-document log-probability under a Laplace-smoothed bigram
+    LM trained on the corpus itself (textstats.bigram_logprob) — the
+    CCNet-style perplexity-filter rung. Exact-integer model inputs;
+    the per-doc total is a left fold over the (w1, w2)-sorted
+    contribution list, so DuckDB's list_reduce replays the double sum
+    bit-for-bit regardless of Spark's partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = ts.bigram_logprob(docs, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"), "n_bigrams", "sum_logprob",
+        "avg_logprob",
+    )

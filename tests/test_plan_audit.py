@@ -364,6 +364,40 @@ def test_oov_ratio_model_joins_broadcast(spark):
     assert "partial" in p.lower(), p
 
 
+def test_tfidf_no_forced_broadcast_on_docfreq(spark):
+    """Round-6 policy, third site: the vocabulary-sized docfreq
+    relation carries NO forced broadcast hint (the only hint allowed
+    is the 1-row corpus-size aggregate, which _bounded_hints_only
+    cannot distinguish from a Range — so assert directly on the hinted
+    subtree); aggregation stays map-side partial."""
+    df = q(spark, "q_tfidf_topterms")
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    lines = analyzed.splitlines()
+    for i, l in enumerate(lines):
+        if "ResolvedHint" not in l:
+            continue
+        window = "\n".join(lines[i : i + 6])
+        assert "Aggregate" in window and "count(1)" in window, (
+            "broadcast hint on something other than the 1-row "
+            "corpus-size aggregate:\n" + window
+        )
+    p = plan_text(df)
+    assert "CartesianProduct" not in p, p
+    assert "partial" in p.lower(), p
+
+
+def test_lm_logprob_no_forced_hints_partial_aggs(spark):
+    """The bigram-LM model joins (vocabulary-sized c2/ctx relations)
+    are strategy-unpinned — no forced broadcast hint anywhere — and
+    every count aggregate is map-side partial; no cartesian."""
+    df = q(spark, "q_lm_logprob")
+    _bounded_hints_only(df)
+    p = plan_text(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "partial" in p.lower(), p
+
+
 def test_bm25_stats_broadcast_topk_is_sort_limit(spark):
     """BM25's corpus stats are a broadcast 1-row aggregate; the top-k
     is TakeOrdered (per-partition partial top-k), NEVER a global sort

@@ -40,3 +40,36 @@ def test_bm25_duplicate_query_terms_score_once(spark):
     twice = bm25_topk(df, "doc_id", "text", ["rare", "rare"], k=3).collect()
     assert [r.asDict() for r in once] == [r.asDict() for r in twice]
     assert {r["id"] for r in once} == {1, 3}
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Laplace bigram LM on a 2-doc corpus, every value hand-derived:
+    c(a,b)=2, c(b,a)=1, ctx(a)=2, ctx(b)=1, V=2."""
+    import math
+
+    from nextbus2pg_spark.operators.textstats import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+    assert 3 not in out  # <2 words: no bigrams, no row
+    lp_ab = math.log(3 / 4)   # (2+1)/(2+2)
+    lp_ba = math.log(2 / 3)   # (1+1)/(1+2)
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["sum_logprob"] == round(lp_ab + lp_ba, 6)
+    assert out[1]["avg_logprob"] == round((lp_ab + lp_ba) / 2, 6)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["sum_logprob"] == round(lp_ab, 6)
+    # repetitive garbage scores below fluent text from the same model
+    df2 = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)]
+        + [(100, "zz qq zz qq zz")],
+        "doc_id long, text string",
+    )
+    scores = {
+        r["id"]: r["avg_logprob"]
+        for r in bigram_logprob(df2, "doc_id", "text").collect()
+    }
+    assert scores[100] < scores[0]
