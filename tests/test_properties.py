@@ -441,3 +441,83 @@ def test_histogram_merge_law_and_quantile_model(spark, vals, cut):
             break
         cum += c
     assert got == want
+
+
+# -- PSL registrable domain vs an independent reference matcher --------
+
+_PSL_LABELS = ["com", "uk", "co", "jp", "aichi", "pref", "ck", "www",
+               "io", "github", "mx", "gob"]
+
+
+def _ref_psl_domain(host: str, rules: list[str]) -> str | None:
+    """Straight-line publicsuffix.org algorithm (no vectorization):
+    the independent model the Spark operator must match."""
+    labels = host.lower().split(".")
+    parsed = []
+    for r in rules:
+        r = r.strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        exc = r.startswith("!")
+        parsed.append((r[1:] if exc else r, exc))
+
+    def matches(rule: str) -> bool:
+        rl = rule.split(".")
+        if len(rl) > len(labels):
+            return False
+        for rpart, hpart in zip(reversed(rl), reversed(labels)):
+            if rpart != "*" and rpart != hpart:
+                return False
+        return True
+
+    best, best_key = None, None
+    for rule, exc in parsed:
+        if not matches(rule):
+            continue
+        key = (exc, len(rule.split(".")))
+        if best_key is None or key > best_key:
+            best, best_key = (rule, exc), key
+    if best is None:
+        ps_len = 1  # implicit '*' rule
+    else:
+        rule, exc = best
+        ps_len = len(rule.split(".")) - (1 if exc else 0)
+    if len(labels) <= ps_len:
+        return None
+    return ".".join(labels[len(labels) - ps_len - 1:])
+
+
+@given(
+    hosts=st.lists(
+        st.lists(
+            st.sampled_from(_PSL_LABELS), min_size=1, max_size=5
+        ).map(".".join),
+        min_size=1, max_size=15, unique=True,
+    ),
+    rules=st.lists(
+        st.one_of(
+            st.lists(
+                st.sampled_from(_PSL_LABELS), min_size=1, max_size=3
+            ).map(".".join),
+            st.lists(
+                st.sampled_from(_PSL_LABELS), min_size=1, max_size=2
+            ).map(lambda ls: "*." + ".".join(ls)),
+            st.lists(
+                st.sampled_from(_PSL_LABELS), min_size=1, max_size=2
+            ).map(lambda ls: "!" + ".".join(ls)),
+        ),
+        min_size=1, max_size=12, unique=True,
+    ),
+)
+@_SETTINGS
+def test_psl_registrable_domain_matches_reference_model(spark, hosts, rules):
+    from nextbus2pg_spark.operators.url import psl_registrable_domain
+
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    psl = spark.createDataFrame([(r,) for r in rules], "suffix string")
+    got = {
+        r["host"]: r["domain"]
+        for r in psl_registrable_domain(df, "host", psl).collect()
+    }
+    want = {h: _ref_psl_domain(h, rules) for h in hosts}
+    assert got == want, (got, want, rules)
