@@ -51,6 +51,7 @@ R5_SET = [
 R6_SET = [
     "q_url_psl",
     "q_corpus_assembly",
+    "q_pagerank",
 ]
 
 HEADLINE = [
@@ -81,6 +82,7 @@ HEADLINE = [
     "q_leakage_safe_split",
     "q_url_psl",
     "q_corpus_assembly",
+    "q_pagerank",
 ]
 
 

@@ -1,0 +1,117 @@
+"""PageRank operator tests: NumPy power-iteration reference parity,
+dangling-mass conservation, weighted edges, determinism-mode
+equivalence, and loud-failure guards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from nextbus2pg_spark.operators.graph import pagerank
+
+
+def _np_pagerank(n, edges, damping, n_iters):
+    """Independent dense reference: edges = [(src, dst, w)]."""
+    W = np.zeros((n, n))
+    for s, d, w in edges:
+        W[s, d] += w
+    wout = W.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        dm = r[wout == 0].sum()
+        inc = np.zeros(n)
+        for u in range(n):
+            if wout[u] > 0:
+                inc += r[u] * W[u] / wout[u]
+        r = (1 - damping) / n + damping * (inc + dm / n)
+    return r
+
+
+EDGES = [(0, 1, 1.0), (1, 0, 1.0), (2, 0, 3.0), (2, 1, 1.0), (1, 3, 1.0)]
+
+
+def test_matches_numpy_reference(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, weight="w", n_iters=20).collect()
+    }
+    want = _np_pagerank(4, EDGES, 0.85, 20)
+    assert set(got) == {0, 1, 2, 3}
+    for node, rank in got.items():
+        assert rank == pytest.approx(want[node], abs=1e-12)
+
+
+def test_rank_mass_conserved(spark):
+    # node 3 is dangling (dst-only); mass must still sum to 1.
+    df = spark.createDataFrame(EDGES, "src long, dst long, w double")
+    total = sum(
+        r["rank"] for r in pagerank(df, weight="w", n_iters=12).collect()
+    )
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_deterministic_mode_matches_scale_mode(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long, w double")
+    plain = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, weight="w", n_iters=10).collect()
+    }
+    det = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, weight="w", n_iters=10, deterministic=True
+        ).collect()
+    }
+    assert set(det) == set(plain)
+    for node in plain:
+        assert det[node] == pytest.approx(plain[node], abs=1e-12)
+
+
+def test_weights_shift_rank(spark):
+    # a -> b weighted 9, a -> c weighted 1: b must outrank c.
+    df = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df, weight="w").collect()}
+    assert got["b"] > got["c"]
+    # unweighted: b and c are symmetric and must tie exactly.
+    flat = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    assert flat["b"] == pytest.approx(flat["c"], abs=1e-15)
+
+
+def test_string_nodes_supported(spark):
+    df = spark.createDataFrame(
+        [("host-a", "host-b"), ("host-b", "host-a")], "src string, dst string"
+    )
+    got = pagerank(df, n_iters=5).collect()
+    assert {r["node"] for r in got} == {"host-a", "host-b"}
+    for r in got:  # symmetric 2-cycle: exactly 1/2 each
+        assert r["rank"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_null_edge_rejected(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", None)], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        pagerank(df)
+
+
+@pytest.mark.parametrize("damping", [0.0, 1.0, -0.2, 1.5])
+def test_bad_damping_rejected(spark, damping):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=damping)
+
+
+def test_bad_iters_rejected(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="n_iters"):
+        pagerank(df, n_iters=0)
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(df).collect() == []

@@ -470,3 +470,34 @@ def test_bpe_token_count_encode_is_single_python_stage(spark):
     assert p.count("MapInPandas (") == 1, p
     assert "Exchange" not in p, p
     assert "Join" not in p, p
+
+
+def test_pagerank_iteration_plan_shape(spark):
+    """One PageRank power-method round (the exact `_pagerank_round`
+    the loop checkpoints): pure JVM expressions — no Python eval stage
+    — no cartesian/BNLJ, partial aggregation on the scale-mode
+    contribution sum, and NO forced broadcast hint anywhere (the node
+    and rank frames scale with the graph; strategy belongs to the
+    planner/AQE, round-6 policy)."""
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.operators.graph import _pagerank_round
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0), (2, 0, 1.0)], "src long, dst long, w double"
+    )
+    nodes = e.select(F.col("src").alias("node")).unionByName(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    outw = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / 3))
+    for det in (False, True):
+        df = _pagerank_round(e, outw, nodes, ranks, 0.85, 0.05, 0.0, det)
+        p = plan_text(df)
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+        _bounded_hints_only(df)
+    # scale mode's sum must be map-side partial
+    p = plan_text(_pagerank_round(e, outw, nodes, ranks, 0.85, 0.05, 0.0, False))
+    assert "partial" in p.lower(), p
