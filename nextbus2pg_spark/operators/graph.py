@@ -123,23 +123,29 @@ def pagerank(
         outw = e.groupBy("src").agg(F.sum("w").alias("wout"))
     outw = outw.localCheckpoint(eager=True)
 
-    # Dangling detection is rank-independent: flag once, reuse each round.
+    # Dangling detection is rank-independent: flag once, reuse each
+    # round. When the set is empty (every node has an out-edge — the
+    # common case for transition/link graphs after aggregation), the
+    # per-round dangling-mass job is skipped entirely: dm is exactly
+    # 0.0 every round, so the short-circuit is value-identical.
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     dangling_nodes = nodes.join(
         outw.select(F.col("src").alias("node")), "node", "left_anti"
     ).localCheckpoint(eager=True)
+    has_dangling = bool(dangling_nodes.limit(1).count())
 
     base = (1.0 - damping) / n
     for _ in range(n_iters):
-        if deterministic:
-            dang_agg = dangling_nodes.join(ranks, "node").agg(
+        if not has_dangling:
+            dm = 0.0
+        elif deterministic:
+            dm = dangling_nodes.join(ranks, "node").agg(
                 _sorted_fold(F.col("node"), F.col("rank")).alias("m")
-            )
+            ).collect()[0][0]  # bounded: one scalar/round
         else:
-            dang_agg = dangling_nodes.join(ranks, "node").agg(
+            dm = dangling_nodes.join(ranks, "node").agg(
                 F.sum("rank").alias("m")
-            )
-        dm = dang_agg.collect()[0][0] or 0.0  # bounded: one scalar/round
+            ).collect()[0][0] or 0.0
         ranks = _pagerank_round(
             e, outw, nodes, ranks, damping, base, dm / n, deterministic
         ).localCheckpoint(eager=True)
