@@ -144,6 +144,8 @@ for _round, _names in (
 #: exactly what was rewritten.
 REGRESSION_PRIORITY = (
     # -- code changed in round 6: must stay inside the window ---------
+    "q_lsh_topk",              # first FULL oracle (was r1 no_oracle) —
+                               # needs its first real value-hash row
     "q_setsim_join",           # broadcast hint removed, round 6
     "q_leakage_safe_split",    # broadcast hint removed, round 6
     "q_tfidf_topterms",        # docfreq broadcast hint removed, round 6

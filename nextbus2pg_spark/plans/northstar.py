@@ -663,13 +663,99 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str):
     )
 
 
-@fixture("q_lsh_topk", rows_only=True)  # approximate + hyperplane internals
+def _lsh_sig_sql(table: int, n_bits: int, vec: str = "embedding") -> str:
+    """Signature replay for one LSH table: per bit, the sign of the
+    md5-derived hyperplane dot product — identical planes and the same
+    left-fold summation order as ``lsh_signatures`` (the q_lsh_buckets
+    recipe, parameterized over table/bit count)."""
+    bits = []
+    for b in range(n_bits):
+        bits.append(
+            f"CASE WHEN list_reduce(\n"
+            f"  list_transform(generate_series(0, len({vec}) - 1),\n"
+            f"    d -> CAST({vec}[d + 1] AS DOUBLE) *\n"
+            f"         ((('0x' || substr(md5('{table}:{b}:' || d), 1, 6))"
+            f"::BIGINT\n"
+            f"           / 16777216.0) - 0.5)),\n"
+            f"  (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END"
+        )
+    return "\n || ".join(bits)
+
+
+def _lsh_topk_oracle(n_bits: int, n_tables: int, k: int) -> str:
+    """Full q_lsh_topk replay: per-table signatures, query-side
+    multiprobe (the original bucket plus every Hamming-1 flip),
+    bucket equi-join candidates, distinct, exact cosine, top-k with
+    match_id tie-break — the whole approximate pipeline is a pure
+    deterministic function of the embeddings, so it value-hash-matches
+    end-to-end (the q_ivfpq_seeded program, applied to LSH)."""
+    sigs, probes, cands = [], [], []
+    for t in range(n_tables):
+        sigs.append(
+            f"sig{t} AS (\n  SELECT vec_id AS id,\n "
+            f"{_lsh_sig_sql(t, n_bits)}\n  AS bucket FROM embeddings\n)"
+        )
+        flip_rows = [
+            f"  SELECT id AS query_id,\n"
+            f"         substr(bucket, 1, {i}) ||\n"
+            f"         (CASE WHEN substr(bucket, {i + 1}, 1) = '1' "
+            f"THEN '0' ELSE '1' END) ||\n"
+            f"         substr(bucket, {i + 2}, {n_bits - i - 1}) AS bucket\n"
+            f"  FROM sig{t} WHERE id % 50 = 0"
+            for i in range(n_bits)
+        ]
+        probes.append(
+            f"probe{t} AS (\n"
+            f"  SELECT id AS query_id, bucket FROM sig{t} WHERE id % 50 = 0\n"
+            f"  UNION ALL\n" + "\n  UNION ALL\n".join(flip_rows) + "\n)"
+        )
+        cands.append(
+            f"  SELECT p.query_id, s.id AS match_id\n"
+            f"  FROM probe{t} p JOIN sig{t} s USING (bucket)"
+        )
+    cand_union = "\n  UNION ALL\n".join(cands)
+    sig_ctes = ",\n".join(sigs)
+    probe_ctes = ",\n".join(probes)
+    return f"""
+WITH {_COSINE_NORM_SQL.strip()},
+{sig_ctes},
+{probe_ctes},
+cand AS (
+  SELECT DISTINCT query_id, match_id FROM (
+{cand_union}
+  ) u WHERE query_id <> match_id
+),
+pairs AS (
+  SELECT c.query_id, c.match_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(q.e)),
+                                   i -> q.e[i] * t.e[i]))
+           / (q.nrm * t.nrm), 6) AS sim
+  FROM cand c
+  JOIN n q ON q.vec_id = c.query_id
+  JOIN n t ON t.vec_id = c.match_id
+)
+SELECT query_id, match_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, match_id
+  ) AS rank FROM pairs
+) WHERE rank <= {k}
+"""
+
+
+@fixture("q_lsh_topk", oracle=_lsh_topk_oracle(n_bits=4, n_tables=4, k=5))
 def q_lsh_topk(spark: SparkSession, sf_dir: str):
     """LSH-bucketed approximate top-k — the scale path for similarity
     search (equi-join on signature buckets instead of a cross join);
     4 independent tables compound recall to 0.98 on this fixture
-    (tests/test_ann_recall.py). Approximate by construction ⇒
-    rows-only check."""
+    (tests/test_ann_recall.py). "Approximate" means approximate w.r.t.
+    the exact top-k — the computation itself is a pure deterministic
+    function of the embeddings (md5-derived planes, fold-ordered
+    dots, match_id tie-breaks), so since round 6 the oracle replays
+    the ENTIRE pipeline — signatures, Hamming-1 multiprobe, candidate
+    join, exact-cosine verify, ranked top-5 — and the rows-only
+    era (r1's no_oracle row) is closed: only the three Lloyd-TRAINED
+    ANN configs remain rows-only (FP-partial-sum training)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return lsh_topk(
