@@ -28,6 +28,26 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _fold_mean(key: Column, val: Column) -> Column:
+    """Partition-order-free MEAN aggregate: left fold of the key-sorted
+    value list, divided by the group count — bit-replayable by DuckDB
+    ``list_reduce`` (0.0 + x == x, so the init-less reduce matches).
+    The sorted fold materializes the group's value list, fine for
+    centroid-member groups (bounded by cluster size at training
+    sample scale) — production training keeps the default ``F.avg``
+    (map-side partial, no list) and tests pin both modes agree."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(key.alias("k"), val.alias("v")))
+            ),
+            lambda s: s["v"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.count(F.lit(1))
+
+
 def with_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
     """Attach the L2 norm (computed once per vector, reused per pair)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -261,6 +281,7 @@ def kmeans_centroids(
     vec_col: str,
     n_centroids: int = 16,
     n_iters: int = 3,
+    deterministic: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd-refined centroids → (centroid_id, c_vec).
 
@@ -276,6 +297,13 @@ def kmeans_centroids(
     stable. Measured on the sf0.01 embeddings fixture: bucket sizes
     tighten to 23–38 (vs first-N seeding) and recall@5 at nprobe=8
     rises 0.70 → 0.84.
+
+    ``deterministic=True`` computes each per-(centroid, dim) mean as a
+    left fold over the member-id-sorted value list instead of ``F.avg``
+    — partition-order-free, so the whole training replays bit-for-bit
+    in a DuckDB oracle (the q_ivf_topk unrolled-CTE recipe). Scale
+    note: the fold collects each centroid's member column; production
+    keeps the default partial-aggregated ``F.avg``.
     """
     cents = ivf_centroids(corpus, id_col, vec_col, n_centroids).select(
         "centroid_id",
@@ -289,12 +317,17 @@ def kmeans_centroids(
             ),
             "id",
         )
+        mean_agg = (
+            _fold_mean(F.col("id"), F.col("val").cast("double"))
+            if deterministic
+            else F.avg(F.col("val").cast("double"))
+        )
         means = (
             members.select(
-                "centroid_id", F.posexplode("__vec").alias("pos", "val")
+                "centroid_id", "id", F.posexplode("__vec").alias("pos", "val")
             )
             .groupBy("centroid_id", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .agg(mean_agg.alias("m"))
             .groupBy("centroid_id")
             .agg(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s")
@@ -353,6 +386,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     kmeans_iters: int = 0,
+    deterministic_train: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine restricted to vectors whose
     centroid is among the query's ``nprobe`` nearest centroids.
@@ -367,7 +401,8 @@ def ivf_topk(
     """
     if kmeans_iters > 0:
         cents = kmeans_centroids(
-            corpus, id_col, vec_col, n_centroids, n_iters=kmeans_iters
+            corpus, id_col, vec_col, n_centroids, n_iters=kmeans_iters,
+            deterministic=deterministic_train,
         )
     else:
         cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
@@ -579,6 +614,7 @@ def pq_train(
     n_codes: int = 16,
     n_iters: int = 2,
     train_fraction: float = 1.0,
+    deterministic: bool = False,
 ) -> DataFrame:
     """Train a product-quantization codebook → (sub, code_id, c_vec).
 
@@ -602,6 +638,10 @@ def pq_train(
     quality depends on sample coverage of the distribution, not corpus
     size, so a fixed-size sample trains a codebook of the same recall
     (pinned in tests/test_ann_recall.py) without n_iters full scans.
+
+    ``deterministic=True``: per-(sub, code, dim) means fold over the
+    member-id-sorted value list instead of ``F.avg`` — partition-
+    order-free for DuckDB oracle replay (see ``kmeans_centroids``).
     """
     dim = len(corpus.select(vec_col).first()[0])
     if dim % m != 0:
@@ -642,11 +682,18 @@ def pq_train(
                 F.struct(F.col("__d"), F.col("code_id")),
             ).alias("code_id")
         )
+        mean_agg = (
+            _fold_mean(F.col("id"), F.col("val"))
+            if deterministic
+            else F.avg("val")
+        )
         means = (
             assigned.join(sub_rows, ["id", "sub"])
-            .select("sub", "code_id", F.posexplode("sv").alias("pos", "val"))
+            .select(
+                "sub", "code_id", "id", F.posexplode("sv").alias("pos", "val")
+            )
             .groupBy("sub", "code_id", "pos")
-            .agg(F.avg("val").alias("mval"))
+            .agg(mean_agg.alias("mval"))
             .groupBy("sub", "code_id")
             .agg(
                 F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias(
@@ -807,6 +854,7 @@ def ivfpq_topk(
     n_codes: int = 32,
     kmeans_iters: int = 3,
     pq_iters: int = 2,
+    deterministic_train: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the composed 100 TB ANN shape — coarse centroids prune
     the candidate set (each query scans only its ``nprobe`` buckets)
@@ -826,11 +874,12 @@ def ivfpq_topk(
     """
     cents = kmeans_centroids(
         corpus, id_col, vec_col, n_centroids=n_centroids,
-        n_iters=kmeans_iters,
+        n_iters=kmeans_iters, deterministic=deterministic_train,
     )
     buckets = ivf_assign(corpus, id_col, vec_col, cents, nprobe=1)
     book = pq_train(
-        corpus, id_col, vec_col, m=m, n_codes=n_codes, n_iters=pq_iters
+        corpus, id_col, vec_col, m=m, n_codes=n_codes, n_iters=pq_iters,
+        deterministic=deterministic_train,
     )
     codes = pq_encode(corpus, book, id_col, vec_col).join(buckets, "id")
 

@@ -146,6 +146,9 @@ REGRESSION_PRIORITY = (
     # -- code changed in round 6: must stay inside the window ---------
     "q_lsh_topk",              # first FULL oracle (was r1 no_oracle) —
                                # needs its first real value-hash row
+    "q_ivf_topk",              # trained-config oracles, round 6 —
+    "q_pq_topk",               # all three need their first real
+    "q_ivfpq_topk",            # value-hash rows (rows-only era closed)
     "q_setsim_join",           # broadcast hint removed, round 6
     "q_leakage_safe_split",    # broadcast hint removed, round 6
     "q_tfidf_topterms",        # docfreq broadcast hint removed, round 6

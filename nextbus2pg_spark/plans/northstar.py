@@ -1123,18 +1123,146 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str):
     return kmv_distinct(events, ["event_type"], "user_id", k=64)
 
 
-@fixture("q_ivf_topk", rows_only=True)  # approximate by construction
+#: Engine-portable float kernels for the trained-ANN oracles: the dot
+#: and squared-L2 folds replay Spark's F.aggregate left fold exactly
+#: (lambda vars x/y to keep table aliases a/b free).
+_DOTJ = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "j -> {a}[j] * {b}[j]), (x, y) -> x + y)"
+)
+_L2J = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])), (x, y) -> x + y)"
+)
+
+
+def _kmeans_chain(n_iters: int, n_centroids: int) -> tuple[str, str]:
+    """CTE chain replaying ``kmeans_centroids(deterministic=True)``:
+    first-N seed, then per iteration (a) nearest-centroid assignment
+    by exact cosine with centroid_id tie-break, (b) per-centroid
+    member list sorted by id, (c) per-dimension fold-mean (matching
+    the Spark side's ``_fold_mean``), empty centroids keeping their
+    previous vector. Assumes CTEs ``vr`` (id, vv) / ``vn`` (+ norm n)
+    exist. Returns (sql, final_cte_name)."""
+    parts = [f"""c0 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {n_centroids}) _seed
+)"""]
+    for i in range(1, n_iters + 1):
+        parts.append(f""",
+cn{i - 1} AS (
+  SELECT centroid_id, cv, sqrt({_DOTJ.format(a='cv', b='cv')}) AS n
+  FROM c{i - 1}
+),
+a{i} AS (
+  SELECT id, centroid_id FROM (
+    SELECT v.id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.id ORDER BY
+             {_DOTJ.format(a='v.vv', b='c.cv')}
+             / greatest(v.n * c.n, 1e-12) DESC,
+             c.centroid_id) AS rn
+    FROM vn v CROSS JOIN cn{i - 1} c) _a WHERE rn = 1
+),
+m{i} AS (
+  SELECT a.centroid_id, count(*) AS cnt,
+         list(struct_pack(sk := v.id, sv := v.vv) ORDER BY v.id) AS ml
+  FROM a{i} a JOIN vr v ON v.id = a.id
+  GROUP BY a.centroid_id
+),
+c{i} AS (
+  SELECT c.centroid_id,
+         CASE WHEN m.centroid_id IS NULL THEN c.cv
+              ELSE list_transform(generate_series(1, len(c.cv)),
+                     j -> list_reduce(list_transform(m.ml, el -> el.sv[j]),
+                                      (x, y) -> x + y) / m.cnt)
+         END AS cv
+  FROM c{i - 1} c LEFT JOIN m{i} m USING (centroid_id)
+)""")
+    return "".join(parts), f"c{n_iters}"
+
+
+def _ivf_topk_oracle(
+    n_centroids: int, nprobe: int, kmeans_iters: int, k: int
+) -> str:
+    """Full q_ivf_topk replay: deterministic Lloyd training unrolled
+    as CTE generations (the BPE/PageRank recipe), corpus bucket
+    assignment, query-side nprobe probes, exact-cosine verify on the
+    bucket-joined candidates, match_id-tie-broken top-k."""
+    chain, cfin = _kmeans_chain(kmeans_iters, n_centroids)
+    return f"""
+WITH vr AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+),
+vn AS (
+  SELECT id, vv, sqrt({_DOTJ.format(a='vv', b='vv')}) AS n FROM vr
+),
+{chain},
+cnf AS (
+  SELECT centroid_id, cv, sqrt({_DOTJ.format(a='cv', b='cv')}) AS n
+  FROM {cfin}
+),
+ab AS (
+  SELECT id, centroid_id FROM (
+    SELECT v.id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.id ORDER BY
+             {_DOTJ.format(a='v.vv', b='c.cv')}
+             / greatest(v.n * c.n, 1e-12) DESC,
+             c.centroid_id) AS rn
+    FROM vn v CROSS JOIN cnf c) _b WHERE rn = 1
+),
+aq AS (
+  SELECT id AS query_id, centroid_id FROM (
+    SELECT v.id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.id ORDER BY
+             {_DOTJ.format(a='v.vv', b='c.cv')}
+             / greatest(v.n * c.n, 1e-12) DESC,
+             c.centroid_id) AS rn
+    FROM vn v CROSS JOIN cnf c WHERE v.id % 50 = 0) _q
+  WHERE rn <= {nprobe}
+),
+pairs AS (
+  SELECT DISTINCT q.query_id, b.id AS match_id,
+         round({_DOTJ.format(a='qv.vv', b='tv.vv')}
+               / greatest(qv.n * tv.n, 1e-12), 6) AS sim
+  FROM aq q
+  JOIN ab b USING (centroid_id)
+  JOIN vn qv ON qv.id = q.query_id
+  JOIN vn tv ON tv.id = b.id
+  WHERE q.query_id <> b.id
+)
+SELECT query_id, match_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, match_id) AS rank
+  FROM pairs
+) _r WHERE rank <= {k}
+"""
+
+
+@fixture(
+    "q_ivf_topk",
+    oracle=_ivf_topk_oracle(n_centroids=16, nprobe=8, kmeans_iters=3, k=5),
+)
 def q_ivf_topk(spark: SparkSession, sf_dir: str):
     """IVF-bucketed approximate top-k — centroid inverted-file variant
     of the ANN scale path (operators.similarity.ivf_topk), with
     Lloyd-refined centroids (recall@5 = 0.84 at nprobe=8 on this
-    fixture; tests/test_ann_recall.py)."""
+    fixture; tests/test_ann_recall.py). Since round 6 the TRAINED
+    config is oracle-backed end-to-end: ``deterministic_train`` folds
+    every centroid mean over the member-id-sorted list, so the 3
+    Lloyd iterations + assignment + probe + verify replay exactly in
+    the unrolled-CTE oracle ("approximate" = approximate w.r.t. exact
+    top-k, not nondeterministic)."""
     from nextbus2pg_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return ivf_topk(emb, queries, "vec_id", "embedding", k=5,
-                    n_centroids=16, nprobe=8, kmeans_iters=3)
+                    n_centroids=16, nprobe=8, kmeans_iters=3,
+                    deterministic_train=True)
 
 
 @fixture(
@@ -1373,13 +1501,120 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str):
     return out.select("doc_id", "lang", "chunk_id", "start_offset")
 
 
-@fixture("q_pq_topk", rows_only=True)  # approximate by construction
+def _pq_chain(m: int, n_codes: int, n_iters: int, subdim: int) -> tuple[str, str]:
+    """CTE chain replaying ``pq_train(deterministic=True)`` +
+    ``pq_encode``: unit-normalize (1e-12 floor), slice into ``m``
+    subvectors, per-sub first-N seeds (code_id = row_number by id),
+    then per iteration squared-L2 assignment (code_id tie-break) and
+    per-(sub, code, dim) fold-means. Assumes CTE ``e`` (id, ev double
+    list) exists. Returns (sql, final_codebook_cte)."""
+    parts = [f"""un AS (
+  SELECT id, ev,
+         greatest(sqrt({_DOTJ.format(a='ev', b='ev')}), 1e-12) AS nn
+  FROM e
+),
+u AS (SELECT id, list_transform(ev, x -> x / nn) AS uv FROM un),
+sub AS (
+  SELECT id, CAST(t.s AS BIGINT) AS sub,
+         list_slice(uv, t.s * {subdim} + 1, t.s * {subdim} + {subdim}) AS sv
+  FROM u, LATERAL UNNEST(generate_series(0, {m - 1})) AS t(s)
+),
+seedid AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS code_id
+  FROM (SELECT id FROM u ORDER BY id LIMIT {n_codes}) _s
+),
+b0 AS (
+  SELECT s.sub, si.code_id, s.sv AS cv
+  FROM seedid si JOIN sub s ON s.id = si.id
+)"""]
+    for i in range(1, n_iters + 1):
+        parts.append(f""",
+pa{i} AS (
+  SELECT id, sub, code_id FROM (
+    SELECT s.id, s.sub, c.code_id,
+           row_number() OVER (PARTITION BY s.id, s.sub ORDER BY
+             {_L2J.format(a='s.sv', b='c.cv')} ASC, c.code_id ASC) AS rn
+    FROM sub s JOIN b{i - 1} c USING (sub)) _a WHERE rn = 1
+),
+pm{i} AS (
+  SELECT a.sub, a.code_id, count(*) AS cnt,
+         list(struct_pack(sk := s.id, sv2 := s.sv) ORDER BY s.id) AS ml
+  FROM pa{i} a JOIN sub s ON s.id = a.id AND s.sub = a.sub
+  GROUP BY a.sub, a.code_id
+),
+b{i} AS (
+  SELECT c.sub, c.code_id,
+         CASE WHEN m2.code_id IS NULL THEN c.cv
+              ELSE list_transform(generate_series(1, len(c.cv)),
+                     j -> list_reduce(list_transform(m2.ml, el -> el.sv2[j]),
+                                      (x, y) -> x + y) / m2.cnt)
+         END AS cv
+  FROM b{i - 1} c
+  LEFT JOIN pm{i} m2 ON m2.sub = c.sub AND m2.code_id = c.code_id
+)""")
+    bfin = f"b{n_iters}"
+    parts.append(f""",
+codes AS (
+  SELECT id, sub, code_id FROM (
+    SELECT s.id, s.sub, c.code_id,
+           row_number() OVER (PARTITION BY s.id, s.sub ORDER BY
+             {_L2J.format(a='s.sv', b='c.cv')} ASC, c.code_id ASC) AS rn
+    FROM sub s JOIN {bfin} c USING (sub)) _e WHERE rn = 1
+),
+lut AS (
+  SELECT s.id AS query_id, s.sub, c.code_id,
+         {_DOTJ.format(a='s.sv', b='c.cv')} AS part
+  FROM sub s JOIN {bfin} c USING (sub)
+  WHERE s.id % 50 = 0
+)""")
+    return "".join(parts), bfin
+
+
+_PQ_RANKED_TAIL = """
+SELECT query_id, match_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, match_id) AS rank
+  FROM sc
+) _r WHERE rank <= {k}
+"""
+
+
+def _pq_topk_oracle(m: int, n_codes: int, n_iters: int, k: int) -> str:
+    """Full q_pq_topk replay: deterministic per-subspace Lloyd
+    training + encode + query LUT + ADC sums (rounded 6 dp per the
+    FP-aggregate portability rule) + ranked top-k."""
+    chain, _ = _pq_chain(m, n_codes, n_iters, subdim=64 // m)
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+{chain},
+sc AS (
+  SELECT l.query_id, cd.id AS match_id, round(sum(l.part), 6) AS sim
+  FROM codes cd
+  JOIN lut l ON l.sub = cd.sub AND l.code_id = cd.code_id
+  WHERE l.query_id <> cd.id
+  GROUP BY 1, 2
+)
+{_PQ_RANKED_TAIL.format(k=k)}
+"""
+
+
+@fixture(
+    "q_pq_topk",
+    oracle=_pq_topk_oracle(m=32, n_codes=32, n_iters=2, k=5),
+)
 def q_pq_topk(spark: SparkSession, sf_dir: str):
     """Product-quantization ANN (the IVF-PQ compression leg): train a
     per-subspace L2 codebook, encode the corpus as 32 small ints per
     vector (the query-time scan never reads corpus vectors), score by
     ADC lookup-table sums reconstructing cosine. recall@5 = 0.80 pinned
-    >= 0.7 at these settings (tests/test_ann_recall.py)."""
+    >= 0.7 at these settings (tests/test_ann_recall.py). Since round 6
+    the TRAINED codebook is oracle-backed: deterministic fold-means
+    make the 2 Lloyd iterations replay exactly; ADC sums round to 6 dp
+    (the q_ivfpq_seeded portability rule)."""
     from nextbus2pg_spark.operators.similarity import (
         pq_encode,
         pq_topk,
@@ -1388,24 +1623,95 @@ def q_pq_topk(spark: SparkSession, sf_dir: str):
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    book = pq_train(emb, "vec_id", "embedding", m=32, n_codes=32, n_iters=2)
+    book = pq_train(emb, "vec_id", "embedding", m=32, n_codes=32, n_iters=2,
+                    deterministic=True)
     codes = pq_encode(emb, book, "vec_id", "embedding")
     return pq_topk(codes, book, queries, "vec_id", "embedding", k=5)
 
 
-@fixture("q_ivfpq_topk", rows_only=True)  # approximate by construction
+def _ivfpq_topk_oracle(
+    n_centroids: int, nprobe: int, m: int, n_codes: int,
+    kmeans_iters: int, pq_iters: int, k: int,
+) -> str:
+    """Full q_ivfpq_topk replay — the two trained chains composed:
+    deterministic coarse Lloyd centroids prune candidates to the
+    query's nprobe buckets; the deterministic PQ codebook scores them
+    by ADC lookup-adds. Every stage replays; only the per-pair ADC
+    sum rounds (6 dp)."""
+    kchain, cfin = _kmeans_chain(kmeans_iters, n_centroids)
+    pchain, _ = _pq_chain(m, n_codes, pq_iters, subdim=64 // m)
+    return f"""
+WITH vr AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+),
+vn AS (
+  SELECT id, vv, sqrt({_DOTJ.format(a='vv', b='vv')}) AS n FROM vr
+),
+e AS (SELECT id, vv AS ev FROM vr),
+{kchain},
+cnf AS (
+  SELECT centroid_id, cv, sqrt({_DOTJ.format(a='cv', b='cv')}) AS n
+  FROM {cfin}
+),
+ab AS (
+  SELECT id, centroid_id FROM (
+    SELECT v.id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.id ORDER BY
+             {_DOTJ.format(a='v.vv', b='c.cv')}
+             / greatest(v.n * c.n, 1e-12) DESC,
+             c.centroid_id) AS rn
+    FROM vn v CROSS JOIN cnf c) _b WHERE rn = 1
+),
+aq AS (
+  SELECT id AS query_id, centroid_id FROM (
+    SELECT v.id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.id ORDER BY
+             {_DOTJ.format(a='v.vv', b='c.cv')}
+             / greatest(v.n * c.n, 1e-12) DESC,
+             c.centroid_id) AS rn
+    FROM vn v CROSS JOIN cnf c WHERE v.id % 50 = 0) _q
+  WHERE rn <= {nprobe}
+),
+{pchain},
+sc AS (
+  SELECT p.query_id, cd.id AS match_id, round(sum(l.part), 6) AS sim
+  FROM codes cd
+  JOIN ab b ON b.id = cd.id
+  JOIN aq p ON p.centroid_id = b.centroid_id
+  JOIN lut l ON l.query_id = p.query_id
+            AND l.sub = cd.sub AND l.code_id = cd.code_id
+  WHERE p.query_id <> cd.id
+  GROUP BY 1, 2
+)
+{_PQ_RANKED_TAIL.format(k=k)}
+"""
+
+
+@fixture(
+    "q_ivfpq_topk",
+    oracle=_ivfpq_topk_oracle(
+        n_centroids=16, nprobe=8, m=32, n_codes=32,
+        kmeans_iters=3, pq_iters=2, k=5,
+    ),
+)
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str):
     """IVF-PQ composed ANN: coarse-centroid pruning (each query scans
     nprobe of 16 buckets) x PQ ADC scoring (m lookup-adds per
     candidate, no corpus-vector reads). recall@5 = 0.72 pinned >= 0.6
     (tests/test_ann_recall.py) — the full 100 TB shape where neither
     the candidate set nor the per-candidate cost grows with corpus
-    size."""
+    size. Since round 6 the fully TRAINED config is oracle-backed
+    end-to-end (deterministic fold-mean training in both chains),
+    closing the rows-only era entirely: every registered query now
+    carries a full value-hash oracle."""
     from nextbus2pg_spark.operators.similarity import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    return ivfpq_topk(emb, queries, "vec_id", "embedding", k=5)
+    return ivfpq_topk(emb, queries, "vec_id", "embedding", k=5,
+                      deterministic_train=True)
 
 
 @fixture(
