@@ -77,6 +77,7 @@ def pagerank(
     damping: float = 0.85,
     n_iters: int = 10,
     deterministic: bool = False,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list → ``(node, rank)``.
 
@@ -84,6 +85,15 @@ def pagerank(
     every edge weighs 1). NULL endpoints are rejected loudly — a NULL
     key would silently drop graph mass, the same failure mode
     ``connected_components`` guards against.
+
+    ``reset`` switches to PERSONALIZED PageRank: a ``(node, p)`` frame
+    giving the teleport distribution (must sum to 1 over graph nodes,
+    validated; graph nodes absent from it get p = 0). Both the (1-d)
+    teleport and the dangling-mass redistribution follow ``p`` instead
+    of the uniform 1/N, and ranks initialize at ``p`` — random walks
+    restart at the seed set, so rank concentrates on the seeds'
+    neighborhoods (the "related items" / topic-sensitive variant).
+    Nodes unreachable from the seed set converge to rank 0.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1); got {damping}")
@@ -123,13 +133,38 @@ def pagerank(
         outw = e.groupBy("src").agg(F.sum("w").alias("wout"))
     outw = outw.localCheckpoint(eager=True)
 
+    if reset is not None:
+        # Attach the teleport distribution to the node frame once;
+        # graph nodes missing from `reset` teleport-receive nothing.
+        rcols = reset.columns
+        nodes = nodes.join(
+            reset.select(
+                F.col(rcols[0]).alias("node"),
+                F.col(rcols[1]).cast("double").alias("p"),
+            ),
+            "node",
+            "left",
+        ).select(
+            "node", F.coalesce("p", F.lit(0.0)).alias("p")
+        ).localCheckpoint(eager=True)
+        total_p = nodes.agg(F.sum("p")).collect()[0][0] or 0.0
+        if abs(total_p - 1.0) > 1e-6:
+            raise ValueError(
+                f"personalized reset distribution sums to {total_p} over "
+                "the graph's nodes (must be 1) — seeds outside the graph "
+                "or unnormalized weights would silently leak rank mass"
+            )
+
     # Dangling detection is rank-independent: flag once, reuse each
     # round. When the set is empty (every node has an out-edge — the
     # common case for transition/link graphs after aggregation), the
     # per-round dangling-mass job is skipped entirely: dm is exactly
     # 0.0 every round, so the short-circuit is value-identical.
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    dangling_nodes = nodes.join(
+    if reset is None:
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    else:
+        ranks = nodes.select("node", F.col("p").alias("rank"))
+    dangling_nodes = nodes.select("node").join(
         outw.select(F.col("src").alias("node")), "node", "left_anti"
     ).localCheckpoint(eager=True)
     has_dangling = bool(dangling_nodes.limit(1).count())
@@ -146,10 +181,15 @@ def pagerank(
             dm = dangling_nodes.join(ranks, "node").agg(
                 F.sum("rank").alias("m")
             ).collect()[0][0] or 0.0
-        ranks = _pagerank_round(
-            e, outw, nodes, ranks, damping, base, dm / n, deterministic
-        ).localCheckpoint(eager=True)
-    return ranks
+        if reset is None:
+            ranks = _pagerank_round(
+                e, outw, nodes, ranks, damping, base, dm / n, deterministic
+            ).localCheckpoint(eager=True)
+        else:
+            ranks = _ppr_round(
+                e, outw, nodes, ranks, damping, dm, deterministic
+            ).localCheckpoint(eager=True)
+    return ranks.select("node", "rank")
 
 
 def _pagerank_round(
@@ -165,8 +205,23 @@ def _pagerank_round(
     """One power-method round as a single declarative plan (factored
     out so ``tests/test_plan_audit.py`` can audit the exact per-round
     physical plan, which the loop's localCheckpoint otherwise hides)."""
+    inc = _incoming(e, outw, ranks, deterministic)
+    return nodes.join(inc, "node", "left").select(
+        "node",
+        (
+            F.lit(base)
+            + F.lit(damping)
+            * (F.coalesce("s", F.lit(0.0)) + F.lit(dm_per_node))
+        ).alias("rank"),
+    )
+
+
+def _incoming(
+    e: DataFrame, outw: DataFrame, ranks: DataFrame, deterministic: bool
+) -> DataFrame:
+    """Per-node incoming rank mass for one round → ``(node, s)``."""
     contrib = (
-        e.join(ranks.withColumnRenamed("node", "src"), "src")
+        e.join(ranks.select("node", "rank").withColumnRenamed("node", "src"), "src")
         .join(outw, "src")
         .select(
             "src",
@@ -175,16 +230,30 @@ def _pagerank_round(
         )
     )
     if deterministic:
-        inc = contrib.groupBy("node").agg(
+        return contrib.groupBy("node").agg(
             _sorted_fold(F.col("src"), F.col("c")).alias("s")
         )
-    else:
-        inc = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+    return contrib.groupBy("node").agg(F.sum("c").alias("s"))
+
+
+def _ppr_round(
+    e: DataFrame,
+    outw: DataFrame,
+    nodes: DataFrame,
+    ranks: DataFrame,
+    damping: float,
+    dm: float,
+    deterministic: bool,
+) -> DataFrame:
+    """One personalized round: teleport and dangling mass both follow
+    the per-node ``p`` column carried on ``nodes``."""
+    inc = _incoming(e, outw, ranks, deterministic)
     return nodes.join(inc, "node", "left").select(
         "node",
+        "p",
         (
-            F.lit(base)
+            F.lit(1.0 - damping) * F.col("p")
             + F.lit(damping)
-            * (F.coalesce("s", F.lit(0.0)) + F.lit(dm_per_node))
+            * (F.coalesce("s", F.lit(0.0)) + F.lit(dm) * F.col("p"))
         ).alias("rank"),
     )

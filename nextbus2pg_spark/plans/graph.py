@@ -30,9 +30,8 @@ _FOLD = (
 )
 
 
-def _pagerank_oracle(n_iters: int, damping: float) -> str:
-    d = f"CAST({damping} AS DOUBLE)"
-    head = f"""
+#: Shared head: the event-transition edge list, node set, out-weights.
+_PR_HEAD = f"""
 WITH e AS (
   SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
   FROM (
@@ -52,15 +51,15 @@ nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 ow AS (
   SELECT src, {_FOLD.format(k='dst', v='w')} AS wout
   FROM e GROUP BY src
-),
-r0 AS (
-  SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
-  FROM nodes CROSS JOIN nn
 )"""
-    its = []
-    for i in range(1, n_iters + 1):
-        p = f"r{i - 1}"
-        its.append(f""",
+
+
+def _pr_step_ctes(i: int) -> str:
+    """One round's incoming-mass and dangling-mass CTEs (shared by the
+    uniform and personalized oracles — the rank-update rule is what
+    differs)."""
+    p = f"r{i - 1}"
+    return f""",
 inc{i} AS (
   SELECT e.dst AS node,
          {_FOLD.format(k='e.src', v='(r.rank * e.w) / ow.wout')} AS s
@@ -75,7 +74,19 @@ dang{i} AS (
   FROM {p} r
   LEFT JOIN ow ON ow.src = r.node
   WHERE ow.src IS NULL
-),
+)"""
+
+
+def _pagerank_oracle(n_iters: int, damping: float) -> str:
+    d = f"CAST({damping} AS DOUBLE)"
+    head = _PR_HEAD + """,
+r0 AS (
+  SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+  FROM nodes CROSS JOIN nn
+)"""
+    its = []
+    for i in range(1, n_iters + 1):
+        its.append(_pr_step_ctes(i) + f""",
 r{i} AS (
   SELECT n.node,
          (1 - {d}) / nn.n
@@ -83,6 +94,37 @@ r{i} AS (
                   + (SELECT m FROM dang{i}) / nn.n) AS rank
   FROM nodes n CROSS JOIN nn
   LEFT JOIN inc{i} i ON i.node = n.node
+)""")
+    tail = f"""
+SELECT node, round(rank, 6) AS rank FROM r{n_iters}
+"""
+    return head + "".join(its) + tail
+
+
+def _ppr_oracle(n_iters: int, damping: float, seeds: dict[str, float]) -> str:
+    """Personalized variant: teleport and dangling mass follow the
+    seed distribution ``p`` (a CASE over the node set) instead of 1/N;
+    ranks initialize at ``p``."""
+    d = f"CAST({damping} AS DOUBLE)"
+    whens = " ".join(
+        f"WHEN node = '{node}' THEN CAST({p} AS DOUBLE)"
+        for node, p in seeds.items()
+    )
+    head = _PR_HEAD + f""",
+pr AS (
+  SELECT node, CASE {whens} ELSE CAST(0 AS DOUBLE) END AS p FROM nodes
+),
+r0 AS (SELECT node, p AS rank FROM pr)"""
+    its = []
+    for i in range(1, n_iters + 1):
+        its.append(_pr_step_ctes(i) + f""",
+r{i} AS (
+  SELECT pr.node,
+         (1 - {d}) * pr.p
+         + {d} * (coalesce(i.s, CAST(0 AS DOUBLE))
+                  + (SELECT m FROM dang{i}) * pr.p) AS rank
+  FROM pr
+  LEFT JOIN inc{i} i ON i.node = pr.node
 )""")
     tail = f"""
 SELECT node, round(rank, 6) AS rank FROM r{n_iters}
@@ -116,5 +158,45 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=_PR_DAMPING,
         n_iters=_PR_ITERS,
         deterministic=True,
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+_PPR_SEEDS = {"purchase": 0.6, "signup": 0.4}
+
+
+@fixture(
+    "q_pagerank_personalized",
+    oracle=_ppr_oracle(_PR_ITERS, _PR_DAMPING, _PPR_SEEDS),
+)
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the same event-transition graph:
+    random walks teleport to {purchase: 0.6, signup: 0.4} instead of
+    uniformly, so rank concentrates on the conversion events'
+    neighborhoods — the topic-sensitive / related-items variant (the
+    same operator ranks "domains related to a trusted seed list" in a
+    crawl-curation pipeline). Deterministic mode; the oracle replays
+    the seed CASE distribution through the shared unrolled-CTE
+    iteration chain."""
+    from nextbus2pg_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("dst", F.lead("event_type").over(w))
+        .where(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    reset = spark.createDataFrame(
+        list(_PPR_SEEDS.items()), "node string, p double"
+    )
+    ranks = pagerank(
+        edges,
+        weight="w",
+        damping=_PR_DAMPING,
+        n_iters=_PR_ITERS,
+        deterministic=True,
+        reset=reset,
     )
     return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -115,3 +115,58 @@ def test_bad_iters_rejected(spark):
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert pagerank(df).collect() == []
+
+
+def test_personalized_matches_numpy(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long, w double")
+    reset = spark.createDataFrame(
+        [(0, 0.7), (2, 0.3)], "node long, p double"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, weight="w", n_iters=25, reset=reset).collect()
+    }
+    # independent dense PPR reference
+    W = np.zeros((4, 4))
+    for s, d_, w in EDGES:
+        W[s, d_] += w
+    wout = W.sum(axis=1)
+    p = np.array([0.7, 0.0, 0.3, 0.0])
+    r = p.copy()
+    for _ in range(25):
+        dm = r[wout == 0].sum()
+        inc = np.zeros(4)
+        for u in range(4):
+            if wout[u] > 0:
+                inc += r[u] * W[u] / wout[u]
+        r = (1 - 0.85) * p + 0.85 * (inc + dm * p)
+    for node, rank in got.items():
+        assert rank == pytest.approx(r[node], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_deterministic_matches_plain(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long, w double")
+    reset = spark.createDataFrame([(1, 1.0)], "node long, p double")
+    plain = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, weight="w", n_iters=10, reset=reset).collect()
+    }
+    det = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, weight="w", n_iters=10, reset=reset, deterministic=True
+        ).collect()
+    }
+    for node in plain:
+        assert det[node] == pytest.approx(plain[node], abs=1e-12)
+
+
+def test_personalized_unnormalized_reset_rejected(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long, w double")
+    # mass on a node outside the graph leaks: only 0.5 lands on nodes
+    reset = spark.createDataFrame(
+        [(0, 0.5), (99, 0.5)], "node long, p double"
+    )
+    with pytest.raises(ValueError, match="sums to"):
+        pagerank(df, weight="w", reset=reset)
