@@ -30,6 +30,7 @@ from nextbus2pg_spark.catalog import load_table
 from nextbus2pg_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
+    kmeans_centroids,
     lsh_topk,
     pq_encode,
     pq_topk,
@@ -238,3 +239,35 @@ def test_pq_sampled_training_recall_floor(spark, ann_frames):
     assert sorted(map(tuple, book.collect())) == sorted(
         map(tuple, book2.collect())
     )
+
+
+def test_deterministic_training_partition_invariant(spark, ann_frames):
+    """The round-6 oracle-mode claim, pinned: deterministic=True
+    training produces IDENTICAL centroids whatever the input
+    partitioning (fold-mean over member-id-sorted lists), where plain
+    F.avg may drift in the last ulp. Also pins deterministic ≈ avg
+    numerically (same data, same seed, same assignments at these
+    settings)."""
+    corpus, _, _ = ann_frames
+    a = kmeans_centroids(
+        corpus, "vec_id", "embedding", n_centroids=8, n_iters=2,
+        deterministic=True,
+    ).collect()
+    b = kmeans_centroids(
+        corpus.repartition(17), "vec_id", "embedding", n_centroids=8,
+        n_iters=2, deterministic=True,
+    ).collect()
+    av = {r["centroid_id"]: r["c_vec"] for r in a}
+    bv = {r["centroid_id"]: r["c_vec"] for r in b}
+    assert av.keys() == bv.keys()
+    for cid in av:
+        assert av[cid] == bv[cid]  # bit-exact, not approx
+    plain = {
+        r["centroid_id"]: r["c_vec"]
+        for r in kmeans_centroids(
+            corpus, "vec_id", "embedding", n_centroids=8, n_iters=2
+        ).collect()
+    }
+    for cid in av:
+        for x, y in zip(av[cid], plain[cid]):
+            assert x == pytest.approx(y, abs=1e-9)
