@@ -32,7 +32,7 @@ _FOLD = (
 
 #: Shared head: the event-transition edge list, node set, out-weights.
 _PR_HEAD = f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
   FROM (
     SELECT event_type AS src,
@@ -43,12 +43,12 @@ WITH e AS (
   WHERE dst IS NOT NULL
   GROUP BY src, dst
 ),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u
 ),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-ow AS (
+ow AS MATERIALIZED (
   SELECT src, {_FOLD.format(k='dst', v='w')} AS wout
   FROM e GROUP BY src
 )"""
@@ -60,7 +60,7 @@ def _pr_step_ctes(i: int) -> str:
     differs)."""
     p = f"r{i - 1}"
     return f""",
-inc{i} AS (
+inc{i} AS MATERIALIZED (
   SELECT e.dst AS node,
          {_FOLD.format(k='e.src', v='(r.rank * e.w) / ow.wout')} AS s
   FROM e
@@ -68,7 +68,7 @@ inc{i} AS (
   JOIN ow ON ow.src = e.src
   GROUP BY e.dst
 ),
-dang{i} AS (
+dang{i} AS MATERIALIZED (
   SELECT coalesce({_FOLD.format(k='r.node', v='r.rank')},
                   CAST(0 AS DOUBLE)) AS m
   FROM {p} r
@@ -80,14 +80,14 @@ dang{i} AS (
 def _pagerank_oracle(n_iters: int, damping: float) -> str:
     d = f"CAST({damping} AS DOUBLE)"
     head = _PR_HEAD + """,
-r0 AS (
+r0 AS MATERIALIZED (
   SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
   FROM nodes CROSS JOIN nn
 )"""
     its = []
     for i in range(1, n_iters + 1):
         its.append(_pr_step_ctes(i) + f""",
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT n.node,
          (1 - {d}) / nn.n
          + {d} * (coalesce(i.s, CAST(0 AS DOUBLE))
@@ -111,14 +111,14 @@ def _ppr_oracle(n_iters: int, damping: float, seeds: dict[str, float]) -> str:
         for node, p in seeds.items()
     )
     head = _PR_HEAD + f""",
-pr AS (
+pr AS MATERIALIZED (
   SELECT node, CASE {whens} ELSE CAST(0 AS DOUBLE) END AS p FROM nodes
 ),
-r0 AS (SELECT node, p AS rank FROM pr)"""
+r0 AS MATERIALIZED (SELECT node, p AS rank FROM pr)"""
     its = []
     for i in range(1, n_iters + 1):
         its.append(_pr_step_ctes(i) + f""",
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT pr.node,
          (1 - {d}) * pr.p
          + {d} * (coalesce(i.s, CAST(0 AS DOUBLE))

@@ -1144,7 +1144,7 @@ def _kmeans_chain(n_iters: int, n_centroids: int) -> tuple[str, str]:
     the Spark side's ``_fold_mean``), empty centroids keeping their
     previous vector. Assumes CTEs ``vr`` (id, vv) / ``vn`` (+ norm n)
     exist. Returns (sql, final_cte_name)."""
-    parts = [f"""c0 AS (
+    parts = [f"""c0 AS MATERIALIZED (
   SELECT vec_id AS centroid_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
   FROM (SELECT vec_id, embedding FROM embeddings
@@ -1152,11 +1152,11 @@ def _kmeans_chain(n_iters: int, n_centroids: int) -> tuple[str, str]:
 )"""]
     for i in range(1, n_iters + 1):
         parts.append(f""",
-cn{i - 1} AS (
+cn{i - 1} AS MATERIALIZED (
   SELECT centroid_id, cv, sqrt({_DOTJ.format(a='cv', b='cv')}) AS n
   FROM c{i - 1}
 ),
-a{i} AS (
+a{i} AS MATERIALIZED (
   SELECT id, centroid_id FROM (
     SELECT v.id, c.centroid_id,
            row_number() OVER (PARTITION BY v.id ORDER BY
@@ -1165,13 +1165,13 @@ a{i} AS (
              c.centroid_id) AS rn
     FROM vn v CROSS JOIN cn{i - 1} c) _a WHERE rn = 1
 ),
-m{i} AS (
+m{i} AS MATERIALIZED (
   SELECT a.centroid_id, count(*) AS cnt,
          list(struct_pack(sk := v.id, sv := v.vv) ORDER BY v.id) AS ml
   FROM a{i} a JOIN vr v ON v.id = a.id
   GROUP BY a.centroid_id
 ),
-c{i} AS (
+c{i} AS MATERIALIZED (
   SELECT c.centroid_id,
          CASE WHEN m.centroid_id IS NULL THEN c.cv
               ELSE list_transform(generate_series(1, len(c.cv)),
@@ -1508,41 +1508,41 @@ def _pq_chain(m: int, n_codes: int, n_iters: int, subdim: int) -> tuple[str, str
     then per iteration squared-L2 assignment (code_id tie-break) and
     per-(sub, code, dim) fold-means. Assumes CTE ``e`` (id, ev double
     list) exists. Returns (sql, final_codebook_cte)."""
-    parts = [f"""un AS (
+    parts = [f"""un AS MATERIALIZED (
   SELECT id, ev,
          greatest(sqrt({_DOTJ.format(a='ev', b='ev')}), 1e-12) AS nn
   FROM e
 ),
-u AS (SELECT id, list_transform(ev, x -> x / nn) AS uv FROM un),
-sub AS (
+u AS MATERIALIZED (SELECT id, list_transform(ev, x -> x / nn) AS uv FROM un),
+sub AS MATERIALIZED (
   SELECT id, CAST(t.s AS BIGINT) AS sub,
          list_slice(uv, t.s * {subdim} + 1, t.s * {subdim} + {subdim}) AS sv
   FROM u, LATERAL UNNEST(generate_series(0, {m - 1})) AS t(s)
 ),
-seedid AS (
+seedid AS MATERIALIZED (
   SELECT id, CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS code_id
   FROM (SELECT id FROM u ORDER BY id LIMIT {n_codes}) _s
 ),
-b0 AS (
+b0 AS MATERIALIZED (
   SELECT s.sub, si.code_id, s.sv AS cv
   FROM seedid si JOIN sub s ON s.id = si.id
 )"""]
     for i in range(1, n_iters + 1):
         parts.append(f""",
-pa{i} AS (
+pa{i} AS MATERIALIZED (
   SELECT id, sub, code_id FROM (
     SELECT s.id, s.sub, c.code_id,
            row_number() OVER (PARTITION BY s.id, s.sub ORDER BY
              {_L2J.format(a='s.sv', b='c.cv')} ASC, c.code_id ASC) AS rn
     FROM sub s JOIN b{i - 1} c USING (sub)) _a WHERE rn = 1
 ),
-pm{i} AS (
+pm{i} AS MATERIALIZED (
   SELECT a.sub, a.code_id, count(*) AS cnt,
          list(struct_pack(sk := s.id, sv2 := s.sv) ORDER BY s.id) AS ml
   FROM pa{i} a JOIN sub s ON s.id = a.id AND s.sub = a.sub
   GROUP BY a.sub, a.code_id
 ),
-b{i} AS (
+b{i} AS MATERIALIZED (
   SELECT c.sub, c.code_id,
          CASE WHEN m2.code_id IS NULL THEN c.cv
               ELSE list_transform(generate_series(1, len(c.cv)),
@@ -1554,14 +1554,14 @@ b{i} AS (
 )""")
     bfin = f"b{n_iters}"
     parts.append(f""",
-codes AS (
+codes AS MATERIALIZED (
   SELECT id, sub, code_id FROM (
     SELECT s.id, s.sub, c.code_id,
            row_number() OVER (PARTITION BY s.id, s.sub ORDER BY
              {_L2J.format(a='s.sv', b='c.cv')} ASC, c.code_id ASC) AS rn
     FROM sub s JOIN {bfin} c USING (sub)) _e WHERE rn = 1
 ),
-lut AS (
+lut AS MATERIALIZED (
   SELECT s.id AS query_id, s.sub, c.code_id,
          {_DOTJ.format(a='s.sv', b='c.cv')} AS part
   FROM sub s JOIN {bfin} c USING (sub)
@@ -2104,7 +2104,7 @@ pqd AS (
            (acc, x) -> acc + x) AS d
   FROM ev2 JOIN codebook cb ON ev2.sub = cb.sub
 ),
-codes AS (
+codes AS MATERIALIZED (
   SELECT id, sub, code_id FROM (
     SELECT id, sub, code_id,
            row_number() OVER (PARTITION BY id, sub
@@ -2112,7 +2112,7 @@ codes AS (
     FROM pqd
   ) WHERE rn = 1
 ),
-lut AS (
+lut AS MATERIALIZED (
   SELECT q.id AS query_id, q.sub, cb.code_id,
          list_reduce(
            list_transform(generate_series(1, 16),

@@ -413,3 +413,123 @@ def q_lm_logprob(spark: SparkSession, sf_dir: str):
         F.col("id").alias("doc_id"), "n_bigrams", "sum_logprob",
         "avg_logprob",
     )
+
+
+_CLF_DIM = 1024
+_CLF_LR = 0.1
+_CLF_ITERS = 16
+
+#: Left fold over the key-sorted (k, v) struct list — replays Spark's
+#: F.aggregate(array_sort(collect_list(struct)), 0.0, +) exactly.
+_CLF_FOLD = (
+    "list_reduce(list_transform("
+    "list(struct_pack(k := {k}, v := {v}) ORDER BY {k}), x -> x.v), "
+    "(a, b) -> a + b)"
+)
+
+
+def _perceptron_oracle(dim: int, lr: float, n_iters: int) -> str:
+    """Full-batch perceptron training unrolled as CTE generations (the
+    PageRank/Lloyd recipe): margins fold over feat-sorted per-doc
+    contributions, gradients fold over id-sorted misclassified-doc
+    contributions, weight updates are pure +/x — no transcendentals,
+    so the whole training replays bit-for-bit."""
+    head = f"""
+WITH terms AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+f AS MATERIALIZED (
+  SELECT DISTINCT id,
+         ('0x' || substr(md5('0:' || term), 1, 8))::BIGINT % {dim} AS feat,
+         CAST(1 AS DOUBLE) AS val
+  FROM terms
+),
+lab AS MATERIALIZED (
+  SELECT doc_id AS id,
+         CASE WHEN list_contains(
+                list_filter(string_split(text, ' '), x -> x <> ''),
+                'spark')
+              THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS y
+  FROM documents
+),
+w0 AS MATERIALIZED (
+  SELECT CAST(t.i AS BIGINT) AS feat, CAST(0 AS DOUBLE) AS w
+  FROM UNNEST(generate_series(0, {dim - 1})) AS t(i)
+)"""
+    its = []
+    for k in range(1, n_iters + 1):
+        its.append(f""",
+mg{k} AS MATERIALIZED (
+  SELECT f.id, {_CLF_FOLD.format(k='f.feat', v='f.val * w.w')} AS margin
+  FROM f JOIN w{k - 1} w USING (feat) GROUP BY f.id
+),
+mis{k} AS MATERIALIZED (
+  SELECT m.id, l.y FROM mg{k} m JOIN lab l USING (id)
+  WHERE l.y * m.margin <= 0
+),
+g{k} AS MATERIALIZED (
+  SELECT f2.feat, {_CLF_FOLD.format(k='f2.id', v='mi.y * f2.val')} AS g
+  FROM mis{k} mi JOIN f f2 ON f2.id = mi.id
+  GROUP BY f2.feat
+),
+w{k} AS MATERIALIZED (
+  SELECT w.feat,
+         w.w + CAST({lr} AS DOUBLE) * coalesce(g.g, CAST(0 AS DOUBLE)) AS w
+  FROM w{k - 1} w LEFT JOIN g{k} g USING (feat)
+)""")
+    tail = f""",
+mgf AS (
+  SELECT f.id, {_CLF_FOLD.format(k='f.feat', v='f.val * w.w')} AS margin
+  FROM f JOIN w{n_iters} w USING (feat) GROUP BY f.id
+)
+SELECT m.id AS doc_id, round(m.margin, 6) AS margin,
+       CASE WHEN m.margin >= 0 THEN 1 ELSE -1 END AS pred,
+       CAST(l.y AS INTEGER) AS label
+FROM mgf m JOIN lab l USING (id)
+"""
+    return head + "".join(its) + tail
+
+
+@fixture(
+    "q_quality_classifier",
+    oracle=_perceptron_oracle(_CLF_DIM, _CLF_LR, _CLF_ITERS),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str):
+    """Model-based quality filtering (operators/classifier.py): a
+    hashed bag-of-words batch perceptron trained ON the corpus against
+    weak labels (here: does the doc mention 'spark' — the keyword-
+    relevance shape of fastText-style "looks like the reference
+    corpus" filters in CCNet-class pipelines; the model must learn it
+    through 1024 hashed buckets, converging to separation by ~iter 16
+    on this fixture). The margin is the filter score; pred is its
+    sign. Deterministic mode (fold-ordered margins/gradients, no
+    transcendentals anywhere) so all 16 training iterations + the
+    final scoring pass replay exactly in the unrolled-CTE oracle."""
+    from nextbus2pg_spark.operators.classifier import (
+        classify,
+        hash_features,
+        perceptron_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hash_features(docs, "doc_id", "text", dim=_CLF_DIM, binary=True)
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.array_contains(words, "spark"), F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .alias("y"),
+    )
+    w = perceptron_train(
+        feats, labels, dim=_CLF_DIM, lr=_CLF_LR, n_iters=_CLF_ITERS,
+        deterministic=True,
+    )
+    scored = classify(feats, w, deterministic=True)
+    return scored.join(labels, "id").select(
+        F.col("id").alias("doc_id"),
+        F.round("margin", 6).alias("margin"),
+        "pred",
+        F.col("y").cast("int").alias("label"),
+    )

@@ -501,3 +501,29 @@ def test_pagerank_iteration_plan_shape(spark):
     # scale mode's sum must be map-side partial
     p = plan_text(_pagerank_round(e, outw, nodes, ranks, 0.85, 0.05, 0.0, False))
     assert "partial" in p.lower(), p
+
+
+def test_perceptron_round_plan_shape(spark):
+    """One perceptron scoring pass (the margins join the training loop
+    repeats): pure JVM expressions, no cartesian/BNLJ, no Python eval,
+    no forced broadcast hint (the weight frame is dim-sized — measured
+    small, so the planner broadcasts it on its own), and the
+    scale-mode margin sum is map-side partial."""
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.operators.classifier import _margins
+
+    feats = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 1, 2.0), (2, 1, 1.0)],
+        "id long, feat long, val double",
+    )
+    w = spark.range(4).select(
+        F.col("id").alias("feat"), F.lit(0.5).alias("w")
+    )
+    for det in (False, True):
+        p = plan_text(_margins(feats, w, det))
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+        _bounded_hints_only(_margins(feats, w, det))
+    assert "partial" in plan_text(_margins(feats, w, False)).lower()
