@@ -43,7 +43,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query. Keys absent here are exactly the
-    explicitly-declared ``nextbus2pg_spark.plans.ROWS_ONLY`` set
-    (nondeterministic or approximate-by-construction outputs) → the
-    driver applies its weaker rows-only check to those."""
+    explicitly-declared ``nextbus2pg_spark.plans.ROWS_ONLY`` set —
+    EMPTY since round 6: every registered query (including the
+    Lloyd-trained ANN pipelines, via deterministic fold-mean training)
+    carries a full value-hash oracle."""
     return dict(ORACLE)
