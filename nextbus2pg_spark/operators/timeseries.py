@@ -1,0 +1,214 @@
+"""Time-series and event-sequence analytics over an event log —
+regular-grid resampling with forward fill, ordered-funnel conversion,
+and cohort retention (north-star surface: the reference's
+vehicle-location log is exactly this shape — "position per vehicle per
+minute, gaps carried forward", "how many riders reach each step",
+"do vehicles seen in week 0 still report in week k" — and the same
+three shapes are the bread-and-butter of any product-event warehouse).
+
+Design for 100 TB:
+- **Grids derive per key, never globally.** ``resample_ffill``
+  sequences bucket indexes between each key's own min and max (one
+  partial-aggregatable min/max per key, then a generated-column
+  explode) — no global calendar join, no row for the quiet keys'
+  absent history, and the explode is map-side (zero shuffle beyond
+  the per-key agg's).
+- **Forward fill is one window pass** over the (bounded) bucket grid
+  — ``last(value, ignorenulls=True)`` with an unbounded-preceding
+  frame, partition-pruned per key; never a self-join.
+- **Funnels are len(steps) bounded joins**, each a per-user min
+  aggregation of a filtered event scan — the standard "first matching
+  event strictly after the previous step" semantics; no window over
+  the raw log, no per-user event collection.
+- **Retention is pure integer date math** (day difference div 7):
+  no engine-specific week-truncation rules, so the DuckDB oracle
+  replays it exactly (all three operators are deterministic —
+  timestamps, mins, and integer buckets; the only FP column, the
+  resampled value, is carried verbatim, never aggregated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 86400,
+) -> DataFrame:
+    """Regular per-key time grid with forward-filled values →
+    ``(key, bucket_ts, value, observed)``.
+
+    Buckets are ``floor(epoch / step)`` indexes from each key's first
+    to last observation. A bucket with observations carries its LAST
+    observation's value (ties on timestamp broken by the larger
+    value — deterministic); empty buckets carry the previous bucket's
+    value forward (``observed = false``). Leading buckets can never be
+    empty (the grid starts at the key's first observation), so
+    ``value`` is never NULL in the output.
+    """
+    if step_seconds < 1:
+        raise ValueError(f"step_seconds must be >= 1; got {step_seconds}")
+    b = (F.unix_timestamp(F.col(ts_col)) / F.lit(step_seconds)).cast("long")
+    obs = df.select(
+        F.col(key_col).alias("key"),
+        b.alias("bucket"),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).alias("__v"),
+    )
+    last_per_bucket = obs.groupBy("key", "bucket").agg(
+        F.max_by(
+            F.col("__v"), F.struct(F.col("__ts"), F.col("__v"))
+        ).alias("obs_value")
+    )
+    grid = (
+        obs.groupBy("key")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "key", F.explode(F.sequence("b0", "b1")).alias("bucket")
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(last_per_bucket, ["key", "bucket"], "left")
+        .select(
+            "key",
+            F.timestamp_seconds(
+                F.col("bucket") * F.lit(step_seconds)
+            ).alias("bucket_ts"),
+            F.last("obs_value", ignorenulls=True)
+            .over(w)
+            .alias("value"),
+            F.col("obs_value").isNotNull().alias("observed"),
+        )
+    )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel conversion → one row per step:
+    ``(step_index, step, users_reached)``.
+
+    A user reaches step k at the EARLIEST event of type ``steps[k]``
+    strictly after their step-(k-1) time (classic strict-order funnel;
+    simultaneous events do not advance the funnel). ``users_reached``
+    is monotonically non-increasing by construction.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = df.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("etype"),
+    ).localCheckpoint(eager=True)  # scanned once per step
+
+    reached = (
+        ev.where(F.col("etype") == steps[0])
+        .groupBy("user")
+        .agg(F.min("ts").alias("t"))
+    )
+    counts = [reached.count()]
+    for step in steps[1:]:
+        reached = (
+            ev.where(F.col("etype") == step)
+            .join(reached, "user")
+            .where(F.col("ts") > F.col("t"))
+            .groupBy("user")
+            .agg(F.min("ts").alias("t"))
+        )
+        counts.append(reached.count())
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, s, c) for i, (s, c) in enumerate(zip(steps, counts))],
+        "step_index int, step string, users_reached long",
+    )
+
+
+def funnel_times(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Per-user funnel detail → ``(user, step_index, step, t)`` for
+    every step the user reached (the row-level relation ``funnel``
+    aggregates; exposed separately so the driver oracle can
+    value-check the per-user times, not just the counts)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = df.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("etype"),
+    ).localCheckpoint(eager=True)
+    reached = (
+        ev.where(F.col("etype") == steps[0])
+        .groupBy("user")
+        .agg(F.min("ts").alias("t"))
+    )
+    out = reached.select(
+        "user", F.lit(0).alias("step_index"), F.lit(steps[0]).alias("step"), "t"
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        reached = (
+            ev.where(F.col("etype") == step)
+            .join(reached, "user")
+            .where(F.col("ts") > F.col("t"))
+            .groupBy("user")
+            .agg(F.min("ts").alias("t"))
+        )
+        out = out.unionByName(
+            reached.select(
+                "user",
+                F.lit(i).alias("step_index"),
+                F.lit(step).alias("step"),
+                "t",
+            )
+        )
+    return out
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort retention → ``(cohort_date, week_offset, users)``.
+
+    A user's cohort is the DATE of their first event; an event at day
+    difference d lands in ``week_offset = d div 7`` (pure integer
+    math — no engine week-truncation rules, so oracles replay it
+    exactly). ``users`` counts distinct users from the cohort active
+    in that offset week; offset 0 equals the cohort size.
+    """
+    ev = df.select(
+        F.col(user_col).alias("user"),
+        F.to_date(F.col(ts_col)).alias("d"),
+    )
+    first = ev.groupBy("user").agg(F.min("d").alias("cohort_date"))
+    return (
+        ev.join(first, "user")
+        .select(
+            "user",
+            "cohort_date",
+            F.floor(
+                F.datediff(F.col("d"), F.col("cohort_date")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_date", "week_offset")
+        .agg(F.count_distinct("user").alias("users"))
+    )

@@ -19,6 +19,7 @@ from nextbus2pg_spark.plans import curation as _curation  # noqa: F401,E402
 from nextbus2pg_spark.plans import textstats as _textstats  # noqa: F401,E402
 from nextbus2pg_spark.plans import spatial as _spatial  # noqa: F401,E402
 from nextbus2pg_spark.plans import graph as _graph  # noqa: F401,E402
+from nextbus2pg_spark.plans import timeseries as _timeseries  # noqa: F401,E402
 
 #: Queries that already earned a driver CORRECTNESS row in rounds 1-3
 #: (union of CORRECTNESS_r01/r02/r03 keys). The external driver checks

@@ -1,0 +1,134 @@
+"""Time-series operator tests: resample/ffill semantics, strict-order
+funnel, cohort retention — hand-computed expectations on tiny frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.operators.timeseries import (
+    funnel,
+    funnel_times,
+    resample_ffill,
+    retention_cohorts,
+)
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_resample_fills_gaps_and_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts(1, 5), 10.0),
+            (1, _ts(1, 9), 11.0),   # same day: later obs wins
+            (1, _ts(4, 1), 40.0),   # days 2-3 are gaps
+        ],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        r["bucket_ts"].day: (r["value"], r["observed"])
+        for r in resample_ffill(df, "k", "ts", "v", 86400).collect()
+    }
+    assert out == {
+        1: (11.0, True),
+        2: (11.0, False),
+        3: (11.0, False),
+        4: (40.0, True),
+    }
+
+
+def test_resample_tie_on_ts_takes_larger_value(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(1), 3.0), (1, _ts(1), 7.0)],
+        "k long, ts timestamp, v double",
+    )
+    rows = resample_ffill(df, "k", "ts", "v", 86400).collect()
+    assert len(rows) == 1 and rows[0]["value"] == 7.0
+
+
+def test_resample_grid_is_per_key(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(1), 1.0), (2, _ts(10), 2.0), (2, _ts(12), 3.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = resample_ffill(df, "k", "ts", "v", 86400)
+    per_key = {
+        r["key"]: r["n"]
+        for r in out.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_key == {1: 1, 2: 3}  # no global calendar rows
+
+
+def test_resample_bad_step_rejected(spark):
+    df = spark.createDataFrame([(1, _ts(1), 1.0)], "k long, ts timestamp, v double")
+    with pytest.raises(ValueError, match="step_seconds"):
+        resample_ffill(df, "k", "ts", "v", 0)
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    rows = [
+        # u1 completes in order
+        (1, _ts(1), "view"), (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+        # u2 clicks BEFORE viewing: click doesn't count; no purchase
+        (2, _ts(2), "click"), (2, _ts(3), "view"),
+        # u3 views and clicks simultaneously: strict order → no advance
+        (3, _ts(1), "view"), (3, _ts(1), "click"),
+        # u4 purchases without clicking
+        (4, _ts(1), "view"), (4, _ts(2), "purchase"),
+    ]
+    return spark.createDataFrame(rows, "u long, ts timestamp, e string")
+
+
+def test_funnel_strict_order(spark, funnel_events):
+    out = {
+        r["step"]: r["users_reached"]
+        for r in funnel(
+            funnel_events, "u", "ts", "e", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {"view": 4, "click": 1, "purchase": 1}
+
+
+def test_funnel_times_match_counts(spark, funnel_events):
+    ft = funnel_times(
+        funnel_events, "u", "ts", "e", ["view", "click", "purchase"]
+    )
+    counts = {
+        r["step_index"]: r["n"]
+        for r in ft.groupBy("step_index")
+        .agg(F.count_distinct("user").alias("n"))
+        .collect()
+    }
+    assert counts == {0: 4, 1: 1, 2: 1}
+    # u1's click time is its first click after its first view
+    t = ft.where((F.col("user") == 1) & (F.col("step_index") == 1)).collect()
+    assert t[0]["t"] == _ts(2)
+
+
+def test_funnel_empty_steps_rejected(spark, funnel_events):
+    with pytest.raises(ValueError, match="at least one"):
+        funnel(funnel_events, "u", "ts", "e", [])
+
+
+def test_retention_matrix(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts(1)), (1, _ts(8)),          # cohort d1: active wk0, wk1
+            (2, _ts(1)), (2, _ts(20)),         # cohort d1: wk0, wk2
+            (3, _ts(8)),                       # cohort d8: wk0 only
+        ],
+        "u long, ts timestamp",
+    )
+    out = {
+        (r["cohort_date"].day, r["week_offset"]): r["users"]
+        for r in retention_cohorts(df, "u", "ts").collect()
+    }
+    assert out == {
+        (1, 0): 2, (1, 1): 1, (1, 2): 1,
+        (8, 0): 1,
+    }
