@@ -52,6 +52,9 @@ R6_SET = [
     "q_url_psl",
     "q_corpus_assembly",
     "q_pagerank",
+    "q_resample_ffill",
+    "q_funnel",
+    "q_retention",
 ]
 
 HEADLINE = [
@@ -83,6 +86,9 @@ HEADLINE = [
     "q_url_psl",
     "q_corpus_assembly",
     "q_pagerank",
+    "q_resample_ffill",
+    "q_funnel",
+    "q_retention",
 ]
 
 
