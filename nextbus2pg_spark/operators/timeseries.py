@@ -182,6 +182,139 @@ def funnel_times(
     return out
 
 
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average →
+    ``(key, ts, value, ewma)`` — the classic monitoring smoother
+    ``s_i = alpha * x_i + (1 - alpha) * s_{i-1}`` with ``s_0 = x_0``.
+
+    The recurrence is evaluated as a left fold over each row's ordered
+    value prefix (window ``collect_list`` + ``F.aggregate``), entirely
+    JVM-side — no Python in the path, and the fold's FP operation
+    order is FIXED (``alpha*x`` then ``(1-alpha)*acc`` then the sum),
+    so a DuckDB ``list_reduce`` over the same windowed list replays it
+    bit-for-bit. Rows are ordered by ``(ts, value)`` — the value
+    tie-break makes equal-timestamp prefixes deterministic. NULL
+    values are dropped before smoothing (they carry no observation).
+
+    Scale note: the prefix array makes a key's series O(n^2) in
+    values held transiently per window frame — correct for the
+    bounded-series shape this is for (per-entity metric streams,
+    typically resampled first; compose with :func:`resample_ffill`).
+    For unbounded series, bucket the key by epoch first so each
+    partition's prefix stays bounded; a linear ``applyInPandas`` pass
+    trades that bound for a Python stage.
+
+    Pick ``alpha`` exactly representable in binary (0.25, 0.5, 0.75)
+    when oracle parity matters: ``1 - alpha`` is computed driver-side
+    in Python floats and embedded as a literal on both engines.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1]; got {alpha}")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ts", "value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    a, b = float(alpha), 1.0 - float(alpha)
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .where(F.col("value").isNotNull())
+        .select(
+            "key",
+            "ts",
+            "value",
+            F.aggregate(
+                F.collect_list("value").over(w),
+                F.lit(None).cast("double"),
+                lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                    F.lit(a) * x + F.lit(b) * acc
+                ),
+            ).alias("ewma"),
+        )
+    )
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_rows: int = 24,
+    min_periods: int = 12,
+    threshold_sq: int = 9,
+    scale: int = 1000,
+) -> DataFrame:
+    """Rolling z-score anomaly flags →
+    ``(key, ts, value, zscore, is_anomaly)``.
+
+    Values are quantized to integers (``round(value * scale)``), so the
+    rolling sums and sums-of-squares over the trailing ``window_rows``
+    frame are EXACT 64-bit integers — order-independent and therefore
+    engine-independent (a double SUM in a window is summed in
+    segment-tree order by DuckDB and frame order by Spark; integer
+    sums dodge that entirely). From the exact sums, with population
+    variance over the frame:
+
+        z = (n*v - S) / sqrt(n*SS - S^2)
+
+    one cast, one sqrt, one division — IEEE-identical on both engines.
+    The anomaly flag never touches FP at all:
+
+        |z| > tau  <=>  (n*v - S)^2 > tau^2 * (n*SS - S^2)
+
+    with ``threshold_sq = tau^2`` an exact integer (default 9, tau=3),
+    gated on ``n >= min_periods``. A zero-variance frame yields NULL
+    zscore and a false flag. One window pass, no self-join, no
+    collect — the frame is ROWS-bounded so state per key is O(window).
+
+    Overflow bound: ``n * max(|v*scale|)^2 * window_rows`` must stay
+    under 2^63 — at scale=1000 that allows |value| up to ~2e5 with
+    window 24 (checked by the caller's data contract, not at runtime).
+    """
+    if window_rows < 2:
+        raise ValueError(f"window_rows must be >= 2; got {window_rows}")
+    v = F.round(F.col(value_col) * F.lit(scale), 0).cast("long")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+        v.alias("__v"),
+    ).where(F.col("__v").isNotNull())
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ts", "value")
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    n = F.count("__v").over(w)
+    s = F.sum("__v").over(w)
+    ss = F.sum(F.col("__v") * F.col("__v")).over(w)
+    num = n * F.col("__v") - s
+    den2 = n * ss - s * s
+    return base.select(
+        "key",
+        "ts",
+        "value",
+        F.when(
+            den2 > 0, num.cast("double") / F.sqrt(den2.cast("double"))
+        ).alias("zscore"),
+        (
+            (n >= F.lit(min_periods))
+            & (den2 > 0)
+            & (num * num > F.lit(threshold_sq) * den2)
+        ).alias("is_anomaly"),
+    )
+
+
 def retention_cohorts(
     df: DataFrame,
     user_col: str,

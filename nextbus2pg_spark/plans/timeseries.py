@@ -139,3 +139,81 @@ def q_retention(spark: SparkSession, sf_dir: str):
 
     ev = load_table(spark, sf_dir, "events")
     return retention_cohorts(ev, "user_id", "ts")
+
+
+@fixture(
+    "q_ewma",
+    oracle="""
+SELECT user_id AS key, ts, value,
+       list_reduce(
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+FROM events
+WHERE value IS NOT NULL
+""",
+)
+def q_ewma(spark: SparkSession, sf_dir: str):
+    """Per-user EWMA smoothing of the event value stream
+    (operators/timeseries.ewma, alpha=0.25): the recurrence
+    `s = 0.25*x + 0.75*s_prev` evaluated as a JVM-side left fold over
+    each row's ordered prefix. The fold's FP operation order is fixed,
+    so DuckDB's `list_reduce` over the identical windowed list replays
+    every intermediate bit-for-bit — no rounding anywhere."""
+    from nextbus2pg_spark.operators.timeseries import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma(ev, "user_id", "ts", "value", alpha=0.25)
+    return out.select(
+        "key", F.col("ts").cast("timestamp_ntz").alias("ts"), "value", "ewma"
+    )
+
+
+@fixture(
+    "q_rolling_anomaly",
+    oracle="""
+WITH q AS (
+  SELECT user_id AS key, ts, value,
+         CAST(round(value * 1000) AS BIGINT) AS vz
+  FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT key, ts, value, vz,
+         count(vz) OVER win AS n,
+         sum(vz)   OVER win AS s,
+         sum(vz * vz) OVER win AS ss
+  FROM q
+  WINDOW win AS (PARTITION BY key ORDER BY ts, value
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT key, ts, value,
+       CASE WHEN n * ss - s * s > 0
+            THEN CAST(n * vz - s AS DOUBLE)
+                 / sqrt(CAST(n * ss - s * s AS DOUBLE))
+       END AS zscore,
+       (n >= 12 AND n * ss - s * s > 0
+        AND (n * vz - s) * (n * vz - s) > 9 * (n * ss - s * s))
+         AS is_anomaly
+FROM w
+""",
+)
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str):
+    """Rolling z-score anomaly detection over each user's value stream
+    (operators/timeseries.rolling_anomaly, 24-row trailing frame,
+    |z| > 3): values quantize to exact integer millis so the windowed
+    sums are order-independent 64-bit integers on BOTH engines; the
+    z-score is one cast + sqrt + division from those exact sums, and
+    the anomaly flag is a pure integer comparison — no FP in the
+    decision path at all."""
+    from nextbus2pg_spark.operators.timeseries import rolling_anomaly
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_anomaly(
+        ev, "user_id", "ts", "value",
+        window_rows=24, min_periods=12, threshold_sq=9, scale=1000,
+    )
+    return out.select(
+        "key", F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "value", "zscore", "is_anomaly",
+    )
