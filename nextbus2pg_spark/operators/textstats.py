@@ -115,6 +115,86 @@ def ngram_counts(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information →
+    ``(w1, w2, pair_count, left_count, right_count, pmi_ratio)``.
+
+    ``pmi_ratio`` is ``exp(PMI) = P(xy) / (P(x) * P(y))`` with
+    ``P(xy) = c_xy / N_pairs`` and ``P(x) = c_x / N_tokens`` — the
+    ratio is emitted instead of its log because every input is an
+    exact integer count and the value is then five IEEE divisions in
+    a FIXED tree (``((c_xy/np) / (cx/nt)) / (cy/nt)``), reproducible
+    bit-for-bit on any engine; ``ln`` would only monotonically rescale
+    it (ranking is identical) while risking ulp drift.
+
+    Scale shape: one explode + hash agg for unigrams, one explode +
+    hash agg for adjacent pairs (both map-side partial), totals from
+    the two VOCABULARY-sized count tables (1-row aggregate,
+    broadcast); the scoring joins run pair-table vs unigram-table —
+    vocabulary-sized on both sides, strategy left to AQE (never a
+    forced broadcast: web-scale vocabularies are unbounded). Top-k is
+    a sort-limit (TakeOrdered), never a global sort.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1; got {min_count}")
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = ensure_min_parallelism(df).select(words.alias("__w"))
+    uni = (
+        base.select(F.explode("__w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pair_structs = F.when(
+        F.size("__w") < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("__w") - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(F.col("__w"), i).alias("w1"),
+                F.element_at(F.col("__w"), i + 1).alias("w2"),
+            ),
+        )
+    )
+    pc = (
+        base.select(F.explode(pair_structs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    stats = uni.agg(F.sum("cnt").alias("nt")).crossJoin(
+        pc.agg(F.sum("pair_count").alias("np"))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    scored = (
+        pc.where(F.col("pair_count") >= F.lit(min_count))
+        .join(uni.select(F.col("w").alias("w1"), F.col("cnt").alias("left_count")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cnt").alias("right_count")), "w2")
+        .crossJoin(F.broadcast(stats))  # bounded: exactly 1 row
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            "left_count",
+            "right_count",
+            (
+                (d("pair_count") / d("np"))
+                / (d("left_count") / d("nt"))
+                / (d("right_count") / d("nt"))
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2")
+    ).limit(k)
+
+
 def build_vocab(
     df: DataFrame,
     id_col: str,

@@ -533,3 +533,50 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str):
         "pred",
         F.col("y").cast("int").alias("label"),
     )
+
+
+@fixture(
+    "q_pmi_collocations",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+uni AS (
+  SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(w) AS tok FROM words) GROUP BY tok
+),
+pc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+  FROM (
+    SELECT w[i] AS w1, w[i + 1] AS w2
+    FROM words, unnest(range(1, len(w))) AS t(i)
+  ) GROUP BY w1, w2
+),
+stats AS (
+  SELECT (SELECT CAST(sum(cnt) AS BIGINT) FROM uni) AS nt,
+         (SELECT CAST(sum(pair_count) AS BIGINT) FROM pc) AS np
+)
+SELECT p.w1, p.w2, p.pair_count,
+       a.cnt AS left_count, b.cnt AS right_count,
+       ((CAST(p.pair_count AS DOUBLE) / CAST(s.np AS DOUBLE))
+        / (CAST(a.cnt AS DOUBLE) / CAST(s.nt AS DOUBLE)))
+       / (CAST(b.cnt AS DOUBLE) / CAST(s.nt AS DOUBLE)) AS pmi_ratio
+FROM pc p
+JOIN uni a ON a.w = p.w1
+JOIN uni b ON b.w = p.w2
+CROSS JOIN stats s
+WHERE p.pair_count >= 5
+ORDER BY pmi_ratio DESC, p.w1, p.w2
+LIMIT 20
+""",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str):
+    """Top-20 PMI collocations (operators/textstats.pmi_collocations,
+    min pair count 5): adjacent word pairs scored by
+    P(xy)/(P(x)P(y)) — every model input is an exact integer count
+    and the score is five IEEE divisions in a fixed tree, so the
+    DuckDB oracle replays the identical expression bit-for-bit.
+    Ranked descending with a lexicographic tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ts.pmi_collocations(docs, "doc_id", "text", min_count=5, k=20)

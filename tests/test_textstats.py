@@ -73,3 +73,41 @@ def test_bigram_logprob_hand_computed(spark):
         for r in bigram_logprob(df2, "doc_id", "text").collect()
     }
     assert scores[100] < scores[0]
+
+
+def test_pmi_collocations_hand_computed(spark):
+    from nextbus2pg_spark.operators.textstats import pmi_collocations
+
+    # "new york" always co-occurs (3 pairs); "the cat" is incidental.
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is big"),
+            (2, "new york wins"),
+            (3, "the cat saw new york"),
+            (4, "the cat sat"),
+        ],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, "doc_id", "text", min_count=2, k=5)
+    rows = {(r.w1, r.w2): r for r in out.collect()}
+    assert ("new", "york") in rows
+    ny = rows[("new", "york")]
+    # counts are exact: c_xy=3, c_new=3, c_york=3, N_tokens=15, N_pairs=11
+    assert (ny.pair_count, ny.left_count, ny.right_count) == (3, 3, 3)
+    expected = ((3 / 11) / (3 / 15)) / (3 / 15)
+    assert ny.pmi_ratio == expected
+    # PMI favors the RARER perfectly-associated pair: "the cat"
+    # (2/2/2 counts -> ratio 225/22) outranks "new york" (3/3/3 ->
+    # ratio 75/11) — the well-known low-frequency bias of raw PMI.
+    names = [(r.w1, r.w2) for r in out.collect()]
+    assert names.index(("the", "cat")) < names.index(("new", "york"))
+
+
+def test_pmi_collocations_short_docs_emit_no_pairs(spark):
+    from nextbus2pg_spark.operators.textstats import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    out = pmi_collocations(docs, "doc_id", "text", min_count=1, k=10)
+    assert [(r.w1, r.w2) for r in out.collect()] == [("a", "b")]
