@@ -257,3 +257,95 @@ def _ppr_round(
             * (F.coalesce("s", F.lit(0.0)) + F.lit(dm) * F.col("p"))
         ).alias("rank"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    n_iters: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over an
+    undirected edge list → ``(node, label)``.
+
+    Every node starts labeled with its own id; each round, every node
+    adopts the most frequent label among its neighbors, ties broken by
+    the SMALLEST label — fully deterministic (the classic LPA of
+    Raghavan et al. 2007 breaks ties randomly; the min-label rule
+    makes the whole computation a pure integer function of the edge
+    list, so a DuckDB oracle replays it exactly, and reruns/retries
+    agree). After ``n_iters`` rounds densely connected groups share a
+    label; like all SYNCHRONOUS LPA (cf. GraphFrames), labels on
+    bipartite-ish structures can oscillate with period 2, so compare
+    runs at the same iteration count.
+
+    Scale shape (same as :func:`pagerank`): per round one equi-join of
+    the label frame onto the symmetrized edge list, one (node, label)
+    count aggregation (map-side partial), one per-node arg-max — no
+    collects, no forced broadcasts, AQE picks strategies and handles
+    hub skew. The edge list is localCheckpoint-ed once, each round's
+    label frame too, so plan depth stays O(1) across rounds. All
+    state is integers — no FP anywhere. Isolated nodes are absent
+    (singleton communities; same policy as ``connected_components``).
+
+    Node ids must be integral (the min-label tie-break and the
+    label-as-id seed need a total order that hashes stably); map
+    string ids through a dictionary or hash first, as for
+    ``connected_components``.
+    """
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1; got {n_iters}")
+    integral = {"tinyint", "smallint", "int", "bigint", "long"}
+    dts = dict(edges.dtypes)
+    bad = {c: dts[c] for c in (src, dst) if dts[c] not in integral}
+    if bad:
+        raise TypeError(
+            f"label_propagation needs integral node id columns; got "
+            f"{bad} — hash or dictionary-encode string ids first"
+        )
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    if e.where(F.col("a").isNull() | F.col("b").isNull()).limit(1).count():
+        raise ValueError(
+            "label_propagation edges contain NULL endpoints — drop or "
+            "repair them explicitly; silently ignoring edges would "
+            "change the communities"
+        )
+    e = e.where(F.col("a") != F.col("b"))
+    sym = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+        .unionByName(e.select(F.col("b").alias("node"), F.col("a").alias("nb")))
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed every round
+    )
+    labels = sym.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    nb_labels = sym.withColumnRenamed("nb", "__nbn")
+    for _ in range(n_iters):
+        counts = (
+            nb_labels.join(
+                labels.select(
+                    F.col("node").alias("__nbn"), F.col("label")
+                ),
+                "__nbn",
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.max_by(
+                    "label",
+                    F.struct(
+                        F.col("cnt").alias("c"),
+                        (-F.col("label")).alias("n"),
+                    ),
+                ).alias("label")
+            )
+            .localCheckpoint(eager=True)  # O(1) plan depth per round
+        )
+    return labels.select("node", "label")

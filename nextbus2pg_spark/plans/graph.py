@@ -200,3 +200,67 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         reset=reset,
     )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+_LPA_ITERS = 4
+
+
+def _lpa_oracle(n_iters: int) -> str:
+    """Unrolled synchronous-LPA iterations: all-integer state, so the
+    replay is exact with no folds or rounding at all. Every CTE a
+    later generation re-reads is MATERIALIZED (DuckDB would otherwise
+    inline the chain exponentially)."""
+    ctes = ["""e AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+         CAST(l_suppkey AS BIGINT) + 10000000 AS b
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+sym AS MATERIALIZED (
+  SELECT a AS node, b AS nb FROM e
+  UNION
+  SELECT b, a FROM e
+),
+l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM sym)"""]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""c{i} AS (
+  SELECT s.node, l.label, count(*) AS cnt
+  FROM sym s JOIN l{i - 1} l ON l.node = s.nb
+  GROUP BY s.node, l.label
+),
+l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{i}) _r
+  WHERE rn = 1
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{n_iters}\n"
+    )
+
+
+@fixture("q_label_propagation", oracle=_lpa_oracle(_LPA_ITERS))
+def q_label_propagation(spark: SparkSession, sf_dir: str):
+    """Community detection on the customer–supplier co-purchase graph
+    (operators/graph.label_propagation, 4 synchronous rounds):
+    supplier nodes are offset by 1e7 to share the id space, edges are
+    the distinct (customer, supplier) pairs through orders×lineitem.
+    Deterministic min-label tie-break makes the whole run a pure
+    integer function of the edge list; the oracle unrolls the rounds
+    as MATERIALIZED CTEs — exact, no FP anywhere."""
+    from nextbus2pg_spark.operators.graph import label_propagation
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(10000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(edges, n_iters=_LPA_ITERS)

@@ -170,3 +170,39 @@ def test_personalized_unnormalized_reset_rejected(spark):
     )
     with pytest.raises(ValueError, match="sums to"):
         pagerank(df, weight="w", reset=reset)
+
+
+def test_label_propagation_cliques_converge_to_min_id(spark):
+    from nextbus2pg_spark.operators.graph import label_propagation
+
+    # Two disjoint cliques: {1,2,3,4} and {10,11,12}.
+    quad = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    tri = [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a < b]
+    edges = spark.createDataFrame(quad + tri, "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(edges, n_iters=4).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_sync_oscillation_is_period_two(spark):
+    from nextbus2pg_spark.operators.graph import label_propagation
+
+    # A single edge oscillates under synchronous updates (documented):
+    # odd iterations swap the labels, even iterations restore them.
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    odd = {r.node: r.label for r in label_propagation(edges, n_iters=3).collect()}
+    even = {r.node: r.label for r in label_propagation(edges, n_iters=4).collect()}
+    assert odd == {1: 2, 2: 1}
+    assert even == {1: 1, 2: 2}
+
+
+def test_label_propagation_rejects_null_and_string_ids(spark):
+    import pytest
+
+    from nextbus2pg_spark.operators.graph import label_propagation
+
+    nulls = spark.createDataFrame([(1, None)], "src long, dst long")
+    with pytest.raises(ValueError, match="NULL"):
+        label_propagation(nulls)
+    strs = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(TypeError, match="integral"):
+        label_propagation(strs)
