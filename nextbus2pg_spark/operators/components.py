@@ -162,3 +162,42 @@ def dedup_corpus(
         F.col("id").alias(id_col)
     )
     return df.join(drops, id_col, "left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    components: DataFrame,
+    score_col: str,
+) -> DataFrame:
+    """Keep the HIGHEST-SCORING row per near-dup component (ties on
+    score broken by the smaller id — deterministic).
+
+    Same contract as :func:`dedup_corpus` but quality-aware: instead
+    of the min-id survivor, each component keeps its best row by
+    ``score_col`` (e.g. a quality score), which is what a pretraining
+    corpus actually wants — near-dup groups usually contain one clean
+    original and several mangled copies, and min-id keeps whichever
+    crawled first.
+
+    Scale shape: the argmax and the drop list are computed on the
+    COMPONENT relation joined to only ``(id, score)`` — LSH-bounded,
+    never the full corpus — and the corpus pays one left-anti join
+    against the drop list, exactly like ``dedup_corpus``. Untouched
+    singletons never shuffle.
+    """
+    scored = components.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s")),
+        "id",
+    )
+    winners = scored.groupBy("component").agg(
+        F.max_by(
+            "id", F.struct(F.col("__s").alias("s"), (-F.col("id")).alias("n"))
+        ).alias("keep_id")
+    )
+    drops = (
+        scored.join(winners, "component")
+        .where(F.col("id") != F.col("keep_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(drops, id_col, "left_anti")

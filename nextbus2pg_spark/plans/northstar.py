@@ -407,6 +407,84 @@ def q_corpus_dedup(spark: SparkSession, sf_dir: str):
     )
 
 
+#: Quality-score features replayed over docs_plus — the same portable
+#: replace-length arithmetic as the q_quality_score oracle (which runs
+#: over the raw documents table; this variant scores the perturbed
+#: corpus the clustering fixtures share).
+_QUALITY_PLUS = """
+feat AS (
+  SELECT doc_id,
+         round(
+           least(CAST(length(text) - length(replace(text, ' ', '')) + 1
+                      AS DOUBLE) / 100.0, 1.0) * 0.4
+           + least(CAST(
+                 CAST((length(' ' || text || ' ')
+                       - length(replace(' ' || text || ' ', ' the ', '')))
+                      / length(' the ') AS INTEGER)
+               + CAST((length(' ' || text || ' ')
+                       - length(replace(' ' || text || ' ', ' a ', '')))
+                      / length(' a ') AS INTEGER)
+               + CAST((length(' ' || text || ' ')
+                       - length(replace(' ' || text || ' ', ' and ', '')))
+                      / length(' and ') AS INTEGER)
+               AS DOUBLE)
+               / (length(text) - length(replace(text, ' ', '')) + 1)
+               * 5.0, 1.0) * 0.4
+           + (1.0 - least(CAST(
+                 (length(text) - length(replace(text, '.', '')))
+               + (length(text) - length(replace(text, ',', '')))
+               AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.2,
+           4) AS quality_score
+  FROM docs_plus
+)
+"""
+
+
+@fixture(
+    "q_dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE {_DOCS_PLUS.strip()},
+{_SHINGLES.strip()},
+{_MINHASH_VERIFIED.strip()},
+{_QUALITY_PLUS.strip()},
+scored AS (
+  SELECT c.doc_id, c.component, f.quality_score
+  FROM comp c JOIN feat f USING (doc_id)
+),
+winners AS (
+  SELECT component, doc_id AS keep_id FROM (
+    SELECT component, doc_id,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY quality_score DESC, doc_id ASC)
+             AS rn
+    FROM scored) _w
+  WHERE rn = 1
+),
+drops AS (
+  SELECT s.doc_id FROM scored s
+  JOIN winners w ON w.component = s.component AND s.doc_id <> w.keep_id
+)
+SELECT d.doc_id, d.source, f.quality_score
+FROM docs_plus d JOIN feat f USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str):
+    """Quality-aware corpus dedup (components.dedup_keep_best): the
+    same verified MinHash-LSH components as q_dedup_clusters, but each
+    component keeps its HIGHEST-quality member (text.quality_features
+    composite, ties to the smaller doc_id) instead of the min id —
+    near-dup groups keep the clean original, not whichever crawled
+    first. The rounded score makes the argmax engine-portable; the
+    corpus pays one anti join against the LSH-bounded drop list."""
+    docs = _docs_plus(spark, sf_dir)
+    scored = tx.quality_features(docs, "text")
+    comp = components.connected_components(_minhash_edges(spark, sf_dir))
+    return components.dedup_keep_best(
+        scored, "doc_id", comp, "quality_score"
+    ).select("doc_id", "source", "quality_score")
+
+
 @fixture(
     "q_leakage_safe_split",
     oracle=f"""

@@ -90,3 +90,22 @@ def test_connected_components_rejects_string_ids(spark):
     )
     with pytest.raises(TypeError, match="integral"):
         connected_components(edges)
+
+
+def test_dedup_keep_best_keeps_highest_score(spark):
+    from nextbus2pg_spark.operators.components import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (9, 0.1)],
+        "doc_id long, score double",
+    )
+    # {1,2,3} one component (label 1), {4} trivially clustered alone
+    # via a self-labeled row, 9 untouched singleton.
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "id long, component long"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_keep_best(df, "doc_id", comp, "score").collect()
+    )
+    # component 1: max score 0.9 tie between 2 and 3 -> smaller id 2.
+    assert kept == [2, 4, 9]
