@@ -55,6 +55,8 @@ R6_SET = [
     "q_resample_ffill",
     "q_funnel",
     "q_retention",
+    "q_label_propagation",
+    "q_rolling_anomaly",
 ]
 
 HEADLINE = [
@@ -89,6 +91,8 @@ HEADLINE = [
     "q_resample_ffill",
     "q_funnel",
     "q_retention",
+    "q_label_propagation",
+    "q_rolling_anomaly",
 ]
 
 

@@ -2346,3 +2346,113 @@ def q_setsim_join(spark: SparkSession, sf_dir: str):
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA by power iteration (operators/pca.py)
+# ---------------------------------------------------------------------------
+
+#: Key-sorted left fold (the plans/graph.py recipe): replays Spark's
+#: F.aggregate(array_sort(collect_list(struct)), 0.0, +) bit-for-bit.
+_KFOLD = (
+    "list_reduce(list_transform("
+    "list(struct_pack(k := {k}, v := {v}) ORDER BY {k}), x -> x.v), "
+    "(a, b) -> a + b)"
+)
+
+_PCA_ITERS = 8
+_PCA_DIM = 64
+
+
+def _pca_oracle(n_iters: int, d: int) -> str:
+    """Replay of ``pca_power_iteration(deterministic=True)``: id-sorted
+    folds for the mean and the centered scatter matrix, then the power
+    iteration unrolled as CTE generations (matvec folds ordered by j,
+    norm fold ordered by i, norm floored at 1e-12 — exactly the
+    driver-side Python loop's ascending-index sums), one final 6-dp
+    rounding on the projections per the FP-portability rule."""
+    head = f"""vr AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+),
+nn AS (SELECT count(*) AS n FROM vr),
+pd AS (
+  SELECT id, t.i, vv[t.i] AS xv
+  FROM vr, unnest(generate_series(1, {d})) AS t(i)
+),
+mu AS MATERIALIZED (
+  SELECT i, {_KFOLD.format(k='id', v='xv')} / (SELECT n FROM nn) AS m
+  FROM pd GROUP BY i
+),
+mua AS MATERIALIZED (SELECT list(m ORDER BY i) AS ma FROM mu),
+cent AS MATERIALIZED (
+  SELECT id,
+         list_transform(generate_series(1, {d}), i -> vv[i] - ma[i]) AS cv
+  FROM vr, mua
+),
+flat AS (
+  SELECT id, t.f, fl[t.f] AS c
+  FROM (SELECT id,
+               flatten(list_transform(cv,
+                 xi -> list_transform(cv, xj -> xi * xj))) AS fl
+        FROM cent) _fl,
+  unnest(generate_series(1, {d * d})) AS t(f)
+),
+cov AS MATERIALIZED (
+  SELECT CAST((f - 1) // {d} AS INTEGER) + 1 AS i,
+         CAST((f - 1) % {d} AS INTEGER) + 1 AS j,
+         {_KFOLD.format(k='id', v='c')} AS s
+  FROM flat GROUP BY f
+),
+v0 AS (
+  SELECT t.i, CASE WHEN t.i = 1 THEN 1.0 ELSE 0.0 END AS val
+  FROM unnest(generate_series(1, {d})) AS t(i)
+)"""
+    iters = []
+    for k in range(1, n_iters + 1):
+        iters.append(f""",
+w{k} AS MATERIALIZED (
+  SELECT c.i, {_KFOLD.format(k='c.j', v='c.s * v.val')} AS w
+  FROM cov c JOIN v{k - 1} v ON v.i = c.j
+  GROUP BY c.i
+),
+nrm{k} AS (
+  SELECT greatest(sqrt({_KFOLD.format(k='i', v='w * w')}), 1e-12) AS nv
+  FROM w{k}
+),
+v{k} AS MATERIALIZED (
+  SELECT i, w / (SELECT nv FROM nrm{k}) AS val FROM w{k}
+)""")
+    return (
+        "WITH "
+        + head
+        + "".join(iters)
+        + f""",
+va AS (SELECT list(val ORDER BY i) AS cva FROM v{n_iters})
+SELECT c.id AS vec_id,
+       round(list_reduce(
+         list_transform(generate_series(1, {d}), i -> cv[i] * cva[i]),
+         (a, b) -> a + b), 6) AS proj
+FROM cent c, va
+"""
+    )
+
+
+@fixture("q_pca_project", oracle=_pca_oracle(_PCA_ITERS, _PCA_DIM))
+def q_pca_project(spark: SparkSession, sf_dir: str):
+    """Dominant principal component of the embedding table by
+    distributed power iteration (operators/pca.pca_power_iteration,
+    8 rounds, deterministic mode), projecting every vector onto it.
+    Three bounded-aggregate passes over the data (mean, scatter
+    matrix, projection); the d x d iteration runs driver-side like
+    kmeans centroids. Every FP sum is an id- or index-ordered fold,
+    so the oracle replays the ENTIRE training bit-for-bit; only the
+    final projection rounds (6 dp)."""
+    from nextbus2pg_spark.operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _mu, _v, proj = pca.pca_power_iteration(
+        emb, "vec_id", "embedding", n_iters=_PCA_ITERS, deterministic=True
+    )
+    return proj.select(F.col("id").alias("vec_id"), "proj")
