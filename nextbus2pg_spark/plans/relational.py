@@ -708,3 +708,48 @@ def q_interval_join(spark: SparkSession, sf_dir: str):
         lower="0 seconds",
         upper="6 hours",
     ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+
+
+@fixture(
+    "q_grouped_corr",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 1) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+a AS (
+  SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS corr,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope
+FROM a
+""",
+)
+def q_grouped_corr(spark: SparkSession, sf_dir: str):
+    """Per-returnflag Pearson correlation + OLS slope of extended
+    price (cents) on quantity (operators/stats.grouped_pearson):
+    inputs quantize to exact integers, the five moment sums
+    accumulate as DECIMAL(38,0) (= DuckDB HUGEINT — order-independent
+    and exact), and the statistic is ONE fixed double expression at
+    the end. Zero-variance groups resolve by integer comparison."""
+    from nextbus2pg_spark.operators.stats import grouped_pearson
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_pearson(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice",
+        x_scale=1, y_scale=100,
+    )
