@@ -83,3 +83,63 @@ def grouped_pearson(
             denx > 0, num.cast("double") / denx.cast("double")
         ).alias("slope"),
     )
+
+
+def chi_squared(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chi-squared test of independence between two categorical
+    columns → one row ``(chi2, dof, n)``.
+
+    Observed counts are exact integers from one hash aggregation over
+    the fact table; every later relation (cells, row totals, column
+    totals) is CONTINGENCY-TABLE-sized, not data-sized. Expected
+    counts ``e = r*c/n`` and the per-cell terms ``(o-e)^2/e`` are
+    fixed double expressions over those exact integers, and the chi2
+    total is a left fold over the (a, b)-sorted cell list — bounded
+    by the table's cardinality product, deterministic under any
+    partitioning, and bit-replayable by a DuckDB ``list_reduce``.
+
+    NULL categories drop the row (a NULL level would silently absorb
+    mass from every real level). ``dof = (R-1)(C-1)``.
+    """
+    from nextbus2pg_spark.operators.graph import _sorted_fold
+
+    base = df.select(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    observed = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("obs"))
+    # The statistic needs EVERY cell of the R x C grid — a level pair
+    # that never co-occurs still contributes (0-e)^2/e. Rebuild the
+    # full grid (contingency-sized cross join) and zero-fill.
+    cells = (
+        observed.select("a").distinct()
+        .crossJoin(observed.select("b").distinct())
+        .join(observed, ["a", "b"], "left")
+        .select("a", "b", F.coalesce("obs", F.lit(0)).alias("o"))
+    )
+    rows_t = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    cols_t = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("a").alias("nr"),
+        F.count_distinct("b").alias("nc"),
+    )
+    e = (
+        F.col("ra").cast("double")
+        * F.col("cb").cast("double")
+        / F.col("n").cast("double")
+    )
+    od = F.col("o").cast("double")
+    term = (od - e) * (od - e) / e
+    scored = (
+        cells.join(rows_t, "a")
+        .join(cols_t, "b")
+        .crossJoin(F.broadcast(tot))  # bounded: exactly 1 row
+        .select("a", "b", "n", "nr", "nc", term.alias("t"))
+    )
+    return scored.groupBy("n", "nr", "nc").agg(
+        _sorted_fold(F.struct("a", "b"), F.col("t")).alias("chi2")
+    ).select(
+        "chi2",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.col("n").cast("long").alias("n"),
+    )

@@ -753,3 +753,61 @@ def q_grouped_corr(spark: SparkSession, sf_dir: str):
         li, ["l_returnflag"], "l_quantity", "l_extendedprice",
         x_scale=1, y_scale=100,
     )
+
+
+@fixture(
+    "q_chi_squared",
+    oracle="""
+WITH base AS (
+  SELECT lang AS a, source AS b FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+obs AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS obs FROM base GROUP BY a, b
+),
+cells AS (
+  SELECT g.a, g.b, COALESCE(o.obs, 0) AS o
+  FROM (SELECT ra.a, cb.b
+        FROM (SELECT DISTINCT a FROM obs) ra,
+             (SELECT DISTINCT b FROM obs) cb) g
+  LEFT JOIN obs o ON o.a = g.a AND o.b = g.b
+),
+rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+ct AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+         count(DISTINCT a) AS nr, count(DISTINCT b) AS nc
+  FROM cells
+),
+terms AS (
+  SELECT c.a, c.b,
+         (CAST(c.o AS DOUBLE)
+          - CAST(r.ra AS DOUBLE) * CAST(t.cb AS DOUBLE)
+            / CAST(x.n AS DOUBLE))
+         * (CAST(c.o AS DOUBLE)
+            - CAST(r.ra AS DOUBLE) * CAST(t.cb AS DOUBLE)
+              / CAST(x.n AS DOUBLE))
+         / (CAST(r.ra AS DOUBLE) * CAST(t.cb AS DOUBLE)
+            / CAST(x.n AS DOUBLE)) AS trm,
+         x.n, x.nr, x.nc
+  FROM cells c JOIN rt r USING (a) JOIN ct t USING (b) CROSS JOIN tot x
+)
+SELECT list_reduce(list_transform(
+         list(struct_pack(k := struct_pack(a := a, b := b), v := trm)
+              ORDER BY a, b),
+         s -> s.v), (p, q) -> p + q) AS chi2,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+       n
+FROM terms
+GROUP BY n, nr, nc
+""",
+)
+def q_chi_squared(spark: SparkSession, sf_dir: str):
+    """Chi-squared independence test of document language vs source
+    (operators/stats.chi_squared): exact integer contingency table,
+    fixed-expression expected counts, and a cell-sorted fold for the
+    total — the oracle replays every double bit-for-bit."""
+    from nextbus2pg_spark.operators.stats import chi_squared
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chi_squared(docs, "lang", "source")

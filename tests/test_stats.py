@@ -42,3 +42,34 @@ def test_grouped_pearson_anticorrelation_and_scale(spark):
     out = grouped_pearson(df, ["g"], "x", "y", y_scale=100).collect()[0]
     assert out.corr == pytest.approx(-1.0)
     assert out.slope == pytest.approx(-25.0)  # cents per unit x
+
+
+def test_chi_squared_hand_computed(spark):
+    from nextbus2pg_spark.operators.stats import chi_squared
+
+    # 2x2 table: a={x:10,y:10} vs b; independent-by-construction
+    # counts -> chi2 == 0; then a dependent table with known chi2.
+    indep = spark.createDataFrame(
+        [("x", "u")] * 4 + [("x", "v")] * 4 + [("y", "u")] * 4
+        + [("y", "v")] * 4,
+        "a string, b string",
+    )
+    r = chi_squared(indep, "a", "b").collect()[0]
+    assert r.chi2 == 0.0 and r.dof == 1 and r.n == 16
+    # Perfect association: x->u (5), y->v (5); chi2 = n = 10.
+    dep = spark.createDataFrame(
+        [("x", "u")] * 5 + [("y", "v")] * 5, "a string, b string"
+    )
+    r = chi_squared(dep, "a", "b").collect()[0]
+    assert r.chi2 == 10.0 and r.dof == 1 and r.n == 10
+
+
+def test_chi_squared_drops_null_levels(spark):
+    from nextbus2pg_spark.operators.stats import chi_squared
+
+    df = spark.createDataFrame(
+        [("x", "u"), ("x", None), (None, "v"), ("y", "v")],
+        "a string, b string",
+    )
+    r = chi_squared(df, "a", "b").collect()[0]
+    assert r.n == 2 and r.dof == 1
