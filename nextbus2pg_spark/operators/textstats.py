@@ -436,3 +436,61 @@ def oov_ngram_ratio(
             ),
         )
     )
+
+
+def rrf_fuse(
+    rankings: "list[tuple[str, DataFrame]]",
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of ranked retrieval lists →
+    ``(doc_id, rank_<name>..., rrf_score)`` — the standard
+    score-free hybrid-retrieval combiner (Cormack et al. 2009):
+    ``score(d) = Σ_r 1 / (k_const + rank_r(d))`` over the UNION of
+    the lists, a document missing from a list contributing 0.
+
+    ``rankings`` is an ORDERED list of ``(name, frame)`` where each
+    frame carries ``id_col`` and a 1-based ``rank_col`` — the order
+    fixes the FP addition order, so two engines replaying the same
+    list order agree bit-for-bit (each contribution is a single
+    division of exact integers; ties in the fused score break on the
+    id).
+
+    Scale shape: the inputs are top-k lists — already bounded — so
+    the outer-join chain and the final sort-limit cost nothing at any
+    corpus scale; all the heavy lifting happened inside the upstream
+    retrievers.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    joined = None
+    names = []
+    for name, rdf in rankings:
+        if name in names:
+            raise ValueError(f"duplicate ranking name {name!r}")
+        names.append(name)
+        ri = rdf.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(rank_col).cast("int").alias(f"rank_{name}"),
+        )
+        joined = ri if joined is None else joined.join(
+            ri, "doc_id", "full_outer"
+        )
+    score = None
+    for name in names:
+        c = F.coalesce(
+            F.lit(1.0) / (F.lit(k_const) + F.col(f"rank_{name}")),
+            F.lit(0.0),
+        )
+        score = c if score is None else score + c
+    return (
+        joined.select(
+            "doc_id",
+            *[f"rank_{n}" for n in names],
+            score.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(k)
+    )

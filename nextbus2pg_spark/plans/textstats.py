@@ -580,3 +580,127 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str):
     Ranked descending with a lexicographic tie-break."""
     docs = load_table(spark, sf_dir, "documents")
     return ts.pmi_collocations(docs, "doc_id", "text", min_count=5, k=20)
+
+
+@fixture(
+    "q_hybrid_rrf",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS dl,
+         CAST(sum(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf0,
+         CAST(sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf1,
+         CAST(sum(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf2
+  FROM terms GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM per_doc
+),
+bscored AS (
+  SELECT doc_id AS id,
+         round(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                    / (CAST(df0 AS DOUBLE) + 0.5))
+             * CAST(tf0 AS DOUBLE) * 2.2
+             / (CAST(tf0 AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                    / (CAST(df1 AS DOUBLE) + 0.5))
+             * CAST(tf1 AS DOUBLE) * 2.2
+             / (CAST(tf1 AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                    / (CAST(df2 AS DOUBLE) + 0.5))
+             * CAST(tf2 AS DOUBLE) * 2.2
+             / (CAST(tf2 AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         , 6) AS score
+  FROM per_doc CROSS JOIN stats
+),
+lex AS (
+  SELECT id, CAST(rnk AS INTEGER) AS rank_lex FROM (
+    SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rnk
+    FROM bscored WHERE score > 0) _l
+  WHERE rnk <= 20
+),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+),
+q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n
+      WHERE vec_id = 0),
+dpairs AS (
+  SELECT t.vec_id AS match_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(q.qe)),
+                                   i -> q.qe[i] * t.e[i]))
+           / (q.qn * t.nrm), 6) AS sim
+  FROM q CROSS JOIN n t
+  WHERE t.vec_id <> q.query_id
+),
+dense AS (
+  SELECT match_id, CAST(rnk AS INTEGER) AS rank_dense FROM (
+    SELECT match_id,
+           row_number() OVER (ORDER BY sim DESC, match_id) AS rnk
+    FROM dpairs) _d
+  WHERE rnk <= 20
+),
+fused AS (
+  SELECT COALESCE(l.id, d.match_id) AS doc_id,
+         l.rank_lex, d.rank_dense,
+         COALESCE(CAST(1 AS DOUBLE) / (60 + l.rank_lex),
+                  CAST(0 AS DOUBLE))
+         + COALESCE(CAST(1 AS DOUBLE) / (60 + d.rank_dense),
+                    CAST(0 AS DOUBLE)) AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d ON d.match_id = l.id
+)
+SELECT doc_id, rank_lex, rank_dense, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+""",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str):
+    """Hybrid retrieval: BM25 top-20 for {spark, vector, merge} fused
+    with dense cosine top-20 for the vec_id=0 query embedding by
+    Reciprocal Rank Fusion (operators/textstats.rrf_fuse, k_const=60)
+    — the standard sparse+dense combiner. Each contribution is one
+    integer-denominator division and the two add in fixed list order,
+    so the oracle replays the fused scores exactly; both upstream
+    rankings are the already-oracle-pinned BM25 and cosine chains."""
+    from nextbus2pg_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = ts.bm25_topk(
+        docs, "doc_id", "text", ["spark", "vector", "merge"], k=20
+    )
+    dense = cosine_topk(
+        emb, emb.where(F.col("vec_id") == 0), "vec_id", "embedding", k=20
+    )
+    return ts.rrf_fuse(
+        [
+            ("lex", lex.select("id", "rank")),
+            ("dense", dense.select(F.col("match_id").alias("id"), "rank")),
+        ],
+        k_const=60,
+        k=10,
+    )

@@ -111,3 +111,34 @@ def test_pmi_collocations_short_docs_emit_no_pairs(spark):
     )
     out = pmi_collocations(docs, "doc_id", "text", min_count=1, k=10)
     assert [(r.w1, r.w2) for r in out.collect()] == [("a", "b")]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from nextbus2pg_spark.operators.textstats import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(11, 1), (13, 2)], "id long, rank int"
+    )
+    out = rrf_fuse([("a", a), ("b", b)], k_const=60, k=10).collect()
+    got = {r.doc_id: r for r in out}
+    assert got[11].rrf_score == 1.0 / 62 + 1.0 / 61
+    assert got[10].rrf_score == 1.0 / 61
+    assert got[13].rrf_score == 1.0 / 62
+    assert got[13].rank_a is None and got[13].rank_b == 2
+    # union-ranked: doc in both lists wins
+    assert out[0].doc_id == 11
+
+
+def test_rrf_fuse_rejects_empty_and_duplicate_names(spark):
+    import pytest
+
+    from nextbus2pg_spark.operators.textstats import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    a = spark.createDataFrame([(1, 1)], "id long, rank int")
+    with pytest.raises(ValueError, match="duplicate"):
+        rrf_fuse([("a", a), ("a", a)])
