@@ -323,29 +323,34 @@ def label_propagation(
     labels = sym.select("node").distinct().select(
         "node", F.col("node").alias("label")
     )
-    nb_labels = sym.withColumnRenamed("nb", "__nbn")
     for _ in range(n_iters):
-        counts = (
-            nb_labels.join(
-                labels.select(
-                    F.col("node").alias("__nbn"), F.col("label")
-                ),
-                "__nbn",
-            )
-            .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        labels = (
-            counts.groupBy("node")
-            .agg(
-                F.max_by(
-                    "label",
-                    F.struct(
-                        F.col("cnt").alias("c"),
-                        (-F.col("label")).alias("n"),
-                    ),
-                ).alias("label")
-            )
-            .localCheckpoint(eager=True)  # O(1) plan depth per round
+        labels = _lpa_round(sym, labels).localCheckpoint(
+            eager=True  # O(1) plan depth per round
         )
     return labels.select("node", "label")
+
+
+def _lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round: join the label frame onto the
+    symmetrized edge list, count (node, label) votes, take the
+    per-node arg-max with the min-label tie-break. Split out so the
+    plan-shape audit can pin the exact relation the loop checkpoints
+    (the ``_pagerank_round`` pattern)."""
+    counts = (
+        sym.withColumnRenamed("nb", "__nbn")
+        .join(
+            labels.select(F.col("node").alias("__nbn"), F.col("label")),
+            "__nbn",
+        )
+        .groupBy("node", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.groupBy("node").agg(
+        F.max_by(
+            "label",
+            F.struct(
+                F.col("cnt").alias("c"),
+                (-F.col("label")).alias("n"),
+            ),
+        ).alias("label")
+    )

@@ -527,3 +527,83 @@ def test_perceptron_round_plan_shape(spark):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
         _bounded_hints_only(_margins(feats, w, det))
     assert "partial" in plan_text(_margins(feats, w, False)).lower()
+
+
+def test_lpa_round_plan_shape(spark):
+    """One synchronous label-propagation round (the exact `_lpa_round`
+    the loop checkpoints): pure JVM expressions, no cartesian/BNLJ,
+    map-side partial vote counting, and NO forced broadcast hint (the
+    label frame scales with the graph — strategy belongs to the
+    planner/AQE, round-6 policy)."""
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.operators.graph import _lpa_round
+
+    sym = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "node long, nb long"
+    )
+    labels = sym.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    df = _lpa_round(sym, labels)
+    p = plan_text(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "partial" in p.lower(), p
+    _bounded_hints_only(df)
+
+
+def test_pmi_hint_only_on_totals_topk_is_sort_limit(spark):
+    """PMI's unigram/pair count tables are vocabulary-sized and
+    strategy-unpinned (round-6 policy); the only forced hint is the
+    1-row totals aggregate; top-k is TakeOrdered, never a global
+    sort; counting is map-side partial."""
+    df = q(spark, "q_pmi_collocations")
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    lines = analyzed.splitlines()
+    for i, l in enumerate(lines):
+        if "ResolvedHint" not in l:
+            continue
+        window = "\n".join(lines[i : i + 6])
+        assert "Aggregate" in window and "sum" in window, (
+            "broadcast hint on something other than the 1-row totals "
+            "aggregate:\n" + window
+        )
+    p = plan_text(df)
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrdered" in p, p
+    assert "partial" in p.lower(), p
+
+
+def test_pca_projection_is_map_only(spark):
+    """The PCA projection pass (the only data-sized relation the
+    operator returns) is map-only: literal mean/component arrays, no
+    Exchange, no join, no Python eval — the training collects are
+    bounded (d and d^2 rows) and happen before this plan exists."""
+    df = q(spark, "q_pca_project")
+    p = plan_text(df)
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_rolling_anomaly_single_window_pass(spark):
+    """rolling_anomaly is ONE bounded-frame window pass: a single
+    Window node, no join, no Python eval, and the frame's sums are
+    integers (the quantize cast appears in the plan)."""
+    df = q(spark, "q_rolling_anomaly")
+    p = plan_text(df)
+    assert p.count("Window") >= 1, p
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_grouped_corr_single_partial_agg_no_join(spark):
+    """grouped_pearson is one hash aggregation with map-side partials
+    over decimal accumulators — no join, no window, no Python."""
+    df = q(spark, "q_grouped_corr")
+    p = plan_text(df)
+    assert "partial" in p.lower(), p
+    assert "Join" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
