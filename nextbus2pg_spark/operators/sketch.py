@@ -411,3 +411,106 @@ def cms_state_total(state: Column, width: int = 32) -> Column:
     return F.aggregate(
         F.slice(state, 1, width), F.lit(0).cast("long"), lambda a, x: a + x
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_cols: "list[str]",
+    p: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """Engine-portable HyperLogLog registers → ``(bucket, max_rho)``.
+
+    The KMV docstring above rules out Spark's built-in HLL++ (opaque
+    JVM state, rows-only checkable); THIS is the portable
+    alternative: hash to the repo's canonical 60-bit md5 integer,
+    low ``p`` bits pick one of ``m = 2^p`` registers, and the
+    register keeps the max over ``rho`` = 1 + leading-zero count of
+    the remaining ``60 - p`` bits. Every quantity is an exact
+    integer (``rho`` derives from the BIT WIDTH of the suffix —
+    ``length(bin(w))`` — never from a float log), so registers are
+    bit-identical in any engine with md5 and integer shifts, and two
+    register sets MERGE by per-bucket max — the property that makes
+    HLL the de-facto rollup sketch (per-day registers → monthly
+    distinct without re-reading the data).
+
+    Scale shape: one map-side expression chain + one m-group max
+    aggregation (partial combine); the shuffle carries at most m rows
+    per partition. NULL keys are dropped (COUNT DISTINCT semantics).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16]; got {p}")
+    m = 1 << p
+    cols = [F.col(c).cast("string") for c in key_cols]
+    notnull = None
+    for c in key_cols:
+        cond = F.col(c).isNotNull()
+        notnull = cond if notnull is None else (notnull & cond)
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), *cols)), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.shiftright(h, p)
+    suffix_bits = 60 - p
+    rho = F.when(
+        w > 0, F.lit(suffix_bits + 1) - F.length(F.bin(w))
+    ).otherwise(F.lit(suffix_bits + 1))
+    return (
+        df.where(notnull)
+        .select(
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+#: alpha_m bias constants of Flajolet et al. 2007 (m >= 128 uses the
+#: closed form); keys are p = log2(m).
+_HLL_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
+
+
+def hll_raw_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
+    """Raw HLL estimate from a register set → one row
+    ``(raw_estimate, n_zero_registers, m)``.
+
+    ``raw_estimate = alpha_m * m^2 / sum_j 2^(-M_j)`` over ALL m
+    registers (never-hit buckets contribute 2^0 = 1 — the zero-filled
+    grid matters exactly like chi-squared's zero cells). Each term is
+    an exact power of two (``1.0 / (1L << M_j)``) and the sum folds in
+    bucket order, so the estimate replays bit-for-bit; the standard
+    small-range linear-counting correction needs ``ln`` (ulp-unstable
+    across engines) and is left to the caller — ``n_zero_registers``
+    is exactly what it needs.
+    """
+    m = 1 << p
+    alpha = _HLL_ALPHA.get(p, 0.7213 / (1.0 + 1.079 / m))
+    spark = registers.sparkSession
+    grid = spark.range(m).select(F.col("id").cast("bigint").alias("bucket"))
+    filled = grid.join(registers, "bucket", "left").select(
+        "bucket", F.coalesce("max_rho", F.lit(0)).alias("rho")
+    )
+    # F.shiftleft only takes a literal bit count; the SQL form shifts
+    # by a column. 1L << rho is an exact power of two in a BIGINT
+    # (rho <= 61), and the division is exact in a double.
+    term = F.lit(1.0) / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)"
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("bucket").alias("k"),
+                                        term.alias("v")))
+            ),
+            lambda s: s["v"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return filled.agg(
+        (F.lit(alpha) * F.lit(float(m * m)) / folded).alias("raw_estimate"),
+        F.sum((F.col("rho") == 0).cast("long")).alias("n_zero_registers"),
+        F.lit(m).cast("long").alias("m"),
+    )

@@ -2456,3 +2456,83 @@ def q_pca_project(spark: SparkSession, sf_dir: str):
         emb, "vec_id", "embedding", n_iters=_PCA_ITERS, deterministic=True
     )
     return proj.select(F.col("id").alias("vec_id"), "proj")
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (operators/sketch.hll_registers / hll_raw_estimate)
+# ---------------------------------------------------------------------------
+
+_HLL_SQL_HEAD = """
+hv AS (
+  SELECT ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+reg AS (
+  SELECT h & 63 AS bucket,
+         max(CASE WHEN (h >> 6) > 0
+                  THEN 55 - length(bin(h >> 6))
+                  ELSE 55 END) AS max_rho
+  FROM hv GROUP BY h & 63
+)
+"""
+
+
+@fixture(
+    "q_hll_registers",
+    oracle=f"""
+WITH {_HLL_SQL_HEAD.strip()}
+SELECT bucket, CAST(max_rho AS INTEGER) AS max_rho FROM reg
+""",
+)
+def q_hll_registers(spark: SparkSession, sf_dir: str):
+    """Portable HyperLogLog register set over event user ids
+    (operators/sketch.hll_registers, p=6): 60-bit md5 hash, low 6
+    bits pick the register, rho = 1 + leading zeros of the 54-bit
+    suffix DERIVED FROM ITS BIT WIDTH (length(bin(w)) — exact integer,
+    no float log anywhere). Registers merge by per-bucket max — the
+    rollup property HLL exists for. Bit-identical in any engine with
+    md5 and integer shifts."""
+    from nextbus2pg_spark.operators.sketch import hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_registers(ev, ["user_id"], p=6)
+
+
+@fixture(
+    "q_hll_estimate",
+    oracle=f"""
+WITH {_HLL_SQL_HEAD.strip()},
+grid AS (SELECT unnest(generate_series(0, 63)) AS bucket),
+filled AS (
+  SELECT g.bucket, COALESCE(r.max_rho, 0) AS rho
+  FROM grid g LEFT JOIN reg r USING (bucket)
+)
+SELECT (0.709 * 4096.0)
+       / list_reduce(list_transform(
+           list(struct_pack(k := bucket,
+                            v := CAST(1 AS DOUBLE)
+                                 / CAST(1::BIGINT << rho AS DOUBLE))
+                ORDER BY bucket),
+           s -> s.v), (a, b) -> a + b) AS raw_estimate,
+       CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_registers,
+       CAST(64 AS BIGINT) AS m
+FROM filled
+""",
+)
+def q_hll_estimate(spark: SparkSession, sf_dir: str):
+    """Raw HLL estimate from the q_hll_registers register set
+    (operators/sketch.hll_raw_estimate): every 2^-M term is an exact
+    power of two, the harmonic sum folds in bucket order over the
+    zero-filled 64-register grid, and alpha_64 = 0.709 enters as the
+    same literal on both engines — the estimate replays bit-for-bit.
+    The ln-based small-range correction stays caller-side
+    (n_zero_registers is its input)."""
+    from nextbus2pg_spark.operators.sketch import (
+        hll_raw_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_raw_estimate(hll_registers(ev, ["user_id"], p=6), p=6)

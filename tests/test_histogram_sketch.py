@@ -215,3 +215,47 @@ def test_cms_state_width_bound_raises(spark):
         cms_state(F.col("x"), depth=4, width=CMS_STATE_MAX_CELLS)
     # the default rollup shape stays well inside the bound
     cms_state(F.col("x"))
+
+
+def test_hll_registers_merge_by_max_and_estimate_tracks_truth(spark):
+    """Register sets from two halves merged by per-bucket max equal the
+    registers of the union (THE HLL rollup property); the raw estimate
+    lands within the expected ~1.04/sqrt(64) relative-error band of
+    the true distinct count for a well-conditioned cardinality."""
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.operators.sketch import (
+        hll_raw_estimate,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 700,) for i in range(5000)], "user_id long"
+    )
+    left = df.where(F.col("user_id") < 350)
+    right = df.where(F.col("user_id") >= 350)
+    merged = (
+        hll_registers(left, ["user_id"], p=6)
+        .unionByName(hll_registers(right, ["user_id"], p=6))
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = hll_registers(df, ["user_id"], p=6)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    est = hll_raw_estimate(whole, p=6).collect()[0]
+    assert est.m == 64
+    # 700 >> 2.5*m: raw estimate applies, ~13% sigma; allow 3 sigma.
+    assert abs(est.raw_estimate - 700) / 700 < 0.4
+
+
+def test_hll_registers_drop_null_keys(spark):
+    from nextbus2pg_spark.operators.sketch import hll_registers
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (2,)], "user_id long"
+    )
+    regs = hll_registers(df, ["user_id"], p=6)
+    # only 2 live keys -> at most 2 registers
+    assert regs.count() <= 2
