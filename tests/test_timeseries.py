@@ -132,3 +132,54 @@ def test_retention_matrix(spark):
         (1, 0): 2, (1, 1): 1, (1, 2): 1,
         (8, 0): 1,
     }
+
+
+def test_ewma_hand_computed_and_null_drop(spark):
+    import datetime as dt
+
+    import pytest
+
+    from nextbus2pg_spark.operators.timeseries import ewma
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t, 4.0),
+        (1, t + dt.timedelta(hours=1), 8.0),
+        (1, t + dt.timedelta(hours=2), None),
+        (1, t + dt.timedelta(hours=3), 2.0),
+        (2, t, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {(r.key, r.ts): r.ewma for r in ewma(df, "k", "ts", "v", 0.25).collect()}
+    # s0 = 4; s1 = 0.25*8 + 0.75*4 = 5; NULL dropped; s2 = 0.25*2 + 0.75*5
+    assert out[(1, t)] == 4.0
+    assert out[(1, t + dt.timedelta(hours=1))] == 5.0
+    assert (1, t + dt.timedelta(hours=2)) not in out
+    assert out[(1, t + dt.timedelta(hours=3))] == 0.25 * 2 + 0.75 * 5.0
+    assert out[(2, t)] == 10.0
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(df, "k", "ts", "v", 0.0)
+
+
+def test_rolling_anomaly_flags_spike_only_with_min_periods(spark):
+    import datetime as dt
+
+    from nextbus2pg_spark.operators.timeseries import rolling_anomaly
+
+    t = dt.datetime(2024, 1, 1)
+    # Jittered baseline (a CONSTANT one makes any blip carry 100% of
+    # the frame variance — a lone 10.5 after 11 exact 10.0s hits the
+    # self-inclusion ceiling |z| = sqrt(n-1) > 3 and is correctly
+    # flagged); against jitter, a small blip stays under 3 sigma.
+    base = [10.0, 10.2] * 9
+    vals = base[:11] + [10.3] + base[11:16] + [500.0] + base[16:]
+    rows = [(1, t + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = rolling_anomaly(
+        df, "k", "ts", "v", window_rows=24, min_periods=12
+    ).collect()
+    flagged = sorted(r.ts for r in out if r.is_anomaly)
+    assert flagged == [t + dt.timedelta(minutes=17)]  # only the 500.0
+    # constant prefix: zero variance -> NULL z, never flagged
+    first = min(out, key=lambda r: r.ts)
+    assert first.zscore is None and not first.is_anomaly
