@@ -354,3 +354,50 @@ def _lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
             ),
         ).alias("label")
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    order_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """First-order Markov transition estimates from an event log →
+    ``(src, dst, n_transitions, p)`` — the empirical
+    ``p(dst | src) = c(src,dst) / c(src,*)`` over consecutive events
+    within each key's timeline (the path-analysis matrix; PageRank's
+    edge derivation shares this exact lead-window shape).
+
+    ``order_cols`` breaks timestamp ties deterministically (defaults
+    to the state column itself). Both counts are exact integers from
+    one aggregation over the lead-window pairs, and ``p`` is one
+    division — engine-exact. One window pass over the log, one
+    state-pair-sized aggregation; the matrix is |states|^2-bounded.
+    """
+    from pyspark.sql import Window
+
+    tie = order_cols if order_cols is not None else [state_col]
+    w = Window.partitionBy(key_col).orderBy(ts_col, *tie)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("src"),
+            F.lead(state_col).over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    ctx = counts.groupBy("src").agg(
+        F.sum("n_transitions").alias("n_src")
+    )
+    return counts.join(ctx, "src").select(
+        "src",
+        "dst",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.col("n_src").cast("double")
+        ).alias("p"),
+    )

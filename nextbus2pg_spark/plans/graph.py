@@ -264,3 +264,37 @@ def q_label_propagation(spark: SparkSession, sf_dir: str):
         .distinct()
     )
     return label_propagation(edges, n_iters=_LPA_ITERS)
+
+
+@fixture(
+    "q_transition_matrix",
+    oracle="""
+WITH pairs AS (
+  SELECT src, dst FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_type) AS dst
+    FROM events) _p
+  WHERE dst IS NOT NULL
+),
+counts AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM pairs GROUP BY src, dst
+),
+ctx AS (SELECT src, sum(n_transitions) AS n_src FROM counts GROUP BY src)
+SELECT c.src, c.dst, c.n_transitions,
+       CAST(c.n_transitions AS DOUBLE) / CAST(x.n_src AS DOUBLE) AS p
+FROM counts c JOIN ctx x USING (src)
+""",
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str):
+    """Empirical Markov transition matrix over per-user event-type
+    sequences (operators/graph.transition_matrix): exact integer
+    pair/context counts from one lead-window pass, probability as a
+    single engine-exact division. The |states|^2-bounded matrix is
+    the path-analysis companion of the PageRank edge head (same
+    lead-window derivation, deterministic event_type tie-break)."""
+    from nextbus2pg_spark.operators.graph import transition_matrix
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(ev, "user_id", "ts", "event_type")

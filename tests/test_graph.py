@@ -206,3 +206,27 @@ def test_label_propagation_rejects_null_and_string_ids(spark):
     strs = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(TypeError, match="integral"):
         label_propagation(strs)
+
+
+def test_transition_matrix_hand_computed(spark):
+    import datetime as dt
+
+    from nextbus2pg_spark.operators.graph import transition_matrix
+
+    t = dt.datetime(2024, 1, 1)
+    seq = lambda u, *states: [  # noqa: E731
+        (u, t + dt.timedelta(minutes=i), s) for i, s in enumerate(states)
+    ]
+    df = spark.createDataFrame(
+        seq(1, "a", "b", "a", "c") + seq(2, "a", "b"),
+        "user long, ts timestamp, state string",
+    )
+    out = {(r.src, r.dst): r for r in transition_matrix(
+        df, "user", "ts", "state"
+    ).collect()}
+    # transitions: a->b (x2), b->a (x1), a->c (x1); ctx(a)=3, ctx(b)=1
+    assert out[("a", "b")].n_transitions == 2
+    assert out[("a", "b")].p == 2 / 3
+    assert out[("a", "c")].p == 1 / 3
+    assert out[("b", "a")].p == 1.0
+    assert ("c", "a") not in out  # terminal state emits nothing
