@@ -29,8 +29,10 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 
 def resample_ffill(
@@ -188,27 +190,41 @@ def ewma(
     ts_col: str,
     value_col: str,
     alpha: float = 0.25,
+    *,
+    mode: str = "auto",
+    long_series_threshold: int = 4096,
 ) -> DataFrame:
     """Per-key exponentially weighted moving average →
     ``(key, ts, value, ewma)`` — the classic monitoring smoother
     ``s_i = alpha * x_i + (1 - alpha) * s_{i-1}`` with ``s_0 = x_0``.
 
-    The recurrence is evaluated as a left fold over each row's ordered
-    value prefix (window ``collect_list`` + ``F.aggregate``), entirely
-    JVM-side — no Python in the path, and the fold's FP operation
-    order is FIXED (``alpha*x`` then ``(1-alpha)*acc`` then the sum),
-    so a DuckDB ``list_reduce`` over the same windowed list replays it
-    bit-for-bit. Rows are ordered by ``(ts, value)`` — the value
-    tie-break makes equal-timestamp prefixes deterministic. NULL
-    values are dropped before smoothing (they carry no observation).
+    Two execution paths with BIT-IDENTICAL results (both evaluate the
+    recurrence as a strict left fold in IEEE doubles with the fixed
+    operation order ``alpha*x`` then ``(1-alpha)*acc`` then the sum):
 
-    Scale note: the prefix array makes a key's series O(n^2) in
-    values held transiently per window frame — correct for the
-    bounded-series shape this is for (per-entity metric streams,
-    typically resampled first; compose with :func:`resample_ffill`).
-    For unbounded series, bucket the key by epoch first so each
-    partition's prefix stays bounded; a linear ``applyInPandas`` pass
-    trades that bound for a Python stage.
+    - ``fold`` — a JVM-side left fold over each row's ordered value
+      prefix (window ``collect_list`` + ``F.aggregate``); no Python in
+      the path, and a DuckDB ``list_reduce`` over the same windowed
+      list replays every intermediate bit-for-bit. The prefix array is
+      O(n^2) transient values per key — the right shape for SHORT
+      per-entity series (resampled metric streams).
+    - ``linear`` — one ordered ``applyInPandas`` scan per key: O(n)
+      time and O(n) state (the group itself), the right shape for
+      long/unbounded series where the fold's quadratic prefix would
+      dominate. One Python (Arrow) stage; a key's whole series must
+      fit one task, which the recurrence requires anyway — beyond
+      that, bucket keys by epoch and seed each bucket.
+
+    ``mode='auto'`` (default) picks per call: one partial-aggregated
+    count-per-key pass (a single bounded 1-row collect) and, if any
+    key's series exceeds ``long_series_threshold``, the WHOLE frame
+    takes the linear path (paths agree bitwise, so wholesale routing
+    beats a per-key split's extra window + union). ``mode='fold'`` /
+    ``mode='linear'`` force a path (tests pin their agreement).
+
+    Rows are ordered by ``(ts, value)`` — the value tie-break makes
+    equal-timestamp prefixes deterministic. NULL values are dropped
+    before smoothing (they carry no observation).
 
     Pick ``alpha`` exactly representable in binary (0.25, 0.5, 0.75)
     when oracle parity matters: ``1 - alpha`` is computed driver-side
@@ -216,31 +232,62 @@ def ewma(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1]; got {alpha}")
+    if mode not in ("auto", "fold", "linear"):
+        raise ValueError(f"mode must be auto|fold|linear; got {mode!r}")
+    a, b = float(alpha), 1.0 - float(alpha)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    ).where(F.col("value").isNotNull())
+
+    if mode == "auto":
+        # One cheap partial-aggregated pass; the collect is a single
+        # row (max over per-key counts), bounded by construction.
+        longest = base.groupBy("key").agg(
+            F.count("value").alias("__n")
+        ).agg(F.max("__n")).first()[0]
+        mode = (
+            "linear"
+            if longest is not None and longest > long_series_threshold
+            else "fold"
+        )
+
+    if mode == "linear":
+        out_schema = StructType(
+            base.schema.fields + [StructField("ewma", DoubleType())]
+        )
+
+        def _scan(pdf):
+            pdf = pdf.sort_values(
+                ["ts", "value"], kind="mergesort", ignore_index=True
+            )
+            vals = pdf["value"].to_numpy(dtype="float64")
+            out = np.empty(len(vals), dtype="float64")
+            acc = 0.0
+            for i, x in enumerate(vals):
+                acc = x if i == 0 else a * x + b * acc
+                out[i] = acc
+            return pdf.assign(ewma=out)
+
+        return base.groupBy("key").applyInPandas(_scan, schema=out_schema)
+
     w = (
         Window.partitionBy("key")
         .orderBy("ts", "value")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    a, b = float(alpha), 1.0 - float(alpha)
-    return (
-        df.select(
-            F.col(key_col).alias("key"),
-            F.col(ts_col).alias("ts"),
-            F.col(value_col).cast("double").alias("value"),
-        )
-        .where(F.col("value").isNotNull())
-        .select(
-            "key",
-            "ts",
-            "value",
-            F.aggregate(
-                F.collect_list("value").over(w),
-                F.lit(None).cast("double"),
-                lambda acc, x: F.when(acc.isNull(), x).otherwise(
-                    F.lit(a) * x + F.lit(b) * acc
-                ),
-            ).alias("ewma"),
-        )
+    return base.select(
+        "key",
+        "ts",
+        "value",
+        F.aggregate(
+            F.collect_list("value").over(w),
+            F.lit(None).cast("double"),
+            lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                F.lit(a) * x + F.lit(b) * acc
+            ),
+        ).alias("ewma"),
     )
 
 

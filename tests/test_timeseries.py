@@ -183,3 +183,79 @@ def test_rolling_anomaly_flags_spike_only_with_min_periods(spark):
     # constant prefix: zero variance -> NULL z, never flagged
     first = min(out, key=lambda r: r.ts)
     assert first.zscore is None and not first.is_anomaly
+
+
+def test_ewma_linear_path_bit_exact_vs_fold(spark):
+    """The O(n) applyInPandas scan and the JVM window fold evaluate the
+    same strict left fold in IEEE doubles — results must agree
+    BIT-FOR-BIT (not just to a tolerance), or the auto-selection would
+    change answers at the threshold."""
+    import datetime as dt
+
+    import numpy as np
+
+    from nextbus2pg_spark.operators.timeseries import ewma
+
+    rng = np.random.default_rng(7)
+    t = dt.datetime(2024, 1, 1)
+    rows = []
+    for k in (1, 2, 3):
+        n = int(rng.integers(50, 200))
+        vals = rng.normal(100.0, 37.0, n)
+        # include a timestamp tie to exercise the (ts, value) tie-break
+        rows.extend(
+            (k, t + dt.timedelta(seconds=int(i // 2)), float(v))
+            for i, v in enumerate(vals)
+        )
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    fold = {
+        (r.key, r.ts, r.value): r.ewma
+        for r in ewma(df, "k", "ts", "v", 0.3, mode="fold").collect()
+    }
+    linear = {
+        (r.key, r.ts, r.value): r.ewma
+        for r in ewma(df, "k", "ts", "v", 0.3, mode="linear").collect()
+    }
+    assert fold.keys() == linear.keys()
+    for key, s in fold.items():
+        assert s == linear[key], key  # exact, not approx
+
+
+def test_ewma_auto_selects_by_longest_series(spark):
+    import datetime as dt
+
+    from nextbus2pg_spark.operators.timeseries import ewma
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t + dt.timedelta(seconds=i), float(i)) for i in range(30)
+    ] + [(2, t, 5.0)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+
+    short = ewma(df, "k", "ts", "v", 0.25, long_series_threshold=100)
+    p = short._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in p and "EvalPython" not in p, p
+
+    long_ = ewma(df, "k", "ts", "v", 0.25, long_series_threshold=10)
+    p = long_._jdf.queryExecution().executedPlan().toString()
+    # exactly one Python stage, and the quadratic window fold is gone
+    assert p.count("FlatMapGroupsInPandas") == 1, p
+    assert "collect_list" not in p, p
+    # both plans produce the same smoothed values
+    assert {
+        (r.key, r.ts): r.ewma for r in short.collect()
+    } == {(r.key, r.ts): r.ewma for r in long_.collect()}
+
+
+def test_ewma_mode_validation(spark):
+    import datetime as dt
+
+    import pytest
+
+    from nextbus2pg_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)], "k long, ts timestamp, v double"
+    )
+    with pytest.raises(ValueError, match="mode"):
+        ewma(df, "k", "ts", "v", 0.25, mode="vectorized")
