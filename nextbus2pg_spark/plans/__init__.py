@@ -121,9 +121,33 @@ DRIVER_CHECKED_R5 = frozenset({
     "q_upsert_semantics", "q_url_canon",
 })
 
+#: Driver rows earned in round 6 (CORRECTNESS_r06.json keys, 50/50
+#: green — first rows for the round-6 surface: graph family, PCA,
+#: perceptron classifier, grouped stats, PMI/LM, HLL, hybrid RRF,
+#: time-series family, keep-best dedup, corpus assembly, exact PSL,
+#: and the converted ANN trio; plus oldest-first stale re-checks).
+DRIVER_CHECKED_R6 = frozenset({
+    "q_bm25_topk", "q_chi_squared", "q_corpus_assembly",
+    "q_dedup_clusters", "q_dedup_keep_best", "q_distinct",
+    "q_doc_fingerprint", "q_domain_cap", "q_epoch_shuffle",
+    "q_epoch_to_ts", "q_event_time_derive", "q_ewma", "q_except",
+    "q_first_per_group", "q_flagship_latest", "q_funnel",
+    "q_grouped_corr", "q_hll_estimate", "q_hll_registers",
+    "q_hybrid_rrf", "q_insert_if_absent", "q_ivf_topk", "q_ivfpq_topk",
+    "q_jaccard_pairs", "q_join_inner", "q_join_left_outer",
+    "q_label_propagation", "q_leakage_safe_split", "q_lm_logprob",
+    "q_lsh_topk", "q_minhash_lsh", "q_mixture_audit", "q_pagerank",
+    "q_pagerank_personalized", "q_pca_project", "q_pmi_collocations",
+    "q_point_struct", "q_posexplode", "q_pq_topk", "q_project_filter",
+    "q_quality_classifier", "q_resample_ffill", "q_retention",
+    "q_rolling_anomaly", "q_setsim_join", "q_tfidf_topterms",
+    "q_token_budget_mixture", "q_tpch_q1", "q_transition_matrix",
+    "q_url_psl",
+})
+
 DRIVER_CHECKED = (
     DRIVER_CHECKED_R1_R2 | DRIVER_CHECKED_R3 | DRIVER_CHECKED_R4
-    | DRIVER_CHECKED_R5
+    | DRIVER_CHECKED_R5 | DRIVER_CHECKED_R6
 )
 
 #: Round a query's driver row was LAST earned (r1/r2 merged as 2).
@@ -134,32 +158,18 @@ _LAST_CHECKED_ROUND: dict = {}
 for _round, _names in (
     (2, DRIVER_CHECKED_R1_R2), (3, DRIVER_CHECKED_R3),
     (4, DRIVER_CHECKED_R4), (5, DRIVER_CHECKED_R5),
+    (6, DRIVER_CHECKED_R6),
 ):
     for _n in _names:
         _LAST_CHECKED_ROUND[_n] = _round
 
-#: Queries whose underlying operator code changes in round 6 (the
-#: forced-broadcast removals in setsim_join / leakage_safe_split /
-#: TF-IDF docfreq, the BM25 duplicate-term fix, the registrable-domain
-#: PSL join path) plus a small headline tail — the driver re-verifies
-#: exactly what was rewritten.
+#: Queries whose underlying operator code changes in round 7 — the
+#: driver re-verifies exactly what was rewritten. Round 7 touched the
+#: EWMA operator (linear-path auto-selection added around the JVM
+#: fold) — everything else this round is NEW surface (bucket 1) or
+#: non-fixture code (streaming, indexes, pipelines).
 REGRESSION_PRIORITY = (
-    # -- code changed in round 6: must stay inside the window ---------
-    "q_lsh_topk",              # first FULL oracle (was r1 no_oracle) —
-                               # needs its first real value-hash row
-    "q_ivf_topk",              # trained-config oracles, round 6 —
-    "q_pq_topk",               # all three need their first real
-    "q_ivfpq_topk",            # value-hash rows (rows-only era closed)
-    "q_setsim_join",           # broadcast hint removed, round 6
-    "q_leakage_safe_split",    # broadcast hint removed, round 6
-    "q_tfidf_topterms",        # docfreq broadcast hint removed, round 6
-    "q_bm25_topk",             # duplicate query-term dedup, round 6
-    "q_domain_cap",            # registrable_domain PSL path, round 6
-    "q_epoch_shuffle",         # docstring fix, cheap re-check
-    "q_token_budget_mixture",  # shares curation module with the audit
-    # -- untouched headline entries last: they fall out of the 50-slot
-    #    window first when the buckets above grow ---------------------
-    "q_flagship_latest", "q_tpch_q1", "q_minhash_lsh",
+    "q_ewma",  # mode-selection wrapper added around the fold, round 7
 )
 
 #: Round-5 policy: the deferred bucket is DRAINED — the seven entries
