@@ -58,6 +58,8 @@ R6_SET = [
     "q_label_propagation",
     "q_rolling_anomaly",
 ]
+#: Round-7 additions (populated as the round's new operators land).
+R7_SET: list[str] = []
 
 HEADLINE = [
     "q_flagship_latest",
@@ -93,6 +95,7 @@ HEADLINE = [
     "q_retention",
     "q_label_propagation",
     "q_rolling_anomaly",
+    *R7_SET,
 ]
 
 
@@ -150,19 +153,64 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s median of {runs} ({n} rows)",
               file=sys.stderr)
 
-    # Machine-speed calibration: a fixed pure-codegen JVM workload
-    # (sum over a 200M range — no IO, no shuffle, plan identical every
-    # round). Round-over-round bench deltas on shared/virtualized boxes
-    # can be dominated by the host, not the code (observed: the same
-    # commit benching 2-4x apart across sessions); this constant-work
-    # probe lets a reader normalize. Median of 3 after one warmup.
-    spark.range(200_000_000).selectExpr("sum(id * 2)").collect()
-    cal = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(200_000_000).selectExpr("sum(id * 2)").collect()
-        cal.append(time.perf_counter() - t0)
-    cal.sort()
+    # Machine-speed calibration, three Spark-shaped components (round-
+    # over-round deltas on shared/virtualized boxes can be dominated by
+    # the host, not the code — observed: the same commit benching 2-4x
+    # apart across sessions). Each probe is constant work with an
+    # identical plan every round; median of N after one warmup.
+    #
+    # - cpu: pure-codegen JVM compute (sum over a 200M range — no IO,
+    #   no shuffle). Tracks raw CPU speed ONLY — dividing a sub-0.5s
+    #   query (which is scheduler/JVM fixed overhead, not CPU) by this
+    #   constant manufactures phantom regressions; kept for continuity.
+    # - sched: a 32-task count over a tiny range — task launch +
+    #   scheduling + result fetch with ~zero compute. Its wall time IS
+    #   the per-job fixed overhead the short headline queries pay.
+    # - scan: full-column parquet scan + partial agg of the benched
+    #   SF's largest table (lineitem) — IO + decode + agg, the data
+    #   path the medium queries ride. Constant work at a fixed SF.
+    #
+    # Normalization rule (PERF.md "Calibration & normalization"):
+    #   norm(q) = max(t_q - sched, 0) / scan
+    # i.e. subtract one job's fixed overhead, then express the rest in
+    # units of the host's data-path speed. Per-vintage normalized
+    # subtotals below apply exactly this rule.
+    def _probe(thunk, runs_: int = 5) -> float:
+        thunk()  # warmup
+        xs = []
+        for _ in range(runs_):
+            t0 = time.perf_counter()
+            thunk()
+            xs.append(time.perf_counter() - t0)
+        xs.sort()
+        return xs[len(xs) // 2]
+
+    cal_cpu = _probe(
+        lambda: spark.range(200_000_000).selectExpr("sum(id * 2)").collect(),
+        3,
+    )
+    cal_sched = _probe(
+        lambda: spark.range(0, 32_000, 1, 32).count()
+    )
+    lineitem = os.path.join(sf_dir, "lineitem.parquet")
+    cal_scan = _probe(
+        lambda: spark.read.parquet(lineitem)
+        .selectExpr(
+            "sum(l_extendedprice)", "sum(l_quantity)",
+            "sum(l_discount)", "count(*)",
+        )
+        .collect()
+    )
+
+    def _norm(names) -> float:
+        return round(
+            sum(
+                max(timings[n] - cal_sched, 0.0) / cal_scan
+                for n in names
+                if n in timings
+            ),
+            3,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -173,7 +221,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "cpu_calibration_sec": round(cal[1], 3),
+                "cpu_calibration_sec": round(cal_cpu, 3),
+                "sched_calibration_sec": round(cal_sched, 3),
+                "scan_calibration_sec": round(cal_scan, 3),
                 "subtotal_r3_set": round(
                     sum(timings[n] for n in R3_SET if n in timings), 3
                 ),
@@ -186,6 +236,14 @@ def main() -> None:
                 "subtotal_r6_set": round(
                     sum(timings[n] for n in R6_SET if n in timings), 3
                 ),
+                "subtotal_r3_set_norm": _norm(R3_SET),
+                "subtotal_r4_set_norm": _norm(R4_SET),
+                "subtotal_r5_set_norm": _norm(R5_SET),
+                "subtotal_r6_set_norm": _norm(R6_SET),
+                "subtotal_r7_set": round(
+                    sum(timings[n] for n in R7_SET if n in timings), 3
+                ),
+                "subtotal_r7_set_norm": _norm(R7_SET),
             }
         )
     )
