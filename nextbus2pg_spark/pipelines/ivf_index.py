@@ -22,7 +22,23 @@ instead wants:
 
 Centroids drift as the corpus grows; that is inherent to IVF (FAISS
 has the same contract). The recall floor against the trained snapshot
-is pinned by tests; retraining = build a fresh index path and swap.
+is pinned by tests; :meth:`IvfIndex.retrain_swap` handles drift
+in place: it builds a complete new EPOCH (fresh centroids + a full
+re-assignment of the given corpus snapshot) alongside the live one
+and flips readers to it with ONE atomic manifest publish.
+
+Epoch mechanics: every centroid and vector row carries an ``epoch``
+int; readers resolve the current epoch from the centroid store (the
+max published epoch) and filter both stores to it. A retrain appends
+the new epoch's vectors FIRST (invisible — no centroid row exposes
+that epoch yet) and publishes the new centroids LAST, so the centroid
+manifest publish IS the swap: a reader that resolved its centroids
+before the flip keeps reading the old epoch's rows (still present)
+and sees a fully consistent pre-swap index; a reader arriving after
+sees only the new epoch. A crash between the two appends leaves
+unreferenced vector debris that no reader can select and that
+:meth:`prune_stale_epochs` sweeps. Old-epoch rows persist (snapshot
+reads via ``search(epoch=...)``) until explicitly pruned.
 
 Writes are atomic manifest publishes (crash at any point leaves the
 previous index state fully readable — sinks/store.py).
@@ -70,22 +86,32 @@ class IvfIndex:
     def exists(self) -> bool:
         return self.centroids.exists()
 
-    def _cents(self) -> DataFrame:
-        return self.centroids.read()
+    def current_epoch(self) -> int:
+        """Highest PUBLISHED epoch — resolved from the centroid store
+        (n_centroids × epochs rows, 1 bucket: a bounded 1-row agg)."""
+        return int(
+            self.centroids.read().agg(F.max("epoch")).collect()[0][0]
+        )
 
-    def train(
-        self,
-        vectors: DataFrame,
-        id_col: str = "vec_id",
-        vec_col: str = "embedding",
-    ) -> None:
-        """Fit centroids on ``vectors`` and index them. One-time cost;
-        the centroid relation is n_centroids rows (broadcast-sized
-        forever after)."""
-        if self.exists():
-            raise ValueError(
-                "index already trained; build a new path to retrain"
-            )
+    def _cents(self) -> "tuple[DataFrame, int]":
+        """(current epoch's centroids, that epoch). Both come from the
+        same tiny store read; the epoch pins every downstream vector
+        read so a concurrent swap can't mix epochs mid-plan."""
+        epoch = self.current_epoch()
+        cents = (
+            self.centroids.read()
+            .where(F.col("epoch") == F.lit(epoch))
+            .select("centroid_id", "c_vec")
+        )
+        return cents, epoch
+
+    @staticmethod
+    def _stamp(df: DataFrame, epoch: int) -> DataFrame:
+        return df.withColumn("epoch", F.lit(epoch).cast("int"))
+
+    def _train_centroids(
+        self, vectors: DataFrame, id_col: str, vec_col: str
+    ) -> DataFrame:
         if self.kmeans_iters > 0:
             cents = kmeans_centroids(
                 vectors, id_col, vec_col, self.n_centroids,
@@ -93,14 +119,104 @@ class IvfIndex:
             )
         else:
             cents = ivf_centroids(vectors, id_col, vec_col, self.n_centroids)
-        cents = cents.localCheckpoint()  # consumed by assignment + init
+        return cents.localCheckpoint()  # consumed by assignment + publish
+
+    def train(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Fit centroids on ``vectors`` and index them as epoch 0. One-
+        time cost; the centroid relation is n_centroids rows per epoch
+        (broadcast-sized forever after)."""
+        if self.exists():
+            raise ValueError(
+                "index already trained; call retrain_swap() to refresh"
+            )
+        cents = self._train_centroids(vectors, id_col, vec_col)
         # Vectors FIRST, centroid publish LAST: exists() keys on the
         # centroid manifest, so a crash anywhere before the final
         # publish leaves exists() False and train() safely rerunnable —
         # vectors.init() on the rerun publishes a manifest referencing
         # only its own fresh generation, superseding any crash debris.
-        self.vectors.init(self._assigned_rows(cents, vectors, id_col, vec_col))
-        self.centroids.init(cents)
+        self.vectors.init(
+            self._stamp(
+                self._assigned_rows(cents, vectors, id_col, vec_col), 0
+            )
+        )
+        self.centroids.init(self._stamp(cents, 0))
+
+    def retrain_swap(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> int:
+        """Handle centroid drift IN PLACE: fit fresh centroids on the
+        given corpus snapshot, fully re-assign it as a new epoch, and
+        flip readers to it atomically. Returns the new epoch.
+
+        The new epoch's vector rows are appended FIRST — invisible,
+        because no published centroid row exposes that epoch — and the
+        centroid append LAST is the single atomic commit point. An
+        in-flight reader that already resolved its centroids keeps a
+        fully consistent view of the old epoch (its rows are untouched
+        until :meth:`prune_stale_epochs`); there is no instant at
+        which a reader can pair new centroids with old assignments or
+        vice versa.
+
+        Crash-safe and rerunnable: the next epoch number is taken from
+        the max epoch across BOTH stores, so a crash between the two
+        appends leaves vector debris at an epoch a retry skips past —
+        the retry publishes a complete higher epoch, and the debris
+        (never reader-visible) is swept by prune. Adds computed
+        against the old epoch that land after the flip are likewise
+        stale-epoch rows, invisible and swept — quiesce adds during a
+        retrain, or re-add the tail after it; the snapshot you pass is
+        what the new epoch serves.
+        """
+        if not self.exists():
+            raise ValueError("no trained index at this path; call train()")
+        # max over both stores: vector debris from a crashed prior swap
+        # must not be reused (its assignment may be half-written)
+        v_max = self.vectors.read().agg(F.max("epoch")).collect()[0][0]
+        new_epoch = max(self.current_epoch(), int(v_max)) + 1
+        cents = self._train_centroids(vectors, id_col, vec_col)
+        self.vectors.append(
+            self._stamp(
+                self._assigned_rows(cents, vectors, id_col, vec_col),
+                new_epoch,
+            )
+        )
+        self.centroids.append(self._stamp(cents, new_epoch))  # the flip
+        return new_epoch
+
+    def prune_stale_epochs(self) -> int:
+        """Drop every row whose epoch differs from the current one —
+        superseded epochs AND crash debris above it. One read-merge-
+        write over each store's populated buckets, OCC-guarded; skips
+        the publish entirely when nothing is stale. Returns the epoch
+        kept. Off the swap path by design: old epochs stay readable
+        (``search(epoch=...)``) until the operator decides in-flight
+        readers have drained."""
+        epoch = self.current_epoch()
+        for store in (self.vectors, self.centroids):
+            if not store.exists():
+                continue
+            base_gen = store.current_manifest()["gen"]
+            existing = store.read().localCheckpoint()  # guard + rewrite
+            if existing.where(F.col("epoch") != F.lit(epoch)).isEmpty():
+                continue
+            touched = [
+                int(b) for b in store.current_manifest()["buckets"]
+            ]
+            store.replace_buckets(
+                existing.where(F.col("epoch") == F.lit(epoch)),
+                touched,
+                expected_gen=base_gen,
+            )
+        return epoch
 
     def add(
         self,
@@ -111,8 +227,11 @@ class IvfIndex:
         """Index a batch against the EXISTING centroids: one broadcast
         assignment pass over the batch, one O(batch) append. Ids must
         be new (append-only id space, as in NearDupIndex)."""
+        cents, epoch = self._cents()
         self.vectors.append(
-            self._assigned_rows(self._cents(), vectors, id_col, vec_col)
+            self._stamp(
+                self._assigned_rows(cents, vectors, id_col, vec_col), epoch
+            )
         )
 
     def _assigned_rows(
@@ -145,13 +264,18 @@ class IvfIndex:
         the same record twice within ONE batch, which the
         store-membership anti-join alone cannot see."""
         vectors = vectors.dropDuplicates([id_col])
-        rows = self._assigned_rows(
-            self._cents(), vectors, id_col, vec_col
+        cents, epoch = self._cents()
+        rows = self._stamp(
+            self._assigned_rows(cents, vectors, id_col, vec_col), epoch
         ).localCheckpoint()  # consumed by bucket-id collect + anti-join
         if self.vectors.exists():
             cells = rows.select("centroid_id").distinct()
             touched = self.vectors.touched_buckets(cells)
-            seen = self.vectors.read(touched).select("id")
+            seen = (
+                self.vectors.read(touched)
+                .where(F.col("epoch") == F.lit(epoch))
+                .select("id")
+            )
             rows = rows.join(seen, "id", "left_anti").localCheckpoint()
             if rows.isEmpty():
                 return  # full replay: no write job, no manifest churn
@@ -164,19 +288,39 @@ class IvfIndex:
         vec_col: str = "embedding",
         k: int = 5,
         nprobe: int = 4,
+        epoch: int | None = None,
     ) -> DataFrame:
         """Approximate top-k neighbors → (query_id, match_id, sim,
         rank), self-pairs excluded — the :func:`ivf_topk` output
         contract. Reads only the manifest buckets holding the probed
-        cells (spy-tested), then exact cosine within them."""
-        cents = self._cents()
+        cells (spy-tested), then exact cosine within them.
+
+        ``epoch`` pins the read to a specific published epoch (a
+        reader that resolved its view before a concurrent
+        :meth:`retrain_swap` — or a deliberate snapshot read); the
+        default is the current epoch. Both the centroid resolution and
+        the vector filter use the SAME epoch, so the result is always
+        a self-consistent index state."""
+        if epoch is None:
+            cents, epoch = self._cents()
+        else:
+            cents = (
+                self.centroids.read()
+                .where(F.col("epoch") == F.lit(epoch))
+                .select("centroid_id", "c_vec")
+            )
         q_assigned = ivf_assign(queries, id_col, vec_col, cents, nprobe=nprobe)
         probe_cells = q_assigned.select(
             F.col("centroid_id").alias("centroid_id")
         ).distinct()
         touched = self.vectors.touched_buckets(probe_cells)
-        stored = self.vectors.read(touched).withColumnsRenamed(
-            {"id": "match_id", "vec": "t_vec", "norm": "t_norm"}
+        stored = (
+            self.vectors.read(touched)
+            .where(F.col("epoch") == F.lit(epoch))
+            .drop("epoch")
+            .withColumnsRenamed(
+                {"id": "match_id", "vec": "t_vec", "norm": "t_norm"}
+            )
         )
         qn = with_norm(queries, vec_col, "q_norm").select(
             F.col(id_col).alias("id"),
@@ -228,9 +372,10 @@ class IvfIndex:
         paired insert re-applies it)."""
         if not self.vectors.exists():
             return
+        cents, epoch = self._cents()
         assigned = ivf_assign(
             vectors.dropDuplicates([id_col]), id_col, vec_col,
-            self._cents(), nprobe=1,
+            cents, nprobe=1,
         ).localCheckpoint()  # feeds cell collect AND the anti-join
         cells = assigned.select("centroid_id").distinct()
         touched = self.vectors.touched_buckets(cells)
@@ -240,10 +385,21 @@ class IvfIndex:
         # checkpoint: consumed by the emptiness guard AND the rewrite —
         # without it the touched buckets' parquet is read twice
         existing = self.vectors.read(touched).localCheckpoint()
-        doomed = assigned.select("id")
-        if existing.join(doomed, "id", "left_semi").isEmpty():
+        doomed = assigned.select(F.col("id").alias("__did"))
+        current = existing.where(F.col("epoch") == F.lit(epoch))
+        if current.join(
+            doomed, current["id"] == doomed["__did"], "left_semi"
+        ).isEmpty():
             return  # replay of a completed delete: no write, no churn
-        merged = existing.join(doomed, "id", "left_anti")
+        # only the CURRENT epoch's row is removed: stale epochs are
+        # frozen snapshots (pinned search(epoch=...) stays replayable
+        # until prune_stale_epochs sweeps them)
+        merged = existing.join(
+            doomed,
+            (existing["id"] == doomed["__did"])
+            & (existing["epoch"] == F.lit(epoch)),
+            "left_anti",
+        )
         self.vectors.replace_buckets(merged, touched, expected_gen=base_gen)
 
     def apply_changes(

@@ -319,3 +319,163 @@ def test_apply_changes_follows_embedding_store(spark, tmp_path):
     assert all(r["count"] == 1 for r in per_id), [
         r for r in per_id if r["count"] != 1
     ]
+
+
+def test_retrain_swap_is_atomic_for_inflight_readers(spark, tmp_path):
+    """retrain_swap (round-6 verdict task #6): a reader that resolved
+    its view BEFORE the swap keeps a fully consistent pre-swap index
+    (bit-identical results, via the pinned epoch the reader captured);
+    a reader arriving AFTER sees the complete new epoch. No
+    interleaving exposes mixed centroids/assignments."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus_a = emb.filter("vec_id >= 10 and vec_id < 60")
+    corpus_b = emb.filter("vec_id >= 10 and vec_id < 90")  # grown
+    idx = IvfIndex(
+        spark, str(tmp_path / "ivf"), n_centroids=8, kmeans_iters=1
+    )
+    idx.train(corpus_a)
+    assert idx.current_epoch() == 0
+
+    twin42 = corpus_a.filter("vec_id = 42").select(
+        F.lit(9001).alias("vec_id"), "embedding"
+    ).localCheckpoint()
+    twin85 = emb.filter("vec_id = 85").select(
+        F.lit(9002).alias("vec_id"), "embedding"
+    ).localCheckpoint()
+    r_old = sorted(
+        tuple(r) for r in idx.search(twin42, k=5, nprobe=3).collect()
+    )
+    # 85 is not in corpus A: pre-swap search can't find it
+    assert 85 not in {
+        r["match_id"] for r in idx.search(twin85, k=5, nprobe=8).collect()
+    }
+
+    # an in-flight reader resolves its epoch, THEN the swap completes
+    reader_epoch = idx.current_epoch()
+    assert idx.retrain_swap(corpus_b) == 1
+    assert idx.current_epoch() == 1
+
+    # the stale reader's pinned view is byte-identical to pre-swap
+    r_stale = sorted(
+        tuple(r)
+        for r in idx.search(twin42, k=5, nprobe=3,
+                            epoch=reader_epoch).collect()
+    )
+    assert r_stale == r_old
+    assert 85 not in {
+        r["match_id"]
+        for r in idx.search(twin85, k=5, nprobe=8,
+                            epoch=reader_epoch).collect()
+    }
+
+    # a fresh reader sees the complete retrained corpus
+    assert 85 in {
+        r["match_id"] for r in idx.search(twin85, k=5, nprobe=8).collect()
+    }
+    assert 42 in {
+        r["match_id"] for r in idx.search(twin42, k=5, nprobe=3).collect()
+    }
+
+    # prune drops the old epoch without changing the current view
+    r_new = sorted(
+        tuple(r) for r in idx.search(twin85, k=5, nprobe=8).collect()
+    )
+    assert idx.prune_stale_epochs() == 1
+    assert sorted(
+        tuple(r) for r in idx.search(twin85, k=5, nprobe=8).collect()
+    ) == r_new
+    epochs = {r["epoch"] for r in idx.vectors.read().select(
+        "epoch").distinct().collect()}
+    assert epochs == {1}
+    per_id = idx.vectors.read().groupBy("id").count().collect()
+    assert all(r["count"] == 1 for r in per_id)
+
+
+def test_retrain_swap_crash_before_flip_is_invisible_and_retryable(
+    spark, tmp_path
+):
+    """A crash BETWEEN the new epoch's vector append and the centroid
+    flip leaves readers on the old epoch (debris invisible); a retried
+    swap skips past the debris epoch and converges; prune sweeps the
+    debris."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus_a = emb.filter("vec_id >= 10 and vec_id < 60")
+    corpus_b = emb.filter("vec_id >= 10 and vec_id < 90")
+    idx = IvfIndex(
+        spark, str(tmp_path / "ivf"), n_centroids=8, kmeans_iters=1
+    )
+    idx.train(corpus_a)
+    twin42 = corpus_a.filter("vec_id = 42").select(
+        F.lit(9001).alias("vec_id"), "embedding"
+    ).localCheckpoint()
+    r_old = sorted(
+        tuple(r) for r in idx.search(twin42, k=5, nprobe=3).collect()
+    )
+
+    # crash: the centroid append (the flip) never happens
+    real_append = idx.centroids.append
+    idx.centroids.append = lambda df, **kw: (_ for _ in ()).throw(
+        RuntimeError("crash before flip")
+    )
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        idx.retrain_swap(corpus_b)
+    idx.centroids.append = real_append
+
+    # readers are untouched: still epoch 0, identical results
+    assert idx.current_epoch() == 0
+    assert sorted(
+        tuple(r) for r in idx.search(twin42, k=5, nprobe=3).collect()
+    ) == r_old
+
+    # retry publishes a COMPLETE higher epoch (debris epoch skipped)
+    new_epoch = idx.retrain_swap(corpus_b)
+    assert new_epoch == 2  # 1 is the crash-debris epoch
+    assert idx.current_epoch() == 2
+    twin85 = emb.filter("vec_id = 85").select(
+        F.lit(9002).alias("vec_id"), "embedding"
+    ).localCheckpoint()
+    assert 85 in {
+        r["match_id"] for r in idx.search(twin85, k=5, nprobe=8).collect()
+    }
+
+    # prune sweeps the superseded epoch AND the debris above/below
+    idx.prune_stale_epochs()
+    epochs = {r["epoch"] for r in idx.vectors.read().select(
+        "epoch").distinct().collect()}
+    assert epochs == {2}
+    per_id = idx.vectors.read().groupBy("id").count().collect()
+    assert all(r["count"] == 1 for r in per_id)
+
+
+def test_adds_and_deletes_land_in_current_epoch_after_swap(
+    spark, tmp_path
+):
+    """Post-swap maintenance writes target the new epoch: add_if_absent
+    indexes against the NEW centroids, delete removes only the current
+    epoch's row (pinned old-epoch reads stay replayable until prune)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus_a = emb.filter("vec_id >= 10 and vec_id < 60")
+    idx = IvfIndex(
+        spark, str(tmp_path / "ivf"), n_centroids=8, kmeans_iters=1
+    )
+    idx.train(corpus_a)
+    idx.retrain_swap(corpus_a)
+
+    batch = emb.filter("vec_id >= 60 and vec_id < 70")
+    idx.add_if_absent(batch)
+    rows = idx.vectors.read().where("id >= 60 and id < 70").collect()
+    assert len(rows) == 10 and all(r["epoch"] == 1 for r in rows)
+
+    twin42 = corpus_a.filter("vec_id = 42").select(
+        F.lit(9001).alias("vec_id"), "embedding"
+    ).localCheckpoint()
+    idx.delete(corpus_a.filter("vec_id = 42"))
+    assert 42 not in {
+        r["match_id"] for r in idx.search(twin42, k=5, nprobe=3).collect()
+    }
+    # the frozen epoch-0 snapshot still holds the deleted doc
+    assert 42 in {
+        r["match_id"]
+        for r in idx.search(twin42, k=5, nprobe=3, epoch=0).collect()
+    }
