@@ -1,0 +1,147 @@
+"""Streaming rolling-anomaly stage (streaming/anomaly.py): late data
+beyond the horizon is dropped, a restarted query resumes from the
+checkpoint, a replayed micro-batch converges (keyed idempotence), and
+within the retained horizon the flags equal the batch operator's."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from nextbus2pg_spark.operators.timeseries import rolling_anomaly
+from nextbus2pg_spark.sinks.upsert import ParquetUpsertTable
+from nextbus2pg_spark.streaming.anomaly import (
+    anomaly_batch,
+    start_rolling_anomaly,
+)
+
+T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+# stable baseline with deterministic wobble, then a spike
+B1 = [("k1", T0 + dt.timedelta(minutes=i), 10.0 + (i % 3) * 0.5)
+      for i in range(12)]
+B2 = [
+    ("k1", T0 + dt.timedelta(minutes=14), 100.0),        # the anomaly
+    ("k1", T0 - dt.timedelta(hours=2), 10.0),            # too late: drop
+    ("k2", T0 + dt.timedelta(minutes=15), 5.0),          # idle key wakes
+]
+
+SCHEMA = "key string, ts timestamp, value double"
+# tau=2: within its own trailing frame a point's |z| is capped at
+# sqrt(n-1), so tau=3 needs n>=11 admitted rows to be reachable at all
+PARAMS = dict(window_rows=12, min_periods=3, threshold_sq=4,
+              horizon_seconds=3600)
+
+
+def _stores(spark, tmp_path):
+    points = ParquetUpsertTable(
+        spark, str(tmp_path / "points"), key_cols=["key", "ts"],
+        update_cols=["value"], n_buckets=4,
+    )
+    flags = ParquetUpsertTable(
+        spark, str(tmp_path / "flags"), key_cols=["key", "ts"],
+        update_cols=["value", "zscore", "is_anomaly"], n_buckets=4,
+    )
+    return points, flags
+
+
+def test_stream_late_data_restart_and_batch_parity(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    points, flags = _stores(spark, tmp_path)
+    late_counts = []
+
+    spark.createDataFrame(B1, SCHEMA).write.parquet(str(src / "b1"))
+    stream = lambda: (  # noqa: E731 - rebuilt per (re)start
+        spark.readStream.schema(SCHEMA)
+        .option("recursiveFileLookup", "true").parquet(str(src))
+    )
+    q = start_rolling_anomaly(
+        stream(), points, flags, str(tmp_path / "ckpt"),
+        late_sink=lambda n, bid: late_counts.append(n), **PARAMS,
+    )
+    q.awaitTermination(120)
+
+    # baseline: all points admitted, nothing flagged
+    assert points.read().count() == 12
+    got = {(r["key"], r["ts"]): r for r in flags.read().collect()}
+    assert len(got) == 12 and not any(r["is_anomaly"] for r in got.values())
+    assert late_counts == []
+
+    # RESTART with the same checkpoint: only the new files replay
+    spark.createDataFrame(B2, SCHEMA).write.parquet(str(src / "b2"))
+    q = start_rolling_anomaly(
+        stream(), points, flags, str(tmp_path / "ckpt"),
+        late_sink=lambda n, bid: late_counts.append(n), **PARAMS,
+    )
+    q.awaitTermination(120)
+
+    # the 2h-old row fell behind hwm - horizon: dropped and counted
+    assert late_counts == [1]
+    pts = points.read().collect()
+    assert len(pts) == 14  # 12 + spike + k2; the late row absent
+    assert min(r["ts"] for r in pts) == T0
+
+    got = {(r["key"], r["ts"]): r for r in flags.read().collect()}
+    spike = got[("k1", T0 + dt.timedelta(minutes=14))]
+    assert spike["is_anomaly"] and spike["zscore"] > 2.0
+    # k2 has a single point: below min_periods, never flagged
+    k2 = got[("k2", T0 + dt.timedelta(minutes=15))]
+    assert not k2["is_anomaly"] and k2["zscore"] is None
+    # exactly one flag row per admitted point (keyed upsert, no dupes)
+    assert len(got) == 14
+
+    # batch parity within the horizon: the same operator over the
+    # retained points produces byte-equal flags
+    want = {
+        (r["key"], r["ts"]): (r["value"], r["zscore"], r["is_anomaly"])
+        for r in rolling_anomaly(
+            points.read(), "key", "ts", "value",
+            window_rows=PARAMS["window_rows"],
+            min_periods=PARAMS["min_periods"],
+            threshold_sq=PARAMS["threshold_sq"],
+        ).collect()
+    }
+    assert {
+        k: (r["value"], r["zscore"], r["is_anomaly"])
+        for k, r in got.items()
+    } == want
+
+
+def test_replayed_micro_batch_converges(spark, tmp_path):
+    """At-least-once: driving the batch body twice with the same data
+    (a crash between apply and checkpoint commit) leaves both stores
+    with identical content — keyed upserts absorb the replay."""
+    points, flags = _stores(spark, tmp_path)
+    b1 = spark.createDataFrame(B1, SCHEMA)
+    anomaly_batch(b1, points, flags, **PARAMS)
+    snap_pts = sorted(tuple(r) for r in points.read().collect())
+    snap_flg = sorted(tuple(r) for r in flags.read().collect())
+
+    anomaly_batch(b1, points, flags, **PARAMS)  # the replay
+    assert sorted(tuple(r) for r in points.read().collect()) == snap_pts
+    assert sorted(tuple(r) for r in flags.read().collect()) == snap_flg
+
+
+def test_prune_truncates_trailing_windows_at_the_floor(spark, tmp_path):
+    """The documented batch-vs-streaming delta: once the horizon
+    advances, points behind the floor leave the store, and flags for
+    newly arriving rows compute over the truncated frame (min_periods
+    gates them) rather than the full history a batch run would see."""
+    points, flags = _stores(spark, tmp_path)
+    anomaly_batch(
+        spark.createDataFrame(B1, SCHEMA), points, flags, **PARAMS
+    )
+    # two hours later: every B1 point is behind the new floor
+    later = [("k1", T0 + dt.timedelta(hours=2, minutes=i), 20.0)
+             for i in range(2)]
+    anomaly_batch(
+        spark.createDataFrame(later, SCHEMA), points, flags, **PARAMS
+    )
+    remaining = points.read().collect()
+    assert {r["ts"] for r in remaining} == {t for _, t, _ in later}
+    got = {r["ts"]: r for r in flags.read().where(
+        F.col("ts") >= F.lit(T0 + dt.timedelta(hours=2))).collect()}
+    # 2 points < min_periods=3: provisional, unflagged
+    assert all(not r["is_anomaly"] for r in got.values())
