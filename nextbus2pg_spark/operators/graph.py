@@ -401,3 +401,147 @@ def transition_matrix(
             / F.col("n_src").cast("double")
         ).alias("p"),
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    an undirected simple graph → ``(node, degree, triangles, lcc)``.
+
+    The classic cohesion/spam-farm signal (a crawl-curation pipeline
+    ranks "host neighborhoods that interlink suspiciously densely" by
+    exactly this). Counting uses the ordered-wedge formulation: edges
+    canonicalize to ``a < b``, wedges enumerate as ``(a<b<c)`` via one
+    self-join on the shared middle endpoint, and one semi-join against
+    the closing edge keeps actual triangles — each triangle counted
+    exactly once, no per-permutation inflation, and the ordering prunes
+    the wedge space to a third. All counts are exact integers; ``lcc``
+    is the single engine-exact division ``2T / (d(d-1))`` (0.0 when
+    degree < 2).
+
+    Scale shape: one distinct over canonical edges (checkpointed once,
+    consumed three times), one equi-self-join, one left-semi join, and
+    two hash aggregations — no collects, no broadcasts forced (AQE
+    decides), nothing quadratic in |V|. Wedge enumeration is inherently
+    Σ deg(v)² work; hub-heavy graphs should cap or sample hub
+    neighborhoods upstream (the standard mitigation, cf.
+    Suri & Vassilvitskii's MapReduce triangle counting).
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .where(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by wedges, close, degree
+    )
+    tri = (
+        e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .join(
+            e.select(F.col("a").alias("y"), F.col("b").alias("z")), "y"
+        )
+        .join(
+            e.select(F.col("a").alias("x"), F.col("b").alias("z")),
+            ["x", "z"],
+            "left_semi",
+        )
+    )
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    d = F.col("degree").cast("long")
+    t = F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        t.alias("triangles"),
+        F.when(
+            d >= 2,
+            (F.lit(2) * t).cast("double") / (d * (d - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    *,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source breadth-first hop distance over an undirected
+    graph → ``(node, dist)`` for every node within ``max_hops`` of any
+    seed (seeds themselves at dist 0, whether or not they have edges).
+
+    The "how far from a trusted set" primitive: crawl-frontier depth
+    from seed domains, contamination blast radius from a flagged
+    document cluster, entity proximity in a linkage graph. Distances
+    are exact integers — the whole computation is a pure set-iteration
+    function of (edges, seeds), so a DuckDB oracle replays it exactly
+    with the iterations unrolled as CTE generations.
+
+    Scale shape (the :func:`pagerank` loop contract): the symmetrized
+    edge list checkpoints once; each round is one left-semi join
+    (neighbors of the frontier), one distinct, and one anti-join
+    against the visited set, checkpointed so plan depth stays O(1).
+    Rounds are bounded by ``max_hops`` and stop early when a frontier
+    empties (one cheap bounded isEmpty per round). State is the
+    visited set — O(reachable nodes), never corpus-shaped.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0; got {max_hops}")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a").isNotNull()
+        & F.col("b").isNotNull()
+        & (F.col("a") != F.col("b"))
+    )
+    sym = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+        .unionByName(
+            e.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed every round
+    )
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for i in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier, "node", "left_semi")
+            .select(F.col("nb").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(i).cast("int"))
+            .localCheckpoint(eager=True)  # consumed by isEmpty + union
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

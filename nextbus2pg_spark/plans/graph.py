@@ -298,3 +298,141 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str):
 
     ev = load_table(spark, sf_dir, "events")
     return transition_matrix(ev, "user_id", "ts", "event_type")
+
+
+_TRI_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey AS ok, CAST(l_suppkey AS BIGINT) AS s
+  FROM lineitem WHERE l_quantity > 45
+),
+raw AS (
+  SELECT lx.s AS src, ly.s AS dst
+  FROM li lx JOIN li ly ON lx.ok = ly.ok AND lx.s < ly.s
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw
+),
+tri AS MATERIALIZED (
+  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tpn AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT ta AS node FROM tri
+    UNION ALL SELECT tb FROM tri
+    UNION ALL SELECT tc FROM tri
+  ) u GROUP BY node
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) d GROUP BY node
+)
+SELECT deg.node, deg.degree,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN deg.degree >= 2
+            THEN CAST(2 * coalesce(t.triangles, 0) AS DOUBLE)
+                 / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS lcc
+FROM deg LEFT JOIN tpn t ON t.node = deg.node
+"""
+
+
+@fixture("q_triangle_count", oracle=_TRI_ORACLE)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient
+    (operators/graph.triangle_count) over the supplier co-occurrence
+    graph: suppliers are adjacent when they both ship a high-quantity
+    line (l_quantity > 45) of the same order — the "who clusters with
+    whom" cohesion signal (a crawl pipeline runs the same operator on
+    host link graphs to spot densely interlinked spam neighborhoods).
+    All counts integer-exact; lcc is one engine-exact division, so the
+    oracle replays the ordered-wedge enumeration verbatim."""
+    from nextbus2pg_spark.operators.graph import triangle_count
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 45)
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").cast("long").alias("s"),
+        )
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "ok")
+        .where(F.col("x.s") < F.col("y.s"))
+        .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+_BFS_HOPS = 3
+
+_BFS_HEAD = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+         CAST(l_suppkey AS BIGINT) + 10000000 AS b
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+sym AS MATERIALIZED (
+  SELECT a AS node, b AS nb FROM e
+  UNION
+  SELECT b, a FROM e
+),
+v0 AS MATERIALIZED (
+  SELECT DISTINCT CAST(c_custkey AS BIGINT) AS node, CAST(0 AS INTEGER) AS dist
+  FROM customer WHERE c_nationkey = 0
+),
+f0 AS (SELECT node FROM v0)"""
+
+
+def _bfs_oracle(max_hops: int) -> str:
+    its = []
+    for i in range(1, max_hops + 1):
+        its.append(f""",
+f{i} AS MATERIALIZED (
+  SELECT DISTINCT s.nb AS node
+  FROM sym s JOIN f{i - 1} f ON f.node = s.node
+  WHERE s.nb NOT IN (SELECT node FROM v{i - 1})
+),
+v{i} AS MATERIALIZED (
+  SELECT node, dist FROM v{i - 1}
+  UNION ALL
+  SELECT node, CAST({i} AS INTEGER) FROM f{i}
+)""")
+    return (
+        _BFS_HEAD
+        + "".join(its)
+        + f"\nSELECT node, dist FROM v{max_hops}\n"
+    )
+
+
+@fixture("q_bfs_hops", oracle=_bfs_oracle(_BFS_HOPS))
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (operators/graph.bfs_hops) over
+    the customer–supplier purchase graph (the LPA fixture's edge
+    derivation: supplier ids offset by 1e7), seeded from every
+    nation-0 customer — "how far is each entity from the trusted
+    set", the crawl-frontier-depth / blast-radius primitive. Pure
+    integer set iteration; the oracle unrolls the 3 frontier
+    generations as MATERIALIZED CTEs and replays it exactly."""
+    from nextbus2pg_spark.operators.graph import bfs_hops
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(10000000)).alias("dst"),
+        )
+    )
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") == 0)
+        .select(F.col("c_custkey").cast("long").alias("node"))
+    )
+    return bfs_hops(edges, seeds, max_hops=_BFS_HOPS)

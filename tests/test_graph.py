@@ -230,3 +230,60 @@ def test_transition_matrix_hand_computed(spark):
     assert out[("a", "c")].p == 1 / 3
     assert out[("b", "a")].p == 1.0
     assert ("c", "a") not in out  # terminal state emits nothing
+
+
+def test_triangle_count_hand_computed(spark):
+    """Triangle + pendant: 1-2-3 closed, 4 hangs off 3. Duplicate and
+    reversed edges must not inflate counts (canonicalization)."""
+    from nextbus2pg_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 1), (3, 1), (3, 3)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r for r in triangle_count(df).collect()}
+    assert len(out) == 4
+    assert (out[1]["degree"], out[1]["triangles"], out[1]["lcc"]) == (2, 1, 1.0)
+    assert (out[2]["degree"], out[2]["triangles"], out[2]["lcc"]) == (2, 1, 1.0)
+    assert out[3]["degree"] == 3 and out[3]["triangles"] == 1
+    assert out[3]["lcc"] == 2 * 1 / (3 * 2)
+    assert (out[4]["degree"], out[4]["triangles"], out[4]["lcc"]) == (1, 0, 0.0)
+
+
+def test_triangle_count_square_has_none(spark):
+    from nextbus2pg_spark.operators.graph import triangle_count
+
+    square = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    out = triangle_count(square).collect()
+    assert all(r["triangles"] == 0 and r["lcc"] == 0.0 for r in out)
+
+
+def test_bfs_hops_path_graph(spark):
+    """Path 1-2-3-4-5 plus isolated edge 8-9; seeds {1, 9} and a seed
+    99 absent from the graph (still dist 0). max_hops=3 excludes 5."""
+    from nextbus2pg_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (9,), (99,)], "node long")
+    out = {r["node"]: r["dist"] for r in bfs_hops(
+        edges, seeds, max_hops=3
+    ).collect()}
+    assert out == {1: 0, 9: 0, 99: 0, 2: 1, 8: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_early_exit_and_undirected(spark):
+    """A frontier that empties stops the loop early (max_hops larger
+    than the diameter is harmless); traversal follows edges both
+    ways."""
+    from nextbus2pg_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([(2, 1), (3, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["dist"] for r in bfs_hops(
+        edges, seeds, max_hops=10
+    ).collect()}
+    assert out == {1: 0, 2: 1, 3: 2}
