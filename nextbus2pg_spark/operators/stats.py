@@ -20,7 +20,7 @@ group count bounds the output, not the input.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _DEC = "decimal(38,0)"
@@ -142,4 +142,193 @@ def chi_squared(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         "chi2",
         ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
         F.col("n").cast("long").alias("n"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+    *,
+    scale: int = 1,
+    k: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier flags via median absolute deviation →
+    input rows plus ``(med, mad, mad_ratio, is_outlier)``.
+
+    The z-score's mean/stdev are themselves dragged by the outliers
+    they're meant to find; median/MAD have a 50% breakdown point — the
+    standard robust screen for fat-tailed telemetry and quality
+    scores. Same exactness recipe as the module header: values
+    quantize to integers (``round(v * scale)``), both medians run over
+    integers (exact interpolated median — a DOUBLE that is always a
+    multiple of 0.5, identical on any engine), and the flag
+    ``|v - med| > k * MAD`` is decided as the pure integer comparison
+    ``2 * d2 > k * m4`` where ``d2 = |2v_q - 2*med|`` and
+    ``m4 = 2*median(d2)`` — no FP in the decision. ``mad_ratio``
+    (``|v-med|/MAD``, the robust z analogue up to the 1.4826
+    consistency constant) is one exact division; a zero-MAD group
+    (over half the values identical) yields NULL ratio and no flags,
+    the rolling-anomaly convention.
+
+    Scale shape: two grouped exact-median aggregations (Spark's
+    median holds per-group value counts — memory is O(distinct
+    quantized values per group), which ``scale`` bounds) and two
+    group-keyed joins back onto the rows; nothing data-squared, no
+    windows, no collects.
+    """
+    vq = F.round(F.col(value_col) * F.lit(scale), 0).cast("long")
+    base = df.withColumn("__vq", vq).where(F.col("__vq").isNotNull())
+    med = base.groupBy(*group_cols).agg(
+        (F.lit(2) * F.median("__vq")).cast("long").alias("__m2")
+    )
+    based = base.join(med, group_cols).withColumn(
+        "__d2", F.abs(F.lit(2) * F.col("__vq") - F.col("__m2"))
+    )
+    mad = based.groupBy(*group_cols).agg(
+        (F.lit(2) * F.median("__d2")).cast("long").alias("__m4")
+    )
+    out = based.join(mad, group_cols)
+    return out.select(
+        *[c for c in df.columns],
+        (F.col("__m2").cast("double") / F.lit(2.0 * scale)).alias("med"),
+        (F.col("__m4").cast("double") / F.lit(4.0 * scale)).alias("mad"),
+        F.when(
+            F.col("__m4") > 0,
+            (F.lit(2) * F.col("__d2")).cast("double")
+            / F.col("__m4").cast("double"),
+        ).alias("mad_ratio"),
+        (
+            (F.col("__m4") > 0)
+            & (F.lit(2) * F.col("__d2") > F.lit(int(k)) * F.col("__m4"))
+        ).alias("is_outlier"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    sample_col: str,
+    value_col: str,
+    sample_a,
+    sample_b,
+    *,
+    scale: int = 1,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic → one row
+    ``(n_a, n_b, d_num, ks, at_value)`` — the distribution-drift test
+    (train-vs-serve feature drift, this week's metric vs last
+    week's). ``ks = max_x |F_a(x) - F_b(x)|``; ``at_value`` is the
+    smallest value attaining the max (deterministic tie-break).
+
+    Exactness: at every distinct value the ECDF gap is the integer
+    ``|c_a * n_b - c_b * n_a|`` (cross-multiplied to dodge division);
+    the max and argmax are integer/ordering decisions, and ``ks``
+    is ONE final division — nothing accumulates in FP.
+
+    Scale shape: one map-side-partial hash aggregation collapses the
+    data to its distinct quantized values; the cumulative counts then
+    run as a single-partition window over that DISTINCT-VALUE-sized
+    relation — the one genuinely sequential piece of an exact KS.
+    ``scale`` is the knob that bounds it: quantize so the distinct
+    count stays small (1e5-1e6 rows through one task is trivial);
+    for an un-quantizable metric use the histogram sketch's
+    approximate CDF instead.
+    """
+    vq = F.round(F.col(value_col) * F.lit(scale), 0).cast("long")
+    tagged = df.select(
+        F.col(sample_col).alias("__s"), vq.alias("__vq")
+    ).where(F.col("__vq").isNotNull())
+    per_v = tagged.groupBy("__vq").agg(
+        F.sum((F.col("__s") == F.lit(sample_a)).cast("long"))
+        .cast(_DEC)
+        .alias("__ca"),
+        F.sum((F.col("__s") == F.lit(sample_b)).cast("long"))
+        .cast(_DEC)
+        .alias("__cb"),
+    )
+    w = Window.orderBy("__vq").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per_v.agg(
+        F.sum("__ca").alias("n_a"), F.sum("__cb").alias("n_b")
+    )
+    # cumulative counts and the cross-multiplied gap stay DECIMAL(38,0)
+    # (= oracle HUGEINT): c * n products exceed int64 past ~3e9 rows
+    # per sample
+    gaps = per_v.select(
+        "__vq",
+        F.sum("__ca").over(w).alias("__cca"),
+        F.sum("__cb").over(w).alias("__ccb"),
+    ).crossJoin(F.broadcast(tot))
+    d = F.abs(
+        F.col("__cca") * F.col("n_b") - F.col("__ccb") * F.col("n_a")
+    )
+    scored = gaps.select("n_a", "n_b", d.alias("__d"), "__vq")
+    return scored.groupBy("n_a", "n_b").agg(
+        F.max("__d").alias("d_num"),
+        F.min_by("__vq", F.struct(
+            (-F.col("__d")).alias("d"), F.col("__vq").alias("v")
+        )).alias("__atq"),
+    ).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("d_num").cast("long").alias("d_num"),
+        (
+            F.col("d_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("ks"),
+        (F.col("__atq").cast("double") / F.lit(float(scale))).alias(
+            "at_value"
+        ),
+    )
+
+
+def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two categorical
+    columns → one row ``(n, n_agree, kappa)`` — the labeled-data QA
+    gate (two annotators, or a model vs gold labels: raw accuracy
+    minus what label-frequency chance would produce).
+
+    ``kappa = (po - pe) / (1 - pe)`` computed as the single exact
+    division ``(n*agree - S) / (n^2 - S)`` where
+    ``S = Σ_c count_a(c) * count_b(c)`` — every term an exact
+    DECIMAL(38,0) integer (HUGEINT in the oracle), so the whole
+    statistic is one IEEE division. NULL in either column drops the
+    row; a degenerate ``pe = 1`` (both raters constant) yields NULL.
+
+    Scale shape: one pass for the agree/total counts, one hash
+    aggregation per rater over category marginals, and a
+    category-sized join — the fact table is read once, everything
+    downstream is |categories|-sized.
+    """
+    base = df.select(
+        F.col(rater_a).alias("__a"), F.col(rater_b).alias("__b")
+    ).where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    base = base.localCheckpoint(eager=False)  # 3 bounded consumers
+    tot = base.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum((F.col("__a") == F.col("__b")).cast("long"))
+        .cast(_DEC)
+        .alias("agree"),
+    )
+    ma = base.groupBy(F.col("__a").alias("c")).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("na")
+    )
+    mb = base.groupBy(F.col("__b").alias("c")).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("nb")
+    )
+    s = (
+        ma.join(mb, "c")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("s"))
+        .select(F.coalesce("s", F.lit(0).cast(_DEC)).alias("s"))
+    )
+    j = tot.crossJoin(F.broadcast(s))  # both sides exactly 1 row
+    num = F.col("n") * F.col("agree") - F.col("s")
+    den = F.col("n") * F.col("n") - F.col("s")
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("agree").cast("long").alias("n_agree"),
+        F.when(
+            den != 0, num.cast("double") / den.cast("double")
+        ).alias("kappa"),
     )

@@ -2536,3 +2536,54 @@ def q_hll_estimate(spark: SparkSession, sf_dir: str):
 
     ev = load_table(spark, sf_dir, "events")
     return hll_raw_estimate(hll_registers(ev, ["user_id"], p=6), p=6)
+
+
+@fixture(
+    "q_cohens_kappa",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('es')} AS s_es,
+         {_lang_score_sql('fr')} AS s_fr
+  FROM documents
+),
+base AS (
+  SELECT lang AS a, {_LANG_CASE_SQL.strip()} AS b FROM scored
+  WHERE lang IS NOT NULL
+),
+tot AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS HUGEINT) AS agree
+  FROM base
+),
+ma AS (SELECT a AS c, CAST(count(*) AS HUGEINT) AS na FROM base GROUP BY a),
+mb AS (SELECT b AS c, CAST(count(*) AS HUGEINT) AS nb FROM base GROUP BY b),
+sp AS (
+  SELECT coalesce(sum(na * nb), CAST(0 AS HUGEINT)) AS s
+  FROM ma JOIN mb USING (c)
+)
+SELECT CAST(t.n AS BIGINT) AS n, CAST(t.agree AS BIGINT) AS n_agree,
+       CASE WHEN t.n * t.n - sp.s <> 0
+            THEN CAST(t.n * t.agree - sp.s AS DOUBLE)
+                 / CAST(t.n * t.n - sp.s AS DOUBLE)
+       END AS kappa
+FROM tot t CROSS JOIN sp
+""",
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str):
+    """Cohen's kappa between the documents table's gold ``lang`` label
+    and the heuristic lang_id prediction (operators/stats.cohens_kappa
+    over the q_lang_id derivation) — the labeled-data QA gate: raw
+    agreement minus what the two label distributions would produce by
+    chance, as ONE exact division of DECIMAL(38,0)/HUGEINT counts.
+    Categories present in only one rater (e.g. gold 'zh', which the
+    heuristic never predicts) contribute zero to the chance term via
+    the inner marginal join on category."""
+    from nextbus2pg_spark.operators.stats import cohens_kappa
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", tx.lang_id(F.col("text")).alias("predicted_lang")
+    )
+    return cohens_kappa(docs, "lang", "predicted_lang")

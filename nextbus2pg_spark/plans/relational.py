@@ -811,3 +811,104 @@ def q_chi_squared(spark: SparkSession, sf_dir: str):
 
     docs = load_table(spark, sf_dir, "documents")
     return chi_squared(docs, "lang", "source")
+
+
+@fixture(
+    "q_mad_outliers",
+    oracle="""
+WITH base AS (
+  SELECT event_type, event_id, value,
+         CAST(round(value * 100) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type, CAST(2 * median(vq) AS BIGINT) AS m2
+  FROM base GROUP BY event_type
+),
+d AS (
+  SELECT b.event_type, b.event_id, b.value, b.vq, m.m2,
+         abs(2 * b.vq - m.m2) AS d2
+  FROM base b JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, CAST(2 * median(d2) AS BIGINT) AS m4
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type, d.event_id, d.value,
+       CAST(d.m2 AS DOUBLE) / 200.0 AS med,
+       CAST(m.m4 AS DOUBLE) / 400.0 AS mad,
+       CASE WHEN m.m4 > 0
+            THEN CAST(2 * d.d2 AS DOUBLE) / CAST(m.m4 AS DOUBLE)
+       END AS mad_ratio,
+       (m.m4 > 0 AND 2 * d.d2 > 3 * m.m4) AS is_outlier
+FROM d JOIN mad m USING (event_type)
+""",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str):
+    """Median/MAD robust outlier screen per event type
+    (operators/stats.mad_outliers, k=3): values quantize to cents,
+    both medians are exact interpolated medians over integers (always
+    a multiple of 0.5 — identical on any engine), and the flag is the
+    pure integer comparison 2*d2 > k*m4. The z-score screen this
+    replaces is dragged by the very outliers it hunts; median/MAD has
+    a 50% breakdown point."""
+    from nextbus2pg_spark.operators.stats import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return mad_outliers(ev, ["event_type"], "value", scale=100, k=3)
+
+
+@fixture(
+    "q_ks_drift",
+    oracle="""
+WITH base AS (
+  SELECT CASE WHEN day(ts) <= 15 THEN 'w1' ELSE 'w2' END AS s,
+         CAST(round(value * 100) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+),
+pv AS (
+  SELECT vq,
+         sum(CASE WHEN s = 'w1' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN s = 'w2' THEN 1 ELSE 0 END) AS cb
+  FROM base GROUP BY vq
+),
+cum AS (
+  SELECT vq,
+         sum(ca) OVER (ORDER BY vq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+         sum(cb) OVER (ORDER BY vq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
+  FROM pv
+),
+tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM pv),
+g AS (
+  SELECT c.vq, abs(c.cca * t.n_b - c.ccb * t.n_a) AS d, t.n_a, t.n_b
+  FROM cum c CROSS JOIN tot t
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(max(d) AS BIGINT) AS d_num,
+       CAST(max(d) AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks,
+       CAST((SELECT min(vq) FROM g g2
+             WHERE g2.d = (SELECT max(d) FROM g)) AS DOUBLE) / 100.0
+         AS at_value
+FROM g GROUP BY n_a, n_b
+""",
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov drift test
+    (operators/stats.ks_statistic): the event-value distribution of
+    the month's first half vs its second half. ECDF gaps are
+    cross-multiplied exact integers (|c_a*n_b - c_b*n_a| in
+    DECIMAL/HUGEINT), max and argmax are integer decisions with a
+    min-value tie-break, and ks is one final division."""
+    from nextbus2pg_spark.operators.stats import ks_statistic
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "half",
+        F.when(F.dayofmonth("ts") <= 15, F.lit("w1")).otherwise(
+            F.lit("w2")
+        ),
+    )
+    return ks_statistic(ev, "half", "value", "w1", "w2", scale=100)

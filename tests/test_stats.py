@@ -73,3 +73,81 @@ def test_chi_squared_drops_null_levels(spark):
     )
     r = chi_squared(df, "a", "b").collect()[0]
     assert r.n == 2 and r.dof == 1
+
+
+def test_mad_outliers_hand_computed(spark):
+    """g1: values 1..5 plus 100 — med=3.5 (even count), MAD=1.5,
+    |100-3.5|=96.5 > 3*1.5 flags only the spike. g2: constant column
+    (MAD 0) — NULL ratio, nothing flagged."""
+    from nextbus2pg_spark.operators.stats import mad_outliers
+
+    rows = [("g1", float(v)) for v in (1, 2, 3, 4, 5, 100)]
+    rows += [("g2", 7.0)] * 4 + [("g2", 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = [r.asDict() for r in mad_outliers(df, ["g"], "v", k=3).collect()]
+    g1 = {r["v"]: r for r in out if r["g"] == "g1"}
+    assert g1[100.0]["is_outlier"] and not any(
+        g1[float(v)]["is_outlier"] for v in (1, 2, 3, 4, 5)
+    )
+    assert g1[100.0]["med"] == 3.5 and g1[100.0]["mad"] == 1.5
+    assert g1[3.0]["mad_ratio"] == 0.5 / 1.5
+    g2 = [r for r in out if r["g"] == "g2"]
+    # median 7, deviations (0,0,0,0,2): MAD=0 -> NULL ratio, no flags
+    assert all(r["mad"] == 0.0 for r in g2)
+    assert all(r["mad_ratio"] is None and not r["is_outlier"] for r in g2)
+
+
+def test_mad_outliers_keeps_input_columns(spark):
+    from nextbus2pg_spark.operators.stats import mad_outliers
+
+    df = spark.createDataFrame(
+        [("g", 1, 1.0), ("g", 2, 2.0), ("g", 3, 30.0)],
+        "g string, id long, v double",
+    )
+    out = mad_outliers(df, ["g"], "v", k=3)
+    assert out.columns[:3] == ["g", "id", "v"]
+    assert out.count() == 3
+
+
+def test_ks_statistic_hand_computed(spark):
+    """a = {1,2,3,4}, b = {3,4,5,6}: D = 1/2 attained first at x=2
+    (F_a=2/4, F_b=0)."""
+    from nextbus2pg_spark.operators.stats import ks_statistic
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)]
+    rows += [("b", float(v)) for v in (3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "s string, v double")
+    r = ks_statistic(df, "s", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["ks"] == 0.5 and r["d_num"] == 8
+    assert r["at_value"] == 2.0
+
+
+def test_ks_statistic_identical_samples_is_zero(spark):
+    from nextbus2pg_spark.operators.stats import ks_statistic
+
+    rows = [(s, float(v)) for s in ("a", "b") for v in (1, 2, 2, 9)]
+    df = spark.createDataFrame(rows, "s string, v double")
+    r = ks_statistic(df, "s", "v", "a", "b").collect()[0]
+    assert r["ks"] == 0.0 and r["d_num"] == 0
+
+
+def test_cohens_kappa_hand_computed(spark):
+    """Classic 2x2 example: 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no.
+    po = 35/50; pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4."""
+    from nextbus2pg_spark.operators.stats import cohens_kappa
+
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert (r["n"], r["n_agree"]) == (50, 35)
+    assert abs(r["kappa"] - 0.4) < 1e-12
+
+
+def test_cohens_kappa_degenerate_constant_raters(spark):
+    from nextbus2pg_spark.operators.stats import cohens_kappa
+
+    df = spark.createDataFrame([("y", "y")] * 5, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["kappa"] is None  # pe = 1: chance-corrected agreement undefined
