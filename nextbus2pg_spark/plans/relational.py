@@ -912,3 +912,39 @@ def q_ks_drift(spark: SparkSession, sf_dir: str):
         ),
     )
     return ks_statistic(ev, "half", "value", "w1", "w2", scale=100)
+
+
+@fixture(
+    "q_fuzzy_join",
+    oracle="""
+WITH s AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS id, lower(s_name) AS t
+  FROM supplier WHERE s_name IS NOT NULL
+)
+SELECT a.id AS left_id, b.id AS right_id,
+       CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
+FROM s a JOIN s b ON a.id < b.id
+WHERE levenshtein(a.t, b.t) <= 1
+""",
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str):
+    """Fuzzy self-linkage of supplier names at edit distance <= 1
+    (operators/linkage.fuzzy_join): deletion-neighborhood blocking
+    (FastSS — provably exact recall at the threshold) generates
+    candidates as an equi-join on variant strings, one levenshtein per
+    CANDIDATE verifies. The oracle computes the naive all-pairs
+    DEFINITION, proving the blocking misses nothing — the
+    setsim_join oracle recipe. Supplier names differ in digit
+    substitutions, the classic near-identical-identifier linkage."""
+    from nextbus2pg_spark.operators.linkage import fuzzy_join
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    out = fuzzy_join(
+        sup, sup, "s_suppkey", "s_suppkey", "s_name", "s_name",
+        max_dist=1,
+    )
+    return out.where(F.col("left_id") < F.col("right_id")).select(
+        F.col("left_id").cast("long").alias("left_id"),
+        F.col("right_id").cast("long").alias("right_id"),
+        "dist",
+    )
