@@ -545,3 +545,74 @@ def bfs_hops(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    k: int,
+    max_iters: int = 8,
+) -> DataFrame:
+    """k-core of an undirected graph by iterative peeling →
+    ``(node, core_degree)`` for every node surviving ``max_iters``
+    rounds of "remove nodes with degree < k" (the dense backbone:
+    spam-farm trimming, community-core extraction, the robustness
+    filter before expensive per-node graph features).
+
+    Peeling is monotone (alive sets only shrink), so an early exit on
+    an unchanged round equals running every remaining round — the
+    fixed-``max_iters`` DuckDB oracle replays it exactly whether or
+    not Spark exited early. If the peel has not reached its fixpoint
+    within ``max_iters``, the result is the partial peel at that
+    round (deterministic; raise ``max_iters`` for deep cores — each
+    round can only remove nodes, so rounds are bounded by |V| in the
+    worst case, ~O(diameter of the peel cascade) in practice).
+
+    Scale shape: per round two left-semi joins filter the symmetrized
+    edge list to the alive subgraph and one partial-aggregated count
+    re-derives degrees; the alive set is checkpointed per round (O(1)
+    plan depth) and the stop check is one bounded count. All state is
+    integers.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a").isNotNull()
+        & F.col("b").isNotNull()
+        & (F.col("a") != F.col("b"))
+    )
+    sym = (
+        e.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+        .unionByName(
+            e.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed every round
+    )
+
+    def _alive_degrees(alive: DataFrame) -> DataFrame:
+        return (
+            sym.join(alive, "node", "left_semi")
+            .join(
+                alive.select(F.col("node").alias("nb")), "nb", "left_semi"
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+
+    alive = sym.select("node").distinct().localCheckpoint(eager=True)
+    n_prev = alive.count()
+    for _ in range(max_iters):
+        alive = (
+            _alive_degrees(alive)
+            .where(F.col("core_degree") >= F.lit(k))
+            .select("node")
+            .localCheckpoint(eager=True)  # O(1) plan depth per round
+        )
+        n = alive.count()
+        if n == n_prev:  # monotone: equal count == identical set
+            break
+        n_prev = n
+    return _alive_degrees(alive)

@@ -392,3 +392,140 @@ def retention_cohorts(
         .groupBy("cohort_date", "week_offset")
         .agg(F.count_distinct("user").alias("users"))
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    target: float,
+    threshold: float,
+    slack: float = 0.0,
+    scale: int = 1000,
+    mode: str = "auto",
+    long_series_threshold: int = 4096,
+) -> DataFrame:
+    """Per-key tabular CUSUM drift detection →
+    ``(key, ts, value, cusum_pos, cusum_neg, is_change)`` — the
+    classic sequential changepoint statistic (Page 1954): the rolling
+    z-score flags single spikes, CUSUM accumulates small sustained
+    shifts that never individually cross a z threshold:
+
+        S+_i = max(0, S+_{i-1} + (x_i - target - slack))
+        S-_i = max(0, S-_{i-1} + (target - slack - x_i))
+
+    flagged when either side exceeds ``threshold``.
+
+    Exactness: values quantize to integers (``round(v * scale)``), as
+    do target/slack/threshold, so the ENTIRE recurrence is integer
+    arithmetic — order-fixed, engine-exact, replayable by a DuckDB
+    ``list_reduce`` with a prepended 0 as the initial state (the
+    reported ``cusum_pos``/``cusum_neg`` are the single exact
+    divisions ``S / scale``; the flag is a pure integer comparison).
+
+    Execution paths mirror :func:`ewma` (bit-identical results; here
+    literally value-identical since state is integral):
+
+    - ``fold`` — JVM window ``collect_list`` prefix + two
+      ``F.aggregate`` integer folds; O(n^2) transient per key, the
+      oracle-replayable shape for short resampled series.
+    - ``linear`` — one ordered ``applyInPandas`` scan per key: O(n),
+      for long/unbounded series.
+    - ``auto`` — one bounded count-per-key pass routes the whole
+      frame to ``linear`` when any key exceeds
+      ``long_series_threshold``.
+
+    Rows order by ``(ts, value)`` (deterministic equal-timestamp
+    prefixes); NULL values drop. Overflow bound: |S| is at most
+    Σ|x*scale - target*scale| — int64 is comfortable for any series
+    that should be CUSUM-ed in one piece (reset by bucketing keys by
+    epoch, as for ewma).
+    """
+    if mode not in ("auto", "fold", "linear"):
+        raise ValueError(f"mode must be auto|fold|linear; got {mode!r}")
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0; got {threshold}")
+    tq = int(round(target * scale))
+    kq = int(round(slack * scale))
+    hq = int(round(threshold * scale))
+    cp, cn = tq + kq, tq - kq  # x - cp drives S+; cn - x drives S-
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+        F.round(F.col(value_col) * F.lit(scale), 0)
+        .cast("long")
+        .alias("__vq"),
+    ).where(F.col("__vq").isNotNull())
+
+    if mode == "auto":
+        longest = base.groupBy("key").agg(
+            F.count("__vq").alias("__n")
+        ).agg(F.max("__n")).first()[0]
+        mode = (
+            "linear"
+            if longest is not None and longest > long_series_threshold
+            else "fold"
+        )
+
+    def finish(sp: "Column", sn: "Column"):  # noqa: F821 - doc only
+        return [
+            (sp.cast("double") / F.lit(float(scale))).alias("cusum_pos"),
+            (sn.cast("double") / F.lit(float(scale))).alias("cusum_neg"),
+            ((sp > F.lit(hq)) | (sn > F.lit(hq))).alias("is_change"),
+        ]
+
+    if mode == "linear":
+        from pyspark.sql.types import BooleanType, LongType
+
+        out_schema = StructType(
+            [f for f in base.schema.fields if f.name != "__vq"]
+            + [
+                StructField("__sp", LongType()),
+                StructField("__sn", LongType()),
+                StructField("is_change", BooleanType()),
+            ]
+        )
+
+        def _scan(pdf):
+            pdf = pdf.sort_values(
+                ["ts", "value"], kind="mergesort", ignore_index=True
+            )
+            vals = pdf["__vq"].to_numpy(dtype="int64")
+            sp = np.empty(len(vals), dtype="int64")
+            sn = np.empty(len(vals), dtype="int64")
+            ap = an = 0
+            for i, x in enumerate(vals):
+                ap = max(0, ap + int(x) - cp)
+                an = max(0, an + cn - int(x))
+                sp[i], sn[i] = ap, an
+            return pdf.assign(
+                __sp=sp, __sn=sn, is_change=(sp > hq) | (sn > hq)
+            ).drop(columns=["__vq"])
+
+        out = base.groupBy("key").applyInPandas(_scan, schema=out_schema)
+        return out.select(
+            "key", "ts", "value",
+            *finish(F.col("__sp"), F.col("__sn"))[:2],
+            "is_change",
+        )
+
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ts", "value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefix = F.collect_list("__vq").over(w)
+    zero = F.lit(0).cast("long")
+    sp = F.aggregate(
+        prefix, zero,
+        lambda acc, x: F.greatest(acc + x - F.lit(cp), F.lit(0).cast("long")),
+    )
+    sn = F.aggregate(
+        prefix, zero,
+        lambda acc, x: F.greatest(acc + F.lit(cn) - x, F.lit(0).cast("long")),
+    )
+    return base.select("key", "ts", "value", *finish(sp, sn))

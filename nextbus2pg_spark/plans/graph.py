@@ -436,3 +436,79 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").cast("long").alias("node"))
     )
     return bfs_hops(edges, seeds, max_hops=_BFS_HOPS)
+
+
+_KCORE_K = 14
+_KCORE_ITERS = 8
+
+_KCORE_HEAD = """
+WITH li AS (
+  SELECT l_orderkey AS ok, CAST(l_suppkey AS BIGINT) AS s
+  FROM lineitem WHERE l_quantity > 45
+),
+raw AS (
+  SELECT lx.s AS src, ly.s AS dst
+  FROM li lx JOIN li ly ON lx.ok = ly.ok AND lx.s < ly.s
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw
+),
+sym AS MATERIALIZED (
+  SELECT a AS node, b AS nb FROM e
+  UNION
+  SELECT b, a FROM e
+),
+a0 AS MATERIALIZED (SELECT DISTINCT node FROM sym)"""
+
+
+def _kcore_oracle(k: int, max_iters: int) -> str:
+    its = []
+    for i in range(1, max_iters + 1):
+        its.append(f""",
+a{i} AS MATERIALIZED (
+  SELECT s.node FROM sym s
+  JOIN a{i - 1} x ON x.node = s.node
+  JOIN a{i - 1} y ON y.node = s.nb
+  GROUP BY s.node
+  HAVING count(*) >= {k}
+)""")
+    return (
+        _KCORE_HEAD
+        + "".join(its)
+        + f"""
+SELECT s.node, count(*) AS core_degree
+FROM sym s
+JOIN a{max_iters} x ON x.node = s.node
+JOIN a{max_iters} y ON y.node = s.nb
+GROUP BY s.node
+"""
+    )
+
+
+@fixture("q_kcore", oracle=_kcore_oracle(_KCORE_K, _KCORE_ITERS))
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core backbone (operators/graph.kcore, k=14) of the
+    high-quantity supplier co-occurrence graph (q_triangle_count's
+    edge head): iterative remove-degree-below-k peeling — the
+    dense-subgraph trim that precedes expensive per-node features in
+    a link-graph curation pipeline. At sf0.01 the peel cascades
+    through ~6 non-trivial rounds before its fixpoint; all state is
+    integer and the oracle unrolls the rounds as MATERIALIZED CTEs
+    (early exit equals the full unroll — peeling is monotone)."""
+    from nextbus2pg_spark.operators.graph import kcore
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 45)
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").cast("long").alias("s"),
+        )
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "ok")
+        .where(F.col("x.s") < F.col("y.s"))
+        .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+    )
+    return kcore(edges, k=_KCORE_K, max_iters=_KCORE_ITERS)

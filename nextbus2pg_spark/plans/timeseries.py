@@ -217,3 +217,53 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str):
         "key", F.col("ts").cast("timestamp_ntz").alias("ts"),
         "value", "zscore", "is_anomaly",
     )
+
+
+@fixture(
+    "q_cusum",
+    oracle="""
+WITH q AS (
+  SELECT user_id AS key, ts, value,
+         CAST(round(value * 100) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT key, ts, value,
+         list(vq) OVER (PARTITION BY key ORDER BY ts, value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+  FROM q
+),
+s AS (
+  SELECT key, ts, value,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), pre),
+           (acc, t) -> greatest(acc + t - 7000, CAST(0 AS BIGINT))) AS sp,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), pre),
+           (acc, t) -> greatest(acc + 3000 - t, CAST(0 AS BIGINT))) AS sn
+  FROM w
+)
+SELECT key, ts, value,
+       CAST(sp AS DOUBLE) / 100.0 AS cusum_pos,
+       CAST(sn AS DOUBLE) / 100.0 AS cusum_neg,
+       (sp > 20000 OR sn > 20000) AS is_change
+FROM s
+""",
+)
+def q_cusum(spark: SparkSession, sf_dir: str):
+    """Per-user tabular CUSUM drift flags over the event value stream
+    (operators/timeseries.cusum_changepoints: target 50, slack 20,
+    threshold 200, cent quantization) — the sustained-shift companion
+    of q_rolling_anomaly's spike detector. The whole recurrence is
+    integer arithmetic over quantized values, so the DuckDB oracle
+    replays both one-sided sums exactly via list_reduce folds with a
+    prepended 0 as the initial state."""
+    from nextbus2pg_spark.operators.timeseries import cusum_changepoints
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cusum_changepoints(
+        ev, "user_id", "ts", "value",
+        target=50.0, slack=20.0, threshold=200.0, scale=100,
+    )
+    return out.select(
+        "key", F.col("ts").cast("timestamp_ntz").alias("ts"), "value",
+        "cusum_pos", "cusum_neg", "is_change",
+    )

@@ -287,3 +287,46 @@ def test_bfs_hops_early_exit_and_undirected(spark):
         edges, seeds, max_hops=10
     ).collect()}
     assert out == {1: 0, 2: 1, 3: 2}
+
+
+def test_kcore_hand_computed(spark):
+    """Clique {1,2,3,4} plus pendant chain 4-5, 5-6: the 3-core keeps
+    exactly the clique (all degrees 3); 6 then 5 peel in two
+    cascading rounds."""
+    from nextbus2pg_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    df = spark.createDataFrame(
+        clique + [(4, 5), (5, 6)], "src long, dst long"
+    )
+    out = {r["node"]: r["core_degree"] for r in kcore(df, k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_cascade_and_empty_core(spark):
+    from nextbus2pg_spark.operators.graph import kcore
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    # a path has no 2-core: endpoints peel, then everything cascades
+    assert kcore(path, k=2).isEmpty()
+    # k=1 keeps every non-isolated node with its degree
+    out = {r["node"]: r["core_degree"] for r in kcore(path, k=1).collect()}
+    assert out == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_kcore_max_iters_partial_peel_is_deterministic(spark):
+    """max_iters=1 stops after one round: only the first peel wave is
+    applied and degrees are re-derived on the remaining subgraph."""
+    from nextbus2pg_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    df = spark.createDataFrame(
+        clique + [(4, 5), (5, 6)], "src long, dst long"
+    )
+    out = {r["node"]: r["core_degree"]
+           for r in kcore(df, k=3, max_iters=1).collect()}
+    # round 1 removes 6 (deg 1) and 5 (deg 2); nothing else — already
+    # equal to the fixpoint here, but via the partial path
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}

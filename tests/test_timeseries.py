@@ -259,3 +259,67 @@ def test_ewma_mode_validation(spark):
     )
     with pytest.raises(ValueError, match="mode"):
         ewma(df, "k", "ts", "v", 0.25, mode="vectorized")
+
+
+def test_cusum_hand_computed(spark):
+    """target=10, slack=0, threshold=5: an upward drift of +3/step
+    flags once S+ crosses 5; a downward run drives S- symmetrically."""
+    import datetime as dt
+
+    from nextbus2pg_spark.operators.timeseries import cusum_changepoints
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0, 10.0, 13.0, 13.0, 13.0, 7.0, 7.0, 7.0]
+    rows = [("k", t0 + dt.timedelta(minutes=i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = [r.asDict() for r in cusum_changepoints(
+        df, "k", "ts", "v", target=10.0, threshold=5.0, scale=1,
+        mode="fold",
+    ).orderBy("ts").collect()]
+    assert [r["cusum_pos"] for r in out] == [0, 0, 3, 6, 9, 6, 3, 0]
+    assert [r["cusum_neg"] for r in out] == [0, 0, 0, 0, 0, 3, 6, 9]
+    assert [r["is_change"] for r in out] == [
+        False, False, False, True, True, True, True, True
+    ]
+
+
+def test_cusum_linear_path_matches_fold_exactly(spark):
+    """Integer state: the applyInPandas scan and the JVM fold must be
+    value-IDENTICAL (not just close) on a mixed multi-key frame with
+    timestamp ties."""
+    import datetime as dt
+
+    from nextbus2pg_spark.operators.timeseries import cusum_changepoints
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for k in ("a", "b"):
+        for i in range(40):
+            v = 10.0 + (i % 7) - (3 if k == "b" else 0) + (i // 9)
+            rows.append((k, t0 + dt.timedelta(minutes=i // 2), v))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    kw = dict(target=10.0, slack=1.0, threshold=8.0, scale=100)
+    fold = cusum_changepoints(df, "k", "ts", "v", mode="fold", **kw)
+    lin = cusum_changepoints(df, "k", "ts", "v", mode="linear", **kw)
+    key = ["key", "ts", "value", "cusum_pos", "cusum_neg", "is_change"]
+    a = sorted(tuple(r[c] for c in key) for r in fold.collect())
+    b = sorted(tuple(r[c] for c in key) for r in lin.collect())
+    assert a == b
+
+
+def test_cusum_auto_routes_long_series_to_linear(spark):
+    import datetime as dt
+
+    from nextbus2pg_spark.operators.timeseries import cusum_changepoints
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("k", t0 + dt.timedelta(seconds=i), 10.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = cusum_changepoints(
+        df, "k", "ts", "v", target=10.0, threshold=5.0,
+        long_series_threshold=10,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # routed to the linear scan
+    assert out.count() == 50
