@@ -249,17 +249,21 @@ def ks_statistic(
     w = Window.orderBy("__vq").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    tot = per_v.agg(
-        F.sum("__ca").alias("n_a"), F.sum("__cb").alias("n_b")
+    wall = Window.orderBy("__vq").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     # cumulative counts and the cross-multiplied gap stay DECIMAL(38,0)
     # (= oracle HUGEINT): c * n products exceed int64 past ~3e9 rows
-    # per sample
+    # per sample. The totals ride the SAME single window pass as the
+    # cumsums (full-frame sums) — one scan, no separate totals job,
+    # no join.
     gaps = per_v.select(
         "__vq",
         F.sum("__ca").over(w).alias("__cca"),
         F.sum("__cb").over(w).alias("__ccb"),
-    ).crossJoin(F.broadcast(tot))
+        F.sum("__ca").over(wall).alias("n_a"),
+        F.sum("__cb").over(wall).alias("n_b"),
+    )
     d = F.abs(
         F.col("__cca") * F.col("n_b") - F.col("__ccb") * F.col("n_a")
     )

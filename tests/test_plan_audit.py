@@ -607,3 +607,102 @@ def test_grouped_corr_single_partial_agg_no_join(spark):
     assert "partial" in p.lower(), p
     assert "Join" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_fuzzy_join_candidates_equi_join_only(spark):
+    """The edit-distance join must reach candidates through the
+    deletion-variant EQUI-join — never a cartesian/BNLJ — with no
+    forced broadcast hint (both variant sides scale with their
+    tables); levenshtein runs once per candidate row, above the
+    join."""
+    df = q(spark, "q_fuzzy_join")
+    p = plan_text(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "levenshtein" in p, p
+    _bounded_hints_only(df)
+
+
+def test_triangle_count_no_hints_partial_aggs(spark):
+    """Wedge enumeration is equi-self-join + semi-join shaped (never
+    cartesian), strategies unpinned, and both the per-node triangle
+    and degree counts aggregate map-side partial."""
+    df = q(spark, "q_triangle_count")
+    p = plan_text(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "LeftSemi" in p, p
+    assert "partial" in p.lower(), p
+    _bounded_hints_only(df)
+
+
+def test_mad_outliers_no_window_no_cartesian(spark):
+    """Both medians are GROUPED aggregations joined back by group key
+    — no window over the data, no cartesian, strategies unpinned."""
+    df = q(spark, "q_mad_outliers")
+    p = plan_text(df)
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p
+    _bounded_hints_only(df)
+
+
+def test_ks_drift_collapses_before_single_partition_window(spark):
+    """The exact-KS sequential piece (the single-partition cumulative
+    window) must run over the DISTINCT-VALUE relation, never the data:
+    every hash aggregate that feeds it sits BELOW the window in the
+    plan, the totals ride the same window pass (ONE scan of the fact
+    table, no join anywhere), and exactly one SinglePartition exchange
+    exists."""
+    df = q(spark, "q_ks_drift")
+    p = plan_text(df)
+    agg_ids = [int(n) for n in re.findall(r"HashAggregate \((\d+)\)", p)]
+    win_ids = [int(n) for n in re.findall(r"Window \((\d+)\)", p)]
+    assert agg_ids and win_ids, p
+    # formatted-plan ids number bottom-up (leaves smallest): the
+    # collapsing aggregates must all sit BELOW the window
+    assert max(agg_ids) < min(win_ids), p
+    assert "SinglePartition" in p, p
+    # totals share the pass: exactly one scan node in the tree
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", p)) == 1, p
+    assert "Join" not in p, p
+    _bounded_hints_only(df)
+
+
+def test_cohens_kappa_hint_only_on_bounded_aggregates(spark):
+    """kappa's only join inputs are 1-row aggregates and
+    category-sized marginals; the sole broadcast hint sits on the
+    1-row chance-product aggregate."""
+    df = q(spark, "q_cohens_kappa")
+    p = plan_text(df)
+    assert "CartesianProduct" not in p or "partial" in p.lower(), p
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    lines = analyzed.splitlines()
+    for i, l in enumerate(lines):
+        if "ResolvedHint" not in l:
+            continue
+        window = "\n".join(lines[i : i + 6])
+        assert "Aggregate" in window, (
+            "broadcast hint on an unbounded relation:\n" + window
+        )
+
+
+def test_cusum_fold_path_is_jvm_only(spark):
+    """At fixture scale the fold path must run with zero Python
+    stages: one window pass, the two integer folds as JVM expressions."""
+    p = plan_text(q(spark, "q_cusum"))
+    for marker in ("FlatMapGroupsInPandas", "ArrowEvalPython",
+                   "BatchEvalPython"):
+        assert marker not in p, p
+    assert len(re.findall(r"Window \(\d+\)", p)) == 1, p
+
+
+def test_kcore_final_degrees_semi_join_partial_agg(spark):
+    """The k-core result relation re-derives degrees on the surviving
+    subgraph: two left-semi filters onto the (checkpointed) alive set
+    and one map-side-partial count — no hints, no cartesian."""
+    df = q(spark, "q_kcore")
+    p = plan_text(df)
+    assert p.count("LeftSemi") >= 2, p
+    assert "partial" in p.lower(), p
+    assert "CartesianProduct" not in p, p
+    _bounded_hints_only(df)
