@@ -59,7 +59,16 @@ R6_SET = [
     "q_rolling_anomaly",
 ]
 #: Round-7 additions (populated as the round's new operators land).
-R7_SET: list[str] = []
+R7_SET: list[str] = [
+    "q_triangle_count",
+    "q_bfs_hops",
+    "q_kcore",
+    "q_mad_outliers",
+    "q_ks_drift",
+    "q_cohens_kappa",
+    "q_fuzzy_join",
+    "q_cusum",
+]
 
 HEADLINE = [
     "q_flagship_latest",
