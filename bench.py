@@ -68,6 +68,7 @@ R7_SET: list[str] = [
     "q_cohens_kappa",
     "q_fuzzy_join",
     "q_cusum",
+    "q_holt",
 ]
 
 HEADLINE = [

@@ -529,3 +529,129 @@ def cusum_changepoints(
         lambda acc, x: F.greatest(acc + F.lit(cn) - x, F.lit(0).cast("long")),
     )
     return base.select("key", "ts", "value", *finish(sp, sn))
+
+
+def holt_smoothing(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    *,
+    mode: str = "auto",
+    long_series_threshold: int = 4096,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing →
+    ``(key, ts, value, level, trend, forecast)`` — EWMA's trend-aware
+    sibling (Holt 1957): a drifting metric saturates a plain EWMA's
+    lag, while the coupled level/trend recurrences track it and give
+    a one-step-ahead ``forecast = level + trend``:
+
+        L_i = alpha * x_i + (1 - alpha) * (L_{i-1} + T_{i-1})
+        T_i = beta * (L_i - L_{i-1}) + (1 - beta) * T_{i-1}
+
+    initialized at ``L_1 = x_1, T_1 = 0``.
+
+    Same dual-path / bit-exactness contract as :func:`ewma` — both
+    paths evaluate the recurrences as a strict left fold with one
+    fixed IEEE expression tree (``L_i``'s subtree is repeated
+    verbatim inside ``T_i``, never reordered), so the JVM fold, the
+    Python linear scan, and a DuckDB ``list_reduce`` over
+    struct-packed states agree bit-for-bit:
+
+    - ``fold``: window ``collect_list`` prefix + one ``F.aggregate``
+      with a (level, trend, initialized) struct accumulator — O(n^2)
+      transient per key, oracle-replayable, right for short series;
+    - ``linear``: one ordered ``applyInPandas`` scan, O(n), for
+      long/unbounded series;
+    - ``auto``: one bounded count-per-key pass routes the frame.
+
+    Rows order by ``(ts, value)``; NULL values drop. Pick
+    binary-representable ``alpha``/``beta`` (0.5, 0.25, 0.75) when
+    oracle parity matters — the complements are computed driver-side.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1]; got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1]; got {beta}")
+    if mode not in ("auto", "fold", "linear"):
+        raise ValueError(f"mode must be auto|fold|linear; got {mode!r}")
+    a, ca = float(alpha), 1.0 - float(alpha)
+    b, cb = float(beta), 1.0 - float(beta)
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    ).where(F.col("value").isNotNull())
+
+    if mode == "auto":
+        longest = base.groupBy("key").agg(
+            F.count("value").alias("__n")
+        ).agg(F.max("__n")).first()[0]
+        mode = (
+            "linear"
+            if longest is not None and longest > long_series_threshold
+            else "fold"
+        )
+
+    if mode == "linear":
+        out_schema = StructType(
+            base.schema.fields
+            + [
+                StructField("level", DoubleType()),
+                StructField("trend", DoubleType()),
+                StructField("forecast", DoubleType()),
+            ]
+        )
+
+        def _scan(pdf):
+            pdf = pdf.sort_values(
+                ["ts", "value"], kind="mergesort", ignore_index=True
+            )
+            vals = pdf["value"].to_numpy(dtype="float64")
+            lv = np.empty(len(vals), dtype="float64")
+            tr = np.empty(len(vals), dtype="float64")
+            pl = pt = 0.0
+            for i, x in enumerate(vals):
+                if i == 0:
+                    pl, pt = x, 0.0
+                else:
+                    nl = a * x + ca * (pl + pt)
+                    pt = b * (nl - pl) + cb * pt
+                    pl = nl
+                lv[i], tr[i] = pl, pt
+            return pdf.assign(level=lv, trend=tr, forecast=lv + tr)
+
+        return base.groupBy("key").applyInPandas(_scan, schema=out_schema)
+
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ts", "value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    zero = F.lit(0.0).cast("double")
+    init = F.struct(
+        zero.alias("l"), zero.alias("t"), F.lit(0).alias("i")
+    )
+
+    def step(acc, x):
+        nl = F.lit(a) * x + F.lit(ca) * (acc["l"] + acc["t"])
+        nt = F.lit(b) * (nl - acc["l"]) + F.lit(cb) * acc["t"]
+        return F.when(
+            acc["i"] == 0,
+            F.struct(x.alias("l"), zero.alias("t"), F.lit(1).alias("i")),
+        ).otherwise(
+            F.struct(nl.alias("l"), nt.alias("t"), F.lit(1).alias("i"))
+        )
+
+    state = F.aggregate(F.collect_list("value").over(w), init, step)
+    return base.select(
+        "key",
+        "ts",
+        "value",
+        state["l"].alias("level"),
+        state["t"].alias("trend"),
+        (state["l"] + state["t"]).alias("forecast"),
+    )

@@ -267,3 +267,47 @@ def q_cusum(spark: SparkSession, sf_dir: str):
         "key", F.col("ts").cast("timestamp_ntz").alias("ts"), "value",
         "cusum_pos", "cusum_neg", "is_change",
     )
+
+
+@fixture(
+    "q_holt",
+    oracle="""
+WITH RECURSIVE q AS (
+  SELECT user_id AS key, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, value) AS rn
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT key, ts, value, rn, value AS level, CAST(0 AS DOUBLE) AS trend
+  FROM q WHERE rn = 1
+  UNION ALL
+  SELECT n.key, n.ts, n.value, n.rn,
+         0.5 * n.value + 0.5 * (s.level + s.trend) AS level,
+         0.25 * ((0.5 * n.value + 0.5 * (s.level + s.trend)) - s.level)
+           + 0.75 * s.trend AS trend
+  FROM s JOIN q n ON n.key = s.key AND n.rn = s.rn + 1
+)
+SELECT key, ts, value, level, trend, level + trend AS forecast FROM s
+""",
+)
+def q_holt(spark: SparkSession, sf_dir: str):
+    """Per-user Holt double-exponential smoothing of the event value
+    stream (operators/timeseries.holt_smoothing, alpha=0.5 beta=0.25
+    — both binary-exact): the trend-aware EWMA sibling whose
+    one-step-ahead forecast = level + trend. The recurrences fold as
+    one fixed IEEE expression tree (L_i's subtree repeated verbatim
+    inside T_i), replayed by a RECURSIVE CTE stepping row_number per
+    key — NOT a struct-state list_reduce, because DuckDB 1.0 evaluates
+    struct_pack accumulator fields IN PLACE after the first iteration
+    (a later field reads the already-updated earlier field); plain
+    recursive columns have copy semantics and match bit-for-bit."""
+    from nextbus2pg_spark.operators.timeseries import holt_smoothing
+
+    ev = load_table(spark, sf_dir, "events")
+    out = holt_smoothing(ev, "user_id", "ts", "value",
+                         alpha=0.5, beta=0.25)
+    return out.select(
+        "key", F.col("ts").cast("timestamp_ntz").alias("ts"), "value",
+        "level", "trend", "forecast",
+    )

@@ -323,3 +323,65 @@ def test_cusum_auto_routes_long_series_to_linear(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan  # routed to the linear scan
     assert out.count() == 50
+
+
+def test_holt_hand_computed(spark):
+    """alpha=0.5, beta=0.5 on [10, 12, 14]: L1=10,T1=0; L2=11,T2=0.5;
+    L3=12.75,T3=1.125; forecasts are level+trend."""
+    import datetime as dt
+
+    from nextbus2pg_spark.operators.timeseries import holt_smoothing
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("k", t0 + dt.timedelta(minutes=i), v)
+            for i, v in enumerate([10.0, 12.0, 14.0])]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = [r.asDict() for r in holt_smoothing(
+        df, "k", "ts", "v", alpha=0.5, beta=0.5, mode="fold"
+    ).orderBy("ts").collect()]
+    assert [r["level"] for r in out] == [10.0, 11.0, 12.75]
+    assert [r["trend"] for r in out] == [0.0, 0.5, 1.125]
+    assert [r["forecast"] for r in out] == [10.0, 11.5, 13.875]
+
+
+def test_holt_linear_matches_fold_bitwise(spark):
+    """The applyInPandas scan and the JVM struct fold evaluate the
+    same IEEE expression tree: results must be bit-identical (exact
+    ==, no tolerance) on irregular multi-key data with ties."""
+    import datetime as dt
+
+    from nextbus2pg_spark.operators.timeseries import holt_smoothing
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for k in ("a", "b"):
+        for i in range(60):
+            v = 10.0 + (i % 7) * 1.3 + (i // 9) * (2.0 if k == "a" else -1.0)
+            rows.append((k, t0 + dt.timedelta(minutes=i // 3), v))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    kw = dict(alpha=0.25, beta=0.25)
+    cols = ["key", "ts", "value", "level", "trend", "forecast"]
+    fold = sorted(tuple(r[c] for c in cols) for r in holt_smoothing(
+        df, "k", "ts", "v", mode="fold", **kw).collect())
+    lin = sorted(tuple(r[c] for c in cols) for r in holt_smoothing(
+        df, "k", "ts", "v", mode="linear", **kw).collect())
+    assert fold == lin
+
+
+def test_holt_tracks_linear_drift_better_than_ewma(spark):
+    """On a pure linear ramp the Holt forecast converges to the next
+    value while EWMA lags — the reason the operator exists."""
+    import datetime as dt
+
+    from nextbus2pg_spark.operators.timeseries import ewma, holt_smoothing
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("k", t0 + dt.timedelta(minutes=i), 10.0 + 2.0 * i)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    h = holt_smoothing(df, "k", "ts", "v", alpha=0.5, beta=0.5)
+    last_h = h.orderBy("ts").collect()[-1]
+    e = ewma(df, "k", "ts", "v", alpha=0.5).orderBy("ts").collect()[-1]
+    next_true = 10.0 + 2.0 * 40
+    assert abs(last_h["forecast"] - next_true) < 0.1
+    assert abs(e["ewma"] - last_h["value"]) > 1.0  # EWMA lags the ramp
