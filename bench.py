@@ -69,6 +69,7 @@ R7_SET: list[str] = [
     "q_fuzzy_join",
     "q_cusum",
     "q_holt",
+    "q_top_paths",
 ]
 
 HEADLINE = [

@@ -616,3 +616,56 @@ def kcore(
             break
         n_prev = n
     return _alive_degrees(alive)
+
+
+def top_paths(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    *,
+    length: int = 3,
+    k: int = 20,
+    order_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Most frequent ordered state paths of ``length`` consecutive
+    events within each key's timeline → ``(path, n, rank)``, the
+    top-``k`` by exact count (ties broken by the path string — fully
+    deterministic). The order-(length-1) extension of
+    :func:`transition_matrix`: "what do users actually DO", the
+    sequence-mining staple behind funnel discovery and bot-pattern
+    detection.
+
+    Scale shape: ONE window pass derives the (length-1) leads, one
+    hash aggregation counts paths (map-side partial; output bounded
+    by |states|^length, not rows), and the top-k is a sort-limit —
+    never a global sort of the log. Path strings join with '>' (the
+    state values must not contain it — assert upstream if unsure).
+    """
+    if length < 2:
+        raise ValueError(f"length must be >= 2; got {length}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    from pyspark.sql import Window
+
+    tie = order_cols if order_cols is not None else [state_col]
+    w = Window.partitionBy(key_col).orderBy(ts_col, *tie)
+    steps = [F.col(state_col)] + [
+        F.lead(state_col, i).over(w) for i in range(1, length)
+    ]
+    paths = df.select(
+        F.concat_ws(">", *steps).alias("path"),
+        steps[-1].alias("__last"),
+    ).where(F.col("__last").isNotNull())
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        counts.orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("path").asc())
+            ),
+        )
+    )
+    return ranked.select("path", "n", "rank")

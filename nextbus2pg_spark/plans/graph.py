@@ -512,3 +512,39 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
     )
     return kcore(edges, k=_KCORE_K, max_iters=_KCORE_ITERS)
+
+
+@fixture(
+    "q_top_paths",
+    oracle="""
+WITH p AS (
+  SELECT event_type AS s0,
+         lead(event_type, 1) OVER w AS s1,
+         lead(event_type, 2) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+),
+c AS (
+  SELECT s0 || '>' || s1 || '>' || s2 AS path,
+         CAST(count(*) AS BIGINT) AS n
+  FROM p WHERE s2 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, n,
+       CAST(row_number() OVER (ORDER BY n DESC, path ASC) AS INTEGER)
+         AS rank
+FROM c
+ORDER BY n DESC, path ASC
+LIMIT 10
+""",
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent 3-step user journeys through event types
+    (operators/graph.top_paths): one lead-window pass, exact integer
+    path counts (bounded by |states|^3), deterministic path-string
+    tie-break, sort-limit top-k. The order-2 sequence-mining
+    extension of q_transition_matrix."""
+    from nextbus2pg_spark.operators.graph import top_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    return top_paths(ev, "user_id", "ts", "event_type", length=3, k=10)

@@ -330,3 +330,41 @@ def test_kcore_max_iters_partial_peel_is_deterministic(spark):
     # round 1 removes 6 (deg 1) and 5 (deg 2); nothing else — already
     # equal to the fixpoint here, but via the partial path
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_top_paths_hand_computed(spark):
+    import datetime as dt
+
+    from nextbus2pg_spark.operators.graph import top_paths
+
+    t = dt.datetime(2024, 1, 1)
+    seq = lambda u, *states: [  # noqa: E731
+        (u, t + dt.timedelta(minutes=i), s) for i, s in enumerate(states)
+    ]
+    df = spark.createDataFrame(
+        seq(1, "a", "b", "c", "a", "b", "c") + seq(2, "a", "b", "c"),
+        "user long, ts timestamp, state string",
+    )
+    out = [(r["path"], r["n"], r["rank"]) for r in top_paths(
+        df, "user", "ts", "state", length=3, k=5
+    ).collect()]
+    # a>b>c occurs 3x (twice in u1's 6-seq via sliding, once in u2)
+    assert out[0] == ("a>b>c", 3, 1)
+    assert ("b>c>a", 1, 2) in out and ("c>a>b", 1, 3) in out
+    assert len(out) == 3  # only 3 distinct trigrams exist
+
+
+def test_top_paths_tail_rows_excluded(spark):
+    import datetime as dt
+
+    from nextbus2pg_spark.operators.graph import top_paths
+
+    t = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t, "a"), (1, t.replace(minute=1), "b")],
+        "user long, ts timestamp, state string",
+    )
+    # a 2-event timeline has no 3-path
+    assert top_paths(df, "user", "ts", "state", length=3).isEmpty()
+    out = top_paths(df, "user", "ts", "state", length=2).collect()
+    assert [(r["path"], r["n"]) for r in out] == [("a>b", 1)]
