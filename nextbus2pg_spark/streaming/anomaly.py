@@ -80,12 +80,26 @@ def anomaly_batch(
     scale: int = 1000,
     late_sink=None,
     batch_id: int | None = None,
+    op_fn=None,
 ) -> None:
     """One micro-batch of the streaming anomaly stage (module
     docstring has the full contract). Exposed as a plain function so
     replay semantics are testable without a streaming harness —
     calling it twice with the same batch must leave both stores
-    byte-equal in content."""
+    byte-equal in content.
+
+    ``op_fn`` swaps the scoring operator: it receives the retained
+    ``(key, ts, value)`` points of the touched keys and returns the
+    flag frame to upsert (keyed on (key, ts); ``flags_store``'s
+    update_cols must match its columns). Default is
+    ``rolling_anomaly`` with the window/threshold params; pass e.g.
+    ``lambda pts: cusum_changepoints(pts, "key", "ts", "value",
+    target=..., threshold=...)`` for the drift detector, or
+    ``holt_smoothing`` for live forecasts — any per-key trailing
+    operator inherits the same lateness/retention/replay contract
+    (CUSUM note: its state implicitly resets at the horizon floor,
+    since pruned points leave the recurrence — the documented
+    streaming delta)."""
     batch = batch_df.select(
         F.col(key_col).alias("key"),
         F.col(ts_col).alias("ts"),
@@ -122,11 +136,14 @@ def anomaly_batch(
         .where(F.col("ts") >= F.lit(floor))
         .join(touched, "key", "left_semi")
     )
-    flags = rolling_anomaly(
-        pts, "key", "ts", "value",
-        window_rows=window_rows, min_periods=min_periods,
-        threshold_sq=threshold_sq, scale=scale,
-    )
+    if op_fn is not None:
+        flags = op_fn(pts)
+    else:
+        flags = rolling_anomaly(
+            pts, "key", "ts", "value",
+            window_rows=window_rows, min_periods=min_periods,
+            threshold_sq=threshold_sq, scale=scale,
+        )
     flags_store.upsert(flags)
 
     # (4) retention: points behind the floor leave the rolling state

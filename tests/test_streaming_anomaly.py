@@ -145,3 +145,51 @@ def test_prune_truncates_trailing_windows_at_the_floor(spark, tmp_path):
         F.col("ts") >= F.lit(T0 + dt.timedelta(hours=2))).collect()}
     # 2 points < min_periods=3: provisional, unflagged
     assert all(not r["is_anomaly"] for r in got.values())
+
+
+def test_op_fn_swaps_in_cusum(spark, tmp_path):
+    """The stage is operator-generic: a CUSUM op_fn rides the same
+    lateness/retention/replay loop, and within the horizon the
+    streamed flags equal the batch operator over the retained
+    points."""
+    from nextbus2pg_spark.operators.timeseries import cusum_changepoints
+
+    points = ParquetUpsertTable(
+        spark, str(tmp_path / "points"), key_cols=["key", "ts"],
+        update_cols=["value"], n_buckets=4,
+    )
+    flags = ParquetUpsertTable(
+        spark, str(tmp_path / "flags"), key_cols=["key", "ts"],
+        update_cols=["value", "cusum_pos", "cusum_neg", "is_change"],
+        n_buckets=4,
+    )
+
+    def cusum_op(pts):
+        return cusum_changepoints(
+            pts, "key", "ts", "value",
+            target=10.0, slack=0.0, threshold=5.0, scale=1,
+        )
+
+    drift = [("k1", T0 + dt.timedelta(minutes=20 + i), 13.0)
+             for i in range(4)]
+    b1 = spark.createDataFrame(B1[:6] + drift[:2], SCHEMA)
+    b2 = spark.createDataFrame(drift[2:], SCHEMA)
+    anomaly_batch(b1, points, flags, op_fn=cusum_op, horizon_seconds=3600)
+    anomaly_batch(b2, points, flags, op_fn=cusum_op, horizon_seconds=3600)
+
+    got = {
+        (r["key"], r["ts"]): (r["cusum_pos"], r["is_change"])
+        for r in flags.read().collect()
+    }
+    want = {
+        (r["key"], r["ts"]): (r["cusum_pos"], r["is_change"])
+        for r in cusum_op(points.read()).collect()
+    }
+    assert got == want
+    # the sustained +3 drift crosses the threshold by its 2nd point
+    assert got[("k1", drift[1][1])][1] or got[("k1", drift[2][1])][1]
+
+    # replay converges (keyed upserts)
+    snap = sorted(tuple(r) for r in flags.read().collect())
+    anomaly_batch(b2, points, flags, op_fn=cusum_op, horizon_seconds=3600)
+    assert sorted(tuple(r) for r in flags.read().collect()) == snap
