@@ -70,6 +70,7 @@ R7_SET: list[str] = [
     "q_cusum",
     "q_holt",
     "q_top_paths",
+    "q_hits",
 ]
 
 HEADLINE = [

@@ -669,3 +669,113 @@ def top_paths(
         )
     )
     return ranked.select("path", "n", "rank")
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: "str | None" = None,
+    *,
+    n_iters: int = 6,
+    deterministic: bool = False,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed,
+    optionally weighted edge list → ``(node, hub, authority)`` after
+    ``n_iters`` synchronous rounds with L2 normalization.
+
+    PageRank's bipartite sibling: authorities are pointed AT by good
+    hubs, hubs point TO good authorities — the directory-vs-content
+    split (seed-list curation ranks "pages that link to many good
+    sources" differently from the sources themselves, which PageRank
+    cannot express). Per round: ``a(v) = Σ_{u→v} h(u)·w`` then
+    normalize, then ``h(u) = Σ_{u→v} a(v)·w`` with the NEW a, then
+    normalize (the classic update order).
+
+    Scale/determinism contract is :func:`pagerank`'s: per round two
+    equi-joins + two grouped sums + two 1-row norm aggregates (the
+    only broadcasts — bounded by construction), rank frames
+    checkpointed per round; ``deterministic=True`` folds every sum
+    over the sorted contributor list (and the norm over the
+    node-sorted square list) for bit-exact DuckDB replay — oracle
+    mode; production keeps partial-aggregated ``F.sum``, and tests
+    pin the paths to 1e-12 agreement.
+    """
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1; got {n_iters}")
+    w = (
+        F.col(weight).cast("double")
+        if weight is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    if e.where(
+        F.col("src").isNull() | F.col("dst").isNull()
+    ).limit(1).count():
+        raise ValueError(
+            "hits edges contain NULL endpoints — drop or repair them "
+            "explicitly"
+        )
+    e = e.localCheckpoint(eager=True)  # consumed twice per round
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _norm_div(raw: DataFrame, col: str) -> DataFrame:
+        """L2-normalize ``col`` over all nodes: one bounded 1-row
+        aggregate broadcast back (the pagerank dangling-mass shape)."""
+        sq = F.col(col) * F.col(col)
+        if deterministic:
+            n = raw.agg(
+                F.sqrt(_sorted_fold(F.col("node"), sq)).alias("__n")
+            )
+        else:
+            n = raw.agg(F.sqrt(F.sum(sq)).alias("__n"))
+        return raw.crossJoin(F.broadcast(n)).select(
+            "node",
+            F.when(F.col("__n") > 0, F.col(col) / F.col("__n"))
+            .otherwise(F.lit(0.0))
+            .alias(col),
+        )
+
+    def _gather(scores: DataFrame, score: str, edge_key: str,
+                out_key: str, sort_key: str) -> DataFrame:
+        """a-step: edge_key='src', out_key='dst'; h-step: reversed."""
+        contrib = e.join(
+            scores.select(
+                F.col("node").alias(edge_key), F.col(score)
+            ),
+            edge_key,
+        ).select(
+            F.col(sort_key).alias("__sk"),
+            F.col(out_key).alias("node"),
+            (F.col(score) * F.col("w")).alias("c"),
+        )
+        agg = (
+            contrib.groupBy("node").agg(
+                _sorted_fold(F.col("__sk"), F.col("c")).alias("s")
+            )
+            if deterministic
+            else contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        )
+        return nodes.join(agg, "node", "left").select(
+            "node", F.coalesce("s", F.lit(0.0)).alias("raw")
+        )
+
+    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
+    auths = nodes.select("node", F.lit(1.0).alias("authority"))
+    for _ in range(n_iters):
+        a_raw = _gather(hubs, "hub", "src", "dst", "src")
+        auths = _norm_div(
+            a_raw.withColumnRenamed("raw", "authority"), "authority"
+        ).localCheckpoint(eager=True)
+        h_raw = _gather(auths, "authority", "dst", "src", "dst")
+        hubs = _norm_div(
+            h_raw.withColumnRenamed("raw", "hub"), "hub"
+        ).localCheckpoint(eager=True)
+    return hubs.join(auths, "node").select("node", "hub", "authority")

@@ -548,3 +548,102 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return top_paths(ev, "user_id", "ts", "event_type", length=3, k=10)
+
+
+_HITS_ITERS = 6
+
+_HITS_HEAD = """
+WITH e AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events
+  ) t
+  WHERE dst IS NOT NULL
+  GROUP BY src, dst
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u
+),
+h0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nodes)"""
+
+
+def _hits_oracle(n_iters: int) -> str:
+    its = []
+    for i in range(1, n_iters + 1):
+        a_gather = _FOLD.format(k="e.src", v="(h.hub * e.w)")
+        a_norm = _FOLD.format(k="node", v="(raw * raw)")
+        h_gather = _FOLD.format(k="e.dst", v="(a.authority * e.w)")
+        h_norm = _FOLD.format(k="node", v="(raw * raw)")
+        its.append(f""",
+ar{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(g.f, CAST(0 AS DOUBLE)) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, {a_gather} AS f
+    FROM e JOIN h{i - 1} h ON h.node = e.src
+    GROUP BY e.dst) g ON g.node = n.node
+),
+an{i} AS MATERIALIZED (SELECT sqrt({a_norm}) AS nv FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN (SELECT nv FROM an{i}) > 0
+              THEN raw / (SELECT nv FROM an{i})
+              ELSE CAST(0 AS DOUBLE) END AS authority
+  FROM ar{i}
+),
+hr{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(g.f, CAST(0 AS DOUBLE)) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, {h_gather} AS f
+    FROM e JOIN a{i} a ON a.node = e.dst
+    GROUP BY e.src) g ON g.node = n.node
+),
+hn{i} AS MATERIALIZED (SELECT sqrt({h_norm}) AS nv FROM hr{i}),
+h{i} AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN (SELECT nv FROM hn{i}) > 0
+              THEN raw / (SELECT nv FROM hn{i})
+              ELSE CAST(0 AS DOUBLE) END AS hub
+  FROM hr{i}
+)""")
+    return (
+        _HITS_HEAD
+        + "".join(its)
+        + f"""
+SELECT h.node, round(h.hub, 6) AS hub,
+       round(a.authority, 6) AS authority
+FROM h{n_iters} h JOIN a{n_iters} a ON a.node = h.node
+"""
+    )
+
+
+@fixture("q_hits", oracle=_hits_oracle(_HITS_ITERS))
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities (operators/graph.hits, 6 rounds,
+    deterministic mode) over the weighted event-type transition graph
+    (the q_pagerank edge head): event types that LEAD INTO conversion
+    events score as hubs, the converged-upon events as authorities —
+    the directed-role split PageRank's single score cannot express.
+    Every per-node sum and both L2 norms fold over sorted contributor
+    lists, so the oracle's unrolled a-step/h-step CTE chain replays
+    the whole 6-round computation bit-for-bit, rounded once at the
+    end."""
+    from nextbus2pg_spark.operators.graph import hits
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("dst", F.lead("event_type").over(w))
+        .where(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    out = hits(edges, weight="w", n_iters=_HITS_ITERS, deterministic=True)
+    return out.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )

@@ -368,3 +368,62 @@ def test_top_paths_tail_rows_excluded(spark):
     assert top_paths(df, "user", "ts", "state", length=3).isEmpty()
     out = top_paths(df, "user", "ts", "state", length=2).collect()
     assert [(r["path"], r["n"]) for r in out] == [("a>b", 1)]
+
+
+def _np_hits(n, edges, n_iters):
+    """Dense reference: a-step then h-step with the NEW a, L2 norms."""
+    W = np.zeros((n, n))
+    for s, d_, w in edges:
+        W[s, d_] += w
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(n_iters):
+        a = W.T @ h
+        na = np.sqrt((a * a).sum())
+        a = a / na if na > 0 else a * 0.0
+        h = W @ a
+        nh = np.sqrt((h * h).sum())
+        h = h / nh if nh > 0 else h * 0.0
+    return h, a
+
+
+def test_hits_matches_numpy_reference(spark):
+    from nextbus2pg_spark.operators.graph import hits
+
+    edges = [(0, 1, 1.0), (0, 2, 1.0), (1, 2, 2.0), (3, 2, 1.0),
+             (2, 0, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(df, weight="w", n_iters=12).collect()}
+    h, a = _np_hits(4, edges, 12)
+    assert set(got) == {0, 1, 2, 3}
+    for node, (gh, ga) in got.items():
+        assert gh == pytest.approx(h[node], abs=1e-12)
+        assert ga == pytest.approx(a[node], abs=1e-12)
+    # node 2 is the authority (everyone points at it); 0/1 are hubs
+    assert got[2][1] > got[0][1] and got[2][1] > got[1][1]
+
+
+def test_hits_deterministic_matches_plain(spark):
+    from nextbus2pg_spark.operators.graph import hits
+
+    edges = [(0, 1, 1.0), (0, 2, 1.0), (1, 2, 2.0), (3, 2, 1.0),
+             (2, 0, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    plain = {r["node"]: (r["hub"], r["authority"])
+             for r in hits(df, weight="w", n_iters=6).collect()}
+    det = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(df, weight="w", n_iters=6,
+                         deterministic=True).collect()}
+    assert set(det) == set(plain)
+    for node in plain:
+        assert det[node][0] == pytest.approx(plain[node][0], abs=1e-12)
+        assert det[node][1] == pytest.approx(plain[node][1], abs=1e-12)
+
+
+def test_hits_null_edge_rejected(spark):
+    from nextbus2pg_spark.operators.graph import hits
+
+    df = spark.createDataFrame([("a", None)], "src string, dst string")
+    with pytest.raises(ValueError, match="NULL"):
+        hits(df)
