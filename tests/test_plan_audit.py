@@ -706,3 +706,23 @@ def test_kcore_final_degrees_semi_join_partial_agg(spark):
     assert "partial" in p.lower(), p
     assert "CartesianProduct" not in p, p
     _bounded_hints_only(df)
+
+
+def test_holt_fold_path_is_jvm_only(spark):
+    """At fixture scale the Holt struct fold runs with zero Python
+    stages and exactly one window pass."""
+    p = plan_text(q(spark, "q_holt"))
+    for marker in ("FlatMapGroupsInPandas", "ArrowEvalPython",
+                   "BatchEvalPython"):
+        assert marker not in p, p
+    assert len(re.findall(r"Window \(\d+\)", p)) == 1, p
+
+
+def test_top_paths_topk_is_sort_limit_partial_agg(spark):
+    """Path counting is map-side partial and the top-k is
+    TakeOrdered (per-partition partial top-k), never a global sort of
+    the path relation."""
+    p = plan_text(q(spark, "q_top_paths"))
+    assert "TakeOrdered" in p, p
+    assert "partial" in p.lower(), p
+    assert "CartesianProduct" not in p, p
