@@ -151,6 +151,26 @@ def main() -> None:
             "dirs_total": total,
             "ratio": round(pruned / total, 3),
         }
+        ivf.vectors.read = orig_vec_read
+
+        # -- retrain-and-swap (round-7): drift handling in place -----
+        # The full-corpus re-train + re-assign as a new epoch plus the
+        # atomic flip, then the off-path prune. A pre-swap search
+        # (pinned epoch) must still answer afterwards — timed to show
+        # snapshot reads cost the same as live ones.
+        pre_epoch = ivf.current_epoch()
+        timed("ivf_retrain_swap", lambda: ivf.retrain_swap(emb))
+        timed(
+            "ivf_search_post_swap",
+            lambda: ivf.search(queries, k=5, nprobe=2).count(),
+        )
+        timed(
+            "ivf_search_pinned_old_epoch",
+            lambda: ivf.search(
+                queries, k=5, nprobe=2, epoch=pre_epoch
+            ).count(),
+        )
+        timed("ivf_prune_stale_epochs", lambda: ivf.prune_stale_epochs())
 
         # -- BPE encode throughput (round-5 verdict task #6) ---------
         # The package's only corpus-hot-path Python stage: a tracked
