@@ -71,6 +71,7 @@ R7_SET: list[str] = [
     "q_holt",
     "q_top_paths",
     "q_hits",
+    "q_gap_detect",
 ]
 
 HEADLINE = [

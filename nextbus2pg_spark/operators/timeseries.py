@@ -655,3 +655,54 @@ def holt_smoothing(
         state["t"].alias("trend"),
         (state["l"] + state["t"]).alias("forecast"),
     )
+
+
+def detect_gaps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    min_gap_seconds: int,
+) -> DataFrame:
+    """Silent intervals per key → ``(key, gap_start, gap_end,
+    gap_seconds)`` for every consecutive-event gap of at least
+    ``min_gap_seconds`` — the "sensor went dark" / feed-outage
+    detector (the reference's vehicle feed goes quiet per route
+    exactly this way; the monitoring question is WHERE and for HOW
+    LONG, which the resampled-grid operators presuppose rather than
+    answer).
+
+    ``gap_seconds`` is the exact integer microsecond difference
+    div 10^6 (floor) — no timestamp subtraction semantics to match
+    across engines. One lag-window pass over the log; output is
+    bounded by the number of gaps, not rows.
+
+    TIMESTAMP_NTZ columns route through a cast to TIMESTAMP for the
+    epoch arithmetic (``unix_micros`` rejects NTZ): the DIFFERENCE is
+    unaffected in any fixed-offset session timezone (the engine's
+    sessions are UTC); only a DST-observing session zone could skew a
+    gap spanning a transition.
+    """
+    if min_gap_seconds < 1:
+        raise ValueError(
+            f"min_gap_seconds must be >= 1; got {min_gap_seconds}"
+        )
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    gap_us = F.unix_micros(
+        F.col(ts_col).cast("timestamp")
+    ) - F.unix_micros(prev.cast("timestamp"))
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            prev.alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            F.floor(gap_us / F.lit(1_000_000)).cast("long").alias(
+                "gap_seconds"
+            ),
+        )
+        .where(
+            F.col("gap_start").isNotNull()
+            & (F.col("gap_seconds") >= F.lit(int(min_gap_seconds)))
+        )
+    )

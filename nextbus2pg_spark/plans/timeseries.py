@@ -311,3 +311,38 @@ def q_holt(spark: SparkSession, sf_dir: str):
         "key", F.col("ts").cast("timestamp_ntz").alias("ts"), "value",
         "level", "trend", "forecast",
     )
+
+
+@fixture(
+    "q_gap_detect",
+    oracle="""
+WITH w AS (
+  SELECT user_id AS key,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap_start,
+         ts AS gap_end
+  FROM events
+)
+SELECT key, gap_start, gap_end,
+       CAST((epoch_us(gap_end) - epoch_us(gap_start)) // 1000000
+            AS BIGINT) AS gap_seconds
+FROM w
+WHERE gap_start IS NOT NULL
+  AND (epoch_us(gap_end) - epoch_us(gap_start)) // 1000000 >= 43200
+""",
+)
+def q_gap_detect(spark: SparkSession, sf_dir: str):
+    """Feed-outage detection (operators/timeseries.detect_gaps): every
+    >= 12h silent interval per user in the event stream, with its
+    exact integer duration (microsecond difference floor-divided —
+    no timestamp-subtraction semantics to match across engines). One
+    lag-window pass; output bounded by the gap count."""
+    from nextbus2pg_spark.operators.timeseries import detect_gaps
+
+    ev = load_table(spark, sf_dir, "events")
+    out = detect_gaps(ev, "user_id", "ts", min_gap_seconds=43200)
+    return out.select(
+        "key",
+        F.col("gap_start").cast("timestamp_ntz").alias("gap_start"),
+        F.col("gap_end").cast("timestamp_ntz").alias("gap_end"),
+        "gap_seconds",
+    )

@@ -385,3 +385,42 @@ def test_holt_tracks_linear_drift_better_than_ewma(spark):
     next_true = 10.0 + 2.0 * 40
     assert abs(last_h["forecast"] - next_true) < 0.1
     assert abs(e["ewma"] - last_h["value"]) > 1.0  # EWMA lags the ramp
+
+
+def test_detect_gaps_hand_computed(spark):
+    import datetime as dt
+
+    from nextbus2pg_spark.operators.timeseries import detect_gaps
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", t0),
+        ("k", t0 + dt.timedelta(seconds=30)),
+        ("k", t0 + dt.timedelta(seconds=330)),   # 300s gap
+        ("k", t0 + dt.timedelta(seconds=331)),
+        ("q", t0),                               # single event: no gap
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = [r.asDict() for r in detect_gaps(
+        df, "k", "ts", min_gap_seconds=60
+    ).collect()]
+    assert len(out) == 1
+    g = out[0]
+    assert g["key"] == "k" and g["gap_seconds"] == 300
+    assert g["gap_start"] == t0 + dt.timedelta(seconds=30)
+    assert g["gap_end"] == t0 + dt.timedelta(seconds=330)
+
+
+def test_detect_gaps_floor_semantics(spark):
+    """A 59.9s gap at a 60s threshold is NOT a gap (floor of the
+    microsecond difference, not rounding)."""
+    import datetime as dt
+
+    from nextbus2pg_spark.operators.timeseries import detect_gaps
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("k", t0), ("k", t0 + dt.timedelta(seconds=59, microseconds=900000))],
+        "k string, ts timestamp",
+    )
+    assert detect_gaps(df, "k", "ts", min_gap_seconds=60).isEmpty()
