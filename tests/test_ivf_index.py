@@ -479,3 +479,39 @@ def test_adds_and_deletes_land_in_current_epoch_after_swap(
         r["match_id"]
         for r in idx.search(twin42, k=5, nprobe=3, epoch=0).collect()
     }
+
+
+def test_prune_stale_epochs_occ_guards_concurrent_adds(spark, tmp_path):
+    """A concurrent add landing between prune's read and its publish
+    must fail the prune loudly (OCC expected_gen), never be silently
+    erased; the retry then converges with the add's rows intact."""
+    from nextbus2pg_spark.sinks.store import ConcurrentWriteError
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IvfIndex(
+        spark, str(tmp_path / "ivf"), n_centroids=8, kmeans_iters=1
+    )
+    idx.train(emb.filter("vec_id >= 10 and vec_id < 60"))
+    idx.retrain_swap(emb.filter("vec_id >= 10 and vec_id < 60"))
+
+    batch = emb.filter("vec_id >= 90 and vec_id < 95")
+    orig = idx.vectors.replace_buckets
+
+    def racing(merged, touched, expected_gen=None, **kw):
+        idx.vectors.replace_buckets = orig  # race once
+        idx.add(batch)  # concurrent writer publishes first
+        return orig(merged, touched, expected_gen=expected_gen, **kw)
+
+    idx.vectors.replace_buckets = racing
+    with pytest.raises(ConcurrentWriteError):
+        idx.prune_stale_epochs()
+
+    idx.prune_stale_epochs()  # retry on the new generation
+    rows = idx.vectors.read().collect()
+    assert {r["epoch"] for r in rows} == {1}
+    ids = {r["id"] for r in rows}
+    assert {90, 91, 92, 93, 94} <= ids  # the racer's rows survived
+    per_id = {}
+    for r in rows:
+        per_id[r["id"]] = per_id.get(r["id"], 0) + 1
+    assert all(c == 1 for c in per_id.values())
