@@ -65,3 +65,23 @@ def test_readme_recipe_runs_verbatim(spark, tmp_path):
     s2 = {(r["doc_id"], r["split"]) for r in
           ep2.select("doc_id", "split").collect()}
     assert s1 == s2
+
+
+def test_readme_monitoring_recipe_runs_verbatim(spark):
+    text = open("/root/repo/README.md", encoding="utf-8").read()
+    section = text.split("## The monitoring recipe", 1)[1]
+    m = re.search(r"```python\n(.*?)```", section, re.DOTALL)
+    assert m, "README monitoring block missing"
+    ns = {"spark": spark, "sf_dir": SF_DIR}
+    exec(compile(m.group(1), "README.md#monitoring", "exec"), ns)  # noqa: S102
+    spikes, drifts, outages = ns["n_flags"]
+    assert spikes >= 0 and drifts >= 0 and outages >= 0
+    # the frames carry the documented contract columns
+    assert {"zscore", "is_anomaly"} <= set(ns["spikes"].columns)
+    assert {"cusum_pos", "cusum_neg", "is_change"} <= set(
+        ns["drifts"].columns
+    )
+    assert {"level", "trend", "forecast"} <= set(ns["forecasts"].columns)
+    assert {"gap_start", "gap_end", "gap_seconds"} <= set(
+        ns["outages"].columns
+    )
