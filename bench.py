@@ -72,6 +72,7 @@ R7_SET: list[str] = [
     "q_top_paths",
     "q_hits",
     "q_gap_detect",
+    "q_profile_drift",
 ]
 
 HEADLINE = [

@@ -132,3 +132,56 @@ def fk_violations(
     Left-anti join: only unmatched rows flow, no row explosion."""
     p = parent.select(F.col(parent_key).alias(child_key)).distinct()
     return child.join(F.broadcast(p), child_key, "left_anti")
+
+
+def profile_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    columns: "list[str] | None" = None,
+) -> DataFrame:
+    """Per-column drift between two snapshots of the same relation →
+    ``(column, n_rows_a, n_rows_b, n_nulls_a, n_nulls_b,
+    null_rate_a, null_rate_b, null_rate_delta, n_distinct_a,
+    n_distinct_b, min_a, min_b, max_a, max_b)`` — the schema-level
+    data-ops check run before any value-level test (K-S, chi2): did a
+    column silently go null-heavy, collapse its cardinality, or shift
+    its range between yesterday's load and today's?
+
+    Built on :func:`profile` (one aggregation pass per side, exact
+    integer counts); every rate is a single exact division and the
+    delta one subtraction, so the whole comparison replays exactly in
+    SQL. The join is column-name-sized. Distribution-level drift
+    belongs to ``ks_statistic``/``chi_squared`` — this operator is
+    the cheap always-on tripwire in front of them.
+    """
+    cols = columns or [c for c in df_a.columns if c in set(df_b.columns)]
+    pa = profile(df_a, cols)
+    pb = profile(df_b, cols)
+    a = pa.select(
+        "column",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("n_nulls").alias("n_nulls_a"),
+        F.col("n_distinct").alias("n_distinct_a"),
+        F.col("min_num").alias("min_a"),
+        F.col("max_num").alias("max_a"),
+    )
+    b = pb.select(
+        "column",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("n_nulls").alias("n_nulls_b"),
+        F.col("n_distinct").alias("n_distinct_b"),
+        F.col("min_num").alias("min_b"),
+        F.col("max_num").alias("max_b"),
+    )
+    ra = F.col("n_nulls_a").cast("double") / F.col("n_rows_a").cast("double")
+    rb = F.col("n_nulls_b").cast("double") / F.col("n_rows_b").cast("double")
+    return a.join(b, "column").select(
+        "column",
+        "n_rows_a", "n_rows_b",
+        "n_nulls_a", "n_nulls_b",
+        ra.alias("null_rate_a"),
+        rb.alias("null_rate_b"),
+        (rb - ra).alias("null_rate_delta"),
+        "n_distinct_a", "n_distinct_b",
+        "min_a", "min_b", "max_a", "max_b",
+    )

@@ -948,3 +948,61 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str):
         F.col("right_id").cast("long").alias("right_id"),
         "dist",
     )
+
+
+def _drift_profile_sql(half: str) -> str:
+    """One snapshot's 2-column profile (event_type, value) as the
+    oracle's UNION ALL form over the given half-month predicate."""
+    pred = (
+        "day(ts) <= 15" if half == "a" else "day(ts) > 15"
+    )
+    return f"""
+SELECT 'event_type' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE event_type IS NULL) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
+FROM events WHERE {pred}
+UNION ALL
+SELECT 'value', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT),
+       CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+FROM events WHERE {pred}"""
+
+
+@fixture(
+    "q_profile_drift",
+    oracle=f"""
+WITH pa AS ({_drift_profile_sql('a')}),
+pb AS ({_drift_profile_sql('b')})
+SELECT pa."column",
+       pa.n_rows AS n_rows_a, pb.n_rows AS n_rows_b,
+       pa.n_nulls AS n_nulls_a, pb.n_nulls AS n_nulls_b,
+       CAST(pa.n_nulls AS DOUBLE) / CAST(pa.n_rows AS DOUBLE)
+         AS null_rate_a,
+       CAST(pb.n_nulls AS DOUBLE) / CAST(pb.n_rows AS DOUBLE)
+         AS null_rate_b,
+       CAST(pb.n_nulls AS DOUBLE) / CAST(pb.n_rows AS DOUBLE)
+         - CAST(pa.n_nulls AS DOUBLE) / CAST(pa.n_rows AS DOUBLE)
+         AS null_rate_delta,
+       pa.n_distinct AS n_distinct_a, pb.n_distinct AS n_distinct_b,
+       pa.min_num AS min_a, pb.min_num AS min_b,
+       pa.max_num AS max_a, pb.max_num AS max_b
+FROM pa JOIN pb ON pb."column" = pa."column"
+""",
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str):
+    """Snapshot-to-snapshot column drift
+    (operators/quality.profile_drift): the month's first half vs its
+    second half of the event log, per column — null rates (exact
+    divisions), exact distinct counts, numeric range shifts. The
+    cheap always-on tripwire in front of the value-level drift tests
+    (q_ks_drift, q_chi_squared); one profile pass per side, a
+    column-name-sized join."""
+    from nextbus2pg_spark.operators.quality import profile_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.dayofmonth("ts") <= 15)
+    b = ev.where(F.dayofmonth("ts") > 15)
+    return profile_drift(a, b, ["event_type", "value"])

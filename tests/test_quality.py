@@ -65,3 +65,33 @@ def test_sql_string_interface(spark):
         SF_DIR_SMALL,
     ).collect()
     assert len(top) == 1 and top[0].n > 0
+
+
+def test_profile_drift_hand_computed(spark):
+    from nextbus2pg_spark.operators.quality import profile_drift
+
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)], "k long, v double"
+    )
+    b = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, None), (4, None)], "k long, v double"
+    )
+    out = {r["column"]: r for r in profile_drift(a, b).collect()}
+    v = out["v"]
+    assert (v["n_nulls_a"], v["n_nulls_b"]) == (1, 3)
+    assert v["null_rate_a"] == 0.25 and v["null_rate_b"] == 0.75
+    assert v["null_rate_delta"] == 0.5
+    assert (v["n_distinct_a"], v["n_distinct_b"]) == (3, 1)
+    assert (v["min_a"], v["max_a"]) == (10.0, 40.0)
+    assert (v["min_b"], v["max_b"]) == (10.0, 10.0)
+    k = out["k"]
+    assert k["null_rate_delta"] == 0.0 and k["n_distinct_b"] == 4
+
+
+def test_profile_drift_defaults_to_shared_columns(spark):
+    from nextbus2pg_spark.operators.quality import profile_drift
+
+    a = spark.createDataFrame([(1, "x", 5.0)], "k long, s string, v double")
+    b = spark.createDataFrame([(1, "y")], "k long, s string")
+    out = profile_drift(a, b).collect()
+    assert {r["column"] for r in out} == {"k", "s"}  # v absent in b
