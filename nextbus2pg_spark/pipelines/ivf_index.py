@@ -109,6 +109,11 @@ class IvfIndex:
     def _stamp(df: DataFrame, epoch: int) -> DataFrame:
         return df.withColumn("epoch", F.lit(epoch).cast("int"))
 
+    def _stores(self):
+        """Every epoch-stamped store (prune iterates these; the PQ
+        subclass adds its codebook)."""
+        return (self.vectors, self.centroids)
+
     def _train_centroids(
         self, vectors: DataFrame, id_col: str, vec_col: str
     ) -> DataFrame:
@@ -142,7 +147,8 @@ class IvfIndex:
         # only its own fresh generation, superseding any crash debris.
         self.vectors.init(
             self._stamp(
-                self._assigned_rows(cents, vectors, id_col, vec_col), 0
+                self._assigned_rows(cents, vectors, id_col, vec_col, 0),
+                0,
             )
         )
         self.centroids.init(self._stamp(cents, 0))
@@ -185,7 +191,9 @@ class IvfIndex:
         cents = self._train_centroids(vectors, id_col, vec_col)
         self.vectors.append(
             self._stamp(
-                self._assigned_rows(cents, vectors, id_col, vec_col),
+                self._assigned_rows(
+                    cents, vectors, id_col, vec_col, new_epoch
+                ),
                 new_epoch,
             )
         )
@@ -201,7 +209,7 @@ class IvfIndex:
         (``search(epoch=...)``) until the operator decides in-flight
         readers have drained."""
         epoch = self.current_epoch()
-        for store in (self.vectors, self.centroids):
+        for store in self._stores():
             if not store.exists():
                 continue
             base_gen = store.current_manifest()["gen"]
@@ -230,13 +238,25 @@ class IvfIndex:
         cents, epoch = self._cents()
         self.vectors.append(
             self._stamp(
-                self._assigned_rows(cents, vectors, id_col, vec_col), epoch
+                self._assigned_rows(
+                    cents, vectors, id_col, vec_col, epoch
+                ),
+                epoch,
             )
         )
 
     def _assigned_rows(
-        self, cents: DataFrame, vectors: DataFrame, id_col: str, vec_col: str
+        self,
+        cents: DataFrame,
+        vectors: DataFrame,
+        id_col: str,
+        vec_col: str,
+        epoch: int,
     ) -> DataFrame:
+        """Batch → storable index rows, assigned against ``cents``.
+        ``epoch`` identifies which epoch's auxiliary model applies —
+        unused by the raw codec, consumed by the PQ subclass to pick
+        the matching codebook."""
         assigned = ivf_assign(vectors, id_col, vec_col, cents, nprobe=1)
         return assigned.join(
             with_norm(vectors, vec_col, "norm").select(
@@ -266,7 +286,8 @@ class IvfIndex:
         vectors = vectors.dropDuplicates([id_col])
         cents, epoch = self._cents()
         rows = self._stamp(
-            self._assigned_rows(cents, vectors, id_col, vec_col), epoch
+            self._assigned_rows(cents, vectors, id_col, vec_col, epoch),
+            epoch,
         ).localCheckpoint()  # consumed by bucket-id collect + anti-join
         if self.vectors.exists():
             cells = rows.select("centroid_id").distinct()
@@ -433,3 +454,216 @@ class IvfIndex:
         """Fold per-batch append dirs back to one per bucket (store
         OPTIMIZE; off the ingest path)."""
         return self.vectors.compact(min_dirs_per_bucket)
+
+
+class IvfPqIndex(IvfIndex):
+    """IVF index whose rows store PQ CODES instead of raw vectors —
+    the composed 100 TB ANN shape as a PERSISTENT index: coarse
+    centroids prune whole manifest buckets at search time (inherited)
+    and product quantization shrinks every stored row to ``pq_m``
+    small ints (64-dim float64 → 4 bytes at the defaults, ~128×
+    smaller), so search reads codes and a per-query lookup table —
+    never a corpus vector.
+
+    Everything epoch-/CDC-/crash-related is inherited verbatim: the
+    codebook is a third epoch-stamped store published BETWEEN the
+    vectors and the centroid flip, so the flip atomically exposes a
+    (centroids, codebook, codes) triple trained together — no reader
+    can pair a codebook with another epoch's codes. ``add`` /
+    ``add_if_absent`` / ``delete`` / ``apply_changes`` work unchanged
+    (assignment and membership need only (id, centroid_id, epoch));
+    only row encoding and search scoring differ. Accuracy contract:
+    ``sim`` is the ADC approximation of cosine (operators/similarity
+    ``pq_topk``'s contract); recall floors are pinned by tests.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_centroids: int = 16,
+        kmeans_iters: int = 2,
+        n_buckets: int = 16,
+        pq_m: int = 4,
+        pq_codes: int = 16,
+        pq_iters: int = 2,
+    ):
+        super().__init__(
+            spark, path, n_centroids=n_centroids,
+            kmeans_iters=kmeans_iters, n_buckets=n_buckets,
+        )
+        self.pq_m = pq_m
+        self.pq_codes = pq_codes
+        self.pq_iters = pq_iters
+        self.codebook = BucketedParquetStore(
+            spark, f"{path.rstrip('/')}/codebook", ["sub"], n_buckets=1,
+        )
+        #: in-training codebook: lets _assigned_rows encode against a
+        #: book that is not yet published (train/retrain build phase)
+        self._fresh_book: DataFrame | None = None
+
+    def _stores(self):
+        return (self.vectors, self.codebook, self.centroids)
+
+    def _book_at(self, epoch: int) -> DataFrame:
+        return (
+            self.codebook.read()
+            .where(F.col("epoch") == F.lit(epoch))
+            .select("sub", "code_id", "c_vec")
+        )
+
+    def _train_book(
+        self, vectors: DataFrame, id_col: str, vec_col: str
+    ) -> DataFrame:
+        from nextbus2pg_spark.operators.similarity import pq_train
+
+        return pq_train(
+            vectors, id_col, vec_col, m=self.pq_m,
+            n_codes=self.pq_codes, n_iters=self.pq_iters,
+        ).localCheckpoint()  # consumed by encode + publish
+
+    def _assigned_rows(
+        self,
+        cents: DataFrame,
+        vectors: DataFrame,
+        id_col: str,
+        vec_col: str,
+        epoch: int,
+    ) -> DataFrame:
+        """(id, centroid_id, codes): coarse assignment + PQ encoding
+        against the epoch's codebook (the in-training one during a
+        build — published and trained as one triple, so they always
+        match)."""
+        from nextbus2pg_spark.operators.similarity import pq_encode
+
+        book = (
+            self._fresh_book
+            if self._fresh_book is not None
+            else self._book_at(epoch)
+        )
+        assigned = ivf_assign(vectors, id_col, vec_col, cents, nprobe=1)
+        codes = pq_encode(vectors, book, id_col, vec_col)
+        return assigned.join(codes, "id")
+
+    def train(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Epoch-0 build: codes FIRST, codebook SECOND, centroid
+        publish LAST (exists() keys on the centroid manifest — the
+        inherited crash-rerunnability argument, with the codebook
+        inside the invisible window)."""
+        if self.exists():
+            raise ValueError(
+                "index already trained; call retrain_swap() to refresh"
+            )
+        cents = self._train_centroids(vectors, id_col, vec_col)
+        self._fresh_book = self._train_book(vectors, id_col, vec_col)
+        try:
+            self.vectors.init(
+                self._stamp(
+                    self._assigned_rows(cents, vectors, id_col, vec_col, 0),
+                    0,
+                )
+            )
+            self.codebook.init(self._stamp(self._fresh_book, 0))
+        finally:
+            self._fresh_book = None
+        self.centroids.init(self._stamp(cents, 0))
+
+    def retrain_swap(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> int:
+        """Inherited contract (atomic flip at the centroid publish;
+        crash debris skipped by the retry's epoch choice and swept by
+        prune) with the codebook appended between codes and flip."""
+        if not self.exists():
+            raise ValueError("no trained index at this path; call train()")
+        v_max = self.vectors.read().agg(F.max("epoch")).collect()[0][0]
+        new_epoch = max(self.current_epoch(), int(v_max)) + 1
+        cents = self._train_centroids(vectors, id_col, vec_col)
+        self._fresh_book = self._train_book(vectors, id_col, vec_col)
+        try:
+            self.vectors.append(
+                self._stamp(
+                    self._assigned_rows(
+                        cents, vectors, id_col, vec_col, new_epoch
+                    ),
+                    new_epoch,
+                )
+            )
+            self.codebook.append(self._stamp(self._fresh_book, new_epoch))
+        finally:
+            self._fresh_book = None
+        self.centroids.append(self._stamp(cents, new_epoch))  # the flip
+        return new_epoch
+
+    def search(
+        self,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 5,
+        nprobe: int = 4,
+        epoch: int | None = None,
+    ) -> DataFrame:
+        """ADC top-k over the probed cells' CODES →
+        (query_id, match_id, sim, rank), self-pairs excluded — the
+        ``pq_topk`` output contract with IVF bucket pruning. Reads
+        only the probed cells' manifest buckets; per-candidate cost is
+        ``pq_m`` lookup-adds against the per-query LUT (bounded:
+        queries × m × n_codes rows, broadcast)."""
+        from pyspark.sql import Window as W
+        from nextbus2pg_spark.operators.similarity import _adc_lut
+
+        if epoch is None:
+            cents, epoch = self._cents()
+        else:
+            cents = (
+                self.centroids.read()
+                .where(F.col("epoch") == F.lit(epoch))
+                .select("centroid_id", "c_vec")
+            )
+        q_assigned = ivf_assign(queries, id_col, vec_col, cents,
+                                nprobe=nprobe)
+        probe_cells = q_assigned.select("centroid_id").distinct()
+        touched = self.vectors.touched_buckets(probe_cells)
+        stored = (
+            self.vectors.read(touched)
+            .where(F.col("epoch") == F.lit(epoch))
+            .select("id", "centroid_id", "codes")
+        )
+        probes = q_assigned.select(
+            F.col("id").alias("query_id"), "centroid_id"
+        )
+        lut = _adc_lut(queries, self._book_at(epoch), id_col, vec_col)
+        cand = (
+            stored.join(F.broadcast(probes), "centroid_id")
+            .where(F.col("query_id") != F.col("id"))
+            .select(
+                "query_id",
+                F.col("id").alias("match_id"),
+                F.posexplode("codes").alias("sub", "code_id"),
+            )
+        )
+        # no pair-dedup needed: each stored id lives in exactly ONE
+        # cell (index-side nprobe=1), so a (query, match) pair meets
+        # at most once however many cells the query probes
+        scored = (
+            cand.join(F.broadcast(lut), ["query_id", "sub", "code_id"])
+            .groupBy("query_id", "match_id")
+            .agg(F.round(F.sum("part"), 6).alias("sim"))
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("match_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "match_id", "sim", "rank")
+        )
