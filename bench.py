@@ -73,6 +73,7 @@ R7_SET: list[str] = [
     "q_hits",
     "q_gap_detect",
     "q_profile_drift",
+    "q_modularity",
 ]
 
 HEADLINE = [

@@ -647,3 +647,66 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hub", 6).alias("hub"),
         F.round("authority", 6).alias("authority"),
     )
+
+
+def _modularity_oracle(n_iters: int) -> str:
+    """LPA's unrolled CTE chain with the final SELECT swapped for the
+    modularity aggregation over the round-``n_iters`` labels — the
+    whole (partition + score) computation replays as integers with
+    ONE final division."""
+    lpa = _lpa_oracle(n_iters)
+    tail = f"\nSELECT node, label FROM l{n_iters}\n"
+    assert lpa.endswith(tail)
+    return lpa[: -len(tail)] + f""",
+lab AS MATERIALIZED (SELECT node, label FROM l{n_iters}),
+tagged AS MATERIALIZED (
+  SELECT lx.label AS la, ly.label AS lb
+  FROM e JOIN lab lx ON lx.node = e.a JOIN lab ly ON ly.node = e.b
+),
+mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e),
+intra AS (
+  SELECT la AS c, CAST(count(*) AS HUGEINT) AS ec
+  FROM tagged WHERE la = lb GROUP BY la
+),
+deg AS (
+  SELECT c, CAST(count(*) AS HUGEINT) AS dc FROM (
+    SELECT la AS c FROM tagged UNION ALL SELECT lb FROM tagged) u
+  GROUP BY c
+),
+perc AS (
+  SELECT d.c, coalesce(i.ec, CAST(0 AS HUGEINT)) AS ec, d.dc
+  FROM deg d LEFT JOIN intra i ON i.c = d.c
+)
+SELECT CAST(mm.m AS BIGINT) AS m_edges,
+       CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(sum(4 * mm.m * p.ec - p.dc * p.dc) AS DOUBLE)
+         / CAST(4 * mm.m * mm.m AS DOUBLE) AS modularity
+FROM perc p CROSS JOIN mm GROUP BY mm.m
+"""
+
+
+@fixture("q_modularity", oracle=_modularity_oracle(_LPA_ITERS))
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 4-round LPA partition on the
+    customer-supplier graph (operators/graph.modularity over
+    label_propagation) — the score that says whether the detected
+    communities explain the graph. Every input is an exact integer
+    (intra-edge counts, degrees, m) and Q is one final division, so
+    the oracle replays the LPA chain AND the score exactly."""
+    from nextbus2pg_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(10000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    labels = label_propagation(edges, n_iters=_LPA_ITERS)
+    return modularity(edges, labels)

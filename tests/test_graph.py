@@ -427,3 +427,37 @@ def test_hits_null_edge_rejected(spark):
     df = spark.createDataFrame([("a", None)], "src string, dst string")
     with pytest.raises(ValueError, match="NULL"):
         hits(df)
+
+
+def test_modularity_hand_computed(spark):
+    """Two disjoint triangles, perfectly partitioned: m=6, per
+    community e_c=3, d_c=6 -> Q = 2*(3/6 - (6/12)^2) = 0.5. One
+    community holding everything scores 0."""
+    from nextbus2pg_spark.operators.graph import modularity
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(tri1 + tri2, "src long, dst long")
+    good = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3)] + [(n, 10) for n in (10, 11, 12)],
+        "node long, label long",
+    )
+    r = modularity(edges, good).collect()[0]
+    assert (r["m_edges"], r["n_communities"]) == (6, 2)
+    assert r["modularity"] == 0.5
+
+    lump = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3, 10, 11, 12)], "node long, label long"
+    )
+    assert modularity(edges, lump).collect()[0]["modularity"] == 0.0
+
+
+def test_modularity_unlabeled_endpoint_rejected(spark):
+    import pytest
+
+    from nextbus2pg_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    labels = spark.createDataFrame([(1, 1)], "node long, label long")
+    with pytest.raises(ValueError, match="no label"):
+        modularity(edges, labels)
