@@ -74,6 +74,7 @@ R7_SET: list[str] = [
     "q_gap_detect",
     "q_profile_drift",
     "q_modularity",
+    "q_assortativity",
 ]
 
 HEADLINE = [

@@ -867,3 +867,54 @@ def modularity(
             / (F.lit(4).cast(dec) * F.col("m") * F.col("m")).cast("double")
         ).alias("modularity"),
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient of an undirected simple graph
+    → one row ``(n_pairs, assortativity)`` — Newman's r: the Pearson
+    correlation of endpoint degrees over all directed edge
+    orientations (positive = hubs link to hubs, social-network shape;
+    negative = hub-and-spoke, web/biology shape — a one-number
+    structural fingerprint when triaging an unknown link graph).
+
+    Pure composition: canonical distinct edges → exact integer
+    degrees → both orientations' (deg_x, deg_y) pairs →
+    :func:`~nextbus2pg_spark.operators.stats.grouped_pearson` (exact
+    DECIMAL(38,0) moment sums, one fixed double expression at the
+    end). Zero-variance degree distributions (regular graphs) yield
+    NULL, per the stats-module convention.
+    """
+    from nextbus2pg_spark.operators.stats import grouped_pearson
+
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .where(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # degrees + both orientations
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("dy"))
+    oriented = e.join(da, "a").join(db, "b").select("dx", "dy")
+    pairs = oriented.unionAll(
+        oriented.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    ).withColumn("__g", F.lit(1))
+    r = grouped_pearson(pairs, ["__g"], "dx", "dy")
+    return r.select(
+        F.col("n").alias("n_pairs"),
+        F.col("corr").alias("assortativity"),
+    )

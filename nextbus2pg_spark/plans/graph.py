@@ -710,3 +710,74 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = label_propagation(edges, n_iters=_LPA_ITERS)
     return modularity(edges, labels)
+
+
+@fixture(
+    "q_assortativity",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey AS ok, CAST(l_suppkey AS BIGINT) AS s
+  FROM lineitem WHERE l_quantity > 45
+),
+raw AS (
+  SELECT lx.s AS src, ly.s AS dst
+  FROM li lx JOIN li ly ON lx.ok = ly.ok AND lx.s < ly.s
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw
+),
+deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e) u
+  GROUP BY node
+),
+oriented AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+),
+pairs AS (
+  SELECT dx, dy FROM oriented
+  UNION ALL
+  SELECT dy, dx FROM oriented
+),
+agg AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(dx AS HUGEINT)) AS sx, sum(CAST(dy AS HUGEINT)) AS sy,
+         sum(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS sxx,
+         sum(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS syy,
+         sum(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS sxy
+  FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS assortativity
+FROM agg
+""",
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the high-quantity supplier
+    co-occurrence graph (operators/graph.degree_assortativity — the
+    q_triangle_count edge head): Newman's r as a Pearson correlation
+    of endpoint degrees over both edge orientations, on exact
+    DECIMAL(38,0)/HUGEINT moment sums with one fixed double expression
+    at the end."""
+    from nextbus2pg_spark.operators.graph import degree_assortativity
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 45)
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").cast("long").alias("s"),
+        )
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "ok")
+        .where(F.col("x.s") < F.col("y.s"))
+        .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+    )
+    return degree_assortativity(edges)

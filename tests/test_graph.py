@@ -461,3 +461,22 @@ def test_modularity_unlabeled_endpoint_rejected(spark):
     labels = spark.createDataFrame([(1, 1)], "node long, label long")
     with pytest.raises(ValueError, match="no label"):
         modularity(edges, labels)
+
+
+def test_assortativity_star_is_negative_and_cycle_null(spark):
+    """A star is maximally disassortative (r = -1: the hub's high
+    degree always pairs with leaves' degree 1); a cycle is regular
+    (zero degree variance -> NULL by the stats convention)."""
+    from nextbus2pg_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_pairs"] == 10 and r["assortativity"] == -1.0
+
+    cycle = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    r = degree_assortativity(cycle).collect()[0]
+    assert r["assortativity"] is None
