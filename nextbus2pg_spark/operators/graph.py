@@ -407,6 +407,8 @@ def triangle_count(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    *,
+    max_degree: "int | None" = None,
 ) -> DataFrame:
     """Per-node triangle counts and local clustering coefficient over
     an undirected simple graph → ``(node, degree, triangles, lcc)``.
@@ -426,9 +428,15 @@ def triangle_count(
     consumed three times), one equi-self-join, one left-semi join, and
     two hash aggregations — no collects, no broadcasts forced (AQE
     decides), nothing quadratic in |V|. Wedge enumeration is inherently
-    Σ deg(v)² work; hub-heavy graphs should cap or sample hub
-    neighborhoods upstream (the standard mitigation, cf.
-    Suri & Vassilvitskii's MapReduce triangle counting).
+    Σ deg(v)² work, so the engine SHIPS the standard hub mitigation
+    (cf. Suri & Vassilvitskii's MapReduce triangle counting):
+    ``max_degree`` drops every node whose degree exceeds it BEFORE
+    wedge enumeration (one extra degree aggregation + two semi-joins —
+    linear work) and excludes those hubs from the output, bounding the
+    per-node wedge cost at max_degree². Capped results undercount
+    triangles through hubs — the documented approximation every
+    production triangle counter makes; leave it None for exact counts
+    on bounded-degree graphs.
     """
     a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
     e = (
@@ -441,6 +449,22 @@ def triangle_count(
         .distinct()
         .localCheckpoint(eager=True)  # consumed by wedges, close, degree
     )
+    if max_degree is not None:
+        if max_degree < 1:
+            raise ValueError(f"max_degree must be >= 1; got {max_degree}")
+        keep = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .where(F.col("__d") <= F.lit(int(max_degree)))
+            .select("node")
+        )
+        e = (
+            e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
     tri = (
         e.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .join(

@@ -480,3 +480,24 @@ def test_assortativity_star_is_negative_and_cycle_null(spark):
     )
     r = degree_assortativity(cycle).collect()[0]
     assert r["assortativity"] is None
+
+
+def test_triangle_count_max_degree_caps_hubs(spark):
+    """max_degree drops hub nodes BEFORE wedge enumeration: a hub
+    wired to every triangle corner disappears from the output and its
+    wedges are never generated; the base triangle survives."""
+    from nextbus2pg_spark.operators.graph import triangle_count
+
+    tri = [(1, 2), (2, 3), (1, 3)]
+    hub = [(9, n) for n in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame(tri + hub, "src long, dst long")
+    out = {r["node"]: r for r in triangle_count(
+        df, max_degree=3
+    ).collect()}
+    assert 9 not in out  # the degree-5 hub is capped away
+    assert out[1]["triangles"] == 1 and out[1]["degree"] == 2
+    # 4 and 5 only touched the hub: gone with it
+    assert set(out) == {1, 2, 3}
+    # uncapped: the hub closes three extra triangles
+    full = {r["node"]: r for r in triangle_count(df).collect()}
+    assert full[9]["triangles"] == 3
