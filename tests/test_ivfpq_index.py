@@ -202,3 +202,56 @@ def test_crash_before_flip_invisible_even_with_codebook_debris(
         epochs = {r["epoch"] for r in st.read().select(
             "epoch").distinct().collect()}
         assert epochs == {2}, st.path
+
+
+def test_streaming_embedding_index_with_pq_codec(spark, tmp_path):
+    """The streaming embedding stage (streaming/curation.py
+    start_embedding_index) is codec-agnostic: file-streamed vectors
+    land as PQ codes across two availableNow runs (restart included),
+    and a twin query surfaces the streamed vector via ADC search."""
+    import json
+    import os
+
+    from nextbus2pg_spark.streaming.curation import start_embedding_index
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IvfPqIndex(
+        spark, str(tmp_path / "ivfpq"), n_centroids=4, kmeans_iters=0,
+        pq_m=4, pq_codes=16, pq_iters=1,
+    )
+    idx.train(emb.filter("vec_id < 30"))
+
+    rows = emb.filter("vec_id >= 30 and vec_id < 34").collect()
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+
+    def write_batch(name, rs):
+        with open(os.path.join(spool, name), "w") as f:
+            for r in rs:
+                f.write(json.dumps(
+                    {"vec_id": r["vec_id"],
+                     "embedding": [float(x) for x in r["embedding"]]}
+                ) + "\n")
+
+    stream_schema = "vec_id long, embedding array<float>"
+    write_batch("b1.json", rows[:2])
+    q = start_embedding_index(
+        spark.readStream.schema(stream_schema).json(spool),
+        idx, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    write_batch("b2.json", rows[2:])
+    q = start_embedding_index(
+        spark.readStream.schema(stream_schema).json(spool),
+        idx, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    stored = idx.vectors.read().filter("id >= 30 and id < 34")
+    assert stored.count() == 4
+    assert set(stored.columns) == {"id", "centroid_id", "codes", "epoch"}
+    twin = spark.createDataFrame(
+        [(9000, rows[3]["embedding"])], stream_schema
+    )
+    res = idx.search(twin, k=1, nprobe=4).collect()
+    assert res and res[0]["match_id"] == rows[3]["vec_id"]
