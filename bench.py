@@ -75,6 +75,7 @@ R7_SET: list[str] = [
     "q_profile_drift",
     "q_modularity",
     "q_assortativity",
+    "q_welch_t",
 ]
 
 HEADLINE = [

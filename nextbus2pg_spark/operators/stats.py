@@ -336,3 +336,84 @@ def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
             den != 0, num.cast("double") / den.cast("double")
         ).alias("kappa"),
     )
+
+
+def welch_t(
+    df: DataFrame,
+    sample_col: str,
+    value_col: str,
+    sample_a,
+    sample_b,
+    *,
+    scale: int = 1,
+) -> DataFrame:
+    """Welch's two-sample t statistic → one row
+    ``(n_a, n_b, mean_a, mean_b, t_stat, dof)`` — the A/B-testing
+    primitive (did the treatment move the metric?), in the unequal-
+    variance form that doesn't assume the two groups share a spread.
+
+    Same exactness recipe as :func:`grouped_pearson`: values quantize
+    to integers, each group's count/sum/sum-of-squares accumulate as
+    DECIMAL(38,0) in ONE partial-aggregated pass over the fact table,
+    and the statistic
+
+        t = (x̄_a - x̄_b) / sqrt(s²_a/n_a + s²_b/n_b)
+
+    (sample variances, n-1 denominators) plus the Welch–Satterthwaite
+    ``dof`` are fixed double expressions over those exact integers.
+    Degenerate inputs (a group with < 2 rows, or both variances zero)
+    yield NULL t/dof by exact integer comparison — never a 0/0.
+
+    The reported means are in ORIGINAL units (the quantized means
+    divided by ``scale``); t and dof are scale-invariant.
+    """
+    vq = F.round(F.col(value_col) * F.lit(scale), 0).cast("long")
+    tagged = df.select(
+        F.col(sample_col).alias("__s"), vq.alias("__vq")
+    ).where(F.col("__vq").isNotNull())
+    vd = F.col("__vq").cast(_DEC)
+    agg = tagged.agg(
+        F.sum(F.when(F.col("__s") == F.lit(sample_a), 1).otherwise(0))
+        .cast(_DEC).alias("na"),
+        F.sum(F.when(F.col("__s") == F.lit(sample_b), 1).otherwise(0))
+        .cast(_DEC).alias("nb"),
+        F.sum(F.when(F.col("__s") == F.lit(sample_a), vd).otherwise(
+            F.lit(0).cast(_DEC))).alias("sa"),
+        F.sum(F.when(F.col("__s") == F.lit(sample_b), vd).otherwise(
+            F.lit(0).cast(_DEC))).alias("sb"),
+        F.sum(F.when(F.col("__s") == F.lit(sample_a), vd * vd).otherwise(
+            F.lit(0).cast(_DEC))).alias("ssa"),
+        F.sum(F.when(F.col("__s") == F.lit(sample_b), vd * vd).otherwise(
+            F.lit(0).cast(_DEC))).alias("ssb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    # exact integer numerators: n*SS - S^2 = n*(n-1)*s² (quantized)
+    va_num = na * F.col("ssa") - F.col("sa") * F.col("sa")
+    vb_num = nb * F.col("ssb") - F.col("sb") * F.col("sb")
+    nad, nbd = na.cast("double"), nb.cast("double")
+    # s²/n in quantized units, as one fixed expression each
+    qa = va_num.cast("double") / (nad * (nad - 1.0) * nad)
+    qb = vb_num.cast("double") / (nbd * (nbd - 1.0) * nbd)
+    mean_diff_q = (
+        F.col("sa").cast("double") / nad
+        - F.col("sb").cast("double") / nbd
+    )
+    ok = (na >= 2) & (nb >= 2) & ((va_num > 0) | (vb_num > 0))
+    t_stat = F.when(ok, mean_diff_q / F.sqrt(qa + qb))
+    dof = F.when(
+        ok,
+        (qa + qb) * (qa + qb)
+        / (qa * qa / (nad - 1.0) + qb * qb / (nbd - 1.0)),
+    )
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        (F.col("sa").cast("double") / nad / F.lit(float(scale))).alias(
+            "mean_a"
+        ),
+        (F.col("sb").cast("double") / nbd / F.lit(float(scale))).alias(
+            "mean_b"
+        ),
+        t_stat.alias("t_stat"),
+        dof.alias("dof"),
+    )

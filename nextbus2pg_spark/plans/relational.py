@@ -1006,3 +1006,64 @@ def q_profile_drift(spark: SparkSession, sf_dir: str):
     a = ev.where(F.dayofmonth("ts") <= 15)
     b = ev.where(F.dayofmonth("ts") > 15)
     return profile_drift(a, b, ["event_type", "value"])
+
+
+@fixture(
+    "q_welch_t",
+    oracle="""
+WITH base AS (
+  SELECT event_type AS s, CAST(round(value * 100) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+),
+agg AS (
+  SELECT
+    CAST(sum(CASE WHEN s = 'purchase' THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+    CAST(sum(CASE WHEN s = 'view' THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+    sum(CASE WHEN s = 'purchase' THEN CAST(vq AS HUGEINT)
+             ELSE CAST(0 AS HUGEINT) END) AS sa,
+    sum(CASE WHEN s = 'view' THEN CAST(vq AS HUGEINT)
+             ELSE CAST(0 AS HUGEINT) END) AS sb,
+    sum(CASE WHEN s = 'purchase' THEN CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT)
+             ELSE CAST(0 AS HUGEINT) END) AS ssa,
+    sum(CASE WHEN s = 'view' THEN CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT)
+             ELSE CAST(0 AS HUGEINT) END) AS ssb
+  FROM base
+),
+x AS (
+  SELECT na, nb, sa, sb,
+         na * ssa - sa * sa AS va_num,
+         nb * ssb - sb * sb AS vb_num,
+         CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+  FROM agg
+),
+y AS (
+  SELECT na, nb, sa, sb, va_num, vb_num, nad, nbd,
+         CAST(va_num AS DOUBLE) / (nad * (nad - 1.0) * nad) AS qa,
+         CAST(vb_num AS DOUBLE) / (nbd * (nbd - 1.0) * nbd) AS qb,
+         CAST(sa AS DOUBLE) / nad - CAST(sb AS DOUBLE) / nbd AS md
+  FROM x
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(sa AS DOUBLE) / nad / 100.0 AS mean_a,
+       CAST(sb AS DOUBLE) / nbd / 100.0 AS mean_b,
+       CASE WHEN na >= 2 AND nb >= 2 AND (va_num > 0 OR vb_num > 0)
+            THEN md / sqrt(qa + qb) END AS t_stat,
+       CASE WHEN na >= 2 AND nb >= 2 AND (va_num > 0 OR vb_num > 0)
+            THEN (qa + qb) * (qa + qb)
+                 / (qa * qa / (nad - 1.0) + qb * qb / (nbd - 1.0))
+       END AS dof
+FROM y
+""",
+)
+def q_welch_t(spark: SparkSession, sf_dir: str):
+    """Welch's unequal-variance two-sample t between purchase and view
+    event values (operators/stats.welch_t, cent quantization) — the
+    A/B-testing primitive. One partial-aggregated pass accumulates
+    both groups' exact DECIMAL(38,0)/HUGEINT moment sums; t and the
+    Welch-Satterthwaite dof are fixed double expressions over them,
+    replayed term-for-term by the oracle."""
+    from nextbus2pg_spark.operators.stats import welch_t
+
+    ev = load_table(spark, sf_dir, "events")
+    return welch_t(ev, "event_type", "value", "purchase", "view",
+                   scale=100)

@@ -151,3 +151,44 @@ def test_cohens_kappa_degenerate_constant_raters(spark):
     df = spark.createDataFrame([("y", "y")] * 5, "a string, b string")
     r = cohens_kappa(df, "a", "b").collect()[0]
     assert r["kappa"] is None  # pe = 1: chance-corrected agreement undefined
+
+
+def test_welch_t_matches_scipy_formula(spark):
+    """Hand/NumPy reference on unequal-variance unequal-size groups."""
+    import numpy as np
+
+    from nextbus2pg_spark.operators.stats import welch_t
+
+    a = [10.0, 12.0, 11.0, 13.0, 9.0, 14.0]
+    b = [20.0, 25.0, 15.0, 30.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "s string, v double")
+    r = welch_t(df, "s", "v", "a", "b").collect()[0]
+    xa, xb = np.array(a), np.array(b)
+    va, vb = xa.var(ddof=1), xb.var(ddof=1)
+    t_ref = (xa.mean() - xb.mean()) / np.sqrt(va / len(a) + vb / len(b))
+    dof_ref = (va / len(a) + vb / len(b)) ** 2 / (
+        (va / len(a)) ** 2 / (len(a) - 1)
+        + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert (r["n_a"], r["n_b"]) == (6, 4)
+    assert r["mean_a"] == xa.mean() and r["mean_b"] == xb.mean()
+    assert abs(r["t_stat"] - t_ref) < 1e-12
+    assert abs(r["dof"] - dof_ref) < 1e-12
+
+
+def test_welch_t_degenerate_inputs_null(spark):
+    from nextbus2pg_spark.operators.stats import welch_t
+
+    # one-row group: variance undefined
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "s string, v double"
+    )
+    r = welch_t(df, "s", "v", "a", "b").collect()[0]
+    assert r["t_stat"] is None and r["dof"] is None
+    # both groups constant: zero variance everywhere
+    df2 = spark.createDataFrame(
+        [("a", 1.0)] * 3 + [("b", 2.0)] * 3, "s string, v double"
+    )
+    r2 = welch_t(df2, "s", "v", "a", "b").collect()[0]
+    assert r2["t_stat"] is None
