@@ -76,6 +76,7 @@ R7_SET: list[str] = [
     "q_modularity",
     "q_assortativity",
     "q_welch_t",
+    "q_rank_auc",
 ]
 
 HEADLINE = [

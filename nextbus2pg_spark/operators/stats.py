@@ -417,3 +417,77 @@ def welch_t(
         t_stat.alias("t_stat"),
         dof.alias("dof"),
     )
+
+
+def mann_whitney_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    positive,
+    negative,
+    *,
+    scale: int = 1,
+) -> DataFrame:
+    """Mann-Whitney U / exact ROC-AUC → one row
+    ``(n_pos, n_neg, u_pos, auc)`` — the scale-safe way to score a
+    ranking signal against a binary label (AUC IS the normalized
+    Mann-Whitney U: the probability a random positive outscores a
+    random negative, ties counting half) — the evaluation rung for
+    the quality classifier and any retrieval score.
+
+    Exactness: scores quantize to integers and collapse to their
+    distinct values with per-class counts (ONE partial-aggregated
+    pass); tie-aware midranks come from a cumulative window over that
+    DISTINCT-VALUE relation (the :func:`ks_statistic` shape — scale
+    bounds the sequential piece), and doubled rank sums stay exact
+    DECIMAL(38,0) integers. ``u_pos`` and ``auc`` are one subtraction
+    and one division over those integers — a half-integer U is exact
+    in doubles. Degenerate inputs (either class empty) yield NULL auc.
+    """
+    vq = F.round(F.col(score_col) * F.lit(scale), 0).cast("long")
+    tagged = df.select(
+        F.col(label_col).alias("__s"), vq.alias("__vq")
+    ).where(F.col("__vq").isNotNull())
+    per_v = tagged.groupBy("__vq").agg(
+        F.sum((F.col("__s") == F.lit(positive)).cast("long"))
+        .cast(_DEC)
+        .alias("__cp"),
+        F.sum((F.col("__s") == F.lit(negative)).cast("long"))
+        .cast(_DEC)
+        .alias("__cn"),
+    ).where((F.col("__cp") > 0) | (F.col("__cn") > 0))
+    w = Window.orderBy("__vq").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("__vq").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = F.col("__cp") + F.col("__cn")
+    ranked = per_v.select(
+        "__cp",
+        "__cn",
+        # 2*midrank = 2*(ranks before this value) + (ties here + 1):
+        # exact integers throughout
+        (
+            F.lit(2).cast(_DEC) * (F.sum(tot).over(w) - tot)
+            + tot
+            + F.lit(1).cast(_DEC)
+        ).alias("__r2"),
+        F.sum("__cp").over(wall).alias("n_pos"),
+        F.sum("__cn").over(wall).alias("n_neg"),
+    )
+    agg = ranked.groupBy("n_pos", "n_neg").agg(
+        F.sum(F.col("__cp") * F.col("__r2")).alias("__r2p")  # 2*R_pos
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    # U_pos = R_pos - n_pos(n_pos+1)/2  ==  (2R_pos - n_pos(n_pos+1))/2
+    u2 = F.col("__r2p") - np_ * (np_ + F.lit(1).cast(_DEC))
+    ok = (np_ > 0) & (nn > 0)
+    return agg.select(
+        np_.cast("long").alias("n_pos"),
+        nn.cast("long").alias("n_neg"),
+        (u2.cast("double") / F.lit(2.0)).alias("u_pos"),
+        F.when(
+            ok,
+            u2.cast("double")
+            / (F.lit(2.0) * (np_ * nn).cast("double")),
+        ).alias("auc"),
+    )

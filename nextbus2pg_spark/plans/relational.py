@@ -1067,3 +1067,53 @@ def q_welch_t(spark: SparkSession, sf_dir: str):
     ev = load_table(spark, sf_dir, "events")
     return welch_t(ev, "event_type", "value", "purchase", "view",
                    scale=100)
+
+
+@fixture(
+    "q_rank_auc",
+    oracle="""
+WITH base AS (
+  SELECT event_type AS s, CAST(round(value * 100) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+),
+pv AS (
+  SELECT * FROM (
+    SELECT vq,
+      CAST(sum(CASE WHEN s = 'purchase' THEN 1 ELSE 0 END) AS HUGEINT)
+        AS cp,
+      CAST(sum(CASE WHEN s = 'view' THEN 1 ELSE 0 END) AS HUGEINT)
+        AS cn
+    FROM base GROUP BY vq) g
+  WHERE cp > 0 OR cn > 0
+),
+rk AS (
+  SELECT cp, cn,
+    2 * (sum(cp + cn) OVER (ORDER BY vq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - (cp + cn)) + (cp + cn) + 1 AS r2,
+    sum(cp) OVER () AS np, sum(cn) OVER () AS nn
+  FROM pv
+),
+a AS (SELECT np, nn, sum(cp * r2) AS r2p FROM rk GROUP BY np, nn)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       CAST(r2p - np * (np + 1) AS DOUBLE) / 2.0 AS u_pos,
+       CASE WHEN np > 0 AND nn > 0
+            THEN CAST(r2p - np * (np + 1) AS DOUBLE)
+                 / (2.0 * CAST(np * nn AS DOUBLE))
+       END AS auc
+FROM a
+""",
+)
+def q_rank_auc(spark: SparkSession, sf_dir: str):
+    """Exact ROC-AUC of the event value as a purchase-vs-view ranking
+    signal (operators/stats.mann_whitney_auc, cent quantization):
+    tie-aware Mann-Whitney U from doubled midrank sums — exact
+    integers end to end, one subtraction and one division at the
+    close. The distinct-value collapse bounds the sequential piece
+    exactly as in q_ks_drift."""
+    from nextbus2pg_spark.operators.stats import mann_whitney_auc
+
+    ev = load_table(spark, sf_dir, "events")
+    return mann_whitney_auc(
+        ev, "event_type", "value", "purchase", "view", scale=100
+    )

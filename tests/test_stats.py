@@ -192,3 +192,44 @@ def test_welch_t_degenerate_inputs_null(spark):
     )
     r2 = welch_t(df2, "s", "v", "a", "b").collect()[0]
     assert r2["t_stat"] is None
+
+
+def test_mann_whitney_auc_hand_computed(spark):
+    """Perfect separation -> 1.0; reversed -> 0.0; a tie counts half."""
+    from nextbus2pg_spark.operators.stats import mann_whitney_auc
+
+    perfect = spark.createDataFrame(
+        [("p", 10.0), ("p", 9.0), ("n", 2.0), ("n", 1.0)],
+        "lbl string, score double",
+    )
+    r = mann_whitney_auc(perfect, "lbl", "score", "p", "n").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 2, 1.0)
+
+    reverse = spark.createDataFrame(
+        [("p", 1.0), ("n", 2.0)], "lbl string, score double"
+    )
+    r = mann_whitney_auc(reverse, "lbl", "score", "p", "n").collect()[0]
+    assert r["auc"] == 0.0
+
+    tied = spark.createDataFrame(
+        [("p", 5.0), ("n", 5.0)], "lbl string, score double"
+    )
+    r = mann_whitney_auc(tied, "lbl", "score", "p", "n").collect()[0]
+    assert r["auc"] == 0.5
+
+
+def test_mann_whitney_auc_matches_sklearn_formula(spark):
+    """Reference AUC by pairwise comparison on a mixed/tied sample."""
+    from nextbus2pg_spark.operators.stats import mann_whitney_auc
+
+    pos = [3.0, 5.0, 5.0, 8.0, 2.0]
+    neg = [1.0, 5.0, 4.0, 7.0]
+    rows = [("p", v) for v in pos] + [("n", v) for v in neg]
+    df = spark.createDataFrame(rows, "lbl string, score double")
+    r = mann_whitney_auc(df, "lbl", "score", "p", "n").collect()[0]
+    ref = sum(
+        1.0 if a > b else (0.5 if a == b else 0.0)
+        for a in pos for b in neg
+    ) / (len(pos) * len(neg))
+    assert r["auc"] == ref
+    assert r["u_pos"] == ref * len(pos) * len(neg)
