@@ -726,3 +726,29 @@ def test_top_paths_topk_is_sort_limit_partial_agg(spark):
     assert "TakeOrdered" in p, p
     assert "partial" in p.lower(), p
     assert "CartesianProduct" not in p, p
+
+
+def test_welch_t_single_scan_partial_agg_no_join(spark):
+    """Both groups' moment sums accumulate in ONE pass over the fact
+    table — a single scan, map-side partial aggregation, and no join
+    anywhere in the plan."""
+    p = plan_text(q(spark, "q_welch_t"))
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", p)) == 1, p
+    assert "Join" not in p, p
+    assert "partial" in p.lower(), p
+
+
+def test_rank_auc_collapses_before_single_partition_window(spark):
+    """The exact-AUC sequential piece (midranks) runs over the
+    DISTINCT-VALUE relation: the collapsing hash aggregate sits below
+    the window, one scan, no join (the KS-shape contract)."""
+    df = q(spark, "q_rank_auc")
+    p = plan_text(df)
+    agg_ids = [int(n) for n in re.findall(r"HashAggregate \((\d+)\)", p)]
+    win_ids = [int(n) for n in re.findall(r"Window \((\d+)\)", p)]
+    assert agg_ids and win_ids, p
+    assert min(agg_ids) < min(win_ids), p  # the collapse feeds the window
+    assert "SinglePartition" in p, p
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", p)) == 1, p
+    assert "Join" not in p, p
+    _bounded_hints_only(df)
