@@ -77,6 +77,7 @@ R7_SET: list[str] = [
     "q_assortativity",
     "q_welch_t",
     "q_rank_auc",
+    "q_spearman",
 ]
 
 HEADLINE = [

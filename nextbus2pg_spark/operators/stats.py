@@ -491,3 +491,79 @@ def mann_whitney_auc(
             / (F.lit(2.0) * (np_ * nn).cast("double")),
         ).alias("auc"),
     )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    x_scale: int = 1,
+    y_scale: int = 1,
+) -> DataFrame:
+    """Spearman rank correlation → one row ``(n, rho)`` — Pearson's
+    monotone, outlier-robust sibling (the screening question is "do
+    these move together AT ALL", which a single fat-tailed point can
+    hide from r; rho sees through it). Tie-aware average ranks, the
+    scipy semantics.
+
+    Exactness: both columns quantize to integers and collapse to
+    their distinct values; midranks come from a cumulative window
+    over each DISTINCT-VALUE relation (doubled, so every rank is an
+    exact integer — Pearson is invariant to the common factor); the
+    rank pairs then feed the :func:`grouped_pearson` moment-sum
+    recipe (exact DECIMAL(38,0), one fixed double expression at the
+    end). Zero rank variance (a constant column) yields NULL.
+
+    Scale shape: one pass collapses each column (partial-aggregated),
+    two distinct-value-sized rank relations join back onto the pairs
+    (AQE broadcasts them when small), one moment aggregation. The two
+    single-partition rank windows run over DISTINCT values only —
+    ``x_scale``/``y_scale`` bound them, the KS-shape contract.
+    """
+
+    def _ranks(col_alias: str):
+        per_v = (
+            base.groupBy(col_alias)
+            .agg(F.count(F.lit(1)).cast(_DEC).alias("__c"))
+        )
+        w = Window.orderBy(col_alias).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return per_v.select(
+            col_alias,
+            (
+                F.lit(2).cast(_DEC)
+                * (F.sum("__c").over(w) - F.col("__c"))
+                + F.col("__c")
+                + F.lit(1).cast(_DEC)
+            ).alias(f"__r_{col_alias}"),
+        )
+
+    xq = F.round(F.col(x_col) * F.lit(x_scale), 0).cast("long")
+    yq = F.round(F.col(y_col) * F.lit(y_scale), 0).cast("long")
+    base = df.select(xq.alias("__xq"), yq.alias("__yq")).where(
+        F.col("__xq").isNotNull() & F.col("__yq").isNotNull()
+    )
+    ranked = base.join(_ranks("__xq"), "__xq").join(_ranks("__yq"), "__yq")
+    rx, ry = F.col("__r___xq"), F.col("__r___yq")
+    a = ranked.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum(rx).alias("sx"),
+        F.sum(ry).alias("sy"),
+        F.sum(rx * rx).alias("sxx"),
+        F.sum(ry * ry).alias("syy"),
+        F.sum(rx * ry).alias("sxy"),
+    )
+    nd = F.col("n")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            num.cast("double")
+            / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+        ).alias("rho"),
+    )

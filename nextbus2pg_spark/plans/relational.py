@@ -1117,3 +1117,60 @@ def q_rank_auc(spark: SparkSession, sf_dir: str):
     return mann_whitney_auc(
         ev, "event_type", "value", "purchase", "view", scale=100
     )
+
+
+@fixture(
+    "q_spearman",
+    oracle="""
+WITH base AS (
+  SELECT CAST(round(l_quantity * 1) AS BIGINT) AS xq,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS yq
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+rxv AS (
+  SELECT xq,
+         2 * (sum(c) OVER (ORDER BY xq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+           + c + 1 AS rx
+  FROM (SELECT xq, CAST(count(*) AS HUGEINT) AS c FROM base GROUP BY xq) t
+),
+ryv AS (
+  SELECT yq,
+         2 * (sum(c) OVER (ORDER BY yq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+           + c + 1 AS ry
+  FROM (SELECT yq, CAST(count(*) AS HUGEINT) AS c FROM base GROUP BY yq) t
+),
+rk AS (
+  SELECT rx, ry FROM base
+  JOIN rxv USING (xq) JOIN ryv USING (yq)
+),
+a AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+         sum(rx * ry) AS sxy
+  FROM rk
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS rho
+FROM a
+""",
+)
+def q_spearman(spark: SparkSession, sf_dir: str):
+    """Spearman rank correlation of quantity vs extended price
+    (operators/stats.spearman_rho — the monotone, tie-aware sibling
+    of q_grouped_corr's Pearson): doubled midranks from the two
+    distinct-value collapses (exact integers; the KS-shape bounded
+    windows), then the standard exact decimal moment-sum close."""
+    from nextbus2pg_spark.operators.stats import spearman_rho
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return spearman_rho(
+        li, "l_quantity", "l_extendedprice", x_scale=1, y_scale=100
+    )

@@ -233,3 +233,48 @@ def test_mann_whitney_auc_matches_sklearn_formula(spark):
     ) / (len(pos) * len(neg))
     assert r["auc"] == ref
     assert r["u_pos"] == ref * len(pos) * len(neg)
+
+
+def test_spearman_matches_scipy_semantics(spark):
+    """Tie-aware average ranks: reference computed by hand-ranking."""
+    from nextbus2pg_spark.operators.stats import spearman_rho
+
+    xs = [1.0, 2.0, 2.0, 4.0, 5.0]
+    ys = [10.0, 20.0, 25.0, 25.0, 50.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    r = spearman_rho(df, "x", "y").collect()[0]
+
+    def avg_ranks(vals):
+        order = sorted(vals)
+        return [
+            (order.index(v) + 1 + order.index(v) + order.count(v)) / 2
+            for v in vals
+        ]
+    import math
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx)
+                    * sum((b - my) ** 2 for b in ry))
+    assert (r["n"], round(r["rho"], 12)) == (5, round(num / den, 12))
+
+
+def test_spearman_monotone_is_one_outlier_robust(spark):
+    """A perfectly monotone but wildly nonlinear relation scores
+    rho=1.0 (where Pearson would not); a constant column is NULL."""
+    from nextbus2pg_spark.operators.stats import spearman_rho
+
+    df = spark.createDataFrame(
+        [(float(i), float(10 ** i)) for i in range(1, 7)],
+        "x double, y double",
+    )
+    rho = spearman_rho(df, "x", "y").collect()[0]["rho"]
+    # the fixed sqrt-product expression can land one ulp past 1.0 —
+    # deterministic (the oracle replays the same bits), so |rho-1|
+    # bounded, not exact
+    assert abs(rho - 1.0) < 1e-12
+    const = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "x double, y double"
+    )
+    assert spearman_rho(const, "x", "y").collect()[0]["rho"] is None
