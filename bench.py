@@ -78,6 +78,7 @@ R7_SET: list[str] = [
     "q_welch_t",
     "q_rank_auc",
     "q_spearman",
+    "q_retrieval_eval",
 ]
 
 HEADLINE = [

@@ -494,3 +494,89 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int,
+    query_col: str = "query_id",
+    match_col: str = "match_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Standard ranked-retrieval evaluation → one row per query:
+    ``(query_id, n_relevant, n_hits, precision_at_k, recall_at_k,
+    reciprocal_rank, average_precision)`` — the eval rung for the
+    BM25 / ANN / hybrid retrieval stack (a score without its P@k /
+    MAP / MRR is a demo, not a system).
+
+    ``results`` carries ranked matches (rank 1 = best, ranks unique
+    per query, at most ``k`` used); ``qrels`` the relevant
+    (query, match) pairs. Semantics (TREC conventions): P@k divides
+    by ``k``; recall and AP divide by the query's TOTAL relevant
+    count; AP sums precision at each HIT's rank; queries present in
+    ``qrels`` but retrieving nothing still emit a zero row.
+
+    Exactness: hits and ranks are integers; P@k, recall and RR are
+    single divisions. AP is the one composite — a left fold over the
+    rank-sorted hit list (hit-index/rank divisions summed in fixed
+    order), bit-replayable by a DuckDB ``list_reduce`` over the same
+    sorted list. Per-query state is the ≤ k retained ranks — bounded,
+    partial-aggregatable.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    rel = qrels.select(
+        F.col(query_col).alias("q"), F.col(match_col).alias("m")
+    ).distinct()
+    n_rel = rel.groupBy("q").agg(F.count(F.lit(1)).alias("n_relevant"))
+    hits = (
+        results.select(
+            F.col(query_col).alias("q"),
+            F.col(match_col).alias("m"),
+            F.col(rank_col).cast("long").alias("r"),
+        )
+        .where(F.col("r") <= F.lit(int(k)))
+        .join(rel, ["q", "m"], "left_semi")
+    )
+    per_q = hits.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("r").alias("__first"),
+        F.sort_array(F.collect_list("r")).alias("__ranks"),
+    )
+    # AP numerator: fold over the sorted hit ranks; the i-th hit at
+    # rank r contributes i/r. acc = (sum, hit_index) as a struct.
+    ap_num = F.aggregate(
+        F.col("__ranks"),
+        F.struct(
+            F.lit(0.0).alias("s"), F.lit(0).cast("long").alias("i")
+        ),
+        lambda acc, r: F.struct(
+            (
+                acc["s"]
+                + (acc["i"] + F.lit(1)).cast("double") / r.cast("double")
+            ).alias("s"),
+            (acc["i"] + F.lit(1)).alias("i"),
+        ),
+    )["s"]
+    out = n_rel.join(per_q, "q", "left").select(
+        F.col("q").alias(query_col),
+        "n_relevant",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(k))
+        ).alias("precision_at_k"),
+        (
+            F.coalesce("n_hits", F.lit(0)).cast("double")
+            / F.col("n_relevant").cast("double")
+        ).alias("recall_at_k"),
+        F.coalesce(
+            F.lit(1.0) / F.col("__first").cast("double"), F.lit(0.0)
+        ).alias("reciprocal_rank"),
+        (
+            F.coalesce(ap_num, F.lit(0.0))
+            / F.col("n_relevant").cast("double")
+        ).alias("average_precision"),
+    )
+    return out

@@ -2587,3 +2587,86 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str):
         "lang", tx.lang_id(F.col("text")).alias("predicted_lang")
     )
     return cohens_kappa(docs, "lang", "predicted_lang")
+
+
+@fixture(
+    "q_retrieval_eval",
+    oracle=f"""
+WITH {_COSINE_NORM_SQL.strip()},
+q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe, nrm AS qn
+      FROM n WHERE vec_id % 50 = 0),
+pairs AS (
+  SELECT q.query_id, t.vec_id AS match_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(q.qe)),
+                                   i -> q.qe[i] * t.e[i]))
+           / (q.qn * t.nrm), 6) AS sim
+  FROM q CROSS JOIN n t
+  WHERE t.vec_id <> q.query_id
+),
+topk AS (
+  SELECT query_id, match_id, rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, match_id
+    ) AS rank FROM pairs
+  ) z WHERE rank <= 5
+),
+rel AS (
+  SELECT q.query_id, t.vec_id AS match_id
+  FROM q JOIN n t ON t.label = q.qlabel AND t.vec_id <> q.query_id
+),
+nrel AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+  FROM rel GROUP BY query_id
+),
+hit AS (
+  SELECT k.query_id, CAST(k.rank AS BIGINT) AS r
+  FROM topk k JOIN rel x
+    ON x.query_id = k.query_id AND x.match_id = k.match_id
+),
+perq AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+         min(r) AS first_r, list(r ORDER BY r) AS rks
+  FROM hit GROUP BY query_id
+)
+SELECT nr.query_id, nr.n_relevant,
+       coalesce(p.n_hits, 0) AS n_hits,
+       CAST(coalesce(p.n_hits, 0) AS DOUBLE) / 5.0 AS precision_at_k,
+       CAST(coalesce(p.n_hits, 0) AS DOUBLE)
+         / CAST(nr.n_relevant AS DOUBLE) AS recall_at_k,
+       coalesce(1.0 / CAST(p.first_r AS DOUBLE), 0.0)
+         AS reciprocal_rank,
+       coalesce(
+         list_sum(list_transform(
+           generate_series(1, len(p.rks)),
+           j -> CAST(j AS DOUBLE) / CAST(p.rks[j] AS DOUBLE))),
+         0.0) / CAST(nr.n_relevant AS DOUBLE) AS average_precision
+FROM nrel nr LEFT JOIN perq p ON p.query_id = nr.query_id
+""",
+)
+def q_retrieval_eval(spark: SparkSession, sf_dir: str):
+    """Ranked-retrieval evaluation (operators/textstats.
+    retrieval_metrics) of the exact cosine top-5 (q_cosine_topk's
+    result) against label-match relevance: per query, P@5, recall@5,
+    reciprocal rank, and average precision — all single divisions
+    over integers except AP's rank-ordered fold, which the oracle
+    replays as a list_sum over the identical sorted hit-rank list.
+    The eval rung that turns the BM25/ANN/hybrid scores into
+    accountable retrieval systems."""
+    from nextbus2pg_spark.operators.textstats import retrieval_metrics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    results = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    qrels = (
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("match_id"), "label"),
+            F.col("label") == F.col("ql"),
+        )
+        .where(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id")
+    )
+    return retrieval_metrics(results, qrels, k=5)

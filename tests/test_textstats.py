@@ -142,3 +142,50 @@ def test_rrf_fuse_rejects_empty_and_duplicate_names(spark):
     a = spark.createDataFrame([(1, 1)], "id long, rank int")
     with pytest.raises(ValueError, match="duplicate"):
         rrf_fuse([("a", a), ("a", a)])
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """Worked example: q1 retrieves [A(hit), B, C(hit), D, E] with 3
+    relevant docs total -> P@5=0.4, R@5=2/3, RR=1, AP=(1/1+2/3)/3.
+    q2 retrieves nothing relevant -> all zeros. q3 has relevant docs
+    but no results at all -> zero row still emitted."""
+    from nextbus2pg_spark.operators.textstats import retrieval_metrics
+
+    results = spark.createDataFrame(
+        [("q1", m, r + 1) for r, m in enumerate("ABCDE")]
+        + [("q2", m, r + 1) for r, m in enumerate("XYZ")],
+        "query_id string, match_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "A"), ("q1", "C"), ("q1", "Q"),
+         ("q2", "Q"), ("q3", "A")],
+        "query_id string, match_id string",
+    )
+    out = {r["query_id"]: r for r in retrieval_metrics(
+        results, qrels, k=5
+    ).collect()}
+    q1 = out["q1"]
+    assert (q1["n_relevant"], q1["n_hits"]) == (3, 2)
+    assert q1["precision_at_k"] == 0.4
+    assert q1["recall_at_k"] == 2 / 3
+    assert q1["reciprocal_rank"] == 1.0
+    assert q1["average_precision"] == (1 / 1 + 2 / 3) / 3
+    q2, q3 = out["q2"], out["q3"]
+    for r in (q2, q3):
+        assert r["n_hits"] == 0 and r["average_precision"] == 0.0
+        assert r["reciprocal_rank"] == 0.0
+
+
+def test_retrieval_metrics_respects_k_cutoff(spark):
+    from nextbus2pg_spark.operators.textstats import retrieval_metrics
+
+    results = spark.createDataFrame(
+        [("q", "A", 1), ("q", "B", 7)],
+        "query_id string, match_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q", "A"), ("q", "B")], "query_id string, match_id string"
+    )
+    r = retrieval_metrics(results, qrels, k=5).collect()[0]
+    assert r["n_hits"] == 1  # B at rank 7 is past the cutoff
+    assert r["recall_at_k"] == 0.5
