@@ -665,6 +665,10 @@ def top_paths(
     by |states|^length, not rows), and the top-k is a sort-limit —
     never a global sort of the log. Path strings join with '>' (the
     state values must not contain it — assert upstream if unsure).
+    Windows containing ANY NULL state are dropped — ``concat_ws``
+    silently skips NULLs, so an unguarded NULL mid-sequence would
+    fold 'A,NULL,B' into the shorter path 'A>B' and miscount it; every
+    step, not just the final lead, is therefore null-checked.
     """
     if length < 2:
         raise ValueError(f"length must be >= 2; got {length}")
@@ -677,10 +681,13 @@ def top_paths(
     steps = [F.col(state_col)] + [
         F.lead(state_col, i).over(w) for i in range(1, length)
     ]
+    all_steps_present = steps[0].isNotNull()
+    for s in steps[1:]:
+        all_steps_present = all_steps_present & s.isNotNull()
     paths = df.select(
         F.concat_ws(">", *steps).alias("path"),
-        steps[-1].alias("__last"),
-    ).where(F.col("__last").isNotNull())
+        all_steps_present.alias("__full"),
+    ).where(F.col("__full"))
     counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
     ranked = (
         counts.orderBy(F.col("n").desc(), F.col("path").asc())

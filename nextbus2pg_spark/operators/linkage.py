@@ -64,6 +64,36 @@ def deletion_variants(col: Column, k: int) -> Column:
     return F.array_distinct(F.concat(v1, v2))
 
 
+def _guard_len(text: Column, max_len: int, max_dist: int) -> Column:
+    """Pass ``text`` through unchanged iff it fits ``max_len``; raise a
+    per-row execution-time error otherwise. Distributed (no driver
+    scan), zero cost on conforming rows, and the error names the
+    escape hatches rather than letting a single long outlier OOM an
+    executor with its O(len^max_dist) variant fan-out."""
+    # NULL passes through (the callers filter NULL texts anyway, but
+    # the guard must not fire on them if Catalyst evaluates the
+    # projection expression in a different order than written).
+    return F.when(
+        text.isNull() | (F.length(text) <= F.lit(max_len)), text
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"fuzzy_join: text longer than max_len={max_len} "
+                    "(len="
+                ),
+                F.length(text).cast("string"),
+                F.lit(
+                    f"); deletion blocking fans out O(len^{max_dist}) "
+                    "variants per row — use minhash_lsh_pairs/"
+                    "simhash_pairs for long text, or raise max_len "
+                    "deliberately for known-bounded keys"
+                ),
+            )
+        )
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -74,6 +104,7 @@ def fuzzy_join(
     *,
     max_dist: int = 1,
     lowercase: bool = True,
+    max_len: int = 64,
 ) -> DataFrame:
     """Edit-distance join → ``(left_id, right_id, dist)`` for every
     cross-table pair with ``levenshtein <= max_dist`` (exact recall —
@@ -87,9 +118,24 @@ def fuzzy_join(
     the verify predicate (case differences are substitutions
     otherwise). For a self-join, pass the same frame twice and filter
     the reflexive/symmetric half afterwards (``left_id < right_id``).
+
+    ``max_len`` is the variant-blowup guard: deletion neighborhoods
+    are O(len^max_dist) variants PER ROW (a 10k-char document at
+    ``max_dist=2`` is ~50M variants), so this operator is for SHORT
+    keys by construction. Any text longer than ``max_len`` raises at
+    execution time (a distributed per-row check, not a driver scan) —
+    use the MinHash/SimHash banded family for long text, or raise
+    ``max_len`` deliberately for known-bounded keys. ``max_dist`` > 2
+    is rejected outright by :func:`deletion_variants`.
     """
-    lnorm = F.lower(F.col(left_text)) if lowercase else F.col(left_text)
-    rnorm = F.lower(F.col(right_text)) if lowercase else F.col(right_text)
+    lnorm = _guard_len(
+        F.lower(F.col(left_text)) if lowercase else F.col(left_text),
+        max_len, max_dist,
+    )
+    rnorm = _guard_len(
+        F.lower(F.col(right_text)) if lowercase else F.col(right_text),
+        max_len, max_dist,
+    )
     lv = (
         left.where(F.col(left_text).isNotNull())
         .select(

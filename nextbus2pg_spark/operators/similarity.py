@@ -78,12 +78,29 @@ def cosine_topk(
     vec_col: str,
     k: int = 5,
     round_digits: int | None = 6,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k per query (broadcast brute force).
 
     Output: (query_id, match_id, sim) with deterministic ordering:
     rounded sim DESC, match_id ASC. Self-matches excluded.
+
+    ``max_queries`` enforces the "query sets are small by definition"
+    contract the broadcast relies on (same guard as
+    ``cosine_topk_vectorized``): the probe is a bounded
+    ``limit(max_queries + 1).count()``, never a full count, and a
+    corpus-sized query frame raises instead of silently exploding the
+    cross join to corpus × corpus. For genuinely large query sets use
+    ``lsh_topk``/``ivf_topk`` (all-distributed), or raise
+    ``max_queries`` explicitly.
     """
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"query set exceeds max_queries={max_queries}; the broadcast "
+            "brute-force path cross-joins the corpus against the query "
+            "set — use lsh_topk/ivf_topk for corpus-scale query sets or "
+            "raise max_queries explicitly"
+        )
     c = with_norm(corpus, vec_col, "t_norm").select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("t_vec"),

@@ -171,36 +171,49 @@ def mad_outliers(
     (over half the values identical) yields NULL ratio and no flags,
     the rolling-anomaly convention.
 
+    NULL handling: rows whose quantized value is NULL do not enter the
+    medians, but they ARE passed through — group ``med``/``mad``
+    attach (NULL if the whole group had no measurable values),
+    ``mad_ratio`` is NULL, and ``is_outlier`` is False. Every input
+    row appears exactly once in the output.
+
     Scale shape: two grouped exact-median aggregations (Spark's
     median holds per-group value counts — memory is O(distinct
     quantized values per group), which ``scale`` bounds) and two
-    group-keyed joins back onto the rows; nothing data-squared, no
-    windows, no collects.
+    group-keyed left joins back onto the rows; nothing data-squared,
+    no windows, no collects.
     """
     vq = F.round(F.col(value_col) * F.lit(scale), 0).cast("long")
-    base = df.withColumn("__vq", vq).where(F.col("__vq").isNotNull())
+    src = df.withColumn("__vq", vq)
+    base = src.where(F.col("__vq").isNotNull())
     med = base.groupBy(*group_cols).agg(
         (F.lit(2) * F.median("__vq")).cast("long").alias("__m2")
     )
-    based = base.join(med, group_cols).withColumn(
-        "__d2", F.abs(F.lit(2) * F.col("__vq") - F.col("__m2"))
+    mad = (
+        base.join(med, group_cols)
+        .withColumn("__d2", F.abs(F.lit(2) * F.col("__vq") - F.col("__m2")))
+        .groupBy(*group_cols)
+        .agg((F.lit(2) * F.median("__d2")).cast("long").alias("__m4"))
     )
-    mad = based.groupBy(*group_cols).agg(
-        (F.lit(2) * F.median("__d2")).cast("long").alias("__m4")
+    out = (
+        src.join(med, group_cols, "left")
+        .join(mad, group_cols, "left")
+        .withColumn("__d2", F.abs(F.lit(2) * F.col("__vq") - F.col("__m2")))
     )
-    out = based.join(mad, group_cols)
     return out.select(
         *[c for c in df.columns],
         (F.col("__m2").cast("double") / F.lit(2.0 * scale)).alias("med"),
         (F.col("__m4").cast("double") / F.lit(4.0 * scale)).alias("mad"),
         F.when(
-            F.col("__m4") > 0,
+            F.col("__vq").isNotNull() & (F.col("__m4") > 0),
             (F.lit(2) * F.col("__d2")).cast("double")
             / F.col("__m4").cast("double"),
         ).alias("mad_ratio"),
-        (
-            (F.col("__m4") > 0)
-            & (F.lit(2) * F.col("__d2") > F.lit(int(k)) * F.col("__m4"))
+        F.coalesce(
+            F.col("__vq").isNotNull()
+            & (F.col("__m4") > 0)
+            & (F.lit(2) * F.col("__d2") > F.lit(int(k)) * F.col("__m4")),
+            F.lit(False),
         ).alias("is_outlier"),
     )
 

@@ -185,9 +185,13 @@ class IvfIndex:
         if not self.exists():
             raise ValueError("no trained index at this path; call train()")
         # max over both stores: vector debris from a crashed prior swap
-        # must not be reused (its assignment may be half-written)
+        # must not be reused (its assignment may be half-written).
+        # v_max is None when every vector row was delete()d — an empty
+        # store is valid; fall back to the centroid epoch alone.
         v_max = self.vectors.read().agg(F.max("epoch")).collect()[0][0]
-        new_epoch = max(self.current_epoch(), int(v_max)) + 1
+        new_epoch = max(
+            self.current_epoch(), int(v_max) if v_max is not None else -1
+        ) + 1
         cents = self._train_centroids(vectors, id_col, vec_col)
         self.vectors.append(
             self._stamp(

@@ -145,9 +145,31 @@ DRIVER_CHECKED_R6 = frozenset({
     "q_url_psl",
 })
 
+#: Driver rows earned in round 7 (CORRECTNESS_r07.json keys, 50/50
+#: green — first rows for the round-7 surface: triangle/BFS/k-core/
+#: HITS/modularity/assortativity graph ops, CUSUM/Holt/gap-detect/MAD
+#: time-series, exact KS / kappa / Welch t / rank-AUC / Spearman /
+#: retrieval-eval stats, fuzzy linkage and drift profiling; plus the
+#: q_ewma regression re-check and 30 oldest-first stale re-checks).
+DRIVER_CHECKED_R7 = frozenset({
+    "q_cohens_kappa", "q_retrieval_eval", "q_mad_outliers", "q_ks_drift",
+    "q_fuzzy_join", "q_profile_drift", "q_welch_t", "q_rank_auc",
+    "q_spearman", "q_triangle_count", "q_bfs_hops", "q_kcore",
+    "q_top_paths", "q_hits", "q_modularity", "q_assortativity",
+    "q_cusum", "q_holt", "q_gap_detect", "q_ewma", "q_project_rename",
+    "q_quality_score", "q_rollup", "q_row_number", "q_scan_filtered",
+    "q_scan_incremental", "q_semi_join", "q_sessionize",
+    "q_string_format", "q_token_count", "q_tz_date", "q_union_all",
+    "q_window_running", "q_cube", "q_date_parts", "q_embedding_clusters",
+    "q_exists_subquery", "q_gopher_filter", "q_grouping_sets",
+    "q_histogram", "q_in_subquery", "q_intersect", "q_json_extract",
+    "q_key_skew", "q_keygen_deterministic", "q_kmv_distinct",
+    "q_label_centroids", "q_media_phash", "q_percentile", "q_pii_scrub",
+})
+
 DRIVER_CHECKED = (
     DRIVER_CHECKED_R1_R2 | DRIVER_CHECKED_R3 | DRIVER_CHECKED_R4
-    | DRIVER_CHECKED_R5 | DRIVER_CHECKED_R6
+    | DRIVER_CHECKED_R5 | DRIVER_CHECKED_R6 | DRIVER_CHECKED_R7
 )
 
 #: Round a query's driver row was LAST earned (r1/r2 merged as 2).
@@ -158,18 +180,26 @@ _LAST_CHECKED_ROUND: dict = {}
 for _round, _names in (
     (2, DRIVER_CHECKED_R1_R2), (3, DRIVER_CHECKED_R3),
     (4, DRIVER_CHECKED_R4), (5, DRIVER_CHECKED_R5),
-    (6, DRIVER_CHECKED_R6),
+    (6, DRIVER_CHECKED_R6), (7, DRIVER_CHECKED_R7),
 ):
     for _n in _names:
         _LAST_CHECKED_ROUND[_n] = _round
 
-#: Queries whose underlying operator code changes in round 7 — the
-#: driver re-verifies exactly what was rewritten. Round 7 touched the
-#: EWMA operator (linear-path auto-selection added around the JVM
-#: fold) — everything else this round is NEW surface (bucket 1) or
-#: non-fixture code (streaming, indexes, pipelines).
+#: Queries whose underlying operator code changed in round 8 — the
+#: driver re-verifies exactly what was rewritten. Round 8 touched:
+#: cosine_topk (bounded-collect guard added), fuzzy_join (variant
+#: blow-up guard), top_paths (NULL mid-sequence guard), mad_outliers
+#: (NULL rows now passed through unflagged), the multimodal family
+#: (real pure-stdlib image decode wired into the mapInPandas stage),
+#: and gap detection (exported via operators.__init__, streaming form
+#: exercised).
 REGRESSION_PRIORITY = (
-    "q_ewma",  # mode-selection wrapper added around the fold, round 7
+    "q_cosine_topk",
+    "q_fuzzy_join",
+    "q_top_paths",
+    "q_mad_outliers",
+    "q_media_phash",
+    "q_gap_detect",
 )
 
 #: Round-5 policy: the deferred bucket is DRAINED — the seven entries
@@ -220,7 +250,36 @@ assert len(_reordered) == len(QUERIES)
 QUERIES.clear()
 QUERIES.update(_reordered)
 
+def staleness_table() -> str:
+    """Render the driver-row staleness ledger as a markdown table —
+    one row per vintage (the round each query's driver CORRECTNESS row
+    was last earned), stalest first, 'never' last. FIXTURES.md embeds
+    the output verbatim between STALENESS markers and
+    ``tests/test_entry_contract.py`` asserts they match, so registry
+    staleness is auditable without reading this module (200 queries /
+    50 driver slots = a 4-round full rotation)."""
+    by_round: "dict[int | None, list[str]]" = {}
+    for n in sorted(QUERIES):
+        by_round.setdefault(_LAST_CHECKED_ROUND.get(n), []).append(n)
+    lines = [
+        "| last driver row | n | queries |",
+        "|---|---|---|",
+    ]
+    for r in sorted(
+        (k for k in by_round if k is not None), reverse=False
+    ):
+        names = by_round[r]
+        lines.append(f"| r{r} | {len(names)} | {', '.join(names)} |")
+    if None in by_round:
+        names = by_round[None]
+        lines.append(
+            f"| never (bucket 1 this round) | {len(names)} | "
+            f"{', '.join(names)} |"
+        )
+    return "\n".join(lines)
+
+
 __all__ = [
     "QUERIES", "ORACLE", "ROWS_ONLY", "fixture",
-    "DRIVER_CHECKED", "REGRESSION_PRIORITY",
+    "DRIVER_CHECKED", "REGRESSION_PRIORITY", "staleness_table",
 ]

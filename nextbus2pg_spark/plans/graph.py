@@ -527,7 +527,8 @@ WITH p AS (
 c AS (
   SELECT s0 || '>' || s1 || '>' || s2 AS path,
          CAST(count(*) AS BIGINT) AS n
-  FROM p WHERE s2 IS NOT NULL
+  FROM p
+  WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
   GROUP BY 1
 )
 SELECT path, n,

@@ -816,32 +816,36 @@ def q_chi_squared(spark: SparkSession, sf_dir: str):
 @fixture(
     "q_mad_outliers",
     oracle="""
-WITH base AS (
+WITH src AS (
   SELECT event_type, event_id, value,
          CAST(round(value * 100) AS BIGINT) AS vq
-  FROM events WHERE value IS NOT NULL
+  FROM events
 ),
+base AS (SELECT * FROM src WHERE vq IS NOT NULL),
 med AS (
   SELECT event_type, CAST(2 * median(vq) AS BIGINT) AS m2
   FROM base GROUP BY event_type
 ),
 d AS (
-  SELECT b.event_type, b.event_id, b.value, b.vq, m.m2,
-         abs(2 * b.vq - m.m2) AS d2
+  SELECT b.event_type, abs(2 * b.vq - m.m2) AS d2
   FROM base b JOIN med m USING (event_type)
 ),
 mad AS (
   SELECT event_type, CAST(2 * median(d2) AS BIGINT) AS m4
   FROM d GROUP BY event_type
 )
-SELECT d.event_type, d.event_id, d.value,
-       CAST(d.m2 AS DOUBLE) / 200.0 AS med,
-       CAST(m.m4 AS DOUBLE) / 400.0 AS mad,
-       CASE WHEN m.m4 > 0
-            THEN CAST(2 * d.d2 AS DOUBLE) / CAST(m.m4 AS DOUBLE)
+SELECT s.event_type, s.event_id, s.value,
+       CAST(m.m2 AS DOUBLE) / 200.0 AS med,
+       CAST(a.m4 AS DOUBLE) / 400.0 AS mad,
+       CASE WHEN s.vq IS NOT NULL AND a.m4 > 0
+            THEN CAST(2 * abs(2 * s.vq - m.m2) AS DOUBLE)
+                 / CAST(a.m4 AS DOUBLE)
        END AS mad_ratio,
-       (m.m4 > 0 AND 2 * d.d2 > 3 * m.m4) AS is_outlier
-FROM d JOIN mad m USING (event_type)
+       COALESCE(s.vq IS NOT NULL AND a.m4 > 0
+                AND 2 * abs(2 * s.vq - m.m2) > 3 * a.m4,
+                FALSE) AS is_outlier
+FROM src s LEFT JOIN med m USING (event_type)
+           LEFT JOIN mad a USING (event_type)
 """,
 )
 def q_mad_outliers(spark: SparkSession, sf_dir: str):

@@ -40,3 +40,24 @@ def test_queries_run_at_sf0001(spark):
     q = entry_mod.queries()
     for name in ["q_scan_full", "q_tpch_q1", "q_flagship_latest"]:
         assert q[name](spark, "/root/testdata/sf0.001").count() >= 0
+
+
+def test_fixtures_md_staleness_ledger_is_current():
+    """FIXTURES.md §C embeds plans.staleness_table() verbatim between
+    STALENESS markers — the auditable rotation ledger the round-7
+    verdict asked for. Regenerate it whenever DRIVER_CHECKED_R{N} or
+    the registry changes (the generator script lives in the ledger's
+    own BEGIN marker comment)."""
+    import re
+
+    from nextbus2pg_spark.plans import staleness_table
+
+    with open("/root/repo/FIXTURES.md") as f:
+        text = f.read()
+    m = re.search(
+        r"<!-- STALENESS:BEGIN.*?-->\n(.*?)<!-- STALENESS:END -->",
+        text,
+        flags=re.S,
+    )
+    assert m, "FIXTURES.md is missing the STALENESS ledger section"
+    assert m.group(1).strip() == staleness_table().strip()

@@ -501,3 +501,30 @@ def test_triangle_count_max_degree_caps_hubs(spark):
     # uncapped: the hub closes three extra triangles
     full = {r["node"]: r for r in triangle_count(df).collect()}
     assert full[9]["triangles"] == 3
+
+
+def test_top_paths_null_mid_sequence_dropped(spark):
+    """ADVICE r7: concat_ws silently skips NULLs, so an unguarded NULL
+    mid-sequence folded 'a,NULL,b' into the shorter path 'a>b' and
+    miscounted it; windows containing ANY NULL state must be dropped."""
+    import datetime as dt
+
+    from nextbus2pg_spark.operators.graph import top_paths
+
+    t = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t, "a"), (1, t + dt.timedelta(minutes=1), None),
+         (1, t + dt.timedelta(minutes=2), "b"),
+         (1, t + dt.timedelta(minutes=3), "c")],
+        "user long, ts timestamp, state string",
+    )
+    out = [(r["path"], r["n"]) for r in top_paths(
+        df, "user", "ts", "state", length=2, k=5,
+        order_cols=["user"],
+    ).collect()]
+    # windows (a,NULL) and (NULL,b) drop; only (b,c) survives — no
+    # phantom 'a>b' from the NULL being skipped by concat_ws
+    assert out == [("b>c", 1)]
+    assert top_paths(
+        df, "user", "ts", "state", length=3, k=5, order_cols=["user"]
+    ).isEmpty()  # every trigram window touches the NULL

@@ -515,3 +515,28 @@ def test_prune_stale_epochs_occ_guards_concurrent_adds(spark, tmp_path):
     for r in rows:
         per_id[r["id"]] = per_id.get(r["id"], 0) + 1
     assert all(c == 1 for c in per_id.values())
+
+
+def test_retrain_swap_after_all_vectors_deleted(spark, tmp_path):
+    """ADVICE r7: an emptied vectors store (every id delete()d) left
+    max(epoch) = NULL and retrain_swap crashed on int(None); the epoch
+    must fall back to the centroid store's and the swap must publish a
+    complete fresh epoch."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter("vec_id < 30")
+    idx = IvfIndex(
+        spark, str(tmp_path / "ivf"), n_centroids=4, kmeans_iters=1
+    )
+    idx.train(corpus)
+    idx.delete(corpus)  # empty the vectors store entirely
+    assert idx.vectors.read().count() == 0
+
+    epoch = idx.retrain_swap(corpus)
+    assert epoch == idx.current_epoch() and epoch >= 1
+    assert idx.vectors.read().filter(F.col("epoch") == epoch).count() == 30
+    twin = corpus.filter("vec_id = 7").select(
+        F.lit(9001).alias("vec_id"), "embedding"
+    )
+    assert 7 in {
+        r["match_id"] for r in idx.search(twin, k=3, nprobe=4).collect()
+    }

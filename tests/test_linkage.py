@@ -90,3 +90,39 @@ def test_deletion_variants_shape(spark):
     assert v1[1]["v"] == [""]  # empty string: itself only, no [1,0] trap
     v2 = df.select(deletion_variants(F.col("s"), 2).alias("v")).collect()
     assert set(v2[0]["v"]) == {"abc", "ab", "ac", "bc", "a", "b", "c"}
+
+
+def test_long_text_raises_at_execution(spark):
+    """The variant-blowup guard (ADVICE r7): deletion neighborhoods are
+    O(len^k) per string, so texts past max_len must raise with a
+    pointer at the banded near-dup family — not fan out silently."""
+    left = _df(spark, [(1, "x" * 80)])
+    right = _df(spark, [(2, "y" * 3)])
+    with pytest.raises(Exception, match="max_len"):
+        fuzzy_join(
+            left, right, "id", "id", "name", "name", max_dist=1
+        ).collect()
+    # Raising the bound deliberately admits the same row.
+    ok = fuzzy_join(
+        left, right, "id", "id", "name", "name", max_dist=1, max_len=100
+    )
+    assert ok.isEmpty()  # no matches, but no error either
+
+
+def test_long_text_guard_ignores_nulls(spark):
+    """NULL texts are filtered, never guarded — a NULL row must not trip
+    the raise_error branch regardless of expression evaluation order."""
+    left = _df(spark, [(1, None), (2, "abc")])
+    right = _df(spark, [(10, "abd")])
+    out = fuzzy_join(
+        left, right, "id", "id", "name", "name", max_dist=1, max_len=5
+    ).collect()
+    assert [(r["left_id"], r["right_id"], r["dist"]) for r in out] == [
+        (2, 10, 1)
+    ]
+
+
+def test_max_dist_above_two_rejected(spark):
+    left = _df(spark, [(1, "abc")])
+    with pytest.raises(ValueError, match="k must be 1 or 2"):
+        fuzzy_join(left, left, "id", "id", "name", "name", max_dist=3)

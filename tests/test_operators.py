@@ -490,3 +490,32 @@ def test_setsim_join_matches_brute_force(spark):
             for r in setsim_join(df, "doc_id", "text", t).collect()
         }
         assert got == brute(t), f"threshold {t}: mismatch"
+
+
+def test_cosine_topk_rejects_oversized_query_set(spark):
+    """ADVICE r7: the expression brute-force path gets the same
+    bounded-collect guard as its vectorized sibling — a corpus-sized
+    query frame raises (limit-probe, never a full count) instead of
+    silently exploding the cross join to corpus x corpus."""
+    import pytest
+
+    from nextbus2pg_spark.operators.similarity import cosine_topk
+
+    rows = [(i, [float(i), 1.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk(df, df, "vec_id", "embedding", k=2, max_queries=10)
+    out = cosine_topk(
+        df, df.limit(3), "vec_id", "embedding", k=2, max_queries=10
+    )
+    assert out.count() == 6
+
+
+def test_operators_all_exports_resolve():
+    """ADVICE r7: detect_gaps was in __all__ but never imported, so
+    'from nextbus2pg_spark.operators import *' raised AttributeError.
+    Pin the invariant for the whole public surface."""
+    from nextbus2pg_spark import operators
+
+    missing = [n for n in operators.__all__ if not hasattr(operators, n)]
+    assert missing == []

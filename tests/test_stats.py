@@ -278,3 +278,23 @@ def test_spearman_monotone_is_one_outlier_robust(spark):
         [(1.0, 5.0), (2.0, 5.0)], "x double, y double"
     )
     assert spearman_rho(const, "x", "y").collect()[0]["rho"] is None
+
+
+def test_mad_outliers_null_values_pass_through_unflagged(spark):
+    """ADVICE r7: rows whose value is NULL used to be silently dropped;
+    now every input row appears exactly once — NULL-value rows carry
+    the group med/mad, NULL ratio, and is_outlier=False."""
+    from nextbus2pg_spark.operators.stats import mad_outliers
+
+    rows = [("g1", 1, 1.0), ("g1", 2, 2.0), ("g1", 3, 3.0),
+            ("g1", 4, None), ("g2", 5, None)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = {r["id"]: r.asDict() for r in
+           mad_outliers(df, ["g"], "v", k=3).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # nothing dropped
+    r4 = out[4]  # NULL value in a measurable group: stats attach
+    assert r4["med"] == 2.0 and r4["mad"] == 1.0
+    assert r4["mad_ratio"] is None and r4["is_outlier"] is False
+    r5 = out[5]  # group with NO measurable values: stats NULL too
+    assert r5["med"] is None and r5["mad"] is None
+    assert r5["mad_ratio"] is None and r5["is_outlier"] is False
