@@ -81,6 +81,13 @@ R7_SET: list[str] = [
     "q_retrieval_eval",
 ]
 
+#: Round-8 additions: the real-codec media pipeline (PNG encode +
+#: decode + true dHash dominate — an Arrow/zlib throughput probe).
+R8_SET: list[str] = [
+    "q_media_decode",
+    "q_media_dhash",
+]
+
 HEADLINE = [
     "q_flagship_latest",
     "q_tpch_q1",
@@ -116,6 +123,7 @@ HEADLINE = [
     "q_label_propagation",
     "q_rolling_anomaly",
     *R7_SET,
+    *R8_SET,
 ]
 
 
@@ -264,6 +272,10 @@ def main() -> None:
                     sum(timings[n] for n in R7_SET if n in timings), 3
                 ),
                 "subtotal_r7_set_norm": _norm(R7_SET),
+                "subtotal_r8_set": round(
+                    sum(timings[n] for n in R8_SET if n in timings), 3
+                ),
+                "subtotal_r8_set_norm": _norm(R8_SET),
             }
         )
     )

@@ -2,9 +2,14 @@
 
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct. The Spark-side plumbing — schemas, Arrow-batched UDF signatures,
-partition sizing — is real and tested; the actual codec calls are
-stubbed (``NotImplementedError``) or replaced by deterministic fakes
-because no media libraries ship in this container.
+partition sizing — is real and tested. IMAGE decode is real too
+(round-8): :func:`decode_media` parses PNG (``zlib`` inflate + full
+five-filter scanline reconstruction) and binary PGM/PPM with the
+pure-stdlib codecs in ``functions/imagecodec.py`` — no PIL needed —
+and :func:`dhash_decoded` / :func:`resize_decoded` run on the true
+decoded rasters. Audio/video codecs remain out of scope for this
+container; :func:`extract_features` / :func:`frame_sample` keep the
+deterministic-fake stand-ins for those kinds.
 
 Scale notes:
 - Media bytes dominate row size: repartition by target partition byte
@@ -114,22 +119,143 @@ def repartition_for_media(
     return df.repartition(n_parts)
 
 
-def decode_media(df: DataFrame) -> DataFrame:
-    """Decode stub: the real implementation would call PIL/libav here.
+#: Output schema of ``decode_media``: true decoded dimensions, the
+#: row-major grayscale raster, and exact integer pixel stats computed
+#: where the pixels already are (binary columns have no built-in
+#: byte-sum, and shipping the raster to a second Python stage just to
+#: sum it would double the Arrow transfer).
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_pixels", LongType(), True),
+        StructField("pixel_sum", LongType(), True),
+        StructField("gray", BinaryType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
 
-    Raises ``NotImplementedError`` at execution time — the Spark plan,
-    schema, and batch shape are real; only the codec is absent in this
-    container. Use ``extract_features`` for the deterministic-fake path.
+
+def decode_media(
+    df: DataFrame, on_error: str = "raise", spread: bool = True
+) -> DataFrame:
+    """REAL image decode over payload bytes → ``DECODED_SCHEMA``.
+
+    Pure-stdlib codecs (``functions/imagecodec.py``): PNG via ``zlib``
+    inflate + full five-filter scanline reconstruction, and binary
+    PGM/PPM — no PIL/libav needed. Runs inside the same Arrow-batched
+    ``mapInPandas`` shape as every other media stage; executors decode
+    in parallel, one Python worker per partition.
+
+    ``on_error="raise"`` fails the job on the first undecodable
+    payload (schema-on-read strictness); ``"null"`` emits the row with
+    NULL pixel fields and the error message in ``decode_error`` — the
+    quarantine-sink pattern for crawled corpora where a fraction of
+    blobs is always garbage. NULL/empty payloads are always routed to
+    the error column (they carry no format to be strict about).
     """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null'; got {on_error!r}")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "media codecs (PIL/soundfile/av) are not available in this "
-            "container; use extract_features() or frame_sample() which run "
-            "on the deterministic fake payloads"
-        )
+        from nextbus2pg_spark.functions.imagecodec import decode_image
 
-    return df.mapInPandas(_decode, schema=MEDIA_SCHEMA)
+        for pdf in batches:
+            out = {k: [] for k in (
+                "width", "height", "n_pixels", "pixel_sum", "gray", "err"
+            )}
+            for b in pdf["payload"]:
+                try:
+                    if b is None or len(b) == 0:
+                        raise ValueError("empty payload")
+                    w, h, gray = decode_image(bytes(b))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_pixels"].append(w * h)
+                    out["pixel_sum"].append(int(gray.sum(dtype="int64")))
+                    out["gray"].append(gray.tobytes())
+                    out["err"].append(None)
+                except ValueError as e:
+                    if on_error == "raise" and not (
+                        b is None or len(b) == 0
+                    ):
+                        raise
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_pixels"].append(None)
+                    out["pixel_sum"].append(None)
+                    out["gray"].append(None)
+                    out["err"].append(str(e))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "n_pixels": pd.array(out["n_pixels"], dtype="Int64"),
+                    "pixel_sum": pd.array(out["pixel_sum"], dtype="Int64"),
+                    "gray": out["gray"],
+                    "decode_error": out["err"],
+                }
+            )
+
+    src = df.select("media_id", "kind", "payload")
+    if spread:
+        from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+        src = ensure_min_parallelism(src)
+    return src.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def synthetic_png_media(docs: DataFrame) -> DataFrame:
+    """Fabricate REAL PNG payloads deterministically from ``doc_id``.
+
+    Pixel grids are pure arithmetic — ``width = 16 + doc_id % 16``,
+    ``height = 16 + doc_id % 12``, ``pixel[i] = (doc_id*31 + i*7) %
+    256`` row-major — so a SQL oracle can compute any decoded statistic
+    in closed form WITHOUT being able to inflate zlib; the encoder
+    cycles scanlines through all five PNG filter types, so decoding
+    these exercises every reconstruction branch on every image. This
+    is how the correctness gate covers a genuinely-compressed binary
+    format end-to-end.
+    """
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from nextbus2pg_spark.functions.imagecodec import png_encode_gray
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + d % 16, 16 + d % 12
+                px = ((d * 31 + np.arange(w * h, dtype=np.int64) * 7) % 256)
+                img = px.astype(np.uint8).reshape(h, w)
+                payloads.append(png_encode_gray(img, filter_mode="cycle"))
+                metas.append(
+                    {"width": w, "height": h, "sample_rate": None,
+                     "n_frames": None}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    # Spread BEFORE the encode stage (zlib compression dominates): a
+    # single-file docs scan otherwise encodes on one core, and the
+    # downstream decode_media(spread=False) callers inherit the layout.
+    return ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
+        _make, schema=MEDIA_SCHEMA
+    )
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -262,6 +388,95 @@ def perceptual_hash(
 
         src = ensure_min_parallelism(src)
     return src.mapInPandas(_hash, schema=PHASH_SCHEMA)
+
+
+def dhash_decoded(decoded: DataFrame, grid: int = 8) -> DataFrame:
+    """TRUE difference-hash over :func:`decode_media` output — the real
+    dHash, not the byte-bucket fake: nearest-neighbor downsample of the
+    decoded ``(height, width)`` grayscale raster to ``grid×(grid+1)``,
+    bit ``(r, c)`` set when ``pixel(r, c) < pixel(r, c+1)``, MSB-first
+    packing with the sign bit cleared (the :func:`perceptual_hash`
+    conventions, now fed by actual decoded pixels). Output
+    ``(media_id, phash)``; undecoded rows (NULL gray) hash to NULL.
+    Feed :func:`phash_pairs` for banded near-dup pairing.
+    """
+    import numpy as np
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for gray, w, h in zip(
+                pdf["gray"], pdf["width"], pdf["height"]
+            ):
+                if gray is None or pd.isna(w) or pd.isna(h):
+                    out.append(None)
+                    continue
+                img = np.frombuffer(bytes(gray), dtype=np.uint8).reshape(
+                    int(h), int(w)
+                )
+                rows = (np.arange(grid) * int(h)) // grid
+                cols = (np.arange(grid + 1) * int(w)) // (grid + 1)
+                g = img[np.ix_(rows, cols)].astype(np.int32)
+                bits = (g[:, :-1] < g[:, 1:]).flatten()
+                val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                out.append(val & 0x7FFFFFFFFFFFFFFF)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(out, dtype="Int64"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("phash", LongType(), True),
+        ]
+    )
+    return decoded.select("media_id", "width", "height", "gray").mapInPandas(
+        _hash, schema=schema
+    )
+
+
+def resize_decoded(
+    decoded: DataFrame, out_w: int = 32, out_h: int = 32
+) -> DataFrame:
+    """Nearest-neighbor resize of TRUE decoded rasters (the
+    :func:`decode_media` output) to a fixed ``out_w × out_h`` grayscale
+    thumbnail — :func:`resize_media`'s honest-fake decode replaced by
+    the real one; the numpy gather and the bounded per-row output size
+    are identical. NULL gray → NULL thumb.
+    """
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for gray, w, h in zip(
+                pdf["gray"], pdf["width"], pdf["height"]
+            ):
+                if gray is None or pd.isna(w) or pd.isna(h):
+                    thumbs.append(None)
+                    continue
+                img = np.frombuffer(bytes(gray), dtype=np.uint8).reshape(
+                    int(h), int(w)
+                )
+                rows = (np.arange(out_h) * int(h)) // out_h
+                cols = (np.arange(out_w) * int(w)) // out_w
+                thumbs.append(img[np.ix_(rows, cols)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": out_w,
+                    "height": out_h,
+                    "thumb": thumbs,
+                }
+            )
+
+    return decoded.select(
+        "media_id", "kind", "width", "height", "gray"
+    ).mapInPandas(_resize, schema=RESIZE_SCHEMA)
 
 
 def phash_pairs(

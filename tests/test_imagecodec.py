@@ -1,0 +1,124 @@
+"""Pure-stdlib image codec (functions/imagecodec.py): PNG encode/decode
+round-trips through every filter type, PNM parsing per the netpbm spec,
+and loud failures on unsupported variants. No Spark session needed."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from nextbus2pg_spark.functions.imagecodec import (
+    PNG_SIGNATURE,
+    decode_image,
+    png_decode,
+    png_encode_gray,
+    pnm_decode,
+    pnm_encode_gray,
+)
+
+
+def _grid(h, w, seed=0):
+    return (
+        (seed * 31 + np.arange(h * w, dtype=np.int64) * 7) % 256
+    ).astype(np.uint8).reshape(h, w)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (1, 7), (5, 1), (6, 6), (11, 17)])
+def test_png_round_trip_cycle_filters(h, w):
+    """filter_mode='cycle' walks scanlines through None/Sub/Up/Average/
+    Paeth — an (11, 17) image exercises every reconstruction branch at
+    least twice; round-trip must be bit-exact."""
+    img = _grid(h, w, seed=h * 100 + w)
+    data = png_encode_gray(img, filter_mode="cycle")
+    assert data[:8] == PNG_SIGNATURE
+    dw, dh, gray = png_decode(data)
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(gray, img)
+
+
+def test_png_round_trip_none_filters():
+    img = _grid(9, 13, seed=3)
+    dw, dh, gray = png_decode(png_encode_gray(img, filter_mode="none"))
+    assert (dw, dh) == (13, 9) and np.array_equal(gray, img)
+
+
+def _png_color(w, h, pixels, ctype):
+    ch = {2: 3, 6: 4}[ctype]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = bytearray()
+    for r in range(h):
+        raw.append(0)
+        raw.extend(bytes(pixels[r * w * ch : (r + 1) * w * ch]))
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_rgb_and_rgba_reduce_to_exact_integer_gray():
+    # 2x1 RGB: (10, 20, 31) -> 61//3 = 20; (255, 0, 1) -> 256//3 = 85
+    w, h, gray = png_decode(_png_color(2, 1, [10, 20, 31, 255, 0, 1], 2))
+    assert (w, h) == (2, 1) and list(gray.flatten()) == [20, 85]
+    # RGBA: alpha ignored entirely
+    w, h, gray = png_decode(
+        _png_color(1, 1, [10, 20, 31, 200], 6)
+    )
+    assert list(gray.flatten()) == [20]
+
+
+def test_png_crc_corruption_detected():
+    data = bytearray(png_encode_gray(_grid(4, 4)))
+    data[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(data))
+
+
+def test_png_unsupported_variants_raise():
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    data = PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        png_decode(data)
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"GIF89a" + b"\x00" * 20)
+
+
+def test_pnm_round_trip_and_header_parsing():
+    img = _grid(3, 5, seed=9)
+    w, h, gray = pnm_decode(pnm_encode_gray(img))
+    assert (w, h) == (5, 3) and np.array_equal(gray, img)
+    # comments + arbitrary whitespace in the header
+    data = b"P5 # inline\n# full line comment\n 5\t3 \n255\n" + img.tobytes()
+    w, h, gray = pnm_decode(data)
+    assert (w, h) == (5, 3) and np.array_equal(gray, img)
+    with pytest.raises(ValueError, match="maxval"):
+        pnm_decode(b"P5\n1 1\n65535\n\x00\x00")
+    with pytest.raises(ValueError, match="magic"):
+        pnm_decode(b"P3\n1 1\n255\n0")
+
+
+def test_decode_image_sniffs_by_magic():
+    img = _grid(2, 2)
+    assert np.array_equal(decode_image(png_encode_gray(img))[2], img)
+    assert np.array_equal(decode_image(pnm_encode_gray(img))[2], img)
+    with pytest.raises(ValueError, match="unrecognized image container"):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")

@@ -193,3 +193,81 @@ def test_op_fn_swaps_in_cusum(spark, tmp_path):
     snap = sorted(tuple(r) for r in flags.read().collect())
     anomaly_batch(b2, points, flags, op_fn=cusum_op, horizon_seconds=3600)
     assert sorted(tuple(r) for r in flags.read().collect()) == snap
+
+
+def test_op_fn_gap_detection_with_late_data_and_restart(spark, tmp_path):
+    """Round-7 verdict task #7: gap detection (q_gap_detect semantics)
+    through the streaming monitoring stage, driven via the REAL
+    checkpointed stream path — a feed outage is flagged, a late
+    mid-gap point SPLITS the gap on replay (keyed upsert revises the
+    old gap row and inserts the new sub-gap), a beyond-horizon row is
+    dropped and counted, and the store matches the batch operator over
+    the retained points."""
+    from nextbus2pg_spark.operators.timeseries import detect_gaps
+
+    points = ParquetUpsertTable(
+        spark, str(tmp_path / "points"), key_cols=["key", "ts"],
+        update_cols=["value"], n_buckets=4,
+    )
+    flags = ParquetUpsertTable(
+        spark, str(tmp_path / "flags"), key_cols=["key", "ts"],
+        update_cols=["gap_start", "gap_seconds"], n_buckets=4,
+    )
+
+    def gap_op(pts):
+        return detect_gaps(
+            pts, "key", "ts", min_gap_seconds=300
+        ).select(
+            "key", F.col("gap_end").alias("ts"),
+            "gap_start", "gap_seconds",
+        )
+
+    m = lambda i: T0 + dt.timedelta(minutes=i)  # noqa: E731
+    src = tmp_path / "incoming"
+    src.mkdir()
+    late_counts = []
+    stream = lambda: (  # noqa: E731 - rebuilt per (re)start
+        spark.readStream.schema(SCHEMA)
+        .option("recursiveFileLookup", "true").parquet(str(src))
+    )
+    kw = dict(op_fn=gap_op, horizon_seconds=3600,
+              late_sink=lambda n, bid: late_counts.append(n))
+
+    # b1: heartbeat, then 20 minutes of silence, then it resumes
+    b1 = [("k1", m(i), 1.0) for i in (0, 1, 2, 22, 23)]
+    spark.createDataFrame(b1, SCHEMA).write.parquet(str(src / "b1"))
+    q = start_rolling_anomaly(
+        stream(), points, flags, str(tmp_path / "ckpt"), **kw
+    )
+    q.awaitTermination(120)
+    got = {r["ts"]: r for r in flags.read().collect()}
+    assert set(got) == {m(22)}
+    assert got[m(22)]["gap_start"] == m(2)
+    assert got[m(22)]["gap_seconds"] == 1200
+    assert late_counts == []
+
+    # b2 after RESTART (same checkpoint: only the new file replays):
+    # a late point lands MID-GAP, a 2h-old row falls behind the
+    # horizon, and a fresh point opens a second outage
+    b2 = [("k1", m(12), 1.0),                     # late, splits the gap
+          ("k1", T0 - dt.timedelta(hours=2), 1.0),  # beyond horizon
+          ("k1", m(40), 1.0)]                     # new 17-min gap
+    spark.createDataFrame(b2, SCHEMA).write.parquet(str(src / "b2"))
+    q = start_rolling_anomaly(
+        stream(), points, flags, str(tmp_path / "ckpt"), **kw
+    )
+    q.awaitTermination(120)
+
+    assert late_counts == [1]
+    assert points.read().count() == 7  # 5 + late-split + fresh
+    got = {r["ts"]: (r["gap_start"], r["gap_seconds"])
+           for r in flags.read().collect()}
+    assert got == {
+        m(12): (m(2), 600),    # first half of the split outage
+        m(22): (m(12), 600),   # REVISED: latest-wins keyed upsert
+        m(40): (m(23), 1020),  # the new outage
+    }
+    # batch parity over the retained points
+    want = {r["ts"]: (r["gap_start"], r["gap_seconds"])
+            for r in gap_op(points.read()).collect()}
+    assert got == want
