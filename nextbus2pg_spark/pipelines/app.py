@@ -66,6 +66,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="config-document snapshot dir (agencyList.xml, "
         "routeList.xml, routeConfig__<tag>.xml)",
     )
+    p.add_argument(
+        "--feed-url",
+        help="feed endpoint base URL; when given, an HTTP polling "
+        "fetcher (sources/http_fetcher.py) runs on a daemon thread, "
+        "filling --spool with <route>__<time_ms>.xml documents every "
+        "resttime seconds (routes from routeList.xml). Without it the "
+        "spool is expected to be filled externally.",
+    )
     return p.parse_args(argv)
 
 
@@ -289,6 +297,29 @@ def main(argv: list[str] | None = None, spark=None):
             F.min("service_id").alias("service_id")
         )
         return primary, secondary
+
+    if args.feed_url:
+        # The live-HTTP mode: one fetcher daemon owns the endpoint
+        # (route.py:151-169's polling loop), the stream consumes its
+        # spool. Daemon thread: it must never outlive the query.
+        import threading
+
+        from nextbus2pg_spark.sources.http_fetcher import HttpFeedFetcher
+
+        route_tags = [
+            t for t, _title in _parse_route_list(
+                read_config("routeList.xml")
+            )
+        ]
+        fetcher = HttpFeedFetcher(
+            args.feed_url, args.agency, route_tags, args.spool
+        )
+        interval = max(float(args.resttime), 1.0)
+        threading.Thread(
+            target=lambda: fetcher.run(n_polls=2 ** 31, interval_s=interval),
+            daemon=True,
+            name="nextbus-feed-fetcher",
+        ).start()
 
     raw = (
         spark.readStream.format("nextbus_feed")
