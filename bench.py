@@ -82,10 +82,15 @@ R7_SET: list[str] = [
 ]
 
 #: Round-8 additions: the real-codec media pipeline (PNG encode +
-#: decode + true dHash dominate — an Arrow/zlib throughput probe).
+#: decode + true dHash dominate — an Arrow/zlib throughput probe) and
+#: the new stats/graph surface.
 R8_SET: list[str] = [
     "q_media_decode",
     "q_media_dhash",
+    "q_adjusted_rand",
+    "q_bh_fdr",
+    "q_frequent_pairs",
+    "q_link_prediction",
 ]
 
 HEADLINE = [

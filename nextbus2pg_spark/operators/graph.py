@@ -702,6 +702,103 @@ def top_paths(
     return ranked.select("path", "n", "rank")
 
 
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_degree: "int | None" = None,
+) -> DataFrame:
+    """Structural link-prediction scores for every NON-edge pair with
+    at least one common neighbor → ``(node_a, node_b,
+    common_neighbors, resource_allocation, jaccard)`` over the
+    undirected simple graph — "which links are missing": candidate
+    related-items edges, knowledge-graph completion, crawl frontier
+    prioritization.
+
+    Scores (Liben-Nowell & Kleinberg 2007 battery, transcendental-free
+    members only so every value is engine-exact):
+
+    - ``common_neighbors`` — exact integer count;
+    - ``resource_allocation`` — ``Σ_z 1/deg(z)`` over the common
+      neighbors z, accumulated as a z-sorted left fold (each division
+      IEEE-exact, fold order fixed → bit-replayable; RA is the
+      consistently strongest local index in the published battery and
+      needs no logarithm, unlike Adamic-Adar);
+    - ``jaccard`` — ``cn / (deg_a + deg_b - cn)``, exact integers and
+      one division.
+
+    Scale shape: symmetrize+distinct the edge list, enumerate wedges
+    via one neighbor-list self-equi-join on the CENTER node (the
+    triangle_count shape: work Σ_z deg(z)² — ``max_degree`` caps hub
+    centers the same way, dropping them from wedge enumeration only,
+    documented as an approximation exactly like ``triangle_count``),
+    one hash aggregation per candidate pair, one anti-join against
+    existing edges, two degree joins. No collects, no broadcasts of
+    unbounded relations.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+        & (F.col("a") != F.col("b"))
+    )
+    und = (
+        e.select("a", "b")
+        .unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degrees + wedges + anti
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("a").alias("node"), "deg"
+    )
+    centers = und.select(F.col("a").alias("z"), F.col("b").alias("nb"))
+    if max_degree is not None:
+        keep = deg.where(F.col("deg") <= F.lit(max_degree)).select(
+            F.col("node").alias("z")
+        )
+        centers = centers.join(keep, "z", "left_semi")
+    centers = centers.join(
+        deg.select(F.col("node").alias("z"), F.col("deg").alias("deg_z")),
+        "z",
+    )
+    lhs = centers.select(
+        "z", "deg_z", F.col("nb").alias("node_a")
+    )
+    rhs = centers.select("z", F.col("nb").alias("node_b"))
+    wedges = lhs.join(rhs, "z").where(F.col("node_a") < F.col("node_b"))
+    scored = wedges.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        _sorted_fold(
+            F.col("z"), F.lit(1.0) / F.col("deg_z").cast("double")
+        ).alias("resource_allocation"),
+    )
+    existing = und.where(F.col("a") < F.col("b")).select(
+        F.col("a").alias("node_a"), F.col("b").alias("node_b")
+    )
+    non_edges = scored.join(existing, ["node_a", "node_b"], "left_anti")
+    return (
+        non_edges.join(
+            deg.select(F.col("node").alias("node_a"),
+                       F.col("deg").alias("deg_a")),
+            "node_a",
+        )
+        .join(
+            deg.select(F.col("node").alias("node_b"),
+                       F.col("deg").alias("deg_b")),
+            "node_b",
+        )
+        .select(
+            "node_a", "node_b", "common_neighbors", "resource_allocation",
+            (
+                F.col("common_neighbors").cast("double")
+                / (
+                    F.col("deg_a") + F.col("deg_b")
+                    - F.col("common_neighbors")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 def hits(
     edges: DataFrame,
     src: str = "src",

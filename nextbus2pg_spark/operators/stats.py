@@ -580,3 +580,227 @@ def spearman_rho(
             / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
         ).alias("rho"),
     )
+
+
+def adjusted_rand(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Adjusted Rand index between two labelings of the same rows →
+    one row ``(ari, sum_comb, sum_comb_a, sum_comb_b, n_pairs, n)`` —
+    THE chance-corrected clustering-agreement score (Hubert & Arabie
+    1985): compare an unsupervised partition (LPA communities, k-means
+    cells, dedup clusters) against a reference labeling, 1.0 = perfect
+    agreement, ~0 = what random assignment scores. Rows with NULL in
+    either column drop (both labelings must speak).
+
+    Exactness: every ingredient is a pair count —
+    ``sum_comb = Σ_ij C(n_ij, 2)`` over the contingency table and the
+    per-side sums over its margins — accumulated in DECIMAL(38,0).
+    The classic formula divides expected-index terms, but multiplying
+    through by ``2 * n_pairs`` clears every inner division:
+
+        ari = (2*sc*np - 2*sa*sb) / ((sa+sb)*np - 2*sa*sb)
+
+    EXACT integer numerator and denominator, ONE double division at
+    the end — bit-identical on any engine, no FP ordering anywhere.
+    Degenerate cases (denominator 0: both labelings put everything in
+    one cluster, or both are all-singletons) are decided by INTEGER
+    comparison and yield NULL.
+
+    Scale shape: one hash aggregation to the contingency table
+    (bounded by |labels_a| × |labels_b|, not rows), two margin aggs,
+    three 1-row sums. Overflow bound: ``(sa+sb) * np < 10^38`` —
+    holds to ~10^9 rows of pairs-of-pairs (n ≲ 3·10^9 rows).
+    """
+    base = df.select(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    cells = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("nij")
+    )
+
+    def comb2(c):
+        return c * (c - F.lit(1).cast(_DEC)) / F.lit(2).cast(_DEC)
+
+    sums = cells.agg(
+        F.sum(comb2(F.col("nij"))).cast(_DEC).alias("sc"),
+        F.sum(F.col("nij")).cast(_DEC).alias("n"),
+    )
+    ra = (
+        cells.groupBy("a").agg(F.sum("nij").cast(_DEC).alias("ni"))
+        .agg(F.sum(comb2(F.col("ni"))).cast(_DEC).alias("sa"))
+    )
+    rb = (
+        cells.groupBy("b").agg(F.sum("nij").cast(_DEC).alias("nj"))
+        .agg(F.sum(comb2(F.col("nj"))).cast(_DEC).alias("sb"))
+    )
+    j = sums.crossJoin(F.broadcast(ra)).crossJoin(F.broadcast(rb))
+    np_ = comb2(F.col("n"))
+    two = F.lit(2).cast(_DEC)
+    num = two * F.col("sc") * np_ - two * F.col("sa") * F.col("sb")
+    den = (F.col("sa") + F.col("sb")) * np_ - two * F.col("sa") * F.col("sb")
+    return j.select(
+        F.when(den != 0, num.cast("double") / den.cast("double"))
+        .alias("ari"),
+        F.col("sc").cast("long").alias("sum_comb"),
+        F.col("sa").cast("long").alias("sum_comb_a"),
+        F.col("sb").cast("long").alias("sum_comb_b"),
+        np_.cast("long").alias("n_pairs"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame, p_col: str, alpha: float = 0.05
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a battery of p-values →
+    input rows plus ``(reject boolean)`` — run one drift/AB test per
+    feature or slice (welch_t, ks_statistic, chi_squared...) and this
+    decides WHICH rejections survive multiple testing at false-
+    discovery rate ``alpha``, the standard fix for "test 500 features
+    at p<0.05, get 25 false alarms per run".
+
+    Procedure: sort the m p-values ascending; find the largest rank k
+    with ``p_(k) <= alpha * k / m``; reject everything at or below
+    ``p_(k)``. Implemented without a global row sort: p-values
+    collapse to DISTINCT values first (the exact-KS shape) — for tied
+    p-values the LARGEST ordinal rank is the binding one (the BH
+    threshold grows with rank), so the distinct-value cumulative
+    count is exactly the right rank. The sequential window runs over
+    the distinct relation only; rows with NULL p pass through with
+    ``reject = false``.
+
+    The pass test is evaluated as ``p * m <= alpha * k`` — two IEEE
+    multiplications of identical operands on any engine, no division,
+    no accumulation — so the decision is engine-portable without
+    quantization.
+
+    Scale shape: one distinct-collapse aggregation, one window over
+    the distinct p relation (bounded by distinct p count — test
+    batteries are thousands, not billions), one 1-row threshold
+    aggregate broadcast back. The input is never globally sorted.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1); got {alpha}")
+    pv = df.select(F.col(p_col).alias("__p")).where(
+        F.col("__p").isNotNull()
+    )
+    m = pv.agg(F.count(F.lit(1)).alias("__m"))
+    dist = pv.groupBy("__p").agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = dist.select(
+        "__p", F.sum("__c").over(w).alias("__k")
+    ).crossJoin(F.broadcast(m))
+    thr = ranked.where(
+        F.col("__p") * F.col("__m") <= F.lit(alpha) * F.col("__k")
+    ).agg(F.max("__p").alias("__thr"))
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .withColumn(
+            "reject",
+            F.coalesce(
+                F.col(p_col) <= F.col("__thr"), F.lit(False)
+            ),
+        )
+        .drop("__thr")
+    )
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: int = 2,
+    max_items_per_basket: int = 1000,
+) -> DataFrame:
+    """Frequent co-occurring item pairs with support and lift →
+    ``(item_a, item_b, n_pair, n_a, n_b, n_baskets, lift)`` for every
+    unordered pair appearing together in at least ``min_support``
+    baskets — the A-Priori 2-itemset pass (market-basket / feature
+    co-occurrence mining: which event types fire together per user,
+    which tags co-occur per document). ``lift = n*c_ab/(c_a*c_b)`` is
+    ONE exact-integer construction and ONE double division (>1 means
+    the pair co-occurs more than independence predicts).
+
+    Scale shape: distinct (basket, item) collapse, per-basket pair
+    enumeration via a self-equi-join on basket with ``item_a <
+    item_b`` (work Σ_b k_b² — ``max_items_per_basket`` guards the
+    degenerate basket that would quadratically explode; baskets over
+    the cap RAISE, pointing at a pre-filter), then one hash
+    aggregation per pair. Map-side partial everywhere; output bounded
+    by pairs above support, never rows.
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1; got {min_support}")
+    base = (
+        df.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .where(F.col("basket").isNotNull() & F.col("item").isNotNull())
+        .distinct()
+    )
+    sizes = base.groupBy("basket").agg(F.count(F.lit(1)).alias("__k"))
+    # The guard wraps the ITEM column itself (not a side column a
+    # projection could prune away): any row of an oversized basket
+    # raises the instant the join evaluates it.
+    guard = F.when(
+        F.col("__k") <= F.lit(max_items_per_basket), F.col("item")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "frequent_pairs: basket exceeds max_items_per_basket="
+                    f"{max_items_per_basket} (k="
+                ),
+                F.col("__k").cast("string"),
+                F.lit(
+                    "); pair enumeration is O(k^2) per basket - cap or "
+                    "pre-filter ubiquitous items, or raise the bound "
+                    "deliberately"
+                ),
+            )
+        )
+    )
+    checked = base.join(sizes, "basket").select(
+        "basket", guard.alias("item")
+    )
+    n_baskets = base.select("basket").distinct().count()
+    item_counts = base.groupBy("item").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = checked.select("basket", F.col("item").alias("item_a"))
+    b = checked.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= F.lit(min_support))
+    )
+    out = (
+        pairs.join(
+            item_counts.select(
+                F.col("item").alias("item_a"), F.col("c").alias("n_a")
+            ),
+            "item_a",
+        )
+        .join(
+            item_counts.select(
+                F.col("item").alias("item_b"), F.col("c").alias("n_b")
+            ),
+            "item_b",
+        )
+    )
+    lift = (
+        (F.lit(n_baskets).cast(_DEC) * F.col("n_pair").cast(_DEC))
+        .cast("double")
+        / (F.col("n_a").cast(_DEC) * F.col("n_b").cast(_DEC))
+        .cast("double")
+    )
+    return out.select(
+        "item_a", "item_b", "n_pair", "n_a", "n_b",
+        F.lit(n_baskets).alias("n_baskets"),
+        lift.alias("lift"),
+    )

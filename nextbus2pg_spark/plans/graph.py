@@ -782,3 +782,76 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
     )
     return degree_assortativity(edges)
+
+
+@fixture(
+    "q_link_prediction",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey AS ok, CAST(l_suppkey AS BIGINT) AS s
+  FROM lineitem WHERE l_quantity > 45
+),
+raw AS (
+  SELECT lx.s AS src, ly.s AS dst
+  FROM li lx JOIN li ly ON lx.ok = ly.ok AND lx.s < ly.s
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM raw
+    UNION ALL SELECT dst, src FROM raw
+  ) u
+),
+deg AS MATERIALIZED (
+  SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY a
+),
+wedges AS (
+  SELECT l.b AS node_a, r.b AS node_b, l.a AS z, d.deg AS deg_z
+  FROM und l
+  JOIN und r ON l.a = r.a AND l.b < r.b
+  JOIN deg d ON d.node = l.a
+),
+scored AS (
+  SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS common_neighbors,
+         list_reduce(list_transform(
+           list(struct_pack(k := z, v := 1.0 / CAST(deg_z AS DOUBLE))
+                ORDER BY z),
+           el -> el.v), (p, q) -> p + q) AS resource_allocation
+  FROM wedges GROUP BY node_a, node_b
+),
+ex AS (SELECT a AS na, b AS nb FROM und WHERE a < b)
+SELECT sc.node_a, sc.node_b, sc.common_neighbors,
+       sc.resource_allocation,
+       CAST(sc.common_neighbors AS DOUBLE)
+       / CAST(da.deg + db.deg - sc.common_neighbors AS DOUBLE) AS jaccard
+FROM scored sc
+LEFT JOIN ex ON ex.na = sc.node_a AND ex.nb = sc.node_b
+JOIN deg da ON da.node = sc.node_a
+JOIN deg db ON db.node = sc.node_b
+WHERE ex.na IS NULL
+""",
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-link scores over the supplier co-occurrence graph
+    (operators/graph.link_prediction — q_triangle_count's graph):
+    common neighbors (exact integer), resource allocation (z-sorted
+    fold of exact divisions, the transcendental-free strongest local
+    index), and Jaccard (one division) for every non-edge pair sharing
+    a neighbor. The oracle replays the wedge enumeration and the fold
+    verbatim."""
+    from nextbus2pg_spark.operators.graph import link_prediction
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 45)
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_suppkey").cast("long").alias("s"),
+        )
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "ok")
+        .where(F.col("x.s") < F.col("y.s"))
+        .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+    )
+    return link_prediction(edges)

@@ -1178,3 +1178,142 @@ def q_spearman(spark: SparkSession, sf_dir: str):
     return spearman_rho(
         li, "l_quantity", "l_extendedprice", x_scale=1, y_scale=100
     )
+
+
+@fixture(
+    "q_adjusted_rand",
+    oracle="""
+WITH base AS (
+  SELECT lang AS a, source AS b FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+cells AS (
+  SELECT a, b, CAST(count(*) AS HUGEINT) AS nij FROM base GROUP BY a, b
+),
+sums AS (
+  SELECT sum((nij * (nij - 1)) // 2) AS sc, sum(nij) AS n FROM cells
+),
+ma AS (
+  SELECT sum((ni * (ni - 1)) // 2) AS sa
+  FROM (SELECT sum(nij) AS ni FROM cells GROUP BY a)
+),
+mb AS (
+  SELECT sum((nj * (nj - 1)) // 2) AS sb
+  FROM (SELECT sum(nij) AS nj FROM cells GROUP BY b)
+),
+f AS (
+  SELECT sc, sa, sb, n, (n * (n - 1)) // 2 AS np
+  FROM sums, ma, mb
+)
+SELECT CASE WHEN (sa + sb) * np - 2 * sa * sb <> 0
+            THEN CAST(2 * sc * np - 2 * sa * sb AS DOUBLE)
+                 / CAST((sa + sb) * np - 2 * sa * sb AS DOUBLE)
+       END AS ari,
+       CAST(sc AS BIGINT) AS sum_comb,
+       CAST(sa AS BIGINT) AS sum_comb_a,
+       CAST(sb AS BIGINT) AS sum_comb_b,
+       CAST(np AS BIGINT) AS n_pairs,
+       CAST(n AS BIGINT) AS n
+FROM f
+""",
+)
+def q_adjusted_rand(spark: SparkSession, sf_dir: str):
+    """Adjusted Rand index of the document language partition vs the
+    source partition (operators/stats.adjusted_rand): exact HUGEINT/
+    DECIMAL(38,0) pair-count sums, the classic formula multiplied
+    through by 2*n_pairs so numerator and denominator are EXACT
+    integers, and one double division — engine-identical to the bit.
+    The clustering-vs-reference agreement gate (LPA communities,
+    k-means cells, dedup clusters vs a labeled sample)."""
+    from nextbus2pg_spark.operators.stats import adjusted_rand
+
+    docs = load_table(spark, sf_dir, "documents")
+    return adjusted_rand(docs, "lang", "source")
+
+
+@fixture(
+    "q_bh_fdr",
+    oracle="""
+WITH pv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN (CAST((doc_id * 2654435761) % 1000003 AS DOUBLE)
+                    / 1000003.0) / 1000.0
+              ELSE CAST((doc_id * 2654435761) % 1000003 AS DOUBLE)
+                   / 1000003.0 END AS p
+  FROM documents
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv WHERE p IS NOT NULL),
+dist AS (SELECT p, count(*) AS c FROM pv WHERE p IS NOT NULL GROUP BY p),
+ranked AS (
+  SELECT p, sum(c) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS k
+  FROM dist
+),
+thr AS (
+  SELECT max(r.p) AS t FROM ranked r, m WHERE r.p * m.m <= 0.05 * r.k
+)
+SELECT pv.doc_id, pv.p, coalesce(pv.p <= thr.t, FALSE) AS reject
+FROM pv, thr
+""",
+)
+def q_bh_fdr(spark: SparkSession, sf_dir: str):
+    """Benjamini-Hochberg FDR control over a synthetic per-document
+    p-value battery (operators/stats.bh_fdr): 90% uniform nulls
+    (integer-hash / prime), 10% thousand-fold-smaller signals; the BH
+    pass test is two IEEE multiplications (never a division), the
+    ranks come from the distinct-value collapse (ties take the binding
+    largest ordinal by construction), and the threshold broadcast is
+    one row. The multiple-testing gate for per-feature drift
+    batteries."""
+    from nextbus2pg_spark.operators.stats import bh_fdr
+
+    docs = load_table(spark, sf_dir, "documents")
+    p_raw = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)
+    ).cast("double") / F.lit(1000003.0)
+    pv = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, p_raw / F.lit(1000.0))
+        .otherwise(p_raw)
+        .alias("p"),
+    )
+    return bh_fdr(pv, "p", alpha=0.05).select("doc_id", "p", "reject")
+
+
+@fixture(
+    "q_frequent_pairs",
+    oracle="""
+WITH base AS (
+  SELECT DISTINCT user_id AS basket, event_type AS item FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM base),
+ic AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY item),
+pairs AS (
+  SELECT x.item AS item_a, y.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM base x JOIN base y ON x.basket = y.basket AND x.item < y.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT p.item_a, p.item_b, p.n_pair, ca.c AS n_a, cb.c AS n_b,
+       nb.n_baskets,
+       CAST(nb.n_baskets * p.n_pair AS DOUBLE)
+       / CAST(ca.c * cb.c AS DOUBLE) AS lift
+FROM pairs p
+JOIN ic ca ON ca.item = p.item_a
+JOIN ic cb ON cb.item = p.item_b, nb
+""",
+)
+def q_frequent_pairs(spark: SparkSession, sf_dir: str):
+    """Frequent event-type pairs per user basket with exact support
+    and lift (operators/stats.frequent_pairs): the A-Priori 2-itemset
+    pass — distinct (basket, item) collapse, per-basket pair self-join
+    bounded by the guarded basket size, integer counts, lift as one
+    exact-integer construction + one division."""
+    from nextbus2pg_spark.operators.stats import frequent_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    return frequent_pairs(
+        ev, "user_id", "event_type", min_support=5
+    )

@@ -528,3 +528,31 @@ def test_top_paths_null_mid_sequence_dropped(spark):
     assert top_paths(
         df, "user", "ts", "state", length=3, k=5, order_cols=["user"]
     ).isEmpty()  # every trigram window touches the NULL
+
+
+def test_link_prediction_hand_computed(spark):
+    """Path graph 1-2-3-4: the two missing wedge-closing links are
+    (1,3) via center 2 and (2,4) via center 3, each with one common
+    neighbor of degree 2 — RA = 0.5, Jaccard = 0.5; existing edges
+    never appear; the hub cap empties the candidate set when every
+    wedge center exceeds it."""
+    from nextbus2pg_spark.operators.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {(r["node_a"], r["node_b"]): r.asDict() for r in
+           link_prediction(edges).collect()}
+    assert set(got) == {(1, 3), (2, 4)}
+    for k in got:
+        assert got[k]["common_neighbors"] == 1
+        assert got[k]["resource_allocation"] == 0.5
+        assert got[k]["jaccard"] == 0.5
+    assert link_prediction(edges, max_degree=1).isEmpty()
+    # direction and duplicates are normalized away
+    noisy = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (3, 4), (4, 3)], "src long, dst long"
+    )
+    got2 = {(r["node_a"], r["node_b"]) for r in
+            link_prediction(noisy).collect()}
+    assert got2 == {(1, 3), (2, 4)}

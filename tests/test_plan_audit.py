@@ -752,3 +752,60 @@ def test_rank_auc_collapses_before_single_partition_window(spark):
     assert len(re.findall(r"Scan parquet\s+\(\d+\)", p)) == 1, p
     assert "Join" not in p, p
     _bounded_hints_only(df)
+
+
+def test_adjusted_rand_bounded_hints_and_no_data_cartesian(spark):
+    """ARI's only cross joins carry 1-row margin aggregates (bounded by
+    construction); the contingency table is one hash aggregation — no
+    window, no data-sized cartesian."""
+    df = q(spark, "q_adjusted_rand")
+    p = plan_text(df)
+    assert "Window" not in p, p
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    lines = analyzed.splitlines()
+    for i, l in enumerate(lines):
+        if "ResolvedHint" in l:
+            window = "\n".join(lines[i : i + 4])
+            assert "Aggregate" in window, (
+                "broadcast hint on a non-aggregate relation:\n" + window
+            )
+
+
+def test_bh_fdr_window_over_distinct_collapse_only(spark):
+    """The BH rank window is single-partition but runs over the
+    DISTINCT p-value relation — the collapsing hash aggregate sits
+    BELOW the (single) window in the plan; the input rows are never
+    globally sorted."""
+    df = q(spark, "q_bh_fdr")
+    p = plan_text(df)
+    win_ids = [int(n) for n in re.findall(r"Window \((\d+)\)", p)]
+    assert len(win_ids) == 1, p
+    agg_ids = [int(n) for n in re.findall(r"HashAggregate \((\d+)\)", p)]
+    assert agg_ids and min(agg_ids) < win_ids[0], p
+    assert "SinglePartition" in p, p
+    # no global Sort node outside the window's own distinct-sized sort
+    sort_ids = [int(n) for n in re.findall(r"Sort \((\d+)\)", p)]
+    assert all(s < win_ids[0] + 2 for s in sort_ids), p
+
+
+def test_frequent_pairs_partial_agg_no_cartesian(spark):
+    """Pair enumeration is a basket equi-self-join (never cartesian);
+    pair counts partial-aggregate map-side; no unbounded hints."""
+    df = q(spark, "q_frequent_pairs")
+    p = plan_text(df)
+    assert "CartesianProduct" not in p, p
+    assert "partial" in p.lower(), p
+    _bounded_hints_only(df)
+
+
+def test_link_prediction_wedge_join_no_hints(spark):
+    """Wedge enumeration is the center-node equi-self-join (the
+    triangle shape), the existing-edge exclusion is a LeftAnti, and no
+    broadcast hint is pinned anywhere (every relation scales with the
+    graph)."""
+    df = q(spark, "q_link_prediction")
+    p = plan_text(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "LeftAnti" in p, p
+    _bounded_hints_only(df)

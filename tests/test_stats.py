@@ -298,3 +298,93 @@ def test_mad_outliers_null_values_pass_through_unflagged(spark):
     r5 = out[5]  # group with NO measurable values: stats NULL too
     assert r5["med"] is None and r5["mad"] is None
     assert r5["mad_ratio"] is None and r5["is_outlier"] is False
+
+
+def test_adjusted_rand_hand_computed(spark):
+    """The sklearn docs example: [0,0,0,1,1,1] vs [0,0,1,1,2,2] gives
+    ARI = 24/99 = 0.2424...; identical labelings give exactly 1.0;
+    the all-one-cluster degenerate case is NULL (integer-decided)."""
+    from nextbus2pg_spark.operators.stats import adjusted_rand
+
+    rows = list(zip([0, 0, 0, 1, 1, 1], [0, 0, 1, 1, 2, 2]))
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = adjusted_rand(df, "a", "b").collect()[0]
+    assert r["ari"] == 24.0 / 99.0
+    assert (r["sum_comb"], r["sum_comb_a"], r["sum_comb_b"]) == (2, 6, 3)
+    assert (r["n_pairs"], r["n"]) == (15, 6)
+
+    same = spark.createDataFrame(
+        [(0, 0), (0, 0), (1, 1), (1, 1)], "a int, b int"
+    )
+    assert adjusted_rand(same, "a", "b").collect()[0]["ari"] == 1.0
+
+    degenerate = spark.createDataFrame(
+        [(0, 0), (0, 0), (0, 0)], "a int, b int"
+    )
+    assert adjusted_rand(degenerate, "a", "b").collect()[0]["ari"] is None
+
+
+def test_bh_fdr_hand_computed(spark):
+    """alpha=0.25, m=5: thresholds .05/.10/.15/.20/.25 — the three
+    small p-values pass at their ranks, the large two do not; NULL p
+    passes through unrejected and does not count toward m."""
+    from nextbus2pg_spark.operators.stats import bh_fdr
+
+    rows = [(1, 0.01), (2, 0.02), (3, 0.03), (4, 0.5), (5, 0.6),
+            (6, None)]
+    df = spark.createDataFrame(rows, "id int, p double")
+    got = {r["id"]: r["reject"] for r in bh_fdr(df, "p", 0.25).collect()}
+    assert got == {1: True, 2: True, 3: True, 4: False, 5: False,
+                   6: False}
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        bh_fdr(df, "p", 1.5)
+
+
+def test_bh_fdr_ties_take_binding_rank(spark):
+    """Tied p-values share the LARGEST ordinal rank (the BH threshold
+    grows with rank, so that is the binding test): three ties at 0.04
+    with m=4 pass via rank 3 (0.05*3/4 < 0.04? no —) use alpha=0.06:
+    0.06*3/4 = 0.045 >= 0.04 passes, while rank-1 alone (0.015) would
+    not."""
+    from nextbus2pg_spark.operators.stats import bh_fdr
+
+    rows = [(1, 0.04), (2, 0.04), (3, 0.04), (4, 0.9)]
+    df = spark.createDataFrame(rows, "id int, p double")
+    got = {r["id"]: r["reject"] for r in bh_fdr(df, "p", 0.06).collect()}
+    assert got == {1: True, 2: True, 3: True, 4: False}
+
+
+def test_frequent_pairs_hand_computed(spark):
+    from nextbus2pg_spark.operators.stats import frequent_pairs
+
+    rows = [("u1", "a"), ("u1", "b"), ("u1", "c"),
+            ("u2", "a"), ("u2", "b"),
+            ("u3", "a"), ("u3", "c"),
+            ("u4", "b"), ("u4", "c"),
+            ("u5", "a"), ("u5", "b"), ("u5", "b")]  # dup collapses
+    df = spark.createDataFrame(rows, "u string, item string")
+    out = {(r["item_a"], r["item_b"]): r.asDict() for r in
+           frequent_pairs(df, "u", "item", min_support=2).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab["n_pair"], ab["n_a"], ab["n_b"], ab["n_baskets"]) == (
+        3, 4, 4, 5)
+    assert ab["lift"] == 5.0 * 3.0 / 16.0
+    # support filter: min_support=3 keeps only (a, b)
+    only = frequent_pairs(df, "u", "item", min_support=3).collect()
+    assert [(r["item_a"], r["item_b"]) for r in only] == [("a", "b")]
+
+
+def test_frequent_pairs_basket_size_guard(spark):
+    import pytest
+
+    from nextbus2pg_spark.operators.stats import frequent_pairs
+
+    rows = [("u1", f"i{k}") for k in range(5)] + [("u2", "i0"), ("u2", "i1")]
+    df = spark.createDataFrame(rows, "u string, item string")
+    with pytest.raises(Exception, match="max_items_per_basket"):
+        frequent_pairs(
+            df, "u", "item", min_support=1, max_items_per_basket=3
+        ).collect()
