@@ -91,6 +91,7 @@ R8_SET: list[str] = [
     "q_bh_fdr",
     "q_frequent_pairs",
     "q_link_prediction",
+    "q_containment_pairs",
 ]
 
 HEADLINE = [

@@ -610,3 +610,81 @@ def setsim_join(
     return jaccard_pairs(toks, cand).where(
         F.col("jaccard") >= F.lit(threshold)
     )
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    *,
+    threshold_milli: int = 800,
+    max_df: "int | None" = None,
+) -> DataFrame:
+    """ASYMMETRIC set-containment pairs over (id, shingle) rows →
+    ``(id_a, id_b, n_inter, containment)`` for every ordered pair with
+    ``|S_a ∩ S_b| / |S_a| >= threshold_milli/1000`` — the "document A
+    is (mostly) inside document B" detector that symmetric Jaccard
+    structurally misses: a quoted article inside a long page, repeated
+    boilerplate, a chunk re-packed into a larger corpus file. MinHash
+    LSH also misses these (a small doc inside a big one has LOW
+    Jaccard), which is why containment is its own operator.
+
+    The threshold decision is the pure integer comparison
+    ``1000 * n_inter >= threshold_milli * n_a`` (no FP in the gate);
+    ``containment`` itself is one exact division. Blocking is the
+    caller's job: embed block keys into the shingle value (e.g.
+    ``shingle || '|' || lang``) and cross-block pairs vanish from the
+    equi-join by construction.
+
+    ``max_df`` drops shingles occurring in more than ``max_df``
+    documents from BOTH the numerator and the denominator — containment
+    over informative shingles only (numerator and denominator stay
+    consistent, the score stays in [0, 1]). This is the skew valve: a
+    stop-shingle shared by half the corpus otherwise turns the
+    shingle equi-join into a quadratic hot key. Exact (None) by
+    default.
+
+    Scale shape: distinct-collapse, optional df filter (one grouped
+    count + semi-join), one shingle equi-join + per-pair count, two
+    size joins. Never all-pairs; AQE handles residual shingle skew.
+    """
+    if not 0 < threshold_milli <= 1000:
+        raise ValueError(
+            f"threshold_milli must be in (0, 1000]; got {threshold_milli}"
+        )
+    sh = shingled.select("id", "shingle").where(
+        F.col("id").isNotNull() & F.col("shingle").isNotNull()
+    ).distinct()
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= F.lit(max_df))
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    sh = sh.localCheckpoint(eager=True)  # feeds sizes + both join sides
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .where(
+            F.lit(1000) * F.col("n_inter")
+            >= F.lit(int(threshold_milli)) * F.col("n_a")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("n_inter").cast("double") / F.col("n_a").cast("double"))
+            .alias("containment"),
+        )
+    )

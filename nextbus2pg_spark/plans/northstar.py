@@ -101,6 +101,47 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_containment_pairs",
+    oracle=f"""
+WITH {_DOCS_PLUS.strip()},
+{_SHINGLES.strip()},
+keyed AS (
+  SELECT doc_id, shingle || '|' || lang || '|' || source AS sh
+  FROM shingles
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM keyed GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM keyed a JOIN keyed b
+    ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.n_inter,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS containment
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+WHERE 1000 * i.n_inter >= 800 * sa.n_sh
+""",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str):
+    """Asymmetric containment pairs (operators/dedup.containment_pairs)
+    over the perturbed corpus: the truncated variants are CONTAINED in
+    their originals at containment ~1 while their Jaccard is diluted —
+    the quoted-article/boilerplate case symmetric near-dup misses.
+    Blocking by (lang, source) is embedded into the shingle key (the
+    operator's documented blocking recipe); the 0.8 gate is the pure
+    integer comparison ``1000*n_inter >= 800*n_a``."""
+    docs = _docs_plus(spark, sf_dir)
+    sh = dd.word_shingles(docs, "doc_id", "text", n=3)
+    meta = docs.select(F.col("doc_id").alias("id"), "lang", "source")
+    keyed = sh.join(meta, "id").select(
+        "id",
+        F.concat_ws("|", "shingle", "lang", "source").alias("shingle"),
+    )
+    return dd.containment_pairs(keyed, threshold_milli=800)
+
+
+@fixture(
     "q_jaccard_pairs",
     oracle=f"""
 WITH {_DOCS_PLUS.strip()},

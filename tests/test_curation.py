@@ -633,3 +633,39 @@ def test_mixture_audit_surfaces_zero_row_weighted_source(spark):
     assert audit["code"]["kept_tokens"] == 0
     assert audit["code"]["target_tokens"] == 100
     assert audit["code"]["excess_tokens"] == -100
+
+
+def test_containment_pairs_hand_computed(spark):
+    """A 3-shingle doc fully inside a 10-shingle doc: containment
+    (small -> big) = 1.0 passes 0.8; the reverse direction (3/10) and
+    an unrelated doc never appear; max_df drops the stop-shingle from
+    both numerator and denominator consistently."""
+    from nextbus2pg_spark.operators.dedup import containment_pairs
+
+    rows = (
+        [(1, f"s{k}") for k in range(3)]              # small: s0..s2
+        + [(2, f"s{k}") for k in range(10)]           # big: s0..s9
+        + [(3, "x0"), (3, "x1"), (3, "s0")]           # 1/3 overlap only
+        + [(1, "s0")]                                  # dup collapses
+    )
+    df = spark.createDataFrame(rows, "id long, shingle string")
+    got = {(r["id_a"], r["id_b"]): r.asDict() for r in
+           containment_pairs(df, threshold_milli=800).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)]["n_inter"] == 3
+    assert got[(1, 2)]["containment"] == 1.0
+    # lowering the gate admits the reverse direction at 3/10
+    low = {(r["id_a"], r["id_b"]): r["containment"] for r in
+           containment_pairs(df, threshold_milli=300).collect()}
+    assert low[(2, 1)] == 0.3 and low[(3, 1)] == 1.0 / 3.0
+    # max_df=2 drops s0 (df=3): doc 3 loses its only link to 1 and 2
+    capped = {(r["id_a"], r["id_b"]) for r in
+              containment_pairs(
+                  df, threshold_milli=300, max_df=2
+              ).collect()}
+    assert (3, 1) not in capped and (1, 2) in capped
+
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold_milli"):
+        containment_pairs(df, threshold_milli=0)

@@ -809,3 +809,16 @@ def test_link_prediction_wedge_join_no_hints(spark):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "LeftAnti" in p, p
     _bounded_hints_only(df)
+
+
+def test_containment_pairs_no_allpairs_no_hints(spark):
+    """Containment candidates come from the shingle equi-join (never a
+    cartesian), the threshold gate is an integer comparison applied
+    before the division, and no broadcast hint pins a corpus-derived
+    relation."""
+    df = q(spark, "q_containment_pairs")
+    p = plan_text(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "partial" in p.lower(), p
+    _bounded_hints_only(df)
