@@ -92,6 +92,7 @@ R8_SET: list[str] = [
     "q_frequent_pairs",
     "q_link_prediction",
     "q_containment_pairs",
+    "q_semantic_dedup",
 ]
 
 HEADLINE = [

@@ -962,3 +962,84 @@ def dequantize_embeddings(
             F.col("codes"), lambda c: c.cast("double") * F.col("scale")
         ).alias("vec"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_centroids: int = 16,
+    kmeans_iters: int = 3,
+    sim_threshold: float = 0.95,
+    deterministic_train: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space semantic
+    deduplication → ``(id, centroid_id, keep)`` — cluster the corpus
+    into k-means cells, compare pairs ONLY within each cell, and keep
+    one representative (min id) per near-duplicate component. The
+    modern LLM-curation companion to MinHash: catches paraphrases and
+    re-encodings that share no n-grams.
+
+    Scale design is the paper's own: the cell assignment makes the
+    quadratic comparison local — work is Σ_cells |cell|², never
+    |corpus|², and each cell's pair join is an equi-join on
+    centroid_id. Cells are balanced by Lloyd refinement
+    (``kmeans_centroids``); a pathologically hot cell is the k-means
+    analogue of join skew and is AQE's to split. Cross-cell near-dups
+    are missed by construction — the paper's documented approximation;
+    raise ``n_centroids`` for finer cells (cheaper pairs, more misses)
+    or lower it toward 1 (exact, quadratic).
+
+    ``sim_threshold`` gates on the 6-dp-rounded cosine (engine-exact);
+    components within a cell collapse transitively (the near-dup
+    clusters recipe) and ``keep`` marks ``id == min(component)`` —
+    singletons keep trivially. ``deterministic_train=True`` makes the
+    whole pipeline (training included) bit-replayable by a SQL oracle.
+    """
+    from nextbus2pg_spark.operators.components import connected_components
+
+    if kmeans_iters > 0:
+        cents = kmeans_centroids(
+            corpus, id_col, vec_col, n_centroids, n_iters=kmeans_iters,
+            deterministic=deterministic_train,
+        )
+    else:
+        cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    assigned = ivf_assign(corpus, id_col, vec_col, cents, nprobe=1)
+    v = assigned.join(
+        with_norm(corpus, vec_col, "nrm").select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "nrm"
+        ),
+        "id",
+    ).localCheckpoint(eager=True)  # feeds both pair sides + the output
+    a = v.select(
+        "centroid_id", F.col("id").alias("id_a"),
+        F.col("vec").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        "centroid_id", F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    sim = F.round(
+        cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+    )
+    edges = (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= F.lit(sim_threshold))
+    )
+    comp = connected_components(edges)
+    return (
+        v.select("id", "centroid_id")
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            "centroid_id",
+            (
+                F.col("component").isNull()
+                | (F.col("id") == F.col("component"))
+            ).alias("keep"),
+        )
+    )

@@ -2796,3 +2796,81 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str):
         .select("query_id", "match_id")
     )
     return retrieval_metrics(results, qrels, k=5)
+
+
+def _semantic_dedup_oracle(
+    n_centroids: int, kmeans_iters: int, thr: float
+) -> str:
+    """Full SemDeDup replay: deterministic Lloyd chain (the q_ivf_topk
+    recipe), nearest-cell assignment, WITHIN-CELL rounded-cosine edges,
+    recursive min-label closure, keep = singleton-or-component-min."""
+    chain, cfin = _kmeans_chain(kmeans_iters, n_centroids)
+    return f"""
+WITH RECURSIVE vr AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+),
+vn AS (
+  SELECT id, vv, sqrt({_DOTJ.format(a='vv', b='vv')}) AS n FROM vr
+),
+{chain},
+cnf AS (
+  SELECT centroid_id, cv, sqrt({_DOTJ.format(a='cv', b='cv')}) AS n
+  FROM {cfin}
+),
+ab AS MATERIALIZED (
+  SELECT id, centroid_id FROM (
+    SELECT v.id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.id ORDER BY
+             {_DOTJ.format(a='v.vv', b='c.cv')}
+             / greatest(v.n * c.n, 1e-12) DESC,
+             c.centroid_id) AS rn
+    FROM vn v CROSS JOIN cnf c) _b WHERE rn = 1
+),
+edges AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM ab a
+  JOIN ab b ON a.centroid_id = b.centroid_id AND a.id < b.id
+  JOIN vn va ON va.id = a.id
+  JOIN vn vb ON vb.id = b.id
+  WHERE round({_DOTJ.format(a='va.vv', b='vb.vv')}
+              / greatest(va.n * vb.n, 1e-12), 6) >= {thr!r}
+),
+sym AS (
+  SELECT id_a AS id, id_b AS nb FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+),
+reach AS (
+  SELECT id, id AS label FROM (SELECT DISTINCT id FROM sym)
+  UNION
+  SELECT s.nb AS id, r.label FROM reach r JOIN sym s ON s.id = r.id
+),
+comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+SELECT ab.id, ab.centroid_id,
+       (c.component IS NULL OR ab.id = c.component) AS keep
+FROM ab LEFT JOIN comp c ON c.id = ab.id
+"""
+
+
+@fixture(
+    "q_semantic_dedup",
+    oracle=_semantic_dedup_oracle(n_centroids=8, kmeans_iters=2, thr=0.4),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str):
+    """SemDeDup over the embeddings fixture
+    (operators/similarity.semantic_dedup): 2-iteration deterministic
+    Lloyd cells, within-cell 6-dp-rounded cosine edges at 0.4,
+    transitive min-id components, keep-one-per-component. The whole
+    pipeline INCLUDING training replays in the oracle (deterministic
+    fold-mean Lloyd chain + recursive closure) — the paraphrase-dedup
+    companion to the n-gram families."""
+    from nextbus2pg_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding",
+        n_centroids=8, kmeans_iters=2, sim_threshold=0.4,
+        deterministic_train=True,
+    )

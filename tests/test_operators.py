@@ -519,3 +519,33 @@ def test_operators_all_exports_resolve():
 
     missing = [n for n in operators.__all__ if not hasattr(operators, n)]
     assert missing == []
+
+
+def test_semantic_dedup_hand_computed(spark):
+    """2D corpus, 2 first-N-seed cells (kmeans_iters=0): the three
+    near-copies of (1,0) collapse to the min id, the pair near (0,1)
+    collapses likewise, and every row appears exactly once with its
+    cell."""
+    from nextbus2pg_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.0, 1.0]),          # the two seeds
+        (3, [1.0, 0.01]), (5, [1.0, 0.02]),        # near-copies of 1
+        (4, [0.01, 1.0]),                          # near-copy of 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r.asDict() for r in semantic_dedup(
+        df, "vec_id", "embedding",
+        n_centroids=2, kmeans_iters=0, sim_threshold=0.999,
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert {i for i, r in out.items() if r["keep"]} == {1, 2}
+    assert out[3]["centroid_id"] == out[5]["centroid_id"] == \
+        out[1]["centroid_id"]
+    assert out[4]["centroid_id"] == out[2]["centroid_id"]
+    # a stricter threshold keeps everything (no edges at 1.0)
+    strict = semantic_dedup(
+        df, "vec_id", "embedding",
+        n_centroids=2, kmeans_iters=0, sim_threshold=1.0,
+    )
+    assert all(r["keep"] for r in strict.collect())

@@ -822,3 +822,22 @@ def test_containment_pairs_no_allpairs_no_hints(spark):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "partial" in p.lower(), p
     _bounded_hints_only(df)
+
+
+def test_semantic_dedup_pairs_confined_to_cells(spark):
+    """SemDeDup's quadratic comparison is cell-local: the pair join is
+    an equi-join on centroid_id (never a corpus cartesian); the only
+    nested-loop/cartesian joins in the plan carry the broadcast
+    centroid frame (bounded by n_centroids) during assignment."""
+    df = q(spark, "q_semantic_dedup")
+    p = plan_text(df)
+    assert "CartesianProduct" not in p, p
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    lines = analyzed.splitlines()
+    for i, l in enumerate(lines):
+        if "ResolvedHint" in l:
+            window = "\n".join(lines[i : i + 6])
+            assert "centroid" in window or "LogicalRDD" in window or \
+                "Aggregate" in window, (
+                    "hint on a non-centroid relation:\n" + window
+                )
