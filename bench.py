@@ -93,6 +93,7 @@ R8_SET: list[str] = [
     "q_link_prediction",
     "q_containment_pairs",
     "q_semantic_dedup",
+    "q_holt_winters",
 ]
 
 HEADLINE = [

@@ -706,3 +706,107 @@ def detect_gaps(
             & (F.col("gap_seconds") >= F.lit(int(min_gap_seconds)))
         )
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    season_length: int,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.5,
+) -> DataFrame:
+    """Per-key ADDITIVE Holt-Winters triple-exponential smoothing →
+    ``(key, ts, value, level, trend, seasonal, forecast)`` — the
+    seasonality-aware member of the EWMA→Holt family (Winters 1960):
+    daily/weekly periodicity saturates Holt's trend the way trend
+    saturates EWMA's level; the third recurrence tracks a repeating
+    profile of period ``season_length``:
+
+        L_i = alpha * (x_i - S_{i-m}) + (1-alpha) * (L_{i-1} + T_{i-1})
+        T_i = beta  * (L_i - L_{i-1}) + (1-beta)  * T_{i-1}
+        S_i = gamma * (x_i - L_i)     + (1-gamma) * S_{i-m}
+
+    with ``forecast = L_i + T_i + S_{i+1-m}`` (one step ahead, using
+    the seasonal slot the next point will consume).
+
+    Initialization is the zero-seasonal convention: ``L_1 = x_1,
+    T_1 = 0`` and the first cycle's ``S`` lookbacks are 0 — the
+    operator then DEGENERATES to plain Holt until one full season has
+    been seen, with no separate warm-up formula to reconcile across
+    engines (every published init differs; this one is the identity
+    under no seasonality, deterministic, and exactly replayable).
+
+    Execution shape: the seasonal lookback makes the recurrence
+    inherently sequential per key with O(m) state, so this runs as ONE
+    ordered Arrow scan per key (``applyInPandas`` — the linear path of
+    :func:`ewma`/:func:`holt_smoothing`, which is also their long-
+    series shape; there is no fold variant because the state no longer
+    fits a scalar accumulator). The recurrences evaluate as one fixed
+    IEEE expression tree — a DuckDB RECURSIVE CTE carrying the (level,
+    trend, last-m seasonal list) state replays every double
+    bit-for-bit (q_holt_winters). Rows order by ``(ts, value)``; NULL
+    values drop. Pick binary-representable smoothing constants when
+    oracle parity matters.
+    """
+    if season_length < 1:
+        raise ValueError(f"season_length must be >= 1; got {season_length}")
+    for nm, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not 0.0 <= float(v) <= 1.0:
+            raise ValueError(f"{nm} must be in [0, 1]; got {v}")
+    a, ca = float(alpha), 1.0 - float(alpha)
+    b, cb = float(beta), 1.0 - float(beta)
+    g, cg = float(gamma), 1.0 - float(gamma)
+    m = int(season_length)
+
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    ).where(F.col("value").isNotNull())
+
+    out_schema = StructType(
+        base.schema.fields
+        + [
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("seasonal", DoubleType()),
+            StructField("forecast", DoubleType()),
+        ]
+    )
+
+    def _scan(pdf):
+        import collections
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["ts", "value"], kind="mergesort", ignore_index=True
+        )
+        vals = pdf["value"].to_list()
+        n = len(vals)
+        lv = [0.0] * n
+        tr = [0.0] * n
+        se = [0.0] * n
+        fc = [0.0] * n
+        sez = collections.deque([0.0] * m, maxlen=m)
+        for i, x in enumerate(vals):
+            x = float(x)
+            s_old = sez[0]
+            if i == 0:
+                level, trend = x, 0.0
+            else:
+                level = a * (x - s_old) + ca * (lv[i - 1] + tr[i - 1])
+                trend = b * (level - lv[i - 1]) + cb * tr[i - 1]
+            s_new = g * (x - level) + cg * s_old
+            sez.append(s_new)  # maxlen=m drops the consumed slot
+            lv[i], tr[i], se[i] = level, trend, s_new
+            fc[i] = level + trend + sez[0]
+        out = pdf.copy()
+        out["level"], out["trend"] = lv, tr
+        out["seasonal"], out["forecast"] = se, fc
+        return out
+
+    return base.groupBy("key").applyInPandas(_scan, schema=out_schema)

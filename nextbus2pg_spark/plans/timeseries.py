@@ -346,3 +346,60 @@ def q_gap_detect(spark: SparkSession, sf_dir: str):
         F.col("gap_end").cast("timestamp_ntz").alias("gap_end"),
         "gap_seconds",
     )
+
+
+@fixture(
+    "q_holt_winters",
+    oracle="""
+WITH RECURSIVE q AS (
+  SELECT user_id AS key, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, value) AS rn
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT key, ts, value, rn,
+         value AS level, CAST(0 AS DOUBLE) AS trend,
+         [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+          CAST(0 AS DOUBLE)] AS sez
+  FROM q WHERE rn = 1
+  UNION ALL
+  SELECT n.key, n.ts, n.value, n.rn,
+         0.5 * (n.value - s.sez[1])
+           + 0.5 * (s.level + s.trend) AS level,
+         0.25 * ((0.5 * (n.value - s.sez[1])
+                  + 0.5 * (s.level + s.trend)) - s.level)
+           + 0.75 * s.trend AS trend,
+         s.sez[2:4] || [
+           0.5 * (n.value - (0.5 * (n.value - s.sez[1])
+                             + 0.5 * (s.level + s.trend)))
+           + 0.5 * s.sez[1]
+         ] AS sez
+  FROM s JOIN q n ON n.key = s.key AND n.rn = s.rn + 1
+)
+SELECT key, ts, value, level, trend, sez[4] AS seasonal,
+       level + trend + sez[1] AS forecast
+FROM s
+""",
+)
+def q_holt_winters(spark: SparkSession, sf_dir: str):
+    """Per-user additive Holt-Winters (operators/timeseries.
+    holt_winters, m=4, alpha=0.5 beta=0.25 gamma=0.5 — all
+    binary-exact) over the event value stream: the seasonality-aware
+    completion of the EWMA → Holt family. The oracle's RECURSIVE CTE
+    carries the (level, trend, last-m seasonal LIST) state — plain
+    recursive columns (lists included) have copy semantics, sidestep-
+    ping DuckDB's in-place struct-accumulator fold quirk — and repeats
+    the L_i subtree verbatim inside T_i and S_i exactly as the Arrow
+    scan evaluates it, so every double matches bit-for-bit."""
+    from nextbus2pg_spark.operators.timeseries import holt_winters
+
+    ev = load_table(spark, sf_dir, "events")
+    out = holt_winters(
+        ev, "user_id", "ts", "value", season_length=4,
+        alpha=0.5, beta=0.25, gamma=0.5,
+    )
+    return out.select(
+        "key", F.col("ts").cast("timestamp_ntz").alias("ts"), "value",
+        "level", "trend", "seasonal", "forecast",
+    )

@@ -424,3 +424,75 @@ def test_detect_gaps_floor_semantics(spark):
         "k string, ts timestamp",
     )
     assert detect_gaps(df, "k", "ts", min_gap_seconds=60).isEmpty()
+
+
+def test_holt_winters_matches_reference_loop(spark):
+    """Independent scalar reimplementation of the three recurrences
+    (zero-seasonal init) must match the Arrow scan exactly — doubles
+    included; and with gamma=0 the seasonal stays identically 0 so
+    level/trend/forecast reduce to plain Holt's."""
+    import datetime as dt
+
+    from nextbus2pg_spark.operators.timeseries import (
+        holt_smoothing,
+        holt_winters,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [3.0, 7.0, 2.0, 9.0, 4.0, 8.0, 1.0, 10.0, 5.0]
+    rows = [("k", t0 + dt.timedelta(minutes=i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+    m, a, b, g = 3, 0.5, 0.25, 0.5
+    got = sorted(
+        holt_winters(df, "k", "ts", "v", season_length=m,
+                     alpha=a, beta=b, gamma=g).collect(),
+        key=lambda r: r["ts"],
+    )
+    # reference loop
+    import collections
+    sez = collections.deque([0.0] * m, maxlen=m)
+    lv = tr = None
+    for i, (x, r) in enumerate(zip(vals, got)):
+        s_old = sez[0]
+        if i == 0:
+            lv, tr = x, 0.0
+        else:
+            nl = a * (x - s_old) + (1 - a) * (lv + tr)
+            tr = b * (nl - lv) + (1 - b) * tr
+            lv = nl
+        s_new = g * (x - lv) + (1 - g) * s_old
+        sez.append(s_new)
+        assert (r["level"], r["trend"], r["seasonal"]) == (lv, tr, s_new)
+        assert r["forecast"] == lv + tr + sez[0]
+
+    # gamma=0: degenerates to Holt exactly
+    hw = sorted(
+        holt_winters(df, "k", "ts", "v", season_length=m,
+                     alpha=0.5, beta=0.25, gamma=0.0).collect(),
+        key=lambda r: r["ts"],
+    )
+    h = sorted(
+        holt_smoothing(df, "k", "ts", "v",
+                       alpha=0.5, beta=0.25).collect(),
+        key=lambda r: r["ts"],
+    )
+    for x, y in zip(hw, h):
+        assert x["seasonal"] == 0.0
+        assert (x["level"], x["trend"], x["forecast"]) == (
+            y["level"], y["trend"], y["forecast"])
+
+
+def test_holt_winters_validation(spark):
+    import pytest
+
+    from nextbus2pg_spark.operators.timeseries import holt_winters
+
+    df = spark.createDataFrame(
+        [("k", 1, 1.0)], "k string, ts long, v double"
+    )
+    with pytest.raises(ValueError, match="season_length"):
+        holt_winters(df, "k", "ts", "v", season_length=0)
+    with pytest.raises(ValueError, match="gamma"):
+        holt_winters(df, "k", "ts", "v", season_length=2, gamma=1.5)
