@@ -299,11 +299,13 @@ def main(argv: list[str] | None = None, spark=None):
         return primary, secondary
 
     if args.feed_url:
-        # The live-HTTP mode: one fetcher daemon owns the endpoint
+        # The live-HTTP mode: one fetcher owns the endpoint
         # (route.py:151-169's polling loop), the stream consumes its
-        # spool. Daemon thread: it must never outlive the query.
-        import threading
-
+        # spool. In backfill mode (--resttime 0: one availableNow
+        # sweep) the fetch is ONE SYNCHRONOUS poll before the stream
+        # plans its batch — deterministic, no daemon to race the
+        # sweep; in continuous mode a daemon thread polls every
+        # resttime seconds and never outlives the query.
         from nextbus2pg_spark.sources.http_fetcher import HttpFeedFetcher
 
         route_tags = [
@@ -314,12 +316,18 @@ def main(argv: list[str] | None = None, spark=None):
         fetcher = HttpFeedFetcher(
             args.feed_url, args.agency, route_tags, args.spool
         )
-        interval = max(float(args.resttime), 1.0)
-        threading.Thread(
-            target=lambda: fetcher.run(n_polls=2 ** 31, interval_s=interval),
-            daemon=True,
-            name="nextbus-feed-fetcher",
-        ).start()
+        if not int(args.resttime):
+            fetcher.poll_once()
+        else:
+            import threading
+
+            threading.Thread(
+                target=lambda: fetcher.run(
+                    n_polls=2 ** 31, interval_s=float(args.resttime)
+                ),
+                daemon=True,
+                name="nextbus-feed-fetcher",
+            ).start()
 
     raw = (
         spark.readStream.format("nextbus_feed")

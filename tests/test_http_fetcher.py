@@ -192,3 +192,56 @@ def test_fetcher_spool_feeds_the_streaming_source(
     assert len(rows) == 8
     assert {r["route_tag"] for r in rows} == {"N", "J"}
     assert {r["request_time_ms"] for r in rows} == {1000, 2000}
+
+
+def test_main_cli_feed_url_backfill(feed_server, tmp_path, spark):
+    """`python -m nextbus2pg_spark --feed-url ... -r 0`: backfill mode
+    performs ONE synchronous poll (deterministic — no daemon racing
+    the availableNow sweep), then the sweep ingests the fetched
+    documents through the full dimension-resolution pipeline."""
+    import os
+
+    from nextbus2pg_spark.pipelines.app import main
+    from nextbus2pg_spark.sinks.upsert import ParquetUpsertTable
+    from nextbus2pg_spark.streaming.ingest import DEDUP_KEYS
+
+    config = tmp_path / "config"
+    spool = tmp_path / "spool"
+    os.makedirs(config)
+    (config / "agencyList.xml").write_text(
+        '<body><agency tag="sf-muni" title="SF Muni" '
+        'regionTitle="California"/></body>'
+    )
+    (config / "routeList.xml").write_text(
+        '<body><route tag="N" title="N Judah"/></body>'
+    )
+    (config / "routeConfig__N.xml").write_text(
+        """<body><route tag="N">
+             <stop tag="s1" title="First" lon="-122.4" lat="37.7"/>
+             <direction tag="N_in" title="In" name="Inbound"
+                        useForUI="true"><stop tag="s1"/></direction>
+           </route></body>"""
+    )
+    main(
+        [
+            "-a", "sf-muni", "-r", "0",
+            "--spool", str(spool),
+            "--config", str(config),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--store", str(tmp_path / "store"),
+            "--feed-url", feed_server,
+        ],
+        spark=spark,
+    )
+    locations = ParquetUpsertTable(
+        spark, str(tmp_path / "store" / "vehicle_location"),
+        key_cols=list(DEDUP_KEYS),
+    )
+    rows = locations.read().collect()
+    # the test server emits 2 vehicles per route per poll; dirTag N_in
+    # resolves to the configured service
+    assert len(rows) == 2
+    assert {r.vehicle_tag for r in rows} == {"N-v0", "N-v1"}
+    assert all(r.service_id is not None for r in rows)
+    # the fetch really went over HTTP with the cold-start t=0 cursor
+    assert [q["t"] for q in _FeedHandler.requests] == ["0"]
