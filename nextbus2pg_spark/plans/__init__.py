@@ -188,18 +188,18 @@ for _round, _names in (
 #: Queries whose underlying operator code changed in round 8 — the
 #: driver re-verifies exactly what was rewritten. Round 8 touched:
 #: cosine_topk (bounded-collect guard added), fuzzy_join (variant
-#: blow-up guard), top_paths (NULL mid-sequence guard), mad_outliers
-#: (NULL rows now passed through unflagged), the multimodal family
-#: (real pure-stdlib image decode wired into the mapInPandas stage),
-#: and gap detection (exported via operators.__init__, streaming form
-#: exercised).
+#: blow-up guard wrapping the blocking key), top_paths (NULL
+#: mid-sequence guard), mad_outliers (NULL rows now passed through
+#: unflagged via left joins). The round's multimodal/gap-detection
+#: work added NEW functions next to perceptual_hash/detect_gaps
+#: without touching their code, so q_media_phash/q_gap_detect stay in
+#: the normal rotation — a regression slot re-checks rewrites, not
+#: neighbors.
 REGRESSION_PRIORITY = (
     "q_cosine_topk",
     "q_fuzzy_join",
     "q_top_paths",
     "q_mad_outliers",
-    "q_media_phash",
-    "q_gap_detect",
 )
 
 #: Round-5 policy: the deferred bucket is DRAINED — the seven entries
