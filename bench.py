@@ -94,6 +94,7 @@ R8_SET: list[str] = [
     "q_containment_pairs",
     "q_semantic_dedup",
     "q_holt_winters",
+    "q_theil_sen",
 ]
 
 HEADLINE = [

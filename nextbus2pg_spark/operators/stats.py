@@ -804,3 +804,119 @@ def frequent_pairs(
         F.lit(n_baskets).alias("n_baskets"),
         lift.alias("lift"),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    group_cols: "list[str]",
+    x_col: str,
+    y_col: str,
+    *,
+    x_scale: int = 1,
+    y_scale: int = 1,
+    max_points_per_group: int = 10_000,
+) -> DataFrame:
+    """Per-group Theil-Sen robust trend → ``(*group_cols, n_pairs,
+    slope)`` — the median of all pairwise slopes (Theil 1950, Sen
+    1968): up to ~29% of the points can be arbitrary outliers before
+    the estimate moves, where one bad point drags OLS (q_grouped_corr)
+    anywhere. The drift detector for metrics whose tails lie.
+
+    Exactness recipe: x and y quantize to integers; each pair's slope
+    ``(yb - ya) / (xb - xa)`` is ONE IEEE division of exact integers
+    (identical on any engine); the median is computed EXPLICITLY over
+    the distinct-slope collapse — value-at-rank via cumulative counts,
+    even-count middles averaged as ``(lo + hi) / 2`` — because engine
+    built-in medians interpolate doubles with different expression
+    trees (``(a+b)/2`` vs ``a+(b-a)*0.5`` differ in IEEE). Pairs with
+    equal quantized x are excluded (undefined slope — the standard
+    convention); groups with no valid pair yield NULL slope.
+
+    Scale shape: the pair join is group-keyed but O(n²) per group —
+    this is the estimator's definition, not an implementation choice —
+    so ``max_points_per_group`` fails loudly past the bound (use
+    per-group sampling or the OLS slope upstream for big groups). The
+    median window runs over the distinct-slope relation per group, the
+    KS/BH shape, never over raw pairs.
+    """
+    xq = F.round(F.col(x_col) * F.lit(x_scale), 0).cast("long")
+    yq = F.round(F.col(y_col) * F.lit(y_scale), 0).cast("long")
+    base = df.select(
+        *group_cols, xq.alias("__x"), yq.alias("__y")
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    sizes = base.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    guard = F.when(
+        F.col("__n") <= F.lit(max_points_per_group), F.col("__x")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "theil_sen: group exceeds max_points_per_group="
+                    f"{max_points_per_group} (n="
+                ),
+                F.col("__n").cast("string"),
+                F.lit(
+                    "); the pairwise-slope set is O(n^2) per group by "
+                    "definition - sample per group upstream or use the "
+                    "grouped_pearson OLS slope, or raise the bound "
+                    "deliberately"
+                ),
+            )
+        )
+    )
+    # guard wraps __x (load-bearing: it feeds the pair join) — the
+    # frequent_pairs column-pruning lesson.
+    checked = base.join(sizes, group_cols).select(
+        *group_cols, guard.alias("__x"), "__y"
+    )
+    a = checked.select(
+        *group_cols, F.col("__x").alias("__xa"), F.col("__y").alias("__ya")
+    )
+    b = checked.select(
+        *group_cols, F.col("__x").alias("__xb"), F.col("__y").alias("__yb")
+    )
+    slope = (
+        (F.col("__yb") - F.col("__ya")).cast("double")
+        / (F.col("__xb") - F.col("__xa")).cast("double")
+    )
+    pairs = (
+        a.join(b, group_cols)
+        .where(F.col("__xa") < F.col("__xb"))
+        .select(*group_cols, slope.alias("__s"))
+    )
+    dist = pairs.groupBy(*group_cols, "__s").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = dist.select(
+        *group_cols, "__s", F.sum("__c").over(w).alias("__cum")
+    )
+    totals = pairs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__m")
+    )
+    j = ranked.join(totals, group_cols)
+    # value-at-rank by pure integer comparison: the lower middle is the
+    # first cum with 2*cum >= m (rank ceil(m/2)), the upper middle the
+    # first with 2*cum > m (rank floor(m/2)+1); odd m makes them equal.
+    med = j.groupBy(*group_cols, "__m").agg(
+        F.min(
+            F.when(
+                F.lit(2) * F.col("__cum") >= F.col("__m"), F.col("__s")
+            )
+        ).alias("__lo"),
+        F.min(
+            F.when(
+                F.lit(2) * F.col("__cum") > F.col("__m"), F.col("__s")
+            )
+        ).alias("__hi"),
+    )
+    out = sizes.join(med, group_cols, "left")
+    return out.select(
+        *group_cols,
+        F.coalesce(F.col("__m"), F.lit(0)).cast("long").alias("n_pairs"),
+        ((F.col("__lo") + F.col("__hi")) / F.lit(2.0)).alias("slope"),
+    )

@@ -1317,3 +1317,61 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str):
     return frequent_pairs(
         ev, "user_id", "event_type", min_support=5
     )
+
+
+@fixture(
+    "q_theil_sen",
+    oracle="""
+WITH base AS (
+  SELECT user_id AS key,
+         epoch_us(ts) // 1000000 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+sizes AS (SELECT key FROM base GROUP BY key),
+pairs AS (
+  SELECT a.key,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+  FROM base a JOIN base b ON a.key = b.key AND a.x < b.x
+),
+dist AS (SELECT key, s, count(*) AS c FROM pairs GROUP BY key, s),
+ranked AS (
+  SELECT key, s,
+         sum(c) OVER (PARTITION BY key ORDER BY s
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM dist
+),
+totals AS (SELECT key, CAST(count(*) AS BIGINT) AS m FROM pairs
+           GROUP BY key),
+med AS (
+  SELECT r.key, t.m,
+         min(CASE WHEN 2 * r.cum >= t.m THEN r.s END) AS lo,
+         min(CASE WHEN 2 * r.cum > t.m THEN r.s END) AS hi
+  FROM ranked r JOIN totals t USING (key)
+  GROUP BY r.key, t.m
+)
+SELECT z.key AS user_id,
+       CAST(coalesce(m.m, 0) AS BIGINT) AS n_pairs,
+       (m.lo + m.hi) / 2.0 AS slope
+FROM sizes z LEFT JOIN med m USING (key)
+""",
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str):
+    """Per-user Theil-Sen robust value trend over event time
+    (operators/stats.theil_sen): every pairwise slope is one IEEE
+    division of exact integers (epoch-second x, cent-quantized y), and
+    the median is computed EXPLICITLY over the distinct-slope collapse
+    with pure-integer rank tests (2*cum >= m / 2*cum > m) — engine
+    built-in medians interpolate doubles with different expression
+    trees, so the operator never calls one. The outlier-immune
+    companion to q_grouped_corr's OLS slope."""
+    from nextbus2pg_spark.operators.stats import theil_sen
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    xs = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    base = ev.select("user_id", xs.alias("xsec"), "value")
+    return theil_sen(
+        base, ["user_id"], "xsec", "value", x_scale=1, y_scale=100
+    )

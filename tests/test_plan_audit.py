@@ -841,3 +841,18 @@ def test_semantic_dedup_pairs_confined_to_cells(spark):
                 "Aggregate" in window, (
                     "hint on a non-centroid relation:\n" + window
                 )
+
+
+def test_theil_sen_median_over_distinct_collapse(spark):
+    """Theil-Sen's median runs over the DISTINCT-slope relation per
+    group (the KS/BH shape): the collapsing hash aggregate sits below
+    the single window, the pair join is group-keyed (no cartesian),
+    and no unbounded broadcast hint exists."""
+    df = q(spark, "q_theil_sen")
+    p = plan_text(df)
+    assert "CartesianProduct" not in p, p
+    win_ids = [int(n) for n in re.findall(r"Window \((\d+)\)", p)]
+    agg_ids = [int(n) for n in re.findall(r"HashAggregate \((\d+)\)", p)]
+    assert len(win_ids) == 1 and agg_ids, p
+    assert min(agg_ids) < win_ids[0], p
+    _bounded_hints_only(df)

@@ -388,3 +388,46 @@ def test_frequent_pairs_basket_size_guard(spark):
         frequent_pairs(
             df, "u", "item", min_support=1, max_items_per_basket=3
         ).collect()
+
+
+def test_theil_sen_hand_computed(spark):
+    """y = 2x with one wild outlier: OLS is dragged, Theil-Sen stays at
+    exactly 2.0 (median of pairwise slopes). Even pair counts average
+    the two middles; equal-x pairs are excluded; a group without any
+    valid pair yields NULL slope and 0 pairs."""
+    from nextbus2pg_spark.operators.stats import grouped_pearson, theil_sen
+
+    rows = [("g", float(x), 2.0 * x) for x in range(1, 8)]
+    rows.append(("g", 8.0, 1000.0))             # the outlier
+    rows += [("flat", 5.0, 1.0), ("flat", 5.0, 9.0)]  # equal x only
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r.asDict() for r in
+           theil_sen(df, ["g"], "x", "y").collect()}
+    assert got["g"]["slope"] == 2.0
+    assert got["g"]["n_pairs"] == 28  # C(8,2), all x distinct
+    assert got["flat"]["n_pairs"] == 0 and got["flat"]["slope"] is None
+    ols = {r["g"]: r["slope"] for r in
+           grouped_pearson(df, ["g"], "x", "y").collect()}
+    assert ols["g"] > 20.0  # OLS dragged two orders past the truth
+
+    # even middle: slopes {1, 3} over three collinear-in-pairs points
+    df2 = spark.createDataFrame(
+        [("h", 0.0, 0.0), ("h", 1.0, 1.0), ("h", 2.0, 4.0),
+         ("h", 3.0, 5.0)],
+        "g string, x double, y double",
+    )
+    r2 = theil_sen(df2, ["g"], "x", "y").collect()[0]
+    assert r2["n_pairs"] == 6
+    # pairwise slopes sorted: [1, 1, 5/3, 2, 2, 3] -> (5/3 + 2)/2
+    assert r2["slope"] == (5.0 / 3.0 + 2.0) / 2.0
+
+
+def test_theil_sen_group_size_guard(spark):
+    import pytest
+
+    from nextbus2pg_spark.operators.stats import theil_sen
+
+    rows = [("g", float(i), float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    with pytest.raises(Exception, match="max_points_per_group"):
+        theil_sen(df, ["g"], "x", "y", max_points_per_group=4).collect()
