@@ -521,3 +521,99 @@ def test_psl_registrable_domain_matches_reference_model(spark, hosts, rules):
     }
     want = {h: _ref_psl_domain(h, rules) for h in hosts}
     assert got == want, (got, want, rules)
+
+
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+    mode=st.sampled_from(["cycle", "none"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_round_trip_is_lossless(h, w, seed, mode):
+    """Any image, any shape, either filter strategy: encode → decode is
+    the identity (pure-Python property — no Spark round trip needed).
+    'cycle' walks every PNG filter type, so this fuzzes all five
+    reconstruction branches across arbitrary pixel content."""
+    import numpy as np
+
+    from nextbus2pg_spark.functions.imagecodec import (
+        decode_image,
+        png_encode_gray,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    dw, dh, gray = decode_image(png_encode_gray(img, filter_mode=mode))
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(gray, img)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.sampled_from("abcdef")),
+        min_size=1,
+        max_size=40,
+    ),
+    thr=st.sampled_from([200, 500, 800, 1000]),
+)
+@_SETTINGS
+def test_containment_pairs_matches_set_model(spark, rows, thr):
+    """containment == |A∩B|/|A| computed from Python sets, pairs appear
+    iff the integer gate passes, and the score is always in (0, 1]."""
+    from nextbus2pg_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(rows, "id int, shingle string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["containment"])
+        for r in containment_pairs(df, threshold_milli=thr).collect()
+    }
+    sets: dict = {}
+    for i, s in rows:
+        sets.setdefault(i, set()).add(s)
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter and 1000 * inter >= thr * len(sets[a]):
+                want[(a, b)] = (inter, inter / len(sets[a]))
+    assert got == want
+    assert all(0.0 < c <= 1.0 for _, c in got.values())
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+        min_size=2,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_theil_sen_matches_sorted_slope_model(spark, pts):
+    """The operator's explicit rank-median equals the sorted-list model
+    (statistics.median over all pairwise slopes with distinct x),
+    including duplicate points, ties, and the all-equal-x degenerate."""
+    import statistics
+
+    from nextbus2pg_spark.operators.stats import theil_sen
+
+    df = spark.createDataFrame(
+        [("g", float(x), float(y)) for x, y in pts],
+        "g string, x double, y double",
+    )
+    r = theil_sen(df, ["g"], "x", "y").collect()[0]
+    # the model counts each unordered pair once, exactly like the
+    # operator's xa < xb join (duplicate points pair with everything)
+    slopes = sorted(
+        (yb - ya) / (xb - xa)
+        for (xa, ya) in pts
+        for (xb, yb) in pts
+        if xa < xb
+    )
+    assert r["n_pairs"] == len(slopes)
+    if slopes:
+        assert r["slope"] == statistics.median(slopes)
+    else:
+        assert r["slope"] is None
