@@ -250,45 +250,107 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpu_calibration_sec": round(cal_cpu, 3),
-                "sched_calibration_sec": round(cal_sched, 3),
-                "scan_calibration_sec": round(cal_scan, 3),
-                "subtotal_r3_set": round(
-                    sum(timings[n] for n in R3_SET if n in timings), 3
-                ),
-                "subtotal_r4_set": round(
-                    sum(timings[n] for n in R4_SET if n in timings), 3
-                ),
-                "subtotal_r5_set": round(
-                    sum(timings[n] for n in R5_SET if n in timings), 3
-                ),
-                "subtotal_r6_set": round(
-                    sum(timings[n] for n in R6_SET if n in timings), 3
-                ),
-                "subtotal_r3_set_norm": _norm(R3_SET),
-                "subtotal_r4_set_norm": _norm(R4_SET),
-                "subtotal_r5_set_norm": _norm(R5_SET),
-                "subtotal_r6_set_norm": _norm(R6_SET),
-                "subtotal_r7_set": round(
-                    sum(timings[n] for n in R7_SET if n in timings), 3
-                ),
-                "subtotal_r7_set_norm": _norm(R7_SET),
-                "subtotal_r8_set": round(
-                    sum(timings[n] for n in R8_SET if n in timings), 3
-                ),
-                "subtotal_r8_set_norm": _norm(R8_SET),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpu_calibration_sec": round(cal_cpu, 3),
+        "sched_calibration_sec": round(cal_sched, 3),
+        "scan_calibration_sec": round(cal_scan, 3),
+        "subtotal_r3_set": round(
+            sum(timings[n] for n in R3_SET if n in timings), 3
+        ),
+        "subtotal_r4_set": round(
+            sum(timings[n] for n in R4_SET if n in timings), 3
+        ),
+        "subtotal_r5_set": round(
+            sum(timings[n] for n in R5_SET if n in timings), 3
+        ),
+        "subtotal_r6_set": round(
+            sum(timings[n] for n in R6_SET if n in timings), 3
+        ),
+        "subtotal_r3_set_norm": _norm(R3_SET),
+        "subtotal_r4_set_norm": _norm(R4_SET),
+        "subtotal_r5_set_norm": _norm(R5_SET),
+        "subtotal_r6_set_norm": _norm(R6_SET),
+        "subtotal_r7_set": round(
+            sum(timings[n] for n in R7_SET if n in timings), 3
+        ),
+        "subtotal_r7_set_norm": _norm(R7_SET),
+        "subtotal_r8_set": round(
+            sum(timings[n] for n in R8_SET if n in timings), 3
+        ),
+        "subtotal_r8_set_norm": _norm(R8_SET),
+    }
+    # Full payload for humans/PERF.md (stderr never reaches the parser).
+    print("# full: " + json.dumps(payload), file=sys.stderr)
+    print(emit_summary(payload))
     spark.stop()
+
+
+#: The external driver keeps only the LAST 2000 characters of stdout
+#: and json-parses the final complete line it finds there. Round 8's
+#: summary line outgrew that buffer (63 queries), so BENCH_r08.json
+#: recorded ``"parsed": null`` — the line must stay comfortably under
+#: the buffer, forever, no matter how the headline set grows.
+MAX_SUMMARY_BYTES = 1900
+
+
+def emit_summary(payload: dict) -> str:
+    """Render the driver-facing summary as ONE compact JSON line of at
+    most ``MAX_SUMMARY_BYTES`` bytes.
+
+    Shrink ladder (applied only as needed, in order; the contract
+    fields metric/value/unit/queries/sf are never dropped):
+
+    1. compact separators (no whitespace);
+    2. drop the ``subtotal_*_norm`` derived fields;
+    3. drop the ``subtotal_*`` vintage fields;
+    4. round per-query seconds to 2 decimals;
+    5. drop everything but the contract fields;
+    6. last resort: truncate the queries dict slowest-first (keeps the
+       fastest-to-describe picture; ``value`` still covers the full
+       set) — unreachable until the headline set roughly doubles.
+    """
+    core_keys = ("metric", "value", "unit", "queries", "sf")
+
+    def render(d: dict) -> str:
+        return json.dumps(d, separators=(",", ":"))
+
+    candidates = []
+    candidates.append(dict(payload))
+    no_norm = {
+        k: v for k, v in payload.items() if not k.endswith("_norm")
+    }
+    candidates.append(no_norm)
+    no_subtotal = {
+        k: v for k, v in no_norm.items() if not k.startswith("subtotal_")
+    }
+    candidates.append(no_subtotal)
+    coarse = dict(no_subtotal)
+    coarse["queries"] = {
+        k: round(v, 2) for k, v in payload["queries"].items()
+    }
+    candidates.append(coarse)
+    core = {k: coarse[k] for k in core_keys if k in coarse}
+    candidates.append(core)
+    for cand in candidates:
+        line = render(cand)
+        if len(line.encode()) <= MAX_SUMMARY_BYTES:
+            return line
+    # Truncate slowest-first; 'value' keeps the full-set total.
+    q = dict(core["queries"])
+    for name in sorted(q, key=lambda n: -q[n]):
+        del q[name]
+        trunc = dict(core)
+        trunc["queries"] = q
+        trunc["queries_truncated"] = True
+        line = render(trunc)
+        if len(line.encode()) <= MAX_SUMMARY_BYTES:
+            return line
+    return render({k: core[k] for k in ("metric", "value", "unit", "sf")})
 
 
 if __name__ == "__main__":

@@ -167,10 +167,44 @@ DRIVER_CHECKED_R7 = frozenset({
     "q_label_centroids", "q_media_phash", "q_percentile", "q_pii_scrub",
 })
 
+#: Driver rows earned in round 8 (CORRECTNESS_r08.json keys, 50/50
+#: green — first rows for the round-8 surface: containment pairs,
+#: SemDeDup, media decode/dHash, Theil-Sen, Holt-Winters, link
+#: prediction, BH-FDR, adjusted Rand, frequent pairs; the four
+#: round-8 regression re-checks; and a stale drain of all 25
+#: r3-vintage rows plus the 11 alphabetically-first r4 rows).
+DRIVER_CHECKED_R8 = frozenset({
+    "q_adjusted_rand", "q_bh_fdr", "q_containment_pairs",
+    "q_cosine_topk", "q_decontaminate", "q_dedup_keys",
+    "q_deterministic_sample", "q_doc_chunks", "q_embedding_quantize",
+    "q_frequent_pairs", "q_fuzzy_join", "q_holt_winters",
+    "q_interval_join", "q_ivf_assign", "q_keygen_uuid",
+    "q_language_balance", "q_line_dedup", "q_link_prediction",
+    "q_lsh_buckets", "q_mad_outliers", "q_media_decode",
+    "q_media_dhash", "q_pivot", "q_profile", "q_range_join",
+    "q_rank_suite", "q_regexp_extract", "q_repetition", "q_salted_agg",
+    "q_scalar_subquery", "q_semantic_dedup", "q_sliding_window",
+    "q_string_funcs", "q_text_clean", "q_theil_sen", "q_top_paths",
+    "q_tpch_q10", "q_tpch_q12", "q_tpch_q14", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q2", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6",
+    "q_tumbling_window", "q_unpivot", "q_window_range_frame",
+    "q_xml_roundtrip", "q_zorder_key",
+})
+
 DRIVER_CHECKED = (
     DRIVER_CHECKED_R1_R2 | DRIVER_CHECKED_R3 | DRIVER_CHECKED_R4
     | DRIVER_CHECKED_R5 | DRIVER_CHECKED_R6 | DRIVER_CHECKED_R7
+    | DRIVER_CHECKED_R8
 )
+
+#: The round currently being built (the driver stamps its artifacts
+#: with this number). ``tests/test_entry_contract.py`` uses it to
+#: enforce the staleness ceiling: no driver row may be more than
+#: ``STALENESS_CEILING`` rounds behind, and any row at the ceiling's
+#: edge must sit inside the first-50 driver window so it drains THIS
+#: round rather than aging further.
+CURRENT_ROUND = 9
+STALENESS_CEILING = 5
 
 #: Round a query's driver row was LAST earned (r1/r2 merged as 2).
 #: Bucket 3 below re-checks the stalest rows first: the r1/r2 vintage
@@ -181,25 +215,24 @@ for _round, _names in (
     (2, DRIVER_CHECKED_R1_R2), (3, DRIVER_CHECKED_R3),
     (4, DRIVER_CHECKED_R4), (5, DRIVER_CHECKED_R5),
     (6, DRIVER_CHECKED_R6), (7, DRIVER_CHECKED_R7),
+    (8, DRIVER_CHECKED_R8),
 ):
     for _n in _names:
         _LAST_CHECKED_ROUND[_n] = _round
 
-#: Queries whose underlying operator code changed in round 8 — the
-#: driver re-verifies exactly what was rewritten. Round 8 touched:
-#: cosine_topk (bounded-collect guard added), fuzzy_join (variant
-#: blow-up guard wrapping the blocking key), top_paths (NULL
-#: mid-sequence guard), mad_outliers (NULL rows now passed through
-#: unflagged via left joins). The round's multimodal/gap-detection
-#: work added NEW functions next to perceptual_hash/detect_gaps
-#: without touching their code, so q_media_phash/q_gap_detect stay in
-#: the normal rotation — a regression slot re-checks rewrites, not
-#: neighbors.
+#: Queries whose underlying operator code changed in round 9 — the
+#: driver re-verifies exactly what was rewritten. Round 9 touched:
+#: decode_media (quarantine now catches zlib/struct errors and grew a
+#: JPEG branch → q_media_decode, q_media_dhash), cosine_topk (the
+#: max_queries probe became lazy-optional → q_cosine_topk_vec; the
+#: plain q_cosine_topk was re-checked in r8 after the same file's
+#: guard change, so one slot covers the shared path), and ivf_assign
+#: (multi-probe nprobe parameter → q_ivf_assign).
 REGRESSION_PRIORITY = (
-    "q_cosine_topk",
-    "q_fuzzy_join",
-    "q_top_paths",
-    "q_mad_outliers",
+    "q_media_decode",
+    "q_media_dhash",
+    "q_cosine_topk_vec",
+    "q_ivf_assign",
 )
 
 #: Round-5 policy: the deferred bucket is DRAINED — the seven entries

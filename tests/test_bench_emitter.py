@@ -1,0 +1,77 @@
+"""The driver keeps only the last 2000 chars of stdout and parses the
+final complete JSON line inside that buffer; BENCH_r08.json recorded
+``"parsed": null`` because round 8's summary line outgrew it. These
+tests pin bench.emit_summary's size contract without running Spark."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from bench import MAX_SUMMARY_BYTES, emit_summary
+
+
+def _payload(n_queries: int, extras: bool = True) -> dict:
+    queries = {f"q_some_longish_query_name_{i:03d}": 1.234 for i in range(n_queries)}
+    p = {
+        "metric": "headline_queries_total_wall_seconds",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+    }
+    if extras:
+        p["cpu_calibration_sec"] = 0.123
+        p["sched_calibration_sec"] = 0.045
+        p["scan_calibration_sec"] = 0.678
+        for r in range(3, 9):
+            p[f"subtotal_r{r}_set"] = 12.345
+            p[f"subtotal_r{r}_set_norm"] = 3.456
+    return p
+
+
+@pytest.mark.parametrize("n", [10, 63, 80, 120, 500])
+def test_summary_fits_driver_buffer(n):
+    line = emit_summary(_payload(n))
+    assert len(line.encode()) <= MAX_SUMMARY_BYTES
+    assert "\n" not in line
+    parsed = json.loads(line)
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in parsed
+
+
+def test_small_payload_keeps_everything():
+    p = _payload(10)
+    parsed = json.loads(emit_summary(p))
+    assert parsed == json.loads(json.dumps(p))  # float-identical via json
+    assert "subtotal_r8_set_norm" in parsed
+
+
+def test_current_headline_set_keeps_all_queries():
+    """The REAL headline set (the size/names that broke round 8) must
+    fit WITHOUT dropping any per-query timing — today and with ten
+    more queries of headroom (one more round's additions; beyond that
+    the loud slowest-first truncation ladder takes over)."""
+    from bench import HEADLINE
+
+    p = _payload(0)
+    p["queries"] = {n: 123.456 for n in HEADLINE}
+    p["queries"].update(
+        {f"q_future_round_query_{i:02d}": 9.876 for i in range(10)}
+    )
+    parsed = json.loads(emit_summary(p))
+    assert set(parsed["queries"]) == set(p["queries"])
+    assert "queries_truncated" not in parsed
+
+
+def test_truncation_is_loud_and_total_preserved():
+    p = _payload(500)
+    parsed = json.loads(emit_summary(p))
+    assert parsed.get("queries_truncated") is True
+    assert parsed["value"] == p["value"]
+    assert len(parsed["queries"]) < 500
+
+
+def test_max_summary_bytes_under_driver_buffer():
+    assert MAX_SUMMARY_BYTES <= 1900  # driver tail buffer is 2000

