@@ -241,14 +241,23 @@ def decode_image(data: bytes) -> tuple[int, int, np.ndarray]:
     """Sniff the container by magic bytes and decode to grayscale.
 
     The single entry point ``operators/multimodal.decode_media`` calls
-    per payload. Raises ``ValueError`` naming the supported formats on
-    anything else — a curation pipeline wants loud schema-on-read
-    failures it can route to a quarantine sink, not silent zeros.
+    per payload. EVERY malformed payload surfaces as ``ValueError``
+    naming the defect — including corrupt DEFLATE streams
+    (``zlib.error``) and truncated chunk headers (``struct.error``),
+    which are translated here so the quarantine contract
+    (``on_error="null"`` routing to ``decode_error``) holds for all
+    garbage, not just the failures the format parsers raise
+    themselves. A curation pipeline wants loud schema-on-read failures
+    it can route to a quarantine sink, not silent zeros or a crashed
+    job.
     """
-    if data[:8] == PNG_SIGNATURE:
-        return png_decode(data)
-    if data[:2] in (b"P5", b"P6"):
-        return pnm_decode(data)
+    try:
+        if data[:8] == PNG_SIGNATURE:
+            return png_decode(data)
+        if data[:2] in (b"P5", b"P6"):
+            return pnm_decode(data)
+    except (zlib.error, struct.error) as e:
+        raise ValueError(f"malformed image payload: {e}") from e
     raise ValueError(
         f"unrecognized image container (head {bytes(data[:8])!r}); "
         "supported: PNG (8-bit gray/RGB/RGBA), binary PGM/PPM"

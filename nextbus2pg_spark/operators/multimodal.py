@@ -160,6 +160,9 @@ def decode_media(
         raise ValueError(f"on_error must be 'raise' or 'null'; got {on_error!r}")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
         from nextbus2pg_spark.functions.imagecodec import decode_image
 
         for pdf in batches:
@@ -177,7 +180,10 @@ def decode_media(
                     out["pixel_sum"].append(int(gray.sum(dtype="int64")))
                     out["gray"].append(gray.tobytes())
                     out["err"].append(None)
-                except ValueError as e:
+                # decode_image translates zlib/struct failures to
+                # ValueError; the wider tuple is belt-and-braces so a
+                # future codec path can't crash the quarantine mode.
+                except (ValueError, zlib.error, struct.error) as e:
                     if on_error == "raise" and not (
                         b is None or len(b) == 0
                     ):

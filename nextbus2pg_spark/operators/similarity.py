@@ -78,7 +78,7 @@ def cosine_topk(
     vec_col: str,
     k: int = 5,
     round_digits: int | None = 6,
-    max_queries: int = 10_000,
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k per query (broadcast brute force).
 
@@ -86,20 +86,47 @@ def cosine_topk(
     rounded sim DESC, match_id ASC. Self-matches excluded.
 
     ``max_queries`` enforces the "query sets are small by definition"
-    contract the broadcast relies on (same guard as
-    ``cosine_topk_vectorized``): the probe is a bounded
-    ``limit(max_queries + 1).count()``, never a full count, and a
-    corpus-sized query frame raises instead of silently exploding the
-    cross join to corpus × corpus. For genuinely large query sets use
+    contract the broadcast relies on: a corpus-sized query frame fails
+    loudly instead of silently exploding the cross join to corpus ×
+    corpus. The guard is LAZY — a map-side partial count of the query
+    frame cross-joined back as one broadcast row, with the raise
+    fused into the plan-consumed ``query_id`` column (the Catalyst
+    column-pruning lesson) — so constructing this operator runs no
+    Spark job; the count branch re-reads the query lineage but fully
+    column-pruned, inside the same job. Round 8 shipped this as an eager
+    ``limit(n+1).count()`` at construction time, which re-executed the
+    query lineage and added a whole job per call (measured: the
+    q_retrieval_eval bench outlier). ``max_queries=None`` skips the
+    guard entirely. For genuinely large query sets use
     ``lsh_topk``/``ivf_topk`` (all-distributed), or raise
     ``max_queries`` explicitly.
     """
-    if queries.limit(max_queries + 1).count() > max_queries:
-        raise ValueError(
-            f"query set exceeds max_queries={max_queries}; the broadcast "
-            "brute-force path cross-joins the corpus against the query "
-            "set — use lsh_topk/ivf_topk for corpus-scale query sets or "
-            "raise max_queries explicitly"
+    if max_queries is not None:
+        qcnt = queries.groupBy().agg(
+            F.count(F.lit(1)).alias("__n_queries")
+        )
+        guarded_id = F.when(
+            F.col("__n_queries") <= F.lit(max_queries), F.col(id_col)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("query set exceeds max_queries="),
+                    F.lit(str(max_queries)),
+                    F.lit(" (n="),
+                    F.col("__n_queries").cast("string"),
+                    F.lit(
+                        "); the broadcast brute-force path cross-joins "
+                        "the corpus against the query set - use "
+                        "lsh_topk/ivf_topk for corpus-scale query sets "
+                        "or raise max_queries explicitly"
+                    ),
+                )
+            )
+        )
+        queries = (
+            queries.crossJoin(F.broadcast(qcnt))
+            .withColumn(id_col, guarded_id)
+            .drop("__n_queries")
         )
     c = with_norm(corpus, vec_col, "t_norm").select(
         F.col(id_col).alias("match_id"),

@@ -98,7 +98,12 @@ class HttpFeedFetcher:
     first request, route.py:166-169) and returns the routes that
     produced a new document. Documents whose ``lastTime`` does not
     advance past the cursor are NOT re-spooled (an idle route costs no
-    storage and no downstream batch). ``run(n_polls, interval_s)`` is
+    storage and no downstream batch — round-8 advice; previously every
+    response was spooled and idle routes grew the spool each poll).
+    Exception: a response with NO ``lastTime`` element at all (a
+    snapshot-only feed, ``last_ms == 0``) can never advance, so it is
+    stamped with the wall clock and spooled — such feeds stay live at
+    one document per poll by design. ``run(n_polls, interval_s)`` is
     the daemon loop.
     """
 
@@ -160,13 +165,19 @@ class HttpFeedFetcher:
             # it reaches the spool — a bad response must not poison the
             # stream). Row extraction happens executor-side later.
             _rows, last_ms = rows_from_xml(text, route)
-            if last_ms <= cursors[route]:
-                # '0' sentinel (no lastTime element) or a stale replay:
-                # stamp with the wall clock so a snapshot-only feed
-                # still spools monotonically, but never regress.
+            if last_ms == 0:
+                # '0' sentinel (no lastTime element): a snapshot-only
+                # feed can never advance its own cursor — stamp with
+                # the wall clock (monotone, never regressing) and keep
+                # spooling each poll.
                 last_ms = max(
                     int(self._clock() * 1000), cursors[route] + 1
                 )
+            elif last_ms <= cursors[route]:
+                # Real lastTime that did not advance: the route is
+                # idle — skip the spool write entirely (no storage,
+                # no downstream batch for this route this poll).
+                continue
             self._write_atomic(route, last_ms, text)
             advanced.append(route)
         return advanced

@@ -1,0 +1,86 @@
+"""Pinned normalized-cost ratios for the round-8 bench outliers.
+
+Round 8's cross-round bench showed q_retrieval_eval 2.48x, q_token_count
+2.18x and q_corpus_assembly 1.46x vs round 7. Bisected in round 9 by
+running the ROUND-7 CODE in a worktree on the same host/session as the
+round-9 code: r7 code measured 1.72s median for q_retrieval_eval vs
+1.50-1.76s for r9 code — identical within noise, so the cross-round
+moves were host drift, not regressions (PERF.md "Round-9 outlier
+settlement" has the full numbers).
+
+These tests pin the settled costs as NORMALIZED ratios so a future real
+regression fails loudly while host drift does not:
+
+    norm(q) = max(wall(q) - cal_sched, 0) / cal_scan
+
+(cal_sched = a 32-task no-compute job's wall = per-job fixed overhead;
+cal_scan = full-column scan+agg of the SF's largest table = the host's
+data-path speed; same rule as bench.py / PERF.md "Calibration &
+normalization".) Ceilings are ~3x the round-9 measured values at
+sf0.01 (q_retrieval_eval 4.9, q_token_count 0.0, q_corpus_assembly
+15.9) — wide enough for cross-host variance, tight enough that another
+genuine 2.5x move trips them.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from nextbus2pg_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+#: (query, normalized-cost ceiling). Measured r9 values in module doc.
+PINNED = [
+    ("q_retrieval_eval", 15.0),
+    ("q_token_count", 2.0),
+    ("q_corpus_assembly", 48.0),
+]
+
+
+def _median(thunk, runs=3):
+    thunk()  # warm
+    xs = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        thunk()
+        xs.append(time.perf_counter() - t0)
+    xs.sort()
+    return xs[len(xs) // 2]
+
+
+@pytest.fixture(scope="module")
+def calibration(spark):
+    cal_sched = _median(lambda: spark.range(0, 32_000, 1, 32).count())
+    lineitem = os.path.join(SF, "lineitem.parquet")
+    cal_scan = _median(
+        lambda: spark.read.parquet(lineitem)
+        .selectExpr(
+            "sum(l_extendedprice)", "sum(l_quantity)",
+            "sum(l_discount)", "count(*)",
+        )
+        .collect()
+    )
+    return cal_sched, cal_scan
+
+
+@pytest.mark.parametrize("name,ceiling", PINNED)
+def test_pinned_normalized_ratio(spark, calibration, name, ceiling):
+    cal_sched, cal_scan = calibration
+
+    def run():
+        df = QUERIES[name](spark, SF)
+        df.count()
+        df.limit(5).collect()
+
+    med = _median(run)
+    norm = max(med - cal_sched, 0.0) / cal_scan
+    assert norm <= ceiling, (
+        f"{name}: normalized cost {norm:.2f} exceeds pinned ceiling "
+        f"{ceiling} (wall {med:.3f}s, cal_sched {cal_sched:.3f}s, "
+        f"cal_scan {cal_scan:.3f}s) — likely a real plan regression, "
+        "not host drift; see PERF.md 'Round-9 outlier settlement'"
+    )

@@ -245,3 +245,31 @@ def test_main_cli_feed_url_backfill(feed_server, tmp_path, spark):
     assert all(r.service_id is not None for r in rows)
     # the fetch really went over HTTP with the cold-start t=0 cursor
     assert [q["t"] for q in _FeedHandler.requests] == ["0"]
+
+
+def test_idle_route_is_not_respooled(tmp_path):
+    """Round-8 advice: a response whose REAL lastTime does not advance
+    past the cursor is skipped — idle routes must not grow the spool or
+    trigger downstream batches every poll. (Snapshot-only feeds with no
+    lastTime at all keep the wall-clock-stamp behavior — covered by
+    test_snapshot_only_feed_stamps_wall_clock_monotonically.)"""
+
+    class FrozenClient:
+        """Always returns the same lastTime=5000 document."""
+
+        def get(self, url):
+            return _doc("N", 5000).encode()
+
+    spool = tmp_path / "spool"
+    f = HttpFeedFetcher(
+        "http://unused.example/feed", "sf-muni", ["N"], str(spool),
+        client=FrozenClient(),
+    )
+    assert f.poll_once() == ["N"]  # cold start: 0 -> 5000 advances
+    assert f.cursors() == {"N": 5000}
+    n_files = len(list(spool.iterdir()))
+
+    for _ in range(3):  # feed is idle: nothing new may be spooled
+        assert f.poll_once() == []
+    assert f.cursors() == {"N": 5000}
+    assert len(list(spool.iterdir())) == n_files

@@ -122,3 +122,45 @@ def test_decode_image_sniffs_by_magic():
     assert np.array_equal(decode_image(pnm_encode_gray(img))[2], img)
     with pytest.raises(ValueError, match="unrecognized image container"):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def _corrupt_idat(data: bytes) -> bytes:
+    """Flip bytes inside the IDAT body and RE-SIGN the CRC, so the
+    chunk walk passes and zlib.decompress is what fails."""
+    pos = 8
+    out = bytearray(data)
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            body = bytearray(data[pos + 8 : pos + 8 + length])
+            for i in range(min(4, len(body))):
+                body[i] ^= 0xFF
+            out[pos + 8 : pos + 8 + length] = body
+            crc = zlib.crc32(b"IDAT" + bytes(body)) & 0xFFFFFFFF
+            out[pos + 8 + length : pos + 12 + length] = struct.pack(
+                ">I", crc
+            )
+            return bytes(out)
+        pos += 12 + length
+    raise AssertionError("no IDAT found")
+
+
+def test_corrupt_idat_surfaces_as_value_error():
+    """Round-8 advice: zlib.error from a corrupt DEFLATE stream must be
+    translated to ValueError so decode_media's quarantine mode
+    (on_error='null') routes it to decode_error instead of crashing."""
+    data = _corrupt_idat(png_encode_gray(_grid(8, 8, seed=3)))
+    with pytest.raises(ValueError, match="malformed image payload"):
+        decode_image(data)
+
+
+def test_truncated_chunk_surfaces_as_value_error():
+    """struct.error from a chunk header cut mid-length-field must also
+    surface as ValueError (same quarantine contract)."""
+    data = png_encode_gray(_grid(8, 8, seed=4))
+    # signature + IHDR length/tag + 5 of 13 body bytes: the chunk walk
+    # enters (pos+8 <= len) but the CRC unpack reads an empty slice.
+    truncated = data[: 8 + 8 + 5]
+    with pytest.raises(ValueError, match="malformed image payload"):
+        decode_image(truncated)

@@ -493,22 +493,37 @@ def test_setsim_join_matches_brute_force(spark):
 
 
 def test_cosine_topk_rejects_oversized_query_set(spark):
-    """ADVICE r7: the expression brute-force path gets the same
-    bounded-collect guard as its vectorized sibling — a corpus-sized
-    query frame raises (limit-probe, never a full count) instead of
-    silently exploding the cross join to corpus x corpus."""
+    """ADVICE r7 + r8: the expression brute-force path guards against
+    corpus-sized query frames, but LAZILY — constructing the operator
+    runs no Spark job (the r8 eager limit-probe cost a whole job per
+    call, the q_retrieval_eval bench outlier); the raise is fused into
+    the plan and fires at execution time."""
     import pytest
 
     from nextbus2pg_spark.operators.similarity import cosine_topk
 
     rows = [(i, [float(i), 1.0]) for i in range(50)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    with pytest.raises(ValueError, match="max_queries"):
-        cosine_topk(df, df, "vec_id", "embedding", k=2, max_queries=10)
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    oversized = cosine_topk(
+        df, df, "vec_id", "embedding", k=2, max_queries=10
+    )
+    assert len(tracker.getJobIdsForGroup() or []) == jobs_before, (
+        "constructing cosine_topk must not run a Spark job"
+    )
+    with pytest.raises(Exception, match="max_queries"):
+        oversized.collect()
+
     out = cosine_topk(
         df, df.limit(3), "vec_id", "embedding", k=2, max_queries=10
     )
     assert out.count() == 6
+    # max_queries=None skips the guard entirely (caller opts out).
+    assert cosine_topk(
+        df, df, "vec_id", "embedding", k=2, max_queries=None
+    ).count() == 100
 
 
 def test_operators_all_exports_resolve():
