@@ -97,6 +97,13 @@ R8_SET: list[str] = [
     "q_theil_sen",
 ]
 
+#: Round-9 additions: the baseline-JPEG decode pipeline (pure-Python
+#: Huffman entropy decode + vectorized IDCT — the throughput probe for
+#: the new codec path).
+R9_SET: list[str] = [
+    "q_media_decode_jpeg",
+]
+
 HEADLINE = [
     "q_flagship_latest",
     "q_tpch_q1",
@@ -133,6 +140,7 @@ HEADLINE = [
     "q_rolling_anomaly",
     *R7_SET,
     *R8_SET,
+    *R9_SET,
 ]
 
 
@@ -283,6 +291,10 @@ def main() -> None:
             sum(timings[n] for n in R8_SET if n in timings), 3
         ),
         "subtotal_r8_set_norm": _norm(R8_SET),
+        "subtotal_r9_set": round(
+            sum(timings[n] for n in R9_SET if n in timings), 3
+        ),
+        "subtotal_r9_set_norm": _norm(R9_SET),
     }
     # Full payload for humans/PERF.md (stderr never reaches the parser).
     print("# full: " + json.dumps(payload), file=sys.stderr)

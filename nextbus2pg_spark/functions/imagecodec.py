@@ -254,11 +254,16 @@ def decode_image(data: bytes) -> tuple[int, int, np.ndarray]:
     try:
         if data[:8] == PNG_SIGNATURE:
             return png_decode(data)
+        if data[:3] == b"\xff\xd8\xff":
+            from nextbus2pg_spark.functions.jpegcodec import jpeg_decode
+
+            return jpeg_decode(data)
         if data[:2] in (b"P5", b"P6"):
             return pnm_decode(data)
     except (zlib.error, struct.error) as e:
         raise ValueError(f"malformed image payload: {e}") from e
     raise ValueError(
         f"unrecognized image container (head {bytes(data[:8])!r}); "
-        "supported: PNG (8-bit gray/RGB/RGBA), binary PGM/PPM"
+        "supported: PNG (8-bit gray/RGB/RGBA), baseline JPEG (SOF0), "
+        "binary PGM/PPM"
     )

