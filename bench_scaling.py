@@ -1,4 +1,4 @@
-"""Iterative-family scaling measurement (round-7 verdict task #2).
+"""Iterative- and heavy-family scaling measurement.
 
 PERF.md has claimed since round 6 that the graph family's sf0.1 wall
 time is dominated by PER-ROUND SCHEDULING (each synchronous round is
@@ -15,6 +15,15 @@ MUCH slower than 10x across the sweep (slope << 1 in data size); a
 superlinear slope would falsify the claim and flag a plan defect
 (e.g. lineage growth across rounds). Results are recorded in PERF.md
 ("Iterative-family scaling" section).
+
+Round 9 extends the sweep to the round-8 HEAVY family (verdict task
+5): semantic_dedup, containment_pairs, theil_sen, holt_winters — each
+over seeded ``spark.range``-arithmetic corpora whose shape matches the
+operator's documented scale path (cells kept constant-size by scaling
+``n_centroids`` with the data; Theil-Sen/Holt-Winters scale by GROUP
+COUNT at fixed group size, which is the only way those operators are
+allowed to grow; containment scales documents at fixed shingle
+overlap). A superlinear slope flags a plan defect.
 
 Usage: ``python bench_scaling.py [scales ...]`` (default 1 3 10).
 Emits one JSON line per (operator, scale) to stdout.
@@ -83,6 +92,113 @@ def run_op(spark, name: str, scale: int) -> tuple[float, int]:
     return wall, n_edges
 
 
+# -- round-8 heavy family (round-9 verdict task 5) ----------------------
+
+#: 1x sizes, chosen so scale 1 lands near the sf0.1 fixture cost.
+HEAVY_BASE = {
+    "semantic_dedup": 5_000,    # vectors (dim 32; cells ~312 vecs)
+    "containment_pairs": 5_000,  # documents x 40 shingles, stride 5
+    "theil_sen": 200,            # groups of 100 points (4950 pairs each)
+    "holt_winters": 200,         # keys of 500 points (season 24)
+}
+
+
+def synth_vectors(spark, n: int, dim: int = 32):
+    """Near-dup-structured embeddings: ids 2k/2k+1 share a base vector
+    with a tiny odd-id perturbation (cosine >> 0.95), bases spread by
+    Lehmer arithmetic — no RNG, no files."""
+    base = (F.col("id") - F.col("id") % 2).cast("long")
+    j = F.sequence(F.lit(0), F.lit(dim - 1))
+    vec = F.transform(
+        j,
+        lambda k: (
+            ((base * (31 + k * 7) + k * k * 13) % 1009).cast("double")
+            / 1009.0
+            + (F.col("id") % 2).cast("double") * 1e-4 * ((k % 3) - 1)
+        ).cast("float"),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+
+
+def run_heavy(spark, name: str, scale: int) -> tuple[float, int]:
+    base = HEAVY_BASE[name] * scale
+    if name == "semantic_dedup":
+        from nextbus2pg_spark.operators.similarity import semantic_dedup
+
+        vecs = synth_vectors(spark, base).localCheckpoint()
+        n_rows = vecs.count()
+        t0 = time.perf_counter()
+        # Cells stay ~constant-size: n_centroids grows with the data
+        # (the operator's documented scale path), so pair work is
+        # sum-of-cells-squared and grows LINEARLY by construction.
+        n = semantic_dedup(
+            vecs, "vec_id", "embedding",
+            n_centroids=16 * scale, kmeans_iters=3,
+            sim_threshold=0.95,
+        ).count()
+    elif name == "containment_pairs":
+        from nextbus2pg_spark.operators.dedup import containment_pairs
+
+        shingled = (
+            spark.range(base * 40)
+            .select(
+                (F.col("id") / 40).cast("long").alias("doc"),
+                F.concat(
+                    F.lit("s"),
+                    ((F.col("id") / 40).cast("long") * 5
+                     + F.col("id") % 40).cast("string"),
+                ).alias("shingle"),
+            )
+            .select(F.col("doc").alias("id"), "shingle")
+            .localCheckpoint()
+        )
+        n_rows = shingled.count()
+        t0 = time.perf_counter()
+        n = containment_pairs(shingled, threshold_milli=800).count()
+    elif name == "theil_sen":
+        from nextbus2pg_spark.operators.stats import theil_sen
+
+        pts = (
+            spark.range(base * 100)
+            .select(
+                (F.col("id") / 100).cast("long").alias("grp"),
+                (F.col("id") % 100).cast("double").alias("x"),
+                ((F.col("id") % 100) * 3
+                 + (F.col("id") * 17) % 13).cast("double").alias("y"),
+            )
+            .localCheckpoint()
+        )
+        n_rows = pts.count()
+        t0 = time.perf_counter()
+        n = theil_sen(pts, ["grp"], "x", "y").count()
+    else:  # holt_winters
+        from nextbus2pg_spark.operators.timeseries import holt_winters
+
+        series = (
+            spark.range(base * 500)
+            .select(
+                (F.col("id") / 500).cast("long").alias("key"),
+                (F.col("id") % 500).cast("long").alias("ts"),
+                (
+                    ((F.col("id") % 24) * 5).cast("double")
+                    + ((F.col("id") * 29) % 17).cast("double")
+                ).alias("value"),
+            )
+            .localCheckpoint()
+        )
+        n_rows = series.count()
+        t0 = time.perf_counter()
+        n = holt_winters(
+            series, "key", "ts", "value", season_length=24
+        ).count()
+    wall = time.perf_counter() - t0
+    release_cached_rdds(spark)
+    assert n > 0, (name, scale, n_rows)
+    return wall, n_rows
+
+
 def main() -> None:
     scales = [int(s) for s in sys.argv[1:]] or [1, 3, 10]
     spark = get_spark("nextbus2pg-bench-scaling")
@@ -102,6 +218,21 @@ def main() -> None:
                         "iters": ITERS[op],
                         "wall_sec": round(wall, 3),
                         "sec_per_round": round(wall / ITERS[op], 3),
+                    }
+                ),
+                flush=True,
+            )
+    for op in HEAVY_BASE:
+        run_heavy(spark, op, 1)  # warm the plan shape
+        for s in scales:
+            wall, n_rows = run_heavy(spark, op, s)
+            print(
+                json.dumps(
+                    {
+                        "op": op,
+                        "scale": s,
+                        "rows": n_rows,
+                        "wall_sec": round(wall, 3),
                     }
                 ),
                 flush=True,

@@ -1000,6 +1000,7 @@ def semantic_dedup(
     kmeans_iters: int = 3,
     sim_threshold: float = 0.95,
     deterministic_train: bool = False,
+    assign_nprobe: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-space semantic
     deduplication → ``(id, centroid_id, keep)`` — cluster the corpus
@@ -1018,6 +1019,17 @@ def semantic_dedup(
     raise ``n_centroids`` for finer cells (cheaper pairs, more misses)
     or lower it toward 1 (exact, quadratic).
 
+    ``assign_nprobe > 1`` multi-assigns each vector to its nprobe
+    nearest centroids for PAIR GENERATION (the reported
+    ``centroid_id`` stays the primary cell): a near-dup pair split by
+    a cell boundary still meets in any shared probe cell, recovering
+    most boundary misses at ~nprobe× the pair work — the measured
+    recall/cost trade lives in ``tests/test_semdedup_recall.py`` and
+    FIXTURES.md §"SemDeDup recall (measured)". A pair sharing several
+    probe cells yields duplicate edges; ``connected_components`` is
+    multi-edge-tolerant, so duplicates cost a little sim arithmetic,
+    never correctness.
+
     ``sim_threshold`` gates on the 6-dp-rounded cosine (engine-exact);
     components within a cell collapse transitively (the near-dup
     clusters recipe) and ``keep`` marks ``id == min(component)`` —
@@ -1033,8 +1045,12 @@ def semantic_dedup(
         )
     else:
         cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
-    assigned = ivf_assign(corpus, id_col, vec_col, cents, nprobe=1)
-    v = assigned.join(
+    if assign_nprobe < 1:
+        raise ValueError(f"assign_nprobe must be >= 1; got {assign_nprobe}")
+    membership = ivf_assign(
+        corpus, id_col, vec_col, cents, nprobe=assign_nprobe
+    )
+    v = membership.join(
         with_norm(corpus, vec_col, "nrm").select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "nrm"
         ),
@@ -1058,8 +1074,15 @@ def semantic_dedup(
         .where(F.col("sim") >= F.lit(sim_threshold))
     )
     comp = connected_components(edges)
-    return (
+    out_base = (
         v.select("id", "centroid_id")
+        if assign_nprobe == 1
+        # multi-probe membership is pair-generation-only: report one
+        # row per id, keyed by the PRIMARY (nearest-centroid) cell.
+        else ivf_assign(corpus, id_col, vec_col, cents, nprobe=1)
+    )
+    return (
+        out_base
         .join(comp, "id", "left")
         .select(
             "id",

@@ -273,3 +273,116 @@ def test_idle_route_is_not_respooled(tmp_path):
         assert f.poll_once() == []
     assert f.cursors() == {"N": 5000}
     assert len(list(spool.iterdir())) == n_files
+
+
+def test_soak_fetch_restart_resume_no_duplicates(
+    feed_server, tmp_path, spark
+):
+    """Round-8 verdict item 7 — the live-path soak across the whole
+    seam: HTTP fetch -> spool -> DSv2 stream, with BOTH processes
+    restarted mid-run. Asserts T2 (per-route offsets survive the
+    stream restart via the checkpoint) and T6/at-least-once tightened
+    to exactly-once on the clean path: after the second sweep the sink
+    holds every spooled document exactly once — no replays of the
+    first sweep's documents, no gaps."""
+    from nextbus2pg_spark.sources.feed_stream import VehicleFeedDataSource
+
+    spool, out = tmp_path / "spool", tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def sweep():
+        spark.dataSource.register(VehicleFeedDataSource)
+        q = (
+            spark.readStream.format("nextbus_feed")
+            .option("path", str(spool))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    f1 = HttpFeedFetcher(
+        feed_server, "sf-muni", ["N", "J"], str(spool),
+        client=FeedHttpClient(retries=1),
+    )
+    f1.run(n_polls=2, interval_s=0.0)
+    sweep()
+    first = spark.read.parquet(str(out)).collect()
+    assert len(first) == 8  # 2 routes x 2 polls x 2 vehicles
+
+    # fetcher 'crash': a FRESH instance re-derives cursors from the
+    # spool filenames and keeps threading t over HTTP (never refetches)
+    f2 = HttpFeedFetcher(
+        feed_server, "sf-muni", ["N", "J"], str(spool),
+        client=FeedHttpClient(retries=1),
+    )
+    assert f2.cursors() == {"N": 2000, "J": 2000}
+    f2.run(n_polls=2, interval_s=0.0)
+    assert sorted(int(q["t"]) for q in _FeedHandler.requests) == [
+        0, 0, 1000, 1000, 2000, 2000, 3000, 3000,
+    ]
+
+    # stream 'crash': a new availableNow query on the same checkpoint
+    # must ingest ONLY the two new documents per route
+    sweep()
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 16
+    seen = [
+        (r["route_tag"], r["request_time_ms"], r["vehicle_id"])
+        for r in rows
+    ]
+    assert len(set(seen)) == 16, "duplicate rows across the restart"
+    assert {t for _, t, _ in seen} == {1000, 2000, 3000, 4000}
+
+
+def test_soak_app_level_restart_resumes_cursor(feed_server, tmp_path, spark):
+    """Same soak at the APP level: two separate `main(--feed-url, -r 0)`
+    invocations (process restart semantics — nothing shared but the
+    spool/checkpoint/store dirs). The second run's HTTP request must
+    carry the first run's lastTime cursor, and the keyed store ends
+    with one row per (vehicle, timestamp) across both runs."""
+    import os
+
+    from nextbus2pg_spark.pipelines.app import main
+    from nextbus2pg_spark.sinks.upsert import ParquetUpsertTable
+    from nextbus2pg_spark.streaming.ingest import DEDUP_KEYS
+
+    config = tmp_path / "config"
+    os.makedirs(config)
+    (config / "agencyList.xml").write_text(
+        '<body><agency tag="sf-muni" title="SF Muni" '
+        'regionTitle="California"/></body>'
+    )
+    (config / "routeList.xml").write_text(
+        '<body><route tag="N" title="N Judah"/></body>'
+    )
+    (config / "routeConfig__N.xml").write_text(
+        """<body><route tag="N">
+             <stop tag="s1" title="First" lon="-122.4" lat="37.7"/>
+             <direction tag="N_in" title="In" name="Inbound"
+                        useForUI="true"><stop tag="s1"/></direction>
+           </route></body>"""
+    )
+    args = [
+        "-a", "sf-muni", "-r", "0",
+        "--spool", str(tmp_path / "spool"),
+        "--config", str(config),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--store", str(tmp_path / "store"),
+        "--feed-url", feed_server,
+    ]
+    main(args, spark=spark)
+    main(args, spark=spark)  # 'restarted' app: same dirs, fresh state
+    assert [int(q["t"]) for q in _FeedHandler.requests] == [0, 1000]
+    locations = ParquetUpsertTable(
+        spark, str(tmp_path / "store" / "vehicle_location"),
+        key_cols=list(DEDUP_KEYS),
+    )
+    rows = locations.read().collect()
+    # 2 vehicles x 2 polls, distinct location_timestamps, no dups
+    assert len(rows) == 4
+    keys = [(r.vehicle_tag, r.location_timestamp) for r in rows]
+    assert len(set(keys)) == 4
