@@ -99,9 +99,14 @@ R8_SET: list[str] = [
 
 #: Round-9 additions: the baseline-JPEG decode pipeline (pure-Python
 #: Huffman entropy decode + vectorized IDCT — the throughput probe for
-#: the new codec path).
+#: the new codec path), the cross-format PNG/JPEG dHash pairing, the
+#: DSIR importance sampler (token-stream explode + bounded-bucket
+#: aggregates), and the JL random projection (broadcast map pass).
 R9_SET: list[str] = [
     "q_media_decode_jpeg",
+    "q_media_cross_format",
+    "q_dsir_sample",
+    "q_random_projection",
 ]
 
 HEADLINE = [

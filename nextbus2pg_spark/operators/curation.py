@@ -1144,3 +1144,134 @@ def weighted_sample(
         )
     )
     return ranked.where(F.col("__rn") <= k).drop("__pri", "__rn")
+
+
+def dsir_sample(
+    candidates: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 256,
+    k: int = 100,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023) → the ``k`` candidate documents most target-like under
+    hashed-n-gram importance weights, as ``(id, rank)``.
+
+    The modern pretraining-curation selector: fit bag-of-hashed-n-gram
+    multinomials on a small TARGET corpus (the domain you want more
+    of) and on the raw candidate pool, score every candidate by
+    ``log w(x) = Σ_f c_f(x) · (log p_target(f) − log p_raw(f))`` and
+    keep the top mass. Features are unigrams + space-joined bigrams
+    (the paper's choice), md5-hashed into ``n_buckets`` buckets
+    (engine-portable, collision-tolerant by design); both multinomials
+    are Laplace-smoothed (+1 per bucket).
+
+    Scale shape (100 TB honest): the token stream is exploded ONCE per
+    corpus into (bucket, count) partials — two bounded ``n_buckets``-row
+    aggregates with map-side combine; the per-bucket log-ratio table
+    (``n_buckets`` rows) BROADCASTS onto the per-document feature
+    counts; per-document scores fold the joined terms in bucket order
+    (deterministic FP sum — the ``_fold_mean`` discipline); selection
+    is ``orderBy().limit(k)`` = Spark's distributed TakeOrdered
+    (per-partition partial top-k, never a global sort), and the rank
+    window runs over the k survivors only. No driver state, no Python.
+
+    Determinism note: the score expression is the fixed 4-term
+    ``ln(t_b+1) + ln(S+B) − ln(s_b+1) − ln(T+B)`` evaluated identically
+    by the oracle; scores are used for ORDERING only (the
+    q_weighted_sample transcendental stance — near-tie flips need
+    score gaps below ~1e-12, which distinct feature multisets do not
+    produce; exact ties break on id).
+    """
+    if k < 1 or n_buckets < 2:
+        raise ValueError(f"need k >= 1, n_buckets >= 2; got {k}/{n_buckets}")
+
+    def features(df: DataFrame) -> DataFrame:
+        words = F.filter(
+            F.split(F.col(text_col), " "), lambda w: w != ""
+        )
+        base = df.select(
+            F.col(id_col).alias("id"), words.alias("__w")
+        )
+        uni = base.select("id", F.explode("__w").alias("gram"))
+        # slice length must stay >= 0 (a 0/1-word doc yields no
+        # bigrams); when() keeps the slice branch unevaluated there.
+        bigrams = F.when(
+            F.size("__w") >= 2,
+            F.transform(
+                F.slice(F.col("__w"), 1, F.size("__w") - 1),
+                lambda w, i: F.concat(w, F.lit(" "), F.col("__w")[i + 1]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        bi = base.select("id", F.explode(bigrams).alias("gram"))
+        grams = uni.unionAll(bi)
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 6), 16, 10)
+            .cast("long") % n_buckets
+        )
+        return grams.select("id", bucket.alias("bucket"))
+
+    cand_feats = features(candidates)
+    tgt_feats = features(target)
+    t_counts = tgt_feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("__t")
+    )
+    s_counts = cand_feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("__s")
+    )
+    # Dense bucket grid so totals + smoothing are exact integers even
+    # for buckets one corpus never hits.
+    spark = candidates.sparkSession
+    grid = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    ratios = (
+        grid.join(t_counts, "bucket", "left")
+        .join(s_counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("__t", F.lit(0)).alias("__t"),
+            F.coalesce("__s", F.lit(0)).alias("__s"),
+        )
+    )
+    # Totals via an unpartitioned window over the BOUNDED ratio frame
+    # (n_buckets rows — never the corpus), avoiding a self-join of the
+    # ratios lineage entirely.
+    wall = Window.partitionBy()
+    log_ratio = (
+        F.log(F.col("__t").cast("double") + 1.0)
+        + F.log(
+            F.sum("__s").over(wall).cast("double") + float(n_buckets)
+        )
+        - F.log(F.col("__s").cast("double") + 1.0)
+        - F.log(
+            F.sum("__t").over(wall).cast("double") + float(n_buckets)
+        )
+    )
+    ratio_table = ratios.select("bucket", log_ratio.alias("__lr"))
+    doc_terms = (
+        cand_feats.groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .join(F.broadcast(ratio_table), "bucket")
+        .select(
+            "id",
+            F.struct(
+                "bucket", (F.col("__c") * F.col("__lr")).alias("term")
+            ).alias("__bt"),
+        )
+    )
+    scored = doc_terms.groupBy("id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list("__bt")),
+                lambda t: t["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, term: acc + term,
+        ).alias("__score")
+    )
+    top = scored.orderBy(F.desc("__score"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("__score"), F.asc("id"))
+    return top.select(
+        "id", F.row_number().over(w).cast("bigint").alias("rank")
+    )

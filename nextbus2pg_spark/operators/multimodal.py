@@ -334,6 +334,58 @@ def synthetic_jpeg_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_cross_format_media(docs: DataFrame) -> DataFrame:
+    """The SAME pixel grid per document encoded TWICE — as a real PNG
+    (``media_id = 2*doc_id``) and as a real baseline JPEG
+    (``media_id = 2*doc_id + 1``) — for cross-format near-dup checks:
+    a correct decoder pair must produce identical rasters from both
+    containers, so their dHashes collide at hamming 0. Grids are the
+    block-constant JPEG-exact shape of :func:`synthetic_jpeg_media`
+    (``width = 8*(2 + d%3)``, ``height = 8*(2 + d%2)``, block (bi, bj)
+    value ``(d*37 + bi*19 + bj*7) % 256``), which PNG encodes
+    losslessly by definition.
+    """
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from nextbus2pg_spark.functions.imagecodec import png_encode_gray
+        from nextbus2pg_spark.functions.jpegcodec import jpeg_encode_gray
+
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw, bh = 2 + d % 3, 2 + d % 2
+                bi = np.arange(bh, dtype=np.int64).reshape(-1, 1)
+                bj = np.arange(bw, dtype=np.int64)
+                vals = (d * 37 + bi * 19 + bj * 7) % 256
+                img = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+                img = img.astype(np.uint8)
+                meta = {"width": bw * 8, "height": bh * 8,
+                        "sample_rate": None, "n_frames": None}
+                ids.append(2 * d)
+                payloads.append(png_encode_gray(img, filter_mode="cycle"))
+                metas.append(meta)
+                ids.append(2 * d + 1)
+                payloads.append(jpeg_encode_gray(img, quant=1))
+                metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    return ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
+        _make, schema=MEDIA_SCHEMA
+    )
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over media payload bytes.
 

@@ -162,3 +162,78 @@ def pca_power_iteration(
         6,
     )
     return mu, v, base.select("id", proj.alias("proj"))
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection → ``(id, j, proj)``
+    rows, one per output dimension: ``proj_j = (Σ_i x_i · s(i,j)) /
+    sqrt(out_dim)`` with a Rademacher ±1 matrix (Achlioptas 2003 —
+    the database-friendly JL variant: sign matrices preserve pairwise
+    distances within (1±ε) like Gaussians do, with integer-cheap
+    generation). The standard pre-step before ANN/clustering when
+    64-dim embeddings are still too wide for a pair stage at corpus
+    scale.
+
+    Scale shape: the sign matrix is GENERATED, not stored — a
+    ``spark.range(out_dim)`` of md5-derived sign arrays (the
+    hyperplane-LSH recipe, engine-portable) broadcast-cross-joined
+    onto the corpus; the corpus never shuffles, one map pass emits
+    ``out_dim`` rows per vector, and the fold order is the element
+    order, so a DuckDB ``list_reduce`` replays every double exactly
+    (``q_random_projection``). No driver state, no Python in the
+    distributed path.
+    """
+    if out_dim < 1 or in_dim < 1:
+        raise ValueError(
+            f"in_dim/out_dim must be >= 1; got {in_dim}/{out_dim}"
+        )
+    spark = df.sparkSession
+    prefix = f"rp:{seed}:"
+    signs = spark.range(out_dim).select(
+        F.col("id").alias("__j"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(in_dim - 1)),
+            lambda i: F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(prefix),
+                            F.col("id").cast("string"),
+                            F.lit(":"),
+                            i.cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                < "8",
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        ).alias("__s"),
+    )
+    scale = math.sqrt(float(out_dim))
+    proj = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.col("__s"),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(scale),
+        6,
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), vec_col)
+        .crossJoin(F.broadcast(signs))
+        .select("id", F.col("__j").alias("j"), proj.alias("proj"))
+    )

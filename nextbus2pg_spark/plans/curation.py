@@ -921,3 +921,101 @@ def q_mixture_audit(spark: SparkSession, sf_dir: str):
         weights={"src0": 3, "src1": 1, "src2": 1},
         token_budget=6000, key_cols=["doc_id"],
     )
+
+
+@fixture(
+    "q_dsir_sample",
+    oracle="""
+WITH cand AS (
+  SELECT doc_id, text FROM documents
+  WHERE NOT (lang = 'en' AND source = 'src1')
+),
+tgt AS (
+  SELECT doc_id, text FROM documents
+  WHERE lang = 'en' AND source = 'src1'
+),
+cw AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), g -> g <> '') AS w
+  FROM cand
+),
+tw AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), g -> g <> '') AS w
+  FROM tgt
+),
+cgrams AS (
+  SELECT doc_id, unnest(w) AS gram FROM cw
+  UNION ALL
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+  FROM cw, unnest(range(1, len(w))) AS t(i)
+),
+tgrams AS (
+  SELECT doc_id, unnest(w) AS gram FROM tw
+  UNION ALL
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+  FROM tw, unnest(range(1, len(w))) AS t(i)
+),
+cb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 6))::BIGINT % 256 AS bucket
+  FROM cgrams
+),
+tb AS (
+  SELECT ('0x' || substr(md5(gram), 1, 6))::BIGINT % 256 AS bucket
+  FROM tgrams
+),
+grid AS (SELECT unnest(generate_series(0, 255)) AS bucket),
+tc AS (SELECT bucket, count(*) AS tn FROM tb GROUP BY bucket),
+sc AS (SELECT bucket, count(*) AS sn FROM cb GROUP BY bucket),
+r AS (
+  SELECT grid.bucket, coalesce(tn, 0) AS tn, coalesce(sn, 0) AS sn
+  FROM grid LEFT JOIN tc USING (bucket) LEFT JOIN sc USING (bucket)
+),
+tot AS (SELECT sum(tn) AS tt, sum(sn) AS st FROM r),
+lr AS (
+  SELECT bucket,
+         ln(CAST(tn AS DOUBLE) + 1.0) + ln(CAST(st AS DOUBLE) + 256.0)
+         - ln(CAST(sn AS DOUBLE) + 1.0) - ln(CAST(tt AS DOUBLE) + 256.0)
+           AS lrv
+  FROM r, tot
+),
+dc AS (
+  SELECT doc_id, bucket, count(*) AS cn FROM cb GROUP BY doc_id, bucket
+),
+terms AS (
+  SELECT dc.doc_id, dc.bucket, dc.cn * lr.lrv AS term
+  FROM dc JOIN lr USING (bucket)
+),
+scores AS (
+  SELECT doc_id,
+         list_reduce(list(term ORDER BY bucket),
+                     (acc2, x2) -> acc2 + x2) AS score
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id AS id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank
+FROM scores
+ORDER BY score DESC, doc_id
+LIMIT 100
+""",
+)
+def q_dsir_sample(spark: SparkSession, sf_dir: str):
+    """DSIR importance resampling (operators/curation.dsir_sample,
+    Xie et al. 2023): target domain = the en/src1 slice of the
+    documents table; candidates = everything else; hashed unigram +
+    bigram multinomials with +1 smoothing; top-100 most target-like
+    candidates by the 4-term log-ratio score. The oracle regenerates
+    the identical md5 buckets, smoothed counts, and per-document
+    bucket-ordered folds; scores order only (the q_weighted_sample
+    transcendental stance), and the emitted (id, rank) pairs
+    hash-match exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_target = (F.col("lang") == "en") & (F.col("source") == "src1")
+    return cu.dsir_sample(
+        docs.where(~is_target),
+        docs.where(is_target),
+        "doc_id",
+        "text",
+        n_buckets=256,
+        k=100,
+    )

@@ -1554,6 +1554,69 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_media_cross_format",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS bw, 2 + doc_id % 2 AS bh
+  FROM documents
+),
+hashes AS (
+  SELECT doc_id,
+    CAST(coalesce(list_sum(list_transform(range(1, 64), k ->
+      CASE WHEN
+        (doc_id * 37 + (((k // 8) * bh * 8 // 8) // 8) * 19
+         + (((k % 8) * (bw * 8) // 9) // 8) * 7) % 256
+        <
+        (doc_id * 37 + (((k // 8) * bh * 8 // 8) // 8) * 19
+         + ((((k % 8) + 1) * (bw * 8) // 9) // 8) * 7) % 256
+      THEN CAST(1 AS BIGINT) << (63 - k)
+      ELSE CAST(0 AS BIGINT) END
+    )), 0) AS BIGINT) AS ph
+  FROM d
+)
+SELECT doc_id, ph AS phash_png, ph AS phash_jpeg,
+       TRUE AS formats_agree
+FROM hashes
+""",
+)
+def q_media_cross_format(spark: SparkSession, sf_dir: str):
+    """Cross-format near-duplicate detection over REAL codecs: the
+    same pixel grid encoded as a PNG AND as a baseline JPEG
+    (synthetic_cross_format_media), both decoded by their real
+    pure-stdlib decoders in one Arrow pass, dHashed, and paired per
+    document — the "same image re-encoded in a different container"
+    dedup case a byte-level hash structurally misses.
+
+    The oracle computes the closed-form dHash of the block grid ONCE
+    and asserts BOTH decode paths land on it (phash_png = phash_jpeg =
+    closed form, formats_agree = TRUE): any asymmetry between the zlib
+    filter-reconstruction path and the Huffman/IDCT path — or any
+    lossy drift in the JPEG round-trip — breaks the hash equality."""
+    from nextbus2pg_spark.operators.multimodal import (
+        decode_media,
+        dhash_decoded,
+        synthetic_cross_format_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = dhash_decoded(
+        decode_media(synthetic_cross_format_media(docs), spread=False)
+    )
+    png = hashed.where(F.col("media_id") % 2 == 0).select(
+        (F.col("media_id") / 2).cast("long").alias("doc_id"),
+        F.col("phash").alias("phash_png"),
+    )
+    jpg = hashed.where(F.col("media_id") % 2 == 1).select(
+        ((F.col("media_id") - 1) / 2).cast("long").alias("doc_id"),
+        F.col("phash").alias("phash_jpeg"),
+    )
+    return png.join(jpg, "doc_id").select(
+        "doc_id", "phash_png", "phash_jpeg",
+        (F.col("phash_png") == F.col("phash_jpeg")).alias("formats_agree"),
+    )
+
+
+@fixture(
     "q_media_dhash",
     oracle="""
 WITH d AS (
@@ -2632,6 +2695,44 @@ def q_pca_project(spark: SparkSession, sf_dir: str):
         emb, "vec_id", "embedding", n_iters=_PCA_ITERS, deterministic=True
     )
     return proj.select(F.col("id").alias("vec_id"), "proj")
+
+
+@fixture(
+    "q_random_projection",
+    oracle="""
+WITH sgn AS (
+  SELECT j,
+         list_transform(generate_series(0, 63), ii ->
+           CASE WHEN substr(md5('rp:0:' || j || ':' || ii), 1, 1) < '8'
+                THEN 1.0 ELSE -1.0 END) AS sv
+  FROM (SELECT unnest(generate_series(0, 7)) AS j)
+)
+SELECT e.vec_id AS id, sgn.j,
+       round(
+         list_reduce(
+           list_transform(generate_series(1, len(e.embedding)), ii ->
+             CAST(e.embedding[ii] AS DOUBLE) * sv[ii]),
+           (acc2, x2) -> acc2 + x2)
+         / sqrt(8.0),
+       6) AS proj
+FROM embeddings e, sgn
+""",
+)
+def q_random_projection(spark: SparkSession, sf_dir: str):
+    """Johnson-Lindenstrauss Rademacher projection of the 64-dim
+    embedding table down to 8 dims (operators/pca.random_projection) —
+    the width-reduction pre-step a corpus-scale pair stage runs before
+    ANN/clustering. The ±1 matrix is md5-derived (engine-portable,
+    generated not stored) and broadcast onto a single map pass; the
+    oracle regenerates the identical signs and replays each output as
+    a DuckDB list_reduce left fold (bit-exact products/sums/sqrt), so
+    all 8 projected doubles per vector hash-match at 6 dp."""
+    from nextbus2pg_spark.operators.pca import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(
+        emb, "vec_id", "embedding", in_dim=64, out_dim=8, seed=0
+    )
 
 
 # ---------------------------------------------------------------------------

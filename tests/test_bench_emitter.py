@@ -50,15 +50,16 @@ def test_small_payload_keeps_everything():
 
 def test_current_headline_set_keeps_all_queries():
     """The REAL headline set (the size/names that broke round 8) must
-    fit WITHOUT dropping any per-query timing — today and with ten
-    more queries of headroom (one more round's additions; beyond that
-    the loud slowest-first truncation ladder takes over)."""
+    fit WITHOUT dropping any per-query timing — today and with five
+    more queries of headroom (beyond that the loud slowest-first
+    truncation ladder takes over; when HEADLINE passes ~72 entries,
+    retire older vintages' per-query detail instead)."""
     from bench import HEADLINE
 
     p = _payload(0)
     p["queries"] = {n: 123.456 for n in HEADLINE}
     p["queries"].update(
-        {f"q_future_round_query_{i:02d}": 9.876 for i in range(10)}
+        {f"q_future_round_query_{i:02d}": 9.876 for i in range(5)}
     )
     parsed = json.loads(emit_summary(p))
     assert set(parsed["queries"]) == set(p["queries"])
