@@ -120,8 +120,14 @@ def test_decode_image_sniffs_by_magic():
     img = _grid(2, 2)
     assert np.array_equal(decode_image(png_encode_gray(img))[2], img)
     assert np.array_equal(decode_image(pnm_encode_gray(img))[2], img)
-    with pytest.raises(ValueError, match="unrecognized image container"):
+    # JPEG magic is RECOGNIZED since round 9 (functions/jpegcodec.py):
+    # a garbage body raises a JPEG-specific ValueError, not
+    # "unrecognized container" (tests/test_jpegcodec.py covers real
+    # decodes through this sniff).
+    with pytest.raises(ValueError, match="truncated|malformed"):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(ValueError, match="unrecognized image container"):
+        decode_image(b"GIF89a not supported")
 
 
 def _corrupt_idat(data: bytes) -> bytes:

@@ -856,3 +856,38 @@ def test_theil_sen_median_over_distinct_collapse(spark):
     assert len(win_ids) == 1 and agg_ids, p
     assert min(agg_ids) < win_ids[0], p
     _bounded_hints_only(df)
+
+
+def test_dsir_sample_plan_shape(spark):
+    """DSIR (round 9): no cartesian/nested-loop/sort-merge join — the
+    ratio table broadcasts onto the per-doc feature counts — and
+    selection is TakeOrdered (per-partition partial top-k), never a
+    global Sort+Limit of the scored corpus."""
+    p = plan_text(q(spark, "q_dsir_sample"))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "TakeOrdered" in p, p
+
+
+def test_random_projection_plan_is_one_broadcast_map_pass(spark):
+    """JL projection (round 9): ZERO shuffle exchanges — the generated
+    sign matrix broadcasts (the one BroadcastNestedLoopJoin is the
+    INTENDED bounded cross join: out_dim rows against the corpus);
+    the corpus side is a single map pass."""
+    p = plan_text(q(spark, "q_random_projection"))
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Exchange rangepartitioning" not in p, p
+    assert "SortMergeJoin" not in p, p
+    # the formatted explain prints each node in both the tree and the
+    # detail section — assert presence + build side, not a count
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in p, p
+
+
+def test_media_cross_format_plan_no_shuffle_before_pair_join(spark):
+    """Cross-format dHash (round 9): the decode->hash chain is
+    shuffle-free mapInPandas stages; the only join is the bounded
+    per-document PNG-vs-JPEG pair join."""
+    p = plan_text(q(spark, "q_media_cross_format"))
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
