@@ -580,3 +580,52 @@ def retrieval_metrics(
         ).alias("average_precision"),
     )
     return out
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020) → ``(id, lang, n_bigrams, bucket)`` with bucket 1 = the
+    most-fluent tier (highest avg LM log-prob per language) through
+    ``n_buckets`` = tail. The canonical pretraining split: CCNet keeps
+    head/middle and drops or down-weights tail per language, so the
+    cut is WITHIN each language (absolute perplexity is not comparable
+    across languages).
+
+    Scoring is :func:`bigram_logprob` (Laplace bigram LM trained on
+    the corpus itself); documents under 2 words emit no row, matching
+    the scorer. Buckets are NTILE over the total order
+    ``(quantized avg_logprob DESC, id ASC)`` — rank-based, no quantile
+    interpolation, so two engines agree exactly (the 6-dp-rounded
+    score quantizes to an exact BIGINT first).
+
+    Scale note: the per-language NTILE window funnels each language
+    through one sort partition — fine up to ~10^8 docs/language, the
+    shape CCNet itself used per shard. For a mono-lingual 100 TB
+    corpus, swap the exact NTILE for bucketing against
+    ``approx_percentile`` thresholds (the
+    ``curation.quantile_threshold_filter`` shape: bounded aggregate +
+    broadcast join; approximate, but no per-language sort).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2; got {n_buckets}")
+    scored = bigram_logprob(docs, id_col, text_col)
+    langs = docs.select(
+        F.col(id_col).alias("id"), F.col(lang_col).alias("lang")
+    )
+    q = F.round(F.col("avg_logprob") * 1e6, 0).cast("long")
+    w = Window.partitionBy("lang").orderBy(
+        q.desc(), F.col("id").asc()
+    )
+    return (
+        scored.join(langs, "id")
+        .select(
+            "id", "lang", "n_bigrams",
+            F.ntile(n_buckets).over(w).cast("bigint").alias("bucket"),
+        )
+    )

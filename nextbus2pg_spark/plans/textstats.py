@@ -351,6 +351,54 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str):
     return enc.select(F.col("id").alias("doc_id"), "n_tokens")
 
 
+#: Shared Laplace-bigram-LM oracle chain ending in ``folded(doc_id,
+#: n_bigrams, s)`` — q_lm_logprob emits the scores; q_ccnet_buckets
+#: buckets them per language.
+_LM_FOLDED_CTE = """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM words, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2
+),
+m AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+  FROM grams GROUP BY 1, 2, 3
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM grams GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+vocab AS (
+  SELECT count(*) AS v FROM (
+    SELECT DISTINCT w FROM (
+      SELECT w1 AS w FROM grams UNION SELECT w2 FROM grams
+    )
+  )
+),
+lp AS (
+  SELECT m.doc_id, m.w1, m.w2, m.m,
+         CAST(m.m AS DOUBLE)
+           * ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(ctx.c1 + vocab.v AS DOUBLE))
+           AS lp
+  FROM m JOIN c2 USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+),
+folded AS (
+  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(w1 := w1, w2 := w2, lp := lp))),
+             s -> s.lp
+           ),
+           (acc, x) -> acc + x
+         ) AS s
+  FROM lp GROUP BY doc_id
+)
+"""
+
+
 @fixture(
     "q_lm_logprob",
     oracle="""
@@ -703,4 +751,34 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str):
         ],
         k_const=60,
         k=10,
+    )
+
+
+@fixture(
+    "q_ccnet_buckets",
+    oracle=_LM_FOLDED_CTE + """
+SELECT f.doc_id AS id, d.lang, f.n_bigrams,
+       CAST(ntile(3) OVER (
+         PARTITION BY d.lang
+         ORDER BY CAST(round(round(f.s / f.n_bigrams, 6) * 1e6, 0)
+                       AS BIGINT) DESC,
+                  f.doc_id ASC
+       ) AS BIGINT) AS bucket
+FROM folded f JOIN documents d ON d.doc_id = f.doc_id
+""",
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str):
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020; operators/textstats.perplexity_buckets): Laplace-bigram-LM
+    scores (the q_lm_logprob chain) NTILE'd into head/middle/tail
+    WITHIN each language — the canonical pretraining split where
+    absolute perplexity is never compared across languages. The cut is
+    rank-based over the exact quantized score (no quantile
+    interpolation), so both engines assign identical buckets; ties
+    break on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ts.perplexity_buckets(
+        docs, "doc_id", "text", "lang", n_buckets=3
+    ).select(
+        "id", "lang", "n_bigrams", "bucket"
     )

@@ -189,3 +189,36 @@ def test_retrieval_metrics_respects_k_cutoff(spark):
     r = retrieval_metrics(results, qrels, k=5).collect()[0]
     assert r["n_hits"] == 1  # B at rank 7 is past the cutoff
     assert r["recall_at_k"] == 0.5
+
+
+def test_perplexity_buckets_head_middle_tail(spark):
+    """CCNet bucketing (round 9): fluent repeated-pattern docs score
+    high under the corpus-trained bigram LM and land in bucket 1;
+    unique-bigram word salad lands in the tail bucket; the cut is
+    per-language; <2-word docs emit no row."""
+    from nextbus2pg_spark.operators.textstats import perplexity_buckets
+
+    rows = []
+    # 6 'en' docs of a common fluent pattern, 3 of unique noise
+    for i in range(6):
+        rows.append((i, "the cat sat on the mat " * 3, "en"))
+    rows.append((6, "zq xv qj wk vn mz pq rs", "en"))
+    rows.append((7, "aa bb cc dd ee ff gg hh", "en"))
+    rows.append((8, "k1 k2 k3 k4 k5 k6 k7 k8", "en"))
+    rows.append((9, "uno dos tres uno dos tres", "fr"))
+    rows.append((10, "word", "en"))  # 1 word: no bigrams, no row
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    out = perplexity_buckets(docs, "doc_id", "text", "lang", n_buckets=3)
+    got = {r.id: (r.lang, r.bucket) for r in out.collect()}
+    assert 10 not in got
+    assert got[9] == ("fr", 1)  # sole fr doc: bucket 1 trivially
+    en_tail = {i for i, (lg, b) in got.items() if lg == "en" and b == 3}
+    assert en_tail <= {6, 7, 8}
+    assert all(got[i] == ("en", 1) for i in range(3))  # fluent head
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        perplexity_buckets(docs, "doc_id", "text", "lang", n_buckets=1)
