@@ -107,3 +107,36 @@ def test_random_projection_no_shuffle_of_corpus(spark):
     assert "BroadcastExchange" in plan
     # no shuffle exchange anywhere: the only join is broadcast
     assert "ShuffleExchange" not in plan and "SortMergeJoin" not in plan
+
+
+def test_dsir_is_partition_invariant(spark):
+    """The FP fold discipline as a property: per-doc scores fold terms
+    in bucket order regardless of physical layout, so the selected
+    (id, rank) set is IDENTICAL at 1 and 7 partitions — a plain
+    float SUM would reorder additions and could flip near ties."""
+    rows = [
+        (i, " ".join(f"w{(i * j) % 29}" for j in range(12)))
+        for i in range(60)
+    ]
+    target = _docs(spark, [(1000, "w1 w2 w3 w4 w5 w6")])
+    outs = []
+    for n_parts in (1, 7):
+        cands = _docs(spark, rows).repartition(n_parts)
+        outs.append(sorted(
+            map(tuple, dsir_sample(
+                cands, target, "doc_id", "text", n_buckets=64, k=20
+            ).collect())
+        ))
+    assert outs[0] == outs[1]
+
+
+def test_random_projection_is_partition_invariant(spark):
+    rows = [(i, [float((i * 13 + j * 7) % 17) for j in range(8)])
+            for i in range(50)]
+    outs = []
+    for n_parts in (1, 5):
+        df = _vecs(spark, rows).repartition(n_parts)
+        outs.append(sorted(map(tuple, random_projection(
+            df, "vec_id", "v", in_dim=8, out_dim=4
+        ).collect())))
+    assert outs[0] == outs[1]

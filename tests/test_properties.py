@@ -617,3 +617,63 @@ def test_theil_sen_matches_sorted_slope_model(spark, pts):
         assert r["slope"] == statistics.median(slopes)
     else:
         assert r["slope"] is None
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    rst=st.sampled_from([0, 1, 3]),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_round_trip_within_quant_error(h, w, seed, rst):
+    """Any image, any shape, with/without restart markers: encode →
+    decode at quant=1 reconstructs within coefficient-rounding error
+    (≤2 greylevels) and exact dimensions — fuzzing the Huffman
+    DC-diff/AC-run/ZRL/EOB paths, edge-replication padding, and RSTn
+    resync across arbitrary pixel content (pure Python, no Spark)."""
+    import numpy as np
+
+    from nextbus2pg_spark.functions.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode_gray,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    dw, dh, gray = jpeg_decode(
+        jpeg_encode_gray(img, quant=1, restart_interval=rst)
+    )
+    assert (dw, dh) == (w, h)
+    assert np.abs(gray.astype(int) - img.astype(int)).max() <= 2
+
+
+@given(
+    bh=st.integers(1, 4),
+    bw=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+    sampling=st.sampled_from([(1, 1), (2, 1), (1, 2), (2, 2)]),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_constant_blocks_exact_both_containers(bh, bw, seed, sampling):
+    """The oracle's lossless trick as a property: ANY per-8x8-constant
+    image round-trips bit-exactly at quant=1, through BOTH the
+    grayscale and interleaved-YCbCr containers at every supported
+    sampling geometry."""
+    import numpy as np
+
+    from nextbus2pg_spark.functions.jpegcodec import (
+        jpeg_decode,
+        jpeg_encode_gray,
+        jpeg_encode_ycbcr,
+    )
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 256, size=(bh, bw))
+    img = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    for data in (
+        jpeg_encode_gray(img, quant=1),
+        jpeg_encode_ycbcr(img, sampling=sampling, quant=1),
+    ):
+        _w, _h, gray = jpeg_decode(data)
+        assert np.array_equal(gray, img)
