@@ -334,6 +334,142 @@ def synthetic_jpeg_media(docs: DataFrame) -> DataFrame:
     )
 
 
+DECODED_AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("sample_sum", LongType(), True),
+        StructField("peak", IntegerType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def decode_audio(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """REAL audio decode over payload bytes → ``DECODED_AUDIO_SCHEMA``.
+
+    Pure-stdlib RIFF/WAVE PCM-16 codec (``functions/audiocodec.py``):
+    chunk walk with pad-byte handling, fmt validation, interleaved
+    frame extraction, stereo→mono exact integer mean. Same Arrow
+    ``mapInPandas`` shape and quarantine contract as
+    :func:`decode_media` (``on_error="null"`` routes malformed
+    payloads to ``decode_error``); emits the per-clip statistics a
+    curation pipeline filters on (frame count, sample sum, peak)
+    rather than shipping raw PCM downstream.
+    """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null'; got {on_error!r}")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as np
+
+        from nextbus2pg_spark.functions.audiocodec import wav_decode
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "sample_rate", "n_channels", "n_frames", "sample_sum",
+                "peak", "err",
+            )}
+            for b in pdf["payload"]:
+                try:
+                    if b is None or len(b) == 0:
+                        raise ValueError("empty payload")
+                    rate, n_ch, mono = wav_decode(bytes(b))
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(n_ch)
+                    out["n_frames"].append(len(mono))
+                    out["sample_sum"].append(int(mono.sum(dtype="int64")))
+                    out["peak"].append(
+                        int(np.abs(mono).max()) if len(mono) else 0
+                    )
+                    out["err"].append(None)
+                except (ValueError, _struct.error) as e:
+                    if on_error == "raise" and not (
+                        b is None or len(b) == 0
+                    ):
+                        raise
+                    for k in ("sample_rate", "n_channels", "n_frames",
+                              "sample_sum", "peak"):
+                        out[k].append(None)
+                    out["err"].append(str(e))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                    "n_channels": pd.array(out["n_channels"], dtype="Int32"),
+                    "n_frames": pd.array(out["n_frames"], dtype="Int64"),
+                    "sample_sum": pd.array(out["sample_sum"], dtype="Int64"),
+                    "peak": pd.array(out["peak"], dtype="Int32"),
+                    "decode_error": out["err"],
+                }
+            )
+
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    src = ensure_min_parallelism(df.select("media_id", "kind", "payload"))
+    return src.mapInPandas(_decode, schema=DECODED_AUDIO_SCHEMA)
+
+
+def synthetic_wav_media(docs: DataFrame) -> DataFrame:
+    """Fabricate REAL RIFF/WAVE PCM-16 payloads deterministically from
+    ``doc_id``. PCM is lossless, so unlike the JPEG fixture no
+    constant-block trick is needed — any closed-form sample stream is
+    decode-exact: ``n = 200 + d % 100`` frames at
+    ``rate = 16000 + (d % 4) * 8000``; mono left channel
+    ``l[i] = ((d*13 + i*7) % 4001) - 2000``; every third document is
+    STEREO with ``r[i] = l[i] + 2*k[i]`` (``k[i] = ((d*17 + i*11) %
+    500) - 250``) so the decoder's exact stereo mean lands on the
+    integer ``l[i] + k[i]`` — a SQL oracle computes every decoded
+    statistic in closed form for both channel layouts.
+    """
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from nextbus2pg_spark.functions.audiocodec import wav_encode_pcm16
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 200 + d % 100
+                rate = 16_000 + (d % 4) * 8_000
+                i = np.arange(n, dtype=np.int64)
+                left = ((d * 13 + i * 7) % 4001) - 2000
+                if d % 3 == 0:
+                    k = ((d * 17 + i * 11) % 500) - 250
+                    frames = np.stack(
+                        [left, left + 2 * k], axis=1
+                    ).astype(np.int16)
+                else:
+                    frames = left.astype(np.int16)
+                payloads.append(wav_encode_pcm16(frames, rate))
+                metas.append(
+                    {"width": None, "height": None,
+                     "sample_rate": rate, "n_frames": n}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    return ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
+        _make, schema=MEDIA_SCHEMA
+    )
+
+
 def synthetic_cross_format_media(docs: DataFrame) -> DataFrame:
     """The SAME pixel grid per document encoded TWICE — as a real PNG
     (``media_id = 2*doc_id``) and as a real baseline JPEG

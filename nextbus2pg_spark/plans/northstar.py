@@ -1554,6 +1554,62 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_media_audio",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         200 + doc_id % 100 AS n,
+         CAST(16000 + (doc_id % 4) * 8000 AS INTEGER) AS rate,
+         CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS n_ch
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n, rate, n_ch,
+         list_transform(range(0, n), i ->
+           ((doc_id * 13 + i * 7) % 4001) - 2000
+           + CASE WHEN n_ch = 2
+                  THEN ((doc_id * 17 + i * 11) % 500) - 250
+                  ELSE 0 END) AS mono
+  FROM d
+)
+SELECT doc_id AS media_id, rate AS sample_rate,
+       CAST(n_ch AS INTEGER) AS n_channels,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(list_sum(mono) AS BIGINT) AS sample_sum,
+       CAST(list_max(list_transform(mono, s2 -> abs(s2))) AS INTEGER)
+         AS peak
+FROM m
+""",
+)
+def q_media_audio(spark: SparkSession, sf_dir: str):
+    """REAL audio decode end-to-end — the audio leg of the multimodal
+    surface: fabricate a real RIFF/WAVE PCM-16 container per document
+    (every third one interleaved STEREO), then decode with the
+    pure-stdlib codec — chunk walk with pad-byte rules, fmt
+    validation, frame extraction, exact stereo→mono integer mean
+    (operators/multimodal.decode_audio + functions/audiocodec.py).
+
+    PCM is lossless, so the closed-form sample streams decode exactly
+    and DuckDB verifies frame counts, sample sums and peak amplitude
+    per clip — a mis-ordered chunk walk, an off-by-one in the pad
+    byte, or a wrong interleave stride corrupts every following
+    sample and breaks the sums. The stereo mean is exact by
+    construction (r = l + 2k, so the mean is the integer l + k — no
+    engine division-rounding ambiguity)."""
+    from nextbus2pg_spark.operators.multimodal import (
+        decode_audio,
+        synthetic_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_audio(synthetic_wav_media(docs))
+    return decoded.select(
+        "media_id", "sample_rate", "n_channels", "n_frames",
+        "sample_sum", "peak",
+    )
+
+
+@fixture(
     "q_media_cross_format",
     oracle="""
 WITH d AS (
