@@ -105,6 +105,8 @@ R8_SET: list[str] = [
 R9_SET: list[str] = [
     "q_media_decode_jpeg",
     "q_media_cross_format",
+    "q_media_audio",
+    "q_media_video_frames",
     "q_dsir_sample",
     "q_random_projection",
 ]

@@ -470,6 +470,140 @@ def synthetic_wav_media(docs: DataFrame) -> DataFrame:
     )
 
 
+DECODED_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("pixel_sum", LongType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def decode_video_frames(
+    df: DataFrame, sample_every: int = 1, on_error: str = "raise"
+) -> DataFrame:
+    """REAL video frame sampling → one row per SAMPLED frame.
+
+    AVI-MJPEG demux (``functions/videocodec.py``: RIFF list walk,
+    avih header, movi 00dc chunks) + per-frame baseline-JPEG decode
+    (``functions/jpegcodec.py``), inside the standard Arrow
+    ``mapInPandas`` stage — payloads fan OUT to ``ceil(n_frames /
+    sample_every)`` rows per clip, the shape a video-curation stage
+    (per-frame dHash, scene stats) consumes. Quarantine contract as
+    :func:`decode_media`: ``on_error="null"`` emits ONE row per bad
+    payload with NULL frame fields and the message in
+    ``decode_error``.
+    """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null'; got {on_error!r}")
+    if sample_every < 1:
+        raise ValueError(f"sample_every must be >= 1; got {sample_every}")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        from nextbus2pg_spark.functions.videocodec import (
+            decode_mjpeg_frames,
+        )
+
+        for pdf in batches:
+            rows = []
+            for media_id, b in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(media_id)
+                try:
+                    if b is None or len(b) == 0:
+                        raise ValueError("empty payload")
+                    for idx, fw, fh, gray in decode_mjpeg_frames(
+                        bytes(b), sample_every=sample_every
+                    ):
+                        rows.append(
+                            (mid, idx, fw, fh,
+                             int(gray.sum(dtype="int64")), None)
+                        )
+                except (ValueError, _zlib.error, _struct.error) as e:
+                    if on_error == "raise" and not (
+                        b is None or len(b) == 0
+                    ):
+                        raise
+                    rows.append((mid, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "pixel_sum", "decode_error",
+                ],
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "frame_idx": "Int32",
+                    "width": "Int32",
+                    "height": "Int32",
+                    "pixel_sum": "Int64",
+                }
+            )
+
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    src = ensure_min_parallelism(df.select("media_id", "payload"))
+    return src.mapInPandas(_decode, schema=DECODED_FRAMES_SCHEMA)
+
+
+def synthetic_avi_media(docs: DataFrame) -> DataFrame:
+    """Fabricate REAL AVI-MJPEG payloads deterministically from
+    ``doc_id``: ``n_frames = 2 + d % 3`` frames of the block-constant
+    JPEG-exact grids (``functions/jpegcodec.py`` module docstring)
+    with the frame index mixed into the block values —
+    ``v(f, bi, bj) = (d*37 + f*29 + bi*19 + bj*7) % 256`` on a fixed
+    ``width = 24 / height = 16`` raster — so a SQL oracle computes any
+    sampled frame's decoded pixel sum in closed form through BOTH the
+    container walk and the entropy decode.
+    """
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from nextbus2pg_spark.functions.jpegcodec import jpeg_encode_gray
+        from nextbus2pg_spark.functions.videocodec import avi_encode_mjpeg
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n_frames = 2 + d % 3
+                frames = []
+                bi = np.arange(2, dtype=np.int64).reshape(-1, 1)
+                bj = np.arange(3, dtype=np.int64)
+                for f in range(n_frames):
+                    vals = (d * 37 + f * 29 + bi * 19 + bj * 7) % 256
+                    img = np.kron(
+                        vals, np.ones((8, 8), dtype=np.int64)
+                    ).astype(np.uint8)
+                    frames.append(jpeg_encode_gray(img, quant=1))
+                payloads.append(avi_encode_mjpeg(frames, 24, 16, fps=10))
+                metas.append(
+                    {"width": 24, "height": 16,
+                     "sample_rate": None, "n_frames": n_frames}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    return ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
+        _make, schema=MEDIA_SCHEMA
+    )
+
+
 def synthetic_cross_format_media(docs: DataFrame) -> DataFrame:
     """The SAME pixel grid per document encoded TWICE — as a real PNG
     (``media_id = 2*doc_id``) and as a real baseline JPEG

@@ -1554,6 +1554,53 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_media_video_frames",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS n_frames FROM documents
+),
+sampled AS (
+  SELECT doc_id, unnest(range(0, n_frames)) AS f FROM d
+)
+SELECT doc_id AS media_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(24 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(64 * list_sum(list_transform(range(0, 6), k ->
+         (doc_id * 37 + f * 29 + (k // 3) * 19 + (k % 3) * 7) % 256))
+         AS BIGINT) AS pixel_sum
+FROM sampled
+WHERE f % 2 = 0
+""",
+)
+def q_media_video_frames(spark: SparkSession, sf_dir: str):
+    """REAL video frame sampling end-to-end — the video leg of the
+    multimodal surface: fabricate a real single-stream AVI-MJPEG
+    container per document (2-4 baseline-JPEG frames), demux with the
+    pure-stdlib RIFF walker, decode every SECOND frame with the JPEG
+    codec, and emit per-sampled-frame pixel statistics
+    (operators/multimodal.decode_video_frames +
+    functions/videocodec.py). Motion-JPEG is the honest
+    no-native-deps video codec: the demuxer + still decoder pair IS
+    the video decoder.
+
+    Frames are the block-constant JPEG-exact grids with the frame
+    index mixed in, so DuckDB computes each sampled frame's decoded
+    sum in closed form — a demux slip (pad byte, wrong chunk tag, a
+    frame skipped or double-counted) or any entropy-decode defect
+    shifts frame indices or sums and breaks the hash."""
+    from nextbus2pg_spark.operators.multimodal import (
+        decode_video_frames,
+        synthetic_avi_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_video_frames(
+        synthetic_avi_media(docs), sample_every=2
+    ).select("media_id", "frame_idx", "width", "height", "pixel_sum")
+
+
+@fixture(
     "q_media_audio",
     oracle="""
 WITH d AS (
