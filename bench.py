@@ -109,6 +109,7 @@ R9_SET: list[str] = [
     "q_media_video_frames",
     "q_dsir_sample",
     "q_random_projection",
+    "q_warc_ingest",
 ]
 
 HEADLINE = [

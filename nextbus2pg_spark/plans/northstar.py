@@ -1554,6 +1554,52 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_warc_ingest",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'response'
+            ELSE 'conversion' END AS warc_type,
+       CASE WHEN doc_id % 5 = 0 THEN 'HTTP/1.1 200 OK'
+            ELSE NULL END AS http_status,
+       CAST(strlen(coalesce(text, '')) AS INTEGER)
+         AS content_length,
+       md5(coalesce(text, '')) AS text_md5
+FROM documents
+""",
+)
+def q_warc_ingest(spark: SparkSession, sf_dir: str):
+    """Common Crawl-shaped ingestion end-to-end (sources/warc.py): the
+    documents table is packed into REAL WARC/1.0 archives (8 archives,
+    odd ones gzip-membered per the CC convention; every fifth record a
+    'response' wrapped in a real HTTP/1.1 message, the rest WET-style
+    'conversion' records), then parsed back through the pure-stdlib
+    record walker in one Arrow fanout stage — the exact shape a
+    100 TB crawl ingest runs, one archive per task.
+
+    The oracle verifies the parsed fanout per document in closed form:
+    record type, HTTP status (responses only), BODY byte length
+    (DuckDB strlen — BYTES, not characters; the parser measures bytes), and
+    the md5 digest of the round-tripped content. Any framing slip
+    (Content-Length off-by-one, gzip member boundary, header/body
+    split) corrupts lengths or digests."""
+    from nextbus2pg_spark.sources.warc import (
+        synthetic_warc_archives,
+        warc_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    parsed = warc_documents(synthetic_warc_archives(docs))
+    return parsed.select(
+        F.regexp_extract("uri", r"doc/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "warc_type",
+        "http_status",
+        "content_length",
+        F.md5(F.col("content")).alias("text_md5"),
+    )
+
+
+@fixture(
     "q_media_video_frames",
     oracle="""
 WITH d AS (
