@@ -104,6 +104,7 @@ R8_SET: list[str] = [
 #: aggregates), and the JL random projection (broadcast map pass).
 R9_SET: list[str] = [
     "q_media_decode_jpeg",
+    "q_media_decode_gif",
     "q_media_cross_format",
     "q_media_audio",
     "q_media_video_frames",
@@ -318,7 +319,10 @@ def main() -> None:
 MAX_SUMMARY_BYTES = 1900
 
 
-def emit_summary(payload: dict) -> str:
+def emit_summary(
+    payload: dict,
+    vintage_sets: "list[tuple[str, list[str]]] | None" = None,
+) -> str:
     """Render the driver-facing summary as ONE compact JSON line of at
     most ``MAX_SUMMARY_BYTES`` bytes.
 
@@ -327,14 +331,23 @@ def emit_summary(payload: dict) -> str:
 
     1. compact separators (no whitespace);
     2. drop the ``subtotal_*_norm`` derived fields;
-    3. drop the ``subtotal_*`` vintage fields;
-    4. round per-query seconds to 2 decimals;
-    5. drop everything but the contract fields;
-    6. last resort: truncate the queries dict slowest-first (keeps the
-       fastest-to-describe picture; ``value`` still covers the full
-       set) — unreachable until the headline set roughly doubles.
+    3. RETIRE the OLDEST vintages' per-query detail, oldest first —
+       their ``subtotal_r{N}_set`` fields stay (the frozen-vintage
+       subtotal IS the cross-round signal those entries carry; stale
+       per-query detail is the least valuable payload) and the
+       retired vintages are named in ``queries_retired``;
+    4. drop the ``subtotal_*`` vintage fields;
+    5. round per-query seconds to 2 decimals;
+    6. drop everything but the contract fields;
+    7. last resort: truncate the queries dict slowest-first with a
+       loud ``queries_truncated`` flag. ``value`` always covers the
+       FULL set. The full payload always goes to stderr.
     """
     core_keys = ("metric", "value", "unit", "queries", "sf")
+    vintage_sets = vintage_sets if vintage_sets is not None else [
+        ("r3", R3_SET), ("r4", R4_SET), ("r5", R5_SET),
+        ("r6", R6_SET), ("r7", R7_SET), ("r8", R8_SET),
+    ]
 
     def render(d: dict) -> str:
         return json.dumps(d, separators=(",", ":"))
@@ -345,16 +358,33 @@ def emit_summary(payload: dict) -> str:
         k: v for k, v in payload.items() if not k.endswith("_norm")
     }
     candidates.append(no_norm)
+    # Structured retirement: oldest vintage first; subtotals intact.
+    retired: "list[str]" = []
+    q = dict(no_norm["queries"])
+    for vname, vset in vintage_sets:
+        dropped = [n for n in vset if n in q]
+        if not dropped:
+            continue
+        for n in dropped:
+            del q[n]
+        retired.append(vname)
+        cand = dict(no_norm)
+        cand["queries"] = dict(q)
+        cand["queries_retired"] = list(retired)
+        candidates.append(cand)
+    slim = candidates[-1]  # most-retired, subtotals intact
     no_subtotal = {
-        k: v for k, v in no_norm.items() if not k.startswith("subtotal_")
+        k: v for k, v in slim.items() if not k.startswith("subtotal_")
     }
     candidates.append(no_subtotal)
     coarse = dict(no_subtotal)
     coarse["queries"] = {
-        k: round(v, 2) for k, v in payload["queries"].items()
+        k: round(v, 2) for k, v in no_subtotal["queries"].items()
     }
     candidates.append(coarse)
     core = {k: coarse[k] for k in core_keys if k in coarse}
+    if "queries_retired" in coarse:
+        core["queries_retired"] = coarse["queries_retired"]
     candidates.append(core)
     for cand in candidates:
         line = render(cand)

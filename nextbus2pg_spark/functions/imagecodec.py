@@ -258,6 +258,10 @@ def decode_image(data: bytes) -> tuple[int, int, np.ndarray]:
             from nextbus2pg_spark.functions.jpegcodec import jpeg_decode
 
             return jpeg_decode(data)
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            from nextbus2pg_spark.functions.gifcodec import gif_decode
+
+            return gif_decode(data)
         if data[:2] in (b"P5", b"P6"):
             return pnm_decode(data)
     except (zlib.error, struct.error) as e:
@@ -265,5 +269,5 @@ def decode_image(data: bytes) -> tuple[int, int, np.ndarray]:
     raise ValueError(
         f"unrecognized image container (head {bytes(data[:8])!r}); "
         "supported: PNG (8-bit gray/RGB/RGBA), baseline JPEG (SOF0), "
-        "binary PGM/PPM"
+        "GIF (non-interlaced), binary PGM/PPM"
     )

@@ -334,6 +334,49 @@ def synthetic_jpeg_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_gif_media(docs: DataFrame) -> DataFrame:
+    """Fabricate REAL GIF89a payloads deterministically from
+    ``doc_id``: GIF's palette path is LOSSLESS (like PNG), so
+    arbitrary grids are decode-exact — ``width = 10 + d % 13``,
+    ``height = 10 + d % 7``, ``pixel[i] = (d*41 + i*11) % 256``
+    row-major, compressed by the real LZW encoder
+    (``functions/gifcodec.py``). A SQL oracle computes decoded
+    statistics in closed form WITHOUT an LZW decompressor — the PNG
+    recipe applied to the third image container."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from nextbus2pg_spark.functions.gifcodec import gif_encode_gray
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 10 + d % 13, 10 + d % 7
+                px = (d * 41 + np.arange(w * h, dtype=np.int64) * 11) % 256
+                img = px.astype(np.uint8).reshape(h, w)
+                payloads.append(gif_encode_gray(img))
+                metas.append(
+                    {"width": w, "height": h, "sample_rate": None,
+                     "n_frames": 1}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    return ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
+        _make, schema=MEDIA_SCHEMA
+    )
+
+
 DECODED_AUDIO_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

@@ -48,22 +48,32 @@ def test_small_payload_keeps_everything():
     assert "subtotal_r8_set_norm" in parsed
 
 
-def test_current_headline_set_keeps_all_queries():
-    """The REAL headline set (the size/names that broke round 8) must
-    fit WITHOUT dropping any per-query timing — today and with five
-    more queries of headroom (beyond that the loud slowest-first
-    truncation ladder takes over; when HEADLINE passes ~72 entries,
-    retire older vintages' per-query detail instead)."""
-    from bench import HEADLINE
+def test_current_headline_set_fits_without_truncation():
+    """The REAL headline set must fit without the LAST-resort
+    slowest-first truncation — today and with five more queries of
+    headroom. Past ~70 entries the structured-retirement rung may
+    fold the OLDEST vintages' per-query detail into their subtotal
+    fields (loudly, via queries_retired) — that is the designed
+    behavior, not data loss; every recent-vintage query stays
+    itemized."""
+    from bench import HEADLINE, R8_SET, R9_SET
 
     p = _payload(0)
     p["queries"] = {n: 123.456 for n in HEADLINE}
     p["queries"].update(
         {f"q_future_round_query_{i:02d}": 9.876 for i in range(5)}
     )
+    for r in range(3, 10):
+        p[f"subtotal_r{r}_set"] = 12.345
     parsed = json.loads(emit_summary(p))
-    assert set(parsed["queries"]) == set(p["queries"])
     assert "queries_truncated" not in parsed
+    # the newest two vintages are NEVER retired
+    for n in (*R8_SET, *R9_SET):
+        if n in p["queries"]:
+            assert n in parsed["queries"], n
+    # anything retired is declared and keeps its subtotal
+    for rv in parsed.get("queries_retired", []):
+        assert f"subtotal_{rv}_set" in parsed
 
 
 def test_truncation_is_loud_and_total_preserved():

@@ -126,8 +126,11 @@ def test_decode_image_sniffs_by_magic():
     # decodes through this sniff).
     with pytest.raises(ValueError, match="truncated|malformed"):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    # GIF is recognized since round 9 too (functions/gifcodec.py)
+    with pytest.raises(ValueError, match="GIF"):
+        decode_image(b"GIF89a not a real gif body")
     with pytest.raises(ValueError, match="unrecognized image container"):
-        decode_image(b"GIF89a not supported")
+        decode_image(b"BM bitmap not supported")
 
 
 def _corrupt_idat(data: bytes) -> bytes:
