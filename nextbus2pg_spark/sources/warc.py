@@ -4,7 +4,7 @@ Real LLM pretraining corpora arrive as WARC (ISO 28500) archives —
 Common Crawl's WET ("conversion") and WARC ("response") files — so a
 training-data engine needs a WARC record parser the way it needs a
 parquet scan. Implemented from the published WARC/1.0 record grammar
-with nothing beyond ``gzip`` and byte slicing:
+with nothing beyond ``zlib``/``gzip`` and byte slicing:
 
     WARC/1.0 CRLF
     <header-name>: <value> CRLF ...          (Content-Length REQUIRED)
@@ -12,13 +12,19 @@ with nothing beyond ``gzip`` and byte slicing:
     <Content-Length bytes of block>
     CRLF CRLF                                 (record separator)
 
-Supported framings (checked, raised on): plain concatenated records
-and the Common Crawl convention of one gzip MEMBER per record
-(``gzip.decompress`` inflates all members of a concatenated stream,
-so one decompress + the same sequential parse handles both).
-``response`` records carry an HTTP message in the block — the parser
-splits status/headers from the body at the first blank line;
-``conversion``/``resource`` records (WET) are the payload already.
+Supported framings: plain concatenated records and the Common Crawl
+convention of one gzip MEMBER per record. The gzip path is a
+**member-wise streaming inflate** (``zlib.decompressobj`` loop feeding
+an incremental record scanner), so peak memory is O(largest record +
+one compressed chunk), NOT O(inflated archive) — real CC WARCs are
+~1 GB compressed / ~4-5 GB inflated, and 32 concurrent whole-archive
+inflates would OOM an executor. ``response`` records carry an HTTP
+message in the block — the parser splits status/headers from the body
+at the first blank line and de-chunks ``Transfer-Encoding: chunked``
+bodies (raw CC response records contain these);
+``conversion``/``resource`` records (WET) are the payload already and
+pass through untouched (WARC-Type-gated, never content-sniffed: a WET
+page whose text begins with "HTTP/" must not lose its head).
 
 Scale stance: WARC files are independent units — the natural Spark
 partition is ONE ARCHIVE per task (binaryFile read or a payload
@@ -31,6 +37,7 @@ rows.
 from __future__ import annotations
 
 import gzip
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -46,6 +53,7 @@ from pyspark.sql.types import (
 
 GZIP_MAGIC = b"\x1f\x8b"
 _CRLF = b"\r\n"
+_CHUNK = 1 << 20  # compressed bytes fed per inflate step
 
 
 def warc_write_records(
@@ -72,65 +80,187 @@ def warc_write_records(
     return bytes(out)
 
 
-def warc_parse(data: bytes) -> "list[dict]":
-    """Parse a WARC archive (plain or gzip-membered) into record
-    dicts: ``{"type", "uri", "date", "record_id", "block"}``. Raises
-    ``ValueError`` on malformed framing — the quarantine contract."""
-    if data[:2] == GZIP_MAGIC:
-        data = gzip.decompress(data)  # inflates ALL members
-    records = []
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record CRLFs
-        while data[pos : pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
-            break
-        head_end = data.find(_CRLF + _CRLF, pos)
-        if head_end < 0:
-            raise ValueError("WARC record header not terminated")
-        head = data[pos : head_end].decode("utf-8", "replace")
-        lines = head.split("\r\n")
-        if not lines[0].startswith("WARC/"):
-            raise ValueError(
-                f"not a WARC record at byte {pos} (got {lines[0][:20]!r})"
-            )
-        fields = {}
-        for line in lines[1:]:
-            k, _, v = line.partition(":")
-            fields[k.strip().lower()] = v.strip()
-        if "content-length" not in fields:
-            raise ValueError("WARC record missing Content-Length")
-        length = int(fields["content-length"])
-        block_start = head_end + 4
-        block = data[block_start : block_start + length]
-        if len(block) != length:
+class _RecordScanner:
+    """Incremental WARC record parser: ``feed()`` it byte chunks in any
+    split, iterate complete records as they become parseable, then
+    ``finish()`` to validate the tail. Retained state is at most one
+    partial record — this is what makes the gzip path O(record)."""
+
+    def __init__(self) -> None:
+        self._buf = bytearray()
+        self._consumed = 0  # absolute offset of _buf[0] in the stream
+
+    def feed(self, chunk: bytes) -> Iterator[dict]:
+        self._buf += chunk
+        yield from self._drain(final=False)
+
+    def finish(self) -> Iterator[dict]:
+        yield from self._drain(final=True)
+        if self._buf:
+            # leftover non-CRLF bytes that never formed a record
             raise ValueError("WARC record block truncated")
-        records.append(
-            {
+
+    def _drain(self, final: bool) -> Iterator[dict]:
+        buf = self._buf
+        pos = 0
+        n = len(buf)
+        while True:
+            while buf[pos : pos + 2] == _CRLF:
+                pos += 2
+            if pos >= n:
+                break
+            head_end = buf.find(_CRLF + _CRLF, pos)
+            if head_end < 0:
+                if final and n - pos > 1:  # lone \r at EOF → truncated too
+                    raise ValueError("WARC record header not terminated")
+                break
+            head = bytes(buf[pos:head_end]).decode("utf-8", "replace")
+            lines = head.split("\r\n")
+            if not lines[0].startswith("WARC/"):
+                raise ValueError(
+                    f"not a WARC record at byte {self._consumed + pos}"
+                    f" (got {lines[0][:20]!r})"
+                )
+            fields = {}
+            for line in lines[1:]:
+                k, _, v = line.partition(":")
+                fields[k.strip().lower()] = v.strip()
+            if "content-length" not in fields:
+                raise ValueError("WARC record missing Content-Length")
+            length = int(fields["content-length"])
+            block_start = head_end + 4
+            if block_start + length > n:
+                if final:
+                    raise ValueError("WARC record block truncated")
+                break  # need more bytes
+            block = bytes(buf[block_start : block_start + length])
+            yield {
                 "type": fields.get("warc-type", ""),
                 "uri": fields.get("warc-target-uri", ""),
                 "date": fields.get("warc-date", ""),
                 "record_id": fields.get("warc-record-id", "").strip("<>"),
                 "block": block,
             }
-        )
-        pos = block_start + length
-    return records
+            pos = block_start + length
+        if pos:
+            del buf[:pos]
+            self._consumed += pos
+
+
+def _iter_inflate_members(
+    data: bytes, chunk: int = _CHUNK, max_out: int = 4 * _CHUNK
+) -> Iterator[bytes]:
+    """Stream-decompress a concatenated-member gzip stream (the CC
+    framing), yielding inflated chunks; feeds at most ``chunk``
+    compressed bytes and emits at most ``max_out`` inflated bytes per
+    step (``decompress(..., max_length)`` — without the cap one highly
+    compressible chunk could inflate to GBs in a single call), so peak
+    memory tracks the chunk sizes and the inflate window, never the
+    whole inflated archive."""
+    d = zlib.decompressobj(wbits=31)
+    fed = False
+    pos, n = 0, len(data)
+    pending = b""  # compressed bytes handed to but not yet consumed
+    try:
+        while True:
+            if not pending:
+                if pos >= n:
+                    break
+                pending = bytes(data[pos : pos + chunk])
+                pos += chunk
+            out = d.decompress(pending, max_out)
+            fed = True
+            if d.eof:
+                pending = d.unused_data  # start of the next member
+                d = zlib.decompressobj(wbits=31)
+                fed = False
+            else:
+                pending = d.unconsumed_tail  # non-empty iff max_out hit
+            if out:
+                yield out
+    except zlib.error as e:
+        raise ValueError(f"corrupt gzip member in WARC archive: {e}") from e
+    if fed and not d.eof:
+        raise ValueError("gzip member truncated in WARC archive")
+
+
+def warc_iter_records(data: bytes) -> Iterator[dict]:
+    """Parse a WARC archive (plain or gzip-membered) into record dicts
+    ``{"type", "uri", "date", "record_id", "block"}``, **streaming**:
+    records are yielded as soon as their bytes are inflated, and no
+    more than one record (plus one compressed chunk) is held at a
+    time. Raises ``ValueError`` on malformed framing — the quarantine
+    contract."""
+    scanner = _RecordScanner()
+    if data[:2] == GZIP_MAGIC:
+        for piece in _iter_inflate_members(data):
+            yield from scanner.feed(piece)
+    else:
+        # plain framing: same incremental path, fed in slices
+        for off in range(0, len(data), _CHUNK):
+            yield from scanner.feed(bytes(data[off : off + _CHUNK]))
+    yield from scanner.finish()
+
+
+def warc_parse(data: bytes) -> "list[dict]":
+    """Eager convenience wrapper over ``warc_iter_records`` — fine for
+    tests and small archives; the Spark fanout uses the iterator."""
+    return list(warc_iter_records(data))
+
+
+def _dechunk_http_body(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 ``Transfer-Encoding: chunked`` body
+    (RFC 9112 §7.1): ``<hex-size>[;ext] CRLF <size bytes> CRLF ...``
+    terminated by a zero-size chunk; trailers are ignored."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("chunked HTTP body: missing chunk-size line")
+        token = body[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(token, 16)
+        except ValueError:
+            raise ValueError(
+                f"chunked HTTP body: bad chunk size {token[:16]!r}"
+            ) from None
+        pos = eol + 2
+        if size == 0:
+            break  # zero chunk ends the body; trailers ignored
+        if pos + size > len(body):
+            raise ValueError("chunked HTTP body: chunk data truncated")
+        out += body[pos : pos + size]
+        pos += size + 2  # skip chunk data + its trailing CRLF
+    return bytes(out)
 
 
 def split_http_payload(block: bytes) -> tuple[str, bytes]:
     """For ``response`` records: split the HTTP message into (status
-    line, body) at the first blank line; WET-style blocks pass
-    through as ('', block)."""
-    if block[:5] in (b"HTTP/",):
-        sep = block.find(b"\r\n\r\n")
-        if sep < 0:
-            raise ValueError("HTTP headers not terminated in WARC block")
-        status = block[: block.find(b"\r\n")].decode("utf-8", "replace")
-        return status, block[sep + 4 :]
-    return "", block
+    line, body) at the first blank line, de-chunking the body when the
+    headers declare ``Transfer-Encoding: chunked``. Blocks that don't
+    start with an HTTP status line pass through as ('', block).
+
+    Callers must gate on ``WARC-Type == "response"`` — WET
+    ``conversion`` blocks are payload even if their text happens to
+    begin with "HTTP/" (``warc_documents`` does this)."""
+    if block[:5] != b"HTTP/":
+        return "", block
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("HTTP headers not terminated in WARC block")
+    head = block[:sep].decode("utf-8", "replace")
+    lines = head.split("\r\n")
+    status = lines[0]
+    body = block[sep + 4 :]
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "transfer-encoding" and (
+            "chunked" in v.strip().lower()
+        ):
+            body = _dechunk_http_body(body)
+            break
+    return status, body
 
 
 WARC_DOC_SCHEMA = StructType(
@@ -147,32 +277,56 @@ WARC_DOC_SCHEMA = StructType(
     ]
 )
 
+_DOC_COLUMNS = [
+    "archive_id", "record_id", "warc_type", "uri", "warc_date",
+    "http_status", "content_length", "content", "parse_error",
+]
+
+# Flush accumulated output rows to Arrow once their text exceeds this
+# many bytes (across archives — never mid-archive in "null" mode, so
+# the one-error-row-per-bad-archive contract holds atomically).
+_FLUSH_BYTES = 64 << 20
+
 
 def warc_documents(
     archives: DataFrame, on_error: str = "raise"
 ) -> DataFrame:
     """Archive payloads → one row per WARC record (the ingestion
     fanout). Input: ``(archive_id long, payload binary)``; plain and
-    gzip-membered archives both parse; ``response`` records are split
-    into HTTP status + body, WET-style records pass through. Same
+    gzip-membered archives both parse **streamingly** (peak memory per
+    task ≈ compressed payload + one record + the output flush buffer,
+    not the inflated archive); ``response`` records (and only those —
+    gated on WARC-Type, not content sniffing) are split into HTTP
+    status + de-chunked body, everything else passes through. Same
     quarantine contract as the media decoders: ``on_error="null"``
-    emits one row per bad archive with the message in
-    ``parse_error``.
+    emits EXACTLY one row per bad archive with the message in
+    ``parse_error`` and no partial content rows for that archive.
     """
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null'; got {on_error!r}")
 
+    def _mk(rows: list) -> pd.DataFrame:
+        return pd.DataFrame(rows, columns=_DOC_COLUMNS).astype(
+            {"archive_id": "int64", "content_length": "Int32"}
+        )
+
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list = []
+        pending = 0
         for pdf in batches:
-            rows = []
             for aid, payload in zip(pdf["archive_id"], pdf["payload"]):
                 aid = int(aid)
+                arch_rows: list = []  # buffered so a late parse error
+                arch_bytes = 0        # retracts the whole archive
                 try:
                     if payload is None or len(payload) == 0:
                         raise ValueError("empty archive payload")
-                    for rec in warc_parse(bytes(payload)):
-                        status, body = split_http_payload(rec["block"])
-                        rows.append(
+                    for rec in warc_iter_records(bytes(payload)):
+                        if rec["type"] == "response":
+                            status, body = split_http_payload(rec["block"])
+                        else:
+                            status, body = "", rec["block"]
+                        arch_rows.append(
                             (
                                 aid, rec["record_id"], rec["type"],
                                 rec["uri"], rec["date"], status or None,
@@ -181,23 +335,25 @@ def warc_documents(
                                 None,
                             )
                         )
+                        arch_bytes += len(body)
                 except ValueError as e:
                     if on_error == "raise" and not (
                         payload is None or len(payload) == 0
                     ):
                         raise
-                    rows.append(
+                    arch_rows = [
                         (aid, None, None, None, None, None, None, None,
                          str(e))
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "archive_id", "record_id", "warc_type", "uri",
-                    "warc_date", "http_status", "content_length",
-                    "content", "parse_error",
-                ],
-            ).astype({"archive_id": "int64", "content_length": "Int32"})
+                    ]
+                    arch_bytes = 0
+                rows.extend(arch_rows)
+                pending += arch_bytes
+                if pending >= _FLUSH_BYTES:
+                    yield _mk(rows)
+                    rows, pending = [], 0
+            if rows:
+                yield _mk(rows)
+                rows, pending = [], 0
 
     from nextbus2pg_spark.operators.scale import ensure_min_parallelism
 
@@ -221,7 +377,8 @@ def synthetic_warc_archives(
     one archive each (the one-archive-per-task shape), every ODD
     archive uses the Common Crawl gzip-member framing, and every
     fifth document becomes a ``response`` record wrapped in a real
-    HTTP/1.1 message (status + headers + body) while the rest are
+    HTTP/1.1 message (status + headers + body) — every tenth of THOSE
+    with a chunked transfer-encoding body — while the rest are
     WET-style ``conversion`` records. All header fields are
     closed-form in doc_id, so a SQL oracle can verify the parsed
     fanout (uri, type, status, byte length, content digest) without a
@@ -235,12 +392,27 @@ def synthetic_warc_archives(
             text = row["text"] if isinstance(row["text"], str) else ""
             body = text.encode("utf-8")
             if d % 5 == 0:
-                block = (
-                    b"HTTP/1.1 200 OK\r\n"
-                    b"Content-Type: text/plain\r\n"
-                    b"Content-Length: " + str(len(body)).encode()
-                    + b"\r\n\r\n" + body
-                )
+                if d % 50 == 0 and body:
+                    # real chunked framing: split body in two chunks
+                    mid = max(1, len(body) // 2)
+                    wire = (
+                        format(mid, "x").encode() + b"\r\n"
+                        + body[:mid] + b"\r\n"
+                        + format(len(body) - mid, "x").encode() + b"\r\n"
+                        + body[mid:] + b"\r\n0\r\n\r\n"
+                    )
+                    block = (
+                        b"HTTP/1.1 200 OK\r\n"
+                        b"Content-Type: text/plain\r\n"
+                        b"Transfer-Encoding: chunked\r\n\r\n" + wire
+                    )
+                else:
+                    block = (
+                        b"HTTP/1.1 200 OK\r\n"
+                        b"Content-Type: text/plain\r\n"
+                        b"Content-Length: " + str(len(body)).encode()
+                        + b"\r\n\r\n" + body
+                    )
                 rtype = "response"
             else:
                 block = body

@@ -122,3 +122,143 @@ def test_warc_documents_fanout_and_quarantine(spark):
     assert len(bad) == 1 and bad[0].parse_error
     with pytest.raises(Exception):
         warc_documents(df, on_error="raise").collect()
+
+
+def test_chunked_transfer_encoding_dechunked():
+    """RFC 9112 chunked bodies in response records are reassembled;
+    chunk extensions and trailers are tolerated, bad framing raises."""
+    body = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\nX-Trailer: t\r\n\r\n"
+    )
+    status, out = split_http_payload(body)
+    assert status == "HTTP/1.1 200 OK" and out == b"hello world"
+    # uppercase header name + mixed casing of the value still triggers
+    status, out = split_http_payload(
+        b"HTTP/1.1 200 OK\r\nTRANSFER-ENCODING: Chunked\r\n\r\n"
+        b"3\r\nabc\r\n0\r\n\r\n"
+    )
+    assert out == b"abc"
+    with pytest.raises(ValueError, match="chunk size"):
+        split_http_payload(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"zz\r\nabc\r\n0\r\n\r\n"
+        )
+    with pytest.raises(ValueError, match="truncated"):
+        split_http_payload(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"ff\r\nshort"
+        )
+    # a NON-chunked response is untouched even if its body looks hexy
+    status, out = split_http_payload(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n5\r\nhello"
+    )
+    assert out == b"5\r\nhello"
+
+
+def test_wet_record_starting_with_http_not_split(spark):
+    """WARC-Type gating, not content sniffing: a WET 'conversion'
+    record whose text happens to begin with 'HTTP/' keeps its full
+    content (the old sniffing path silently ate everything up to the
+    first blank line, or quarantined the archive if none existed)."""
+    from nextbus2pg_spark.sources.warc import warc_documents
+
+    tricky = "HTTP/2 is a binary protocol. No blank line here."
+    recs = [{
+        "type": "conversion", "uri": "https://x.example/tech",
+        "date": "2026-01-01T00:00:00Z", "record_id": "urn:r:0",
+        "block": tricky.encode(),
+    }]
+    df = spark.createDataFrame(
+        [(1, bytearray(warc_write_records(recs)))],
+        "archive_id long, payload binary",
+    )
+    rows = warc_documents(df).collect()
+    assert len(rows) == 1
+    assert rows[0].content == tricky and rows[0].http_status is None
+
+
+def test_bad_archive_yields_exactly_one_error_row(spark):
+    """Atomic quarantine: an archive whose FIRST records parse but a
+    later one is malformed yields ONE error row and zero partial
+    content rows in on_error='null' mode."""
+    from nextbus2pg_spark.sources.warc import warc_documents
+
+    good_two = warc_write_records(_recs(2))
+    # append a record with a lying Content-Length → truncated block
+    broken = good_two + (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"Content-Length: 9999\r\n\r\nshort"
+    )
+    df = spark.createDataFrame(
+        [(7, bytearray(broken)), (8, bytearray(good_two))],
+        "archive_id long, payload binary",
+    )
+    rows = warc_documents(df, on_error="null").collect()
+    bad = [r for r in rows if r.archive_id == 7]
+    ok = [r for r in rows if r.archive_id == 8]
+    assert len(bad) == 1 and bad[0].parse_error and bad[0].content is None
+    assert len(ok) == 2 and all(r.parse_error is None for r in ok)
+
+
+def test_scanner_handles_arbitrary_chunk_splits():
+    """The incremental scanner must parse identically no matter where
+    the byte-stream is cut — feed a small archive one byte at a time
+    and at every 3-byte boundary."""
+    from nextbus2pg_spark.sources.warc import _RecordScanner
+
+    data = warc_write_records(_recs(3, http_every=2))
+    want = warc_parse(data)
+    for step in (1, 3):
+        sc = _RecordScanner()
+        got = []
+        for i in range(0, len(data), step):
+            got.extend(sc.feed(data[i : i + step]))
+        got.extend(sc.finish())
+        assert [
+            (r["record_id"], r["block"]) for r in got
+        ] == [(r["record_id"], r["block"]) for r in want]
+
+
+def test_streaming_parse_memory_is_o_record_not_o_archive():
+    """The 100 TB guarantee: parsing a gzip-membered archive that
+    inflates to ~300 MB must hold peak Python allocations under a few
+    records' worth — tracemalloc-measured hard cap, NOT a style check.
+    The old whole-archive `gzip.decompress` path allocated the full
+    inflated size and fails this test by an order of magnitude."""
+    import tracemalloc
+
+    from nextbus2pg_spark.sources.warc import warc_iter_records
+
+    rec_mb = 1 << 20
+    n_members = 300  # ~300 MB inflated
+    # build compressed members OUTSIDE the traced window; repetitive
+    # content keeps the compressed archive tiny (and maximally
+    # adversarial for any unbounded-decompress implementation)
+    members = []
+    for i in range(n_members):
+        body = (f"doc {i} " + "lorem ipsum " * 10).encode()
+        body = (body * (rec_mb // len(body) + 1))[:rec_mb]
+        head = (
+            b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC-Record-ID: <urn:big:" + str(i).encode() + b">\r\n"
+            b"WARC-Target-URI: https://x.example/big/"
+            + str(i).encode() + b"\r\n"
+            b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        )
+        members.append(gzip.compress(head + body + b"\r\n\r\n", 1))
+    data = b"".join(members)
+    assert len(data) < 32 << 20  # sanity: compressible corpus
+
+    tracemalloc.start()
+    n, total = 0, 0
+    for rec in warc_iter_records(data):
+        n += 1
+        total += len(rec["block"])
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == n_members and total == n_members * rec_mb
+    # inflated size is ~300 MB; hold the line at 32 MB (≈ one record
+    # + inflate chunks + scanner buffer, with generous slack)
+    assert peak < 32 << 20, f"peak {peak/2**20:.1f} MB — not streaming"
