@@ -191,10 +191,34 @@ DRIVER_CHECKED_R8 = frozenset({
     "q_xml_roundtrip", "q_zorder_key",
 })
 
+#: Driver rows earned in round 9 (CORRECTNESS_r09.json keys, 50/50
+#: green — first rows for the round-9 surface: DSIR, JL random
+#: projection, CCNet buckets, tokenizer fertility, WARC ingest, the
+#: JPEG/GIF/audio/video/cross-format media quintet; the four round-9
+#: regression re-checks; and the oldest-first stale drain covering the
+#: heavy TPC-H half plus the remaining r4 vintage).
+DRIVER_CHECKED_R9 = frozenset({
+    "q_agg_stats", "q_anti_join", "q_approx_distinct", "q_array_funcs",
+    "q_asof_bucketed", "q_asof_join", "q_bigram_counts",
+    "q_bloom_decontaminate", "q_bool_cast", "q_bpe_merges",
+    "q_bpe_token_count", "q_cap_per_group", "q_ccnet_buckets",
+    "q_cosine_topk_vec", "q_dsir_sample", "q_ivf_assign",
+    "q_media_audio", "q_media_cross_format", "q_media_decode",
+    "q_media_decode_gif", "q_media_decode_jpeg", "q_media_dhash",
+    "q_media_video_frames", "q_pack_sequences", "q_quality_quantile",
+    "q_random_projection", "q_scd2_as_of", "q_scd2_merge", "q_simhash",
+    "q_simhash_pairs", "q_stratified_sample", "q_substring_dedup",
+    "q_tokenizer_fertility", "q_tpch_q11", "q_tpch_q13", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q17", "q_tpch_q20", "q_tpch_q21",
+    "q_tpch_q22", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+    "q_train_test_split", "q_vocab", "q_warc_ingest",
+    "q_weighted_sample", "q_winsorize",
+})
+
 DRIVER_CHECKED = (
     DRIVER_CHECKED_R1_R2 | DRIVER_CHECKED_R3 | DRIVER_CHECKED_R4
     | DRIVER_CHECKED_R5 | DRIVER_CHECKED_R6 | DRIVER_CHECKED_R7
-    | DRIVER_CHECKED_R8
+    | DRIVER_CHECKED_R8 | DRIVER_CHECKED_R9
 )
 
 #: The round currently being built (the driver stamps its artifacts
@@ -203,7 +227,7 @@ DRIVER_CHECKED = (
 #: ``STALENESS_CEILING`` rounds behind, and any row at the ceiling's
 #: edge must sit inside the first-50 driver window so it drains THIS
 #: round rather than aging further.
-CURRENT_ROUND = 9
+CURRENT_ROUND = 10
 STALENESS_CEILING = 5
 
 #: Round a query's driver row was LAST earned (r1/r2 merged as 2).
@@ -215,24 +239,26 @@ for _round, _names in (
     (2, DRIVER_CHECKED_R1_R2), (3, DRIVER_CHECKED_R3),
     (4, DRIVER_CHECKED_R4), (5, DRIVER_CHECKED_R5),
     (6, DRIVER_CHECKED_R6), (7, DRIVER_CHECKED_R7),
-    (8, DRIVER_CHECKED_R8),
+    (8, DRIVER_CHECKED_R8), (9, DRIVER_CHECKED_R9),
 ):
     for _n in _names:
         _LAST_CHECKED_ROUND[_n] = _round
 
-#: Queries whose underlying operator code changed in round 9 — the
-#: driver re-verifies exactly what was rewritten. Round 9 touched:
-#: decode_media (quarantine now catches zlib/struct errors and grew a
-#: JPEG branch → q_media_decode, q_media_dhash), cosine_topk (the
-#: max_queries probe became lazy-optional → q_cosine_topk_vec; the
-#: plain q_cosine_topk was re-checked in r8 after the same file's
-#: guard change, so one slot covers the shared path), and ivf_assign
-#: (multi-probe nprobe parameter → q_ivf_assign).
+#: Queries whose underlying operator code changed in round 10 — the
+#: driver re-verifies exactly what was rewritten. Round 10 touched:
+#: the WARC source (member-wise streaming decompress, chunked
+#: transfer-encoding, type-gated HTTP split → q_warc_ingest), the JPEG
+#: codec (progressive SOF2 decode + quarantine hardening →
+#: q_media_decode_jpeg and the shared decode path q_media_decode),
+#: perplexity_buckets (auto-selected approx-quantile scale path →
+#: q_ccnet_buckets), and SemDeDup's hot-cell split
+#: (→ q_semantic_dedup, last checked r8).
 REGRESSION_PRIORITY = (
+    "q_warc_ingest",
+    "q_media_decode_jpeg",
     "q_media_decode",
-    "q_media_dhash",
-    "q_cosine_topk_vec",
-    "q_ivf_assign",
+    "q_ccnet_buckets",
+    "q_semantic_dedup",
 )
 
 #: Round-5 policy: the deferred bucket is DRAINED — the seven entries
