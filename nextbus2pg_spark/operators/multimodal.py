@@ -334,6 +334,70 @@ def synthetic_jpeg_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
+    """Fabricate REAL progressive-JPEG (SOF2) payloads deterministically
+    from ``doc_id`` — the multi-scan container ~10%+ of real web JPEGs
+    use (round-9 verdict item 4).
+
+    Same oracle trick as ``synthetic_jpeg_media``: block-constant
+    grids + all-ones quantization make the lossy round-trip bit-exact
+    once every band's successive-approximation chain reaches Al=0, so
+    a SQL oracle verifies decoded sums in closed form with no Huffman
+    machinery. Grid: ``width = 8*(2 + d%4)``, ``height = 8*(2 + d%3)``,
+    block (bi, bj) value ``(d*43 + bi*23 + bj*11) % 256``. Scan-script
+    variety so every Annex-G decoder path runs: ``d % 3 == 0`` → the
+    default 7-scan script (DC refine + two AC bands, double refinement
+    on the low band), ``d % 3 == 1`` → a 4-scan script whose AC bands
+    start at Al=0 (no refinement, EOB-run heavy), else a 5-scan script
+    with an Al=2 start on the full AC band (deep refinement chain).
+    """
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from nextbus2pg_spark.functions.jpegcodec import (
+            jpeg_encode_gray_progressive,
+        )
+
+        scripts = {
+            0: None,  # module default
+            1: ((0, 0, 0, 0), (1, 9, 0, 0), (10, 63, 0, 0)),
+            2: ((0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 2),
+                (1, 63, 2, 1), (1, 63, 1, 0)),
+        }
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw, bh = 2 + d % 4, 2 + d % 3
+                bi = np.arange(bh, dtype=np.int64).reshape(-1, 1)
+                bj = np.arange(bw, dtype=np.int64)
+                vals = (d * 43 + bi * 23 + bj * 11) % 256
+                img = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+                payload = jpeg_encode_gray_progressive(
+                    img.astype(np.uint8), quant=1, scans=scripts[d % 3]
+                )
+                payloads.append(payload)
+                metas.append(
+                    {"width": bw * 8, "height": bh * 8,
+                     "sample_rate": None, "n_frames": None}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    return ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
+        _make, schema=MEDIA_SCHEMA
+    )
+
+
 def synthetic_gif_media(docs: DataFrame) -> DataFrame:
     """Fabricate REAL GIF89a payloads deterministically from
     ``doc_id``: GIF's palette path is LOSSLESS (like PNG), so

@@ -91,11 +91,13 @@ def test_lossy_quant_degrades_gracefully():
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 20
 
 
-def test_progressive_and_malformed_raise_value_error():
+def test_malformed_raise_value_error():
     data = jpeg_encode_gray(_blocky(2, 2))
-    progressive = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="baseline"):
-        jpeg_decode(progressive)
+    # flipping SOF0→SOF2 makes the baseline full-band scan an illegal
+    # progressive scan (DC scan with Se=63) — still a clean ValueError
+    mangled = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="Se != 0"):
+        jpeg_decode(mangled)
     with pytest.raises(ValueError, match="SOI"):
         jpeg_decode(b"\x00\x01\x02")
     # truncated mid-entropy: quarantine contract via decode_image
@@ -119,3 +121,124 @@ def test_encoder_rejects_bad_inputs():
         jpeg_encode_gray(_blocky(1, 1), quant=0)
     with pytest.raises(ValueError, match="sampling"):
         jpeg_encode_ycbcr(_blocky(1, 1), sampling=(3, 1))
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode — round-10 verdict item 4.
+# ---------------------------------------------------------------------------
+
+from nextbus2pg_spark.functions.jpegcodec import (  # noqa: E402
+    _seg,
+    jpeg_encode_gray_progressive,
+)
+
+
+@pytest.mark.parametrize("bh,bw", [(1, 1), (2, 3), (4, 4)])
+def test_progressive_constant_block_roundtrip_is_bit_exact(bh, bw):
+    """The oracle's lossless trick holds for the progressive container
+    too: quant=1 + block-constant pixels → exact decode after the full
+    successive-approximation scan chain."""
+    img = _blocky(bh, bw, seed=bh * 10 + bw)
+    w, h, out = jpeg_decode(jpeg_encode_gray_progressive(img, quant=1))
+    assert (w, h) == (img.shape[1], img.shape[0])
+    assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("quant", [1, 2, 8, 16, 64, 255])
+def test_progressive_decode_equals_baseline_decode(quant):
+    """Successive approximation is lossless once every band's Al chain
+    reaches 0, so progressive and baseline decodes of the same image
+    must agree BIT-EXACTLY at every quantization level — this pins the
+    DC arithmetic-shift vs AC truncate-toward-zero point transforms,
+    EOB-run accumulation, ZRL-with-correction-bit ordering, and the
+    newly-significant insertion path all at once."""
+    for seed in range(6):
+        rng = np.random.RandomState(seed)
+        shape = (rng.randint(1, 48), rng.randint(1, 48))
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        yb = jpeg_decode(jpeg_encode_gray(img, quant=quant))[2]
+        yp = jpeg_decode(
+            jpeg_encode_gray_progressive(img, quant=quant)
+        )[2]
+        assert np.array_equal(yb, yp), (quant, seed, shape)
+
+
+def test_progressive_smooth_gradients_exercise_long_runs():
+    """Smooth images quantized hard produce long zero runs interleaved
+    with history coefficients — the ZRL/EOB-run fold interplay that a
+    naive refinement encoder gets wrong (caught a real bug in this
+    codec's first cut)."""
+    for t in range(8):
+        xx, yy = np.meshgrid(np.arange(56), np.arange(48))
+        img = ((xx * 3 + yy * 5 + t * 17) % 256).astype(np.uint8)
+        yb = jpeg_decode(jpeg_encode_gray(img, quant=32))[2]
+        yp = jpeg_decode(jpeg_encode_gray_progressive(img, quant=32))[2]
+        assert np.array_equal(yb, yp)
+
+
+def test_progressive_custom_scan_script():
+    """A different spectral split / Al chain decodes identically."""
+    img = _rng.randint(0, 256, size=(24, 33)).astype(np.uint8)
+    scans = (
+        (0, 0, 0, 2), (0, 0, 2, 1), (0, 0, 1, 0),
+        (1, 2, 0, 0), (3, 20, 0, 1), (3, 20, 1, 0), (21, 63, 0, 0),
+    )
+    yb = jpeg_decode(jpeg_encode_gray(img, quant=4))[2]
+    yp = jpeg_decode(
+        jpeg_encode_gray_progressive(img, quant=4, scans=scans)
+    )[2]
+    assert np.array_equal(yb, yp)
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any run of 0xFF fill bytes may precede a marker
+    code — legal foreign JPEGs use them for alignment (ADVICE round
+    9)."""
+    img = _blocky(2, 2, seed=3)
+    data = jpeg_encode_gray(img, quant=1)
+    idx = data.find(b"\xff\xc0")
+    filled = data[:idx] + b"\xff\xff" + data[idx:]
+    _, _, out = jpeg_decode(filled)
+    assert np.array_equal(out, img)
+
+
+def test_truncated_restart_segments_raise_value_error():
+    """A DRI declaring more restart intervals than the scan holds must
+    raise ValueError, not StopIteration — PEP 479 would turn the
+    latter into RuntimeError inside the mapInPandas generator and
+    crash the whole task past the quarantine (ADVICE round 9)."""
+    img = _rng.randint(0, 256, size=(24, 24)).astype(np.uint8)
+    data = jpeg_encode_gray(img, quant=1, restart_interval=2)
+    buf = bytearray(data)
+    for i in range(len(buf) - 1):
+        if buf[i] == 0xFF and 0xD0 <= buf[i + 1] <= 0xD7:
+            truncated = bytes(buf[: i + 2]) + b"\xff\xd9"
+            break
+    with pytest.raises(ValueError):
+        jpeg_decode(truncated)
+
+
+def test_noninterleaved_baseline_scan_raises_value_error():
+    """A baseline SOS naming fewer components than SOF (legal per
+    T.81, unsupported here) must raise ValueError, not KeyError
+    (ADVICE round 9)."""
+    y = _rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    data = jpeg_encode_ycbcr(y)
+    sos_idx = data.find(b"\xff\xda")
+    seglen = int.from_bytes(data[sos_idx + 2 : sos_idx + 4], "big")
+    bad = (
+        data[:sos_idx]
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + data[sos_idx + 2 + seglen :]
+    )
+    with pytest.raises(ValueError, match="non-interleaved"):
+        jpeg_decode(bad)
+
+
+def test_decode_image_sniffs_progressive_jpeg():
+    """The shared image dispatcher routes progressive payloads through
+    the same JPEG magic — no caller changes needed."""
+    img = _blocky(3, 2, seed=9)
+    w, h, out = decode_image(jpeg_encode_gray_progressive(img, quant=1))
+    assert (w, h) == (16, 24)
+    assert np.array_equal(out, img)
