@@ -891,3 +891,35 @@ def test_media_cross_format_plan_no_shuffle_before_pair_join(spark):
     p = plan_text(q(spark, "q_media_cross_format"))
     assert "CartesianProduct" not in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_perplexity_buckets_approx_path_has_no_window(spark):
+    """CCNet bucketing's 100 TB path (round 10): scale='approx' must
+    bucket against approx_percentile thresholds broadcast back onto
+    the corpus — NO window operator anywhere in the plan (the exact
+    path's per-language NTILE funnels a mono-lingual corpus through
+    one sort partition) and no sort-merge join."""
+    from nextbus2pg_spark.operators.textstats import perplexity_buckets
+    from nextbus2pg_spark.plans.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = perplexity_buckets(
+        docs, "doc_id", "text", "lang", n_buckets=3, scale="approx"
+    )
+    p = plan_text(df)
+    assert "Window" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_perplexity_buckets_exact_path_keeps_ntile(spark):
+    """The oracle-parity path is unchanged: one window, rank-exact."""
+    from nextbus2pg_spark.operators.textstats import perplexity_buckets
+    from nextbus2pg_spark.plans.fixtures import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = perplexity_buckets(
+        docs, "doc_id", "text", "lang", n_buckets=3, scale="exact"
+    )
+    assert "Window" in plan_text(df)

@@ -261,3 +261,77 @@ def test_tokenizer_fertility_bounds(spark):
     assert set(by_lang) == {"en", "fr"}
     for t, w in by_lang.values():
         assert t >= w  # fertility >= 1
+
+
+def test_perplexity_buckets_approx_path_agrees_with_exact(spark):
+    """The approx path (round 10: percentile thresholds + broadcast
+    join, no per-language sort) must agree with exact NTILE wherever
+    scores are distinct and group sizes divide n_buckets — and must
+    always satisfy the ordering invariant (better score → better or
+    equal bucket within a language)."""
+    from nextbus2pg_spark.operators.textstats import perplexity_buckets
+
+    rows = []
+    for i in range(6):
+        rows.append((i, "the cat sat on the mat " * (i + 1), "en"))
+    rows.append((6, "zq xv qj wk vn mz pq rs", "en"))
+    rows.append((7, "aa bb cc dd ee ff gg hh", "en"))
+    rows.append((8, "k1 k2 k3 k4 k5 k6 k7 k8", "en"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    exact = {
+        r.id: r.bucket
+        for r in perplexity_buckets(
+            docs, "doc_id", "text", "lang", n_buckets=3, scale="exact"
+        ).collect()
+    }
+    approx = {
+        r.id: r.bucket
+        for r in perplexity_buckets(
+            docs, "doc_id", "text", "lang", n_buckets=3, scale="approx"
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    assert set(approx.values()) == {1, 2, 3}
+
+    # ordering invariant against the scorer directly
+    from nextbus2pg_spark.operators.textstats import bigram_logprob
+
+    scores = {
+        r.id: r.avg_logprob
+        for r in bigram_logprob(docs, "doc_id", "text").collect()
+    }
+    ids = sorted(approx, key=lambda i: -scores[i])
+    for a, b in zip(ids, ids[1:]):
+        assert approx[a] <= approx[b], (a, b, approx, scores)
+
+
+def test_perplexity_buckets_auto_probe_selects_by_language_size(spark):
+    """scale='auto' probes per-language counts: a tiny bound flips the
+    plan to the windowless approx path; the default bound keeps exact
+    NTILE at fixture scale (oracle parity)."""
+    from nextbus2pg_spark.operators.textstats import perplexity_buckets
+
+    rows = [
+        (i, "w%d x%d y z q r s t" % (i, i), "en") for i in range(8)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    small_bound = perplexity_buckets(
+        docs, "doc_id", "text", "lang",
+        n_buckets=2, scale="auto", max_exact_rows_per_lang=2,
+    )
+    assert "Window" not in small_bound._jdf.queryExecution().executedPlan().toString()
+    default_bound = perplexity_buckets(
+        docs, "doc_id", "text", "lang", n_buckets=2, scale="auto"
+    )
+    assert "Window" in default_bound._jdf.queryExecution().executedPlan().toString()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="scale"):
+        perplexity_buckets(
+            docs, "doc_id", "text", "lang", n_buckets=2, scale="bogus"
+        )
