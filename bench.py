@@ -113,6 +113,14 @@ R9_SET: list[str] = [
     "q_warc_ingest",
 ]
 
+#: Round-10 additions: the progressive-JPEG (SOF2) decode chain and
+#: the crawl-to-corpus capstone (WARC ingest -> gopher filter -> exact
+#: + MinHash dedup -> CCNet buckets -> head+middle select).
+R10_SET: list[str] = [
+    "q_media_decode_jpeg_prog",
+    "q_crawl_to_corpus",
+]
+
 HEADLINE = [
     "q_flagship_latest",
     "q_tpch_q1",
@@ -150,6 +158,7 @@ HEADLINE = [
     *R7_SET,
     *R8_SET,
     *R9_SET,
+    *R10_SET,
 ]
 
 
@@ -304,6 +313,10 @@ def main() -> None:
             sum(timings[n] for n in R9_SET if n in timings), 3
         ),
         "subtotal_r9_set_norm": _norm(R9_SET),
+        "subtotal_r10_set": round(
+            sum(timings[n] for n in R10_SET if n in timings), 3
+        ),
+        "subtotal_r10_set_norm": _norm(R10_SET),
     }
     # Full payload for humans/PERF.md (stderr never reaches the parser).
     print("# full: " + json.dumps(payload), file=sys.stderr)
@@ -347,6 +360,8 @@ def emit_summary(
     vintage_sets = vintage_sets if vintage_sets is not None else [
         ("r3", R3_SET), ("r4", R4_SET), ("r5", R5_SET),
         ("r6", R6_SET), ("r7", R7_SET), ("r8", R8_SET),
+        # NEVER list the newest two vintages (r9/r10) here — the
+        # retire ladder may only drop settled history.
     ]
 
     def render(d: dict) -> str:

@@ -130,13 +130,24 @@ def run_heavy(spark, name: str, scale: int) -> tuple[float, int]:
         vecs = synth_vectors(spark, base).localCheckpoint()
         n_rows = vecs.count()
         t0 = time.perf_counter()
-        # Cells stay ~constant-size: n_centroids grows with the data
-        # (the operator's documented scale path), so pair work is
-        # sum-of-cells-squared and grows LINEARLY by construction.
+        # Round-10 reparameterization after measuring BOTH old shapes:
+        # r9's k ∝ n (constant mean cell) silently makes TRAINING and
+        # ASSIGNMENT the quadratic terms (brute-force Lloyd assign is
+        # O(n·k); measured assign 1.2s→10.1s for 3.3x data), while
+        # fixed k pushes every member's pair work to the cap (measured
+        # 159s at 10x vs 89s). The production rule is k ≈ √n with
+        # sample-bounded training (train_modulus keeps the Lloyd
+        # sample at the 1x size) and max_cell_size closing the k-means
+        # skew channel: training O(sample·k), assignment O(n·√n) with
+        # tiny constants, pair join Σ|sub|² ≈ n·cap — the cap (165)
+        # sized so mean sub-cells stay ~constant across the sweep.
         n = semantic_dedup(
             vecs, "vec_id", "embedding",
-            n_centroids=16 * scale, kmeans_iters=3,
+            n_centroids=16 * max(1, round(scale ** 0.5)),
+            kmeans_iters=3,
             sim_threshold=0.95,
+            max_cell_size=165,
+            train_modulus=scale,
         ).count()
     elif name == "containment_pairs":
         from nextbus2pg_spark.operators.dedup import containment_pairs

@@ -991,6 +991,75 @@ def dequantize_embeddings(
     )
 
 
+def _split_hot_cells(
+    v: DataFrame, max_cell_size: int, nprobe: int
+) -> DataFrame:
+    """Second clustering level for :func:`semantic_dedup`'s hot cells:
+    → (centroid_id, sub_id, id, vec, nrm) where cells at or under
+    ``max_cell_size`` keep ``sub_id = 0`` and larger cells split into
+    ``ceil(|cell| / max_cell_size)`` nearest-seed sub-cells.
+
+    Every stage is bounded or embarrassingly parallel: per-cell counts
+    are one map-side-partial aggregate; seeds are argmin-id members
+    per (cell, hash-bucket) — another aggregate, so no sort or window
+    ever touches a hot cell as one partition; seed assignment
+    broadcasts the (Σ ceil(|cell|/bound))-row seed table and ranks per
+    VECTOR (a high-cardinality window key — thousands of tiny sorted
+    groups per task, never one task per cell). Multi-probe (``nprobe``
+    nearest seeds) recovers sub-boundary pairs exactly like the
+    top-level cell-boundary recovery.
+    """
+    if max_cell_size < 2:
+        raise ValueError(
+            f"max_cell_size must be >= 2; got {max_cell_size}"
+        )
+    ksub = (
+        v.groupBy("centroid_id")
+        .agg(F.count("*").alias("__n"))
+        .select(
+            "centroid_id",
+            F.ceil(F.col("__n") / F.lit(float(max_cell_size)))
+            .cast("int")
+            .alias("__k"),
+        )
+    )
+    vk = v.join(F.broadcast(ksub), "centroid_id")
+    cool = vk.where(F.col("__k") <= 1).select(
+        "centroid_id", F.lit(0).alias("sub_id"), "id", "vec", "nrm"
+    )
+    hot = vk.where(F.col("__k") > 1)
+    seeds = with_norm(
+        hot.select(
+            "centroid_id",
+            F.pmod(F.hash("id"), F.col("__k")).alias("__b"),
+            "id",
+            "vec",
+        )
+        .groupBy("centroid_id", "__b")
+        .agg(F.min_by("vec", "id").alias("__svec")),
+        "__svec",
+        "__sn",
+    )
+    scored = hot.join(F.broadcast(seeds), "centroid_id").select(
+        "centroid_id", "id", "vec", "nrm", "__b",
+        cosine(
+            F.col("vec"), F.col("__svec"), F.col("nrm"), F.col("__sn")
+        ).alias("__sim"),
+    )
+    w = Window.partitionBy("centroid_id", "id").orderBy(
+        F.col("__sim").desc(), F.col("__b").asc()
+    )
+    assigned = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= nprobe)
+        .select(
+            "centroid_id", F.col("__b").alias("sub_id"),
+            "id", "vec", "nrm",
+        )
+    )
+    return cool.unionByName(assigned)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str,
@@ -1001,6 +1070,8 @@ def semantic_dedup(
     sim_threshold: float = 0.95,
     deterministic_train: bool = False,
     assign_nprobe: int = 1,
+    max_cell_size: "int | None" = None,
+    train_modulus: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-space semantic
     deduplication → ``(id, centroid_id, keep)`` — cluster the corpus
@@ -1035,16 +1106,45 @@ def semantic_dedup(
     clusters recipe) and ``keep`` marks ``id == min(component)`` —
     singletons keep trivially. ``deterministic_train=True`` makes the
     whole pipeline (training included) bit-replayable by a SQL oracle.
+
+    ``max_cell_size`` (round-10 verdict item 7) bounds the quadratic
+    hot-cell channel the k-means imbalance opens at scale (the
+    measured Σ|cell|² excess in PERF.md): cells above the bound are
+    SPLIT before the pair join by a second clustering level — one
+    deterministic seed member per ceil(|cell|/bound) hash bucket
+    (argmin-id, a bounded aggregate: no sort, no window over the
+    cell), members assigned to their ``assign_nprobe`` nearest seeds
+    (multi-probe at the sub-level too, so boundary recall matches the
+    top level), and the pair join keyed on (centroid_id, sub_id).
+    Pair work per split cell drops from |cell|² to ~Σ|sub|²; sub-cell
+    boundary misses mirror the paper's cell-boundary approximation and
+    are recovered the same way (nprobe ≥ 2). ``None`` (default, and
+    the oracle fixture's setting) keeps single-level cells.
+
+    ``train_modulus > 1`` trains the Lloyd centroids on the
+    deterministic 1/modulus subsample ``xxhash64(id) % modulus == 0``
+    (standard IVF practice — training needs a representative sample,
+    not the corpus; brute-force Lloyd on the full corpus is O(n·k)
+    PER ITERATION, which with the k ≈ √n sizing rule is O(n^1.5)
+    training for zero recall benefit). Assignment still covers every
+    vector. Only meaningful with ``kmeans_iters > 0``.
     """
     from nextbus2pg_spark.operators.components import connected_components
 
+    if train_modulus < 1:
+        raise ValueError(f"train_modulus must be >= 1; got {train_modulus}")
+    train_src = corpus
+    if train_modulus > 1:
+        train_src = corpus.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(train_modulus)) == 0
+        )
     if kmeans_iters > 0:
         cents = kmeans_centroids(
-            corpus, id_col, vec_col, n_centroids, n_iters=kmeans_iters,
+            train_src, id_col, vec_col, n_centroids, n_iters=kmeans_iters,
             deterministic=deterministic_train,
         )
     else:
-        cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+        cents = ivf_centroids(train_src, id_col, vec_col, n_centroids)
     if assign_nprobe < 1:
         raise ValueError(f"assign_nprobe must be >= 1; got {assign_nprobe}")
     membership = ivf_assign(
@@ -1056,19 +1156,25 @@ def semantic_dedup(
         ),
         "id",
     ).localCheckpoint(eager=True)  # feeds both pair sides + the output
-    a = v.select(
-        "centroid_id", F.col("id").alias("id_a"),
+    if max_cell_size is not None:
+        paired = _split_hot_cells(v, max_cell_size, assign_nprobe)
+        key = ["centroid_id", "sub_id"]
+    else:
+        paired = v
+        key = ["centroid_id"]
+    a = paired.select(
+        *key, F.col("id").alias("id_a"),
         F.col("vec").alias("va"), F.col("nrm").alias("na"),
     )
-    b = v.select(
-        "centroid_id", F.col("id").alias("id_b"),
+    b = paired.select(
+        *key, F.col("id").alias("id_b"),
         F.col("vec").alias("vb"), F.col("nrm").alias("nb"),
     )
     sim = F.round(
         cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
     )
     edges = (
-        a.join(b, "centroid_id")
+        a.join(b, key)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("sim"))
         .where(F.col("sim") >= F.lit(sim_threshold))

@@ -3265,3 +3265,234 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str):
         n_centroids=8, kmeans_iters=2, sim_threshold=0.4,
         deterministic_train=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-to-corpus capstone (round-10 verdict item 6): the actual
+# pipeline a pretraining team runs, composed end-to-end from the
+# round-9/10 seam — WARC ingest → quality filter → exact dedup →
+# MinHash near-dedup → CCNet perplexity buckets → head+middle select.
+# ---------------------------------------------------------------------------
+
+#: Gopher-style quality chain over docs_plus (the q_gopher_filter
+#: oracle's scored CTE, re-based onto the crawl snapshot).
+_CRAWL_QUALITY = """
+rep0 AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM docs_plus
+),
+rep AS (
+  SELECT doc_id, words,
+         CASE WHEN len(words) >= 3
+              THEN list_transform(generate_series(1, len(words) - 2),
+                                  i -> array_to_string(words[i:i+2], ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM rep0
+),
+rep_feat AS (
+  SELECT doc_id,
+         CAST(len(words) AS INTEGER) AS n_words,
+         round(CASE WHEN len(words) - 2 > 0
+                    THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                               / (len(words) - 2)
+                    ELSE 0.0 END, 4) AS dup_3gram_ratio
+  FROM rep
+),
+q_feat AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER)
+           AS n_words_q,
+         length(text) AS n_chars_t,
+         CAST((length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' the ', '')))
+              / length(' the ') AS INTEGER)
+         + CAST((length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' a ', '')))
+              / length(' a ') AS INTEGER)
+         + CAST((length(' ' || text || ' ')
+               - length(replace(' ' || text || ' ', ' and ', '')))
+              / length(' and ') AS INTEGER) AS stop_hits,
+         CAST((length(text) - length(replace(text, '.', ''))) AS INTEGER)
+         + CAST((length(text) - length(replace(text, ',', ''))) AS INTEGER)
+           AS punct
+  FROM docs_plus
+),
+scored_q AS (
+  SELECT doc_id,
+         round(
+           least(CAST(n_words_q AS DOUBLE) / 100.0, 1.0) * 0.4
+           + least(CAST(stop_hits AS DOUBLE) / n_words_q * 5.0, 1.0) * 0.4
+           + (1.0 - least(CAST(punct AS DOUBLE) / n_chars_t * 10.0, 1.0))
+             * 0.2,
+           4) AS quality_score
+  FROM q_feat
+),
+keptq AS MATERIALIZED (
+  SELECT r.doc_id
+  FROM rep_feat r JOIN scored_q s USING (doc_id)
+  WHERE r.n_words >= 50 AND r.dup_3gram_ratio <= 0.2
+    AND s.quality_score >= 0.5
+),
+kept_exact AS MATERIALIZED (
+  SELECT min(d.doc_id) AS doc_id
+  FROM docs_plus d JOIN keptq USING (doc_id)
+  GROUP BY md5(d.text)
+),
+shingles_k AS MATERIALIZED (
+  SELECT s.* FROM shingles s JOIN kept_exact USING (doc_id)
+)
+"""
+
+#: LM chain bodies re-based onto the near-dedup survivor set (the
+#: _LM_FOLDED_CTE arithmetic with ``documents`` swapped for the
+#: survivors join).
+_CRAWL_LM = """
+keep3 AS MATERIALIZED (
+  SELECT e.doc_id FROM kept_exact e
+  WHERE e.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+),
+words_lm AS (
+  SELECT d.doc_id,
+         list_filter(string_split(d.text, ' '), w -> w <> '') AS ws
+  FROM docs_plus d JOIN keep3 USING (doc_id)
+),
+grams_lm AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM words_lm, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2
+),
+m_lm AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+  FROM grams_lm GROUP BY 1, 2, 3
+),
+c2_lm AS (SELECT w1, w2, count(*) AS c2 FROM grams_lm GROUP BY 1, 2),
+ctx_lm AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2_lm GROUP BY 1),
+vocab_lm AS (
+  SELECT count(*) AS v FROM (
+    SELECT DISTINCT w FROM (
+      SELECT w1 AS w FROM grams_lm UNION SELECT w2 FROM grams_lm
+    )
+  )
+),
+lp_lm AS (
+  SELECT m.doc_id, m.w1, m.w2, m.m,
+         CAST(m.m AS DOUBLE)
+           * ln(CAST(c.c2 + 1 AS DOUBLE) / CAST(x.c1 + vocab_lm.v AS DOUBLE))
+           AS lp
+  FROM m_lm m JOIN c2_lm c USING (w1, w2) JOIN ctx_lm x USING (w1)
+  CROSS JOIN vocab_lm
+),
+folded_lm AS (
+  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(w1 := w1, w2 := w2, lp := lp))),
+             s -> s.lp
+           ),
+           (acc, x) -> acc + x
+         ) AS s
+  FROM lp_lm GROUP BY doc_id
+),
+buckets AS (
+  SELECT f.doc_id, d.lang, f.n_bigrams,
+         CAST(ntile(3) OVER (
+           PARTITION BY d.lang
+           ORDER BY CAST(round(round(f.s / f.n_bigrams, 6) * 1e6, 0)
+                         AS BIGINT) DESC,
+                    f.doc_id ASC
+         ) AS BIGINT) AS bucket
+  FROM folded_lm f JOIN docs_plus d USING (doc_id)
+)
+"""
+
+
+@fixture(
+    "q_crawl_to_corpus",
+    oracle=f"""
+WITH RECURSIVE {_DOCS_PLUS.strip()},
+{_SHINGLES.strip()},
+{_CRAWL_QUALITY.strip()},
+{_MINHASH_VERIFIED.strip().replace("shingles", "shingles_k")},
+{_CRAWL_LM.strip()}
+SELECT doc_id, lang, n_bigrams, bucket FROM buckets WHERE bucket <= 2
+""",
+)
+def q_crawl_to_corpus(spark: SparkSession, sf_dir: str):
+    """THE pretraining pipeline, end-to-end (round-10 capstone): pack
+    the crawl snapshot (docs_plus — documents + planted near-dup
+    twins) into REAL WARC archives and parse them back
+    (sources/warc.py: gzip members, HTTP splits, chunked bodies), then
+    Gopher-filter (word-count floor + repetition ceiling + composite
+    quality floor), exact-dedup on content digest (min-id per md5),
+    MinHash-LSH near-dedup (8 perms, 4x2 bands, jaccard >= 0.5,
+    transitive components, min-id survivor), train the CCNet bigram LM
+    ON THE SURVIVORS and bucket per language, and keep head+middle
+    (bucket <= 2) — CCNet's published rule. Every stage is the already
+    proven fixture operator; the capstone proves they COMPOSE: the
+    output hash depends on every byte of the WARC round-trip, every
+    filter threshold, the dedup keep-set, and the LM's training corpus
+    being exactly the dedup survivors.
+
+    The oracle replays the whole composition from docs_plus (the WARC
+    leg is content-identity — q_warc_ingest pins the md5 round-trip,
+    so any framing slip here changes texts and breaks every downstream
+    hash)."""
+    from nextbus2pg_spark.operators import textstats as tss
+    from nextbus2pg_spark.sources.warc import (
+        synthetic_warc_archives,
+        warc_documents,
+    )
+
+    plus = _docs_plus(spark, sf_dir)
+    parsed = warc_documents(synthetic_warc_archives(plus))
+    ingested = parsed.select(
+        F.regexp_extract("uri", r"doc/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    crawl = ingested.join(plus.select("doc_id", "lang"), "doc_id")
+
+    # 1. Gopher-style quality gate (the q_gopher_filter predicate).
+    rep = tx.repetition_features(crawl.select("doc_id", "text"), "text")
+    qual = tx.quality_features(
+        crawl.select("doc_id", "text"), "text"
+    ).select("doc_id", "quality_score")
+    keptq = (
+        crawl.join(rep.select("doc_id", "n_words", "dup_3gram_ratio"),
+                   "doc_id")
+        .join(qual, "doc_id")
+        .where(
+            (F.col("n_words") >= 50)
+            & (F.col("dup_3gram_ratio") <= 0.2)
+            & (F.col("quality_score") >= 0.5)
+        )
+        .select("doc_id", "text", "lang")
+    )
+
+    # 2. Exact dedup: min-id survivor per content digest.
+    keymin = keptq.groupBy(F.md5("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    exact = keptq.join(
+        keymin.select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=True)  # feeds pairs + LM + output
+
+    # 3. Near dedup: MinHash-LSH pairs -> components -> min-id keep.
+    pairs = dd.minhash_lsh_pairs(
+        exact, "doc_id", "text", num_perm=8, rows_per_band=2, shingle_n=3
+    )
+    comp = components.connected_components(
+        pairs.where(F.round(F.col("jaccard"), 4) >= 0.5)
+    )
+    survivors = components.dedup_corpus(exact, "doc_id", comp)
+
+    # 4. CCNet buckets, LM trained on the survivors; keep head+middle.
+    return (
+        tss.perplexity_buckets(
+            survivors, "doc_id", "text", "lang", n_buckets=3,
+            scale="exact",
+        )
+        .where(F.col("bucket") <= 2)
+        .select(F.col("id").alias("doc_id"), "lang", "n_bigrams", "bucket")
+    )

@@ -38,6 +38,10 @@ PINNED = [
     ("q_retrieval_eval", 15.0),
     ("q_token_count", 2.0),
     ("q_corpus_assembly", 48.0),
+    # round-9's one >1.3x cross-round mover (0.52->0.69s, inside the
+    # documented drift band); r10 measured norm 1.30 at sf0.01 —
+    # ceiling ~3x so the next move gets a drift-vs-real answer free.
+    ("q_triangle_count", 4.0),
 ]
 
 
