@@ -118,6 +118,7 @@ R9_SET: list[str] = [
 #: + MinHash dedup -> CCNet buckets -> head+middle select).
 R10_SET: list[str] = [
     "q_media_decode_jpeg_prog",
+    "q_media_gif_frames",
     "q_crawl_to_corpus",
 ]
 

@@ -404,9 +404,12 @@ def synthetic_gif_media(docs: DataFrame) -> DataFrame:
     arbitrary grids are decode-exact — ``width = 10 + d % 13``,
     ``height = 10 + d % 7``, ``pixel[i] = (d*41 + i*11) % 256``
     row-major, compressed by the real LZW encoder
-    (``functions/gifcodec.py``). A SQL oracle computes decoded
-    statistics in closed form WITHOUT an LZW decompressor — the PNG
-    recipe applied to the third image container."""
+    (``functions/gifcodec.py``); every third document is stored
+    INTERLACED (round 10 — the four-pass row order decodes to the
+    same pixels, so the existing oracle pins the de-interlace for
+    free). A SQL oracle computes decoded statistics in closed form
+    WITHOUT an LZW decompressor — the PNG recipe applied to the third
+    image container."""
 
     def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -420,7 +423,7 @@ def synthetic_gif_media(docs: DataFrame) -> DataFrame:
                 w, h = 10 + d % 13, 10 + d % 7
                 px = (d * 41 + np.arange(w * h, dtype=np.int64) * 11) % 256
                 img = px.astype(np.uint8).reshape(h, w)
-                payloads.append(gif_encode_gray(img))
+                payloads.append(gif_encode_gray(img, interlace=d % 3 == 0))
                 metas.append(
                     {"width": w, "height": h, "sample_rate": None,
                      "n_frames": 1}
@@ -657,6 +660,143 @@ def decode_video_frames(
 
     src = ensure_min_parallelism(df.select("media_id", "payload"))
     return src.mapInPandas(_decode, schema=DECODED_FRAMES_SCHEMA)
+
+
+def decode_gif_frames(
+    df: DataFrame, sample_every: int = 1, on_error: str = "raise"
+) -> DataFrame:
+    """REAL animated-GIF frame sampling → one row per SAMPLED frame.
+
+    ``functions/gifcodec.gif_decode_frames`` composites every image
+    block onto the logical screen (placement rectangles, GCE
+    transparency, disposal 0/1/2), so each emitted row carries the
+    FULL-CANVAS state after that frame — what a media-curation stage
+    (per-frame dHash, scene stats) actually wants from an animation,
+    and the same output contract as :func:`decode_video_frames`.
+    Quarantine contract as :func:`decode_media`: ``on_error="null"``
+    emits ONE row per bad payload with NULL frame fields."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null'; got {on_error!r}")
+    if sample_every < 1:
+        raise ValueError(f"sample_every must be >= 1; got {sample_every}")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        from nextbus2pg_spark.functions.gifcodec import gif_decode_frames
+
+        for pdf in batches:
+            rows = []
+            for media_id, b in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(media_id)
+                try:
+                    if b is None or len(b) == 0:
+                        raise ValueError("empty payload")
+                    for idx, gray in enumerate(
+                        gif_decode_frames(bytes(b))
+                    ):
+                        if idx % sample_every:
+                            continue
+                        rows.append(
+                            (mid, idx, gray.shape[1], gray.shape[0],
+                             int(gray.sum(dtype="int64")), None)
+                        )
+                except (ValueError, _zlib.error, _struct.error) as e:
+                    if on_error == "raise" and not (
+                        b is None or len(b) == 0
+                    ):
+                        raise
+                    rows.append((mid, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "pixel_sum", "decode_error",
+                ],
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "frame_idx": "Int32",
+                    "width": "Int32",
+                    "height": "Int32",
+                    "pixel_sum": "Int64",
+                }
+            )
+
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    src = ensure_min_parallelism(df.select("media_id", "payload"))
+    return src.mapInPandas(_decode, schema=DECODED_FRAMES_SCHEMA)
+
+
+def synthetic_animated_gif_media(docs: DataFrame) -> DataFrame:
+    """Fabricate REAL animated GIF89a payloads deterministically from
+    ``doc_id`` — GCEs, placement rectangles, transparency, and
+    interlaced patches, all decode-exact (palette path is lossless):
+
+    - logical screen 16 × (6 + d%3), background index 0;
+    - frame 0: full-canvas base, ``pixel[i] = (d*41 + i*11) % 256``;
+    - frames f = 1..(1 + d%3): a 4x3 patch at (left = 4(f-1), top = 1),
+      cell j value ``(d*13 + f*17 + j*5) % 255`` except j = 0 which is
+      the TRANSPARENT index 255 (the base pixel shows through), odd
+      frames stored interlaced.
+
+    Patches are disjoint, so the composited canvas sum after frame f
+    is closed-form in doc_id: base_sum + Σ_{k<=f} (patch_k cells 1..11
+    minus the base cells they cover) — a SQL oracle replays the whole
+    compositing chain without an LZW decoder."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from nextbus2pg_spark.functions.gifcodec import (
+            gif_encode_gray_frames,
+        )
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                sw, sh = 16, 6 + d % 3
+                n_extra = 1 + d % 3
+                i = np.arange(sh * sw, dtype=np.int64)
+                base = ((d * 41 + i * 11) % 256).reshape(sh, sw)
+                frames = [{"img": base.astype(np.uint8)}]
+                for f in range(1, n_extra + 1):
+                    j = np.arange(12, dtype=np.int64)
+                    p = (d * 13 + f * 17 + j * 5) % 255
+                    p[0] = 255  # transparent cell
+                    frames.append(
+                        {
+                            "img": p.reshape(3, 4).astype(np.uint8),
+                            "left": 4 * (f - 1),
+                            "top": 1,
+                            "transparent": 255,
+                            "interlace": bool(f % 2),
+                        }
+                    )
+                payloads.append(
+                    gif_encode_gray_frames((sw, sh), frames)
+                )
+                metas.append(
+                    {"width": sw, "height": sh,
+                     "sample_rate": None, "n_frames": n_extra + 1}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    return ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
+        _make, schema=MEDIA_SCHEMA
+    )
 
 
 def synthetic_avi_media(docs: DataFrame) -> DataFrame:

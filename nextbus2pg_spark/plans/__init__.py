@@ -259,6 +259,10 @@ REGRESSION_PRIORITY = (
     "q_media_decode",
     "q_ccnet_buckets",
     "q_semantic_dedup",
+    # gifcodec rewrite (interlace + animated compositing) feeds the
+    # still-GIF decode path too; the generator now stores every third
+    # payload interlaced, so the r9 row must be re-earned.
+    "q_media_decode_gif",
 )
 
 #: Round-5 policy: the deferred bucket is DRAINED — the seven entries
