@@ -119,6 +119,7 @@ R9_SET: list[str] = [
 R10_SET: list[str] = [
     "q_media_decode_jpeg_prog",
     "q_media_gif_frames",
+    "q_media_exif",
     "q_crawl_to_corpus",
 ]
 

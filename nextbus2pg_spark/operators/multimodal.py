@@ -398,6 +398,172 @@ def synthetic_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
     )
 
 
+EXIF_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("make", StringType(), True),
+        StructField("model", StringType(), True),
+        StructField("orientation", IntegerType(), True),
+        StructField("taken_at", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("pixel_sum", LongType(), True),
+        StructField("top_left", IntegerType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def exif_oriented_decode(
+    df: DataFrame, on_error: str = "raise"
+) -> DataFrame:
+    """JPEG decode + EXIF metadata + ORIENTATION applied — the honest
+    first stage of a media-curation pipeline (a rotated near-dup
+    hashes differently unless the raster is uprighted first; Make/
+    Model/DateTime feed provenance splits). One Arrow pass per
+    payload: parse APP1 (``functions/exifcodec.py``), entropy-decode
+    the raster (``functions/jpegcodec.py``), transpose/flip per the
+    orientation tag, and emit post-orientation geometry plus the
+    raster's sum and uprighted top-left pixel. Files without EXIF get
+    orientation 1 and NULL provenance. Quarantine contract as
+    :func:`decode_media`."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null'; got {on_error!r}")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        from nextbus2pg_spark.functions.exifcodec import (
+            apply_orientation,
+            exif_parse,
+        )
+        from nextbus2pg_spark.functions.jpegcodec import jpeg_decode
+
+        for pdf in batches:
+            rows = []
+            for media_id, b in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(media_id)
+                try:
+                    if b is None or len(b) == 0:
+                        raise ValueError("empty payload")
+                    data = bytes(b)
+                    meta = exif_parse(data) or {}
+                    _, _, gray = jpeg_decode(data)
+                    up = apply_orientation(
+                        gray, int(meta.get("orientation", 1))
+                    )
+                    rows.append(
+                        (
+                            mid,
+                            meta.get("make"),
+                            meta.get("model"),
+                            int(meta.get("orientation", 1)),
+                            meta.get("datetime"),
+                            up.shape[1],
+                            up.shape[0],
+                            int(up.sum(dtype="int64")),
+                            int(up[0, 0]),
+                            None,
+                        )
+                    )
+                except (ValueError, _zlib.error, _struct.error) as e:
+                    if on_error == "raise" and not (
+                        b is None or len(b) == 0
+                    ):
+                        raise
+                    rows.append(
+                        (mid, None, None, None, None, None, None,
+                         None, None, str(e))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "make", "model", "orientation",
+                    "taken_at", "width", "height", "pixel_sum",
+                    "top_left", "decode_error",
+                ],
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "orientation": "Int32",
+                    "width": "Int32",
+                    "height": "Int32",
+                    "pixel_sum": "Int64",
+                    "top_left": "Int32",
+                }
+            )
+
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    src = ensure_min_parallelism(df.select("media_id", "payload"))
+    return src.mapInPandas(_decode, schema=EXIF_DECODED_SCHEMA)
+
+
+def synthetic_exif_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Fabricate REAL JPEGs with REAL APP1/Exif segments from
+    ``doc_id``: the block-constant decode-exact grid (values
+    ``(d*53 + bi*29 + bj*13) % 256`` on ``(2 + d%3) x (2 + d%2)``
+    blocks) with deterministic provenance — ``make = Cam(d%5)``,
+    ``model = M(d%7)``, ``orientation = 1 + d%8`` (all eight spec
+    values cycle), ``datetime`` closed-form in d, EXIF geometry =
+    true geometry, byte order II for even d and MM for odd (both
+    TIFF endiannesses exercised). A SQL oracle replays every parsed
+    field AND the orientation geometry/corner without a TIFF reader."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from nextbus2pg_spark.functions.exifcodec import (
+            exif_app1,
+            with_exif,
+        )
+        from nextbus2pg_spark.functions.jpegcodec import jpeg_encode_gray
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bw, bh = 2 + d % 3, 2 + d % 2
+                bi = np.arange(bh, dtype=np.int64).reshape(-1, 1)
+                bj = np.arange(bw, dtype=np.int64)
+                vals = (d * 53 + bi * 29 + bj * 13) % 256
+                img = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+                app1 = exif_app1(
+                    make=f"Cam{d % 5}",
+                    model=f"M{d % 7}",
+                    orientation=1 + d % 8,
+                    datetime=f"2026:01:{1 + d % 28:02d} 00:00:00",
+                    width=bw * 8,
+                    height=bh * 8,
+                    byte_order="II" if d % 2 == 0 else "MM",
+                )
+                payloads.append(
+                    with_exif(
+                        jpeg_encode_gray(img.astype(np.uint8), quant=1),
+                        app1,
+                    )
+                )
+                metas.append(
+                    {"width": bw * 8, "height": bh * 8,
+                     "sample_rate": None, "n_frames": None}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    return ensure_min_parallelism(docs.select("doc_id")).mapInPandas(
+        _make, schema=MEDIA_SCHEMA
+    )
+
+
 def synthetic_gif_media(docs: DataFrame) -> DataFrame:
     """Fabricate REAL GIF89a payloads deterministically from
     ``doc_id``: GIF's palette path is LOSSLESS (like PNG), so

@@ -1645,6 +1645,68 @@ def q_media_decode_gif(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_media_exif",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS bw, 2 + doc_id % 2 AS bh,
+         1 + doc_id % 8 AS o
+  FROM documents
+),
+v AS (
+  SELECT doc_id, bw, bh, o,
+         list_sum(list_transform(range(0, bw * bh),
+           k -> (doc_id * 53 + (k // bw) * 29 + (k % bw) * 13) % 256))
+           AS bsum,
+         (doc_id * 53) % 256 AS v00,
+         (doc_id * 53 + (bw - 1) * 13) % 256 AS v0w,
+         (doc_id * 53 + (bh - 1) * 29 + (bw - 1) * 13) % 256 AS vhw,
+         (doc_id * 53 + (bh - 1) * 29) % 256 AS vh0
+  FROM d
+)
+SELECT doc_id AS media_id,
+       'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+       'M' || CAST(doc_id % 7 AS VARCHAR) AS model,
+       CAST(o AS INTEGER) AS orientation,
+       '2026:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+         || ' 00:00:00' AS taken_at,
+       CAST(CASE WHEN o >= 5 THEN bh * 8 ELSE bw * 8 END AS INTEGER)
+         AS width,
+       CAST(CASE WHEN o >= 5 THEN bw * 8 ELSE bh * 8 END AS INTEGER)
+         AS height,
+       CAST(64 * bsum AS BIGINT) AS pixel_sum,
+       CAST(CASE WHEN o IN (1, 5) THEN v00
+                 WHEN o IN (2, 8) THEN v0w
+                 WHEN o IN (3, 7) THEN vhw
+                 ELSE vh0 END AS INTEGER) AS top_left
+FROM v
+""",
+)
+def q_media_exif(spark: SparkSession, sf_dir: str):
+    """EXIF-aware oriented decode (round 10): real APP1/TIFF segments
+    (both byte orders, IFD0 + Exif sub-IFD, inline and offset value
+    storage) parsed per payload, the raster entropy-decoded and
+    UPRIGHTED per the orientation tag — the mandatory first step
+    before any perceptual hash (operators/multimodal.
+    exif_oriented_decode + functions/exifcodec.py).
+
+    The oracle replays every provenance field in closed form plus the
+    orientation GEOMETRY: post-rotation width/height swap for
+    orientations 5-8 and the uprighted top-left pixel maps to one of
+    the four stored corners — any slip in the TIFF walk, byte-order
+    handling, or the eight transform cases breaks a field."""
+    from nextbus2pg_spark.operators.multimodal import (
+        exif_oriented_decode,
+        synthetic_exif_jpeg_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exif_oriented_decode(synthetic_exif_jpeg_media(docs)).select(
+        "media_id", "make", "model", "orientation", "taken_at",
+        "width", "height", "pixel_sum", "top_left",
+    )
+
+
+@fixture(
     "q_media_gif_frames",
     oracle="""
 WITH d AS (
