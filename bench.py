@@ -120,6 +120,7 @@ R10_SET: list[str] = [
     "q_media_decode_jpeg_prog",
     "q_media_gif_frames",
     "q_media_exif",
+    "q_cdx_manifest",
     "q_crawl_to_corpus",
 ]
 

@@ -1644,6 +1644,99 @@ def q_media_decode_gif(spark: SparkSession, sf_dir: str):
     )
 
 
+def _synthetic_cdx_lines(docs: DataFrame) -> DataFrame:
+    """Fabricate REAL CDXJ index lines from the documents table — all
+    JVM expressions (concat/to_json), zero Python: capture fields are
+    closed-form in doc_id (status 404 every 7th, non-text mime every
+    5th, digests colliding on ``doc_id % 300`` to exercise the fetch
+    dedup, archive = ``crawl-00(d%8).warc.gz``, offset ``d*1000``)."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://www.Site"), (d % 20).cast("string"),
+        F.lit(".example.org/page/"), d.cast("string"),
+    )
+    ts = F.concat(
+        F.lit("202601"),
+        F.lpad((1 + d % 28).cast("string"), 2, "0"),
+        F.lit("12"),
+        F.lpad((d % 60).cast("string"), 2, "0"),
+        F.lit("00"),
+    )
+    payload = F.to_json(
+        F.struct(
+            url.alias("url"),
+            F.when(d % 5 == 0, "image/png")
+            .otherwise("text/html").alias("mime"),
+            F.when(d % 7 == 0, "404").otherwise("200").alias("status"),
+            F.md5((d % 300).cast("string")).alias("digest"),
+            (F.length(F.coalesce(F.col("text"), F.lit(""))) + 100)
+            .cast("string").alias("length"),
+            (d * 1000).cast("string").alias("offset"),
+            F.concat(
+                F.lit("crawl-00"), (d % 8).cast("string"),
+                F.lit(".warc.gz"),
+            ).alias("filename"),
+        )
+    )
+    from nextbus2pg_spark.sources.cdx import surt_key
+
+    return docs.select(
+        F.concat(surt_key(url), F.lit(" "), ts, F.lit(" "), payload)
+        .alias("value")
+    )
+
+
+@fixture(
+    "q_cdx_manifest",
+    oracle="""
+WITH caps AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS status,
+    CASE WHEN doc_id % 5 = 0 THEN 'image/png' ELSE 'text/html' END AS mime,
+    md5(CAST(doc_id % 300 AS VARCHAR)) AS digest,
+    CAST(length(coalesce(text, '')) + 100 AS BIGINT) AS len,
+    CAST(doc_id * 1000 AS BIGINT) AS off,
+    'crawl-00' || CAST(doc_id % 8 AS VARCHAR) || '.warc.gz' AS filename
+  FROM documents
+),
+kept AS (
+  SELECT * FROM caps WHERE status = 200 AND mime LIKE 'text/%'
+),
+best AS (SELECT digest, min(off) AS off FROM kept GROUP BY digest),
+dedup AS (SELECT k.* FROM kept k JOIN best USING (digest, off))
+SELECT filename,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(len) AS BIGINT) AS total_bytes,
+       min(off) AS min_offset,
+       max(off) AS max_offset
+FROM dedup GROUP BY filename
+""",
+)
+def q_cdx_manifest(spark: SparkSession, sf_dir: str):
+    """Index-first crawl selection (sources/cdx.py — how a real
+    Common Crawl ingest actually starts): parse CDXJ lines (SURT key,
+    14-digit timestamp, quoted-number JSON payload), filter to
+    status-200 text captures, dedup identical content digests (min
+    (offset, filename) capture wins), and reduce to the per-WARC-file
+    fetch manifest — which archives to read and how many bytes,
+    BEFORE any archive byte moves. All JVM-side expressions
+    (split/from_json/aggregates); two bounded shuffles.
+
+    The oracle replays the capture fields (closed-form in doc_id) and
+    the dedup+manifest reduction; offsets are unique so the min-struct
+    winner is deterministic on both engines."""
+    from nextbus2pg_spark.sources.cdx import (
+        cdx_archive_manifest,
+        cdx_records,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    records = cdx_records(_synthetic_cdx_lines(docs))
+    return cdx_archive_manifest(
+        records, statuses=(200,), mime_prefixes=("text/",)
+    )
+
+
 @fixture(
     "q_media_exif",
     oracle="""
