@@ -121,6 +121,7 @@ R10_SET: list[str] = [
     "q_media_gif_frames",
     "q_media_exif",
     "q_cdx_manifest",
+    "q_c4_clean",
     "q_crawl_to_corpus",
 ]
 

@@ -244,3 +244,51 @@ def char_entropy(text: Column) -> Column:
         term = F.when(cnt > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
         terms = term if terms is None else terms + term
     return F.when(total > 0, F.round(terms, 4)).otherwise(F.lit(0.0))
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4's published page-cleaning rules (Raffel et al. 2020 §2.2),
+    line-level over ``\\n``-separated text → one row per SURVIVING
+    page: ``(id, n_lines, n_kept, clean_text)``.
+
+    Line rules (a line survives iff ALL hold): ends in terminal
+    punctuation (``.``, ``!``, ``?``, or ``"``); has at least
+    ``min_words_per_line`` words; does not contain the word
+    ``javascript`` (case-insensitive). Page rules (a page survives iff
+    ALL hold): at least ``min_kept_lines`` surviving lines; no
+    ``lorem ipsum`` (case-insensitive); no ``{`` anywhere (the code
+    gate). ``clean_text`` is the surviving lines re-joined.
+
+    Scale shape: one map pass of array expressions — split, filter
+    lambda, array_join — no explode, no shuffle, nothing leaves
+    whole-stage codegen. (The exploded-lines alternative shuffles one
+    row per line for zero benefit; line decisions are per-page-local.)
+    """
+    lines = F.split(F.col(text_col), "\n")
+    is_kept = lambda L: (  # noqa: E731
+        L.rlike('[.!?"]$')
+        & (F.size(F.split(L, " ")) >= min_words_per_line)
+        & ~F.lower(L).contains("javascript")
+    )
+    kept = F.filter(lines, is_kept)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(lines).cast("int").alias("n_lines"),
+            F.size(kept).cast("int").alias("n_kept"),
+            F.array_join(kept, "\n").alias("clean_text"),
+            F.col(text_col).alias("__t"),
+        )
+        .where(
+            (F.col("n_kept") >= min_kept_lines)
+            & ~F.lower(F.col("__t")).contains("lorem ipsum")
+            & ~F.col("__t").contains("{")
+        )
+        .drop("__t")
+    )

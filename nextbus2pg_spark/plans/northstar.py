@@ -1644,6 +1644,98 @@ def q_media_decode_gif(spark: SparkSession, sf_dir: str):
     )
 
 
+@fixture(
+    "q_c4_clean",
+    oracle=r"""
+WITH pages AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w,
+         3 + doc_id % 4 AS k
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+),
+built AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(
+        generate_series(0, CAST(ceil(len(w) / CAST(k AS DOUBLE)) AS BIGINT) - 1),
+        i -> array_to_string(w[i * k + 1 : i * k + k], ' ')
+             || CASE WHEN i % 7 = 3 THEN ' javascript extra pad words.'
+                     WHEN i % 3 = 1 THEN ''
+                     WHEN i % 3 = 2 THEN '?'
+                     ELSE '.' END
+      ), chr(10))
+    || CASE WHEN doc_id % 11 = 0
+            THEN chr(10) || 'this page has lorem ipsum inside it.'
+            WHEN doc_id % 13 = 0 THEN chr(10) || 'var config = {.'
+            ELSE '' END AS page
+  FROM pages
+),
+split_lines AS (
+  SELECT doc_id, string_split(page, chr(10)) AS ls, page FROM built
+),
+filtered AS (
+  SELECT doc_id,
+         CAST(len(ls) AS INTEGER) AS n_lines,
+         list_filter(ls, L ->
+           regexp_matches(L, '[.!?"]$')
+           AND len(string_split(L, ' ')) >= 5
+           AND NOT contains(lower(L), 'javascript')
+         ) AS kept,
+         page
+  FROM split_lines
+)
+SELECT doc_id AS id, n_lines,
+       CAST(len(kept) AS INTEGER) AS n_kept,
+       array_to_string(kept, chr(10)) AS clean_text
+FROM filtered
+WHERE len(kept) >= 3
+  AND NOT contains(lower(page), 'lorem ipsum')
+  AND NOT contains(page, '{')
+""",
+)
+def q_c4_clean(spark: SparkSession, sf_dir: str):
+    """C4's page-cleaning rules end-to-end (Raffel et al. 2020 §2.2;
+    operators/text.c4_line_filter): deterministic multi-line pages are
+    synthesized from the documents corpus with every failure mode
+    planted — punctuation-less lines (every 3rd), javascript lines
+    (every 7th), short trailing lines, whole-page lorem-ipsum (every
+    11th doc) and code-brace (every 13th) injections, and line widths
+    3..6 words so entire pages die under the 5-word floor — then the
+    filter keeps terminal-punctuated ≥5-word non-javascript lines and
+    pages with ≥3 survivors and no lorem/brace anywhere. One map pass
+    of array lambdas, no explode, no shuffle; the oracle replays both
+    the page synthesis and every rule."""
+    from nextbus2pg_spark.operators.text import c4_line_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    k = (d % 4 + 3).cast("int")
+    n_lines = F.ceil(F.size(words) / k.cast("double")).cast("int")
+    idx = F.sequence(F.lit(0), n_lines - 1)
+    line = lambda i: F.concat(  # noqa: E731
+        F.array_join(F.slice(words, i * k + 1, k), " "),
+        F.when(i % 7 == 3, " javascript extra pad words.")
+        .when(i % 3 == 1, "")
+        .when(i % 3 == 2, "?")
+        .otherwise("."),
+    )
+    page = F.concat(
+        F.array_join(F.transform(idx, line), "\n"),
+        F.when(
+            d % 11 == 0,
+            "\nthis page has lorem ipsum inside it.",
+        )
+        .when(d % 13 == 0, "\nvar config = {.")
+        .otherwise(""),
+    )
+    built = docs.where(F.size(words) > 0).select(
+        d.alias("doc_id"), page.alias("page")
+    )
+    return c4_line_filter(built, "doc_id", "page")
+
+
 def _synthetic_cdx_lines(docs: DataFrame) -> DataFrame:
     """Fabricate REAL CDXJ index lines from the documents table — all
     JVM expressions (concat/to_json), zero Python: capture fields are

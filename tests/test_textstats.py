@@ -335,3 +335,39 @@ def test_perplexity_buckets_auto_probe_selects_by_language_size(spark):
         perplexity_buckets(
             docs, "doc_id", "text", "lang", n_buckets=2, scale="bogus"
         )
+
+
+def test_c4_line_filter_rules(spark):
+    """Every C4 rule pinned on a hand-built page set: terminal
+    punctuation, 5-word floor, javascript lines, the ≥3-surviving-
+    lines page gate, lorem-ipsum and brace page gates."""
+    from nextbus2pg_spark.operators.text import c4_line_filter
+
+    good = "\n".join(
+        [
+            "one two three four five.",
+            "does this line have enough words?",
+            'a quoted line with five words"',
+            "no terminal punctuation here at all",   # dropped: punct
+            "too short.",                            # dropped: words
+            "enable javascript to view this page.",  # dropped: js
+        ]
+    )
+    too_few = "\n".join(
+        ["one two three four five.", "six seven eight nine ten."]
+    )  # only 2 survivors
+    lorem = good + "\nsome Lorem Ipsum filler text here."
+    braces = good + "\nfunction f() { return 1; }"
+    docs = spark.createDataFrame(
+        [(1, good), (2, too_few), (3, lorem), (4, braces)],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in c4_line_filter(docs, "doc_id", "text").collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert (r.n_lines, r.n_kept) == (6, 3)
+    assert r.clean_text.split("\n") == [
+        "one two three four five.",
+        "does this line have enough words?",
+        'a quoted line with five words"',
+    ]
