@@ -923,3 +923,37 @@ def test_perplexity_buckets_exact_path_keeps_ntile(spark):
         docs, "doc_id", "text", "lang", n_buckets=3, scale="exact"
     )
     assert "Window" in plan_text(df)
+
+
+def test_cdx_manifest_plan_is_jvm_only_with_bounded_shuffles(spark):
+    """CDX selection (round 10): the index parse must stay entirely
+    JVM-side — no Python evaluation anywhere in the plan — and the
+    digest-dedup + manifest reduction are aggregates (map-side
+    partials), never a window or cartesian."""
+    p = plan_text(q(spark, "q_cdx_manifest"))
+    assert "ArrowEvalPython" not in p, p
+    assert "BatchEvalPython" not in p, p
+    assert "FlatMapsInPandas" not in p and "MapInPandas" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Window" not in p, p
+
+
+def test_c4_clean_plan_is_one_map_pass(spark):
+    """C4 cleaning (round 10): line decisions are per-page-local, so
+    the whole query must be a single scan-project-filter — zero
+    exchanges, zero joins, zero Python."""
+    p = plan_text(q(spark, "q_c4_clean"))
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+    assert "ArrowEvalPython" not in p and "MapInPandas" not in p, p
+
+
+def test_crawl_to_corpus_plan_has_no_cartesian_or_unbounded_hint(spark):
+    """The capstone composition (round 10): every pair generator in it
+    is bucketed (LSH bands), every dim join bounded — no cartesian,
+    no nested-loop join anywhere in the 6-stage plan."""
+    df = q(spark, "q_crawl_to_corpus")
+    p = plan_text(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    _bounded_hints_only(df)
