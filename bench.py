@@ -122,6 +122,8 @@ R10_SET: list[str] = [
     "q_media_exif",
     "q_cdx_manifest",
     "q_c4_clean",
+    "q_media_vad",
+    "q_media_scene_cuts",
     "q_crawl_to_corpus",
 ]
 

@@ -692,6 +692,200 @@ def decode_audio(df: DataFrame, on_error: str = "raise") -> DataFrame:
     return src.mapInPandas(_decode, schema=DECODED_AUDIO_SCHEMA)
 
 
+AUDIO_ACTIVITY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", IntegerType(), True),
+        StructField("n_active", IntegerType(), True),
+        StructField("first_active", IntegerType(), True),
+        StructField("last_active", IntegerType(), True),
+        StructField("active_idx_sum", LongType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def audio_activity(
+    df: DataFrame,
+    frame_len: int = 50,
+    threshold: int = 1000,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Energy-threshold voice-activity detection — the first pass of
+    every speech-data curation pipeline (silence/noise clips are
+    dropped or trimmed before any expensive model runs). Decode PCM,
+    window the mono stream into ``frame_len``-sample frames (the tail
+    remainder is ignored — partial frames bias mean energy), mark a
+    frame active iff its MEAN absolute amplitude exceeds
+    ``threshold`` (compared as ``sum(|s|) > threshold * frame_len`` —
+    all-integer, so two engines agree exactly), and emit per-clip
+    activity statistics: frame/active counts, first/last active frame
+    and the active-index checksum. Quarantine contract as
+    :func:`decode_media`."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null'; got {on_error!r}")
+    if frame_len < 1:
+        raise ValueError(f"frame_len must be >= 1; got {frame_len}")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as np
+
+        from nextbus2pg_spark.functions.audiocodec import wav_decode
+
+        for pdf in batches:
+            rows = []
+            for media_id, b in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(media_id)
+                try:
+                    if b is None or len(b) == 0:
+                        raise ValueError("empty payload")
+                    _, _, mono = wav_decode(bytes(b))
+                    n = len(mono) // frame_len
+                    abssum = (
+                        np.abs(mono[: n * frame_len].astype(np.int64))
+                        .reshape(n, frame_len)
+                        .sum(axis=1)
+                    )
+                    active = np.nonzero(
+                        abssum > threshold * frame_len
+                    )[0]
+                    rows.append(
+                        (
+                            mid, n, len(active),
+                            int(active[0]) if len(active) else None,
+                            int(active[-1]) if len(active) else None,
+                            int(active.sum(dtype="int64")),
+                            None,
+                        )
+                    )
+                except (ValueError, _struct.error) as e:
+                    if on_error == "raise" and not (
+                        b is None or len(b) == 0
+                    ):
+                        raise
+                    rows.append(
+                        (mid, None, None, None, None, None, str(e))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "n_active", "first_active",
+                    "last_active", "active_idx_sum", "decode_error",
+                ],
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "n_frames": "Int32",
+                    "n_active": "Int32",
+                    "first_active": "Int32",
+                    "last_active": "Int32",
+                    "active_idx_sum": "Int64",
+                }
+            )
+
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    src = ensure_min_parallelism(df.select("media_id", "payload"))
+    return src.mapInPandas(_decode, schema=AUDIO_ACTIVITY_SCHEMA)
+
+
+SCENE_CUTS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", IntegerType(), True),
+        StructField("n_cuts", IntegerType(), True),
+        StructField("cut_idx_sum", LongType(), True),
+        StructField("max_diff", LongType(), True),
+        StructField("decode_error", StringType(), True),
+    ]
+)
+
+
+def video_scene_cuts(
+    df: DataFrame,
+    threshold: int = 40_000,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Scene-cut detection over MJPEG clips — the standard shot
+    segmentation a video-curation pipeline runs before per-scene
+    sampling: decode every frame, compute the total absolute pixel
+    difference between consecutive frames, and call frame i a CUT iff
+    ``Σ|f_i - f_{i-1}| > threshold`` (all-integer). Emits per-clip
+    counts, the cut-index checksum, and the maximum inter-frame
+    difference. Quarantine contract as :func:`decode_media`."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null'; got {on_error!r}")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import numpy as np
+
+        from nextbus2pg_spark.functions.videocodec import (
+            decode_mjpeg_frames,
+        )
+
+        for pdf in batches:
+            rows = []
+            for media_id, b in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(media_id)
+                try:
+                    if b is None or len(b) == 0:
+                        raise ValueError("empty payload")
+                    frames = [
+                        gray.astype(np.int64)
+                        for _, _, _, gray in decode_mjpeg_frames(
+                            bytes(b), sample_every=1
+                        )
+                    ]
+                    cuts = []
+                    diffs = []
+                    for i in range(1, len(frames)):
+                        dsum = int(
+                            np.abs(frames[i] - frames[i - 1]).sum()
+                        )
+                        diffs.append(dsum)
+                        if dsum > threshold:
+                            cuts.append(i)
+                    rows.append(
+                        (
+                            mid, len(frames), len(cuts),
+                            int(sum(cuts)),
+                            max(diffs) if diffs else 0,
+                            None,
+                        )
+                    )
+                except (ValueError, _zlib.error, _struct.error) as e:
+                    if on_error == "raise" and not (
+                        b is None or len(b) == 0
+                    ):
+                        raise
+                    rows.append((mid, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "n_cuts", "cut_idx_sum",
+                    "max_diff", "decode_error",
+                ],
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "n_frames": "Int32",
+                    "n_cuts": "Int32",
+                    "cut_idx_sum": "Int64",
+                    "max_diff": "Int64",
+                }
+            )
+
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    src = ensure_min_parallelism(df.select("media_id", "payload"))
+    return src.mapInPandas(_decode, schema=SCENE_CUTS_SCHEMA)
+
+
 def synthetic_wav_media(docs: DataFrame) -> DataFrame:
     """Fabricate REAL RIFF/WAVE PCM-16 payloads deterministically from
     ``doc_id``. PCM is lossless, so unlike the JPEG fixture no

@@ -1645,6 +1645,128 @@ def q_media_decode_gif(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_media_vad",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         200 + doc_id % 100 AS n,
+         CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS n_ch
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n,
+         list_transform(range(0, n), i ->
+           ((doc_id * 13 + i * 7) % 4001) - 2000
+           + CASE WHEN n_ch = 2
+                  THEN ((doc_id * 17 + i * 11) % 500) - 250
+                  ELSE 0 END) AS mono
+  FROM d
+),
+fr AS (
+  SELECT doc_id, n // 50 AS nf,
+         list_filter(
+           list_transform(range(0, n // 50), f ->
+             CASE WHEN list_sum(list_transform(range(0, 50),
+                    j -> abs(mono[f * 50 + j + 1]))) > 50000
+                  THEN f ELSE -1 END),
+           x -> x >= 0) AS act
+  FROM m
+)
+SELECT doc_id AS media_id,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(len(act) AS INTEGER) AS n_active,
+       CAST(act[1] AS INTEGER) AS first_active,
+       CAST(act[len(act)] AS INTEGER) AS last_active,
+       CAST(coalesce(list_sum(act), 0) AS BIGINT) AS active_idx_sum
+FROM fr
+""",
+)
+def q_media_vad(spark: SparkSession, sf_dir: str):
+    """Energy-threshold voice-activity detection end-to-end — the
+    first pass of every speech-curation pipeline (operators/
+    multimodal.audio_activity): real RIFF/WAVE PCM-16 clips (mono and
+    interleaved stereo) decoded, windowed into 50-sample frames, and
+    thresholded on all-integer mean absolute amplitude
+    (sum|s| > threshold·frame_len, so both engines agree exactly).
+
+    PCM is lossless and the sample streams closed-form, so the oracle
+    replays frame windows, the activity mask, and the active-index
+    checksum in SQL; a wrong window stride, off-by-one tail handling,
+    or a stereo-mean slip flips activity bits."""
+    from nextbus2pg_spark.operators.multimodal import (
+        audio_activity,
+        synthetic_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_activity(
+        synthetic_wav_media(docs), frame_len=50, threshold=1000
+    ).select(
+        "media_id", "n_frames", "n_active", "first_active",
+        "last_active", "active_idx_sum",
+    )
+
+
+@fixture(
+    "q_media_scene_cuts",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents
+),
+diffs AS (
+  SELECT doc_id, nf,
+         list_filter(
+           list_transform(range(1, nf), f ->
+             struct_pack(
+               f := f,
+               dsum := 64 * list_sum(list_transform(range(0, 6), k ->
+                 abs(CAST((doc_id * 37 + f * 29
+                           + (k // 3) * 19 + (k % 3) * 7) % 256 AS BIGINT)
+                     - CAST((doc_id * 37 + (f - 1) * 29
+                           + (k // 3) * 19 + (k % 3) * 7) % 256 AS BIGINT))
+               ))
+             )),
+           x -> TRUE) AS ds
+  FROM d
+)
+SELECT doc_id AS media_id,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(len(list_filter(ds, x -> x.dsum > 40000)) AS INTEGER)
+         AS n_cuts,
+       CAST(coalesce(list_sum(list_transform(
+         list_filter(ds, x -> x.dsum > 40000), x -> x.f)), 0) AS BIGINT)
+         AS cut_idx_sum,
+       CAST(coalesce(list_max(list_transform(ds, x -> x.dsum)), 0)
+         AS BIGINT) AS max_diff
+FROM diffs
+""",
+)
+def q_media_scene_cuts(spark: SparkSession, sf_dir: str):
+    """Scene-cut detection end-to-end — standard shot segmentation
+    before per-scene sampling (operators/multimodal.video_scene_cuts):
+    AVI-MJPEG clips demuxed, EVERY frame JPEG-decoded, consecutive
+    frames differenced on total absolute pixel delta, cuts thresholded
+    all-integer.
+
+    The synthetic clips' block-constant frames make every inter-frame
+    difference closed-form (64 pixels per block x 6 blocks, values
+    stepping by 29 mod 256 per frame — diffs of 29 or 227 per block
+    straddle the 40000 threshold), so the oracle replays counts, the
+    cut-index checksum, and the max difference exactly."""
+    from nextbus2pg_spark.operators.multimodal import (
+        synthetic_avi_media,
+        video_scene_cuts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_scene_cuts(
+        synthetic_avi_media(docs), threshold=40_000
+    ).select(
+        "media_id", "n_frames", "n_cuts", "cut_idx_sum", "max_diff"
+    )
+
+
+@fixture(
     "q_c4_clean",
     oracle=r"""
 WITH pages AS (

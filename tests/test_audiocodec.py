@@ -94,3 +94,45 @@ def test_decode_audio_quarantine(spark):
     assert out[3].decode_error == "empty payload"
     with pytest.raises(Exception):
         decode_audio(df, on_error="raise").collect()
+
+
+def test_audio_activity_windows_and_quarantine(spark):
+    """VAD (round 10): frame windowing, tail truncation, integer
+    threshold, empty-active NULLs, and the quarantine row."""
+    import numpy as np
+
+    from nextbus2pg_spark.functions.audiocodec import wav_encode_pcm16
+    from nextbus2pg_spark.operators.multimodal import audio_activity
+
+    loud = np.full(100, 1500, dtype=np.int16)   # 2 active frames
+    quiet = np.full(120, 10, dtype=np.int16)    # 2 frames, 0 active
+    mixed = np.concatenate([np.full(50, 5, np.int16),
+                            np.full(50, 2000, np.int16),
+                            np.full(30, 2000, np.int16)])  # tail cut
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(wav_encode_pcm16(loud, 16000))),
+            (2, bytearray(wav_encode_pcm16(quiet, 16000))),
+            (3, bytearray(wav_encode_pcm16(mixed, 16000))),
+            (4, bytearray(b"RIFFjunk")),
+        ],
+        "media_id long, payload binary",
+    )
+    out = {
+        r.media_id: r
+        for r in audio_activity(
+            rows, frame_len=50, threshold=1000, on_error="null"
+        ).collect()
+    }
+    assert (out[1].n_frames, out[1].n_active) == (2, 2)
+    assert (out[1].first_active, out[1].last_active) == (0, 1)
+    assert (out[2].n_frames, out[2].n_active) == (2, 0)
+    assert out[2].first_active is None
+    assert (out[3].n_frames, out[3].n_active) == (2, 1)
+    assert out[3].active_idx_sum == 1  # only frame 1; 30-sample tail gone
+    assert out[4].decode_error is not None
+
+    import pytest
+
+    with pytest.raises(ValueError, match="frame_len"):
+        audio_activity(rows, frame_len=0)

@@ -102,3 +102,36 @@ def test_decode_video_frames_fanout_and_quarantine(spark):
     assert len(by_id[2]) == 1 and by_id[2][0].decode_error
     with pytest.raises(Exception):
         decode_video_frames(df, on_error="raise").collect()
+
+
+def test_video_scene_cuts_thresholding(spark):
+    """Scene cuts (round 10): consecutive-frame absolute differencing,
+    integer thresholding, and the quarantine row."""
+    import numpy as np
+
+    from nextbus2pg_spark.functions.jpegcodec import jpeg_encode_gray
+    from nextbus2pg_spark.functions.videocodec import avi_encode_mjpeg
+    from nextbus2pg_spark.operators.multimodal import video_scene_cuts
+
+    def blocky(v):
+        return np.full((16, 16), v, dtype=np.uint8)
+
+    # diffs: |10-10|*256=0 (no cut), |200-10|*256=48640 (cut at 2)
+    frames = [blocky(10), blocky(10), blocky(200)]
+    payload = avi_encode_mjpeg(
+        [jpeg_encode_gray(f, quant=1) for f in frames], 16, 16
+    )
+    rows = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"RIFFjunk"))],
+        "media_id long, payload binary",
+    )
+    out = {
+        r.media_id: r
+        for r in video_scene_cuts(
+            rows, threshold=40_000, on_error="null"
+        ).collect()
+    }
+    r1 = out[1]
+    assert (r1.n_frames, r1.n_cuts, r1.cut_idx_sum) == (3, 1, 2)
+    assert r1.max_diff == 190 * 256
+    assert out[2].decode_error is not None
