@@ -124,6 +124,7 @@ R10_SET: list[str] = [
     "q_c4_clean",
     "q_media_vad",
     "q_media_scene_cuts",
+    "q_html_to_text",
     "q_crawl_to_corpus",
 ]
 

@@ -292,3 +292,33 @@ def c4_line_filter(
         )
         .drop("__t")
     )
+
+
+def html_to_text(col: Column) -> Column:
+    """Crawled-HTML → visible text — the WET 'conversion' step a
+    pipeline needs when it ingests raw ``response`` records instead of
+    pre-converted WET files: drop ``<script>``/``<style>`` blocks and
+    HTML comments wholesale, strip every remaining tag, decode the
+    six ubiquitous named entities, collapse whitespace runs, trim.
+
+    Pure JVM ``regexp_replace`` chain — one codegen map pass, no
+    Python. Patterns use only RE2-portable constructs (case-insensitive
+    groups, non-greedy dot-all) so a SQL oracle replays them verbatim.
+    Entity scope is deliberate: named numeric (&#NN;) decoding needs a
+    computed replacement and lives with the Arrow codecs if ever
+    needed; the six named forms cover the overwhelming share of real
+    pages."""
+    t = F.regexp_replace(
+        col, r"(?is)<script\b[^>]*>.*?</script>", " "
+    )
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    # &amp; decodes LAST: "&amp;lt;" is a literal "&lt;", not "<"
+    for ent, ch in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)

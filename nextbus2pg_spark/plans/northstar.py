@@ -1645,6 +1645,75 @@ def q_media_decode_gif(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_html_to_text",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+expected AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      'Doc ' || CAST(doc_id AS VARCHAR)
+      || ' Doc "' || CAST(doc_id AS VARCHAR) || '" '
+      || array_to_string(ws, ' ')
+      || ' R&D <tags> end',
+      '\s+', ' ', 'g')) AS clean
+  FROM w
+)
+SELECT doc_id,
+       CAST(length(clean) AS INTEGER) AS n_chars,
+       md5(clean) AS text_md5
+FROM expected
+""",
+)
+def q_html_to_text(spark: SparkSession, sf_dir: str):
+    """HTML boilerplate stripping (operators/text.html_to_text) — the
+    WET 'conversion' step for pipelines ingesting raw crawl response
+    bodies: per document a REAL page is synthesized JVM-side (head
+    with title, a <style> block full of braces, a <script> block
+    containing literal < > && operators, an HTML comment, every fifth
+    body word wrapped in <b> tags, and entity-encoded text including
+    the &amp;-last ordering trap), then stripped back by the regexp
+    chain — script/style/comment blocks dropped wholesale, tags
+    stripped, the six named entities decoded, whitespace collapsed.
+
+    The oracle does NOT replay the regexes: it constructs the expected
+    visible text directly from the corpus (ground truth), so any
+    stripper bug — greedy matching eating body text, tag-stripping
+    breaking on attributes, entity order double-decoding &amp;lt; —
+    shows up as a digest mismatch."""
+    from nextbus2pg_spark.operators.text import html_to_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    wrapped = F.transform(
+        words,
+        lambda x, i: F.when(
+            i % 5 == 2, F.concat(F.lit("<b>"), x, F.lit("</b>"))
+        ).otherwise(x),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), d,
+        F.lit("</title><style type=\"text/css\">body { color: red; }"
+              "</style><script src=\"x.js\">var x = 1 < 2 && y > 0;"
+              "</script></head><body><!-- hidden "), d,
+        F.lit(" --><h1>Doc &quot;"), d,
+        F.lit("&quot;</h1><p>"),
+        F.array_join(wrapped, " "),
+        F.lit("</p><p>R&amp;D &lt;tags&gt;&nbsp;end</p></body></html>"),
+    )
+    clean = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        F.length(clean).cast("int").alias("n_chars"),
+        F.md5(clean).alias("text_md5"),
+    )
+
+
+@fixture(
     "q_media_vad",
     oracle="""
 WITH d AS (

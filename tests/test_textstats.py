@@ -371,3 +371,27 @@ def test_c4_line_filter_rules(spark):
         "does this line have enough words?",
         'a quoted line with five words"',
     ]
+
+
+def test_html_to_text_edge_cases(spark):
+    """The stripper on handwritten traps: nested-looking scripts,
+    attributes with >, entity ordering (&amp;lt; must stay literal
+    &lt;), comments spanning content."""
+    from nextbus2pg_spark.operators.text import html_to_text
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("<p>a &amp;lt; b</p>", "a &lt; b"),
+        ("<script>if (a<b) { x(); }</script>after", "after"),
+        ("x<!-- <p>gone</p> -->y", "x y"),
+        ('<a href="u?a=1&amp;b=2" title="t">link</a>', "link"),
+        ("A&nbsp;&quot;B&quot;&apos;C&apos;", 'A "B"\'C\''),
+        ("<style>p>span { k:v }</style>kept", "kept"),
+        ("  lots   of\t\nspace  ", "lots of space"),
+    ]
+    df = spark.createDataFrame(cases, "html string, expected string")
+    out = df.select(
+        "expected", html_to_text(F.col("html")).alias("got")
+    ).collect()
+    for r in out:
+        assert r.got == r.expected, (r.got, r.expected)
