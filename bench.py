@@ -125,6 +125,7 @@ R10_SET: list[str] = [
     "q_media_vad",
     "q_media_scene_cuts",
     "q_html_to_text",
+    "q_robots_frontier",
     "q_crawl_to_corpus",
 ]
 

@@ -1645,6 +1645,96 @@ def q_media_decode_gif(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_robots_frontier",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, doc_id % 40 AS g, (doc_id % 40) % 3 AS c,
+         doc_id % 7 AS p
+  FROM documents
+)
+SELECT doc_id,
+       'https://site' || CAST(g AS VARCHAR) || '.example.org'
+       || CASE p
+            WHEN 0 THEN '/raw' || CAST(c AS VARCHAR) || '/x'
+            WHEN 1 THEN '/raw' || CAST(c AS VARCHAR) || '/pub/x'
+            WHEN 2 THEN '/p' || CAST(c AS VARCHAR) || '/y'
+            WHEN 3 THEN '/p' || CAST(c AS VARCHAR) || '/sub/y'
+            WHEN 4 THEN '/other/z'
+            WHEN 5 THEN ''
+            ELSE '/p9/q' END AS url,
+       NOT ((g % 2 = 0 AND p = 0) OR (g % 2 = 1 AND p = 2)) AS allowed
+FROM d
+""",
+)
+def q_robots_frontier(spark: SparkSession, sf_dir: str):
+    """robots.txt frontier filtering end-to-end (sources/robots.py,
+    RFC 9309): per-domain robots files are synthesized JVM-side — even
+    domains carry a crawler-specific group (Disallow a /rawN subtree,
+    Allow its /pub child) PLUS a deny-everything wildcard group, odd
+    domains a wildcard-only group — parsed through the line state
+    machine, resolved for agent 'databot' (exact group must beat the
+    deny-all wildcard), and matched against a 7-shape URL frontier by
+    longest prefix.
+
+    The oracle is GROUND TRUTH, not a parse replay: the allowed flag
+    is the closed-form RFC outcome per (domain parity, path shape) —
+    if the parser ever applied the wildcard deny-all where the exact
+    group governs, or got longest-match/tie rules wrong, hundreds of
+    flags flip."""
+    from nextbus2pg_spark.sources.robots import (
+        robots_allowed,
+        robots_rules,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    g = (d % 40).cast("string")
+    c = ((d % 40) % 3).cast("string")
+    p = d % 7
+    url = F.concat(
+        F.lit("https://site"), g, F.lit(".example.org"),
+        F.when(p == 0, F.concat(F.lit("/raw"), c, F.lit("/x")))
+        .when(p == 1, F.concat(F.lit("/raw"), c, F.lit("/pub/x")))
+        .when(p == 2, F.concat(F.lit("/p"), c, F.lit("/y")))
+        .when(p == 3, F.concat(F.lit("/p"), c, F.lit("/sub/y")))
+        .when(p == 4, F.lit("/other/z"))
+        .when(p == 5, F.lit(""))
+        .otherwise(F.lit("/p9/q")),
+    )
+    frontier = docs.select("doc_id", url.alias("url"))
+    domains = frontier.select(
+        F.lower(
+            F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+        ).alias("domain")
+    ).distinct()
+    gg = F.regexp_extract("domain", r"site(\d+)\.", 1).cast("int")
+    cc = (gg % 3).cast("string")
+    robots_txt = F.when(
+        gg % 2 == 0,
+        F.concat(
+            F.lit("# synthetic robots\nUser-agent: DataBot\n"
+                  "Disallow: /raw"), cc,
+            F.lit("\nAllow: /raw"), cc,
+            F.lit("/pub\n\nUser-agent: *\nDisallow: /\n"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /p"), cc,
+            F.lit("\nAllow: /p"), cc,
+            F.lit("/sub\nDisallow:\n"),
+        )
+    )
+    robots = domains.select("domain", robots_txt.alias("robots_txt"))
+    rules = robots_rules(robots, agent="databot")
+    return (
+        frontier.join(
+            robots_allowed(frontier.select("url"), rules), "url"
+        )
+        .select("doc_id", "url", "allowed")
+    )
+
+
+@fixture(
     "q_html_to_text",
     oracle=r"""
 WITH w AS (
