@@ -421,6 +421,127 @@ def ivf_assign(
     )
 
 
+def two_level_router(
+    centroids: DataFrame,
+    n_coarse: "int | None" = None,
+    coarse_iters: int = 2,
+    deterministic: bool = False,
+) -> "tuple[DataFrame, DataFrame]":
+    """Build the coarse level for :func:`ivf_assign_two_level` ONCE at
+    index time → ``(coarse, routing)``: the ``n_coarse`` (default ≈
+    √k) Lloyd-refined group centroids over the k-row centroid table,
+    and each centroid's single group membership. Both frames are
+    k-bounded and eagerly checkpointed — reusing them across assign
+    calls costs nothing."""
+    cents = centroids.localCheckpoint(eager=True)
+    if n_coarse is None:
+        import math
+
+        n_coarse = max(2, math.isqrt(cents.count()))
+    coarse = kmeans_centroids(
+        cents, "centroid_id", "c_vec", n_coarse, n_iters=coarse_iters,
+        deterministic=deterministic,
+    ).select(
+        F.col("centroid_id").alias("coarse_id"),
+        F.col("c_vec").alias("g_vec"),
+    ).localCheckpoint(eager=True)
+    # centroid -> its ONE coarse group (k rows, trivially broadcast)
+    routing = (
+        ivf_assign(
+            cents.select(
+                F.col("centroid_id").alias("cid"),
+                F.col("c_vec").alias("vec"),
+            ),
+            "cid",
+            "vec",
+            coarse.select(
+                F.col("coarse_id").alias("centroid_id"),
+                F.col("g_vec").alias("c_vec"),
+            ),
+            nprobe=1,
+        )
+        .select(F.col("id").alias("centroid_id"),
+                F.col("centroid_id").alias("coarse_id"))
+        .localCheckpoint(eager=True)
+    )
+    return coarse, routing
+
+
+def ivf_assign_two_level(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    n_coarse: "int | None" = None,
+    coarse_probe: int = 2,
+    coarse_iters: int = 2,
+    deterministic: bool = False,
+    router: "tuple[DataFrame, DataFrame] | None" = None,
+) -> DataFrame:
+    """IMI-style two-level assignment → (id, centroid_id): cluster the
+    k centroids themselves into ``n_coarse`` groups (default ≈ √k —
+    a TINY k-row k-means), route each vector to its ``coarse_probe``
+    nearest groups, then rank only the centroids inside the probed
+    groups. Pass a prebuilt ``router`` (from
+    :func:`two_level_router`, checkpointed once at INDEX time) when
+    assigning repeatedly — rebuilding the coarse level per call costs
+    a few fixed Spark jobs that dwarf the saving at small n.
+
+    This is the scale fix for brute-force :func:`ivf_assign`'s O(n·k)
+    cost, which under the k ≈ √n index sizing rule makes assignment
+    O(n^1.5) (measured: 1.2s→10.1s for 3.3× data in PERF.md
+    round-10). Two-level cost is O(n·(√k + coarse_probe·√k)) =
+    O(n·√k); approximate — a vector whose true nearest centroid sits
+    in an unprobed coarse group gets its best PROBED centroid —
+    with ``coarse_probe`` the recall lever, and it degenerates to the
+    exact result (tie-breaks included) when ``coarse_probe >=
+    n_coarse`` (pinned by test). Same output contract as
+    :func:`ivf_assign`."""
+    if nprobe < 1 or coarse_probe < 1:
+        raise ValueError(
+            f"nprobe/coarse_probe must be >= 1; got {nprobe}/{coarse_probe}"
+        )
+    cents = centroids.localCheckpoint(eager=True)
+    if router is None:
+        router = two_level_router(
+            cents, n_coarse=n_coarse, coarse_iters=coarse_iters,
+            deterministic=deterministic,
+        )
+    coarse, routing = router
+    # vector -> coarse_probe nearest groups (n x n_coarse, not n x k)
+    v_groups = ivf_assign(
+        df, id_col, vec_col,
+        coarse.select(
+            F.col("coarse_id").alias("centroid_id"),
+            F.col("g_vec").alias("c_vec"),
+        ),
+        nprobe=coarse_probe,
+    ).select("id", F.col("centroid_id").alias("coarse_id"))
+    # rank only the centroids inside the probed groups
+    cand = with_norm(
+        cents.join(F.broadcast(routing), "centroid_id")
+        .withColumnRenamed("c_vec", "__cv"),
+        "__cv", "__cn",
+    )
+    v = with_norm(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")),
+        "__v", "__vn",
+    ).join(v_groups, "id")
+    sim = cosine(F.col("__v"), F.col("__cv"), F.col("__vn"), F.col("__cn"))
+    scored = v.join(F.broadcast(cand), "coarse_id").select(
+        "id", "centroid_id", sim.alias("__sim")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= nprobe)
+        .select("id", "centroid_id")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1072,6 +1193,7 @@ def semantic_dedup(
     assign_nprobe: int = 1,
     max_cell_size: "int | None" = None,
     train_modulus: int = 1,
+    assign_two_level: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding-space semantic
     deduplication → ``(id, centroid_id, keep)`` — cluster the corpus
@@ -1128,6 +1250,12 @@ def semantic_dedup(
     PER ITERATION, which with the k ≈ √n sizing rule is O(n^1.5)
     training for zero recall benefit). Assignment still covers every
     vector. Only meaningful with ``kmeans_iters > 0``.
+
+    ``assign_two_level=True`` routes the final corpus→cell assignment
+    through :func:`ivf_assign_two_level` (one prebuilt √k-group
+    router) — O(n·√k) instead of O(n·k), measured 4.25× at 200k×320
+    (PERF.md round-10); approximate at the cell-boundary margin, the
+    same miss class ``assign_nprobe`` already governs.
     """
     from nextbus2pg_spark.operators.components import connected_components
 
@@ -1147,9 +1275,16 @@ def semantic_dedup(
         cents = ivf_centroids(train_src, id_col, vec_col, n_centroids)
     if assign_nprobe < 1:
         raise ValueError(f"assign_nprobe must be >= 1; got {assign_nprobe}")
-    membership = ivf_assign(
-        corpus, id_col, vec_col, cents, nprobe=assign_nprobe
-    )
+    if assign_two_level:
+        router = two_level_router(cents)
+        _assign = lambda np_: ivf_assign_two_level(  # noqa: E731
+            corpus, id_col, vec_col, cents, nprobe=np_, router=router
+        )
+    else:
+        _assign = lambda np_: ivf_assign(  # noqa: E731
+            corpus, id_col, vec_col, cents, nprobe=np_
+        )
+    membership = _assign(assign_nprobe)
     v = membership.join(
         with_norm(corpus, vec_col, "nrm").select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "nrm"
@@ -1185,7 +1320,7 @@ def semantic_dedup(
         if assign_nprobe == 1
         # multi-probe membership is pair-generation-only: report one
         # row per id, keyed by the PRIMARY (nearest-centroid) cell.
-        else ivf_assign(corpus, id_col, vec_col, cents, nprobe=1)
+        else _assign(1)
     )
     return (
         out_base

@@ -271,3 +271,62 @@ def test_deterministic_training_partition_invariant(spark, ann_frames):
     for cid in av:
         for x, y in zip(av[cid], plain[cid]):
             assert x == pytest.approx(y, abs=1e-9)
+
+
+def test_two_level_assign_exact_when_all_groups_probed(spark):
+    """coarse_probe >= n_coarse must reproduce brute-force ivf_assign
+    EXACTLY (same tie-breaks) — the calibration identity."""
+    from nextbus2pg_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_two_level,
+        kmeans_centroids,
+    )
+    from nextbus2pg_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = kmeans_centroids(emb, "vec_id", "embedding", 16, n_iters=2)
+    exact = ivf_assign(emb, "vec_id", "embedding", cents, nprobe=2)
+    two = ivf_assign_two_level(
+        emb, "vec_id", "embedding", cents,
+        nprobe=2, n_coarse=4, coarse_probe=4,
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, two.collect())
+    )
+
+
+def test_two_level_assign_recall_floor(spark):
+    """At coarse_probe=2 over 4 groups, most vectors must still land
+    on their true nearest centroid — the measured recall lever."""
+    from nextbus2pg_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_two_level,
+        kmeans_centroids,
+    )
+    from nextbus2pg_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = kmeans_centroids(emb, "vec_id", "embedding", 16, n_iters=2)
+    exact = {
+        r.id: r.centroid_id
+        for r in ivf_assign(
+            emb, "vec_id", "embedding", cents, nprobe=1
+        ).collect()
+    }
+    two = {
+        r.id: r.centroid_id
+        for r in ivf_assign_two_level(
+            emb, "vec_id", "embedding", cents,
+            nprobe=1, n_coarse=4, coarse_probe=2,
+        ).collect()
+    }
+    assert set(two) == set(exact)
+    recall = sum(1 for i, c in two.items() if exact[i] == c) / len(exact)
+    assert recall >= 0.85, recall
+
+    import pytest
+
+    with pytest.raises(ValueError, match="coarse_probe"):
+        ivf_assign_two_level(
+            emb, "vec_id", "embedding", cents, coarse_probe=0
+        )

@@ -227,3 +227,19 @@ def test_sample_trained_centroids_keep_recall(spark, known_pair_corpus):
             known_pair_corpus, "vec_id", "embedding",
             n_centroids=4, sim_threshold=THRESHOLD, train_modulus=0,
         )
+
+
+def test_two_level_assignment_keeps_recall(spark, known_pair_corpus):
+    """assign_two_level (round 10): routing the cell assignment
+    through the √k coarse level must keep nprobe=2 recall in the
+    measured band — boundary misses are the same class the probe
+    lever already governs."""
+    out = semantic_dedup(
+        known_pair_corpus, "vec_id", "embedding",
+        n_centroids=16, kmeans_iters=3, sim_threshold=THRESHOLD,
+        assign_nprobe=2, assign_two_level=True,
+    )
+    rows = out.collect()
+    assert len(rows) == 2 * N_PAIRS
+    recall = sum(1 for r in rows if not r.keep) / N_PAIRS
+    assert recall >= 0.85, recall
