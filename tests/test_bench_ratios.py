@@ -48,10 +48,21 @@ PINNED = [
 ]
 
 
-def _median(thunk, runs=3):
+def _median(thunk, runs=3, spark=None):
+    """Median of N runs. Leaked localCheckpoint blocks from previous
+    runs (and from the rest of the suite's session) inflate GC
+    pressure and wall-time variance — release them around every run,
+    exactly as bench.py does (without this, q_triangle_count measured
+    >5x its idle norm when the module ran late in the full suite)."""
+    from nextbus2pg_spark.operators.scale import release_cached_rdds
+
+    if spark is not None:
+        release_cached_rdds(spark)
     thunk()  # warm
     xs = []
     for _ in range(runs):
+        if spark is not None:
+            release_cached_rdds(spark)
         t0 = time.perf_counter()
         thunk()
         xs.append(time.perf_counter() - t0)
@@ -61,7 +72,8 @@ def _median(thunk, runs=3):
 
 @pytest.fixture(scope="module")
 def calibration(spark):
-    cal_sched = _median(lambda: spark.range(0, 32_000, 1, 32).count())
+    cal_sched = _median(lambda: spark.range(0, 32_000, 1, 32).count(),
+                        spark=spark)
     lineitem = os.path.join(SF, "lineitem.parquet")
     cal_scan = _median(
         lambda: spark.read.parquet(lineitem)
@@ -69,7 +81,8 @@ def calibration(spark):
             "sum(l_extendedprice)", "sum(l_quantity)",
             "sum(l_discount)", "count(*)",
         )
-        .collect()
+        .collect(),
+        spark=spark,
     )
     return cal_sched, cal_scan
 
@@ -83,7 +96,7 @@ def test_pinned_normalized_ratio(spark, calibration, name, ceiling):
         df.count()
         df.limit(5).collect()
 
-    med = _median(run)
+    med = _median(run, spark=spark)
     norm = max(med - cal_sched, 0.0) / cal_scan
     assert norm <= ceiling, (
         f"{name}: normalized cost {norm:.2f} exceeds pinned ceiling "
