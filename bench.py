@@ -121,6 +121,7 @@ R10_SET: list[str] = [
     "q_media_gif_frames",
     "q_media_exif",
     "q_cdx_manifest",
+    "q_cdx_delta",
     "q_c4_clean",
     "q_media_vad",
     "q_media_scene_cuts",

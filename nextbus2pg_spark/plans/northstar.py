@@ -1645,6 +1645,69 @@ def q_media_decode_gif(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_cdx_delta",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, doc_id % 10 AS m, md5('g' || CAST(doc_id AS VARCHAR))
+           AS digest,
+         'https://h' || CAST(doc_id % 40 AS VARCHAR) || '.org' AS host
+  FROM documents
+)
+SELECT digest,
+       CASE WHEN m = 0 THEN 'added'
+            WHEN m = 1 THEN 'removed'
+            WHEN m = 2 THEN 'moved'
+            ELSE 'retained' END AS status,
+       CASE WHEN m = 0 THEN NULL
+            ELSE host || '/p/' || CAST(doc_id AS VARCHAR) END AS old_url,
+       CASE WHEN m = 1 THEN NULL
+            WHEN m = 2 THEN host || '/q/' || CAST(doc_id AS VARCHAR)
+            ELSE host || '/p/' || CAST(doc_id AS VARCHAR) END AS new_url,
+       CASE WHEN m = 1 THEN NULL
+            ELSE 'new-' || CAST(doc_id % 4 AS VARCHAR) || '.warc.gz'
+            END AS new_filename,
+       CASE WHEN m = 1 THEN NULL
+            ELSE CAST(doc_id * 100 + 7 AS BIGINT) END AS new_offset
+FROM d
+""",
+)
+def q_cdx_delta(spark: SparkSession, sf_dir: str):
+    """Incremental crawl diff (sources/cdx.cdx_delta): two synthetic
+    CDX snapshots — every 10th digest new-only, every 10th old-only,
+    every 10th present in both under a CHANGED url — full-outer-joined
+    on content digest after per-side best-capture collapse, classified
+    added/removed/moved/retained. The recurring-ingest primitive that
+    keeps a monthly crawl's fetch volume proportional to the change.
+    Ground-truth oracle: the closed-form status per doc_id residue."""
+    from nextbus2pg_spark.sources.cdx import cdx_delta
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    m = d % 10
+    digest = F.md5(F.concat(F.lit("g"), d.cast("string")))
+    host = F.concat(
+        F.lit("https://h"), (d % 40).cast("string"), F.lit(".org")
+    )
+    p_url = F.concat(host, F.lit("/p/"), d.cast("string"))
+    q_url = F.concat(host, F.lit("/q/"), d.cast("string"))
+    old = docs.where(m != 0).select(
+        digest.alias("digest"),
+        p_url.alias("url"),
+        (d * 100).alias("offset"),
+        F.concat(F.lit("old-"), (d % 4).cast("string"),
+                 F.lit(".warc.gz")).alias("filename"),
+    )
+    new = docs.where(m != 1).select(
+        digest.alias("digest"),
+        F.when(m == 2, q_url).otherwise(p_url).alias("url"),
+        (d * 100 + 7).alias("offset"),
+        F.concat(F.lit("new-"), (d % 4).cast("string"),
+                 F.lit(".warc.gz")).alias("filename"),
+    )
+    return cdx_delta(old, new)
+
+
+@fixture(
     "q_robots_frontier",
     oracle="""
 WITH d AS (

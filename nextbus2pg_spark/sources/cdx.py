@@ -113,3 +113,51 @@ def cdx_archive_manifest(
         F.min("offset").alias("min_offset"),
         F.max("offset").alias("max_offset"),
     )
+
+
+def cdx_delta(
+    old: DataFrame,
+    new: DataFrame,
+) -> DataFrame:
+    """Incremental crawl diff between two CDX snapshots, keyed by
+    content digest → one row per digest with ``status``:
+
+    - ``added``    — digest only in the new crawl (fetch it);
+    - ``removed``  — digest only in the old crawl (tombstone it);
+    - ``moved``    — digest in both but its best capture URL changed
+      (refresh provenance, skip the bytes);
+    - ``retained`` — digest and URL unchanged (skip entirely).
+
+    The recurring-ingest primitive: a monthly 100 TB crawl is mostly
+    ``retained``, and this one full-outer equi-join on digest is what
+    keeps the pipeline's fetch volume proportional to the CHANGE, not
+    the crawl. Each side first collapses to its best capture per
+    digest (min (offset, filename) — the manifest's dedup rule), so
+    the join keys are unique and the shuffle is digest-bounded.
+    """
+
+    def best(records: DataFrame, side: str) -> DataFrame:
+        return records.groupBy("digest").agg(
+            F.min(F.struct("offset", "filename", "url")).alias("__w")
+        ).select(
+            "digest",
+            F.col("__w")["url"].alias(f"{side}_url"),
+            F.col("__w")["filename"].alias(f"{side}_filename"),
+            F.col("__w")["offset"].alias(f"{side}_offset"),
+        )
+
+    joined = best(old, "old").join(best(new, "new"), "digest", "full_outer")
+    status = (
+        F.when(F.col("old_url").isNull(), "added")
+        .when(F.col("new_url").isNull(), "removed")
+        .when(F.col("old_url") != F.col("new_url"), "moved")
+        .otherwise("retained")
+    )
+    return joined.select(
+        "digest",
+        status.alias("status"),
+        "old_url",
+        "new_url",
+        "new_filename",
+        "new_offset",
+    )

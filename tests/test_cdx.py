@@ -85,3 +85,40 @@ def test_manifest_filters_and_digest_dedup(spark):
         for r in cdx_archive_manifest(df, dedup_digest=False).collect()
     }
     assert m2["b.warc.gz"].n_records == 2
+
+
+def test_cdx_delta_statuses_and_best_capture_collapse(spark):
+    """Digest-keyed crawl diff: added/removed/moved/retained, with the
+    per-side best-capture collapse (a digest stored twice in the new
+    crawl classifies once, via its min-(offset,filename) capture)."""
+    from nextbus2pg_spark.sources.cdx import cdx_delta
+
+    schema = "digest string, url string, offset long, filename string"
+    old = spark.createDataFrame(
+        [
+            ("dA", "https://a/1", 100, "o.warc.gz"),
+            ("dB", "https://b/1", 200, "o.warc.gz"),
+            ("dC", "https://c/1", 300, "o.warc.gz"),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            ("dA", "https://a/1", 110, "n.warc.gz"),  # retained
+            ("dC", "https://c/MOVED", 310, "n.warc.gz"),  # moved
+            ("dD", "https://d/1", 900, "n.warc.gz"),  # added, dup below
+            ("dD", "https://d/0", 400, "m.warc.gz"),  # min wins
+        ],
+        schema,
+    )
+    out = {r.digest: r for r in cdx_delta(old, new).collect()}
+    assert out["dA"].status == "retained"
+    assert out["dB"].status == "removed"
+    assert out["dB"].new_url is None
+    assert out["dC"].status == "moved"
+    assert out["dC"].new_url == "https://c/MOVED"
+    assert out["dD"].status == "added"
+    assert (out["dD"].new_offset, out["dD"].new_filename) == (
+        400, "m.warc.gz",
+    )
+    assert len(out) == 4
