@@ -4096,7 +4096,13 @@ def q_crawl_to_corpus(spark: SparkSession, sf_dir: str):
     )
 
     plus = _docs_plus(spark, sf_dir)
-    parsed = warc_documents(synthetic_warc_archives(plus))
+    # 32 archives (not the default 8) so the build/parse stage uses
+    # every local[32] core — output is archive-count-invariant.
+    # (Measured: the capstone's warm wall is dominated by the fixed
+    # job overhead of the iterative component closure + LM training,
+    # not by this stage; at real scale one-archive-per-task is the
+    # lever that matters.)
+    parsed = warc_documents(synthetic_warc_archives(plus, n_archives=32))
     ingested = parsed.select(
         F.regexp_extract("uri", r"doc/(\d+)$", 1).cast("long")
         .alias("doc_id"),
