@@ -957,3 +957,35 @@ def test_crawl_to_corpus_plan_has_no_cartesian_or_unbounded_hint(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     _bounded_hints_only(df)
+
+
+def test_cdx_delta_plan_single_digest_join(spark):
+    """Crawl delta (round 10): two bounded aggregates + ONE equi-join
+    on digest — no cartesian, no nested loop, no window; JVM-only."""
+    p = plan_text(q(spark, "q_cdx_delta"))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Window" not in p, p
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_robots_frontier_rules_join_is_broadcast(spark):
+    """Frontier filtering (round 10): the rule table is bounded by the
+    robots corpus and must broadcast onto the frontier — no sort-merge
+    join against the URL side, no cartesian."""
+    p = plan_text(q(spark, "q_robots_frontier"))
+    assert "CartesianProduct" not in p, p
+    # per-domain windows parse the (tiny) robots files; the frontier
+    # side itself must never window — windows only under the rule
+    # derivation, which the bounded robots corpus feeds. Assert the
+    # rule join onto URLs is a broadcast hash join.
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_media_vad_and_scene_cuts_are_shuffle_free_chains(spark):
+    """The new media stages (round 10): synthesize → decode chains are
+    pure mapInPandas pipelines — zero exchanges."""
+    for name in ("q_media_vad", "q_media_scene_cuts"):
+        p = plan_text(q(spark, name))
+        assert "Exchange hashpartitioning" not in p, (name, p)
+        assert "Join" not in p, (name, p)
