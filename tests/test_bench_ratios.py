@@ -45,6 +45,9 @@ PINNED = [
     # contention (measured: >4.0 with a concurrent sf0.1 job, 1.30
     # idle); 5.0 still trips a genuine 2.5-3x plan regression.
     ("q_triangle_count", 5.0),
+    # the round-10 capstone (heaviest headline query): measured norm
+    # 22.3 at sf0.01 idle (wall 7.65s, cal_scan 0.33); ~3x ceiling.
+    ("q_crawl_to_corpus", 65.0),
 ]
 
 
