@@ -1276,7 +1276,12 @@ def semantic_dedup(
     if assign_nprobe < 1:
         raise ValueError(f"assign_nprobe must be >= 1; got {assign_nprobe}")
     if assign_two_level:
-        router = two_level_router(cents)
+        # The coarse router must inherit the determinism contract:
+        # without it, two_level_router's Lloyd refinement uses
+        # partition-order-dependent F.avg and the documented
+        # "deterministic_train=True is bit-replayable" guarantee
+        # breaks when both flags are set (round-10 advice).
+        router = two_level_router(cents, deterministic=deterministic_train)
         _assign = lambda np_: ivf_assign_two_level(  # noqa: E731
             corpus, id_col, vec_col, cents, nprobe=np_, router=router
         )

@@ -259,8 +259,11 @@ def c4_line_filter(
 
     Line rules (a line survives iff ALL hold): ends in terminal
     punctuation (``.``, ``!``, ``?``, or ``"``); has at least
-    ``min_words_per_line`` words; does not contain the word
-    ``javascript`` (case-insensitive). Page rules (a page survives iff
+    ``min_words_per_line`` words — REAL tokens only: consecutive /
+    leading / trailing spaces contribute empty split fragments, not
+    words (round-10 advice: the naive ``size(split(...))`` count
+    inflated on double spaces and let short lines survive the floor);
+    does not contain the word ``javascript`` (case-insensitive). Page rules (a page survives iff
     ALL hold): at least ``min_kept_lines`` surviving lines; no
     ``lorem ipsum`` (case-insensitive); no ``{`` anywhere (the code
     gate). ``clean_text`` is the surviving lines re-joined.
@@ -273,7 +276,10 @@ def c4_line_filter(
     lines = F.split(F.col(text_col), "\n")
     is_kept = lambda L: (  # noqa: E731
         L.rlike('[.!?"]$')
-        & (F.size(F.split(L, " ")) >= min_words_per_line)
+        & (
+            F.size(F.filter(F.split(L, " "), lambda w: w != ""))
+            >= min_words_per_line
+        )
         & ~F.lower(L).contains("javascript")
     )
     kept = F.filter(lines, is_kept)

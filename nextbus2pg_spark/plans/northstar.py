@@ -1725,7 +1725,8 @@ SELECT doc_id,
             WHEN 4 THEN '/other/z'
             WHEN 5 THEN ''
             ELSE '/p9/q' END AS url,
-       NOT ((g % 2 = 0 AND p = 0) OR (g % 2 = 1 AND p = 2)) AS allowed
+       NOT ((g % 2 = 0 AND p = 0) OR (g % 2 = 1 AND p = 2)
+            OR (g % 2 = 0 AND p = 6)) AS allowed
 FROM d
 """,
 )
@@ -1733,17 +1734,21 @@ def q_robots_frontier(spark: SparkSession, sf_dir: str):
     """robots.txt frontier filtering end-to-end (sources/robots.py,
     RFC 9309): per-domain robots files are synthesized JVM-side — even
     domains carry a crawler-specific group (Disallow a /rawN subtree,
-    Allow its /pub child) PLUS a deny-everything wildcard group, odd
-    domains a wildcard-only group — parsed through the line state
-    machine, resolved for agent 'databot' (exact group must beat the
-    deny-all wildcard), and matched against a 7-shape URL frontier by
-    longest prefix.
+    Allow its /pub child, plus §2.2.3 wildcard rules: '/p*/q$' that
+    fires on the /p9/q shape and an end-anchored '/other$' that must
+    NOT fire on /other/z) PLUS a deny-everything wildcard group, odd
+    domains a wildcard-only group (with a mid-'*' Allow '/*9/q' that
+    must outrank a shorter literal Disallow) — parsed through the line
+    state machine, resolved for agent 'databot' (exact group must beat
+    the deny-all wildcard), and matched against a 7-shape URL frontier
+    by longest rule value.
 
     The oracle is GROUND TRUTH, not a parse replay: the allowed flag
     is the closed-form RFC outcome per (domain parity, path shape) —
     if the parser ever applied the wildcard deny-all where the exact
-    group governs, or got longest-match/tie rules wrong, hundreds of
-    flags flip."""
+    group governs, got longest-match/tie rules wrong, or mistranslated
+    '*'/'$' (prefix-matched them literally, or dropped the end
+    anchor), hundreds of flags flip."""
     from nextbus2pg_spark.sources.robots import (
         robots_allowed,
         robots_rules,
@@ -1778,13 +1783,21 @@ def q_robots_frontier(spark: SparkSession, sf_dir: str):
             F.lit("# synthetic robots\nUser-agent: DataBot\n"
                   "Disallow: /raw"), cc,
             F.lit("\nAllow: /raw"), cc,
-            F.lit("/pub\n\nUser-agent: *\nDisallow: /\n"),
+            # §2.2.3 wildcard rules (round-11): '/p*/q$' fires on the
+            # p=6 shape '/p9/q' (its 6 octets outrank the odd-domain
+            # Allow below); '/other$' must NOT fire on '/other/z' —
+            # a broken end anchor (treated as a prefix) flips p=4.
+            F.lit("/pub\nDisallow: /p*/q$\nDisallow: /other$\n"
+                  "\nUser-agent: *\nDisallow: /\n"),
         ),
     ).otherwise(
         F.concat(
             F.lit("User-agent: *\nDisallow: /p"), cc,
             F.lit("\nAllow: /p"), cc,
-            F.lit("/sub\nDisallow:\n"),
+            # mid-pattern '*': Allow '/*9/q' (5 octets) must outrank
+            # Disallow '/p9' (3) on '/p9/q' — wildcard specificity is
+            # the rule VALUE length, Allow wins the p=6 shape here.
+            F.lit("/sub\nAllow: /*9/q\nDisallow: /p9\nDisallow:\n"),
         )
     )
     robots = domains.select("domain", robots_txt.alias("robots_txt"))
@@ -2005,6 +2018,7 @@ built AS (
         generate_series(0, CAST(ceil(len(w) / CAST(k AS DOUBLE)) AS BIGINT) - 1),
         i -> array_to_string(w[i * k + 1 : i * k + k], ' ')
              || CASE WHEN i % 7 = 3 THEN ' javascript extra pad words.'
+                     WHEN i % 7 = 5 THEN '  .'
                      WHEN i % 3 = 1 THEN ''
                      WHEN i % 3 = 2 THEN '?'
                      ELSE '.' END
@@ -2023,7 +2037,7 @@ filtered AS (
          CAST(len(ls) AS INTEGER) AS n_lines,
          list_filter(ls, L ->
            regexp_matches(L, '[.!?"]$')
-           AND len(string_split(L, ' ')) >= 5
+           AND len(list_filter(string_split(L, ' '), x -> x <> '')) >= 5
            AND NOT contains(lower(L), 'javascript')
          ) AS kept,
          page
@@ -2043,8 +2057,11 @@ def q_c4_clean(spark: SparkSession, sf_dir: str):
     operators/text.c4_line_filter): deterministic multi-line pages are
     synthesized from the documents corpus with every failure mode
     planted — punctuation-less lines (every 3rd), javascript lines
-    (every 7th), short trailing lines, whole-page lorem-ipsum (every
-    11th doc) and code-brace (every 13th) injections, and line widths
+    (every 7th), double-space tails whose naive split-count inflates
+    past the word floor (i%7==5 — the round-10-advice fix: empty
+    fragments are not words), short trailing lines, whole-page
+    lorem-ipsum (every 11th doc) and code-brace (every 13th)
+    injections, and line widths
     3..6 words so entire pages die under the 5-word floor — then the
     filter keeps terminal-punctuated ≥5-word non-javascript lines and
     pages with ≥3 survivors and no lorem/brace anywhere. One map pass
@@ -2061,6 +2078,11 @@ def q_c4_clean(spark: SparkSession, sf_dir: str):
     line = lambda i: F.concat(  # noqa: E731
         F.array_join(F.slice(words, i * k + 1, k), " "),
         F.when(i % 7 == 3, " javascript extra pad words.")
+        # double-space tail: naive size(split()) counts the empty
+        # fragment as a word (k+2) while the real token count is k+1,
+        # so at k=3 this line must DIE under the 5-word floor — pins
+        # the round-10-advice fix (empty fragments are not words).
+        .when(i % 7 == 5, "  .")
         .when(i % 3 == 1, "")
         .when(i % 3 == 2, "?")
         .otherwise("."),

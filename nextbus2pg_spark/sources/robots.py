@@ -2,11 +2,15 @@
 
 A polite crawl pipeline filters its URL frontier against each host's
 robots.txt before fetching. The grammar is line-oriented: groups of
-``User-agent`` lines followed by ``Allow``/``Disallow`` path-prefix
-rules; a crawler obeys the group(s) naming it exactly when any exist,
-else the ``*`` groups; among matching rules the LONGEST path prefix
+``User-agent`` lines followed by ``Allow``/``Disallow`` path rules; a
+crawler obeys the group(s) naming it exactly when any exist, else the
+``*`` groups; among matching rules the LONGEST rule value (octets)
 wins and Allow beats Disallow on a length tie; an unmatched path is
-allowed (RFC 9309 §2.2.2).
+allowed (RFC 9309 §2.2.2). Rule values support the §2.2.3 special
+characters: ``*`` matches any character sequence and a trailing ``$``
+anchors the rule to the end of the path — each rule is translated at
+parse time into an anchored regex (literals escaped, ``*`` → ``.*``),
+and plain-prefix rules keep the cheap ``startswith`` fast path.
 
 Everything is JVM DataFrame expressions: the group state machine is a
 running sum over a per-domain window (robots files are a few KB, so
@@ -33,7 +37,12 @@ def robots_rules(
     text_col: str = "robots_txt",
 ) -> DataFrame:
     """Parse per-domain robots.txt text into the rule set the given
-    ``agent`` must obey → ``(domain, allow boolean, prefix)``.
+    ``agent`` must obey → ``(domain, allow boolean, prefix, has_wild
+    boolean, pattern)``: ``prefix`` is the raw rule value (its octet
+    length is the §2.2.3 specificity rank), ``pattern`` the anchored
+    regex translation used when the value carries a ``*`` wildcard or
+    a trailing ``$`` end anchor (``has_wild``); plain values match by
+    prefix, so the regex path costs nothing for the common case.
 
     Group resolution per RFC 9309 §2.2.1: consecutive ``User-agent``
     lines head one group; a ``User-agent`` line after rule lines
@@ -99,6 +108,22 @@ def robots_rules(
         )
         .select("domain", "grp")
     )
+    # RFC 9309 §2.2.3 translation: a trailing '$' anchors to the end
+    # of the path, '*' matches any sequence; every other character is
+    # literal. Escape regex metachars in the literal part, then turn
+    # '*' runs into '.*' and re-attach the anchors.
+    val = F.col("value")
+    ends_dollar = val.endswith("$")
+    body = F.when(
+        ends_dollar, F.substring(val, 1, F.length(val) - 1)
+    ).otherwise(val)
+    escaped = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    translated = F.regexp_replace(escaped, r"\*+", ".*")
+    pattern = F.concat(
+        F.lit("^"),
+        translated,
+        F.when(ends_dollar, F.lit("$")).otherwise(F.lit("")),
+    )
     return (
         grouped.where(F.col("key") != "user-agent")
         .join(F.broadcast(applicable), ["domain", "grp"])
@@ -107,6 +132,8 @@ def robots_rules(
             "domain",
             (F.col("key") == "allow").alias("allow"),
             F.col("value").alias("prefix"),
+            (val.contains("*") | ends_dollar).alias("has_wild"),
+            pattern.alias("pattern"),
         )
     )
 
@@ -116,8 +143,11 @@ def robots_allowed(
     rules: DataFrame,
     url_col: str = "url",
 ) -> DataFrame:
-    """Frontier filter: every input row plus an ``allowed`` flag —
-    longest matching prefix decides, Allow wins length ties, no match
+    """Frontier filter → one row per DISTINCT url with an ``allowed``
+    flag (the grouped verdict collapses duplicate frontier URLs and
+    carries no other input columns — callers holding extra columns or
+    multiplicity re-join on ``url``, as ``q_robots_frontier`` does).
+    Longest matching rule decides, Allow wins length ties, no match
     means allowed. The rule table broadcasts (it is bounded by the
     robots corpus, never by the frontier); matching is one equi-join
     on domain plus a max-by aggregate keyed by URL — two bounded
@@ -144,7 +174,14 @@ def robots_allowed(
         "__d",
         "left",
     )
-    is_match = F.col("__p").startswith(F.col("prefix"))
+    # Wildcard rules match by their anchored-regex translation; plain
+    # prefixes keep the cheap startswith fast path (the common case —
+    # the regex only ever runs for rules that carry '*' or '$').
+    # (F.expr: Column.rlike only accepts a literal pattern string;
+    # the SQL rlike function takes the per-rule pattern COLUMN.)
+    is_match = F.when(
+        F.col("has_wild"), F.expr("rlike(__p, pattern)")
+    ).otherwise(F.col("__p").startswith(F.col("prefix")))
     verdict = F.max(
         F.when(
             is_match,

@@ -229,6 +229,28 @@ def test_sample_trained_centroids_keep_recall(spark, known_pair_corpus):
         )
 
 
+def test_two_level_deterministic_train_is_replayable(
+    spark, known_pair_corpus
+):
+    """deterministic_train=True must stay bit-replayable when combined
+    with assign_two_level=True (round-10 advice: the coarse router's
+    Lloyd refinement used partition-order-dependent F.avg because the
+    flag was not forwarded). Pin by running the combination twice at
+    different input partitionings and requiring identical output."""
+    def run(n_parts):
+        return sorted(
+            (r.id, r.centroid_id, r.keep)
+            for r in semantic_dedup(
+                known_pair_corpus.repartition(n_parts),
+                "vec_id", "embedding",
+                n_centroids=16, kmeans_iters=2, sim_threshold=THRESHOLD,
+                deterministic_train=True, assign_two_level=True,
+            ).collect()
+        )
+
+    assert run(1) == run(7)
+
+
 def test_two_level_assignment_keeps_recall(spark, known_pair_corpus):
     """assign_two_level (round 10): routing the cell assignment
     through the √k coarse level must keep nprobe=2 recall in the

@@ -373,6 +373,32 @@ def test_c4_line_filter_rules(spark):
     ]
 
 
+def test_c4_word_count_ignores_empty_split_fragments(spark):
+    """Round-10 advice: consecutive/leading/trailing spaces produce
+    empty split fragments that must NOT count as words — a 4-word line
+    padded with a double space used to survive the 5-word floor."""
+    from nextbus2pg_spark.operators.text import c4_line_filter
+
+    filler = "\n".join(
+        ["alpha beta gamma delta five.", "six seven eight nine ten.",
+         "more words to keep page alive."]
+    )
+    page = "\n".join(
+        [
+            filler,
+            "only four real  words.",      # naive count 5, real 4 -> dies
+            "  leading pad but five words.",  # real 5 -> survives
+            "inner  double space five words.",  # real 5 -> survives
+        ]
+    )
+    docs = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    r = c4_line_filter(docs, "doc_id", "text").collect()[0]
+    assert (r.n_lines, r.n_kept) == (6, 5)
+    assert "only four real" not in r.clean_text
+    assert "leading pad" in r.clean_text
+    assert "inner  double space" in r.clean_text
+
+
 def test_html_to_text_edge_cases(spark):
     """The stripper on handwritten traps: nested-looking scripts,
     attributes with >, entity ordering (&amp;lt; must stay literal
