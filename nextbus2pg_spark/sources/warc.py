@@ -36,12 +36,15 @@ rows.
 
 from __future__ import annotations
 
+import codecs
 import gzip
+import re
 import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -235,17 +238,79 @@ def _dechunk_http_body(body: bytes) -> bytes:
     return bytes(out)
 
 
-def split_http_payload(block: bytes) -> tuple[str, bytes]:
+def _decode_content_encoding(body: bytes, ce: str) -> bytes:
+    """Remove ``Content-Encoding`` codings from an HTTP body (RFC 9110
+    §8.4): codings are listed in application order, so decode in
+    reverse. ``gzip``/``x-gzip`` and ``deflate`` are supported —
+    real-world "deflate" ships both zlib-wrapped (the spec) and raw
+    (a common server bug), so the raw window is the fallback. Corrupt
+    streams and unknown codings raise ``ValueError`` (the quarantine
+    contract — silently passing compressed bytes downstream would
+    mojibake every consumer). Memory note: bodies are single records
+    (the member-wise archive inflate already bounds them), so a
+    one-shot decompress here stays O(record)."""
+    for coding in reversed([c.strip() for c in ce.split(",") if c.strip()]):
+        if coding in ("gzip", "x-gzip"):
+            try:
+                body = gzip.decompress(body)
+            except (OSError, zlib.error, EOFError) as e:
+                raise ValueError(
+                    f"corrupt gzip Content-Encoding body: {e}"
+                ) from None
+        elif coding == "deflate":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                try:
+                    body = zlib.decompress(body, -15)  # raw-deflate servers
+                except zlib.error as e:
+                    raise ValueError(
+                        f"corrupt deflate Content-Encoding body: {e}"
+                    ) from None
+        elif coding == "identity":
+            pass
+        else:
+            raise ValueError(f"unsupported Content-Encoding {coding!r}")
+    return body
+
+
+#: <meta charset=...> / <meta http-equiv content="...charset=..."> in
+#: the first bytes of an HTML body (the HTML5 pre-scan window).
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([a-zA-Z0-9_.:-]+)", re.I
+)
+_META_SCAN_BYTES = 1024
+
+
+def _resolve_charset(name: "str | None") -> "str | None":
+    """Declared charset token → a Python codec name, or None when the
+    token is missing/unknown (callers fall back to utf-8-replace —
+    real pages lie about encodings; an unknown label is data noise,
+    not framing corruption, so it must not quarantine the archive)."""
+    if not name:
+        return None
+    try:
+        return codecs.lookup(name.strip().strip("'\"").lower()).name
+    except LookupError:
+        return None
+
+
+def split_http_payload(block: bytes) -> tuple[str, bytes, "str | None"]:
     """For ``response`` records: split the HTTP message into (status
-    line, body) at the first blank line, de-chunking the body when the
-    headers declare ``Transfer-Encoding: chunked``. Blocks that don't
-    start with an HTTP status line pass through as ('', block).
+    line, body, declared charset) at the first blank line — the body
+    de-chunked when the headers declare ``Transfer-Encoding: chunked``
+    and Content-Encoding-decoded (gzip/deflate) after that, i.e. the
+    reverse of the wire application order. The charset comes from the
+    ``Content-Type`` header's ``charset=`` parameter; an HTML body
+    without one is pre-scanned for a ``<meta charset=...>`` tag in its
+    first KiB (the HTML5 rule). Blocks that don't start with an HTTP
+    status line pass through as ('', block, None).
 
     Callers must gate on ``WARC-Type == "response"`` — WET
     ``conversion`` blocks are payload even if their text happens to
     begin with "HTTP/" (``warc_documents`` does this)."""
     if block[:5] != b"HTTP/":
-        return "", block
+        return "", block, None
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
         raise ValueError("HTTP headers not terminated in WARC block")
@@ -253,14 +318,30 @@ def split_http_payload(block: bytes) -> tuple[str, bytes]:
     lines = head.split("\r\n")
     status = lines[0]
     body = block[sep + 4 :]
+    te = ce = ctype = None
     for line in lines[1:]:
         k, _, v = line.partition(":")
-        if k.strip().lower() == "transfer-encoding" and (
-            "chunked" in v.strip().lower()
-        ):
-            body = _dechunk_http_body(body)
-            break
-    return status, body
+        k = k.strip().lower()
+        if k == "transfer-encoding":
+            te = v.strip().lower()
+        elif k == "content-encoding":
+            ce = v.strip().lower()
+        elif k == "content-type":
+            ctype = v.strip()
+    if te and "chunked" in te:
+        body = _dechunk_http_body(body)
+    if ce:
+        body = _decode_content_encoding(body, ce)
+    charset = None
+    if ctype:
+        m = re.search(r"charset\s*=\s*\"?([^\s;\"']+)", ctype, re.I)
+        if m:
+            charset = m.group(1)
+        elif ctype.split(";")[0].strip().lower() == "text/html":
+            mm = _META_CHARSET_RE.search(body[:_META_SCAN_BYTES])
+            if mm:
+                charset = mm.group(1).decode("ascii", "replace")
+    return status, body, charset
 
 
 WARC_DOC_SCHEMA = StructType(
@@ -297,7 +378,11 @@ def warc_documents(
     task ≈ compressed payload + one record + the output flush buffer,
     not the inflated archive); ``response`` records (and only those —
     gated on WARC-Type, not content sniffing) are split into HTTP
-    status + de-chunked body, everything else passes through. Same
+    status + body, the body de-chunked (Transfer-Encoding), then
+    Content-Encoding-decoded (gzip/deflate — most real crawled
+    responses are compressed), then text-decoded per the declared
+    ``charset=`` (header or HTML meta pre-scan, utf-8-replace
+    fallback); everything else passes through. Same
     quarantine contract as the media decoders: ``on_error="null"``
     emits EXACTLY one row per bad archive with the message in
     ``parse_error`` and no partial content rows for that archive.
@@ -323,15 +408,24 @@ def warc_documents(
                         raise ValueError("empty archive payload")
                     for rec in warc_iter_records(bytes(payload)):
                         if rec["type"] == "response":
-                            status, body = split_http_payload(rec["block"])
+                            status, body, charset = split_http_payload(
+                                rec["block"]
+                            )
                         else:
-                            status, body = "", rec["block"]
+                            status, body, charset = "", rec["block"], None
+                        # content_length is the PAYLOAD byte length
+                        # (post de-chunk/decompress, pre text decode);
+                        # the declared charset decodes the text with
+                        # utf-8 fallback, always errors="replace" —
+                        # mis-declared pages are data noise, never a
+                        # reason to quarantine the archive.
+                        enc = _resolve_charset(charset) or "utf-8"
                         arch_rows.append(
                             (
                                 aid, rec["record_id"], rec["type"],
                                 rec["uri"], rec["date"], status or None,
                                 len(body),
-                                body.decode("utf-8", "replace"),
+                                body.decode(enc, "replace"),
                                 None,
                             )
                         )
@@ -377,12 +471,27 @@ def synthetic_warc_archives(
     one archive each (the one-archive-per-task shape), every ODD
     archive uses the Common Crawl gzip-member framing, and every
     fifth document becomes a ``response`` record wrapped in a real
-    HTTP/1.1 message (status + headers + body) — every tenth of THOSE
-    with a chunked transfer-encoding body — while the rest are
-    WET-style ``conversion`` records. All header fields are
-    closed-form in doc_id, so a SQL oracle can verify the parsed
-    fanout (uri, type, status, byte length, content digest) without a
-    WARC parser."""
+    HTTP/1.1 message (status + headers + body) — while the rest are
+    WET-style ``conversion`` records. Response-side wire variety, all
+    classes composable and each an IDENTITY round-trip on the text
+    (so downstream oracles stay closed-form in doc_id):
+
+    - ``d % 45 == 5``  → body UTF-16LE-encoded, ``charset=UTF-16LE``
+      declared (ignoring the charset produces NUL-ridden mojibake —
+      the non-vacuous charset probe; payload bytes = 2× the text);
+    - ``d % 45 == 25`` → body latin-1-encoded with a quoted
+      ``charset="ISO-8859-1"`` (ASCII corpus: exercises the alias +
+      quote parsing path);
+    - ``d % 35 == 0``  → ``Content-Encoding: gzip`` (every 7th
+      response — the Common Crawl norm), ``deflate`` when also
+      ``d % 70 == 0``;
+    - ``d % 50 == 0``  → ``Transfer-Encoding: chunked`` applied to
+      the (possibly compressed) wire bytes — TE over CE, the real
+      application order.
+
+    All header fields are closed-form in doc_id, so a SQL oracle can
+    verify the parsed fanout (uri, type, status, byte length, content
+    digest) without a WARC parser."""
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         aid = int(pdf["archive_id"].iloc[0])
@@ -390,32 +499,46 @@ def synthetic_warc_archives(
         for _, row in pdf.sort_values("doc_id").iterrows():
             d = int(row["doc_id"])
             text = row["text"] if isinstance(row["text"], str) else ""
-            body = text.encode("utf-8")
             if d % 5 == 0:
-                if d % 50 == 0 and body:
-                    # real chunked framing: split body in two chunks
-                    mid = max(1, len(body) // 2)
+                if d % 45 == 5:
+                    body = text.encode("utf-16-le")
+                    ctype = b"text/plain; charset=UTF-16LE"
+                elif d % 45 == 25:
+                    body = text.encode("latin-1")
+                    ctype = b'text/plain; charset="ISO-8859-1"'
+                else:
+                    body = text.encode("utf-8")
+                    ctype = b"text/plain"
+                headers = [b"Content-Type: " + ctype]
+                wire = body
+                if d % 35 == 0:
+                    if d % 70 == 0:
+                        wire = zlib.compress(wire, 6)
+                        headers.append(b"Content-Encoding: deflate")
+                    else:
+                        wire = gzip.compress(wire, 6)
+                        headers.append(b"Content-Encoding: gzip")
+                if d % 50 == 0 and wire:
+                    # real chunked framing: split wire in two chunks
+                    mid = max(1, len(wire) // 2)
                     wire = (
                         format(mid, "x").encode() + b"\r\n"
-                        + body[:mid] + b"\r\n"
-                        + format(len(body) - mid, "x").encode() + b"\r\n"
-                        + body[mid:] + b"\r\n0\r\n\r\n"
+                        + wire[:mid] + b"\r\n"
+                        + format(len(wire) - mid, "x").encode() + b"\r\n"
+                        + wire[mid:] + b"\r\n0\r\n\r\n"
                     )
-                    block = (
-                        b"HTTP/1.1 200 OK\r\n"
-                        b"Content-Type: text/plain\r\n"
-                        b"Transfer-Encoding: chunked\r\n\r\n" + wire
-                    )
+                    headers.append(b"Transfer-Encoding: chunked")
                 else:
-                    block = (
-                        b"HTTP/1.1 200 OK\r\n"
-                        b"Content-Type: text/plain\r\n"
-                        b"Content-Length: " + str(len(body)).encode()
-                        + b"\r\n\r\n" + body
+                    headers.append(
+                        b"Content-Length: " + str(len(wire)).encode()
                     )
+                block = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    + b"\r\n".join(headers) + b"\r\n\r\n" + wire
+                )
                 rtype = "response"
             else:
-                block = body
+                block = text.encode("utf-8")
                 rtype = "conversion"
             recs.append(
                 {
@@ -431,7 +554,78 @@ def synthetic_warc_archives(
             {"archive_id": [aid], "payload": [payload]}
         )
 
-    from pyspark.sql import functions as F
+    grouped = docs.select(
+        (F.col("doc_id") % n_archives).alias("archive_id"),
+        "doc_id",
+        "text",
+    )
+    return grouped.groupBy("archive_id").applyInPandas(
+        _build, schema=WARC_ARCHIVE_SCHEMA
+    )
+
+
+#: (suffix, Content-Type header, python codec) per doc_id % 5 class of
+#: :func:`synthetic_charset_archives`. Suffixes are chosen so decoding
+#: with the WRONG codec (or utf-8-replace) changes the text: § é are
+#: single high bytes in latin-1, € ™ — live in cp1252's 0x80-0x9F
+#: hole (invalid in both latin-1 and utf-8), ✓ is a 3-byte utf-8
+#: sequence.
+_CHARSET_CLASSES = (
+    ("§é", b"text/plain; charset=iso-8859-1", "latin-1"),
+    ("€™", b"text/plain; charset=windows-1252", "cp1252"),
+    ("—", b"text/html", "cp1252"),  # charset via <meta> pre-scan
+    ("✓", b"text/plain; charset=utf-8", "utf-8"),
+    ("", b"text/plain; charset=x-unknown-999", "utf-8"),  # fallback
+)
+
+#: The HTML pre-scan head for class 2 (ASCII, so it encodes
+#: identically in cp1252 and utf-8 — the meta tag must be readable
+#: before the charset is known).
+_META_HEAD = '<meta charset="windows-1252"> '
+
+
+def synthetic_charset_archives(
+    docs: DataFrame, n_archives: int = 8
+) -> DataFrame:
+    """Charset-fidelity fixture generator (round-11 verdict item 2):
+    EVERY document becomes a ``response`` record whose body carries a
+    closed-form NON-ASCII suffix in a declared legacy encoding — the
+    cases real crawls hit that the identity-preserving main generator
+    cannot probe (its corpus is ASCII). Classes by ``doc_id % 5``:
+    header-declared latin-1 and windows-1252 (suffixes that mojibake
+    under utf-8-replace), an HTML page whose charset arrives ONLY via
+    the ``<meta charset=...>`` pre-scan, an explicit utf-8, and an
+    unknown label that must fall back to utf-8 untouched. Suffixes and
+    headers are closed-form in doc_id, so the SQL oracle states the
+    expected decoded text (DuckDB ``chr()``) and payload byte length
+    per class."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        aid = int(pdf["archive_id"].iloc[0])
+        recs = []
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            d = int(row["doc_id"])
+            text = row["text"] if isinstance(row["text"], str) else ""
+            suffix, ctype, codec = _CHARSET_CLASSES[d % 5]
+            content = (_META_HEAD if d % 5 == 2 else "") + text + suffix
+            body = content.encode(codec)
+            block = (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: " + ctype + b"\r\n"
+                b"Content-Length: " + str(len(body)).encode()
+                + b"\r\n\r\n" + body
+            )
+            recs.append(
+                {
+                    "type": "response",
+                    "uri": f"https://example.org/doc/{d}",
+                    "date": "2026-01-01T00:00:00Z",
+                    "record_id": f"urn:doc:{d}",
+                    "block": block,
+                }
+            )
+        payload = warc_write_records(recs, gzip_members=bool(aid % 2))
+        return pd.DataFrame({"archive_id": [aid], "payload": [payload]})
 
     grouped = docs.select(
         (F.col("doc_id") % n_archives).alias("archive_id"),

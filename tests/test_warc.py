@@ -6,6 +6,7 @@ the quarantine contract."""
 from __future__ import annotations
 
 import gzip
+import zlib
 
 import pytest
 
@@ -61,11 +62,11 @@ def test_binary_blocks_with_embedded_crlf_survive():
 
 
 def test_http_split():
-    status, body = split_http_payload(
+    status, body, _cs = split_http_payload(
         b"HTTP/1.1 404 Not Found\r\nX: y\r\n\r\npayload"
     )
     assert status == "HTTP/1.1 404 Not Found" and body == b"payload"
-    status, body = split_http_payload(b"plain WET content")
+    status, body, _cs = split_http_payload(b"plain WET content")
     assert status == "" and body == b"plain WET content"
     with pytest.raises(ValueError, match="HTTP headers"):
         split_http_payload(b"HTTP/1.1 200 OK\r\nnever-terminated")
@@ -131,10 +132,10 @@ def test_chunked_transfer_encoding_dechunked():
         b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
         b"5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\nX-Trailer: t\r\n\r\n"
     )
-    status, out = split_http_payload(body)
+    status, out, _cs = split_http_payload(body)
     assert status == "HTTP/1.1 200 OK" and out == b"hello world"
     # uppercase header name + mixed casing of the value still triggers
-    status, out = split_http_payload(
+    status, out, _cs = split_http_payload(
         b"HTTP/1.1 200 OK\r\nTRANSFER-ENCODING: Chunked\r\n\r\n"
         b"3\r\nabc\r\n0\r\n\r\n"
     )
@@ -150,10 +151,127 @@ def test_chunked_transfer_encoding_dechunked():
             b"ff\r\nshort"
         )
     # a NON-chunked response is untouched even if its body looks hexy
-    status, out = split_http_payload(
+    status, out, _cs = split_http_payload(
         b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n5\r\nhello"
     )
     assert out == b"5\r\nhello"
+
+
+def test_content_encoding_gzip_deflate_decoded():
+    """RFC 9110 Content-Encoding removal (round-11 verdict item 1):
+    gzip (+ x-gzip alias), zlib-wrapped deflate, raw-deflate server
+    fallback; corrupt streams and unknown codings raise (quarantine)."""
+    body = b"the quick brown payload"
+    _raw = zlib.compressobj(wbits=-15)
+    raw_deflate = _raw.compress(body) + _raw.flush()
+    for ce, wire in (
+        (b"gzip", gzip.compress(body)),
+        (b"x-gzip", gzip.compress(body)),
+        (b"deflate", zlib.compress(body)),
+        (b"deflate", raw_deflate),  # raw-deflate server fallback
+    ):
+        msg = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: " + ce + b"\r\n\r\n"
+            + wire
+        )
+        status, out, _cs = split_http_payload(msg)
+        assert out == body, ce
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        split_http_payload(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip"
+        )
+    with pytest.raises(ValueError, match="unsupported Content-Encoding"):
+        split_http_payload(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxxxx"
+        )
+
+
+def test_transfer_then_content_encoding_order():
+    """TE is applied over CE on the wire, so decoding must de-chunk
+    FIRST, then decompress — chunk the gzipped bytes and round-trip."""
+    body = b"order matters for these bytes " * 4
+    wire = gzip.compress(body)
+    mid = len(wire) // 2
+    chunked = (
+        format(mid, "x").encode() + b"\r\n" + wire[:mid] + b"\r\n"
+        + format(len(wire) - mid, "x").encode() + b"\r\n" + wire[mid:]
+        + b"\r\n0\r\n\r\n"
+    )
+    msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+    status, out, _cs = split_http_payload(msg)
+    assert out == body
+
+
+def test_charset_detection_header_and_meta():
+    """charset= from the Content-Type header (quoted or bare, any
+    case); HTML bodies without one get the <meta> pre-scan; non-HTML
+    bodies do not; unknown labels resolve to the utf-8 fallback."""
+    from nextbus2pg_spark.sources.warc import _resolve_charset
+
+    def cs(ctype, body=b"x"):
+        return split_http_payload(
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n"
+            + body
+        )[2]
+
+    assert cs(b"text/plain; charset=ISO-8859-1") == "ISO-8859-1"
+    assert cs(b'text/html; CHARSET="windows-1252"') == "windows-1252"
+    meta = b'<html><head><meta charset="utf-16-le"></head>'
+    assert cs(b"text/html", meta) == "utf-16-le"
+    meta2 = (
+        b"<meta http-equiv=\"Content-Type\" "
+        b"content=\"text/html; charset=gb2312\">"
+    )
+    assert cs(b"text/html", meta2) == "gb2312"
+    assert cs(b"text/plain", meta) is None       # no pre-scan off HTML
+    assert cs(b"application/json") is None
+    # resolution: aliases land on stdlib codecs; unknown -> None
+    assert _resolve_charset("ISO-8859-1") == "iso8859-1"
+    assert _resolve_charset('"Windows-1252"') == "cp1252"
+    assert _resolve_charset("x-unknown-999") is None
+    assert _resolve_charset(None) is None
+
+
+def test_warc_documents_decodes_declared_charsets(spark):
+    """End-to-end: UTF-16LE and cp1252 response bodies decode to the
+    original text through the declared charset; payload lengths are
+    the ENCODED byte counts."""
+    from nextbus2pg_spark.sources.warc import warc_documents
+
+    text16, text1252 = "utf sixteen §", "euro € dash —"
+    recs = []
+    for i, (txt, enc, ct) in enumerate(
+        [
+            (text16, "utf-16-le", b"text/plain; charset=UTF-16LE"),
+            (text1252, "cp1252", b"text/plain; charset=windows-1252"),
+        ]
+    ):
+        body = txt.encode(enc)
+        recs.append(
+            {
+                "type": "response", "uri": f"https://x.example/{i}",
+                "date": "2026-01-01T00:00:00Z", "record_id": f"urn:r:{i}",
+                "block": (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: " + ct + b"\r\n"
+                    b"Content-Length: " + str(len(body)).encode()
+                    + b"\r\n\r\n" + body
+                ),
+            }
+        )
+    df = spark.createDataFrame(
+        [(1, bytearray(warc_write_records(recs)))],
+        "archive_id long, payload binary",
+    )
+    rows = {r.uri: r for r in warc_documents(df).collect()}
+    assert rows["https://x.example/0"].content == text16
+    assert rows["https://x.example/0"].content_length == 2 * len(text16)
+    assert rows["https://x.example/1"].content == text1252
+    assert rows["https://x.example/1"].content_length == len(
+        text1252.encode("cp1252")
+    )
 
 
 def test_wet_record_starting_with_http_not_split(spark):
