@@ -2429,6 +2429,71 @@ def q_warc_charset(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_warc_revisit",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         min('urn:cap1:' || CAST(doc_id AS VARCHAR))
+           OVER (PARTITION BY md5(coalesce(text, ''))) AS min_rid
+  FROM documents
+)
+SELECT doc_id,
+       doc_id % 3 <> 1 AS was_revisit,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'urn:cap1:' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 3 = 2 THEN min_rid
+            ELSE NULL END AS resolved_record_id,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN strlen(t) + 3
+                 ELSE strlen(t) END AS INTEGER) AS content_length,
+       md5(CASE WHEN doc_id % 3 = 1 THEN t || ' v2' ELSE t END)
+         AS content_md5
+FROM m
+""",
+)
+def q_warc_revisit(spark: SparkSession, sf_dir: str):
+    """WARC ``revisit`` resolution end-to-end (round-11 verdict item
+    5; sources/warc.resolve_revisits): a two-snapshot crawl — every
+    document captured in snapshot 1 with its payload digest, snapshot
+    2 re-crawling as revisit-by-reference (d%3==0), fresh content
+    (d%3==1, text + " v2"), or revisit-by-digest-only (d%3==2, the
+    identical-payload-digest fallback) — parsed once through
+    warc_documents and the snapshot-2 revisits filled from the
+    snapshot-1 captures they reference.
+
+    The oracle is GROUND TRUTH per doc_id residue: which rows are
+    revisits, the record they must resolve to (digest-fallback ties —
+    duplicate texts exist at sf0.1 — break to the MIN original
+    record_id, replayed by a window-min over the text digest), and
+    the resolved content's md5 + byte length — a parser that ingests
+    revisit blocks as content emits near-empty documents and flunks
+    every field."""
+    from nextbus2pg_spark.sources.warc import (
+        resolve_revisits,
+        synthetic_revisit_archives,
+        warc_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # one parse feeds BOTH join sides (originals + revisits) — the
+    # checkpoint stops the archive build/parse lineage from running
+    # twice, the same justification as the capstone's.
+    parsed = warc_documents(
+        synthetic_revisit_archives(docs)
+    ).localCheckpoint(eager=True)
+    snap1 = parsed.where(F.col("archive_id") < 8)
+    snap2 = parsed.where(F.col("archive_id") >= 8)
+    out = resolve_revisits(snap2, originals=snap1)
+    return out.select(
+        F.regexp_extract("uri", r"doc/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "was_revisit",
+        "resolved_record_id",
+        "content_length",
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+@fixture(
     "q_media_video_frames",
     oracle="""
 WITH d AS (

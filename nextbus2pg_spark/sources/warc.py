@@ -75,8 +75,19 @@ def warc_write_records(
             + b"WARC-Record-ID: <" + r["record_id"].encode() + b">" + _CRLF
             + b"WARC-Target-URI: " + r["uri"].encode() + _CRLF
             + b"WARC-Date: " + r["date"].encode() + _CRLF
-            + b"Content-Length: " + str(len(block)).encode() + _CRLF
-            + _CRLF
+        )
+        if r.get("refers_to"):
+            head += (
+                b"WARC-Refers-To: <" + r["refers_to"].encode() + b">"
+                + _CRLF
+            )
+        if r.get("payload_digest"):
+            head += (
+                b"WARC-Payload-Digest: " + r["payload_digest"].encode()
+                + _CRLF
+            )
+        head += (
+            b"Content-Length: " + str(len(block)).encode() + _CRLF + _CRLF
         )
         rec = head + block + _CRLF + _CRLF
         out += gzip.compress(rec, 6) if gzip_members else rec
@@ -142,6 +153,15 @@ class _RecordScanner:
                 "uri": fields.get("warc-target-uri", ""),
                 "date": fields.get("warc-date", ""),
                 "record_id": fields.get("warc-record-id", "").strip("<>"),
+                # revisit-record plumbing (round-11): who this capture
+                # refers to, and the payload digest CC stamps on both
+                # originals and revisits (the digest-dedup join key).
+                "refers_to": (
+                    fields.get("warc-refers-to", "").strip("<>") or None
+                ),
+                "payload_digest": (
+                    fields.get("warc-payload-digest") or None
+                ),
                 "block": block,
             }
             pos = block_start + length
@@ -351,6 +371,8 @@ WARC_DOC_SCHEMA = StructType(
         StructField("warc_type", StringType(), True),
         StructField("uri", StringType(), True),
         StructField("warc_date", StringType(), True),
+        StructField("refers_to", StringType(), True),
+        StructField("payload_digest", StringType(), True),
         StructField("http_status", StringType(), True),
         StructField("content_length", IntegerType(), True),
         StructField("content", StringType(), True),
@@ -360,6 +382,7 @@ WARC_DOC_SCHEMA = StructType(
 
 _DOC_COLUMNS = [
     "archive_id", "record_id", "warc_type", "uri", "warc_date",
+    "refers_to", "payload_digest",
     "http_status", "content_length", "content", "parse_error",
 ]
 
@@ -423,7 +446,9 @@ def warc_documents(
                         arch_rows.append(
                             (
                                 aid, rec["record_id"], rec["type"],
-                                rec["uri"], rec["date"], status or None,
+                                rec["uri"], rec["date"],
+                                rec["refers_to"], rec["payload_digest"],
+                                status or None,
                                 len(body),
                                 body.decode(enc, "replace"),
                                 None,
@@ -437,7 +462,7 @@ def warc_documents(
                         raise
                     arch_rows = [
                         (aid, None, None, None, None, None, None, None,
-                         str(e))
+                         None, None, str(e))
                     ]
                     arch_bytes = 0
                 rows.extend(arch_rows)
@@ -629,6 +654,162 @@ def synthetic_charset_archives(
 
     grouped = docs.select(
         (F.col("doc_id") % n_archives).alias("archive_id"),
+        "doc_id",
+        "text",
+    )
+    return grouped.groupBy("archive_id").applyInPandas(
+        _build, schema=WARC_ARCHIVE_SCHEMA
+    )
+
+
+def resolve_revisits(
+    docs: DataFrame, originals: "DataFrame | None" = None
+) -> DataFrame:
+    """Resolve WARC ``revisit`` records (round-11 verdict item 5) —
+    the digest-based dedup references Common Crawl emits for
+    recrawled-unchanged pages. A revisit's block is (at most) HTTP
+    headers, so ingesting it as content yields a near-empty document;
+    the correct move is to fill it from the capture it references.
+
+    Input: ``warc_documents`` output (the snapshot being ingested);
+    ``originals`` an optional second parse to resolve against (e.g.
+    the previous crawl) — defaults to ``docs`` itself. Resolution
+    precedence per the WARC spec's revisit profile: ``WARC-Refers-To``
+    → original ``record_id`` first; unresolved revisits fall back to
+    ``WARC-Payload-Digest`` equality (``identical-payload-digest``),
+    ties broken deterministically by MIN original record_id (identical
+    payloads make the content identical either way). Output: every
+    input row, with revisit rows' ``content`` / ``content_length`` /
+    ``http_status`` filled from the resolved original, plus
+    ``was_revisit`` and ``resolved_record_id`` (NULL when a revisit
+    resolves nowhere — it keeps its own, near-empty, block).
+
+    Scale shape: two equi-joins keyed on record_id / digest (both
+    bounded, shuffle-partitioned; no broadcast of corpus-sized sides)
+    plus a unionByName with the non-revisit passthrough. The digest
+    side first collapses to one row per digest (min record_id) so the
+    join is key-unique — never a fanout."""
+    src = originals if originals is not None else docs
+    orig = src.where(
+        (F.col("warc_type") != "revisit") & F.col("parse_error").isNull()
+    ).select(
+        "record_id", "payload_digest", "http_status",
+        "content_length", "content",
+    )
+    payload = F.struct(
+        "record_id", "http_status", "content_length", "content"
+    )
+    by_id = orig.groupBy(F.col("record_id").alias("__rid")).agg(
+        F.min(payload).alias("__by_id")
+    )
+    by_digest = orig.where(F.col("payload_digest").isNotNull()).groupBy(
+        F.col("payload_digest").alias("__dig")
+    ).agg(F.min(payload).alias("__by_dig"))
+
+    is_rev = (F.col("warc_type") == "revisit") & F.col(
+        "parse_error"
+    ).isNull()
+    passthrough = docs.where(~is_rev | is_rev.isNull()).select(
+        *docs.columns,
+        F.lit(False).alias("was_revisit"),
+        F.lit(None).cast("string").alias("resolved_record_id"),
+    )
+    rev = (
+        docs.where(is_rev)
+        .join(by_id, F.col("refers_to") == F.col("__rid"), "left")
+        .join(
+            by_digest,
+            F.col("payload_digest") == F.col("__dig"),
+            "left",
+        )
+    )
+    hit = F.coalesce(F.col("__by_id"), F.col("__by_dig"))
+    resolved = rev.select(
+        "archive_id", "record_id", "warc_type", "uri", "warc_date",
+        "refers_to", "payload_digest",
+        F.coalesce(hit["http_status"], F.col("http_status"))
+        .alias("http_status"),
+        F.coalesce(hit["content_length"], F.col("content_length"))
+        .alias("content_length"),
+        F.coalesce(hit["content"], F.col("content")).alias("content"),
+        "parse_error",
+        F.lit(True).alias("was_revisit"),
+        hit["record_id"].alias("resolved_record_id"),
+    )
+    return passthrough.unionByName(resolved)
+
+
+def synthetic_revisit_archives(
+    docs: DataFrame, n_archives: int = 8
+) -> DataFrame:
+    """Two-snapshot crawl fixture for :func:`resolve_revisits`:
+    snapshot 1 (archives ``0..n-1``) captures every document as a
+    ``response`` record ``urn:cap1:<d>`` stamped with its payload
+    digest ``md5:<md5(text)>``; snapshot 2 (archives ``n..2n-1``)
+    re-crawls — by ``doc_id % 3``: 0 → a ``revisit`` carrying BOTH
+    WARC-Refers-To and the digest (resolved by id), 1 → fresh content
+    (text + " v2", a real change), 2 → a ``revisit`` carrying ONLY the
+    payload digest (the digest-fallback path; duplicate texts in the
+    corpus make the min-record-id tie rule observable). Everything is
+    closed-form in doc_id for the SQL oracle."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        aid = int(pdf["archive_id"].iloc[0])
+        snap2 = aid >= n_archives
+        recs = []
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            d = int(row["doc_id"])
+            text = row["text"] if isinstance(row["text"], str) else ""
+            import hashlib
+
+            digest = "md5:" + hashlib.md5(text.encode()).hexdigest()
+            uri = f"https://example.org/doc/{d}"
+            date = "2026-02-01T00:00:00Z" if snap2 else (
+                "2026-01-01T00:00:00Z"
+            )
+            if not snap2:
+                body = text.encode()
+                recs.append({
+                    "type": "response", "uri": uri, "date": date,
+                    "record_id": f"urn:cap1:{d}",
+                    "payload_digest": digest,
+                    "block": (
+                        b"HTTP/1.1 200 OK\r\nContent-Length: "
+                        + str(len(body)).encode() + b"\r\n\r\n" + body
+                    ),
+                })
+            elif d % 3 == 1:
+                body = (text + " v2").encode()
+                recs.append({
+                    "type": "response", "uri": uri, "date": date,
+                    "record_id": f"urn:cap2:{d}",
+                    "payload_digest": "md5:" + hashlib.md5(body)
+                    .hexdigest(),
+                    "block": (
+                        b"HTTP/1.1 200 OK\r\nContent-Length: "
+                        + str(len(body)).encode() + b"\r\n\r\n" + body
+                    ),
+                })
+            else:
+                recs.append({
+                    "type": "revisit", "uri": uri, "date": date,
+                    "record_id": f"urn:cap2:{d}",
+                    "payload_digest": digest,
+                    # d%3==0 carries the direct reference; d%3==2
+                    # exercises the digest-only fallback
+                    "refers_to": f"urn:cap1:{d}" if d % 3 == 0 else None,
+                    "block": b"",
+                })
+        payload = warc_write_records(recs, gzip_members=bool(aid % 2))
+        return pd.DataFrame({"archive_id": [aid], "payload": [payload]})
+
+    grouped = docs.select(
+        (F.col("doc_id") % n_archives).alias("snap1"),
+        (F.col("doc_id") % n_archives + n_archives).alias("snap2"),
+        "doc_id",
+        "text",
+    ).select(
+        F.explode(F.array("snap1", "snap2")).alias("archive_id"),
         "doc_id",
         "text",
     )

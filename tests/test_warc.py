@@ -296,6 +296,66 @@ def test_wet_record_starting_with_http_not_split(spark):
     assert rows[0].content == tricky and rows[0].http_status is None
 
 
+def test_resolve_revisits_precedence_and_unresolved(spark):
+    """WARC revisit semantics: refers_to resolution beats the digest
+    fallback; a revisit resolving nowhere keeps its own (empty) block
+    with resolved_record_id NULL; non-revisit rows pass through."""
+    from nextbus2pg_spark.sources.warc import (
+        resolve_revisits,
+        warc_documents,
+        warc_write_records,
+    )
+
+    def resp(rid, text, digest):
+        body = text.encode()
+        return {
+            "type": "response", "uri": f"https://x.example/{rid}",
+            "date": "2026-01-01T00:00:00Z", "record_id": rid,
+            "payload_digest": digest,
+            "block": (
+                b"HTTP/1.1 200 OK\r\nContent-Length: "
+                + str(len(body)).encode() + b"\r\n\r\n" + body
+            ),
+        }
+
+    recs = [
+        resp("urn:a", "alpha content", "md5:AAA"),
+        resp("urn:b", "beta content", "md5:BBB"),
+        # refers to urn:a but carries urn:b's digest: id must win
+        {"type": "revisit", "uri": "https://x.example/r1",
+         "date": "2026-02-01T00:00:00Z", "record_id": "urn:r1",
+         "refers_to": "urn:a", "payload_digest": "md5:BBB",
+         "block": b""},
+        # digest-only fallback
+        {"type": "revisit", "uri": "https://x.example/r2",
+         "date": "2026-02-01T00:00:00Z", "record_id": "urn:r2",
+         "payload_digest": "md5:BBB", "block": b""},
+        # resolves nowhere
+        {"type": "revisit", "uri": "https://x.example/r3",
+         "date": "2026-02-01T00:00:00Z", "record_id": "urn:r3",
+         "refers_to": "urn:gone", "payload_digest": "md5:ZZZ",
+         "block": b""},
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(warc_write_records(recs)))],
+        "archive_id long, payload binary",
+    )
+    out = {
+        r.record_id: r
+        for r in resolve_revisits(warc_documents(df)).collect()
+    }
+    assert len(out) == 5
+    assert out["urn:a"].was_revisit is False
+    assert out["urn:a"].resolved_record_id is None
+    assert out["urn:r1"].resolved_record_id == "urn:a"
+    assert out["urn:r1"].content == "alpha content"
+    assert out["urn:r2"].resolved_record_id == "urn:b"
+    assert out["urn:r2"].content == "beta content"
+    assert out["urn:r2"].content_length == len("beta content")
+    assert out["urn:r3"].resolved_record_id is None
+    assert out["urn:r3"].content == "" and out["urn:r3"].was_revisit
+
+
 def test_bad_archive_yields_exactly_one_error_row(spark):
     """Atomic quarantine: an archive whose FIRST records parse but a
     later one is malformed yields ONE error row and zero partial
