@@ -816,3 +816,23 @@ def synthetic_revisit_archives(
     return grouped.groupBy("archive_id").applyInPandas(
         _build, schema=WARC_ARCHIVE_SCHEMA
     )
+
+
+def warc_spool_archives(spark, spool_dir: str) -> DataFrame:
+    """Read a ``CdxRangeFetcher`` spool (one fetched WARC record — a
+    complete gzip member in the CC layout — per ``*.warcrec`` file)
+    as the ``(archive_id, payload)`` frame ``warc_documents``
+    consumes: the executor-parallel ``binaryFile`` source, one spool
+    file per row, archive_id = xxhash64 of the path (stable across
+    re-reads; in-flight ``.tmp-`` files are invisible — Hadoop's
+    listing skips dot-prefixed paths, the same atomicity contract the
+    feed spool relies on)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warcrec")
+        .load(spool_dir)
+        .select(
+            F.xxhash64("path").alias("archive_id"),
+            F.col("content").alias("payload"),
+        )
+    )

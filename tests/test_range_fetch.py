@@ -1,0 +1,219 @@
+"""CDX-manifest ranged fetch (sources/http_fetcher.CdxRangeFetcher):
+hermetic tests against a localhost stdlib http.server serving a real
+gzip-membered WARC archive — individual records are fetched by HTTP
+Range straight off the CDX index's (filename, offset, length) triples,
+land atomically in a spool, and parse back through warc_documents via
+the binaryFile source. Restart/resume soak mirrors test_http_fetcher:
+the spool filenames are the ledger."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from nextbus2pg_spark.sources.http_fetcher import (
+    CdxRangeFetcher,
+    FeedHttpClient,
+)
+from nextbus2pg_spark.sources.warc import (
+    warc_parse,
+    warc_write_records,
+)
+
+ARCHIVE_PATH = "crawl-data/seg0/file1.warc.gz"
+
+
+def _make_archive(n: int = 6):
+    """Build a gzip-membered archive, returning (bytes, captures) —
+    one (filename, offset, length) capture per member, exactly what a
+    CDX index records."""
+    blob = bytearray()
+    captures = []
+    for i in range(n):
+        member = warc_write_records(
+            [{
+                "type": "conversion",
+                "uri": f"https://x.example/page/{i}",
+                "date": "2026-01-01T00:00:00Z",
+                "record_id": f"urn:rec:{i}",
+                "block": (f"record {i} content " * (i + 1)).encode(),
+            }],
+            gzip_members=True,
+        )
+        captures.append(
+            {"filename": ARCHIVE_PATH, "offset": len(blob),
+             "length": len(member)}
+        )
+        blob += member
+    return bytes(blob), captures
+
+
+class _ArchiveHandler(BaseHTTPRequestHandler):
+    files: "dict[str, bytes]" = {}
+    requests: "list[str | None]" = []  # Range header per request
+    ignore_range = False
+    fail_next = 0
+
+    def do_GET(self):  # noqa: N802 - http.server API
+        cls = type(self)
+        cls.requests.append(self.headers.get("Range"))
+        if cls.fail_next > 0:
+            cls.fail_next -= 1
+            self.send_response(503)
+            self.end_headers()
+            return
+        data = cls.files.get(self.path.lstrip("/"))
+        if data is None:
+            self.send_response(404)
+            self.end_headers()
+            return
+        rng = self.headers.get("Range")
+        if rng and not cls.ignore_range:
+            lo, hi = rng.removeprefix("bytes=").split("-")
+            lo, hi = int(lo), int(hi)
+            body = data[lo : hi + 1]
+            self.send_response(206)
+            self.send_header(
+                "Content-Range", f"bytes {lo}-{hi}/{len(data)}"
+            )
+        else:
+            body = data
+            self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # silence test output
+        pass
+
+
+@pytest.fixture()
+def archive_server():
+    _ArchiveHandler.files = {}
+    _ArchiveHandler.requests = []
+    _ArchiveHandler.ignore_range = False
+    _ArchiveHandler.fail_next = 0
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _ArchiveHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_index_first_pipeline_ends_in_record_bytes(
+    archive_server, tmp_path, spark
+):
+    """The full index-first story: CDXJ lines → cdx_records → collect
+    the (filename, offset, length) triples → ranged fetch → spool →
+    binaryFile → warc_documents rows matching the original records."""
+    from nextbus2pg_spark.sources.cdx import cdx_records
+    from nextbus2pg_spark.sources.warc import (
+        warc_documents,
+        warc_spool_archives,
+    )
+
+    blob, captures = _make_archive(6)
+    _ArchiveHandler.files[ARCHIVE_PATH] = blob
+    # real CDXJ lines for the archive's members
+    lines = [
+        (
+            f"com,example,x)/page/{i} 2026010100000{i} "
+            + json.dumps({
+                "url": f"https://x.example/page/{i}",
+                "mime": "text/plain", "status": "200",
+                "digest": f"d{i}",
+                "length": str(c["length"]),
+                "offset": str(c["offset"]),
+                "filename": c["filename"],
+            })
+        )
+        for i, c in enumerate(captures)
+    ]
+    recs = cdx_records(
+        spark.createDataFrame([(ln,) for ln in lines], "value string")
+    )
+    todo = [
+        r.asDict()
+        for r in recs.select("filename", "offset", "length").collect()
+    ]
+    spool = tmp_path / "spool"
+    f = CdxRangeFetcher(
+        archive_server, str(spool), client=FeedHttpClient(retries=1)
+    )
+    assert f.fetch(todo) == 6
+    # every request was a ranged one (never the whole archive)
+    assert all(r and r.startswith("bytes=") for r in _ArchiveHandler.requests)
+    parsed = warc_documents(warc_spool_archives(spark, str(spool)))
+    rows = {r.record_id: r.content for r in parsed.collect()}
+    assert rows == {
+        f"urn:rec:{i}": f"record {i} content " * (i + 1) for i in range(6)
+    }
+
+
+def test_fetch_resumes_from_spool_ledger(archive_server, tmp_path):
+    """Restart soak: a fetcher that dies mid-manifest re-runs and
+    fetches ONLY the missing captures (the filenames are the ledger);
+    a fully-fetched manifest is a no-op with zero HTTP requests."""
+    blob, captures = _make_archive(5)
+    _ArchiveHandler.files[ARCHIVE_PATH] = blob
+    spool = tmp_path / "spool"
+
+    class _DiesAfter(FeedHttpClient):
+        def __init__(self, n):
+            super().__init__(retries=1)
+            self.left = n
+
+        def get_range(self, url, offset, length):
+            if self.left <= 0:
+                raise OSError("simulated crash")
+            self.left -= 1
+            return super().get_range(url, offset, length)
+
+    f1 = CdxRangeFetcher(
+        archive_server, str(spool), client=_DiesAfter(2)
+    )
+    with pytest.raises(OSError, match="simulated crash"):
+        f1.fetch(captures)
+    assert len(f1.fetched()) == 2  # two durable, nothing partial
+
+    f2 = CdxRangeFetcher(
+        archive_server, str(spool), client=FeedHttpClient(retries=1)
+    )
+    _ArchiveHandler.requests = []
+    assert f2.fetch(captures) == 3  # only the missing tail
+    assert len(_ArchiveHandler.requests) == 3
+    assert len(f2.fetched()) == 5
+    _ArchiveHandler.requests = []
+    assert f2.fetch(captures) == 0  # idempotent re-run: no requests
+    assert _ArchiveHandler.requests == []
+    # the spooled members parse standalone
+    for name in f2.fetched():
+        data = (spool / name).read_bytes()
+        assert len(warc_parse(data)) == 1
+
+
+def test_range_ignoring_server_and_retries(archive_server, tmp_path):
+    """A server that ignores Range (200 + full body) still yields the
+    right slice; a transient 503 is retried with backoff."""
+    blob, captures = _make_archive(3)
+    _ArchiveHandler.files[ARCHIVE_PATH] = blob
+    _ArchiveHandler.ignore_range = True
+    client = FeedHttpClient(retries=3, backoff_s=0, sleep=lambda s: None)
+    c = captures[1]
+    got = client.get_range(
+        f"{archive_server}/{ARCHIVE_PATH}", c["offset"], c["length"]
+    )
+    assert got == blob[c["offset"] : c["offset"] + c["length"]]
+    assert warc_parse(got)[0]["record_id"] == "urn:rec:1"
+
+    _ArchiveHandler.ignore_range = False
+    _ArchiveHandler.fail_next = 1
+    got = client.get_range(
+        f"{archive_server}/{ARCHIVE_PATH}", c["offset"], c["length"]
+    )
+    assert warc_parse(got)[0]["record_id"] == "urn:rec:1"
+    with pytest.raises(ValueError, match="invalid byte range"):
+        client.get_range(f"{archive_server}/{ARCHIVE_PATH}", -1, 5)
