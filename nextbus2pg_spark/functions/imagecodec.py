@@ -10,11 +10,14 @@ published file-format specifications with nothing beyond ``zlib``,
 decode in parallel, the driver never sees a payload.
 
 Scope (documented, checked, and raised on): 8-bit samples, PNG color
-types 0 (gray), 2 (RGB) and 6 (RGBA), no interlacing, no palette.
-That covers the thumbnails/tiles a curation pipeline normalizes;
-exotic variants should be transcoded upstream. Color decodes to
-grayscale with the exact integer mean ``(r + g + b) // 3`` so every
-engine reproduces the bytes bit-for-bit (no FP luma weights).
+types 0 (gray), 2 (RGB) and 6 (RGBA), both progressive orders —
+sequential and Adam7 interlaced (round-11: the seven-pass
+sub-image walk over the same five-filter reconstruction) — no
+palette. That covers the thumbnails/tiles a curation pipeline
+normalizes; exotic variants should be transcoded upstream. Color
+decodes to grayscale with the exact integer mean ``(r + g + b) // 3``
+so every engine reproduces the bytes bit-for-bit (no FP luma
+weights).
 
 The matching encoder exists so pipelines (and the correctness oracle)
 can fabricate REAL compressed payloads deterministically; its
@@ -56,22 +59,20 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def png_encode_gray(img: np.ndarray, filter_mode: str = "cycle") -> bytes:
-    """Encode an ``(h, w)`` uint8 grayscale array as a real PNG.
+#: Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+#: for each of the seven passes, in transmission order.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    ``filter_mode="cycle"`` assigns scanline ``r`` filter type
-    ``r % 5`` — deliberately touring None/Sub/Up/Average/Paeth so a
-    decoder round-trip proves every reconstruction branch; ``"none"``
-    emits filter 0 throughout (fastest, what most writers do for
-    synthetic data).
-    """
-    img = np.ascontiguousarray(img, dtype=np.uint8)
-    if img.ndim != 2:
-        raise ValueError(f"expected (h, w) grayscale; got shape {img.shape}")
+
+def _filter_scanlines(img: np.ndarray, filter_mode: str) -> bytearray:
+    """Filter an ``(h, w)`` single-channel sub-image into the PNG raw
+    scanline stream (filter byte + filtered samples per row). The
+    ``prev`` row resets to zero at the top — each Adam7 pass is an
+    independent sub-image per the spec."""
     h, w = img.shape
-    if h < 1 or w < 1:
-        raise ValueError(f"image must be non-empty; got {h}x{w}")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
     raw = bytearray()
     prev = np.zeros(w, dtype=np.int32)
     for r in range(h):
@@ -97,6 +98,37 @@ def png_encode_gray(img: np.ndarray, filter_mode: str = "cycle") -> bytes:
                 flt[c] = (int(line[c]) - _paeth(a, b, cc)) & 0xFF
         raw.extend(flt.astype(np.uint8).tobytes())
         prev = line
+    return raw
+
+
+def png_encode_gray(
+    img: np.ndarray, filter_mode: str = "cycle", interlace: bool = False
+) -> bytes:
+    """Encode an ``(h, w)`` uint8 grayscale array as a real PNG.
+
+    ``filter_mode="cycle"`` assigns scanline ``r`` filter type
+    ``r % 5`` — deliberately touring None/Sub/Up/Average/Paeth so a
+    decoder round-trip proves every reconstruction branch; ``"none"``
+    emits filter 0 throughout (fastest, what most writers do for
+    synthetic data). ``interlace=True`` emits the Adam7 seven-pass
+    order (each pass its own filtered sub-image; empty passes —
+    possible below 8x8 — transmit nothing, per the spec).
+    """
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError(f"expected (h, w) grayscale; got shape {img.shape}")
+    h, w = img.shape
+    if h < 1 or w < 1:
+        raise ValueError(f"image must be non-empty; got {h}x{w}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, int(interlace))
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size:
+                raw += _filter_scanlines(sub, filter_mode)
+    else:
+        raw = _filter_scanlines(img, filter_mode)
     return (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -105,14 +137,62 @@ def png_encode_gray(img: np.ndarray, filter_mode: str = "cycle") -> bytes:
     )
 
 
+def _unfilter_scanlines(
+    raw: bytes, pos: int, h: int, stride: int, ch: int
+) -> tuple[np.ndarray, int]:
+    """Reconstruct ``h`` scanlines of ``stride`` bytes starting at
+    ``pos`` in the inflated stream (filter byte + samples per row;
+    ``ch`` = bytes per pixel for the left-neighbor distance). Returns
+    the ``(h, stride)`` array and the next stream position. Shared by
+    the sequential path (one call) and Adam7 (one call per non-empty
+    pass — the ``prev`` row starts zero per sub-image)."""
+    if pos + h * (stride + 1) > len(raw):
+        raise ValueError(
+            f"PNG data length {len(raw)} too short at offset {pos} "
+            f"for {h} scanlines of stride {stride}"
+        )
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # left-dependent: sequential per pixel
+            rec = np.empty(stride, dtype=np.int32)
+            for c in range(stride):
+                a = int(rec[c - ch]) if c >= ch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + int(prev[c])) // 2
+                else:
+                    cc = int(prev[c - ch]) if c >= ch else 0
+                    pred = _paeth(a, int(prev[c]), cc)
+                rec[c] = (int(line[c]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+        pos += stride + 1
+    return out, pos
+
+
 def png_decode(data: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a PNG to ``(width, height, (h, w) uint8 grayscale)``.
 
     Real spec work: chunk walk with CRC verification, IDAT
     concatenation, ``zlib`` inflate, and the per-scanline filter
-    reconstruction (all five types). Color inputs (types 2/6) reduce
-    to grayscale via the exact integer mean of R, G, B — alpha is
-    composition metadata, not luminance, and is ignored.
+    reconstruction (all five types) — in sequential OR Adam7
+    interlaced order (seven independently-filtered sub-images
+    scattered back onto the pixel grid by the spec's start/step
+    lattice). Color inputs (types 2/6) reduce to grayscale via the
+    exact integer mean of R, G, B — alpha is composition metadata,
+    not luminance, and is ignored.
     """
     if data[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
@@ -138,54 +218,43 @@ def png_decode(data: bytes) -> tuple[int, int, np.ndarray]:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8 or ctype not in _CHANNELS or interlace != 0 or comp != 0:
+    if depth != 8 or ctype not in _CHANNELS or interlace > 1 or comp != 0:
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={ctype}, "
             f"interlace={interlace}); supported: 8-bit gray/RGB/RGBA, "
-            "non-interlaced"
+            "sequential or Adam7"
         )
     ch = _CHANNELS[ctype]
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError(
-            f"PNG data length {len(raw)} != expected {h * (stride + 1)}"
-        )
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for r in range(h):
-        off = r * (stride + 1)
-        ftype = raw[off]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=off + 1
-        ).astype(np.int32)
-        if ftype == 0:
-            rec = line
-        elif ftype == 2:  # Up
-            rec = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # left-dependent: sequential per pixel
-            rec = np.empty(stride, dtype=np.int32)
-            for c in range(stride):
-                a = int(rec[c - ch]) if c >= ch else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + int(prev[c])) // 2
-                else:
-                    cc = int(prev[c - ch]) if c >= ch else 0
-                    pred = _paeth(a, int(prev[c]), cc)
-                rec[c] = (int(line[c]) + pred) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {ftype}")
-        out[r] = rec.astype(np.uint8)
-        prev = rec
+    if interlace == 0:
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise ValueError(
+                f"PNG data length {len(raw)} != expected {h * (stride + 1)}"
+            )
+        out, _ = _unfilter_scanlines(raw, 0, h, stride, ch)
+        px = out.reshape(h, w, ch)
+    else:  # Adam7: seven sub-images scattered onto the lattice
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # empty pass transmits nothing (spec §8.2)
+            sub, pos = _unfilter_scanlines(raw, pos, hp, wp * ch, ch)
+            px[y0::dy, x0::dx] = sub.reshape(hp, wp, ch)
+        if pos != len(raw):
+            raise ValueError(
+                f"PNG data length {len(raw)} != Adam7 passes' {pos}"
+            )
     if ch == 1:
-        gray = out
+        gray = px.reshape(h, w)
     else:
-        px = out.reshape(h, w, ch).astype(np.int32)
-        gray = ((px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3).astype(
-            np.uint8
-        )
+        wide = px.astype(np.int32)
+        gray = (
+            (wide[:, :, 0] + wide[:, :, 1] + wide[:, :, 2]) // 3
+        ).astype(np.uint8)
     return w, h, gray
 
 
@@ -268,6 +337,7 @@ def decode_image(data: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(f"malformed image payload: {e}") from e
     raise ValueError(
         f"unrecognized image container (head {bytes(data[:8])!r}); "
-        "supported: PNG (8-bit gray/RGB/RGBA), baseline JPEG (SOF0), "
-        "GIF (non-interlaced), binary PGM/PPM"
+        "supported: PNG (8-bit gray/RGB/RGBA, sequential or Adam7), "
+        "JPEG (baseline SOF0 + progressive SOF2), GIF (incl. "
+        "interlaced/animated), binary PGM/PPM"
     )

@@ -1,15 +1,21 @@
 """Multimodal column plumbing (SURVEY.md §2.12).
 
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
-struct. The Spark-side plumbing — schemas, Arrow-batched UDF signatures,
-partition sizing — is real and tested. IMAGE decode is real too
-(round-8): :func:`decode_media` parses PNG (``zlib`` inflate + full
-five-filter scanline reconstruction) and binary PGM/PPM with the
-pure-stdlib codecs in ``functions/imagecodec.py`` — no PIL needed —
-and :func:`dhash_decoded` / :func:`resize_decoded` run on the true
-decoded rasters. Audio/video codecs remain out of scope for this
-container; :func:`extract_features` / :func:`frame_sample` keep the
-deterministic-fake stand-ins for those kinds.
+struct. The Spark-side plumbing — schemas, Arrow-batched UDF
+signatures, partition sizing — is real and tested, and so are the
+codecs (pure stdlib + numpy, no PIL/ffmpeg): :func:`decode_media`
+parses PNG (five-filter reconstruction, sequential + Adam7
+interlaced), JPEG (baseline SOF0 incl. RSTn + YCbCr, progressive
+SOF2), GIF (variable-width LZW, interlaced; :func:`decode_gif_frames`
+composites animations), binary PGM/PPM, and EXIF-oriented JPEG
+(:func:`exif_oriented_decode`); :func:`dhash_decoded` /
+:func:`resize_decoded` run on the true decoded rasters. Audio is real
+WAV PCM (:func:`decode_audio`, ``functions/audiocodec.py``; energy
+VAD in :func:`audio_activity`) and video real AVI-MJPEG
+(:func:`decode_video_frames`, ``functions/videocodec.py``; shot
+segmentation in :func:`video_scene_cuts`). :func:`extract_features` /
+:func:`frame_sample` keep deterministic-fake stand-ins for exotic
+containers outside that set.
 
 Scale notes:
 - Media bytes dominate row size: repartition by target partition byte
@@ -225,7 +231,10 @@ def synthetic_png_media(docs: DataFrame) -> DataFrame:
     256`` row-major — so a SQL oracle can compute any decoded statistic
     in closed form WITHOUT being able to inflate zlib; the encoder
     cycles scanlines through all five PNG filter types, so decoding
-    these exercises every reconstruction branch on every image. This
+    these exercises every reconstruction branch on every image, and
+    every THIRD payload is stored Adam7-interlaced (round-11: the
+    seven-pass scatter decodes to the same grid, so the existing
+    oracle pins the de-interlace too — the gifcodec precedent). This
     is how the correctness gate covers a genuinely-compressed binary
     format end-to-end.
     """
@@ -242,7 +251,11 @@ def synthetic_png_media(docs: DataFrame) -> DataFrame:
                 w, h = 16 + d % 16, 16 + d % 12
                 px = ((d * 31 + np.arange(w * h, dtype=np.int64) * 7) % 256)
                 img = px.astype(np.uint8).reshape(h, w)
-                payloads.append(png_encode_gray(img, filter_mode="cycle"))
+                payloads.append(
+                    png_encode_gray(
+                        img, filter_mode="cycle", interlace=d % 3 == 0
+                    )
+                )
                 metas.append(
                     {"width": w, "height": h, "sample_rate": None,
                      "n_frames": None}

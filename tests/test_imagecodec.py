@@ -45,6 +45,54 @@ def test_png_round_trip_none_filters():
     assert (dw, dh) == (13, 9) and np.array_equal(gray, img)
 
 
+@pytest.mark.parametrize(
+    "h,w",
+    # sub-8 sizes skip entire Adam7 passes; odd sizes exercise the
+    # ceil sub-image dims; >=16 runs all seven passes multi-row
+    [(1, 1), (3, 5), (7, 7), (8, 8), (9, 13), (16, 21), (33, 40)],
+)
+def test_png_adam7_round_trip(h, w):
+    """Adam7 interlaced encode/decode is bit-exact and equals the
+    sequential decode of the same grid, across both filter modes."""
+    img = _grid(h, w, seed=h * 7 + w)
+    for fm in ("none", "cycle"):
+        data = png_encode_gray(img, filter_mode=fm, interlace=True)
+        # IHDR interlace byte really is 1 (offset: sig 8 + len/tag 8 +
+        # 12 bytes of w/h/depth/color/comp/filter)
+        assert data[8 + 8 + 12] == 1
+        dw, dh, gray = png_decode(data)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(gray, img), (h, w, fm)
+        seq = png_decode(png_encode_gray(img, filter_mode=fm))[2]
+        assert np.array_equal(gray, seq)
+
+
+def test_png_adam7_truncated_pass_raises():
+    """An interlaced stream cut mid-pass (or padded past the passes)
+    must fail loudly, not scatter garbage."""
+    img = _grid(16, 16, seed=5)
+    data = png_encode_gray(img, interlace=True)
+    # rebuild the IDAT with one raw byte missing / one extra
+    pos = data.find(b"IDAT") - 4
+    (length,) = struct.unpack(">I", data[pos : pos + 4])
+    raw = zlib.decompress(data[pos + 8 : pos + 8 + length])
+
+    def rebuild(new_raw):
+        body = zlib.compress(new_raw, 6)
+        chunk = (
+            struct.pack(">I", len(body)) + b"IDAT" + body
+            + struct.pack(
+                ">I", zlib.crc32(b"IDAT" + body) & 0xFFFFFFFF
+            )
+        )
+        return data[:pos] + chunk + data[pos + 12 + length :]
+
+    with pytest.raises(ValueError, match="too short"):
+        png_decode(rebuild(raw[:-1]))
+    with pytest.raises(ValueError, match="Adam7"):
+        png_decode(rebuild(raw + b"\x00"))
+
+
 def _png_color(w, h, pixels, ctype):
     ch = {2: 3, 6: 4}[ctype]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
