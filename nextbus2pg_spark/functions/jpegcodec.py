@@ -1125,3 +1125,121 @@ def jpeg_encode_ycbcr(
         b"\xff\xd8" + dqt + sof + _std_dht() + sos + entropy
         + b"\xff\xd9"
     )
+
+
+def jpeg_encode_ycbcr_progressive(
+    y: np.ndarray,
+    sampling: "tuple[int, int]" = (2, 2),
+    quant: "int | np.ndarray" = 1,
+) -> bytes:
+    """Encode a 3-component PROGRESSIVE (SOF2) JPEG from a luma plane
+    (chroma flat 128, i.e. all-zero coefficients — carries nothing for
+    this engine's Y-only decoder but MUST be entropy-coded so the
+    interleaved-DC first/refine walk's chroma bitstream alignment is
+    exercised for real; round-10 advice: that path real-world
+    3-component SOF2 files hit first was never executed).
+
+    Scan script (T.81 G.1): an INTERLEAVED DC first scan (Al=1, all
+    three components in MCU order, per-component predictors), an
+    interleaved DC refinement to Al=0, then the mandatory
+    single-component AC scans — Y's full band walked in the COMPONENT
+    raster (pad blocks beyond ceil(w/8)×ceil(h/8) are interleave-only
+    per A.2.2 and excluded here), then the all-zero chroma bands
+    (pure EOB runs). Successive approximation closes at Al=0, so the
+    decode is bit-exact against the baseline ``jpeg_encode_ycbcr`` of
+    the same plane."""
+    y = np.ascontiguousarray(y, dtype=np.uint8)
+    if y.ndim != 2:
+        raise ValueError(f"expected (h, w) luma plane; got {y.shape}")
+    hs, vs = sampling
+    if hs not in (1, 2) or vs not in (1, 2):
+        raise ValueError(f"sampling factors must be 1 or 2; got {sampling}")
+    h, w = y.shape
+    if h < 1 or w < 1:
+        raise ValueError(f"image must be non-empty; got {h}x{w}")
+    q = _quant_table(quant)
+    mcux = -(-w // (8 * hs))
+    mcuy = -(-h // (8 * vs))
+    ph, pw = mcuy * vs * 8, mcux * hs * 8
+    padded = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+    zz_y = _block_coeffs(padded, q)
+    n_y_cols = mcux * hs
+
+    dc_enc = _encode_codes(_STD_DC_BITS, _STD_DC_VALS)
+    ac_enc = _encode_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _seg(0xDB, bytes([0]) + q.astype(np.uint8).tobytes())
+    out += _seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hs << 4) | vs, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += _std_dht()
+    out += _seg(
+        0xC4,
+        bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS),
+    )
+
+    def _mcu_dc_blocks():
+        """(cid, dc) in MCU interleave order — chroma blocks zero."""
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for by in range(vs):
+                for bx in range(hs):
+                    idx = (my * vs + by) * n_y_cols + (mx * hs + bx)
+                    yield 1, int(zz_y[idx][0])
+            yield 2, 0
+            yield 3, 0
+
+    for ah, al in ((0, 1), (1, 0)):  # DC first, then its refinement
+        bw = _BitWriter()
+        preds = {1: 0, 2: 0, 3: 0}
+        for cid, dcv in _mcu_dc_blocks():
+            if ah == 0:
+                cur = dcv >> al  # arithmetic shift, sign-preserving
+                diff = cur - preds[cid]
+                preds[cid] = cur
+                size = abs(diff).bit_length()
+                code, length = dc_enc[size]
+                bw.write(code, length)
+                if size:
+                    bw.write(
+                        diff if diff >= 0 else diff + (1 << size) - 1,
+                        size,
+                    )
+            else:
+                bw.write((dcv >> al) & 1, 1)
+        out += _seg(
+            0xDA,
+            bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, (ah << 4) | al]),
+        )
+        out += bw.flush()
+
+    # Y full AC band, component-raster order (pad blocks excluded)
+    bw_y, bh_y = -(-w // 8), -(-h // 8)
+    bw = _BitWriter()
+    eob = _EobState(bw, ac_enc)
+    for br in range(bh_y):
+        for bc in range(bw_y):
+            zz = zz_y[br * n_y_cols + bc]
+            _encode_ac_first_block(
+                bw, ac_enc, eob, [_ac_shift(v, 0) for v in zz[1:64]]
+            )
+    eob.flush()
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    out += bw.flush()
+
+    # chroma AC bands: ceil(w/hs)/8 x ceil(h/vs)/8 grids == mcux x mcuy
+    # of all-zero blocks -> one EOB run each
+    for cid in (2, 3):
+        bw = _BitWriter()
+        eob = _EobState(bw, ac_enc)
+        for _ in range(mcux * mcuy):
+            _encode_ac_first_block(bw, ac_enc, eob, [0] * 63)
+        eob.flush()
+        out += _seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0x00]))
+        out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -362,7 +362,13 @@ def synthetic_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
     default 7-scan script (DC refine + two AC bands, double refinement
     on the low band), ``d % 3 == 1`` → a 4-scan script whose AC bands
     start at Al=0 (no refinement, EOB-run heavy), else a 5-scan script
-    with an Al=2 start on the full AC band (deep refinement chain).
+    with an Al=2 start on the full AC band (deep refinement chain) —
+    and every 4th payload (``d % 4 == 3``) is a THREE-component
+    YCbCr SOF2 whose DC scans are INTERLEAVED (round-10 advice: the
+    first path a real-world progressive photo hits), sampling cycling
+    4:4:4 / 4:2:2 / 4:2:0 by ``d % 3``; its decoded Y plane is the
+    same closed-form grid, so the existing oracle pins the
+    interleaved walk too.
     """
 
     def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -370,6 +376,7 @@ def synthetic_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
 
         from nextbus2pg_spark.functions.jpegcodec import (
             jpeg_encode_gray_progressive,
+            jpeg_encode_ycbcr_progressive,
         )
 
         scripts = {
@@ -378,6 +385,7 @@ def synthetic_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
             2: ((0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 2),
                 (1, 63, 2, 1), (1, 63, 1, 0)),
         }
+        samplings = {0: (1, 1), 1: (2, 1), 2: (2, 2)}
         for pdf in batches:
             payloads, metas = [], []
             for doc_id in pdf["doc_id"]:
@@ -387,9 +395,15 @@ def synthetic_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
                 bj = np.arange(bw, dtype=np.int64)
                 vals = (d * 43 + bi * 23 + bj * 11) % 256
                 img = np.kron(vals, np.ones((8, 8), dtype=np.int64))
-                payload = jpeg_encode_gray_progressive(
-                    img.astype(np.uint8), quant=1, scans=scripts[d % 3]
-                )
+                if d % 4 == 3:
+                    payload = jpeg_encode_ycbcr_progressive(
+                        img.astype(np.uint8), samplings[d % 3], quant=1
+                    )
+                else:
+                    payload = jpeg_encode_gray_progressive(
+                        img.astype(np.uint8), quant=1,
+                        scans=scripts[d % 3],
+                    )
                 payloads.append(payload)
                 metas.append(
                     {"width": bw * 8, "height": bh * 8,

@@ -242,3 +242,52 @@ def test_decode_image_sniffs_progressive_jpeg():
     w, h, out = decode_image(jpeg_encode_gray_progressive(img, quant=1))
     assert (w, h) == (16, 24)
     assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("sampling", [(1, 1), (2, 1), (1, 2), (2, 2)])
+def test_progressive_ycbcr_interleaved_dc_is_bit_exact(sampling):
+    """3-component SOF2 with INTERLEAVED DC first/refine scans —
+    the path real-world progressive photos hit first (round-10
+    advice: previously never exercised). Block-constant + quant=1
+    round-trips losslessly through the chroma-aligned MCU walk at
+    every sampling, including dims that leave Y pad blocks outside
+    the non-interleaved AC grid."""
+    from nextbus2pg_spark.functions.jpegcodec import (
+        jpeg_encode_ycbcr_progressive,
+    )
+
+    for bh, bw in [(2, 3), (3, 3), (4, 2)]:
+        img = _blocky(bh, bw, seed=bh * 7 + bw)
+        w, h, out = jpeg_decode(
+            jpeg_encode_ycbcr_progressive(img, sampling, quant=1)
+        )
+        assert (w, h) == (img.shape[1], img.shape[0])
+        assert np.array_equal(out, img), (sampling, bh, bw)
+    # non-multiple-of-MCU dims: interleave covers pad blocks the AC
+    # raster must skip
+    img = _blocky(3, 3, seed=5)[:17, :23]
+    w, h, out = jpeg_decode(
+        jpeg_encode_ycbcr_progressive(img, sampling, quant=1)
+    )
+    assert (w, h) == (23, 17) and np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("quant", [1, 4, 16])
+def test_progressive_ycbcr_equals_baseline_ycbcr(quant):
+    """The equivalence sweep (the lesson that caught the r10 ZRL
+    ordering bug, now on the interleaved path): progressive YCbCr
+    decode must equal baseline YCbCr decode BIT-EXACTLY at every
+    quant, on a smooth gradient that is NOT block-constant."""
+    from nextbus2pg_spark.functions.jpegcodec import (
+        jpeg_encode_ycbcr_progressive,
+    )
+
+    yv = (
+        np.add.outer(np.arange(24) * 3, np.arange(40) * 2) % 256
+    ).astype(np.uint8)
+    for sampling in [(1, 1), (2, 1), (2, 2)]:
+        base = jpeg_decode(jpeg_encode_ycbcr(yv, sampling, quant))[2]
+        prog = jpeg_decode(
+            jpeg_encode_ycbcr_progressive(yv, sampling, quant)
+        )[2]
+        assert np.array_equal(base, prog), (quant, sampling)
