@@ -130,6 +130,15 @@ R10_SET: list[str] = [
     "q_crawl_to_corpus",
 ]
 
+#: Round-11 additions: the crawl-fidelity seam — declared-charset
+#: decode and two-snapshot revisit resolution (the Content-Encoding /
+#: charset wire classes also run inside q_warc_ingest's existing
+#: timing).
+R11_SET: list[str] = [
+    "q_warc_charset",
+    "q_warc_revisit",
+]
+
 HEADLINE = [
     "q_flagship_latest",
     "q_tpch_q1",
@@ -168,6 +177,7 @@ HEADLINE = [
     *R8_SET,
     *R9_SET,
     *R10_SET,
+    *R11_SET,
 ]
 
 
@@ -326,6 +336,10 @@ def main() -> None:
             sum(timings[n] for n in R10_SET if n in timings), 3
         ),
         "subtotal_r10_set_norm": _norm(R10_SET),
+        "subtotal_r11_set": round(
+            sum(timings[n] for n in R11_SET if n in timings), 3
+        ),
+        "subtotal_r11_set_norm": _norm(R11_SET),
     }
     # Full payload for humans/PERF.md (stderr never reaches the parser).
     print("# full: " + json.dumps(payload), file=sys.stderr)
@@ -369,7 +383,8 @@ def emit_summary(
     vintage_sets = vintage_sets if vintage_sets is not None else [
         ("r3", R3_SET), ("r4", R4_SET), ("r5", R5_SET),
         ("r6", R6_SET), ("r7", R7_SET), ("r8", R8_SET),
-        # NEVER list the newest two vintages (r9/r10) here — the
+        ("r9", R9_SET),
+        # NEVER list the newest two vintages (r10/r11) here — the
         # retire ladder may only drop settled history.
     ]
 

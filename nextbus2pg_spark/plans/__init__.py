@@ -215,10 +215,35 @@ DRIVER_CHECKED_R9 = frozenset({
     "q_weighted_sample", "q_winsorize",
 })
 
+#: Driver rows earned in round 10 (CORRECTNESS_r10.json keys, 50/50
+#: green — first rows for the round-10 surface: the crawl seam
+#: (CDX manifest + delta, robots frontier, HTML→text, C4 cleaning,
+#: the crawl-to-corpus capstone), the media wave (progressive JPEG,
+#: animated GIF, EXIF, VAD, scene cuts), the six regression re-checks,
+#: and the full r5-vintage drain the staleness ceiling forced).
+DRIVER_CHECKED_R10 = frozenset({
+    "q_bm25_topk", "q_c4_clean", "q_cast_double", "q_ccnet_buckets",
+    "q_cdx_delta", "q_cdx_manifest", "q_char_entropy",
+    "q_check_positive", "q_chi_squared", "q_coalesce_fallback",
+    "q_conditional_funcs", "q_contamination_frac", "q_corpus_assembly",
+    "q_corpus_dedup", "q_countmin", "q_crawl_to_corpus",
+    "q_curation_pipeline", "q_dedup_clusters", "q_dedup_exact",
+    "q_dedup_keep_best", "q_distinct", "q_embedding_neardup",
+    "q_feed_transform", "q_heavy_hitters", "q_histogram_quantile",
+    "q_html_to_text", "q_ivfpq_seeded", "q_join_broadcast", "q_lang_id",
+    "q_media_decode", "q_media_decode_gif", "q_media_decode_jpeg",
+    "q_media_decode_jpeg_prog", "q_media_exif", "q_media_gif_frames",
+    "q_media_scene_cuts", "q_media_vad", "q_nearest_site",
+    "q_null_safe_key", "q_oov_ratio", "q_pq_assign", "q_radius_count",
+    "q_robots_frontier", "q_scan_full", "q_semantic_dedup",
+    "q_session_window", "q_top1_per_group", "q_upsert_semantics",
+    "q_url_canon", "q_warc_ingest",
+})
+
 DRIVER_CHECKED = (
     DRIVER_CHECKED_R1_R2 | DRIVER_CHECKED_R3 | DRIVER_CHECKED_R4
     | DRIVER_CHECKED_R5 | DRIVER_CHECKED_R6 | DRIVER_CHECKED_R7
-    | DRIVER_CHECKED_R8 | DRIVER_CHECKED_R9
+    | DRIVER_CHECKED_R8 | DRIVER_CHECKED_R9 | DRIVER_CHECKED_R10
 )
 
 #: The round currently being built (the driver stamps its artifacts
@@ -227,7 +252,7 @@ DRIVER_CHECKED = (
 #: ``STALENESS_CEILING`` rounds behind, and any row at the ceiling's
 #: edge must sit inside the first-50 driver window so it drains THIS
 #: round rather than aging further.
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 STALENESS_CEILING = 5
 
 #: Round a query's driver row was LAST earned (r1/r2 merged as 2).
@@ -240,29 +265,36 @@ for _round, _names in (
     (4, DRIVER_CHECKED_R4), (5, DRIVER_CHECKED_R5),
     (6, DRIVER_CHECKED_R6), (7, DRIVER_CHECKED_R7),
     (8, DRIVER_CHECKED_R8), (9, DRIVER_CHECKED_R9),
+    (10, DRIVER_CHECKED_R10),
 ):
     for _n in _names:
         _LAST_CHECKED_ROUND[_n] = _round
 
-#: Queries whose underlying operator code changed in round 10 — the
-#: driver re-verifies exactly what was rewritten. Round 10 touched:
-#: the WARC source (member-wise streaming decompress, chunked
-#: transfer-encoding, type-gated HTTP split → q_warc_ingest), the JPEG
-#: codec (progressive SOF2 decode + quarantine hardening →
-#: q_media_decode_jpeg and the shared decode path q_media_decode),
-#: perplexity_buckets (auto-selected approx-quantile scale path →
-#: q_ccnet_buckets), and SemDeDup's hot-cell split
-#: (→ q_semantic_dedup, last checked r8).
+#: Queries whose underlying operator/fixture code changed in round 11
+#: — the driver re-verifies exactly what was rewritten. Round 11
+#: touched: the WARC source's HTTP payload path (Content-Encoding
+#: gzip/deflate removal + declared-charset decode; the generator now
+#: plants those wire classes → q_warc_ingest's oracle changed),
+#: robots rule matching (RFC 9309 §2.2.3 '*'/'$' wildcards; the
+#: frontier fixture + oracle changed → q_robots_frontier),
+#: c4_line_filter's word counting (empty split fragments no longer
+#: count; fixture + oracle changed → q_c4_clean), the PNG codec
+#: (Adam7 interlace; every 3rd fixture payload now interlaced →
+#: q_media_decode), and the progressive-JPEG fixture (every 4th
+#: payload a 3-component interleaved-DC SOF2 →
+#: q_media_decode_jpeg_prog). Capacity note: the 43 r6-vintage rows
+#: at the staleness edge fill the rest of the window (2 new + 5
+#: regression + 43 = exactly 50), so the other r11-touched-but-
+#: output-identical queries (q_crawl_to_corpus and q_media_dhash —
+#: the WARC wire classes and PNG interlace are identity transforms on
+#: their outputs, verified by local parity) keep their green r10 rows
+#: and rotate next round.
 REGRESSION_PRIORITY = (
     "q_warc_ingest",
-    "q_media_decode_jpeg",
+    "q_robots_frontier",
+    "q_c4_clean",
     "q_media_decode",
-    "q_ccnet_buckets",
-    "q_semantic_dedup",
-    # gifcodec rewrite (interlace + animated compositing) feeds the
-    # still-GIF decode path too; the generator now stores every third
-    # payload interlaced, so the r9 row must be re-earned.
-    "q_media_decode_gif",
+    "q_media_decode_jpeg_prog",
 )
 
 #: Round-5 policy: the deferred bucket is DRAINED — the seven entries

@@ -9,7 +9,10 @@ filters captures (status, mime, dedup by digest) and reduces to an
 ARCHIVE MANIFEST — which WARC files to fetch and how many bytes of
 each — before a single archive byte moves. At 100 TB this index-first
 shape is the difference between reading ~1% of the crawl and all of
-it.
+it. The manifest's executor is ``sources/http_fetcher.
+CdxRangeFetcher`` (round-11): each filtered capture becomes one HTTP
+``Range`` read landing in a spool that ``sources/warc.
+warc_spool_archives`` turns back into record bytes.
 
 Everything here is JVM-side DataFrame expressions (split/from_json/
 aggregates) — no Python in the hot path; CDX files gzip-split fine

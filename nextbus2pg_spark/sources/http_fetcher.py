@@ -30,6 +30,11 @@ Design (deliberately driver/daemon-side, NOT a Spark job):
 Scale note: one fetcher daemon serves any cluster size — the feed API
 is the bottleneck, not Spark. Documents land on shared storage; the
 source's ``latestOffset`` lists names only.
+
+This module also hosts :class:`CdxRangeFetcher` (round-11), the crawl
+seam's manifest executor: HTTP ``Range`` reads of individual WARC
+records selected by the CDX index (``sources/cdx.py``), with the same
+atomic-spool / filenames-are-the-ledger crash-safety.
 """
 
 from __future__ import annotations

@@ -20,11 +20,17 @@ one compressed chunk), NOT O(inflated archive) — real CC WARCs are
 ~1 GB compressed / ~4-5 GB inflated, and 32 concurrent whole-archive
 inflates would OOM an executor. ``response`` records carry an HTTP
 message in the block — the parser splits status/headers from the body
-at the first blank line and de-chunks ``Transfer-Encoding: chunked``
-bodies (raw CC response records contain these);
-``conversion``/``resource`` records (WET) are the payload already and
-pass through untouched (WARC-Type-gated, never content-sniffed: a WET
-page whose text begins with "HTTP/" must not lose its head).
+at the first blank line, de-chunks ``Transfer-Encoding: chunked``,
+removes ``Content-Encoding`` (gzip/deflate — most real crawled
+responses are compressed), and decodes text per the declared
+``charset=`` (Content-Type header or HTML ``<meta>`` pre-scan,
+utf-8-replace fallback); ``conversion``/``resource`` records (WET)
+are the payload already and pass through untouched (WARC-Type-gated,
+never content-sniffed: a WET page whose text begins with "HTTP/" must
+not lose its head). ``revisit`` records — CC's marker for
+recrawled-unchanged pages — surface their ``WARC-Refers-To`` /
+``WARC-Payload-Digest`` so :func:`resolve_revisits` can fill them
+from the capture they reference.
 
 Scale stance: WARC files are independent units — the natural Spark
 partition is ONE ARCHIVE per task (binaryFile read or a payload
