@@ -989,3 +989,53 @@ def test_media_vad_and_scene_cuts_are_shuffle_free_chains(spark):
         p = plan_text(q(spark, name))
         assert "Exchange hashpartitioning" not in p, (name, p)
         assert "Join" not in p, (name, p)
+
+
+def test_warc_charset_plan_is_archive_parallel_chain(spark):
+    """Charset ingestion (round 11): build → parse is the standard
+    one-archive-per-task Arrow chain — the only exchange is the
+    archive grouping, never a join, window, or cartesian."""
+    p = plan_text(q(spark, "q_warc_charset"))
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Window" not in p, p
+
+
+def test_warc_revisit_plan_equi_joins_only(spark):
+    """Revisit resolution (round 11): the refers_to and digest lookups
+    are key-unique EQUI-joins (the digest side collapses to one row
+    per digest first) — no cartesian, no nested-loop join, no forced
+    broadcast hint on a corpus-sized side."""
+    df = q(spark, "q_warc_revisit")
+    p = plan_text(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    _bounded_hints_only(df)
+
+
+def test_robots_wildcard_rules_keep_broadcast_and_fast_path(spark):
+    """RFC 9309 wildcard matching (round 11): the regex translation
+    happens at RULE-PARSE time (bounded side), so the frontier match
+    is still one broadcast join — and plain-prefix rules keep the
+    startswith fast path (the plan carries BOTH a StartsWith and an
+    RLIKE branch under the conditional, never regex-only)."""
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.sources.robots import (
+        robots_allowed,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x\nDisallow: /*.php$\n")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.range(64).select(
+        F.concat(F.lit("https://a.com/p/"), F.col("id")).alias("url")
+    )
+    df = robots_allowed(urls, robots_rules(robots, agent="bot"))
+    p = plan_text(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "StartsWith" in p, p
+    assert "RLIKE" in p or "rlike" in p, p

@@ -421,3 +421,43 @@ def test_html_to_text_edge_cases(spark):
     ).collect()
     for r in out:
         assert r.got == r.expected, (r.got, r.expected)
+
+
+def test_html_to_text_numeric_character_references(spark):
+    """numeric_entities=True (round 11): &#NN; and &#xHH; decode to
+    their BMP characters via the JVM-only hex/unhex/UTF-16BE chain;
+    &amp;#65; stays a literal &#65;; invalid refs (zero, surrogate,
+    astral, malformed) pass through; default mode leaves refs alone."""
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.operators.text import html_to_text
+
+    cases = [
+        ("A&#66;C", "ABC"),                    # decimal
+        ("x&#x20AC;y", "x€y"),            # hex euro
+        ("x&#X20ac;y", "x€y"),            # case-insensitive X/hex
+        ("<p>&#169; 2026</p>", "© 2026"),  # after tag strip
+        ("a&amp;#65;b", "a&#65;b"),            # literal, amp-escaped
+        ("bad&#0;ref", "bad&#0;ref"),          # NUL invalid
+        ("sur&#xD800;ro", "sur&#xD800;ro"),    # surrogate invalid
+        ("ast&#x1F600;ral", "ast&#x1F600;ral"),  # astral: undecoded
+        ("no&#semi", "no&#semi"),              # malformed
+        ("&#72;&#105;", "Hi"),                 # adjacent refs
+    ]
+    df = spark.createDataFrame(cases, "html string, expected string")
+    out = df.select(
+        "expected",
+        html_to_text(F.col("html"), numeric_entities=True).alias("got"),
+        html_to_text(F.col("html")).alias("got_default"),
+    ).collect()
+    for r in out:
+        assert r.got == r.expected, (r.got, r.expected)
+    # default mode never decodes numeric refs
+    by_in = {c[0]: c for c in cases}
+    for r, (html, _exp) in zip(out, cases):
+        if "&amp;" in html:
+            continue  # amp decode changes it either way
+        import re as _re
+
+        stripped = _re.sub(r"<[^>]+>", " ", html).strip()
+        assert r.got_default == stripped, (html, r.got_default)
