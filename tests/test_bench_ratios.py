@@ -48,6 +48,17 @@ PINNED = [
     # the round-10 capstone (heaviest headline query): measured norm
     # 22.3 at sf0.01 idle (wall 7.65s, cal_scan 0.33); ~3x ceiling.
     ("q_crawl_to_corpus", 65.0),
+    # round-11 settlement of the r10 driver-bench time-series cluster
+    # (q_holt 0.32->1.09s etc.): two-stamp interleaved worktree A/B of
+    # r9 code vs r11 HEAD measured IDENTICAL norms within noise
+    # (q_holt 2.61-3.68 both sides at sf0.1) -> host drift during the
+    # driver's bench segment, not a regression (PERF.md "Round-11
+    # outlier settlement"). Pinned at ~3x the sf0.01 idle norms
+    # (q_holt 3.43, q_pagerank 14.38); pagerank's iterative
+    # multi-shuffle plan degrades more under contention (the
+    # q_triangle_count lesson), hence the wider ceiling.
+    ("q_holt", 10.0),
+    ("q_pagerank", 45.0),
 ]
 
 
