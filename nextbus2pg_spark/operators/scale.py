@@ -39,6 +39,14 @@ def ensure_min_parallelism(
     the check makes the shuffle appear exactly when it pays for itself
     (measured: MinHash-LSH at sf0.1 3.1s → 2.0s warm).
     """
+    # Streaming frames can't answer inputFiles() (AnalysisException)
+    # and shouldn't pay a per-micro-batch shuffle for a heuristic:
+    # each batch's width comes from the source's own file listing
+    # (binaryFile: one task per file), so pass through unchanged —
+    # this is what lets warc_documents compose directly onto
+    # readStream (round 11) instead of only via foreachBatch.
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     # Scan width proxy: inputFiles() is metadata-only (no job, no

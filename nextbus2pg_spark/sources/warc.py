@@ -360,7 +360,7 @@ def split_http_payload(block: bytes) -> tuple[str, bytes, "str | None"]:
         body = _decode_content_encoding(body, ce)
     charset = None
     if ctype:
-        m = re.search(r"charset\s*=\s*\"?([^\s;\"']+)", ctype, re.I)
+        m = re.search(r"charset\s*=\s*[\"']?([^\s;\"']+)", ctype, re.I)
         if m:
             charset = m.group(1)
         elif ctype.split(";")[0].strip().lower() == "text/html":
@@ -835,6 +835,36 @@ def warc_spool_archives(spark, spool_dir: str) -> DataFrame:
     feed spool relies on)."""
     return (
         spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warcrec")
+        .load(spool_dir)
+        .select(
+            F.xxhash64("path").alias("archive_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+
+def warc_spool_archives_stream(spark, spool_dir: str) -> DataFrame:
+    """Streaming twin of :func:`warc_spool_archives`: consume a LIVE
+    ``CdxRangeFetcher`` spool with Structured Streaming — each
+    micro-batch picks up newly fetched records (the file listing IS
+    the offset log), so index-driven ingestion runs continuously while
+    the fetcher executes the manifest. Streaming ``binaryFile``
+    requires an explicit schema (Spark refuses inference here — the
+    round-10 lesson in tests/test_streaming_warc.py)."""
+    from pyspark.sql.types import TimestampType
+
+    schema = StructType(
+        [
+            StructField("path", StringType(), True),
+            StructField("modificationTime", TimestampType(), True),
+            StructField("length", LongType(), True),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
         .option("pathGlobFilter", "*.warcrec")
         .load(spool_dir)
         .select(

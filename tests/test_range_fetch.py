@@ -217,3 +217,47 @@ def test_range_ignoring_server_and_retries(archive_server, tmp_path):
     assert warc_parse(got)[0]["record_id"] == "urn:rec:1"
     with pytest.raises(ValueError, match="invalid byte range"):
         client.get_range(f"{archive_server}/{ARCHIVE_PATH}", -1, 5)
+
+
+def test_streaming_spool_picks_up_incremental_fetches(
+    archive_server, tmp_path, spark
+):
+    """The live-ingestion loop: fetch part of the manifest, stream a
+    batch, fetch the rest, stream again — the second micro-batch
+    contains exactly the newly fetched records (the spool listing is
+    the offset log)."""
+    from nextbus2pg_spark.sources.warc import (
+        warc_documents,
+        warc_spool_archives_stream,
+    )
+
+    blob, captures = _make_archive(4)
+    _ArchiveHandler.files[ARCHIVE_PATH] = blob
+    spool = tmp_path / "spool"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    f = CdxRangeFetcher(
+        archive_server, str(spool), client=FeedHttpClient(retries=1)
+    )
+
+    def drain():
+        parsed = warc_documents(
+            warc_spool_archives_stream(spark, str(spool))
+        )
+        (
+            parsed.select("record_id", "content")
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        return {
+            r.record_id for r in spark.read.parquet(str(sink)).collect()
+        }
+
+    assert f.fetch(captures[:2]) == 2
+    assert drain() == {"urn:rec:0", "urn:rec:1"}
+    assert f.fetch(captures) == 2  # the remaining tail
+    assert drain() == {f"urn:rec:{i}" for i in range(4)}
