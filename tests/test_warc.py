@@ -356,6 +356,47 @@ def test_resolve_revisits_precedence_and_unresolved(spark):
     assert out["urn:r3"].content == "" and out["urn:r3"].was_revisit
 
 
+def test_resolve_revisits_digest_tie_breaks_to_min_record_id(spark):
+    """Identical payloads stored under several captures share a digest;
+    the fallback must resolve to the MIN original record_id (string
+    order) deterministically — the rule q_warc_revisit's oracle
+    replays at sf0.1 where duplicate texts exist."""
+    from nextbus2pg_spark.sources.warc import (
+        resolve_revisits,
+        warc_documents,
+        warc_write_records,
+    )
+
+    body = b"same payload"
+    recs = []
+    # 'urn:c:10' < 'urn:c:2' in string order — the tie must pick it
+    for rid in ("urn:c:2", "urn:c:10", "urn:c:7"):
+        recs.append({
+            "type": "response", "uri": f"https://x.example/{rid}",
+            "date": "2026-01-01T00:00:00Z", "record_id": rid,
+            "payload_digest": "md5:SAME",
+            "block": (
+                b"HTTP/1.1 200 OK\r\nContent-Length: "
+                + str(len(body)).encode() + b"\r\n\r\n" + body
+            ),
+        })
+    recs.append({
+        "type": "revisit", "uri": "https://x.example/r",
+        "date": "2026-02-01T00:00:00Z", "record_id": "urn:r",
+        "payload_digest": "md5:SAME", "block": b"",
+    })
+    df = spark.createDataFrame(
+        [(1, bytearray(warc_write_records(recs)))],
+        "archive_id long, payload binary",
+    )
+    out = {
+        r.record_id: r
+        for r in resolve_revisits(warc_documents(df)).collect()
+    }
+    assert out["urn:r"].resolved_record_id == "urn:c:10"
+    assert out["urn:r"].content == "same payload"
+
+
 def test_bad_archive_yields_exactly_one_error_row(spark):
     """Atomic quarantine: an archive whose FIRST records parse but a
     later one is malformed yields ONE error row and zero partial
