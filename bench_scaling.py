@@ -100,6 +100,7 @@ HEAVY_BASE = {
     "containment_pairs": 5_000,  # documents x 40 shingles, stride 5
     "theil_sen": 200,            # groups of 100 points (4950 pairs each)
     "holt_winters": 200,         # keys of 500 points (season 24)
+    "warc_ingest": 8_000,        # docs (~560B each) -> 16*scale archives
 }
 
 
@@ -184,6 +185,36 @@ def run_heavy(spark, name: str, scale: int) -> tuple[float, int]:
         n_rows = pts.count()
         t0 = time.perf_counter()
         n = theil_sen(pts, ["grp"], "x", "y").count()
+    elif name == "warc_ingest":
+        # Round-11: the crawl-ingestion seam with its full wire
+        # variety (gzip members on odd archives; every 5th doc an HTTP
+        # response, of those every 7th Content-Encoding-compressed,
+        # chunked TE, UTF-16/latin-1 charsets). Archives scale WITH
+        # the data (16*scale) so archive size stays constant — the
+        # one-archive-per-task shape; wall should track data near-
+        # linearly until cores saturate (32 tasks at 1x/3x already).
+        from nextbus2pg_spark.sources.warc import (
+            synthetic_warc_archives,
+            warc_documents,
+        )
+
+        docs = (
+            spark.range(base)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.col("id").cast("string"),
+                    F.lit(" "),
+                    F.repeat(F.lit("crawl body token "), 32),
+                ).alias("text"),
+            )
+            .localCheckpoint()
+        )
+        n_rows = docs.count()
+        t0 = time.perf_counter()
+        n = warc_documents(
+            synthetic_warc_archives(docs, n_archives=16 * scale)
+        ).count()
     else:  # holt_winters
         from nextbus2pg_spark.operators.timeseries import holt_winters
 

@@ -85,3 +85,126 @@ def test_readme_monitoring_recipe_runs_verbatim(spark):
     assert {"gap_start", "gap_end", "gap_seconds"} <= set(
         ns["outages"].columns
     )
+
+
+def _crawl_recipe_block() -> str:
+    text = open("/root/repo/README.md", encoding="utf-8").read()
+    section = text.split("## The crawl-ingestion recipe", 1)[1]
+    m = re.search(r"```python\n(.*?)```", section, re.DOTALL)
+    assert m, "README crawl recipe block missing"
+    return m.group(1)
+
+
+def test_readme_crawl_recipe_runs_verbatim(spark, tmp_path):
+    """The round-11 crawl seam as ONE documented pipeline, executed
+    verbatim against a hermetic localhost archive host: CDX delta →
+    robots wildcard filter → HTTP-Range fetch → parsed documents.
+    Only the robots-permitted `added` pages ever cost bytes."""
+    import json as _json
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from tests.test_range_fetch import _ArchiveHandler
+
+    from nextbus2pg_spark.sources.warc import warc_write_records
+
+    pages = {
+        i: (
+            f"https://h{i % 2}.example.org/p/{i}",
+            f"crawl page {i} body content " * 3,
+        )
+        for i in range(8)
+    }
+    # the new crawl's archive: one gzip member per page
+    blob = bytearray()
+    spans = {}
+    for i, (url, text) in pages.items():
+        body = text.encode()
+        member = warc_write_records(
+            [{
+                "type": "response", "uri": url,
+                "date": "2026-02-01T00:00:00Z",
+                "record_id": f"urn:new:{i}",
+                "block": (
+                    b"HTTP/1.1 200 OK\r\nContent-Length: "
+                    + str(len(body)).encode() + b"\r\n\r\n" + body
+                ),
+            }],
+            gzip_members=True,
+        )
+        spans[i] = (len(blob), len(member))
+        blob += member
+
+    def cdx_line(i, ts, digest, filename, offset, length):
+        url, _ = pages[i]
+        surt = f"org,example,h{i % 2})/p/{i}"
+        return f"{surt} {ts} " + _json.dumps({
+            "url": url, "mime": "text/plain", "status": "200",
+            "digest": digest, "length": str(length),
+            "offset": str(offset), "filename": filename,
+        })
+
+    old_lines = [
+        cdx_line(i, "20260101000000", f"sha1:D{i}", "old-00.warc.gz",
+                 i * 1000, 900)
+        for i in range(4)  # pages 0-3 unchanged since the old crawl
+    ]
+    new_lines = [
+        cdx_line(
+            i, "20260201000000",
+            f"sha1:D{i}" if i < 4 else f"sha1:N{i}",
+            "new-00.warc.gz", spans[i][0], spans[i][1],
+        )
+        for i in range(8)
+    ]
+    old_index = tmp_path / "old.cdxj"
+    new_index = tmp_path / "new.cdxj"
+    old_index.write_text("\n".join(old_lines))
+    new_index.write_text("\n".join(new_lines))
+
+    # robots: h0 allows everything; h1 end-anchors /p/5 away
+    robots = spark.createDataFrame(
+        [
+            ("h0.example.org", "User-agent: *\nDisallow:\n"),
+            ("h1.example.org", "User-agent: *\nDisallow: /p/5$\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+
+    _ArchiveHandler.files = {"new-00.warc.gz": bytes(blob)}
+    _ArchiveHandler.requests = []
+    _ArchiveHandler.ignore_range = False
+    _ArchiveHandler.fail_next = 0
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _ArchiveHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        ns = {
+            "spark": spark,
+            "old_index_path": str(old_index),
+            "new_index_path": str(new_index),
+            "robots": robots,
+            "archive_base_url":
+                f"http://127.0.0.1:{srv.server_address[1]}",
+            "spool_dir": str(tmp_path / "spool"),
+        }
+        exec(  # noqa: S102
+            compile(_crawl_recipe_block(), "README.md", "exec"), ns
+        )
+        got = {
+            r.uri: (r.content, r.content_length)
+            for r in ns["crawl_docs"].collect()
+        }
+        # added = pages 4-7; robots drops /p/5 (the '$'-anchored rule)
+        want_pages = [4, 6, 7]
+        assert got == {
+            pages[i][0]: (pages[i][1], len(pages[i][1]))
+            for i in want_pages
+        }
+        # every byte moved was a ranged read of a single record
+        assert _ArchiveHandler.requests
+        assert all(
+            r and r.startswith("bytes=") for r in _ArchiveHandler.requests
+        )
+        assert len(_ArchiveHandler.requests) == len(want_pages)
+    finally:
+        srv.shutdown()
