@@ -296,6 +296,40 @@ def test_wet_record_starting_with_http_not_split(spark):
     assert rows[0].content == tricky and rows[0].http_status is None
 
 
+def test_corrupt_content_encoding_quarantines_whole_archive(spark):
+    """The quarantine contract extends through the new decode layers:
+    an archive whose LAST response declares gzip Content-Encoding over
+    garbage bytes yields exactly one error row and zero partial
+    content rows in on_error='null' mode; on_error='raise' raises."""
+    from nextbus2pg_spark.sources.warc import (
+        warc_documents,
+        warc_write_records,
+    )
+
+    good = _recs(2)
+    bad_block = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Content-Length: 8\r\n\r\nnot-gzip"
+    )
+    # Content-Length header above is the HTTP one; the WARC block
+    # length is computed by the writer
+    recs = good + [{
+        "type": "response", "uri": "https://x.example/bad",
+        "date": "2026-01-01T00:00:00Z", "record_id": "urn:bad",
+        "block": bad_block,
+    }]
+    df = spark.createDataFrame(
+        [(3, bytearray(warc_write_records(recs)))],
+        "archive_id long, payload binary",
+    )
+    rows = warc_documents(df, on_error="null").collect()
+    assert len(rows) == 1
+    assert rows[0].parse_error and "gzip" in rows[0].parse_error
+    assert rows[0].content is None
+    with pytest.raises(Exception):
+        warc_documents(df, on_error="raise").collect()
+
+
 def test_resolve_revisits_precedence_and_unresolved(spark):
     """WARC revisit semantics: refers_to resolution beats the digest
     fallback; a revisit resolving nowhere keeps its own (empty) block
