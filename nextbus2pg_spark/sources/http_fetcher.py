@@ -316,3 +316,43 @@ class CdxRangeFetcher:
             done.add(name)
             n += 1
         return n
+
+
+def coalesce_ranges(captures, max_gap: int = 0):
+    """Merge per-record byte ranges that are adjacent (or separated by
+    at most ``max_gap`` bytes) within the same archive file into one
+    Range request — after index filtering, surviving records are often
+    contiguous runs of the original archive, and one 10-record read
+    beats ten 1-record reads on any HTTP host. Returns new capture
+    dicts sorted by (filename, offset); a merged span's bytes are a
+    valid concatenated-member WARC stream, which ``warc_iter_records``
+    parses natively (gap bytes are NOT included — merging only happens
+    across gaps of at most ``max_gap``, and ``max_gap > 0`` is only
+    sound when the skipped bytes are themselves whole records, as in a
+    filtered index over a contiguous archive)."""
+    if max_gap < 0:
+        raise ValueError(f"max_gap must be >= 0; got {max_gap}")
+    out: "list[dict]" = []
+    ordered = sorted(
+        (
+            {"filename": c["filename"], "offset": int(c["offset"]),
+             "length": int(c["length"])}
+            for c in captures
+        ),
+        key=lambda c: (c["filename"], c["offset"]),
+    )
+    for c in ordered:
+        if (
+            out
+            and out[-1]["filename"] == c["filename"]
+            and c["offset"]
+            <= out[-1]["offset"] + out[-1]["length"] + max_gap
+        ):
+            end = max(
+                out[-1]["offset"] + out[-1]["length"],
+                c["offset"] + c["length"],
+            )
+            out[-1]["length"] = end - out[-1]["offset"]
+        else:
+            out.append(c)
+    return out

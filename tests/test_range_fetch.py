@@ -261,3 +261,49 @@ def test_streaming_spool_picks_up_incremental_fetches(
     assert drain() == {"urn:rec:0", "urn:rec:1"}
     assert f.fetch(captures) == 2  # the remaining tail
     assert drain() == {f"urn:rec:{i}" for i in range(4)}
+
+
+def test_coalesce_ranges_merges_adjacent_spans(
+    archive_server, tmp_path, spark
+):
+    """Adjacent surviving records in the same archive merge into one
+    Range request; a gap or a different file breaks the run; the
+    merged span parses as a concatenated-member stream end-to-end."""
+    from nextbus2pg_spark.sources.http_fetcher import coalesce_ranges
+    from nextbus2pg_spark.sources.warc import (
+        warc_documents,
+        warc_spool_archives,
+    )
+
+    blob, captures = _make_archive(6)
+    _ArchiveHandler.files[ARCHIVE_PATH] = blob
+    # keep records 0,1,2 (adjacent), skip 3, keep 4,5 (adjacent)
+    kept = [captures[i] for i in (0, 1, 2, 4, 5)]
+    merged = coalesce_ranges(kept)
+    assert [
+        (m["offset"], m["length"]) for m in merged
+    ] == [
+        (captures[0]["offset"],
+         sum(captures[i]["length"] for i in (0, 1, 2))),
+        (captures[4]["offset"],
+         captures[4]["length"] + captures[5]["length"]),
+    ]
+    # a different filename never merges
+    other = dict(captures[3], filename="elsewhere.warc.gz")
+    assert len(coalesce_ranges(kept + [other])) == 3
+    # max_gap bridges the skipped record when asked to
+    assert len(
+        coalesce_ranges(kept, max_gap=captures[3]["length"])
+    ) == 1
+
+    spool = tmp_path / "spool"
+    f = CdxRangeFetcher(
+        archive_server, str(spool), client=FeedHttpClient(retries=1)
+    )
+    _ArchiveHandler.requests = []
+    assert f.fetch(merged) == 2  # two requests for five records
+    assert len(_ArchiveHandler.requests) == 2
+    parsed = warc_documents(warc_spool_archives(spark, str(spool)))
+    assert {r.record_id for r in parsed.collect()} == {
+        f"urn:rec:{i}" for i in (0, 1, 2, 4, 5)
+    }
