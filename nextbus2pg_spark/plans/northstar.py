@@ -2325,11 +2325,18 @@ SELECT doc_id,
             ELSE 'conversion' END AS warc_type,
        CASE WHEN doc_id % 5 = 0 THEN 'HTTP/1.1 200 OK'
             ELSE NULL END AS http_status,
-       CAST(CASE WHEN doc_id % 45 = 5
+       CASE WHEN doc_id % 65 = 10 THEN 'br'
+            WHEN doc_id % 5 = 0 AND doc_id % 70 = 0 THEN 'deflate'
+            WHEN doc_id % 5 = 0 AND doc_id % 35 = 0 THEN 'gzip'
+            ELSE NULL END AS content_encoding,
+       CAST(CASE WHEN doc_id % 65 = 10 THEN NULL
+                 WHEN doc_id % 45 = 5
                  THEN 2 * strlen(coalesce(text, ''))
                  ELSE strlen(coalesce(text, '')) END AS INTEGER)
          AS content_length,
-       md5(coalesce(text, '')) AS text_md5
+       CASE WHEN doc_id % 65 = 10 THEN NULL
+            ELSE md5(coalesce(text, '')) END AS text_md5,
+       doc_id % 65 = 10 AS quarantined
 FROM documents
 """,
 )
@@ -2340,19 +2347,26 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str):
     'response' wrapped in a real HTTP/1.1 message — with the wire
     variety a real crawl carries: Content-Encoding gzip/deflate on
     every 7th response, chunked transfer-encoding, UTF-16LE and
-    quoted-latin-1 declared charsets — the rest WET-style 'conversion'
-    records), then parsed back through the pure-stdlib record walker
-    in one Arrow fanout stage — the exact shape a 100 TB crawl ingest
-    runs, one archive per task.
+    quoted-latin-1 declared charsets, and an undecodable
+    'Content-Encoding: br' class (d % 65 == 10) — the rest WET-style
+    'conversion' records), then parsed back through the pure-stdlib
+    record walker in one Arrow fanout stage — the exact shape a
+    100 TB crawl ingest runs, one archive per task.
 
     The oracle verifies the parsed fanout per document in closed form:
-    record type, HTTP status (responses only), PAYLOAD byte length
-    (DuckDB strlen — BYTES, not characters; 2x for the UTF-16LE class
-    since the corpus is ASCII), and the md5 digest of the
-    round-tripped content — every wire class is an identity transform
-    on the text, so a framing slip, a skipped decompress, or an
-    ignored charset corrupts lengths or digests (UTF-16 bodies decoded
-    as utf-8 are NUL-ridden mojibake)."""
+    record type, HTTP status (responses only), the surfaced declared
+    content_encoding, PAYLOAD byte length (DuckDB strlen — BYTES, not
+    characters; 2x for the UTF-16LE class since the corpus is ASCII),
+    and the md5 digest of the round-tripped content — every decodable
+    wire class is an identity transform on the text, so a framing
+    slip, a skipped decompress, or an ignored charset corrupts lengths
+    or digests (UTF-16 bodies decoded as utf-8 are NUL-ridden
+    mojibake). The br rows pin the RECORD-level quarantine contract
+    (round-12 verdict item 1): they surface with quarantined=true,
+    NULL content/length, status + coding intact — and, decisively,
+    every sibling row in their archive still hash-matches (a
+    per-archive contract would NULL entire archives and flunk the
+    rows_match count)."""
     from nextbus2pg_spark.sources.warc import (
         synthetic_warc_archives,
         warc_documents,
@@ -2365,8 +2379,10 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str):
         .alias("doc_id"),
         "warc_type",
         "http_status",
+        "content_encoding",
         "content_length",
         F.md5(F.col("content")).alias("text_md5"),
+        F.col("parse_error").isNotNull().alias("quarantined"),
     )
 
 
@@ -4136,6 +4152,10 @@ keptq AS MATERIALIZED (
   FROM rep_feat r JOIN scored_q s USING (doc_id)
   WHERE r.n_words >= 50 AND r.dup_3gram_ratio <= 0.2
     AND s.quality_score >= 0.5
+    -- the WARC leg quarantines the undecodable Content-Encoding: br
+    -- class (doc_id % 65 == 10) record-by-record; those rows reach
+    -- the pipeline with NULL content and are dropped at ingestion
+    AND r.doc_id % 65 <> 10
 ),
 kept_exact AS MATERIALIZED (
   SELECT min(d.doc_id) AS doc_id
@@ -4255,7 +4275,12 @@ def q_crawl_to_corpus(spark: SparkSession, sf_dir: str):
     # not by this stage; at real scale one-archive-per-task is the
     # lever that matters.)
     parsed = warc_documents(synthetic_warc_archives(plus, n_archives=32))
-    ingested = parsed.select(
+    # record-level quarantine composes with the pipeline: undecodable
+    # Content-Encoding rows (the planted br class) arrive flagged with
+    # NULL content and are dropped here — their archive siblings flow
+    # through untouched (the oracle excludes doc_id % 65 == 10 in its
+    # quality CTE to match)
+    ingested = parsed.where(F.col("parse_error").isNull()).select(
         F.regexp_extract("uri", r"doc/(\d+)$", 1).cast("long")
         .alias("doc_id"),
         F.col("content").alias("text"),

@@ -62,11 +62,11 @@ def test_binary_blocks_with_embedded_crlf_survive():
 
 
 def test_http_split():
-    status, body, _cs = split_http_payload(
+    status, body, _cs, _ce = split_http_payload(
         b"HTTP/1.1 404 Not Found\r\nX: y\r\n\r\npayload"
     )
     assert status == "HTTP/1.1 404 Not Found" and body == b"payload"
-    status, body, _cs = split_http_payload(b"plain WET content")
+    status, body, _cs, _ce = split_http_payload(b"plain WET content")
     assert status == "" and body == b"plain WET content"
     with pytest.raises(ValueError, match="HTTP headers"):
         split_http_payload(b"HTTP/1.1 200 OK\r\nnever-terminated")
@@ -132,10 +132,10 @@ def test_chunked_transfer_encoding_dechunked():
         b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
         b"5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\nX-Trailer: t\r\n\r\n"
     )
-    status, out, _cs = split_http_payload(body)
+    status, out, _cs, _ce = split_http_payload(body)
     assert status == "HTTP/1.1 200 OK" and out == b"hello world"
     # uppercase header name + mixed casing of the value still triggers
-    status, out, _cs = split_http_payload(
+    status, out, _cs, _ce = split_http_payload(
         b"HTTP/1.1 200 OK\r\nTRANSFER-ENCODING: Chunked\r\n\r\n"
         b"3\r\nabc\r\n0\r\n\r\n"
     )
@@ -151,7 +151,7 @@ def test_chunked_transfer_encoding_dechunked():
             b"ff\r\nshort"
         )
     # a NON-chunked response is untouched even if its body looks hexy
-    status, out, _cs = split_http_payload(
+    status, out, _cs, _ce = split_http_payload(
         b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n5\r\nhello"
     )
     assert out == b"5\r\nhello"
@@ -174,7 +174,7 @@ def test_content_encoding_gzip_deflate_decoded():
             b"HTTP/1.1 200 OK\r\nContent-Encoding: " + ce + b"\r\n\r\n"
             + wire
         )
-        status, out, _cs = split_http_payload(msg)
+        status, out, _cs, _ce = split_http_payload(msg)
         assert out == body, ce
     with pytest.raises(ValueError, match="corrupt gzip"):
         split_http_payload(
@@ -201,7 +201,7 @@ def test_transfer_then_content_encoding_order():
         b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
         b"Transfer-Encoding: chunked\r\n\r\n" + chunked
     )
-    status, out, _cs = split_http_payload(msg)
+    status, out, _cs, _ce = split_http_payload(msg)
     assert out == body
 
 
@@ -296,11 +296,13 @@ def test_wet_record_starting_with_http_not_split(spark):
     assert rows[0].content == tricky and rows[0].http_status is None
 
 
-def test_corrupt_content_encoding_quarantines_whole_archive(spark):
-    """The quarantine contract extends through the new decode layers:
-    an archive whose LAST response declares gzip Content-Encoding over
-    garbage bytes yields exactly one error row and zero partial
-    content rows in on_error='null' mode; on_error='raise' raises."""
+def test_corrupt_content_encoding_flags_only_its_record(spark):
+    """HTTP-payload decode failures are RECORD-level data properties
+    (round-12 verdict item 1): the WARC framing already delimited the
+    block, so a response with gzip Content-Encoding over garbage bytes
+    costs exactly its own row — flagged with parse_error, NULL content
+    — while every sibling record survives, in BOTH error modes (the
+    old per-archive contract retracted the siblings)."""
     from nextbus2pg_spark.sources.warc import (
         warc_documents,
         warc_write_records,
@@ -322,12 +324,110 @@ def test_corrupt_content_encoding_quarantines_whole_archive(spark):
         [(3, bytearray(warc_write_records(recs)))],
         "archive_id long, payload binary",
     )
-    rows = warc_documents(df, on_error="null").collect()
-    assert len(rows) == 1
-    assert rows[0].parse_error and "gzip" in rows[0].parse_error
-    assert rows[0].content is None
-    with pytest.raises(Exception):
-        warc_documents(df, on_error="raise").collect()
+    for mode in ("null", "raise"):
+        rows = warc_documents(df, on_error=mode).collect()
+        assert len(rows) == 3, mode
+        bad = [r for r in rows if r.record_id == "urn:bad"]
+        ok = [r for r in rows if r.record_id != "urn:bad"]
+        assert len(bad) == 1
+        assert bad[0].parse_error and "gzip" in bad[0].parse_error
+        assert bad[0].content is None
+        assert bad[0].content_length is None
+        assert bad[0].content_encoding == "gzip"
+        assert bad[0].http_status == "HTTP/1.1 200 OK"
+        assert bad[0].uri == "https://x.example/bad"
+        assert len(ok) == 2 and all(r.parse_error is None for r in ok)
+
+
+def test_unsupported_content_encoding_flags_only_its_record(spark):
+    """The brotli case that motivated the contract: a single
+    'Content-Encoding: br' response among good records (stdlib can't
+    decode br) surfaces as ONE flagged row with its declared coding in
+    the content_encoding column; siblings keep full content. No mode
+    raises — on real Common Crawl most archives contain at least one
+    br response, so a raise would kill every ingest job."""
+    from nextbus2pg_spark.sources.warc import (
+        warc_documents,
+        warc_write_records,
+    )
+
+    recs = _recs(3, http_every=2) + [{
+        "type": "response", "uri": "https://x.example/br",
+        "date": "2026-01-01T00:00:00Z", "record_id": "urn:br",
+        "block": (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+            b"Content-Length: 4\r\n\r\n\x0b\x02\x80x"
+        ),
+    }]
+    df = spark.createDataFrame(
+        [(1, bytearray(warc_write_records(recs, gzip_members=True)))],
+        "archive_id long, payload binary",
+    )
+    for mode in ("raise", "null"):
+        rows = {r.record_id: r for r in
+                warc_documents(df, on_error=mode).collect()}
+        assert len(rows) == 4, mode
+        br = rows["urn:br"]
+        assert br.parse_error and "unsupported Content-Encoding" in (
+            br.parse_error
+        )
+        assert br.content is None and br.content_length is None
+        assert br.content_encoding == "br"
+        assert br.http_status == "HTTP/1.1 200 OK"
+        for rid in ("urn:r:0", "urn:r:1", "urn:r:2"):
+            assert rows[rid].parse_error is None
+            assert rows[rid].content and "body" in rows[rid].content
+    # successfully decoded responses surface their coding too
+    gz = gzip.compress(b"compressed ok")
+    df2 = spark.createDataFrame(
+        [(1, bytearray(warc_write_records([{
+            "type": "response", "uri": "https://x.example/gz",
+            "date": "2026-01-01T00:00:00Z", "record_id": "urn:gz",
+            "block": (
+                b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+                b"Content-Length: " + str(len(gz)).encode()
+                + b"\r\n\r\n" + gz
+            ),
+        }])))],
+        "archive_id long, payload binary",
+    )
+    row = warc_documents(df2).collect()[0]
+    assert row.content == "compressed ok"
+    assert row.content_encoding == "gzip" and row.parse_error is None
+
+
+def test_non_text_charset_label_falls_back_not_crashes(spark):
+    """codecs.lookup resolves non-text labels (zlib, base64, rot13,
+    hex) whose .decode raises LookupError — a crawled page declaring
+    charset=zlib must fall back to utf-8-replace, never crash the
+    task (round-12 ADVICE, high)."""
+    from nextbus2pg_spark.sources.warc import (
+        _resolve_charset,
+        warc_documents,
+        warc_write_records,
+    )
+
+    for label in ("zlib", "base64", "rot13", "hex", "uu", "bz2"):
+        assert _resolve_charset(label) is None, label
+    assert _resolve_charset("utf-8") == "utf-8"  # text codecs still pass
+
+    body = b"hostile charset label"
+    recs = [{
+        "type": "response", "uri": "https://x.example/evil",
+        "date": "2026-01-01T00:00:00Z", "record_id": "urn:evil",
+        "block": (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=zlib"
+            b"\r\nContent-Length: " + str(len(body)).encode()
+            + b"\r\n\r\n" + body
+        ),
+    }]
+    df = spark.createDataFrame(
+        [(1, bytearray(warc_write_records(recs)))],
+        "archive_id long, payload binary",
+    )
+    row = warc_documents(df, on_error="raise").collect()[0]
+    assert row.content == "hostile charset label"
+    assert row.parse_error is None
 
 
 def test_resolve_revisits_precedence_and_unresolved(spark):
