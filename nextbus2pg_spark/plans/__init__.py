@@ -240,10 +240,35 @@ DRIVER_CHECKED_R10 = frozenset({
     "q_url_canon", "q_warc_ingest",
 })
 
+#: Driver rows earned in round 11 (CORRECTNESS_r11.json keys, 50/50
+#: green — first rows for the round-11 surface: declared-charset
+#: decode and revisit resolution (q_warc_charset / q_warc_revisit),
+#: the five regression re-checks of the round-11-touched operators,
+#: and the full r6-vintage drain the staleness ceiling forced).
+DRIVER_CHECKED_R11 = frozenset({
+    "q_warc_charset", "q_warc_revisit", "q_warc_ingest",
+    "q_robots_frontier", "q_c4_clean", "q_media_decode",
+    "q_media_decode_jpeg_prog", "q_doc_fingerprint", "q_domain_cap",
+    "q_epoch_shuffle", "q_epoch_to_ts", "q_event_time_derive",
+    "q_except", "q_first_per_group", "q_flagship_latest", "q_funnel",
+    "q_grouped_corr", "q_hll_estimate", "q_hll_registers",
+    "q_hybrid_rrf", "q_insert_if_absent", "q_ivf_topk", "q_ivfpq_topk",
+    "q_jaccard_pairs", "q_join_inner", "q_join_left_outer",
+    "q_label_propagation", "q_leakage_safe_split", "q_lm_logprob",
+    "q_lsh_topk", "q_minhash_lsh", "q_mixture_audit", "q_pagerank",
+    "q_pagerank_personalized", "q_pca_project", "q_pmi_collocations",
+    "q_point_struct", "q_posexplode", "q_pq_topk", "q_project_filter",
+    "q_quality_classifier", "q_resample_ffill", "q_retention",
+    "q_rolling_anomaly", "q_setsim_join", "q_tfidf_topterms",
+    "q_token_budget_mixture", "q_tpch_q1", "q_transition_matrix",
+    "q_url_psl",
+})
+
 DRIVER_CHECKED = (
     DRIVER_CHECKED_R1_R2 | DRIVER_CHECKED_R3 | DRIVER_CHECKED_R4
     | DRIVER_CHECKED_R5 | DRIVER_CHECKED_R6 | DRIVER_CHECKED_R7
     | DRIVER_CHECKED_R8 | DRIVER_CHECKED_R9 | DRIVER_CHECKED_R10
+    | DRIVER_CHECKED_R11
 )
 
 #: The round currently being built (the driver stamps its artifacts
@@ -252,7 +277,7 @@ DRIVER_CHECKED = (
 #: ``STALENESS_CEILING`` rounds behind, and any row at the ceiling's
 #: edge must sit inside the first-50 driver window so it drains THIS
 #: round rather than aging further.
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
 STALENESS_CEILING = 5
 
 #: Round a query's driver row was LAST earned (r1/r2 merged as 2).
@@ -265,36 +290,32 @@ for _round, _names in (
     (4, DRIVER_CHECKED_R4), (5, DRIVER_CHECKED_R5),
     (6, DRIVER_CHECKED_R6), (7, DRIVER_CHECKED_R7),
     (8, DRIVER_CHECKED_R8), (9, DRIVER_CHECKED_R9),
-    (10, DRIVER_CHECKED_R10),
+    (10, DRIVER_CHECKED_R10), (11, DRIVER_CHECKED_R11),
 ):
     for _n in _names:
         _LAST_CHECKED_ROUND[_n] = _round
 
-#: Queries whose underlying operator/fixture code changed in round 11
-#: — the driver re-verifies exactly what was rewritten. Round 11
-#: touched: the WARC source's HTTP payload path (Content-Encoding
-#: gzip/deflate removal + declared-charset decode; the generator now
-#: plants those wire classes → q_warc_ingest's oracle changed),
-#: robots rule matching (RFC 9309 §2.2.3 '*'/'$' wildcards; the
-#: frontier fixture + oracle changed → q_robots_frontier),
-#: c4_line_filter's word counting (empty split fragments no longer
-#: count; fixture + oracle changed → q_c4_clean), the PNG codec
-#: (Adam7 interlace; every 3rd fixture payload now interlaced →
-#: q_media_decode), and the progressive-JPEG fixture (every 4th
-#: payload a 3-component interleaved-DC SOF2 →
-#: q_media_decode_jpeg_prog). Capacity note: the 43 r6-vintage rows
-#: at the staleness edge fill the rest of the window (2 new + 5
-#: regression + 43 = exactly 50), so the other r11-touched-but-
-#: output-identical queries (q_crawl_to_corpus and q_media_dhash —
-#: the WARC wire classes and PNG interlace are identity transforms on
-#: their outputs, verified by local parity) keep their green r10 rows
-#: and rotate next round.
+#: Queries whose underlying operator/fixture code changed in round 12
+#: AND whose output changed — the driver re-verifies exactly what was
+#: rewritten. Round 12 touched the WARC ingestion seam: unsupported
+#: Content-Encoding (brotli/zstd) now quarantines per RECORD instead
+#: of per archive, and the declared coding is surfaced as a
+#: content_encoding column — the generator plants a 'br' class
+#: (doc_id % 65 == 10), so q_warc_ingest's fixture + oracle changed
+#: (two new columns, NULL content for the br rows), and the
+#: crawl-to-corpus capstone now drops the quarantined rows at
+#: ingestion (its oracle excludes the br class → output changed).
+#: Capacity note: the 47 r7-vintage rows at the staleness edge fill
+#: the rest of the window (1 new + 2 regression + 47 = exactly 50),
+#: so the round-12-touched-but-output-identical queries
+#: (q_warc_charset / q_warc_revisit — same archives, no br class,
+#: fixture selects unchanged; q_media_decode_jpeg_prog — chroma-AC
+#: scans added to the encoder leave the decoded Y plane bit-exact —
+#: all verified by local parity) keep their green r11 rows and rotate
+#: next round.
 REGRESSION_PRIORITY = (
     "q_warc_ingest",
-    "q_robots_frontier",
-    "q_c4_clean",
-    "q_media_decode",
-    "q_media_decode_jpeg_prog",
+    "q_crawl_to_corpus",
 )
 
 #: Round-5 policy: the deferred bucket is DRAINED — the seven entries
