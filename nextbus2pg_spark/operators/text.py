@@ -300,15 +300,33 @@ def c4_line_filter(
     )
 
 
-def _decode_numeric_refs(t: Column) -> Column:
-    """Decode HTML numeric character references (``&#NN;`` and
-    ``&#xHH;``, BMP code points) with nothing but JVM built-ins — no
-    Python, no UDF: split on a ``(?=&#)`` lookahead (each segment
-    after the first starts with a candidate ref), turn a valid
-    leading ref into its character via the hex → unhex → UTF-16BE
-    decode chain, and rejoin. Invalid refs (zero, surrogates,
-    supplementary-plane, malformed) pass through untouched, matching
-    lenient-browser behavior closely enough for corpus text."""
+#: The six ubiquitous named entities (exact case, the same set the
+#: default ``html_to_text`` chain replaces).
+_NAMED_ENTITIES = (
+    ("nbsp", " "), ("lt", "<"), ("gt", ">"),
+    ("quot", '"'), ("apos", "'"), ("amp", "&"),
+)
+_NAMED_RE = r"^&(nbsp|lt|gt|quot|apos|amp);"
+
+
+def _decode_entities(t: Column) -> Column:
+    """Decode HTML character references — numeric (``&#NN;`` /
+    ``&#xHH;``, BMP code points) AND the six named entities — in ONE
+    pass with nothing but JVM built-ins, no Python, no UDF: split on
+    a ``(?=&)`` lookahead (each segment after the first starts with a
+    candidate reference), decode at most the one leading reference
+    per segment via the hex → unhex → UTF-16BE chain (numeric) or a
+    name→char CASE (named), and rejoin. Invalid refs (zero,
+    surrogates, supplementary-plane, malformed) pass through
+    untouched, matching lenient-browser behavior closely enough for
+    corpus text.
+
+    Single-pass is the HTML-correct structure (round-12 ADVICE): a
+    decoded ``&`` must never be re-parsed — ``&#38;lt;`` is the
+    literal text ``&lt;`` (the sequential decode-numeric-then-
+    replace-named chain turned it into ``<``), and ``&amp;#65;`` is
+    the literal ``&#65;``. Each split segment holds exactly one
+    ``&``, decoded at most once, so neither direction double-decodes."""
 
     def seg(s: Column) -> Column:
         dec = F.regexp_extract(s, r"^&#([0-9]{1,7});", 1)
@@ -326,9 +344,18 @@ def _decode_numeric_refs(t: Column) -> Column:
         rest = F.regexp_replace(
             s, r"^&#([0-9]{1,7}|[xX][0-9a-fA-F]{1,6});", ""
         )
-        return F.when(valid, F.concat(ch, rest)).otherwise(s)
+        name = F.regexp_extract(s, _NAMED_RE, 1)
+        named_ch = F.lit(None).cast("string")
+        for ent, c in reversed(_NAMED_ENTITIES):
+            named_ch = F.when(name == ent, F.lit(c)).otherwise(named_ch)
+        named_rest = F.regexp_replace(s, _NAMED_RE, "")
+        return (
+            F.when(valid, F.concat(ch, rest))
+            .when(name != "", F.concat(named_ch, named_rest))
+            .otherwise(s)
+        )
 
-    return F.array_join(F.transform(F.split(t, r"(?=&#)"), seg), "")
+    return F.array_join(F.transform(F.split(t, r"(?=&)"), seg), "")
 
 
 def html_to_text(col: Column, numeric_entities: bool = False) -> Column:
@@ -342,11 +369,12 @@ def html_to_text(col: Column, numeric_entities: bool = False) -> Column:
     Python. Patterns use only RE2-portable constructs (case-insensitive
     groups, non-greedy dot-all) so a SQL oracle replays them verbatim.
     ``numeric_entities=True`` additionally decodes ``&#NN;`` /
-    ``&#xHH;`` references (BMP) via :func:`_decode_numeric_refs` —
-    still JVM-only (round-11; closes the round-10 verdict's last
-    html_to_text gap). It runs BEFORE the ``&amp;`` replacement for
-    the same reason ``&amp;`` decodes last: ``&amp;#65;`` is a
-    literal ``&#65;``, not ``A``."""
+    ``&#xHH;`` references (BMP) — still JVM-only, and in that mode
+    numeric AND named entities decode together in ONE
+    :func:`_decode_entities` pass (round-12 ADVICE): sequential
+    passes re-parse each other's output in one direction or the
+    other (``&#38;lt;`` must stay the literal ``&lt;``, just as
+    ``&amp;#65;`` must stay the literal ``&#65;``)."""
     t = F.regexp_replace(
         col, r"(?is)<script\b[^>]*>.*?</script>", " "
     )
@@ -354,12 +382,11 @@ def html_to_text(col: Column, numeric_entities: bool = False) -> Column:
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
     if numeric_entities:
-        t = _decode_numeric_refs(t)
-    # &amp; decodes LAST: "&amp;lt;" is a literal "&lt;", not "<"
-    for ent, ch in (
-        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&"),
-    ):
-        t = F.replace(t, F.lit(ent), F.lit(ch))
+        t = _decode_entities(t)
+    else:
+        # sequential named-only chain is safe by ordering alone:
+        # &amp; decodes LAST ("&amp;lt;" is a literal "&lt;", not "<")
+        for ent, ch in _NAMED_ENTITIES:
+            t = F.replace(t, F.lit("&" + ent + ";"), F.lit(ch))
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)

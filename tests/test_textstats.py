@@ -443,6 +443,14 @@ def test_html_to_text_numeric_character_references(spark):
         ("ast&#x1F600;ral", "ast&#x1F600;ral"),  # astral: undecoded
         ("no&#semi", "no&#semi"),              # malformed
         ("&#72;&#105;", "Hi"),                 # adjacent refs
+        # a decoded '&' is never re-parsed (round-12 ADVICE): the
+        # numeric ref for '&' followed by an entity NAME is literal
+        ("x&#38;lt;y", "x&lt;y"),
+        ("x&#38;amp;y", "x&amp;y"),
+        # named entities still decode in numeric mode, same one pass
+        ("a&lt;b&gt;c &quot;q&quot; &apos;s&apos;", "a<b>c \"q\" 's'"),
+        ("n&nbsp;b", "n b"),
+        ("mix &amp; &#8211; done", "mix & – done"),
     ]
     df = spark.createDataFrame(cases, "html string, expected string")
     out = df.select(
@@ -455,8 +463,9 @@ def test_html_to_text_numeric_character_references(spark):
     for r in out:
         assert r.got == r.expected, (r.got, r.expected)
     # default mode never decodes numeric refs
+    named = ("&amp;", "&lt;", "&gt;", "&quot;", "&apos;", "&nbsp;")
     for r, (html, _exp) in zip(out, cases):
-        if "&amp;" in html:
-            continue  # amp decode changes it either way
+        if any(e in html for e in named):
+            continue  # named entities decode in BOTH modes
         stripped = _re.sub(r"\s+", " ", _re.sub(r"<[^>]+>", " ", html)).strip()
         assert r.got_default == stripped, (html, r.got_default)
