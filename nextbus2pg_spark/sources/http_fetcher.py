@@ -317,6 +317,63 @@ class CdxRangeFetcher:
             n += 1
         return n
 
+    def fetch_coalesced(self, captures, max_gap: int = 0) -> int:
+        """Execute the manifest with coalesced TRANSPORT but
+        per-record spool semantics (round-12 ADVICE fix): not-yet-
+        spooled captures that are adjacent — or separated by at most
+        ``max_gap`` bytes — in the same archive file are fetched as
+        ONE ``Range`` request, then sliced back into the ORIGINAL
+        per-record ranges before spooling. Gap bytes travel over the
+        wire but never reach the spool, so records the index filter
+        dropped cannot be re-introduced downstream — unlike passing
+        ``coalesce_ranges`` output to :meth:`fetch`, which spools
+        merged spans whole (see that function's caveat). The ledger
+        stays per record: resume skips already-spooled records, and a
+        partially-fetched span re-requests only the span covering the
+        missing records."""
+        done = self.fetched()
+        seen: "set[str]" = set()
+        by_file: "dict[str, list[tuple[int, int, str]]]" = {}
+        for cap in captures:
+            filename = cap["filename"]
+            offset, length = int(cap["offset"]), int(cap["length"])
+            name = self._spool_name(filename, offset, length)
+            if name in done or name in seen:
+                continue
+            seen.add(name)
+            by_file.setdefault(filename, []).append(
+                (offset, length, name)
+            )
+        n = 0
+
+        def _flush(filename: str, run: "list[tuple[int, int, str]]"):
+            nonlocal n
+            lo = run[0][0]
+            hi = max(o + ln for o, ln, _ in run)
+            data = self.client.get_range(
+                f"{self.base_url}/{filename}", lo, hi - lo
+            )
+            for offset, length, name in run:
+                tmp = os.path.join(self.spool_dir, f".tmp-{name}")
+                with open(tmp, "wb") as f:
+                    f.write(data[offset - lo : offset - lo + length])
+                os.replace(tmp, os.path.join(self.spool_dir, name))
+                n += 1
+
+        for filename, caps in by_file.items():
+            caps.sort()
+            run = [caps[0]]
+            end = caps[0][0] + caps[0][1]
+            for c in caps[1:]:
+                if c[0] <= end + max_gap:
+                    run.append(c)
+                    end = max(end, c[0] + c[1])
+                else:
+                    _flush(filename, run)
+                    run, end = [c], c[0] + c[1]
+            _flush(filename, run)
+        return n
+
 
 def coalesce_ranges(captures, max_gap: int = 0):
     """Merge per-record byte ranges that are adjacent (or separated by
@@ -326,10 +383,18 @@ def coalesce_ranges(captures, max_gap: int = 0):
     beats ten 1-record reads on any HTTP host. Returns new capture
     dicts sorted by (filename, offset); a merged span's bytes are a
     valid concatenated-member WARC stream, which ``warc_iter_records``
-    parses natively (gap bytes are NOT included — merging only happens
-    across gaps of at most ``max_gap``, and ``max_gap > 0`` is only
-    sound when the skipped bytes are themselves whole records, as in a
-    filtered index over a contiguous archive)."""
+    parses natively.
+
+    CAVEAT (round-12 ADVICE fix): a merged span covers
+    ``[first.offset, max end)``, so with ``max_gap > 0`` the gap
+    bytes ARE fetched — and when the span is handed to
+    :meth:`CdxRangeFetcher.fetch` they are spooled and parsed too,
+    re-introducing whole records the index filter had excluded.
+    ``max_gap = 0`` (the default) never includes a byte outside the
+    surviving captures. When you want gap-bridging transport without
+    the semantic leak, use :meth:`CdxRangeFetcher.fetch_coalesced`,
+    which slices the merged response back to the original per-record
+    ranges before spooling."""
     if max_gap < 0:
         raise ValueError(f"max_gap must be >= 0; got {max_gap}")
     out: "list[dict]" = []

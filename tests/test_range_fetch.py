@@ -307,3 +307,59 @@ def test_coalesce_ranges_merges_adjacent_spans(
     assert {r.record_id for r in parsed.collect()} == {
         f"urn:rec:{i}" for i in (0, 1, 2, 4, 5)
     }
+
+
+def test_fetch_coalesced_slices_spans_back_to_records(
+    archive_server, tmp_path, spark
+):
+    """Transport-only coalescing (round-12 ADVICE fix): gap-bridged
+    spans travel as one Range request, but the spool receives the
+    ORIGINAL per-record ranges — the skipped record's bytes never
+    reach the spool, so the index filter is not silently undone; the
+    per-record ledger still drives resume."""
+    from nextbus2pg_spark.sources.warc import (
+        warc_documents,
+        warc_spool_archives,
+    )
+
+    blob, captures = _make_archive(6)
+    _ArchiveHandler.files[ARCHIVE_PATH] = blob
+    # keep records 0,1,2 and 4,5; record 3 is filtered out
+    kept = [captures[i] for i in (0, 1, 2, 4, 5)]
+    spool = tmp_path / "spool"
+    f = CdxRangeFetcher(
+        archive_server, str(spool), client=FeedHttpClient(retries=1)
+    )
+    _ArchiveHandler.requests = []
+    # max_gap bridges record 3: ONE request for five records
+    assert f.fetch_coalesced(kept, max_gap=captures[3]["length"]) == 5
+    assert len(_ArchiveHandler.requests) == 1
+    assert len(f.fetched()) == 5  # five per-record spool files
+    parsed = warc_documents(warc_spool_archives(spark, str(spool)))
+    assert {r.record_id for r in parsed.collect()} == {
+        f"urn:rec:{i}" for i in (0, 1, 2, 4, 5)
+    }  # urn:rec:3 spooled nowhere — the filter holds
+    # each spool file is exactly its capture's bytes
+    for c in kept:
+        name = f._spool_name(c["filename"], c["offset"], c["length"])
+        got = (spool / name).read_bytes()
+        assert got == blob[c["offset"] : c["offset"] + c["length"]]
+
+    # resume: drop one record's spool file; only its span refetches
+    victim = kept[1]
+    vname = f._spool_name(
+        victim["filename"], victim["offset"], victim["length"]
+    )
+    (spool / vname).unlink()
+    _ArchiveHandler.requests = []
+    assert f.fetch_coalesced(kept, max_gap=captures[3]["length"]) == 1
+    assert len(_ArchiveHandler.requests) == 1
+    lo, hi = (
+        _ArchiveHandler.requests[0].removeprefix("bytes=").split("-")
+    )
+    assert int(hi) - int(lo) + 1 == victim["length"]  # just the one
+    assert (spool / vname).read_bytes() == blob[
+        victim["offset"] : victim["offset"] + victim["length"]
+    ]
+    # idempotent: nothing left to do
+    assert f.fetch_coalesced(kept) == 0
