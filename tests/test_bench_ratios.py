@@ -1,4 +1,4 @@
-"""Pinned normalized-cost ratios for the round-8 bench outliers.
+"""Pinned normalized-cost ratios for the settled bench outliers.
 
 Round 8's cross-round bench showed q_retrieval_eval 2.48x, q_token_count
 2.18x and q_corpus_assembly 1.46x vs round 7. Bisected in round 9 by
@@ -16,126 +16,83 @@ regression fails loudly while host drift does not:
 (cal_sched = a 32-task no-compute job's wall = per-job fixed overhead;
 cal_scan = full-column scan+agg of the SF's largest table = the host's
 data-path speed; same rule as bench.py / PERF.md "Calibration &
-normalization".) Ceilings are ~3x the round-9 measured values at
-sf0.01 (q_retrieval_eval 4.9, q_token_count 0.0, q_corpus_assembly
-15.9) — wide enough for cross-host variance, tight enough that another
-genuine 2.5x move trips them.
+normalization".)
+
+Round-12 structure (ADVICE fix): ALL pinned measurements run in ONE
+fresh subprocess session (tests/bench_ratio_probe.py) instead of the
+suite's long-lived session. Round 11 had to widen q_triangle_count's
+ceiling 5.0 -> 9.0 because end-of-suite session pollution (accumulated
+shuffle files / JVM state) inflated the multi-shuffle plan >5x at the
+same commit that measured 1.3 in a fresh idle session — and at 9.0 a
+genuine ~2.5-3x plan regression slid under the gate. The fresh-session
+probe removes the pollution, so every ceiling sits at ~3x its measured
+fresh-session idle norm again and a real multi-shuffle regression
+fails both probe attempts (the probe keeps the single documented
+GC-tail retry per query: re-measure once, keep the lower median).
 """
 
 from __future__ import annotations
 
+import json
 import os
-import time
+import subprocess
+import sys
 
 import pytest
 
-from nextbus2pg_spark.plans import QUERIES
-
 SF = "/root/testdata/sf0.01"
 
-#: (query, normalized-cost ceiling). Measured r9 values in module doc.
+#: (query, normalized-cost ceiling) — ~3x the fresh-session idle norms
+#: (r9: q_retrieval_eval 4.9, q_token_count ~0, q_corpus_assembly 15.9;
+#: r10: q_triangle_count 1.30, q_crawl_to_corpus 22.3; r11: q_holt
+#: 3.43, q_pagerank 14.38).
 PINNED = [
     ("q_retrieval_eval", 15.0),
     ("q_token_count", 2.0),
     ("q_corpus_assembly", 48.0),
-    # round-9's one >1.3x cross-round mover (0.52->0.69s, inside the
-    # documented drift band); r10 measured norm 1.30 at sf0.01 idle —
-    # ceiling wider than the 3x convention because the multi-shuffle
-    # triangle plan degrades more than the scan normalizer under box
-    # contention AND under end-of-suite session pollution (round 11:
-    # tripped >5.0 twice ~30 min into otherwise-idle full-suite runs,
-    # 1.3 idle in a fresh session, same commit — accumulated shuffle
-    # files/JVM state hit the multi-shuffle plan hardest). 9.0 still
-    # trips a genuine catastrophic plan regression; subtler moves are
-    # caught by the per-round idle bisect protocol (PERF.md).
-    ("q_triangle_count", 9.0),
-    # the round-10 capstone (heaviest headline query): measured norm
-    # 22.3 at sf0.01 idle (wall 7.65s, cal_scan 0.33); ~3x ceiling.
+    # back at the pre-round-11 ceiling: the fresh-session probe removed
+    # the end-of-suite pollution that forced 9.0
+    ("q_triangle_count", 5.0),
     ("q_crawl_to_corpus", 65.0),
-    # round-11 settlement of the r10 driver-bench time-series cluster
-    # (q_holt 0.32->1.09s etc.): two-stamp interleaved worktree A/B of
-    # r9 code vs r11 HEAD measured IDENTICAL norms within noise
-    # (q_holt 2.61-3.68 both sides at sf0.1) -> host drift during the
-    # driver's bench segment, not a regression (PERF.md "Round-11
-    # outlier settlement"). Pinned at ~3x the sf0.01 idle norms
-    # (q_holt 3.43, q_pagerank 14.38); pagerank's iterative
-    # multi-shuffle plan degrades more under contention (the
-    # q_triangle_count lesson), hence the wider ceiling.
     ("q_holt", 10.0),
     ("q_pagerank", 45.0),
 ]
 
 
-def _median(thunk, runs=3, spark=None):
-    """Median of N runs. Leaked localCheckpoint blocks from previous
-    runs (and from the rest of the suite's session) inflate GC
-    pressure and wall-time variance — release them around every run,
-    exactly as bench.py does (without this, q_triangle_count measured
-    >5x its idle norm when the module ran late in the full suite)."""
-    from nextbus2pg_spark.operators.scale import release_cached_rdds
-
-    if spark is not None:
-        release_cached_rdds(spark)
-        # late in a full-suite session accumulated JVM garbage inflates
-        # shuffle-heavy measurements; one explicit collection before
-        # the warmup narrows the in-suite vs idle gap
-        spark.sparkContext._jvm.System.gc()
-    thunk()  # warm
-    xs = []
-    for _ in range(runs):
-        if spark is not None:
-            release_cached_rdds(spark)
-        t0 = time.perf_counter()
-        thunk()
-        xs.append(time.perf_counter() - t0)
-    xs.sort()
-    return xs[len(xs) // 2]
-
-
 @pytest.fixture(scope="module")
-def calibration(spark):
-    cal_sched = _median(lambda: spark.range(0, 32_000, 1, 32).count(),
-                        spark=spark)
-    lineitem = os.path.join(SF, "lineitem.parquet")
-    cal_scan = _median(
-        lambda: spark.read.parquet(lineitem)
-        .selectExpr(
-            "sum(l_extendedprice)", "sum(l_quantity)",
-            "sum(l_discount)", "count(*)",
-        )
-        .collect(),
-        spark=spark,
+def probe_results():
+    """One fresh-session subprocess measures calibration + every pinned
+    query; the per-query tests below only assert on the parsed JSON."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = {"sf": SF, "queries": {n: c for n, c in PINNED}}
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
     )
-    return cal_sched, cal_scan
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tests", "bench_ratio_probe.py"),
+            json.dumps(spec),
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=1800,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
 
 
 @pytest.mark.parametrize("name,ceiling", PINNED)
-def test_pinned_normalized_ratio(spark, calibration, name, ceiling):
-    cal_sched, cal_scan = calibration
-
-    def run():
-        df = QUERIES[name](spark, SF)
-        df.count()
-        df.limit(5).collect()
-
-    def measure():
-        med = _median(run, spark=spark)
-        return med, max(med - cal_sched, 0.0) / cal_scan
-
-    med, norm = measure()
-    if norm > ceiling:
-        # One documented re-measure before failing: inside the full
-        # suite the session occasionally hits a GC/contention tail
-        # that inflates a single 3-run median past the ceiling
-        # (q_triangle_count measured 1.3 idle, >5 once in a full-suite
-        # session, round 11). A GENUINE plan regression is not a tail
-        # — it fails both attempts.
-        med2, norm2 = measure()
-        if norm2 < norm:
-            med, norm = med2, norm2
+def test_pinned_normalized_ratio(probe_results, name, ceiling):
+    r = probe_results
+    norm, wall = r["norms"][name], r["walls"][name]
     assert norm <= ceiling, (
         f"{name}: normalized cost {norm:.2f} exceeds pinned ceiling "
-        f"{ceiling} (wall {med:.3f}s, cal_sched {cal_sched:.3f}s, "
-        f"cal_scan {cal_scan:.3f}s) — likely a real plan regression, "
-        "not host drift; see PERF.md 'Round-9 outlier settlement'"
+        f"{ceiling} (wall {wall:.3f}s, cal_sched {r['cal_sched']:.3f}s, "
+        f"cal_scan {r['cal_scan']:.3f}s) in a FRESH session — this is "
+        "not suite pollution; likely a real plan regression (see "
+        "PERF.md outlier settlements)"
     )
