@@ -2510,6 +2510,57 @@ def q_warc_revisit(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_sitemap_frontier",
+    oracle="""
+SELECT 'https://site' || CAST(doc_id % 8 AS VARCHAR)
+         || '.example/urlset.xml.gz' AS sitemap_url,
+       'url' AS kind,
+       'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS loc,
+       '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         AS lastmod
+FROM documents
+UNION ALL
+SELECT DISTINCT
+       'https://site' || CAST(doc_id % 8 AS VARCHAR)
+         || '.example/index.xml',
+       'sitemap',
+       'https://site' || CAST(doc_id % 8 AS VARCHAR)
+         || '.example/urlset.xml.gz',
+       NULL
+FROM documents
+""",
+)
+def q_sitemap_frontier(spark: SparkSession, sf_dir: str):
+    """sitemaps.org frontier seeding end-to-end (round-12 verdict item
+    4; sources/sitemap.py): the documents table becomes a closed-form
+    sitemap corpus — 8 sites, each with one <urlset> (every document a
+    <url> entry with a closed-form lastmod) and one <sitemapindex>
+    referencing it; ODD sites gzip their urlset (the .xml.gz form) and
+    ALL urlsets are NAMED .xml.gz, so the decode must detect gzip by
+    magic bytes, not suffix — then decoded (Arrow gunzip stage) and
+    parsed with native from_xml into one row per entry.
+
+    The oracle is GROUND TRUTH from documents: every doc_id must
+    surface as a kind='url' entry under its site's urlset URL with the
+    expected lastmod (a skipped gunzip mojibakes the XML into zero
+    rows; a suffix-based detector corrupts the even sites), plus the 8
+    index → child references as kind='sitemap' rows (the one-level hop
+    the fetcher executes)."""
+    from nextbus2pg_spark.sources.sitemap import (
+        sitemap_documents,
+        sitemap_entries,
+        synthetic_sitemap_archives,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    entries = sitemap_entries(
+        sitemap_documents(synthetic_sitemap_archives(docs)),
+        keep_cols=["sitemap_url"],
+    )
+    return entries.select("sitemap_url", "kind", "loc", "lastmod")
+
+
+@fixture(
     "q_media_video_frames",
     oracle="""
 WITH d AS (

@@ -421,3 +421,62 @@ def coalesce_ranges(captures, max_gap: int = 0):
         else:
             out.append(c)
     return out
+
+
+class SitemapFetcher:
+    """Fetch sitemap documents into an atomic spool (round-12 verdict
+    item 4) — the fetch hop between ``robots_sitemaps``' advertised
+    URLs and ``sitemap_entries``' parse, including the one-level
+    ``<sitemapindex>`` → child-sitemap indirection the spec allows
+    (fetch the advertised URLs, parse, fetch the ``kind='sitemap'``
+    locs, parse again; the ledger makes the second pass incremental).
+
+    Payloads are spooled AS-IS: sitemaps.org explicitly allows gzipped
+    sitemap files (``.xml.gz``), and those arrive as gzip CONTENT (the
+    representation itself, not a Content-Encoding the client already
+    stripped) — decompression is the parser's job
+    (``sources/sitemap.sitemap_documents``), keeping the spool bytes
+    verbatim-refetchable. Crash-safety mirrors the other fetchers:
+    ``.tmp-`` + ``os.replace`` atomic writes, spool FILENAMES as the
+    resume ledger (percent-encoded URL, collision-free)."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        *,
+        client: FeedHttpClient | None = None,
+    ) -> None:
+        self.spool_dir = spool_dir
+        self.client = client or FeedHttpClient()
+        os.makedirs(spool_dir, exist_ok=True)
+
+    @staticmethod
+    def spool_name(url: str) -> str:
+        return urllib.parse.quote(url, safe="") + ".sitemap"
+
+    def fetched(self) -> "set[str]":
+        """Spool names already fetched (the resume ledger)."""
+        return {
+            n for n in os.listdir(self.spool_dir)
+            if n.endswith(".sitemap") and not n.startswith(".tmp-")
+        }
+
+    def fetch(self, urls) -> int:
+        """Fetch every URL not already spooled; returns the number
+        fetched. HTTP failures propagate after the client's retries —
+        the operator owns restart policy, and the ledger makes the
+        re-run cheap."""
+        done = self.fetched()
+        n = 0
+        for url in urls:
+            name = self.spool_name(url)
+            if name in done:
+                continue
+            data = self.client.get(url)
+            tmp = os.path.join(self.spool_dir, f".tmp-{name}")
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, os.path.join(self.spool_dir, name))
+            done.add(name)
+            n += 1
+        return n

@@ -106,3 +106,126 @@ def test_sitemap_frontier_composes_with_robots_filter(spark):
         "https://a.com/p/1": False,  # the end-anchored rule
         "https://a.com/p/2": True,
     }
+
+
+def test_gzipped_sitemapindex_chain_end_to_end(spark, tmp_path):
+    """Round-12 verdict item 4, the hermetic frontier recipe: a
+    localhost host serves robots.txt advertising a GZIPPED
+    <sitemapindex> (.xml.gz) whose children are GZIPPED <urlset>
+    files; SitemapFetcher spools the advertised URL, the parse
+    surfaces the kind='sitemap' children, ONE more fetch+parse round
+    flattens the index, and the resulting page locs are the frontier.
+    The gunzip is magic-byte-detected (one child lies with a .xml
+    name), corrupt gzip quarantines by emptiness, and the ledger makes
+    the second round incremental."""
+    import gzip
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.sources.http_fetcher import (
+        FeedHttpClient,
+        SitemapFetcher,
+    )
+    from nextbus2pg_spark.sources.sitemap import sitemap_spool_entries
+
+    pages = {
+        "s1": [f"https://a.com/p/{i}" for i in range(3)],
+        "s2": [f"https://a.com/q/{i}" for i in range(2)],
+    }
+
+    def urlset(urls):
+        body = "".join(f"<url><loc>{u}</loc></url>" for u in urls)
+        return f"<urlset>{body}</urlset>".encode()
+
+    files = {}
+    # the index itself ships gzipped, children mixed: one honest
+    # .xml.gz, one gzipped despite a plain .xml name, one corrupt
+    files["/sitemap_index.xml.gz"] = gzip.compress(
+        (
+            "<sitemapindex>"
+            "<sitemap><loc>{base}/s1.xml.gz</loc></sitemap>"
+            "<sitemap><loc>{base}/s2.xml</loc></sitemap>"
+            "<sitemap><loc>{base}/broken.xml.gz</loc></sitemap>"
+            "</sitemapindex>"
+        ).encode()
+    )
+    files["/s1.xml.gz"] = gzip.compress(urlset(pages["s1"]))
+    files["/s2.xml"] = gzip.compress(urlset(pages["s2"]))  # lying name
+    files["/broken.xml.gz"] = b"\x1f\x8b" + b"garbage-not-gzip"
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 - http.server API
+            data = files.get(self.path)
+            if data is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        files["/sitemap_index.xml.gz"] = gzip.compress(
+            (
+                "<sitemapindex>"
+                f"<sitemap><loc>{base}/s1.xml.gz</loc></sitemap>"
+                f"<sitemap><loc>{base}/s2.xml</loc></sitemap>"
+                f"<sitemap><loc>{base}/broken.xml.gz</loc></sitemap>"
+                "</sitemapindex>"
+            ).encode()
+        )
+        robots = spark.createDataFrame(
+            [(
+                "a.com",
+                f"Sitemap: {base}/sitemap_index.xml.gz\n"
+                "User-agent: *\nDisallow: /private\n",
+            )],
+            "domain string, robots_txt string",
+        )
+        from nextbus2pg_spark.sources.sitemap import robots_sitemaps
+
+        advertised = [
+            r.sitemap_url for r in robots_sitemaps(robots).collect()
+        ]
+        assert advertised == [f"{base}/sitemap_index.xml.gz"]
+
+        spool = tmp_path / "sitemaps"
+        fetcher = SitemapFetcher(
+            str(spool), client=FeedHttpClient(retries=1)
+        )
+        # round 1: the advertised index
+        assert fetcher.fetch(advertised) == 1
+        round1 = sitemap_spool_entries(spark, str(spool))
+        children = [
+            r.loc
+            for r in round1.where(F.col("kind") == "sitemap").collect()
+        ]
+        assert sorted(children) == sorted(
+            [f"{base}/s1.xml.gz", f"{base}/s2.xml", f"{base}/broken.xml.gz"]
+        )
+        # round 2: the one-level index hop; ledger skips the index
+        assert fetcher.fetch(advertised + children) == 3
+        entries = sitemap_spool_entries(spark, str(spool))
+        frontier = {
+            r.loc for r in entries.where(F.col("kind") == "url").collect()
+        }
+        assert frontier == set(pages["s1"]) | set(pages["s2"])
+        # the corrupt child contributed zero rows (NULL xml), loudly
+        # visible as a spooled-but-entryless sitemap_url
+        parsed_urls = {
+            r.sitemap_url for r in entries.select("sitemap_url").collect()
+        }
+        assert f"{base}/broken.xml.gz" not in parsed_urls
+        # idempotent: everything spooled
+        assert fetcher.fetch(advertised + children) == 0
+    finally:
+        srv.shutdown()
