@@ -1131,23 +1131,37 @@ def jpeg_encode_ycbcr_progressive(
     y: np.ndarray,
     sampling: "tuple[int, int]" = (2, 2),
     quant: "int | np.ndarray" = 1,
+    chroma_ac: bool = False,
 ) -> bytes:
     """Encode a 3-component PROGRESSIVE (SOF2) JPEG from a luma plane
-    (chroma flat 128, i.e. all-zero coefficients — carries nothing for
-    this engine's Y-only decoder but MUST be entropy-coded so the
-    interleaved-DC first/refine walk's chroma bitstream alignment is
-    exercised for real; round-10 advice: that path real-world
-    3-component SOF2 files hit first was never executed).
+    (chroma DC flat — carries nothing for this engine's Y-only decoder
+    but MUST be entropy-coded so the interleaved-DC first/refine
+    walk's chroma bitstream alignment is exercised for real; round-10
+    advice: that path real-world 3-component SOF2 files hit first was
+    never executed).
 
     Scan script (T.81 G.1): an INTERLEAVED DC first scan (Al=1, all
     three components in MCU order, per-component predictors), an
     interleaved DC refinement to Al=0, then the mandatory
     single-component AC scans — Y's full band walked in the COMPONENT
     raster (pad blocks beyond ceil(w/8)×ceil(h/8) are interleave-only
-    per A.2.2 and excluded here), then the all-zero chroma bands
-    (pure EOB runs). Successive approximation closes at Al=0, so the
-    decode is bit-exact against the baseline ``jpeg_encode_ycbcr`` of
-    the same plane."""
+    per A.2.2 and excluded here), then the chroma bands. Successive
+    approximation closes at Al=0, so the decode is bit-exact against
+    the baseline ``jpeg_encode_ycbcr`` of the same plane.
+
+    ``chroma_ac=False``: chroma is flat 128 (all-zero coefficients),
+    one pure-EOB-run AC scan per chroma component. ``chroma_ac=True``
+    (round-12 verdict item 5): each chroma block carries a
+    deterministic NONZERO coefficient pair (one in zigzag band 1-5,
+    one in 6-63, signs and magnitudes varying by block index) emitted
+    as the full real scan progression — two spectral-selection first
+    scans at Al=1 and two refinement scans to Al=0 per component, so
+    ZRL runs, size codes, sign bits, correction bits, and
+    newly-significant-in-refinement coefficients ALL appear in scans
+    the decoder must skip. Chroma block DC stays 0, so the
+    interleaved DC scans are unchanged either way — and the decoded Y
+    plane must be bit-identical under both settings (pinned by test +
+    the unchanged fixture oracle)."""
     y = np.ascontiguousarray(y, dtype=np.uint8)
     if y.ndim != 2:
         raise ValueError(f"expected (h, w) luma plane; got {y.shape}")
@@ -1231,15 +1245,58 @@ def jpeg_encode_ycbcr_progressive(
     out += bw.flush()
 
     # chroma AC bands: ceil(w/hs)/8 x ceil(h/vs)/8 grids == mcux x mcuy
-    # of all-zero blocks -> one EOB run each
+    n_cblocks = mcux * mcuy
+    if not chroma_ac:
+        # all-zero blocks -> one pure EOB run per component
+        for cid in (2, 3):
+            bw = _BitWriter()
+            eob = _EobState(bw, ac_enc)
+            for _ in range(n_cblocks):
+                _encode_ac_first_block(bw, ac_enc, eob, [0] * 63)
+            eob.flush()
+            out += _seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0x00]))
+            out += bw.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # chroma_ac=True: deterministic nonzero chroma coefficient grids,
+    # emitted as the REAL scan progression (spectral selection +
+    # successive approximation). Values of 1 vanish in the Al=1 first
+    # scan and become newly-significant in the refinement; values >= 2
+    # appear in the first scan and contribute correction bits — both
+    # refinement paths run in every file.
+    def _czz(cid: int, idx: int) -> "list[int]":
+        zz = [0] * 64
+        lo_pos = 1 + (idx + cid) % 5
+        lo_val = 1 + (idx % 7)
+        zz[lo_pos] = -lo_val if idx % 3 == 0 else lo_val
+        hi_pos = 6 + (idx * 11 + cid * 17) % 58
+        hi_val = 1 + idx % 4
+        zz[hi_pos] = -hi_val if idx % 2 == 0 else hi_val
+        return zz
+
     for cid in (2, 3):
-        bw = _BitWriter()
-        eob = _EobState(bw, ac_enc)
-        for _ in range(mcux * mcuy):
-            _encode_ac_first_block(bw, ac_enc, eob, [0] * 63)
-        eob.flush()
-        out += _seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0x00]))
-        out += bw.flush()
+        grids = [_czz(cid, i) for i in range(n_cblocks)]
+        for ss, se, ah, al in (
+            (1, 5, 0, 1), (6, 63, 0, 1), (1, 5, 1, 0), (6, 63, 1, 0),
+        ):
+            bw = _BitWriter()
+            eob = _EobState(bw, ac_enc)
+            for zz in grids:
+                if ah == 0:
+                    _encode_ac_first_block(
+                        bw, ac_enc, eob,
+                        [_ac_shift(v, al) for v in zz[ss : se + 1]],
+                    )
+                else:
+                    _encode_ac_refine_block(
+                        bw, ac_enc, eob, zz[ss : se + 1], al
+                    )
+            eob.flush()
+            out += _seg(
+                0xDA, bytes([1, cid, 0x00, ss, se, (ah << 4) | al])
+            )
+            out += bw.flush()
 
     out += b"\xff\xd9"
     return bytes(out)

@@ -368,7 +368,12 @@ def synthetic_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
     first path a real-world progressive photo hits), sampling cycling
     4:4:4 / 4:2:2 / 4:2:0 by ``d % 3``; its decoded Y plane is the
     same closed-form grid, so the existing oracle pins the
-    interleaved walk too.
+    interleaved walk too. Within the 3-component class, every OTHER
+    payload (``d % 8 == 7``) carries REAL chroma AC content — nonzero
+    coefficients emitted as spectral-selection + refinement scans
+    (round-12 verdict item 5): the decoder skips those scans
+    wholesale, and the unchanged oracle proves the skip leaves the Y
+    plane bit-exact on files that actually carry chroma AC data.
     """
 
     def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -397,7 +402,8 @@ def synthetic_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
                 img = np.kron(vals, np.ones((8, 8), dtype=np.int64))
                 if d % 4 == 3:
                     payload = jpeg_encode_ycbcr_progressive(
-                        img.astype(np.uint8), samplings[d % 3], quant=1
+                        img.astype(np.uint8), samplings[d % 3], quant=1,
+                        chroma_ac=(d % 8 == 7),
                     )
                 else:
                     payload = jpeg_encode_gray_progressive(
