@@ -32,6 +32,7 @@ Emits one JSON line per (operator, scale) to stdout.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -101,6 +102,7 @@ HEAVY_BASE = {
     "theil_sen": 200,            # groups of 100 points (4950 pairs each)
     "holt_winters": 200,         # keys of 500 points (season 24)
     "warc_ingest": 8_000,        # docs (~560B each) -> 16*scale archives
+    "warc_stream_spool": 64,     # spool files of 40 records each
 }
 
 
@@ -215,6 +217,69 @@ def run_heavy(spark, name: str, scale: int) -> tuple[float, int]:
         n = warc_documents(
             synthetic_warc_archives(docs, n_archives=16 * scale)
         ).count()
+    elif name == "warc_stream_spool":
+        # Round-12: the STREAMING twin of the spool seam
+        # (warc_spool_archives_stream -> warc_documents under an
+        # availableNow drain) at the batch seam's scales. Spool files
+        # scale with the data at constant file size (the
+        # one-file-per-capture shape the ranged fetcher produces);
+        # only the stream drain is timed — spool generation and the
+        # checkpoint dir live outside the clock. Expected shape: wall
+        # tracks data near-linearly once cores fill, like the batch
+        # fanout (10x ~ core-fill bound), plus one fixed micro-batch
+        # planning cost.
+        import shutil
+        import tempfile
+
+        from nextbus2pg_spark.sources.warc import (
+            warc_documents,
+            warc_spool_archives_stream,
+            warc_write_records,
+        )
+
+        workdir = tempfile.mkdtemp(prefix="warc-stream-scale-")
+        spool = os.path.join(workdir, "spool")
+        os.makedirs(spool)
+        n_files = base
+        n_rows = 0
+        for fi in range(n_files):
+            recs = [
+                {
+                    "type": "conversion",
+                    "uri": f"https://example.org/doc/{fi}/{ri}",
+                    "date": "2026-01-01T00:00:00Z",
+                    "record_id": f"urn:doc:{fi}:{ri}",
+                    "block": (
+                        f"{fi}:{ri} " + "crawl body token " * 32
+                    ).encode(),
+                }
+                for ri in range(40)
+            ]
+            n_rows += len(recs)
+            payload = warc_write_records(recs, gzip_members=True)
+            with open(os.path.join(spool, f"f{fi}.warcrec"), "wb") as fh:
+                fh.write(payload)
+        counts: "list[int]" = []
+
+        def _sink(batch_df, batch_id):
+            counts.append(batch_df.count())
+
+        t0 = time.perf_counter()
+        q = (
+            warc_documents(warc_spool_archives_stream(spark, spool))
+            .writeStream.foreachBatch(_sink)
+            .option(
+                "checkpointLocation", os.path.join(workdir, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        release_cached_rdds(spark)
+        shutil.rmtree(workdir, ignore_errors=True)
+        assert sum(counts) == n_rows, (name, scale, counts, n_rows)
+        return wall, n_rows
     else:  # holt_winters
         from nextbus2pg_spark.operators.timeseries import holt_winters
 

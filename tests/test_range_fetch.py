@@ -363,3 +363,75 @@ def test_fetch_coalesced_slices_spans_back_to_records(
     ]
     # idempotent: nothing left to do
     assert f.fetch_coalesced(kept) == 0
+
+
+def test_streaming_spool_survives_kill_mid_fetch(
+    archive_server, tmp_path, spark
+):
+    """Round-12 verdict item 7, the streaming twin's crash soak: the
+    fetcher DIES mid-manifest (transport error after 2 records); the
+    live stream drains exactly what was durably spooled; a restarted
+    fetcher resumes from the filenames-ledger (skipping the spooled
+    records, fetching only the remainder); the next micro-batch
+    contains exactly the new records — no duplicates, no losses,
+    across the crash."""
+    from nextbus2pg_spark.sources.warc import (
+        warc_documents,
+        warc_spool_archives_stream,
+    )
+
+    blob, captures = _make_archive(6)
+    _ArchiveHandler.files[ARCHIVE_PATH] = blob
+    spool = tmp_path / "spool"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+
+    class _DyingClient(FeedHttpClient):
+        """Raises on the Nth request — a process kill mid-manifest."""
+
+        def __init__(self, die_after: int):
+            super().__init__(retries=1)
+            self.left = die_after
+
+        def get_range(self, url, offset, length):
+            if self.left <= 0:
+                raise OSError("killed mid-fetch")
+            self.left -= 1
+            return super().get_range(url, offset, length)
+
+    f1 = CdxRangeFetcher(
+        archive_server, str(spool), client=_DyingClient(die_after=2)
+    )
+    with pytest.raises(OSError, match="killed"):
+        f1.fetch(captures)
+    assert len(f1.fetched()) == 2  # two records landed durably
+
+    def drain():
+        parsed = warc_documents(
+            warc_spool_archives_stream(spark, str(spool))
+        )
+        (
+            parsed.select("record_id", "content")
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        return [r.record_id for r in spark.read.parquet(str(sink)).collect()]
+
+    got = drain()
+    assert sorted(got) == ["urn:rec:0", "urn:rec:1"]
+
+    # restart: a fresh fetcher process, healthy transport; the ledger
+    # resumes — only the remaining four records are requested
+    _ArchiveHandler.requests = []
+    f2 = CdxRangeFetcher(
+        archive_server, str(spool), client=FeedHttpClient(retries=1)
+    )
+    assert f2.fetch(captures) == 4
+    assert len(_ArchiveHandler.requests) == 4
+    got = drain()
+    assert sorted(got) == [f"urn:rec:{i}" for i in range(6)]
+    assert len(got) == len(set(got))  # exactly-once across the crash
