@@ -208,3 +208,79 @@ def test_readme_crawl_recipe_runs_verbatim(spark, tmp_path):
         assert len(_ArchiveHandler.requests) == len(want_pages)
     finally:
         srv.shutdown()
+
+
+def test_readme_frontier_recipe_runs_verbatim(spark, tmp_path):
+    """The round-12 frontier-seeding recipe as ONE documented pipeline,
+    executed verbatim against a hermetic localhost host: robots →
+    gzipped sitemapindex → gzipped urlsets → robots-filtered frontier."""
+    import gzip as _gzip
+    import re as _re
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from nextbus2pg_spark.sources.http_fetcher import FeedHttpClient
+
+    text = open("/root/repo/README.md", encoding="utf-8").read()
+    section = text.split("## The frontier-seeding recipe", 1)[1]
+    m = _re.search(r"```python\n(.*?)```", section, _re.DOTALL)
+    assert m, "README frontier recipe block missing"
+
+    def urlset(urls):
+        body = "".join(f"<url><loc>{u}</loc></url>" for u in urls)
+        return _gzip.compress(f"<urlset>{body}</urlset>".encode())
+
+    files = {}
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 - http.server API
+            data = files.get(self.path)
+            if data is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        files["/s1.xml.gz"] = urlset(
+            ["https://a.com/keep/1", "https://a.com/private/2"]
+        )
+        files["/s2.xml.gz"] = urlset(["https://a.com/keep/3"])
+        files["/index.xml.gz"] = _gzip.compress(
+            (
+                "<sitemapindex>"
+                f"<sitemap><loc>{base}/s1.xml.gz</loc></sitemap>"
+                f"<sitemap><loc>{base}/s2.xml.gz</loc></sitemap>"
+                "</sitemapindex>"
+            ).encode()
+        )
+        robots = spark.createDataFrame(
+            [(
+                "a.com",
+                f"Sitemap: {base}/index.xml.gz\n"
+                "User-agent: *\nDisallow: /private/\n",
+            )],
+            "domain string, robots_txt string",
+        )
+        ns = {
+            "spark": spark,
+            "robots": robots,
+            "sitemap_spool_dir": str(tmp_path / "sitemaps"),
+            "client": FeedHttpClient(retries=1),
+        }
+        exec(compile(m.group(1), "README.md#frontier", "exec"), ns)  # noqa: S102
+        frontier = {r.url for r in ns["frontier"].collect()}
+        # the /private/ page is discovered but robots-filtered away
+        assert frontier == {"https://a.com/keep/1", "https://a.com/keep/3"}
+        assert len(ns["children"]) == 2
+    finally:
+        srv.shutdown()
