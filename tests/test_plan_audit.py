@@ -1039,3 +1039,30 @@ def test_robots_wildcard_rules_keep_broadcast_and_fast_path(spark):
     assert "CartesianProduct" not in p, p
     assert "StartsWith" in p, p
     assert "RLIKE" in p or "rlike" in p, p
+
+
+def test_sitemap_frontier_plan_is_join_free_jvm_parse(spark):
+    """Sitemap frontier (round 12): build → gunzip (Arrow) →
+    from_xml → explode is a join-free, window-free chain — the only
+    exchanges are the site grouping and the two explode-leg union
+    branches; the XML parse itself is native from_xml (no Python in
+    the parse leg)."""
+    p = plan_text(q(spark, "q_sitemap_frontier"))
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Window" not in p, p
+    # the parse is JVM from_xml — visible as a generated explode over
+    # the parsed struct arrays, never a Python row UDF
+    assert "BatchEvalPython" not in p, p
+
+
+def test_warc_ingest_quarantine_stays_archive_parallel(spark):
+    """Per-record quarantine + content_encoding column (round 12):
+    q_warc_ingest's plan shape is unchanged by the error-granularity
+    fix — still the one-archive-per-task Arrow chain with no joins,
+    no windows, no cartesian (the quarantine decision is executor-
+    local control flow, not a plan operator)."""
+    p = plan_text(q(spark, "q_warc_ingest"))
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Window" not in p, p
