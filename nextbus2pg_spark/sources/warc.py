@@ -64,6 +64,29 @@ GZIP_MAGIC = b"\x1f\x8b"
 _CRLF = b"\r\n"
 _CHUNK = 1 << 20  # compressed bytes fed per inflate step
 
+# Optional content codings (import-gated: not in this container's
+# stdlib, but real clusters routinely install them — brotli is a
+# double-digit share of crawled responses). When absent, those
+# codings take the per-record quarantine path instead; when present,
+# the same records decode. Either way no archive is lost.
+try:  # pragma: no cover - absent in the test container
+    import brotli as _brotli
+
+    _BROTLI_DECODE = _brotli.decompress
+except Exception:
+    _BROTLI_DECODE = None
+try:  # pragma: no cover - absent in the test container
+    from compression import zstd as _zstd  # Python >= 3.14 stdlib
+
+    _ZSTD_DECODE = _zstd.decompress
+except Exception:
+    try:  # pragma: no cover - absent in the test container
+        import zstandard as _zstandard  # the common third-party package
+
+        _ZSTD_DECODE = _zstandard.ZstdDecompressor().decompress
+    except Exception:
+        _ZSTD_DECODE = None
+
 
 def warc_write_records(
     records: "list[dict]", gzip_members: bool = False
@@ -292,17 +315,34 @@ class HttpPayloadError(ValueError):
 def _decode_content_encoding(body: bytes, ce: str) -> bytes:
     """Remove ``Content-Encoding`` codings from an HTTP body (RFC 9110
     §8.4): codings are listed in application order, so decode in
-    reverse. ``gzip``/``x-gzip`` and ``deflate`` are supported —
+    reverse. ``gzip``/``x-gzip`` and ``deflate`` are always supported —
     real-world "deflate" ships both zlib-wrapped (the spec) and raw
-    (a common server bug), so the raw window is the fallback. Corrupt
-    streams and unknown codings raise ``ValueError`` (callers wrap it
-    into :class:`HttpPayloadError` — one flagged row, not an archive
-    quarantine; silently passing compressed bytes downstream would
-    mojibake every consumer). Memory note: bodies are single records
-    (the member-wise archive inflate already bounds them), so a
-    one-shot decompress here stays O(record)."""
+    (a common server bug), so the raw window is the fallback — and
+    ``br``/``zstd`` decode when their import-gated decoders are
+    installed (cluster deployments; this container has neither).
+    Corrupt streams and unknown/undecodable codings raise
+    ``ValueError`` (callers wrap it into :class:`HttpPayloadError` —
+    one flagged row, not an archive quarantine; silently passing
+    compressed bytes downstream would mojibake every consumer).
+    Memory note: bodies are single records (the member-wise archive
+    inflate already bounds them), so a one-shot decompress here stays
+    O(record)."""
     for coding in reversed([c.strip() for c in ce.split(",") if c.strip()]):
-        if coding in ("gzip", "x-gzip"):
+        if coding == "br" and _BROTLI_DECODE is not None:
+            try:
+                body = _BROTLI_DECODE(body)
+            except Exception as e:
+                raise ValueError(
+                    f"corrupt br Content-Encoding body: {e}"
+                ) from None
+        elif coding == "zstd" and _ZSTD_DECODE is not None:
+            try:
+                body = _ZSTD_DECODE(body)
+            except Exception as e:
+                raise ValueError(
+                    f"corrupt zstd Content-Encoding body: {e}"
+                ) from None
+        elif coding in ("gzip", "x-gzip"):
             try:
                 body = gzip.decompress(body)
             except (OSError, zlib.error, EOFError) as e:

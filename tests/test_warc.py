@@ -615,3 +615,46 @@ def test_streaming_parse_memory_is_o_record_not_o_archive():
     # inflated size is ~300 MB; hold the line at 32 MB (≈ one record
     # + inflate chunks + scanner buffer, with generous slack)
     assert peak < 32 << 20, f"peak {peak/2**20:.1f} MB — not streaming"
+
+
+def test_optional_brotli_zstd_decoders_engage_when_installed(monkeypatch):
+    """br/zstd support is import-gated (round 12): absent decoders →
+    the per-record quarantine path (unsupported-coding raise); present
+    decoders → the same records decode, corrupt streams still raise.
+    Simulated by patching the module hooks — the container ships
+    neither library."""
+    from nextbus2pg_spark.sources import warc as warc_mod
+    from nextbus2pg_spark.sources.warc import HttpPayloadError
+
+    def msg(ce, wire):
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: " + ce + b"\r\n\r\n"
+            + wire
+        )
+
+    # absent (the container default): unsupported -> HttpPayloadError
+    assert warc_mod._BROTLI_DECODE is None
+    assert warc_mod._ZSTD_DECODE is None
+    with pytest.raises(HttpPayloadError, match="unsupported"):
+        split_http_payload(msg(b"br", b"\x0b\x02\x80payload"))
+
+    # "installed": a stand-in decoder that strips a 3-byte header
+    monkeypatch.setattr(
+        warc_mod, "_BROTLI_DECODE",
+        lambda b: b[3:] if b[:3] == b"\x0b\x02\x80" else (_ for _ in ()
+                                                          ).throw(
+            ValueError("bad frame")
+        ),
+    )
+    status, body, _cs, ce = split_http_payload(
+        msg(b"br", b"\x0b\x02\x80payload")
+    )
+    assert body == b"payload" and ce == "br"
+    with pytest.raises(HttpPayloadError, match="corrupt br"):
+        split_http_payload(msg(b"br", b"WRONGHEADERbytes"))
+
+    monkeypatch.setattr(warc_mod, "_ZSTD_DECODE", lambda b: b[4:])
+    status, body, _cs, ce = split_http_payload(
+        msg(b"zstd", b"ZSTDzbody")
+    )
+    assert body == b"zbody" and ce == "zstd"
