@@ -389,7 +389,12 @@ def _resolve_charset(name: "str | None") -> "str | None":
         return None
     try:
         info = codecs.lookup(name.strip().strip("'\"").lower())
-    except LookupError:
+    except (LookupError, ValueError):
+        # LookupError: unknown label. ValueError: labels the codec
+        # machinery rejects outright — e.g. an embedded NUL byte
+        # ("charset=\x00..." in a hostile Content-Type header raises
+        # ValueError('embedded null character'), found by the
+        # round-12 hypothesis sweep). Both are data noise → fallback.
         return None
     if not getattr(info, "_is_text_encoding", True):
         return None
