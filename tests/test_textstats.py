@@ -469,3 +469,60 @@ def test_html_to_text_numeric_character_references(spark):
             continue  # named entities decode in BOTH modes
         stripped = _re.sub(r"\s+", " ", _re.sub(r"<[^>]+>", " ", html)).strip()
         assert r.got_default == stripped, (html, r.got_default)
+
+
+def test_entity_decoder_matches_html_unescape_on_supported_refs(spark):
+    """Differential oracle for the round-12 one-pass entity decoder:
+    on inputs built from plain text, well-formed numeric refs to
+    printable BMP code points, and the six supported named entities,
+    _decode_entities must agree with stdlib html.unescape — including
+    the double-decode traps in BOTH directions ('&#38;lt;',
+    '&amp;#65;', '&#38;amp;', adjacent refs, refs at string edges).
+    500 seeded-random cases in one Spark job."""
+    import html
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.operators.text import _decode_entities
+
+    rng = random.Random(42)
+    named = ["&nbsp;", "&lt;", "&gt;", "&quot;", "&apos;", "&amp;"]
+    words = ["alpha", "x", "Done.", "mid dle", "tail", ""]
+    safe_cps = (
+        list(range(0x21, 0x7F)) + [0xE9, 0x20AC, 0x2014, 0x4E2D, 0xFFFD]
+    )
+
+    def piece():
+        k = rng.randrange(5)
+        if k == 0:
+            return rng.choice(words)
+        if k == 1:
+            return rng.choice(named)
+        cp = rng.choice(safe_cps)
+        if k == 2:
+            return f"&#{cp};"
+        if k == 3:
+            return f"&#x{cp:x};" if rng.random() < 0.5 else f"&#X{cp:X};"
+        # the trap shapes
+        return rng.choice(
+            ["&#38;lt;", "&amp;#65;", "&#38;amp;", "&#38;#60;"]
+        )
+
+    cases = [
+        "".join(piece() for _ in range(rng.randrange(1, 7)))
+        for _ in range(500)
+    ]
+    # html.unescape semantics notes: '&#38;' decodes to a literal '&'
+    # that is NOT re-parsed — exactly the contract under test; the ONE
+    # deliberate divergence is &nbsp; -> plain space (html_to_text
+    # extracts visible text, so U+00A0 normalizes to ' ').
+    expected = [html.unescape(c).replace("\xa0", " ") for c in cases]
+    df = spark.createDataFrame(
+        list(zip(cases, expected)), "s string, expected string"
+    )
+    out = df.select(
+        "expected", _decode_entities(F.col("s")).alias("got"), "s"
+    ).collect()
+    for r in out:
+        assert r.got == r.expected, (r.s, r.got, r.expected)
