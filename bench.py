@@ -213,6 +213,47 @@ HEADLINE = [
 ]
 
 
+# --- calibration recipe (THE single source of truth) -------------------
+# tests/bench_ratio_probe.py imports these so the pinned-ratio gate and
+# the headline bench always measure the same quantities; change the
+# recipe here and both surfaces move together.
+
+
+def probe_median(thunk, runs: int = 5) -> float:
+    """Median of N timed runs after one untimed warmup."""
+    thunk()  # warmup
+    xs = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        thunk()
+        xs.append(time.perf_counter() - t0)
+    xs.sort()
+    return xs[len(xs) // 2]
+
+
+def sched_probe(spark) -> None:
+    """A 32-task count over a tiny range — task launch + scheduling +
+    result fetch with ~zero compute; its wall time IS the per-job
+    fixed overhead short queries pay."""
+    spark.range(0, 32_000, 1, 32).count()
+
+
+def scan_probe(spark, sf_dir: str) -> None:
+    """Full-column parquet scan + partial agg of the SF's largest
+    table — IO + decode + agg, the data path medium queries ride."""
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+        "sum(l_extendedprice)", "sum(l_quantity)",
+        "sum(l_discount)", "count(*)",
+    ).collect()
+
+
+def normalized_cost(wall: float, cal_sched: float, cal_scan: float) -> float:
+    """PERF.md "Calibration & normalization": subtract one job's fixed
+    overhead, then express the rest in units of the host's data-path
+    speed."""
+    return max(wall - cal_sched, 0.0) / cal_scan
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
@@ -268,35 +309,14 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s median of {runs} ({n} rows)",
               file=sys.stderr)
 
-    def _probe(thunk, runs_: int = 5) -> float:
-        thunk()  # warmup
-        xs = []
-        for _ in range(runs_):
-            t0 = time.perf_counter()
-            thunk()
-            xs.append(time.perf_counter() - t0)
-        xs.sort()
-        return xs[len(xs) // 2]
-
-    lineitem = os.path.join(sf_dir, "lineitem.parquet")
-
-    def _scan_probe() -> None:
-        spark.read.parquet(lineitem).selectExpr(
-            "sum(l_extendedprice)", "sum(l_quantity)",
-            "sum(l_discount)", "count(*)",
-        ).collect()
-
-    def _sched_probe() -> None:
-        spark.range(0, 32_000, 1, 32).count()
-
     # Iterative-graph family first (see ITER_GRAPH_FIRST), then its
     # adjacent calibration stamp, then everything else in HEADLINE
     # order.
     iter_first = [n for n in ITER_GRAPH_FIRST if n in HEADLINE]
     for name in iter_first:
         _time_query(name)
-    iter_cal_sched = _probe(_sched_probe)
-    iter_cal_scan = _probe(_scan_probe)
+    iter_cal_sched = probe_median(lambda: sched_probe(spark))
+    iter_cal_scan = probe_median(lambda: scan_probe(spark, sf_dir))
     print(
         f"# iter-family adjacent calibration: sched {iter_cal_sched:.3f}s"
         f" scan {iter_cal_scan:.3f}s",
@@ -328,17 +348,17 @@ def main() -> None:
     # i.e. subtract one job's fixed overhead, then express the rest in
     # units of the host's data-path speed. Per-vintage normalized
     # subtotals below apply exactly this rule.
-    cal_cpu = _probe(
+    cal_cpu = probe_median(
         lambda: spark.range(200_000_000).selectExpr("sum(id * 2)").collect(),
         3,
     )
-    cal_sched = _probe(_sched_probe)
-    cal_scan = _probe(_scan_probe)
+    cal_sched = probe_median(lambda: sched_probe(spark))
+    cal_scan = probe_median(lambda: scan_probe(spark, sf_dir))
 
     def _norm(names) -> float:
         return round(
             sum(
-                max(timings[n] - cal_sched, 0.0) / cal_scan
+                normalized_cost(timings[n], cal_sched, cal_scan)
                 for n in names
                 if n in timings
             ),

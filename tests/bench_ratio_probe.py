@@ -13,6 +13,11 @@ round-12 ADVICE defect). A fresh session per probe removes the
 pollution instead of widening the gate, so the ceilings can sit back
 at ~3x the idle norms where real multi-shuffle regressions trip them.
 
+The calibration recipe (sched/scan probes, median rule, normalization
+formula) is IMPORTED from bench.py — the single source of truth — so
+this gate always measures the same quantity the headline bench stamps
+(round-12 review: a third hand-rolled copy would drift).
+
 Spec: ``{"sf": dir, "queries": {name: ceiling}}`` — the ceiling is
 used only for the single documented GC-tail retry (re-measure once,
 keep the lower median, never loop).
@@ -21,7 +26,6 @@ keep the lower median, never loop).
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 
@@ -30,15 +34,21 @@ def main() -> None:
     spec = json.loads(sys.argv[1])
     sf = spec["sf"]
 
+    from bench import normalized_cost, probe_median, scan_probe, sched_probe
     from nextbus2pg_spark.operators.scale import release_cached_rdds
     from nextbus2pg_spark.plans import QUERIES
     from nextbus2pg_spark.session import get_spark
 
     spark = get_spark("bench-ratio-probe")
 
-    def median(thunk, runs: int = 3) -> float:
+    def timed_median(thunk, runs: int = 3) -> float:
+        """Same median-of-N-after-warmup rule as bench.probe_median,
+        but with the checkpoint-block release OUTSIDE the clock
+        between runs (query measurements leak localCheckpoint blocks;
+        the calibration probes don't, so they use probe_median
+        directly)."""
         release_cached_rdds(spark)
-        thunk()  # warm
+        thunk()  # warmup
         xs = []
         for _ in range(runs):
             release_cached_rdds(spark)
@@ -48,16 +58,8 @@ def main() -> None:
         xs.sort()
         return xs[len(xs) // 2]
 
-    cal_sched = median(lambda: spark.range(0, 32_000, 1, 32).count())
-    lineitem = os.path.join(sf, "lineitem.parquet")
-    cal_scan = median(
-        lambda: spark.read.parquet(lineitem)
-        .selectExpr(
-            "sum(l_extendedprice)", "sum(l_quantity)",
-            "sum(l_discount)", "count(*)",
-        )
-        .collect()
-    )
+    cal_sched = probe_median(lambda: sched_probe(spark), 3)
+    cal_scan = probe_median(lambda: scan_probe(spark, sf), 3)
     out = {
         "cal_sched": cal_sched,
         "cal_scan": cal_scan,
@@ -71,13 +73,13 @@ def main() -> None:
             df.count()
             df.limit(5).collect()
 
-        med = median(run)
-        norm = max(med - cal_sched, 0.0) / cal_scan
+        med = timed_median(run)
+        norm = normalized_cost(med, cal_sched, cal_scan)
         if norm > float(ceiling):
             # one documented GC-tail retry: a genuine plan regression
             # is not a tail — it exceeds the ceiling both times
-            med2 = median(run)
-            norm2 = max(med2 - cal_sched, 0.0) / cal_scan
+            med2 = timed_median(run)
+            norm2 = normalized_cost(med2, cal_sched, cal_scan)
             if norm2 < norm:
                 med, norm = med2, norm2
         out["walls"][name] = med

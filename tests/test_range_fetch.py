@@ -56,6 +56,7 @@ class _ArchiveHandler(BaseHTTPRequestHandler):
     requests: "list[str | None]" = []  # Range header per request
     ignore_range = False
     fail_next = 0
+    truncate_to = 0  # if >0, 206 bodies are cut to this many bytes
 
     def do_GET(self):  # noqa: N802 - http.server API
         cls = type(self)
@@ -75,6 +76,8 @@ class _ArchiveHandler(BaseHTTPRequestHandler):
             lo, hi = rng.removeprefix("bytes=").split("-")
             lo, hi = int(lo), int(hi)
             body = data[lo : hi + 1]
+            if cls.truncate_to:
+                body = body[: cls.truncate_to]
             self.send_response(206)
             self.send_header(
                 "Content-Range", f"bytes {lo}-{hi}/{len(data)}"
@@ -96,6 +99,7 @@ def archive_server():
     _ArchiveHandler.requests = []
     _ArchiveHandler.ignore_range = False
     _ArchiveHandler.fail_next = 0
+    _ArchiveHandler.truncate_to = 0
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _ArchiveHandler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -435,3 +439,93 @@ def test_streaming_spool_survives_kill_mid_fetch(
     got = drain()
     assert sorted(got) == [f"urn:rec:{i}" for i in range(6)]
     assert len(got) == len(set(got))  # exactly-once across the crash
+
+
+def test_short_range_response_is_never_published(archive_server, tmp_path):
+    """Round-12 review: a 206 shorter than the requested span
+    (truncated read / stale CDX lengths past EOF) must raise BEFORE
+    anything is published — a silently spooled partial record would be
+    ledger-done forever. Both fetch paths refuse; the spool stays
+    empty so the retry refetches cleanly."""
+    blob, captures = _make_archive(4)
+    _ArchiveHandler.files[ARCHIVE_PATH] = blob
+    _ArchiveHandler.truncate_to = 5
+    spool = tmp_path / "spool"
+    f = CdxRangeFetcher(
+        archive_server, str(spool), client=FeedHttpClient(retries=1)
+    )
+    with pytest.raises(ValueError, match="short Range response"):
+        f.fetch(captures)
+    assert f.fetched() == set()
+    with pytest.raises(ValueError, match="short Range response"):
+        f.fetch_coalesced(captures)
+    assert f.fetched() == set()
+    # healthy server again: the same manifest completes
+    _ArchiveHandler.truncate_to = 0
+    assert f.fetch_coalesced(captures) == 4
+
+
+def test_overlong_names_spool_safely_and_resume(archive_server, tmp_path):
+    """Round-12 review: archive filenames / sitemap URLs longer than
+    the filesystem NAME limit (sitemaps.org allows 2048-char locs)
+    must not ENAMETOOLONG-crash the fetcher — overlong stems cap to a
+    head + sha1 digest, deterministic across restarts so the ledger
+    still resumes."""
+    from nextbus2pg_spark.sources.http_fetcher import (
+        SitemapFetcher,
+        _cap_spool_stem,
+    )
+
+    long_path = "crawl-data/" + "x" * 400 + "/file.warc.gz"
+    blob, captures = _make_archive(2)
+    for c in captures:
+        c["filename"] = long_path
+    _ArchiveHandler.files[long_path] = blob
+    spool = tmp_path / "spool"
+    f = CdxRangeFetcher(
+        archive_server, str(spool), client=FeedHttpClient(retries=1)
+    )
+    assert f.fetch(captures) == 2
+    assert all(len(n) <= 255 for n in f.fetched())
+    assert f.fetch(captures) == 0  # ledger resume on the capped names
+    # distinct long names stay collision-free (digest of the FULL value)
+    other = "crawl-data/" + "x" * 399 + "y/file.warc.gz"
+    a = f._spool_name(long_path, 0, 10)
+    b = f._spool_name(other, 0, 10)
+    assert a != b and len(a) <= 255 and len(b) <= 255
+    # no %XX escape is cut mid-sequence (keeps names url-decodable)
+    capped = _cap_spool_stem("ab%2F" * 100)
+    assert "--sha1-" in capped
+    head = capped.split("--sha1-")[0]
+    assert not head.endswith("%") and not head[-2:-1] == "%"
+
+    # the sitemap fetcher shares the cap
+    long_url = f"{archive_server}/s/" + "y" * 1900 + ".xml.gz"
+    sf = SitemapFetcher(str(tmp_path / "maps"),
+                        client=FeedHttpClient(retries=1))
+    name = sf.spool_name(long_url)
+    assert len(name) <= 255 and name.endswith(".sitemap")
+
+
+def test_fetch_coalesced_guards_and_span_cap(archive_server, tmp_path):
+    """Round-12 review: negative max_gap raises (parity with
+    coalesce_ranges), and max_span_bytes splits runs so a merged span
+    never materializes more than the cap in memory."""
+    blob, captures = _make_archive(6)
+    _ArchiveHandler.files[ARCHIVE_PATH] = blob
+    spool = tmp_path / "spool"
+    f = CdxRangeFetcher(
+        archive_server, str(spool), client=FeedHttpClient(retries=1)
+    )
+    with pytest.raises(ValueError, match="max_gap"):
+        f.fetch_coalesced(captures, max_gap=-1)
+    with pytest.raises(ValueError, match="max_span_bytes"):
+        f.fetch_coalesced(captures, max_span_bytes=0)
+    cap = captures[0]["length"] + captures[1]["length"]
+    _ArchiveHandler.requests = []
+    assert f.fetch_coalesced(captures, max_span_bytes=cap) == 6
+    # every request stayed within the cap; all six records landed
+    for r in _ArchiveHandler.requests:
+        lo, hi = r.removeprefix("bytes=").split("-")
+        assert int(hi) - int(lo) + 1 <= cap
+    assert len(_ArchiveHandler.requests) >= 3
