@@ -164,3 +164,129 @@ def cdx_delta(
         "new_filename",
         "new_offset",
     )
+
+
+#: Arrow-stage output of :func:`build_cdx_index` before the JVM-side
+#: surt/timestamp derivation.
+_BUILD_SCHEMA = (
+    "url string, warc_date string, mime string, status int, "
+    "digest string, length long, offset long, filename string"
+)
+
+
+def build_cdx_index(
+    archives: DataFrame,
+    on_error: str = "raise",
+) -> DataFrame:
+    """The INVERSE of :func:`cdx_records` — derive a typed CDX index
+    from raw WARC archives, one capture row per record with the byte
+    span a Range request refetches it by (round 12; the operation
+    Common Crawl's own indexer performs). Input: ``(filename string,
+    payload binary)``; output: the exact :func:`cdx_records` column
+    set ``(surt, capture_ts, url, mime, status, digest, length,
+    offset, filename)``, so ``cdx_archive_manifest`` / ``cdx_delta`` /
+    ``CdxRangeFetcher`` compose on it unchanged — archives that
+    shipped WITHOUT an index join the index-first path.
+
+    Per record: ``offset``/``length`` are the COMPRESSED gzip-member
+    span for CC-framed archives (plain archives: the record's own
+    byte range — both slice back through ``warc_iter_records``);
+    ``status``/``mime`` parse from the HTTP head WITHOUT decoding the
+    body (undecodable Content-Encoding is indexable — CC indexes br
+    responses too); ``digest`` is the record's declared
+    WARC-Payload-Digest, else ``md5:<hex>`` of the raw block (self-
+    consistent for digest-dedup and ``cdx_delta`` within indexes this
+    builder produced). Non-response records carry NULL status/mime.
+
+    Archive-grammar failures follow the established quarantine idiom:
+    ``on_error="null"`` emits one NULL-url row per bad archive (the
+    downstream contract already filters ``url IS NOT NULL``),
+    ``"raise"`` raises. Scale shape: one archive per task through the
+    standard Arrow fanout; nothing decompresses a body, so indexing
+    is strictly cheaper than ingesting."""
+    import hashlib
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as pd
+
+    if on_error not in ("raise", "null"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'null'; got {on_error!r}"
+        )
+
+    cols = [
+        "url", "warc_date", "mime", "status", "digest", "length",
+        "offset", "filename",
+    ]
+
+    def _head_status_mime(block: bytes):
+        if block[:5] != b"HTTP/":
+            return None, None
+        sep = block.find(b"\r\n\r\n")
+        head = block[: sep if sep >= 0 else len(block)]
+        lines = head.decode("utf-8", "replace").split("\r\n")
+        status = None
+        parts = lines[0].split()
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+        mime = None
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            if k.strip().lower() == "content-type":
+                mime = v.split(";")[0].strip().lower() or None
+                break
+        return status, mime
+
+    def _build(batches: "_Iterator[pd.DataFrame]"):
+        from nextbus2pg_spark.sources.warc import (
+            warc_iter_records_with_spans,
+        )
+
+        for pdf in batches:
+            rows = []
+            for fname, payload in zip(pdf["filename"], pdf["payload"]):
+                try:
+                    if payload is None or len(payload) == 0:
+                        raise ValueError("empty archive payload")
+                    for rec in warc_iter_records_with_spans(
+                        bytes(payload)
+                    ):
+                        status, mime = _head_status_mime(rec["block"])
+                        digest = rec["payload_digest"] or (
+                            "md5:"
+                            + hashlib.md5(rec["block"]).hexdigest()
+                        )
+                        rows.append(
+                            (
+                                rec["uri"] or None, rec["date"] or None,
+                                mime, status, digest,
+                                rec["length"], rec["offset"], fname,
+                            )
+                        )
+                except ValueError:
+                    if on_error == "raise" and not (
+                        payload is None or len(payload) == 0
+                    ):
+                        raise
+                    rows.append(
+                        (None, None, None, None, None, None, None, fname)
+                    )
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {"status": "Int32", "length": "Int64", "offset": "Int64"}
+            )
+
+    from nextbus2pg_spark.operators.scale import ensure_min_parallelism
+
+    src = ensure_min_parallelism(archives.select("filename", "payload"))
+    raw = src.mapInPandas(_build, schema=_BUILD_SCHEMA)
+    return raw.select(
+        surt_key(F.col("url")).alias("surt"),
+        F.to_timestamp("warc_date").alias("capture_ts"),
+        "url",
+        "mime",
+        "status",
+        "digest",
+        "length",
+        "offset",
+        "filename",
+    )

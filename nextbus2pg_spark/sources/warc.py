@@ -152,6 +152,7 @@ class _RecordScanner:
                 pos += 2
             if pos >= n:
                 break
+            rec_start = pos  # absolute-offset bookkeeping for spans
             head_end = buf.find(_CRLF + _CRLF, pos)
             if head_end < 0:
                 if final and n - pos > 1:  # lone \r at EOF → truncated too
@@ -192,6 +193,14 @@ class _RecordScanner:
                     fields.get("warc-payload-digest") or None
                 ),
                 "block": block,
+                # span of this record in the SCANNED stream (header
+                # through block end) — for plain archives these are
+                # file byte ranges a Range request can refetch; for
+                # the gzip path the coordinates are decompressed and
+                # warc_iter_records_with_spans overrides them with
+                # the compressed member span (the CDX addressing)
+                "offset": self._consumed + rec_start,
+                "length": block_start + length - rec_start,
             }
             pos = block_start + length
         if pos:
@@ -251,6 +260,76 @@ def warc_iter_records(data: bytes) -> Iterator[dict]:
         # plain framing: same incremental path, fed in slices
         for off in range(0, len(data), _CHUNK):
             yield from scanner.feed(bytes(data[off : off + _CHUNK]))
+    yield from scanner.finish()
+
+
+def _iter_gzip_member_spans(
+    data: bytes, chunk: int = _CHUNK, max_out: int = 4 * _CHUNK
+) -> "Iterator[tuple[int, int, bytes]]":
+    """Stream-decompress a concatenated-member gzip stream yielding
+    ``(start, end, inflated)`` per COMPLETE member — the compressed
+    byte span is the CDX addressing scheme (exactly what an HTTP Range
+    read refetches). Memory is O(one inflated member): in the Common
+    Crawl framing a member is one record, so this matches the
+    O(record) bound of the chunk-streaming path."""
+    d = zlib.decompressobj(wbits=31)
+    pos, n = 0, len(data)
+    pending = b""
+    pend_end = 0  # absolute offset of pending's end in `data`
+    start = 0
+    out = bytearray()
+    fed = False
+    try:
+        while True:
+            if not pending:
+                if pos >= n:
+                    break
+                pending = bytes(data[pos : pos + chunk])
+                pos += len(pending)
+                pend_end = pos
+            piece = d.decompress(pending, max_out)
+            fed = True
+            out += piece
+            if d.eof:
+                # unused_data is a suffix of pending, so the member
+                # ends exactly len(unused_data) before pending's end
+                end = pend_end - len(d.unused_data)
+                yield start, end, bytes(out)
+                out = bytearray()
+                start = end
+                pending = d.unused_data
+                d = zlib.decompressobj(wbits=31)
+                fed = False
+            else:
+                pending = d.unconsumed_tail
+    except zlib.error as e:
+        raise ValueError(f"corrupt gzip member in WARC archive: {e}") from e
+    if fed and not d.eof:
+        raise ValueError("gzip member truncated in WARC archive")
+
+
+def warc_iter_records_with_spans(data: bytes) -> Iterator[dict]:
+    """Like :func:`warc_iter_records`, with each record's ``offset`` /
+    ``length`` set to the byte span a Range request can refetch it by:
+    for gzip-membered archives the COMPRESSED member span (the Common
+    Crawl / CDX addressing — a fetched slice is a complete gzip
+    member), for plain archives the record's own byte range. In the
+    CC one-record-per-member framing the spans are per record; a
+    multi-record member stamps each of its records with the whole
+    member's span (a refetch yields the member — coarser, never
+    wrong). Memory stays O(record/member)."""
+    if data[:2] == GZIP_MAGIC:
+        for start, end, inflated in _iter_gzip_member_spans(data):
+            scanner = _RecordScanner()
+            for rec in _chain_finish(scanner, inflated):
+                rec["offset"], rec["length"] = start, end - start
+                yield rec
+    else:
+        yield from warc_iter_records(data)
+
+
+def _chain_finish(scanner: "_RecordScanner", data: bytes) -> Iterator[dict]:
+    yield from scanner.feed(data)
     yield from scanner.finish()
 
 

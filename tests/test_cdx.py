@@ -122,3 +122,168 @@ def test_cdx_delta_statuses_and_best_capture_collapse(spark):
         400, "m.warc.gz",
     )
     assert len(out) == 4
+
+
+def _mixed_archives():
+    """One gzip-membered (CC framing) and one plain archive, plus the
+    raw blobs for slice verification."""
+    import gzip as _gzip
+
+    from nextbus2pg_spark.sources.warc import warc_write_records
+
+    def resp(i, body, extra=b""):
+        return {
+            "type": "response",
+            "uri": f"https://h{i % 2}.example.org/p/{i}",
+            "date": "2026-03-01T00:00:00Z",
+            "record_id": f"urn:ix:{i}",
+            "block": (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                b"charset=utf-8\r\n" + extra + b"Content-Length: "
+                + str(len(body)).encode() + b"\r\n\r\n" + body
+            ),
+        }
+
+    recs_gz = [resp(i, f"page {i} body ".encode() * (i + 1))
+               for i in range(4)]
+    # an undecodable coding must still be indexable (no body decode)
+    recs_gz.append(dict(
+        resp(4, b"\x0b\x02\x80brotli-ish",
+             extra=b"Content-Encoding: br\r\n"),
+    ))
+    recs_plain = [resp(10 + i, f"plain {i} ".encode() * 5)
+                  for i in range(3)] + [{
+        "type": "conversion",
+        "uri": "https://h0.example.org/wet/1",
+        "date": "2026-03-01T00:00:00Z",
+        "record_id": "urn:ix:wet",
+        "payload_digest": "md5:DECLARED",
+        "block": b"already extracted text",
+    }]
+    blob_gz = warc_write_records(recs_gz, gzip_members=True)
+    blob_plain = warc_write_records(recs_plain)
+    # plus one DOUBLE-record gzip member appended to the gz archive:
+    # spans for both records must be the member's (coarse, parseable)
+    two = warc_write_records([
+        resp(90, b"first of member"), resp(91, b"second of member"),
+    ])
+    blob_gz2 = blob_gz + _gzip.compress(two, 6)
+    return blob_gz2, blob_plain
+
+
+def test_build_cdx_index_round_trips_spans(spark):
+    """build_cdx_index (round 12): archives -> typed captures whose
+    (offset, length) spans slice back out of the raw blob and re-parse
+    to exactly the indexed record — gzip-member spans for the CC
+    framing, record byte ranges for plain framing, member-coarse spans
+    for a multi-record member; status/mime parse headers only (the br
+    response indexes fine); declared digests win, others get md5 of
+    the raw block."""
+    import hashlib
+
+    from nextbus2pg_spark.sources.cdx import build_cdx_index
+    from nextbus2pg_spark.sources.warc import warc_parse
+
+    blob_gz, blob_plain = _mixed_archives()
+    blobs = {"seg/gz.warc.gz": blob_gz, "seg/plain.warc": blob_plain}
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()],
+        "filename string, payload binary",
+    )
+    rows = build_cdx_index(df).collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r.url, []).append(r)
+    assert len(rows) == 5 + 4 + 2  # gz + plain + the double member
+
+    for r in rows:
+        # every span slices back to a stream containing its record
+        blob = blobs[r.filename]
+        sliced = warc_parse(blob[r.offset : r.offset + r.length])
+        ids = [x["record_id"] for x in sliced]
+        assert any(
+            x["uri"] == r.url for x in sliced
+        ), (r.url, ids)
+        if r.url not in (
+            "https://h0.example.org/p/90",
+            "https://h1.example.org/p/91",
+        ):
+            assert len(sliced) == 1  # one record per span
+        # digest: declared wins, else md5 of the raw block
+        rec = next(x for x in sliced if x["uri"] == r.url)
+        want = rec["payload_digest"] or (
+            "md5:" + hashlib.md5(rec["block"]).hexdigest()
+        )
+        assert r.digest == want
+
+    # the multi-record member: both rows share the coarse member span
+    a = by_url["https://h0.example.org/p/90"][0]
+    b = by_url["https://h1.example.org/p/91"][0]
+    assert (a.offset, a.length) == (b.offset, b.length)
+    assert len(warc_parse(blob_gz[a.offset : a.offset + a.length])) == 2
+
+    # header-only metadata: status/mime everywhere, incl. the br row;
+    # the WET row has NULLs and its declared digest
+    br = by_url["https://h0.example.org/p/4"][0]
+    assert (br.status, br.mime) == (200, "text/html")
+    wet = by_url["https://h0.example.org/wet/1"][0]
+    assert wet.status is None and wet.mime is None
+    assert wet.digest == "md5:DECLARED"
+    # surts + timestamps landed
+    assert all(r.surt.startswith("org,example,h") for r in rows)
+    assert all(r.capture_ts is not None for r in rows)
+
+
+def test_build_cdx_index_composes_with_manifest_and_fetch(spark, tmp_path):
+    """The full inverse loop: archives WITHOUT an index -> built index
+    -> manifest filters -> captures -> slice fetch -> parsed documents
+    == the filtered originals (the round-trip that makes index-first
+    selection available to raw archive drops)."""
+    from nextbus2pg_spark.sources.cdx import (
+        build_cdx_index,
+        cdx_archive_manifest,
+    )
+    from nextbus2pg_spark.sources.warc import warc_parse
+
+    blob_gz, blob_plain = _mixed_archives()
+    blobs = {"seg/gz.warc.gz": blob_gz, "seg/plain.warc": blob_plain}
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()],
+        "filename string, payload binary",
+    )
+    index = build_cdx_index(df)
+    kept = index.where(
+        (F.col("status") == 200) & F.col("mime").startswith("text/")
+    )
+    manifest = cdx_archive_manifest(index).collect()
+    assert {m.filename for m in manifest} == set(blobs)
+    got = set()
+    for c in kept.collect():
+        blob = blobs[c.filename]
+        for rec in warc_parse(blob[c.offset : c.offset + c.length]):
+            if rec["uri"] == c.url:
+                got.add(rec["record_id"])
+    assert got == {f"urn:ix:{i}" for i in (0, 1, 2, 3, 4, 10, 11, 12)} | {
+        "urn:ix:90", "urn:ix:91",
+    }
+
+
+def test_build_cdx_index_quarantines_bad_archives(spark):
+    """on_error='null' -> one NULL-url row per garbage archive (the
+    downstream 'WHERE url IS NOT NULL' contract); 'raise' raises."""
+    import pytest as _pytest
+
+    from nextbus2pg_spark.sources.cdx import build_cdx_index
+
+    _, blob_plain = _mixed_archives()
+    df = spark.createDataFrame(
+        [("ok.warc", bytearray(blob_plain)),
+         ("bad.warc", bytearray(b"not a warc"))],
+        "filename string, payload binary",
+    )
+    rows = build_cdx_index(df, on_error="null").collect()
+    bad = [r for r in rows if r.filename == "bad.warc"]
+    assert len(bad) == 1 and bad[0].url is None
+    assert len([r for r in rows if r.url is not None]) == 4
+    with _pytest.raises(Exception):
+        build_cdx_index(df, on_error="raise").collect()
