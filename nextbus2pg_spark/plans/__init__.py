@@ -264,11 +264,33 @@ DRIVER_CHECKED_R11 = frozenset({
     "q_url_psl",
 })
 
+#: Driver rows earned in round 12 (CORRECTNESS_r12.json keys, 50/50
+#: green — the first row for q_sitemap_frontier, the two regression
+#: re-checks of the quarantine-granularity work (q_warc_ingest /
+#: q_crawl_to_corpus), and the full r7-vintage drain the staleness
+#: ceiling forced).
+DRIVER_CHECKED_R12 = frozenset({
+    "q_sitemap_frontier", "q_warc_ingest", "q_crawl_to_corpus",
+    "q_assortativity", "q_bfs_hops", "q_cohens_kappa", "q_cube",
+    "q_cusum", "q_date_parts", "q_embedding_clusters", "q_ewma",
+    "q_exists_subquery", "q_gap_detect", "q_gopher_filter",
+    "q_grouping_sets", "q_histogram", "q_hits", "q_holt",
+    "q_in_subquery", "q_intersect", "q_json_extract", "q_kcore",
+    "q_key_skew", "q_keygen_deterministic", "q_kmv_distinct",
+    "q_ks_drift", "q_label_centroids", "q_media_phash", "q_modularity",
+    "q_percentile", "q_pii_scrub", "q_profile_drift", "q_project_rename",
+    "q_quality_score", "q_rank_auc", "q_retrieval_eval", "q_rollup",
+    "q_row_number", "q_scan_filtered", "q_scan_incremental",
+    "q_semi_join", "q_sessionize", "q_spearman", "q_string_format",
+    "q_token_count", "q_triangle_count", "q_tz_date", "q_union_all",
+    "q_welch_t", "q_window_running",
+})
+
 DRIVER_CHECKED = (
     DRIVER_CHECKED_R1_R2 | DRIVER_CHECKED_R3 | DRIVER_CHECKED_R4
     | DRIVER_CHECKED_R5 | DRIVER_CHECKED_R6 | DRIVER_CHECKED_R7
     | DRIVER_CHECKED_R8 | DRIVER_CHECKED_R9 | DRIVER_CHECKED_R10
-    | DRIVER_CHECKED_R11
+    | DRIVER_CHECKED_R11 | DRIVER_CHECKED_R12
 )
 
 #: The round currently being built (the driver stamps its artifacts
@@ -277,7 +299,7 @@ DRIVER_CHECKED = (
 #: ``STALENESS_CEILING`` rounds behind, and any row at the ceiling's
 #: edge must sit inside the first-50 driver window so it drains THIS
 #: round rather than aging further.
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 STALENESS_CEILING = 5
 
 #: Round a query's driver row was LAST earned (r1/r2 merged as 2).
@@ -291,31 +313,23 @@ for _round, _names in (
     (6, DRIVER_CHECKED_R6), (7, DRIVER_CHECKED_R7),
     (8, DRIVER_CHECKED_R8), (9, DRIVER_CHECKED_R9),
     (10, DRIVER_CHECKED_R10), (11, DRIVER_CHECKED_R11),
+    (12, DRIVER_CHECKED_R12),
 ):
     for _n in _names:
         _LAST_CHECKED_ROUND[_n] = _round
 
-#: Queries whose underlying operator/fixture code changed in round 12
-#: AND whose output changed — the driver re-verifies exactly what was
-#: rewritten. Round 12 touched the WARC ingestion seam: unsupported
-#: Content-Encoding (brotli/zstd) now quarantines per RECORD instead
-#: of per archive, and the declared coding is surfaced as a
-#: content_encoding column — the generator plants a 'br' class
-#: (doc_id % 65 == 10), so q_warc_ingest's fixture + oracle changed
-#: (two new columns, NULL content for the br rows), and the
-#: crawl-to-corpus capstone now drops the quarantined rows at
-#: ingestion (its oracle excludes the br class → output changed).
-#: Capacity note: the 47 r7-vintage rows at the staleness edge fill
-#: the rest of the window (1 new + 2 regression + 47 = exactly 50),
-#: so the round-12-touched-but-output-identical queries
-#: (q_warc_charset / q_warc_revisit — same archives, no br class,
-#: fixture selects unchanged; q_media_decode_jpeg_prog — chroma-AC
-#: scans added to the encoder leave the decoded Y plane bit-exact —
-#: all verified by local parity) keep their green r11 rows and rotate
-#: next round.
+#: Queries whose underlying operator/fixture code changed in round 13
+#: AND that therefore warrant a driver re-check. Round 13 touched
+#: ``warc_documents`` (a new ``location`` column surfacing HTTP 3xx
+#: redirect targets — the round-13 verdict item 4): q_warc_ingest's
+#: SELECT doesn't include the new column, so its output is expected
+#: unchanged, but the parse path itself was edited, so it burns one
+#: regression slot. Capacity note: the 46 r8-vintage rows at the
+#: staleness edge plus the round-13 bucket-1 entries
+#: (q_cdx_build, q_redirect_chain) plus this re-check fill 49 of the
+#: 50 window slots; the last slot drains the oldest r9 row.
 REGRESSION_PRIORITY = (
     "q_warc_ingest",
-    "q_crawl_to_corpus",
 )
 
 #: Round-5 policy: the deferred bucket is DRAINED — the seven entries
