@@ -146,6 +146,15 @@ R12_SET: list[str] = [
     "q_sitemap_frontier",
 ]
 
+#: Round-13 additions: the index-builder with CC-interoperable
+#: digests (two captures per document across shipped/built archives)
+#: and the redirect-chain seam (Location parse + edge-subset closure +
+#: final-content link).
+R13_SET: list[str] = [
+    "q_cdx_build",
+    "q_redirect_chain",
+]
+
 #: The iterative-graph family is TIMED FIRST, in a near-fresh session
 #: (round-12 verdict item 3): its fixed-iteration, multi-shuffle,
 #: checkpoint-heavy plans are the ones end-of-session JVM/shuffle-state
@@ -210,6 +219,7 @@ HEADLINE = [
     *R10_SET,
     *R11_SET,
     *R12_SET,
+    *R13_SET,
 ]
 
 
@@ -419,6 +429,10 @@ def main() -> None:
             sum(timings[n] for n in R12_SET if n in timings), 3
         ),
         "subtotal_r12_set_norm": _norm(R12_SET),
+        "subtotal_r13_set": round(
+            sum(timings[n] for n in R13_SET if n in timings), 3
+        ),
+        "subtotal_r13_set_norm": _norm(R13_SET),
     }
     # Full payload for humans/PERF.md (stderr never reaches the parser).
     print("# full: " + json.dumps(payload), file=sys.stderr)
@@ -462,8 +476,8 @@ def emit_summary(
     vintage_sets = vintage_sets if vintage_sets is not None else [
         ("r3", R3_SET), ("r4", R4_SET), ("r5", R5_SET),
         ("r6", R6_SET), ("r7", R7_SET), ("r8", R8_SET),
-        ("r9", R9_SET), ("r10", R10_SET),
-        # NEVER list the newest two vintages (r11/r12) here — the
+        ("r9", R9_SET), ("r10", R10_SET), ("r11", R11_SET),
+        # NEVER list the newest two vintages (r12/r13) here — the
         # retire ladder may only drop settled history.
     ]
 

