@@ -34,7 +34,10 @@ source's ``latestOffset`` lists names only.
 This module also hosts :class:`CdxRangeFetcher` (round-11), the crawl
 seam's manifest executor: HTTP ``Range`` reads of individual WARC
 records selected by the CDX index (``sources/cdx.py``), with the same
-atomic-spool / filenames-are-the-ledger crash-safety.
+atomic-spool / filenames-are-the-ledger crash-safety — and
+:class:`HostThrottle` (round-13), the per-host politeness budget all
+three fetchers share (min request interval per host, optional robots
+``Crawl-delay`` overrides via ``sources/robots.robots_crawl_delays``).
 """
 
 from __future__ import annotations
@@ -156,6 +159,7 @@ class HttpFeedFetcher:
         *,
         client: FeedHttpClient | None = None,
         command: str = DEFAULT_COMMAND,
+        throttle: "HostThrottle | None" = None,
         clock=time.time,
         sleep=time.sleep,
     ) -> None:
@@ -167,6 +171,7 @@ class HttpFeedFetcher:
         self.spool_dir = spool_dir
         self.client = client or FeedHttpClient()
         self.command = command
+        self.throttle = throttle
         self._clock = clock
         self._sleep = sleep
         os.makedirs(spool_dir, exist_ok=True)
@@ -199,7 +204,10 @@ class HttpFeedFetcher:
         cursors = self.cursors()
         advanced: list[str] = []
         for route in self.routes:
-            payload = self.client.get(self._url(route, cursors[route]))
+            url = self._url(route, cursors[route])
+            if self.throttle is not None:
+                self.throttle.wait(url)
+            payload = self.client.get(url)
             text = payload.decode("utf-8")
             # Parse ONLY to read lastTime (and to reject garbage before
             # it reaches the spool — a bad response must not poison the
@@ -247,6 +255,78 @@ class HttpFeedFetcher:
         return n_docs
 
 
+class HostThrottle:
+    """Per-host politeness budget for the live fetchers (round-13
+    verdict item 6): a minimum interval between requests to the same
+    host, with optional per-host overrides — e.g. robots
+    ``Crawl-delay`` values, which :func:`sources/robots.robots_rules`
+    deliberately excludes from fetch-permission rules but
+    :func:`sources/robots.robots_crawl_delays` surfaces for exactly
+    this opt-in (``per_host={r["domain"]: r["crawl_delay_s"] for r in
+    delays.collect()}`` — the delays frame is one bounded row per
+    domain). Overrides are capped at ``cap_s`` (default 30 s, a common
+    crawler ceiling) so a hostile ``Crawl-delay: 86400`` cannot stall
+    the daemon.
+
+    ``wait(url)`` blocks until the URL's host has a free slot and
+    claims it; hosts are independent, so a multi-host manifest
+    interleaves at full speed while each individual host sees spaced
+    requests. The fetchers are single-threaded daemons (one spool
+    writer), so an interval floor IS the budget — there is no
+    concurrent in-flight count to bound. Clock and sleep are
+    injectable for hermetic tests. One throttle instance can be
+    shared across fetchers — the per-host ledger is then global to
+    the daemon, which is the polite reading."""
+
+    def __init__(
+        self,
+        min_interval_s: float = 0.0,
+        *,
+        per_host: "dict[str, float] | None" = None,
+        cap_s: float = 30.0,
+        clock=time.monotonic,
+        sleep=time.sleep,
+    ) -> None:
+        if min_interval_s < 0:
+            raise ValueError(
+                f"min_interval_s must be >= 0; got {min_interval_s}"
+            )
+        self.min_interval_s = float(min_interval_s)
+        self.cap_s = float(cap_s)
+        self.per_host = {
+            str(h).lower(): min(float(v), self.cap_s)
+            for h, v in (per_host or {}).items()
+            if float(v) >= 0
+        }
+        self._clock = clock
+        self._sleep = sleep
+        self._last: "dict[str, float]" = {}
+
+    @staticmethod
+    def host_of(url: str) -> str:
+        return urllib.parse.urlsplit(url).netloc.lower()
+
+    def interval_for(self, host: str) -> float:
+        return self.per_host.get(host.lower(), self.min_interval_s)
+
+    def wait(self, url: str) -> float:
+        """Block until ``url``'s host has a free slot, claim it, and
+        return the seconds actually slept (0.0 when the slot was
+        free)."""
+        host = self.host_of(url)
+        interval = self.interval_for(host)
+        slept = 0.0
+        last = self._last.get(host)
+        if last is not None and interval > 0:
+            due = last + interval
+            now = self._clock()
+            if due > now:
+                slept = due - now
+                self._sleep(slept)
+        self._last[host] = self._clock()
+        return slept
+
+
 #: Max bytes for a percent-encoded spool-name stem — leaves room for
 #: offset/length/extension suffixes inside common filesystems' 255-byte
 #: NAME limit.
@@ -266,17 +346,25 @@ def _cap_spool_stem(stem: str) -> str:
     value: deterministic, restart-stable, collision-free in practice.
     The ledger only ever compares GENERATED names; the reverse
     mapping (``sitemap_spool_archives``) is lossy for capped names —
-    provenance for those shows the truncated head + digest."""
-    if len(stem) <= _MAX_SPOOL_STEM:  # quote() output is pure ASCII
-        return stem
+    provenance for those shows the truncated head + digest.
+
+    Namespace separation (round-12 ADVICE): a SHORT stem that already
+    contains the ``--sha1-`` marker is ALSO routed through the
+    digest-capped form — ``quote()`` leaves ``-`` unescaped, so a
+    source URL literally carrying ``--sha1-<40hex>`` could otherwise
+    collide with a capped name and silently share (and skip) a ledger
+    entry. Digest-capped names can never collide with pass-through
+    names because no pass-through name contains the marker."""
     import hashlib
 
+    if len(stem) <= _MAX_SPOOL_STEM and "--sha1-" not in stem:
+        return stem  # quote() output is pure ASCII
     digest = hashlib.sha1(stem.encode()).hexdigest()
     head = stem[: _MAX_SPOOL_STEM - 48]
     cut = head.rfind("%", len(head) - 2)
     if cut != -1:
         head = head[:cut]
-    return f"{head}--sha1-{digest}"
+    return f"{head.replace('--sha1-', '--sha1~')}--sha1-{digest}"
 
 
 class CdxRangeFetcher:
@@ -305,10 +393,12 @@ class CdxRangeFetcher:
         spool_dir: str,
         *,
         client: FeedHttpClient | None = None,
+        throttle: "HostThrottle | None" = None,
     ) -> None:
         self.base_url = base_url.rstrip("/")
         self.spool_dir = spool_dir
         self.client = client or FeedHttpClient()
+        self.throttle = throttle
         os.makedirs(spool_dir, exist_ok=True)
 
     def _spool_name(self, filename: str, offset: int, length: int) -> str:
@@ -339,9 +429,10 @@ class CdxRangeFetcher:
             name = self._spool_name(filename, offset, length)
             if name in done:
                 continue
-            data = self.client.get_range(
-                f"{self.base_url}/{filename}", offset, length
-            )
+            url = f"{self.base_url}/{filename}"
+            if self.throttle is not None:
+                self.throttle.wait(url)
+            data = self.client.get_range(url, offset, length)
             if len(data) != length:
                 # a short 206 (truncated read / stale CDX length past
                 # EOF) must NOT be published — the ledger would mark a
@@ -411,9 +502,10 @@ class CdxRangeFetcher:
             nonlocal n
             lo = run[0][0]
             hi = max(o + ln for o, ln, _ in run)
-            data = self.client.get_range(
-                f"{self.base_url}/{filename}", lo, hi - lo
-            )
+            url = f"{self.base_url}/{filename}"
+            if self.throttle is not None:
+                self.throttle.wait(url)
+            data = self.client.get_range(url, lo, hi - lo)
             if len(data) != hi - lo:
                 raise ValueError(
                     f"short Range response for {filename}@{lo}: got "
@@ -516,9 +608,11 @@ class SitemapFetcher:
         spool_dir: str,
         *,
         client: FeedHttpClient | None = None,
+        throttle: "HostThrottle | None" = None,
     ) -> None:
         self.spool_dir = spool_dir
         self.client = client or FeedHttpClient()
+        self.throttle = throttle
         os.makedirs(spool_dir, exist_ok=True)
 
     @staticmethod
@@ -545,6 +639,8 @@ class SitemapFetcher:
             name = self.spool_name(url)
             if name in done:
                 continue
+            if self.throttle is not None:
+                self.throttle.wait(url)
             data = self.client.get(url)
             tmp = os.path.join(self.spool_dir, f".tmp-{name}")
             with open(tmp, "wb") as f:

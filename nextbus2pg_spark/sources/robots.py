@@ -30,28 +30,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def robots_rules(
+def _applicable_directives(
     robots: DataFrame,
     agent: str,
+    rule_keys: "tuple[str, ...]",
     domain_col: str = "domain",
     text_col: str = "robots_txt",
 ) -> DataFrame:
-    """Parse per-domain robots.txt text into the rule set the given
-    ``agent`` must obey → ``(domain, allow boolean, prefix, has_wild
-    boolean, pattern)``: ``prefix`` is the raw rule value (its octet
-    length is the §2.2.3 specificity rank), ``pattern`` the anchored
-    regex translation used when the value carries a ``*`` wildcard or
-    a trailing ``$`` end anchor (``has_wild``); plain values match by
-    prefix, so the regex path costs nothing for the common case.
-
-    Group resolution per RFC 9309 §2.2.1: consecutive ``User-agent``
-    lines head one group; a ``User-agent`` line after rule lines
-    starts a new group; comments (``#…``) and unknown directives
-    (Sitemap, Crawl-delay, …) are ignored; if any group names the
-    agent exactly (case-insensitive) only those groups apply,
-    otherwise the ``*`` groups. Empty-value ``Disallow:`` lines (the
-    classic allow-all idiom) are dropped — they match nothing.
-    """
+    """Shared RFC 9309 §2.2.1 group machinery: split per-domain
+    robots.txt into directive lines, resolve which groups apply to
+    ``agent`` (exact-name groups when any exist, else the ``*``
+    groups), and return the applicable non-User-agent lines as
+    ``(domain, ln, key, value)``. ``rule_keys`` scopes which directive
+    kinds participate — group boundaries are computed over
+    User-agent + exactly those keys, so each caller's grouping is
+    self-consistent (a directive kind a caller ignores cannot split a
+    User-agent run for it)."""
     lines = robots.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "raw"),
@@ -68,7 +62,7 @@ def robots_rules(
         .alias("key"),
         F.trim(F.regexp_extract("line", r"(?i)^[a-z-]+\s*:(.*)$", 1))
         .alias("value"),
-    ).where(F.col("key").isin("user-agent", "allow", "disallow"))
+    ).where(F.col("key").isin("user-agent", *rule_keys))
     w = Window.partitionBy("domain").orderBy("ln")
     grouped = parsed.select(
         "domain",
@@ -108,6 +102,39 @@ def robots_rules(
         )
         .select("domain", "grp")
     )
+    return grouped.where(F.col("key") != "user-agent").join(
+        F.broadcast(applicable), ["domain", "grp"]
+    )
+
+
+def robots_rules(
+    robots: DataFrame,
+    agent: str,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse per-domain robots.txt text into the rule set the given
+    ``agent`` must obey → ``(domain, allow boolean, prefix, has_wild
+    boolean, pattern)``: ``prefix`` is the raw rule value (its octet
+    length is the §2.2.3 specificity rank), ``pattern`` the anchored
+    regex translation used when the value carries a ``*`` wildcard or
+    a trailing ``$`` end anchor (``has_wild``); plain values match by
+    prefix, so the regex path costs nothing for the common case.
+
+    Group resolution per RFC 9309 §2.2.1 (see
+    :func:`_applicable_directives`): consecutive ``User-agent`` lines
+    head one group; a ``User-agent`` line after rule lines starts a
+    new group; comments (``#…``) and unknown directives (Sitemap,
+    Crawl-delay, …) are ignored — Crawl-delay is non-RFC and never a
+    fetch-permission rule; the live fetchers honor it as a THROTTLE
+    input instead (:func:`robots_crawl_delays` →
+    ``sources/http_fetcher.HostThrottle``). Empty-value ``Disallow:``
+    lines (the classic allow-all idiom) are dropped — they match
+    nothing.
+    """
+    grouped = _applicable_directives(
+        robots, agent, ("allow", "disallow"), domain_col, text_col
+    )
     # RFC 9309 §2.2.3 translation: a trailing '$' anchors to the end
     # of the path, '*' matches any sequence; every other character is
     # literal. Escape regex metachars in the literal part, then turn
@@ -125,8 +152,7 @@ def robots_rules(
         F.when(ends_dollar, F.lit("$")).otherwise(F.lit("")),
     )
     return (
-        grouped.where(F.col("key") != "user-agent")
-        .join(F.broadcast(applicable), ["domain", "grp"])
+        grouped
         .where(F.col("value") != "")  # empty Disallow: matches nothing
         .select(
             "domain",
@@ -135,6 +161,35 @@ def robots_rules(
             (val.contains("*") | ends_dollar).alias("has_wild"),
             pattern.alias("pattern"),
         )
+    )
+
+
+def robots_crawl_delays(
+    robots: DataFrame,
+    agent: str,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-domain ``Crawl-delay`` seconds for the groups that apply to
+    ``agent`` → ``(domain, crawl_delay_s double)``, one row per domain
+    that declares one (round-13 verdict item 6). Crawl-delay is
+    NON-RFC (RFC 9309 doesn't define it and major crawlers ignore it),
+    so it is deliberately NOT a fetch-permission rule in
+    :func:`robots_rules`; it IS a widely published politeness hint, so
+    the live fetchers can opt in by feeding this frame into
+    ``sources/http_fetcher.HostThrottle(per_host=...)``. Multiple
+    applicable declarations collapse to the MAX (the conservative
+    read); unparseable values are dropped."""
+    grouped = _applicable_directives(
+        robots, agent, ("crawl-delay",), domain_col, text_col
+    )
+    # try_cast: 'Crawl-delay: soon' is data noise, not a job failure
+    # (ANSI mode makes a plain cast throw on it)
+    delay = F.col("value").try_cast("double")
+    return (
+        grouped.where(delay.isNotNull() & (delay >= 0))
+        .groupBy("domain")
+        .agg(F.max(delay).alias("crawl_delay_s"))
     )
 
 

@@ -386,3 +386,127 @@ def test_soak_app_level_restart_resumes_cursor(feed_server, tmp_path, spark):
     assert len(rows) == 4
     keys = [(r.vehicle_tag, r.location_timestamp) for r in rows]
     assert len(set(keys)) == 4
+
+
+def test_host_throttle_spaces_per_host_and_interleaves_hosts():
+    """Round-13 verdict item 6: requests to ONE host are spaced by its
+    interval; different hosts never wait on each other; per-host
+    overrides (robots Crawl-delay) beat the floor and are capped."""
+    from nextbus2pg_spark.sources.http_fetcher import HostThrottle
+
+    t = {"now": 100.0}
+    th = HostThrottle(
+        2.0,
+        per_host={"SLOW.example": 5.0, "evil.example": 86400.0},
+        cap_s=30.0,
+        clock=lambda: t["now"],
+        sleep=lambda s: t.__setitem__("now", t["now"] + s),
+    )
+    claims = []
+
+    def go(url):
+        th.wait(url)
+        claims.append((HostThrottle.host_of(url), t["now"]))
+
+    go("https://a.example/1")
+    go("https://b.example/1")   # different host: no wait
+    go("https://a.example/2")   # same host: +2s floor
+    go("https://slow.example/1")
+    go("https://slow.example/2")  # override: +5s
+    assert claims[0] == ("a.example", 100.0)
+    assert claims[1] == ("b.example", 100.0)
+    assert claims[2] == ("a.example", 102.0)
+    assert claims[3] == ("slow.example", 102.0)
+    assert claims[4] == ("slow.example", 107.0)
+    # hostile Crawl-delay capped at cap_s
+    assert th.interval_for("evil.example") == 30.0
+    # advancing real time past the slot: no sleep
+    t["now"] = 200.0
+    assert th.wait("https://a.example/3") == 0.0
+
+
+def test_fetchers_route_requests_through_the_throttle(tmp_path):
+    """Every live fetcher consults the shared throttle once per HTTP
+    request (hermetic: recording throttle + fake client)."""
+    from nextbus2pg_spark.sources.http_fetcher import (
+        CdxRangeFetcher,
+        SitemapFetcher,
+    )
+
+    waited = []
+
+    class RecordingThrottle:
+        def wait(self, url):
+            waited.append(url)
+            return 0.0
+
+    class FakeClient:
+        def get(self, url):
+            return b"<urlset></urlset>"
+
+        def get_range(self, url, offset, length):
+            return b"x" * length
+
+    th = RecordingThrottle()
+    cdx = CdxRangeFetcher(
+        "https://host.example", str(tmp_path / "cdx"),
+        client=FakeClient(), throttle=th,
+    )
+    cdx.fetch([
+        {"filename": "a.warc.gz", "offset": 0, "length": 4},
+        {"filename": "b.warc.gz", "offset": 10, "length": 4},
+    ])
+    assert waited == [
+        "https://host.example/a.warc.gz",
+        "https://host.example/b.warc.gz",
+    ]
+    waited.clear()
+    cdx2 = CdxRangeFetcher(
+        "https://host.example", str(tmp_path / "cdx2"),
+        client=FakeClient(), throttle=th,
+    )
+    cdx2.fetch_coalesced([
+        {"filename": "a.warc.gz", "offset": 0, "length": 4},
+        {"filename": "a.warc.gz", "offset": 4, "length": 4},  # merged
+        {"filename": "b.warc.gz", "offset": 0, "length": 4},
+    ])
+    # 2 coalesced transport requests -> 2 waits (not 3)
+    assert waited == [
+        "https://host.example/a.warc.gz",
+        "https://host.example/b.warc.gz",
+    ]
+    waited.clear()
+    sm = SitemapFetcher(
+        str(tmp_path / "sm"), client=FakeClient(), throttle=th
+    )
+    sm.fetch(["https://s1.example/map.xml", "https://s2.example/map.xml"])
+    assert len(waited) == 2
+    # resume skips spooled entries WITHOUT consuming a slot
+    waited.clear()
+    sm.fetch(["https://s1.example/map.xml"])
+    assert waited == []
+
+
+def test_cap_spool_stem_marker_namespace_separation():
+    """Round-12 ADVICE: a short stem already containing the '--sha1-'
+    marker routes through the digest form, so capped and pass-through
+    namespaces can never overlap (the spool name IS the resume
+    ledger)."""
+    import hashlib
+
+    from nextbus2pg_spark.sources.http_fetcher import _cap_spool_stem
+
+    plain = _cap_spool_stem("ordinary-name.warc.gz")
+    assert plain == "ordinary-name.warc.gz"
+    long = _cap_spool_stem("x" * 400)
+    digest = hashlib.sha1(("x" * 400).encode()).hexdigest()
+    assert long.endswith("--sha1-" + digest) and len(long) <= 255
+    # adversarial: a SHORT source name that textually equals the
+    # capped form of the long one must not map to the same spool file
+    adversarial = _cap_spool_stem(long)
+    assert adversarial != long
+    assert adversarial.endswith(
+        "--sha1-" + hashlib.sha1(long.encode()).hexdigest()
+    )
+    # determinism (restart-stable ledger)
+    assert _cap_spool_stem(long) == adversarial

@@ -339,3 +339,46 @@ def test_robots_matcher_matches_independent_reference(spark):
         if got[u] != want:
             mismatches.append((u, got[u], want, files.get(d.group(1))))
     assert not mismatches, mismatches[:3]
+
+
+def test_robots_crawl_delays_group_resolution_and_max(spark):
+    """Crawl-delay surfaces per domain for the applicable group only
+    (exact agent beats *), multiple declarations take the MAX, and
+    garbage values are dropped — robots_rules keeps ignoring the
+    directive (it is a throttle input, never a fetch-permission
+    rule)."""
+    from nextbus2pg_spark.sources.robots import (
+        robots_crawl_delays,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.example",
+                "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"
+                "User-agent: nb2pg\nCrawl-delay: 7\n"
+                "User-agent: nb2pg\nCrawl-delay: 3\n",
+            ),
+            ("b.example", "User-agent: *\nCrawl-delay: 1.5\n"),
+            ("c.example", "User-agent: *\nCrawl-delay: soon\n"),
+            ("d.example", "User-agent: *\nDisallow: /private\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    got = {
+        r.domain: r.crawl_delay_s
+        for r in robots_crawl_delays(robots, agent="nb2pg").collect()
+    }
+    # exact-agent groups win; their two declarations collapse to MAX
+    assert got == {"a.example": 7.0, "b.example": 1.5}
+    wild = {
+        r.domain: r.crawl_delay_s
+        for r in robots_crawl_delays(robots, agent="otherbot").collect()
+    }
+    assert wild == {"a.example": 2.0, "b.example": 1.5}
+    # the permission rules are unaffected by Crawl-delay lines
+    rules = robots_rules(robots, agent="otherbot").collect()
+    assert {(r.domain, r.prefix) for r in rules} == {
+        ("a.example", "/x"), ("d.example", "/private"),
+    }
