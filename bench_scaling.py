@@ -103,6 +103,7 @@ HEAVY_BASE = {
     "holt_winters": 200,         # keys of 500 points (season 24)
     "warc_ingest": 8_000,        # docs (~560B each) -> 16*scale archives
     "warc_stream_spool": 64,     # spool files of 40 records each
+    "cdx_build_stream": 64,      # archive drops of 40 records each
 }
 
 
@@ -268,6 +269,77 @@ def run_heavy(spark, name: str, scale: int) -> tuple[float, int]:
         q = (
             warc_documents(warc_spool_archives_stream(spark, spool))
             .writeStream.foreachBatch(_sink)
+            .option(
+                "checkpointLocation", os.path.join(workdir, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        release_cached_rdds(spark)
+        shutil.rmtree(workdir, ignore_errors=True)
+        assert sum(counts) == n_rows, (name, scale, counts, n_rows)
+        return wall, n_rows
+    elif name == "cdx_build_stream":
+        # Round-13: the INDEX BUILDER's streaming twin
+        # (warc_archive_files(streaming=True) -> build_cdx_index under
+        # an availableNow drain) — archives are indexed as they land.
+        # Same shape discipline as warc_stream_spool: drops scale with
+        # the data at constant file size, only the drain is timed.
+        # Indexing never decompresses a body, so the sweep should sit
+        # BELOW the ingest twin at every scale.
+        import shutil
+        import tempfile
+
+        from nextbus2pg_spark.sources.cdx import build_cdx_index
+        from nextbus2pg_spark.sources.warc import (
+            warc_archive_files,
+            warc_write_records,
+        )
+
+        workdir = tempfile.mkdtemp(prefix="cdx-build-scale-")
+        drop = os.path.join(workdir, "drop")
+        os.makedirs(drop)
+        n_files = base
+        n_rows = 0
+        for fi in range(n_files):
+            recs = [
+                {
+                    "type": "response",
+                    "uri": f"https://example.org/doc/{fi}/{ri}",
+                    "date": "2026-01-01T00:00:00Z",
+                    "record_id": f"urn:doc:{fi}:{ri}",
+                    "block": (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain"
+                        b"\r\nContent-Length: "
+                        + str(len(body := (
+                            f"{fi}:{ri} " + "crawl body token " * 32
+                        ).encode())).encode()
+                        + b"\r\n\r\n" + body
+                    ),
+                }
+                for ri in range(40)
+            ]
+            n_rows += len(recs)
+            payload = warc_write_records(recs, gzip_members=True)
+            with open(
+                os.path.join(drop, f"seg{fi}.warc.gz"), "wb"
+            ) as fh:
+                fh.write(payload)
+        counts: "list[int]" = []
+
+        def _ix_sink(batch_df, batch_id):
+            counts.append(
+                build_cdx_index(batch_df, on_error="null").count()
+            )
+
+        t0 = time.perf_counter()
+        q = (
+            warc_archive_files(
+                spark, drop, streaming=True, relative_to=drop
+            )
+            .writeStream.foreachBatch(_ix_sink)
             .option(
                 "checkpointLocation", os.path.join(workdir, "ckpt")
             )

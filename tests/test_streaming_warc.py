@@ -81,3 +81,68 @@ def test_streaming_warc_ingest_incremental_and_resume(spark, tmp_path):
     rows2: list = []
     _run_available(spark, spool, rows2, ckpt)
     assert [u for u, _ in rows2] == ["https://example.org/doc/6"]
+
+
+def test_streaming_index_build_incremental_and_resume(spark, tmp_path):
+    """Round-13 verdict item 7: the index builder's streaming twin —
+    raw archives are INDEXED as they land (warc_archive_files
+    streaming source -> build_cdx_index per micro-batch); a resumed
+    run indexes only the new drop."""
+    from nextbus2pg_spark.sources.cdx import build_cdx_index
+    from nextbus2pg_spark.sources.warc import warc_archive_files
+
+    drop = str(tmp_path / "drop")
+    ckpt = str(tmp_path / "ckpt-ix")
+    os.makedirs(drop)
+    with open(os.path.join(drop, "seg0.warc"), "wb") as f:
+        f.write(_archive([1, 2]))
+    with open(os.path.join(drop, "seg1.warc.gz"), "wb") as f:
+        f.write(_archive([3], gzip_members=True))
+
+    def run(rows):
+        stream = warc_archive_files(
+            spark, drop, streaming=True, relative_to=drop
+        )
+
+        def sink(batch_df, batch_id):
+            idx = build_cdx_index(batch_df, on_error="null")
+            rows.extend(
+                (r.filename, r.url, r.offset, r.length, r.digest)
+                for r in idx.collect()
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rows: list = []
+    run(rows)
+    assert sorted(u for _, u, *_ in rows) == [
+        f"https://example.org/doc/{d}" for d in (1, 2, 3)
+    ]
+    # filenames are relative to the drop root (the CDX convention),
+    # spans slice back, digests carry the sha1:base32 shape
+    assert {f for f, *_ in rows} == {"seg0.warc", "seg1.warc.gz"}
+    blobs = {}
+    for name in ("seg0.warc", "seg1.warc.gz"):
+        with open(os.path.join(drop, name), "rb") as f:
+            blobs[name] = f.read()
+    from nextbus2pg_spark.sources.warc import warc_parse
+
+    for fname, url, off, ln, digest in rows:
+        sliced = warc_parse(blobs[fname][off : off + ln])
+        assert any(x["uri"] == url for x in sliced)
+        assert digest.startswith("sha1:") and len(digest) == 37
+
+    # a new archive lands; the resumed stream indexes ONLY it
+    with open(os.path.join(drop, "seg2.warc"), "wb") as f:
+        f.write(_archive([9]))
+    rows2: list = []
+    run(rows2)
+    assert [(f, u) for f, u, *_ in rows2] == [
+        ("seg2.warc", "https://example.org/doc/9"),
+    ]
