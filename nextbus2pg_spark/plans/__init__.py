@@ -325,9 +325,9 @@ for _round, _names in (
 #: SELECT doesn't include the new column, so its output is expected
 #: unchanged, but the parse path itself was edited, so it burns one
 #: regression slot. Capacity note: the 46 r8-vintage rows at the
-#: staleness edge plus the round-13 bucket-1 entries
-#: (q_cdx_build, q_redirect_chain) plus this re-check fill 49 of the
-#: 50 window slots; the last slot drains the oldest r9 row.
+#: staleness edge plus the round-13 bucket-1 entries (q_cdx_build,
+#: q_redirect_chain, q_html_entities) plus this re-check fill the 50
+#: window slots exactly; the r9 vintage starts rotating next round.
 REGRESSION_PRIORITY = (
     "q_warc_ingest",
 )

@@ -1880,6 +1880,66 @@ def q_html_to_text(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_html_entities",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+    'Doc ' || CAST(doc_id AS VARCHAR)
+    || ' ' || chr(CAST(65 + doc_id % 26 AS INTEGER))
+    || ' ' || chr(CAST(97 + doc_id % 26 AS INTEGER))
+    || ' &lt; &#65; "' || coalesce(array_to_string(ws, ' '), '')
+    || '" &#0;z &#xD800; &#128512; &nope; end' AS clean
+  FROM w
+)
+SELECT doc_id,
+       CAST(length(clean) AS INTEGER) AS n_chars,
+       md5(clean) AS text_md5
+FROM e
+""",
+)
+def q_html_entities(spark: SparkSession, sf_dir: str):
+    """One-pass HTML character-reference decoding (round-12 ADVICE
+    fix, pinned here as its own fixture; operators/text.
+    _decode_entities via html_to_text(numeric_entities=True)): every
+    document carries a closed-form entity gauntlet — a decimal and a
+    hex numeric reference (corpus-indexed code points), the two
+    double-decode traps (``&#38;lt;`` must stay the literal ``&lt;``
+    and ``&amp;#65;`` the literal ``&#65;`` — exactly what sequential
+    decode passes get wrong in one direction or the other), a named
+    pair quoting the document text, and the lenient-passthrough
+    classes (``&#0;``, a surrogate, a supplementary-plane reference,
+    an unknown name).
+
+    The oracle constructs the expected decoded text directly (ground
+    truth, DuckDB chr()), so a re-parsing decode, a missed hex branch,
+    or an over-eager invalid-reference decode shifts the digest."""
+    from nextbus2pg_spark.operators.text import html_to_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    raw = F.concat(
+        F.lit("Doc "), d.cast("string"),
+        F.lit(" &#"), (F.lit(65) + d % 26).cast("int").cast("string"),
+        F.lit("; &#x"), F.lower(F.hex(F.lit(97) + d % 26)),
+        F.lit("; &#38;lt; &amp;#65; &quot;"),
+        F.array_join(words, " "),
+        F.lit("&quot; &#0;z &#xD800; &#128512; &nope; end"),
+    )
+    clean = html_to_text(raw, numeric_entities=True)
+    return docs.select(
+        "doc_id",
+        F.length(clean).cast("int").alias("n_chars"),
+        F.md5(clean).alias("text_md5"),
+    )
+
+
+@fixture(
     "q_media_vad",
     oracle="""
 WITH d AS (

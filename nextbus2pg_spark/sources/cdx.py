@@ -14,9 +14,16 @@ CdxRangeFetcher`` (round-11): each filtered capture becomes one HTTP
 ``Range`` read landing in a spool that ``sources/warc.
 warc_spool_archives`` turns back into record bytes.
 
-Everything here is JVM-side DataFrame expressions (split/from_json/
-aggregates) — no Python in the hot path; CDX files gzip-split fine
-under ``spark.read.text`` since they are line-oriented.
+Everything on the index-consumption path is JVM-side DataFrame
+expressions (split/from_json/aggregates) — no Python in the hot path;
+CDX files gzip-split fine under ``spark.read.text`` since they are
+line-oriented. The redirect seam (round 13) stays JVM too:
+``cdx_resolve_redirects`` closes 3xx chains by iterating equi-joins
+over the redirect EDGE subset only, and ``cdx_fetch_once_manifest``
+spends one fetch per chain. The single Arrow stage is
+:func:`build_cdx_index` — the inverse direction, deriving a typed
+index FROM raw archives (one archive per task, bodies never
+decompressed).
 
 Parity citation: the reference has no index surface (single XML feed,
 reference README); this is extension surface for the crawl-ingestion

@@ -1323,8 +1323,10 @@ def warc_archive_files(
     relative to ``relative_to`` when given — matching how a
     ``CdxRangeFetcher`` later appends it to an archive-host base URL
     (the CDX ``filename`` convention is a path relative to the crawl
-    root). Streaming ``binaryFile`` requires the explicit schema
-    (Spark refuses inference there — the round-10 lesson)."""
+    root — real crawl drops nest archives under segment directories,
+    so the listing is recursive). Streaming ``binaryFile`` requires
+    the explicit schema (Spark refuses inference there — the round-10
+    lesson)."""
     if streaming:
         from pyspark.sql.types import TimestampType
 
@@ -1339,7 +1341,11 @@ def warc_archive_files(
         reader = spark.readStream.format("binaryFile").schema(schema)
     else:
         reader = spark.read.format("binaryFile")
-    raw = reader.option("pathGlobFilter", glob).load(path)
+    raw = (
+        reader.option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
     filename = F.regexp_replace("path", r"^[a-z][a-z0-9+.-]*:/+", "/")
     if relative_to is not None:
         prefix = "/" + relative_to.strip("/") + "/"

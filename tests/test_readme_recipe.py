@@ -284,3 +284,119 @@ def test_readme_frontier_recipe_runs_verbatim(spark, tmp_path):
         assert len(ns["children"]) == 2
     finally:
         srv.shutdown()
+
+
+def _index_recipe_block() -> str:
+    text = open("/root/repo/README.md", encoding="utf-8").read()
+    section = text.split("## The index-building recipe", 1)[1]
+    m = re.search(r"```python\n(.*?)```", section, re.DOTALL)
+    assert m, "README index-building recipe block missing"
+    return m.group(1)
+
+
+def test_readme_index_building_recipe_runs_verbatim(spark, tmp_path):
+    """The round-13 seam as ONE documented pipeline, executed verbatim
+    against a hermetic localhost archive host: raw un-indexed archives
+    -> built CDX index (header-only, redirect targets, interoperable
+    digests) -> chain-resolved fetch-once selection -> throttled
+    coalesced ranged reads -> parsed documents. Only final targets
+    ever cost bytes; the redirect links survive as a frame."""
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from tests.test_range_fetch import _ArchiveHandler
+
+    from nextbus2pg_spark.sources.warc import warc_write_records
+
+    def resp200(i, body):
+        return {
+            "type": "response",
+            "uri": f"https://h{i % 2}.example.org/p/{i}",
+            "date": "2026-02-01T00:00:00Z",
+            "record_id": f"urn:ix:{i}",
+            "block": (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                b"Content-Length: " + str(len(body)).encode()
+                + b"\r\n\r\n" + body
+            ),
+        }
+
+    def redirect(i, status_line, target):
+        return {
+            "type": "response",
+            "uri": f"https://h{i % 2}.example.org/p/{i}",
+            "date": "2026-02-01T00:00:00Z",
+            "record_id": f"urn:ix:{i}",
+            "block": (
+                b"HTTP/1.1 " + status_line + b"\r\nLocation: "
+                + target.encode() + b"\r\nContent-Length: 0\r\n\r\n"
+            ),
+        }
+
+    p = {i: f"https://h{i % 2}.example.org/p/{i}" for i in range(6)}
+    body0 = b"final page zero body " * 3
+    body3 = b"final page three body " * 3
+    blob_gz = warc_write_records(
+        [
+            resp200(0, body0),
+            redirect(1, b"301 Moved Permanently", p[0]),
+            redirect(2, b"302 Found", p[1]),
+        ],
+        gzip_members=True,
+    )
+    blob_plain = warc_write_records(
+        [
+            resp200(3, body3),
+            redirect(4, b"308 Permanent Redirect", p[3]),
+            redirect(5, b"301 Moved Permanently", p[5]),  # self-loop
+        ]
+    )
+    drop = tmp_path / "drop"
+    (drop / "seg").mkdir(parents=True)
+    (drop / "seg" / "a.warc.gz").write_bytes(blob_gz)
+    (drop / "b.warc").write_bytes(blob_plain)
+
+    _ArchiveHandler.files = {
+        "seg/a.warc.gz": blob_gz,
+        "b.warc": blob_plain,
+    }
+    _ArchiveHandler.requests = []
+    _ArchiveHandler.ignore_range = False
+    _ArchiveHandler.fail_next = 0
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _ArchiveHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        ns = {
+            "spark": spark,
+            "archive_drop_dir": str(drop),
+            "archive_base_url":
+                f"http://127.0.0.1:{srv.server_address[1]}",
+            "spool_dir": str(tmp_path / "spool"),
+            "crawl_delays": {},
+        }
+        exec(  # noqa: S102
+            compile(_index_recipe_block(), "README.md", "exec"), ns
+        )
+        # redirect links: every chain resolves to its final target
+        links = {
+            (r.url, r.final_url, r.hops)
+            for r in ns["links"].collect()
+        }
+        assert links == {
+            (p[1], p[0], 1), (p[2], p[0], 2), (p[4], p[3], 1),
+        }
+        # only the two final targets were fetched and parsed; the
+        # self-loop (unresolved) and the redirects cost no bytes
+        got = {
+            r.uri: r.content for r in ns["crawl_docs"].collect()
+        }
+        assert got == {
+            p[0]: body0.decode(), p[3]: body3.decode(),
+        }
+        assert len(_ArchiveHandler.requests) == 2
+        assert all(
+            r and r.startswith("bytes=")
+            for r in _ArchiveHandler.requests
+        )
+    finally:
+        srv.shutdown()
