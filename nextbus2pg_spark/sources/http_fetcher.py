@@ -125,6 +125,16 @@ class FeedHttpClient:
         for attempt in range(self.retries):
             try:
                 return once()
+            except urllib.error.HTTPError as e:
+                if e.code < 500:
+                    # 4xx is a deterministic server verdict — retrying
+                    # re-asks the same question and burns the host's
+                    # politeness budget (round 13; callers that treat
+                    # 404 as data, e.g. RobotsFetcher, catch it)
+                    raise
+                last_err = e
+                if attempt + 1 < self.retries:
+                    self._sleep(self.backoff_s * (2 ** attempt))
             except (urllib.error.URLError, OSError) as e:
                 last_err = e
                 if attempt + 1 < self.retries:
@@ -584,6 +594,127 @@ def coalesce_ranges(captures, max_gap: int = 0):
         else:
             out.append(c)
     return out
+
+
+class RobotsFetcher:
+    """Fetch per-host ``robots.txt`` into an atomic spool (round 13 —
+    the hop that was missing between a URL frontier and
+    ``sources/robots.robots_rules``, which consumes a ``(domain,
+    robots_txt)`` frame; ``robots_spool_frame`` reads the spool back
+    as exactly that). With this, the live loop closes end-to-end:
+    frontier hosts → fetched robots → rules + crawl-delays →
+    throttled page fetches.
+
+    RFC 9309 §2.3.1 availability semantics, applied at FETCH time so
+    the parse side stays a pure function of the spooled text:
+
+    - 2xx — the body spools verbatim;
+    - 4xx ("unavailable") — robots is treated as ABSENT, crawl
+      unrestricted: a single COMMENT line spools (``# robots.txt
+      unavailable …`` — parses to zero rules, so robots_allowed's
+      no-match default applies; a truly empty file would be SKIPPED
+      by Spark's binaryFile listing and the verdict would vanish);
+    - 5xx / transport failure after retries ("unreachable") — nothing
+      spools and the error propagates: the spec says assume complete
+      disallow while unreachable, and an UNSPOOLED host is exactly
+      that verdict for a frontier that inner-joins on fetched domains
+      (fail-closed; the ledger retries the host on the next run).
+
+    Crash-safety and politeness mirror the other fetchers: ``.tmp-``
+    + ``os.replace`` atomic writes, spool filenames as the resume
+    ledger, optional shared :class:`HostThrottle`."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        *,
+        client: FeedHttpClient | None = None,
+        throttle: "HostThrottle | None" = None,
+        scheme: str = "https",
+    ) -> None:
+        self.spool_dir = spool_dir
+        self.client = client or FeedHttpClient()
+        self.throttle = throttle
+        self.scheme = scheme
+        os.makedirs(spool_dir, exist_ok=True)
+
+    @staticmethod
+    def spool_name(host: str) -> str:
+        return (
+            _cap_spool_stem(urllib.parse.quote(host.lower(), safe=""))
+            + ".robots"
+        )
+
+    def fetched(self) -> "set[str]":
+        """Spool names already fetched (the resume ledger)."""
+        return {
+            n for n in os.listdir(self.spool_dir)
+            if n.endswith(".robots") and not n.startswith(".tmp-")
+        }
+
+    def fetch(self, hosts) -> int:
+        """Fetch every host's robots.txt not already spooled; returns
+        the number spooled. 5xx/transport failures propagate after the
+        client's retries (nothing spools for that host — the
+        fail-closed 'unreachable' verdict); the ledger makes the
+        re-run cheap."""
+        done = self.fetched()
+        n = 0
+        for host in hosts:
+            name = self.spool_name(host)
+            if name in done:
+                continue
+            url = f"{self.scheme}://{host}/robots.txt"
+            if self.throttle is not None:
+                self.throttle.wait(url)
+            try:
+                data = self.client.get(url)
+            except urllib.error.HTTPError as e:
+                if e.code >= 500:
+                    raise
+                # 4xx: unavailable -> unrestricted. A comment line,
+                # not an empty file — binaryFile skips 0-byte files,
+                # which would erase the verdict from the frame.
+                data = (
+                    b"# robots.txt unavailable (HTTP "
+                    + str(e.code).encode()
+                    + b"): crawl unrestricted per RFC 9309 2.3.1.3\n"
+                )
+            tmp = os.path.join(self.spool_dir, f".tmp-{name}")
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, os.path.join(self.spool_dir, name))
+            done.add(name)
+            n += 1
+        return n
+
+
+def robots_spool_frame(spark, spool_dir: str):
+    """Read a :class:`RobotsFetcher` spool as the ``(domain,
+    robots_txt)`` frame ``robots_rules`` / ``robots_crawl_delays``
+    consume — executor-parallel ``binaryFile`` read, one host per row,
+    the domain percent-decoded back out of the ledger filename
+    (digest-capped names — hosts are bounded at 253 octets, so only
+    adversarial inputs cap — surface their truncated head; the rules
+    for such a row still parse, provenance is just lossy). Bytes
+    become text via the binary→string CAST, not ``decode``: robots.txt
+    is ASCII in practice, a stray high byte is data noise, and Spark
+    4's ``decode`` raises MALFORMED_CHARACTER_CODING on it while the
+    cast passes the bytes through — a malformed comment must not fail
+    the scan."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.robots")
+        .load(spool_dir)
+        .select(
+            F.url_decode(
+                F.regexp_extract("path", r"([^/]+)\.robots$", 1)
+            ).alias("domain"),
+            F.col("content").cast("string").alias("robots_txt"),
+        )
+    )
 
 
 class SitemapFetcher:

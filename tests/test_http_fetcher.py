@@ -510,3 +510,116 @@ def test_cap_spool_stem_marker_namespace_separation():
     )
     # determinism (restart-stable ledger)
     assert _cap_spool_stem(long) == adversarial
+
+
+def test_robots_fetcher_availability_semantics_and_frame(
+    tmp_path, spark
+):
+    """Round-13: the robots fetch hop — 2xx spools verbatim, 4xx
+    spools EMPTY (RFC 9309 'unavailable' = unrestricted), 5xx spools
+    NOTHING and raises (fail-closed 'unreachable'); the spool reads
+    back as the (domain, robots_txt) frame robots_rules consumes, and
+    the ledger makes re-runs incremental."""
+    import urllib.error
+
+    import pytest as _pytest
+
+    from nextbus2pg_spark.sources.http_fetcher import (
+        RobotsFetcher,
+        robots_spool_frame,
+    )
+    from nextbus2pg_spark.sources.robots import (
+        robots_allowed,
+        robots_rules,
+    )
+
+    calls = []
+
+    class FakeClient:
+        def get(self, url):
+            calls.append(url)
+            host = url.split("/")[2]
+            if host == "gone.example":
+                raise urllib.error.HTTPError(url, 404, "nf", None, None)
+            if host == "down.example":
+                raise urllib.error.HTTPError(url, 503, "boom", None, None)
+            return (
+                b"User-agent: *\nDisallow: /private\n"
+                b"# host " + host.encode() + b" \xff\n"
+            )
+
+    spool = str(tmp_path / "robots")
+    f = RobotsFetcher(spool, client=FakeClient())
+    assert f.fetch(["A.example", "gone.example"]) == 2
+    with _pytest.raises(urllib.error.HTTPError):
+        f.fetch(["down.example"])
+    # ledger: nothing re-fetched, the failed host retries
+    calls.clear()
+    with _pytest.raises(urllib.error.HTTPError):
+        f.fetch(["a.example", "gone.example", "down.example"])
+    assert calls == ["https://down.example/robots.txt"]
+
+    frame = robots_spool_frame(spark, spool)
+    got = {r.domain: r.robots_txt for r in frame.collect()}
+    assert set(got) == {"a.example", "gone.example"}
+    # 4xx -> unrestricted: a comment-only file (zero rules; an empty
+    # file would be skipped by binaryFile and lose the verdict)
+    assert got["gone.example"].startswith("# robots.txt unavailable")
+    assert "Disallow: /private" in got["a.example"]
+
+    # end-to-end: fetched robots -> rules -> frontier verdicts;
+    # the unreachable host never spooled, so an inner join on domain
+    # (the fail-closed read) would exclude its URLs entirely
+    rules = robots_rules(frame, agent="databot")
+    urls = spark.createDataFrame(
+        [("https://a.example/private/x",), ("https://a.example/ok",),
+         ("https://gone.example/anything",)],
+        "url string",
+    )
+    verdicts = {
+        r.url: r.allowed for r in robots_allowed(urls, rules).collect()
+    }
+    assert verdicts == {
+        "https://a.example/private/x": False,
+        "https://a.example/ok": True,
+        "https://gone.example/anything": True,  # absent robots: allow
+    }
+
+
+def test_client_does_not_retry_4xx(tmp_path):
+    """4xx is a deterministic verdict — one request, no retry burn;
+    5xx still retries with backoff."""
+    import urllib.error
+
+    from nextbus2pg_spark.sources.http_fetcher import FeedHttpClient
+
+    calls = {"n": 0}
+
+    class _Raise404(FeedHttpClient):
+        def get(self, url):
+            def once():
+                calls["n"] += 1
+                raise urllib.error.HTTPError(url, 404, "nf", None, None)
+
+            return self._with_retries(once)
+
+    import pytest as _pytest
+
+    c = _Raise404(retries=3, sleep=lambda s: None)
+    with _pytest.raises(urllib.error.HTTPError):
+        c.get("https://x.example/")
+    assert calls["n"] == 1
+    calls["n"] = 0
+
+    class _Raise503(FeedHttpClient):
+        def get(self, url):
+            def once():
+                calls["n"] += 1
+                raise urllib.error.HTTPError(url, 503, "b", None, None)
+
+            return self._with_retries(once)
+
+    c2 = _Raise503(retries=3, sleep=lambda s: None)
+    with _pytest.raises(urllib.error.HTTPError):
+        c2.get("https://x.example/")
+    assert calls["n"] == 3

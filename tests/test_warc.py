@@ -837,3 +837,67 @@ def test_spans_for_records_split_across_gzip_members():
     assert [r["record_id"] for r in got2] == [
         "urn:m:0", "urn:m:1", "urn:m:2",
     ]
+
+
+def test_write_warc_shards_round_trip_and_determinism(spark, tmp_path):
+    """Round-13 write seam: corpus -> real WET-style .warc.gz shards
+    (atomic, record-streamed, deterministic) -> parse back identical;
+    the built index composes over the written shards."""
+    import os
+
+    from nextbus2pg_spark.sources.cdx import build_cdx_index
+    from nextbus2pg_spark.sources.warc import (
+        warc_archive_files,
+        warc_documents,
+        write_warc_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"https://c.example/d/{i}",
+          None if i == 7 else f"text §{i} ✓ " * 4)
+         for i in range(10)],
+        "doc_id long, uri string, content string",
+    )
+    out1 = str(tmp_path / "export1")
+    manifest = write_warc_shards(docs, out1, n_shards=3).collect()
+    assert sum(m.n_records for m in manifest) == 10
+    assert all(m.n_bytes == os.path.getsize(os.path.join(out1, m.filename))
+               for m in manifest)
+    assert all(m.filename.endswith(".warc.gz") for m in manifest)
+    assert not [p for p in os.listdir(out1) if p.startswith(".tmp-")]
+
+    parsed = warc_documents(
+        warc_archive_files(spark, out1).selectExpr(
+            "xxhash64(filename) AS archive_id", "payload"
+        )
+    )
+    got = {r.uri: r.content for r in parsed.collect()}
+    want = {
+        f"https://c.example/d/{i}":
+        ("" if i == 7 else f"text §{i} ✓ " * 4)
+        for i in range(10)
+    }
+    assert got == want
+    assert all(r.warc_type == "conversion" for r in parsed.collect())
+
+    # the built index composes over the export: every record indexed,
+    # spans slice back out of the shard files
+    from nextbus2pg_spark.sources.warc import warc_parse
+
+    index = build_cdx_index(warc_archive_files(spark, out1,
+                                               relative_to=out1))
+    rows = index.collect()
+    assert len(rows) == 10
+    for r in rows:
+        with open(os.path.join(out1, r.filename), "rb") as f:
+            blob = f.read()
+        sliced = warc_parse(blob[r.offset: r.offset + r.length])
+        assert [x["uri"] for x in sliced] == [r.url]
+
+    # determinism: a second export is byte-identical
+    out2 = str(tmp_path / "export2")
+    write_warc_shards(docs, out2, n_shards=3).collect()
+    for m in manifest:
+        with open(os.path.join(out1, m.filename), "rb") as a, \
+             open(os.path.join(out2, m.filename), "rb") as b:
+            assert a.read() == b.read(), m.filename
