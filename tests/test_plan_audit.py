@@ -1066,3 +1066,70 @@ def test_warc_ingest_quarantine_stays_archive_parallel(spark):
     assert "Join" not in p, p
     assert "CartesianProduct" not in p, p
     assert "Window" not in p, p
+
+
+def test_cdx_build_plan_is_archive_parallel_with_partial_agg(spark):
+    """Index building (round 13): archives -> Arrow fanout -> per-URL
+    aggregate is the one-archive-per-task chain plus ONE map-side
+    partial aggregation — no joins, no windows, no cartesian; bodies
+    never decode, so there is exactly one Python stage (the record
+    walk)."""
+    p = plan_text(q(spark, "q_cdx_build"))
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Window" not in p, p
+    # partial+final phases (the distinct-digest count plans as
+    # SortAggregate: substring(min(digest)) defeats hash-agg buffers)
+    assert len(re.findall(r"(?:Hash|Sort)Aggregate", p)) >= 2, p
+
+
+def test_redirect_chain_closure_equi_joins_only(spark):
+    """Redirect resolution (round 13): the chain closure iterates
+    equi-joins over the redirect EDGE subset, then one corpus join
+    applies the map and one links final content — never a cartesian,
+    never a nested-loop join, no broadcast hint pinned on a
+    corpus-derived side (stats/AQE may still choose broadcast)."""
+    df = q(spark, "q_redirect_chain")
+    p = plan_text(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    _bounded_hints_only(df)
+
+
+def test_fetch_once_manifest_no_cartesian(spark):
+    """cdx_fetch_once_manifest (round 13): chain closure + left-semi
+    target selection + manifest reduction stay equi-join-only with
+    map-side partials on the final per-file aggregate."""
+    from nextbus2pg_spark.sources.cdx import cdx_fetch_once_manifest
+
+    records = spark.range(256).selectExpr(
+        "concat('https://h', id % 7, '.example/p/', id) AS url",
+        "CASE WHEN id % 4 = 0 THEN 200 ELSE 301 END AS status",
+        "CASE WHEN id % 4 = 0 THEN NULL ELSE concat("
+        "'https://h', id % 7, '.example/p/', id - id % 4) END"
+        " AS redirect",
+        "CASE WHEN id % 4 = 0 THEN 'text/html' ELSE NULL END AS mime",
+        "concat('d', id) AS digest",
+        "CAST(id * 100 AS LONG) AS offset",
+        "CAST(90 AS LONG) AS length",
+        "concat('f', id % 3, '.warc.gz') AS filename",
+    )
+    df = cdx_fetch_once_manifest(records)
+    p = plan_text(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
+    _bounded_hints_only(df)
+
+
+def test_html_entities_plan_is_shuffle_free(spark):
+    """One-pass entity decode (round 13): a pure JVM map over the
+    documents scan — zero exchanges, zero Python stages, and only the
+    referenced columns read."""
+    p = plan_text(q(spark, "q_html_entities"))
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p, p
+    assert "ArrowEvalPython" not in p, p
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = sorted(c.split(":")[0] for c in schema.group(1).split(",") if c)
+    assert cols == ["doc_id", "text"], p
