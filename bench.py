@@ -153,6 +153,7 @@ R12_SET: list[str] = [
 R13_SET: list[str] = [
     "q_cdx_build",
     "q_redirect_chain",
+    "q_html_entities",
 ]
 
 #: The iterative-graph family is TIMED FIRST, in a near-fresh session
