@@ -390,3 +390,117 @@ def html_to_text(col: Column, numeric_entities: bool = False) -> Column:
             t = F.replace(t, F.lit("&" + ent + ";"), F.lit(ch))
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)
+
+
+def resolve_url_ref(base: Column, ref: Column) -> Column:
+    """Resolve a URL reference against a base URI (RFC 3986 §5, the
+    cases crawled HTML actually contains) with pure JVM expressions —
+    the frontier must join on ABSOLUTE URLs, and outlinks arrive
+    relative:
+
+    - absolute references (``scheme:…``) pass through;
+    - scheme-relative ``//host/path`` takes the base's scheme;
+    - root-relative ``/path`` takes the base's ``scheme://host``;
+    - query-only ``?q`` replaces the base's query on its full path;
+    - relative paths merge onto the base's directory, then dot
+      segments are removed (bounded ``/x/../`` collapse passes — 8,
+      deeper-than-root ``../`` runs clamp to the root, the
+      lenient-browser read).
+
+    Fragments are the CALLER's concern (``extract_links`` never
+    captures them — a fragment names a position, not a resource).
+    NULL base or ref resolves to NULL."""
+    scheme = F.regexp_extract(base, r"^([a-z][a-z0-9+.-]*):", 1)
+    origin = F.regexp_extract(base, r"^([a-z][a-z0-9+.-]*://[^/?]+)", 1)
+    # base directory: full path up to the last '/', query dropped;
+    # a host-only base gets '/'
+    path = F.regexp_extract(base, r"^[a-z][a-z0-9+.-]*://[^/?]+(/[^?]*)?", 1)
+    full_path = F.when(path == "", F.lit("/")).otherwise(path)
+    base_dir = F.regexp_replace(full_path, r"[^/]*$", "")
+    merged = (
+        F.when(ref.rlike(r"^[a-z][a-z0-9+.-]*:"), ref)
+        .when(ref.startswith("//"), F.concat(scheme, F.lit(":"), ref))
+        .when(ref.startswith("/"), F.concat(origin, ref))
+        .when(ref.startswith("?"), F.concat(origin, full_path, ref))
+        .otherwise(F.concat(origin, base_dir, ref))
+    )
+    # RFC 3986 §5.2.4 remove_dot_segments, as bounded regex passes.
+    # The (?<![:/]) lookbehind keeps every rule inside the PATH:
+    # without it, '/host/..' in 'https://host/../x' matches with the
+    # '//' authority slash and deletes the host itself. A TRAILING
+    # '.'/'..' segment leaves a trailing '/' (directory semantics —
+    # 'a/b/..' is 'a/', not 'a'); mid-path ones collapse outright.
+    out = F.regexp_replace(merged, r"(?<![:/])/\.(?=/)", "")
+    out = F.regexp_replace(out, r"(?<![:/])/\.$", "/")
+    for _ in range(8):  # bounded '/seg/../' collapse (no while in SQL)
+        out = F.regexp_replace(
+            out, r"(?<![:/])/(?!\.\./)[^/]+/\.\.(?=/)", ""
+        )
+        out = F.regexp_replace(
+            out, r"(?<![:/])/(?!\.\./)[^/]+/\.\.$", "/"
+        )
+    # '../' runs that climb past the root clamp to the root
+    out = F.regexp_replace(
+        out, r"^([a-z][a-z0-9+.-]*://[^/?]+)(/\.\.(?=/|$))+", "$1"
+    )
+    # a path fully consumed by dot segments is the root
+    return F.when(
+        out.rlike(r"^[a-z][a-z0-9+.-]*://[^/?]+$"), F.concat(out, F.lit("/"))
+    ).otherwise(out)
+
+
+def extract_links(content: Column, base: Column) -> Column:
+    """Outlinks of an HTML document as an array of ABSOLUTE URLs —
+    the document → frontier edge (round 13; composes the crawl loop:
+    parsed pages feed ``resolve_redirects``-canonicalized frontier
+    URLs back into robots/sitemap-filtered fetching). Captures
+    ``href`` values of ``<a>``/``<link>`` and ``src`` of
+    ``<img>``/``<script>``/``<iframe>`` (quoted attributes — the
+    well-formed-markup case; unquoted values are data noise crawls
+    tolerate losing), drops fragments and javascript:/mailto:/data:
+    pseudo-links, resolves the rest against the document URI
+    (:func:`resolve_url_ref`), and dedups within the document.
+    Everything is JVM regexp/array expressions — one codegen pass, no
+    Python, no explode until the caller asks for rows."""
+    hrefs = F.regexp_extract_all(
+        content,
+        F.lit(r'(?i)<(?:a|link)\b[^>]*?\bhref\s*=\s*["\']([^"\'#>\s]+)'),
+        1,
+    )
+    srcs = F.regexp_extract_all(
+        content,
+        F.lit(
+            r'(?i)<(?:img|script|iframe)\b[^>]*?\bsrc\s*=\s*'
+            r'["\']([^"\'#>\s]+)'
+        ),
+        1,
+    )
+    raw = F.concat(hrefs, srcs)
+    kept = F.filter(
+        raw,
+        lambda x: (x != "")
+        & ~x.rlike(r"^(?i)(javascript|mailto|data|tel):"),
+    )
+    resolved = F.transform(kept, lambda x: resolve_url_ref(base, x))
+    return F.array_distinct(resolved)
+
+
+def document_links(
+    docs: DataFrame,
+    uri_col: str = "uri",
+    content_col: str = "content",
+) -> DataFrame:
+    """One row per (document URI, absolute outlink) — ``extract_links``
+    exploded for frontier joins; documents without links emit no rows.
+    Scale shape: a narrow map + explode, no shuffle; the frontier-side
+    distinct/robots join downstream owns the dedup shuffle. (Two
+    select steps: computing the array in the same projection that
+    re-aliases ``uri`` trips Spark's lateral-column-alias resolution.)
+    """
+    staged = docs.select(
+        F.col(uri_col).alias("uri"),
+        extract_links(F.col(content_col), F.col(uri_col)).alias(
+            "__links"
+        ),
+    )
+    return staged.select("uri", F.explode("__links").alias("link"))
