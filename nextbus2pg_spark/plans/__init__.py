@@ -332,12 +332,18 @@ REGRESSION_PRIORITY = (
     "q_warc_ingest",
 )
 
-#: Round-5 policy: the deferred bucket is DRAINED — the seven entries
-#: that waited out round 4 (spatial pair, URL family, histogram
-#: quantiles, CMS heavy hitters, OOV ratio) now LEAD the window as
-#: never-checked bucket-1 entries, exactly as the round-4 code comment
-#: committed. New round-5 queries also land in bucket 1 by default.
-DEFERRED_TO_NEXT_ROUND = ()
+#: Late-round-13 additions whose driver check is deliberately pushed
+#: to round 14: the window has ZERO slack this round (3 new + 1
+#: regression + all 46 r8-vintage rows at the staleness edge = exactly
+#: 50), so these must not enter bucket 1 — they'd push an at-ceiling
+#: r8 row out and fail the drain guarantee. Both are parity-verified
+#: locally (vanilla-session Spark-vs-DuckDB value compare); next
+#: round's rotation lifts them into bucket 1 automatically (they are
+#: never-checked oracle-backed entries once this constant clears).
+DEFERRED_TO_NEXT_ROUND = (
+    "q_extract_links",
+    "q_fetch_once",
+)
 
 #: Lead order inside bucket 1: the seven formerly deferred entries go
 #: first (they are the only oracle-backed queries without a driver
@@ -359,7 +365,11 @@ _bucket2 = [
     n for n in REGRESSION_PRIORITY
     if n in QUERIES and n in ORACLE and n not in _bucket1
 ]
-_bucket3 = list(DEFERRED_TO_NEXT_ROUND) + sorted(
+# Deferred entries sit at the END of bucket 3 (round-13 change; they
+# used to LEAD it): a deferral exists precisely because the window has
+# no slack, so it must not outrank the staleness drain it is yielding
+# to. Next round they re-enter bucket 1 as never-checked entries.
+_bucket3 = sorted(
     (
         n for n in QUERIES
         if n in ORACLE
@@ -371,7 +381,7 @@ _bucket3 = list(DEFERRED_TO_NEXT_ROUND) + sorted(
     # 3+ rounds stale and should burn the free window slots before
     # anything re-checked recently; ties break by name for stability.
     key=lambda n: (_LAST_CHECKED_ROUND.get(n, 99), n),
-)
+) + [n for n in DEFERRED_TO_NEXT_ROUND if n in QUERIES]
 _bucket4 = [n for n in QUERIES if n not in ORACLE]  # rows-only last
 _reordered = {
     n: QUERIES[n] for n in (*_bucket1, *_bucket2, *_bucket3, *_bucket4)

@@ -1940,6 +1940,176 @@ def q_html_entities(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_extract_links",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+    'https://site' || CAST(doc_id % 8 AS VARCHAR) || '.example'
+      AS origin,
+    '/sec' || CAST(doc_id % 5 AS VARCHAR) AS sec
+  FROM documents
+)
+SELECT doc_id,
+       origin || sec || '/p/n/' || CAST(doc_id + 1 AS VARCHAR)
+         || '.html' AS link
+FROM d
+UNION ALL
+SELECT doc_id, origin || sec || '/up.html' FROM d
+UNION ALL
+SELECT doc_id,
+       origin || '/r/' || CAST(doc_id % 7 AS VARCHAR) || '.html'
+FROM d
+UNION ALL
+SELECT doc_id,
+       'https://ext.example/x/' || CAST(doc_id % 11 AS VARCHAR)
+FROM d
+UNION ALL
+SELECT doc_id,
+       'https://cdn' || CAST(doc_id % 3 AS VARCHAR)
+         || '.example/lib.js'
+FROM d
+""",
+)
+def q_extract_links(spark: SparkSession, sf_dir: str):
+    """Outlink extraction → absolute frontier URLs (round 13;
+    operators/text.extract_links + resolve_url_ref): per document a
+    closed-form page is synthesized JVM-side carrying one of each
+    reference class — a relative path, a ``../`` parent traversal, a
+    root-relative path, an absolute external URL, a scheme-relative
+    CDN script src — plus the classes that must be DROPPED (a
+    fragment-only href, a javascript: pseudo-link, and an exact
+    duplicate that the per-document dedup collapses).
+
+    The oracle is GROUND TRUTH: the five expected absolute links per
+    document constructed directly (UNION ALL) — a resolution slip
+    (wrong base directory for ``../``, authority eaten by the
+    dot-segment collapse, fragment kept, duplicate kept) changes the
+    row multiset."""
+    from nextbus2pg_spark.operators.text import document_links
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = lambda c: c.cast("string")  # noqa: E731
+    d = F.col("doc_id")
+    uri = F.concat(
+        F.lit("https://site"), s(d % 8), F.lit(".example/sec"),
+        s(d % 5), F.lit("/p/"), s(d), F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="n/'), s(d + 1),
+        F.lit('.html">x</a><a href="../up.html">y</a>'),
+        F.lit('<a href="/r/'), s(d % 7),
+        F.lit('.html">z</a><a href="https://ext.example/x/'),
+        s(d % 11),
+        F.lit('">w</a><script src="//cdn'), s(d % 3),
+        F.lit('.example/lib.js"></script><a href="#frag">f</a>'),
+        F.lit('<a href="javascript:void(0)">j</a><a href="n/'),
+        s(d + 1), F.lit('.html">dup</a></body></html>'),
+    )
+    links = document_links(
+        docs.select(uri.alias("uri"), html.alias("content"))
+    )
+    return links.select(
+        F.regexp_extract("uri", r"/p/(\d+)\.html$", 1).cast("long")
+        .alias("doc_id"),
+        "link",
+    )
+
+
+def _synthetic_cdx_redirect_lines(docs):
+    """CDXJ lines with redirect chains, closed-form in doc_id (the
+    q_fetch_once generator): quad base ``b = d - d%4`` is a 200
+    text/html capture; ``b+1``/``b+2``/``b+3`` are 301/302/301
+    captures redirecting at ``d-1`` (1/2/3-hop chains ending at the
+    base). Unique digests keep digest-dedup a no-op so the fixture
+    isolates the fetch-once rule."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("https://h"), s(d % 6), F.lit(".example/p/"), s(d)
+    )
+    prev_url = F.concat(
+        F.lit("https://h"), s((d - 1) % 6), F.lit(".example/p/"),
+        s(d - 1),
+    )
+    is_final = d % 4 == 0
+    status = F.when(is_final, "200").when(
+        d % 4 == 2, "302"
+    ).otherwise("301")
+    redirect_part = F.when(
+        is_final, F.lit("")
+    ).otherwise(F.concat(F.lit(', "redirect": "'), prev_url, F.lit('"')))
+    mime_part = F.when(
+        is_final, F.lit(', "mime": "text/html"')
+    ).otherwise(F.lit(""))
+    payload = F.concat(
+        F.lit('{"url": "'), url,
+        F.lit('", "status": "'), status, F.lit('"'),
+        mime_part, redirect_part,
+        F.lit(', "digest": "'), F.md5(s(d)),
+        F.lit('", "length": "'),
+        s(F.length(F.coalesce(F.col("text"), F.lit(""))) + 100),
+        F.lit('", "offset": "'), s(d * 1000),
+        F.lit('", "filename": "crawl-0'),
+        s(F.floor((d % 32) / 4).cast("long")),
+        F.lit('.warc.gz"}'),
+    )
+    from nextbus2pg_spark.sources.cdx import surt_key
+
+    return docs.select(
+        F.concat(
+            surt_key(url), F.lit(" 20260301000000 "), payload
+        ).alias("value")
+    )
+
+
+@fixture(
+    "q_fetch_once",
+    oracle="""
+WITH finals AS (
+  SELECT doc_id,
+         CAST(length(coalesce(text, '')) + 100 AS BIGINT) AS len,
+         CAST(doc_id * 1000 AS BIGINT) AS off,
+         'crawl-0' || CAST((doc_id % 32) // 4 AS VARCHAR)
+           || '.warc.gz' AS filename
+  FROM documents
+  WHERE doc_id % 4 = 0
+)
+SELECT filename,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(len) AS BIGINT) AS total_bytes,
+       min(off) AS min_offset,
+       max(off) AS max_offset
+FROM finals GROUP BY filename
+""",
+)
+def q_fetch_once(spark: SparkSession, sf_dir: str):
+    """Redirect-aware fetch-once manifest over a CDX snapshot (round
+    13; sources/cdx.cdx_resolve_redirects + cdx_fetch_once_manifest):
+    three quarters of the captures are 301/302 redirect chains (1-3
+    hops, via the cc-index ``redirect`` field) converging on their
+    quad base's 200 text/html capture. The manifest must spend
+    exactly ONE fetch per chain — the final capture's bytes — so the
+    per-file reduction covers exactly the ``d % 4 == 0`` captures.
+
+    The oracle is GROUND TRUTH over those finals (count, byte total,
+    offset range per archive file): a manifest that fetches redirect
+    hops (the pre-round-13 behavior — every 3xx capture was "just
+    another row" and failed the mime filter into silence, losing the
+    CHAIN'S target attribution) or that loses a chain's final
+    over-counts or under-counts a file."""
+    from nextbus2pg_spark.sources.cdx import (
+        cdx_fetch_once_manifest,
+        cdx_records,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    records = cdx_records(_synthetic_cdx_redirect_lines(docs))
+    return cdx_fetch_once_manifest(
+        records, statuses=(200,), mime_prefixes=("text/",)
+    )
+
+
+@fixture(
     "q_media_vad",
     oracle="""
 WITH d AS (
