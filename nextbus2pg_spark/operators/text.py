@@ -398,55 +398,60 @@ def resolve_url_ref(base: Column, ref: Column) -> Column:
     the frontier must join on ABSOLUTE URLs, and outlinks arrive
     relative:
 
-    - absolute references (``scheme:…``) pass through;
-    - scheme-relative ``//host/path`` takes the base's scheme;
+    - authority-carrying references pass through UNNORMALIZED —
+      absolute ``scheme:…`` as-is, scheme-relative ``//host/path``
+      with the base's scheme prepended (matching ``urljoin``: what a
+      server published under its own authority is not ours to
+      rewrite);
     - root-relative ``/path`` takes the base's ``scheme://host``;
     - query-only ``?q`` replaces the base's query on its full path;
-    - relative paths merge onto the base's directory, then dot
-      segments are removed (bounded ``/x/../`` collapse passes — 8,
-      deeper-than-root ``../`` runs clamp to the root, the
-      lenient-browser read).
+    - relative paths merge onto the base's directory.
 
-    Fragments are the CALLER's concern (``extract_links`` never
-    captures them — a fragment names a position, not a resource).
-    NULL base or ref resolves to NULL."""
+    Merged paths then get RFC 3986 §5.2.4 ``remove_dot_segments`` as
+    bounded regex passes over the BARE path (origin and query split
+    off first — the rules can never eat the authority or rewrite dots
+    inside a query): mid-path ``/./`` and ``/seg/../`` collapse,
+    trailing ``.``/``..`` keep the directory slash, ``../`` runs past
+    the root clamp to the root, and ``..`` pops empty segments too.
+    Differential-tested against ``urllib.parse.urljoin``
+    (tests/test_links.py); the ONE divergence class is combined
+    empty+dot segments (``x//./y``), where CPython's list-based
+    resolver drops empty segments RFC keeps — we follow the RFC
+    (pinned by explicit expectations). Fragments are the CALLER's
+    concern (``extract_links`` never captures them). NULL base or
+    ref resolves to NULL."""
     scheme = F.regexp_extract(base, r"^([a-z][a-z0-9+.-]*):", 1)
     origin = F.regexp_extract(base, r"^([a-z][a-z0-9+.-]*://[^/?]+)", 1)
     # base directory: full path up to the last '/', query dropped;
     # a host-only base gets '/'
-    path = F.regexp_extract(base, r"^[a-z][a-z0-9+.-]*://[^/?]+(/[^?]*)?", 1)
+    path = F.regexp_extract(
+        base, r"^[a-z][a-z0-9+.-]*://[^/?]+(/[^?]*)?", 1
+    )
     full_path = F.when(path == "", F.lit("/")).otherwise(path)
     base_dir = F.regexp_replace(full_path, r"[^/]*$", "")
     merged = (
-        F.when(ref.rlike(r"^[a-z][a-z0-9+.-]*:"), ref)
-        .when(ref.startswith("//"), F.concat(scheme, F.lit(":"), ref))
-        .when(ref.startswith("/"), F.concat(origin, ref))
+        F.when(ref.startswith("/"), F.concat(origin, ref))
         .when(ref.startswith("?"), F.concat(origin, full_path, ref))
         .otherwise(F.concat(origin, base_dir, ref))
     )
-    # RFC 3986 §5.2.4 remove_dot_segments, as bounded regex passes.
-    # The (?<![:/]) lookbehind keeps every rule inside the PATH:
-    # without it, '/host/..' in 'https://host/../x' matches with the
-    # '//' authority slash and deletes the host itself. A TRAILING
-    # '.'/'..' segment leaves a trailing '/' (directory semantics —
-    # 'a/b/..' is 'a/', not 'a'); mid-path ones collapse outright.
-    out = F.regexp_replace(merged, r"(?<![:/])/\.(?=/)", "")
-    out = F.regexp_replace(out, r"(?<![:/])/\.$", "/")
+    p = F.regexp_extract(merged, r"^[a-z][a-z0-9+.-]*://[^/?]+([^?]*)", 1)
+    query = F.regexp_extract(merged, r"^[^?]*(\?.*)$", 1)
+    p = F.regexp_replace(p, r"/\.(?=/)", "")
+    p = F.regexp_replace(p, r"/\.$", "/")
     for _ in range(8):  # bounded '/seg/../' collapse (no while in SQL)
-        out = F.regexp_replace(
-            out, r"(?<![:/])/(?!\.\./)[^/]+/\.\.(?=/)", ""
-        )
-        out = F.regexp_replace(
-            out, r"(?<![:/])/(?!\.\./)[^/]+/\.\.$", "/"
-        )
+        # [^/]* not [^/]+ : '..' pops EMPTY segments too ('/a//../b'
+        # is '/a/b'); the lookahead keeps a leading '/../' for the
+        # root clamp below
+        p = F.regexp_replace(p, r"/(?!\.\./)[^/]*/\.\.(?=/)", "")
+        p = F.regexp_replace(p, r"/(?!\.\./)[^/]*/\.\.$", "/")
     # '../' runs that climb past the root clamp to the root
-    out = F.regexp_replace(
-        out, r"^([a-z][a-z0-9+.-]*://[^/?]+)(/\.\.(?=/|$))+", "$1"
+    p = F.regexp_replace(p, r"^(/\.\.(?=/))+", "")
+    p = F.regexp_replace(p, r"^(/\.\.)+$", "/")
+    return (
+        F.when(ref.rlike(r"^[a-z][a-z0-9+.-]*:"), ref)
+        .when(ref.startswith("//"), F.concat(scheme, F.lit(":"), ref))
+        .otherwise(F.concat(origin, p, query))
     )
-    # a path fully consumed by dot segments is the root
-    return F.when(
-        out.rlike(r"^[a-z][a-z0-9+.-]*://[^/?]+$"), F.concat(out, F.lit("/"))
-    ).otherwise(out)
 
 
 def extract_links(content: Column, base: Column) -> Column:

@@ -120,3 +120,88 @@ def test_resolve_url_ref_random_differential_vs_urljoin(spark):
     for (base, ref), out in zip(cases, got):
         want = urljoin(base, ref)
         assert out == want, (base, ref, out, want)
+
+
+def test_resolve_url_ref_adversarial_shapes_vs_urljoin(spark):
+    """Second sweep with the shapes the first alphabet missed:
+    dot-PREFIXED names that are NOT dot segments (..z, x.y), query
+    strings on ref and base, and '..'-runs past the root. EMPTY
+    segments combined with dot segments are deliberately absent — on
+    those CPython's urljoin deviates from RFC 3986's
+    remove_dot_segments (it drops empty segments the RFC keeps); the
+    resolver follows the RFC there, pinned by the explicit test
+    below."""
+    import random
+
+    from nextbus2pg_spark.operators.text import resolve_url_ref
+
+    rng = random.Random(9313)
+    segs = ["a", "x.y", "..z", ".", "..", "b"]
+    cases = []
+    for _ in range(150):
+        bp = "/".join(rng.choice(["a", "b.c", "d"]) for _ in
+                      range(rng.randrange(0, 3)))
+        base = "https://host.example/" + bp
+        if rng.random() < 0.3:
+            base += "?bq=0"
+        elif bp and rng.random() < 0.5:
+            base += "/"
+        ref = "/".join(rng.choice(segs) for _ in
+                       range(rng.randrange(1, 5)))
+        if rng.random() < 0.25:
+            ref = "/" + ref
+        if rng.random() < 0.25:
+            ref += "?q=1&r=2"
+        if not ref or ref == "?q=1&r=2":
+            continue
+        cases.append((base, ref))
+    df = spark.createDataFrame(cases, "base string, ref string")
+    got = [
+        r.out
+        for r in df.select(
+            resolve_url_ref(F.col("base"), F.col("ref")).alias("out")
+        ).collect()
+    ]
+    bad = [
+        (b, r, o, urljoin(b, r))
+        for (b, r), o in zip(cases, got)
+        if o != urljoin(b, r)
+    ]
+    assert not bad, bad[:5]
+
+
+def test_resolve_url_ref_rfc_semantics_pinned(spark):
+    """The classes where behavior is OURS to define, pinned:
+    authority-carrying references pass through unnormalized (matching
+    urljoin — a server's own path is not ours to rewrite), and
+    empty-segment + dot-segment combinations follow RFC 3986
+    remove_dot_segments (hand-derived expectations; CPython's urljoin
+    drops empty segments there and is NOT the reference)."""
+    from nextbus2pg_spark.operators.text import resolve_url_ref
+
+    cases = [
+        # (base, ref, expected)
+        ("https://h/x", "http://c/d/../e", "http://c/d/../e"),
+        ("https://h/x", "//c/d/../e", "https://c/d/../e"),
+        # '..' pops an empty segment (RFC algorithm, urljoin agrees)
+        ("https://h/", "a//../b", "https://h/a/b"),
+        ("https://h/", "a////..", "https://h/a///"),
+        # '/./' collapse keeps surrounding empty segments (RFC; CPython
+        # would give /x.y/..z)
+        ("https://h/", "x.y//./..z", "https://h/x.y//..z"),
+        # leading '..' runs past the root clamp, across empty segs too
+        ("https://h/b.c", "/..//../x.y", "https://h/x.y"),
+        # trailing '.' keeps the directory slash
+        ("https://h/", "..z///.", "https://h/..z///"),
+    ]
+    df = spark.createDataFrame(
+        [(b, r) for b, r, _ in cases], "base string, ref string"
+    )
+    got = [
+        r.out
+        for r in df.select(
+            resolve_url_ref(F.col("base"), F.col("ref")).alias("out")
+        ).collect()
+    ]
+    for (b, r, want), out in zip(cases, got):
+        assert out == want, (b, r, out, want)
