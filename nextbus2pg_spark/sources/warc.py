@@ -1332,16 +1332,21 @@ def write_warc_shards(
     WARC tool, by :func:`warc_documents`, and by ``build_cdx_index``
     without this engine). One archive per shard
     (``xxhash64(uri) % n_shards`` — deterministic, retry-stable),
-    written EXECUTOR-side inside the grouped Arrow stage: records
-    stream to an open file one gzip member (or plain record) at a
-    time, so peak memory is O(record), never O(shard); writes are
-    atomic (``.tmp-`` + ``os.replace``), so a killed job leaves no
-    torn archive a reader could list. Rows within a shard are sorted
-    by URI — byte-deterministic output for a given corpus and shard
-    count. Returns the shard manifest ``(filename, n_records,
-    n_bytes)`` — an ACTION consumes it, and because each file write
-    happens exactly once per shard group, re-running the action
-    overwrites the same filenames idempotently.
+    written EXECUTOR-side: rows are hash-repartitioned so each shard
+    lands wholly in one task, sorted within the partition by
+    (shard, uri), and STREAMED to the open shard file one gzip member
+    (or plain record) at a time through the Arrow batch iterator —
+    peak memory is O(arrow batch), never O(shard), which is what lets
+    a 100 TB corpus export through a few hundred shards without
+    sizing executor heap to shard size (``applyInPandas`` would
+    materialize whole groups). Writes are atomic (``.tmp-`` +
+    ``os.replace``), so a killed job leaves no torn archive a reader
+    could list, and the per-shard bytes are fully deterministic for a
+    given corpus and shard count (sorted rows + gzip mtime pinned).
+    Returns the shard manifest ``(filename, n_records, n_bytes)`` —
+    an ACTION consumes it, and because each shard file is written by
+    exactly one task, re-running the action overwrites the same
+    filenames idempotently.
 
     ``date_col``/``record_id_col`` default to a fixed epoch date and
     ``urn:uri:<xxhash64(uri)>`` when absent — stable identifiers
@@ -1380,44 +1385,66 @@ def write_warc_shards(
         ).alias("__rid"),
     ]
 
-    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
-        shard = int(pdf["__shard"].iloc[0])
-        name = f"{prefix}-{shard:0{width}d}{suffix}"
-        final = os.path.join(out_dir, name)
-        tmp = os.path.join(out_dir, f".tmp-{name}")
-        n = 0
-        with open(tmp, "wb") as fh:
-            for _, row in pdf.sort_values("__uri").iterrows():
-                content = (
-                    row["__content"]
-                    if isinstance(row["__content"], str)
-                    else ""
-                )
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # several shard ids can hash into one partition; rows arrive
+        # sorted by (shard, uri), so shards are contiguous runs — one
+        # open file at a time, swapped on the shard boundary
+        manifest: "list[tuple[str, int, int]]" = []
+        state = {"shard": None, "fh": None, "name": None, "n": 0}
+
+        def _close():
+            if state["fh"] is None:
+                return
+            state["fh"].close()
+            tmp = os.path.join(out_dir, ".tmp-" + state["name"])
+            final = os.path.join(out_dir, state["name"])
+            os.replace(tmp, final)
+            manifest.append(
+                (state["name"], state["n"], os.path.getsize(final))
+            )
+            state.update(shard=None, fh=None, name=None, n=0)
+
+        for pdf in batches:
+            for uri, content, shard, date, rid in zip(
+                pdf["__uri"], pdf["__content"], pdf["__shard"],
+                pdf["__date"], pdf["__rid"],
+            ):
+                shard = int(shard)
+                if shard != state["shard"]:
+                    _close()
+                    name = f"{prefix}-{shard:0{width}d}{suffix}"
+                    state.update(
+                        shard=shard,
+                        name=name,
+                        fh=open(
+                            os.path.join(out_dir, ".tmp-" + name), "wb"
+                        ),
+                        n=0,
+                    )
                 rec = {
                     "type": "conversion",
-                    "uri": row["__uri"] or "",
-                    "date": row["__date"] or "",
-                    "record_id": row["__rid"] or "",
-                    "block": content.encode("utf-8"),
+                    "uri": uri or "",
+                    "date": date or "",
+                    "record_id": rid or "",
+                    "block": (
+                        content if isinstance(content, str) else ""
+                    ).encode("utf-8"),
                 }
-                fh.write(
+                state["fh"].write(
                     warc_write_records([rec], gzip_members=gzip_members)
                 )
-                n += 1
-        os.replace(tmp, final)
-        return pd.DataFrame(
-            {
-                "filename": [name],
-                "n_records": [n],
-                "n_bytes": [os.path.getsize(final)],
-            }
-        )
+                state["n"] += 1
+        _close()
+        yield pd.DataFrame(
+            manifest, columns=["filename", "n_records", "n_bytes"]
+        ).astype({"n_records": "int64", "n_bytes": "int64"})
 
-    return (
+    staged = (
         docs.select(*cols)
-        .groupBy("__shard")
-        .applyInPandas(_write, schema=WARC_SHARD_SCHEMA)
+        .repartition(n_shards, "__shard")
+        .sortWithinPartitions("__shard", "__uri")
     )
+    return staged.mapInPandas(_write, schema=WARC_SHARD_SCHEMA)
 
 
 def warc_archive_files(
