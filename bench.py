@@ -156,6 +156,19 @@ R13_SET: list[str] = [
     "q_html_entities",
 ]
 
+#: Round-14 set, benched EARLY: these fixtures shipped late in round
+#: 13 with their driver checks deferred to the round-14 window
+#: (plans.DEFERRED_TO_NEXT_ROUND), so their timings get a cross-round
+#: history before their first driver row — outlink extraction, the
+#: fetch-once redirect manifest, one frontier-expansion iteration, and
+#: the Crawl-delay politeness extraction.
+R14_SET: list[str] = [
+    "q_extract_links",
+    "q_fetch_once",
+    "q_frontier_expand",
+    "q_robots_crawl_delays",
+]
+
 #: The iterative-graph family is TIMED FIRST, in a near-fresh session
 #: (round-12 verdict item 3): its fixed-iteration, multi-shuffle,
 #: checkpoint-heavy plans are the ones end-of-session JVM/shuffle-state
@@ -221,6 +234,7 @@ HEADLINE = [
     *R11_SET,
     *R12_SET,
     *R13_SET,
+    *R14_SET,
 ]
 
 
@@ -434,6 +448,10 @@ def main() -> None:
             sum(timings[n] for n in R13_SET if n in timings), 3
         ),
         "subtotal_r13_set_norm": _norm(R13_SET),
+        "subtotal_r14_set": round(
+            sum(timings[n] for n in R14_SET if n in timings), 3
+        ),
+        "subtotal_r14_set_norm": _norm(R14_SET),
     }
     # Full payload for humans/PERF.md (stderr never reaches the parser).
     print("# full: " + json.dumps(payload), file=sys.stderr)

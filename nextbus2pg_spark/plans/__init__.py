@@ -343,6 +343,8 @@ REGRESSION_PRIORITY = (
 DEFERRED_TO_NEXT_ROUND = (
     "q_extract_links",
     "q_fetch_once",
+    "q_frontier_expand",
+    "q_robots_crawl_delays",
 )
 
 #: Lead order inside bucket 1: the seven formerly deferred entries go

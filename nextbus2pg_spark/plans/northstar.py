@@ -2110,6 +2110,166 @@ def q_fetch_once(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_frontier_expand",
+    oracle="""
+WITH c AS (SELECT doc_id AS d FROM documents WHERE doc_id % 5 <> 4),
+mx AS (SELECT max(doc_id) AS m FROM documents),
+cand AS (
+  SELECT (d % 4) AS h,
+         'https://h' || CAST(d % 4 AS VARCHAR) || '.example/p/n/'
+           || CAST(d + 1 AS VARCHAR) || '.html' AS url,
+         CAST(1 AS BIGINT) AS n_referrers
+  FROM c
+  UNION ALL
+  SELECT h, 'https://h' || CAST(h AS VARCHAR) || '.example/shared/'
+           || CAST(sl AS VARCHAR) || '.html', n
+  FROM (
+    SELECT (d % 4) AS h, (d % 10) AS sl, CAST(count(*) AS BIGINT) AS n
+    FROM c GROUP BY 1, 2
+  ) WHERE h <> 2 AND sl <> 0
+  UNION ALL
+  SELECT CAST((m + 1) % 4 AS BIGINT),
+         'https://h' || CAST((m + 1) % 4 AS VARCHAR) || '.example/p/'
+           || CAST(m + 1 AS VARCHAR),
+         CAST(1 AS BIGINT)
+  FROM mx WHERE m % 5 <> 4
+  UNION ALL
+  SELECT (doc_id % 4),
+         'https://h' || CAST(doc_id % 4 AS VARCHAR) || '.example/m/'
+           || CAST(doc_id AS VARCHAR),
+         CAST(1 AS BIGINT)
+  FROM documents WHERE doc_id % 5 = 4
+)
+SELECT url, n_referrers FROM cand
+QUALIFY row_number() OVER (PARTITION BY h ORDER BY url) <= 100
+""",
+)
+def q_frontier_expand(spark: SparkSession, sf_dir: str):
+    """One crawl-loop frontier iteration (round 13;
+    pipelines/frontier.frontier_expand): a closed-form crawled corpus
+    over four hosts — 4/5 of the records are 200 pages whose HTML
+    carries one unique relative outlink, one host-shared root-relative
+    outlink, one robots-blocked outlink, and an absolute link to the
+    NEXT record's URI (held-excluded except at the corpus edge); the
+    remaining 1/5 are 301 records contributing their ``location``
+    target. Robots: an agent-specific group disallows ``/blocked/``
+    everywhere and ``/shared/`` on host 2 only, next to a decoy ``*``
+    group that disallows everything (wrong group selection empties the
+    frontier); a caller ledger holds every host's ``/shared/0.html``;
+    ``per_host_cap=100`` binds at sf >= 0.01.
+
+    The oracle is GROUND TRUTH: the expected (url, n_referrers) rows
+    constructed directly per link class — shared-link referrer counts
+    as a group-by, the edge-only next-doc link from max(doc_id), the
+    cap replayed as a QUALIFY row_number. A resolution slip, a held
+    URL leaking back in, a robots group mixup, or a non-deterministic
+    cap changes the multiset."""
+    from nextbus2pg_spark.pipelines.frontier import frontier_expand
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = lambda c: c.cast("string")  # noqa: E731
+    d = F.col("doc_id")
+    host = F.concat(F.lit("https://h"), s(d % 4), F.lit(".example"))
+    uri = F.concat(host, F.lit("/p/"), s(d))
+    is_red = d % 5 == 4
+    html = F.concat(
+        F.lit('<a href="n/'), s(d + 1), F.lit('.html">a</a>'),
+        F.lit('<a href="/shared/'), s(d % 10), F.lit('.html">b</a>'),
+        F.lit('<a href="/blocked/'), s(d), F.lit('.html">c</a>'),
+        F.lit('<a href="https://h'), s((d + 1) % 4),
+        F.lit(".example/p/"), s(d + 1), F.lit('">d</a>'),
+    )
+    frame = docs.select(
+        uri.alias("uri"),
+        F.when(is_red, F.lit(None).cast("string"))
+        .otherwise(html).alias("content"),
+        F.when(is_red, 301).otherwise(200).alias("http_status"),
+        F.when(is_red, F.concat(host, F.lit("/m/"), s(d)))
+        .otherwise(F.lit(None).cast("string")).alias("location"),
+    )
+    h = F.col("h")
+    hosts = docs.select((d % 4).alias("h")).distinct()
+    robots = hosts.select(
+        F.concat(F.lit("h"), s(h), F.lit(".example")).alias("domain"),
+        F.concat(
+            F.lit(
+                "User-agent: other\nDisallow: /\n\n"
+                "User-agent: graftbot\nDisallow: /blocked/\n"
+            ),
+            F.when(h == 2, F.lit("Disallow: /shared/\n"))
+            .otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    crawled = hosts.select(
+        F.concat(
+            F.lit("https://h"), s(h), F.lit(".example/shared/0.html")
+        ).alias("url")
+    )
+    return frontier_expand(
+        frame, robots, "graftbot", crawled=crawled, per_host_cap=100
+    )
+
+
+@fixture(
+    "q_robots_crawl_delays",
+    oracle="""
+WITH h AS (SELECT DISTINCT (doc_id % 20) AS k FROM documents)
+SELECT 'd' || CAST(k AS VARCHAR) || '.example' AS domain,
+       CAST(k AS DOUBLE) + 0.5 AS crawl_delay_s
+FROM h WHERE k % 4 = 0
+UNION ALL
+SELECT 'd' || CAST(k AS VARCHAR) || '.example',
+       CAST(greatest(2, k) AS DOUBLE)
+FROM h WHERE k % 4 = 1
+""",
+)
+def q_robots_crawl_delays(spark: SparkSession, sf_dir: str):
+    """Per-domain Crawl-delay politeness extraction (round 13;
+    sources/robots.robots_crawl_delays — the throttle input for
+    ``HostThrottle``): twenty closed-form domains cycle four robots.txt
+    shapes — a ``*``-group decimal delay (applies: no exact-name group
+    exists), an exact-name group with TWO declarations next to a decoy
+    ``*`` group (max collapse must pick within the exact group and
+    ignore the decoy's 99), an unparseable ``Crawl-delay: soon``
+    (try_cast drops it — ANSI cast would throw the whole job), and a
+    negative delay (dropped). The oracle constructs the surviving
+    (domain, max delay) rows directly."""
+    from nextbus2pg_spark.sources.robots import robots_crawl_delays
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("k")
+    s = lambda c: c.cast("string")  # noqa: E731
+    doms = docs.select((F.col("doc_id") % 20).alias("k")).distinct()
+    txt = (
+        F.when(
+            k % 4 == 0,
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "), s(k),
+                F.lit(".5\n"),
+            ),
+        )
+        .when(
+            k % 4 == 1,
+            F.concat(
+                F.lit(
+                    "User-agent: *\nCrawl-delay: 99\n\n"
+                    "User-agent: graftbot\nCrawl-delay: 2\n"
+                    "Crawl-delay: "
+                ),
+                s(k), F.lit("\n"),
+            ),
+        )
+        .when(k % 4 == 2, F.lit("User-agent: graftbot\nCrawl-delay: soon\n"))
+        .otherwise(F.lit("User-agent: graftbot\nCrawl-delay: -1\n"))
+    )
+    frame = doms.select(
+        F.concat(F.lit("d"), s(k), F.lit(".example")).alias("domain"),
+        txt.alias("robots_txt"),
+    )
+    return robots_crawl_delays(frame, "graftbot")
+
+
+@fixture(
     "q_media_vad",
     oracle="""
 WITH d AS (
