@@ -167,6 +167,7 @@ R14_SET: list[str] = [
     "q_fetch_once",
     "q_frontier_expand",
     "q_robots_crawl_delays",
+    "q_anchor_text",
 ]
 
 #: The iterative-graph family is TIMED FIRST, in a near-fresh session

@@ -509,3 +509,117 @@ def document_links(
         ),
     )
     return staged.select("uri", F.explode("__links").alias("link"))
+
+
+#: href value capture shared by the anchor-element passes: stops at
+#: the fragment (``#``) exactly like ``extract_links``, so a
+#: fragment-only href extracts as '' and is dropped.
+_HREF_VALUE_RE = r'(?i)\bhref\s*=\s*["\']([^"\'#>\s]+)'
+
+
+def extract_anchors(content: Column, base: Column) -> Column:
+    """``<a href>`` outlinks WITH their anchor text as an array of
+    ``struct<link, anchor>`` — the half of link extraction the
+    frontier doesn't need but a training corpus does: anchor text is
+    the classic external description of a target page (what OTHER
+    pages call it), used for retrieval supervision and page-quality
+    signals since the earliest web-search literature.
+
+    Per matched ``<a …href=…>…</a>`` element: the href resolves
+    against the document URI exactly as :func:`extract_links`
+    (fragments stripped by capture, javascript:/mailto:/data:/tel:
+    pseudo-links dropped), and the anchor text is the element's inner
+    HTML with tags stripped, the six ubiquitous named entities
+    decoded, and whitespace collapsed — an image-only anchor yields
+    ``''`` (kept here; :func:`anchor_text_corpus` drops empties).
+    Exact duplicate (link, anchor) pairs dedup within the document.
+    Everything is JVM regexp/array lambdas — one codegen map pass, no
+    Python, no explode until the caller asks for rows."""
+    els = F.regexp_extract_all(
+        content,
+        F.lit(
+            r'(?is)(<a\b[^>]*?\bhref\s*=\s*["\'][^"\'>]*["\']'
+            r"[^>]*>.*?</a>)"
+        ),
+        1,
+    )
+
+    def _href(el: Column) -> Column:
+        return F.regexp_extract(el, _HREF_VALUE_RE, 1)
+
+    kept = F.filter(
+        els,
+        lambda el: (_href(el) != "")
+        & ~_href(el).rlike(r"^(?i)(javascript|mailto|data|tel):"),
+    )
+
+    def _pair(el: Column) -> Column:
+        inner = F.regexp_extract(el, r"(?is)^[^>]*>(.*)</a>$", 1)
+        txt = F.regexp_replace(inner, r"(?s)<[^>]+>", " ")
+        for ent, ch in _NAMED_ENTITIES:
+            txt = F.replace(txt, F.lit("&" + ent + ";"), F.lit(ch))
+        txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
+        return F.struct(
+            resolve_url_ref(base, _href(el)).alias("link"),
+            txt.alias("anchor"),
+        )
+
+    return F.array_distinct(F.transform(kept, _pair))
+
+
+def document_anchors(
+    docs: DataFrame,
+    uri_col: str = "uri",
+    content_col: str = "content",
+) -> DataFrame:
+    """One row per (document URI, absolute link, anchor text) —
+    :func:`extract_anchors` exploded; documents without anchors emit
+    no rows. Same two-select staging as :func:`document_links` (the
+    lateral-column-alias trap)."""
+    staged = docs.select(
+        F.col(uri_col).alias("uri"),
+        extract_anchors(F.col(content_col), F.col(uri_col)).alias(
+            "__anchors"
+        ),
+    )
+    exploded = staged.select(
+        "uri", F.explode("__anchors").alias("__a")
+    )
+    return exploded.select(
+        "uri",
+        F.col("__a.link").alias("link"),
+        F.col("__a.anchor").alias("anchor"),
+    )
+
+
+def anchor_text_corpus(
+    docs: DataFrame,
+    uri_col: str = "uri",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-target aggregated anchor text → ``(url, n_referrers,
+    n_anchors, anchor_text)`` — the anchor-text corpus of a crawled
+    collection: for every URL the corpus links to, how many distinct
+    pages refer to it, how many (deduped per page) anchor
+    occurrences carry text, and the sorted-distinct anchor strings
+    joined with `` | `` (deterministic — ``collect_set`` order is
+    not). Empty anchors (image-only links) are dropped; self-links
+    are kept (the caller can anti-join its own URI set).
+
+    Scale shape: map + explode, then ONE hash aggregation keyed by
+    target url — the same shuffle profile as the frontier's
+    candidate count; nothing quadratic, no Python. Parity citation:
+    the reference has no crawl surface (single XML feed, reference
+    README); this extends the round-13 link seam."""
+    a = document_anchors(docs, uri_col, content_col)
+    return (
+        a.where(F.col("anchor") != "")
+        .groupBy(F.col("link").alias("url"))
+        .agg(
+            F.count_distinct("uri").alias("n_referrers"),
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.array_join(
+                F.array_sort(F.collect_set("anchor")), " | "
+            ).alias("anchor_text"),
+        )
+    )

@@ -345,6 +345,7 @@ DEFERRED_TO_NEXT_ROUND = (
     "q_fetch_once",
     "q_frontier_expand",
     "q_robots_crawl_delays",
+    "q_anchor_text",
 )
 
 #: Lead order inside bucket 1: the seven formerly deferred entries go

@@ -2270,6 +2270,71 @@ def q_robots_crawl_delays(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_anchor_text",
+    oracle="""
+WITH d AS (SELECT doc_id % 3 AS h, doc_id % 7 AS s7 FROM documents),
+t AS (
+  SELECT h, s7, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2
+)
+SELECT 'https://s' || CAST(h AS VARCHAR) || '.example/t/'
+         || CAST(s7 AS VARCHAR) || '.html' AS url,
+       n AS n_referrers,
+       CAST(2 * n AS BIGINT) AS n_anchors,
+       'Topic ' || CAST(s7 AS VARCHAR) || ' | alt '
+         || CAST(s7 AS VARCHAR) AS anchor_text
+FROM t
+UNION ALL
+SELECT 'https://s' || CAST(h AS VARCHAR) || '.example/a/x.html',
+       CAST(sum(n) AS BIGINT), CAST(sum(n) AS BIGINT),
+       'spaced & entity'
+FROM t GROUP BY h
+""",
+)
+def q_anchor_text(spark: SparkSession, sf_dir: str):
+    """Anchor-text corpus aggregation (round 13;
+    operators/text.anchor_text_corpus): every document links a
+    host-shared topic page THREE times — twice with identical
+    markup-wrapped text (the within-document pair dedup must collapse
+    them) and once with an alternate text (must survive) — plus a
+    relative link whose anchor carries an ``&amp;`` entity and padded
+    whitespace, an image-only anchor (empty text, dropped by the
+    aggregation), and the fragment/javascript classes that never
+    extract.
+
+    The oracle is GROUND TRUTH per (host, topic) class: referrer
+    counts as a group-by, ``n_anchors = 2n`` (the dedup-then-survive
+    arithmetic), and the sorted-distinct joined anchor string
+    constructed directly — a dedup slip, an entity left encoded, an
+    empty anchor kept, or a non-deterministic collect order changes
+    the multiset."""
+    from nextbus2pg_spark.operators.text import anchor_text_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = lambda c: c.cast("string")  # noqa: E731
+    d = F.col("doc_id")
+    uri = F.concat(
+        F.lit("https://s"), s(d % 3), F.lit(".example/a/"), s(d)
+    )
+    topic = F.concat(
+        F.lit('<a href="/t/'), s(d % 7), F.lit('.html">Topic <b>'),
+        s(d % 7), F.lit("</b></a>"),
+    )
+    html = F.concat(
+        topic, topic,
+        F.lit('<a href="/t/'), s(d % 7), F.lit('.html">alt '),
+        s(d % 7), F.lit("</a>"),
+        F.lit('<a href="x.html"> spaced &amp; entity </a>'),
+        F.lit('<a href="/empty/'), s(d),
+        F.lit('.html"><img src="p.png"></a>'),
+        F.lit('<a href="#frag">f</a>'),
+        F.lit('<a href="javascript:void(0)">J</a>'),
+    )
+    return anchor_text_corpus(
+        docs.select(uri.alias("uri"), html.alias("content"))
+    )
+
+
+@fixture(
     "q_media_vad",
     oracle="""
 WITH d AS (

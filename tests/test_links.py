@@ -205,3 +205,64 @@ def test_resolve_url_ref_rfc_semantics_pinned(spark):
     ]
     for (b, r, want), out in zip(cases, got):
         assert out == want, (b, r, out, want)
+
+
+def test_extract_anchors_and_corpus(spark):
+    from nextbus2pg_spark.operators.text import (
+        anchor_text_corpus,
+        document_anchors,
+    )
+
+    rows = [
+        (
+            "https://a.example/d/1",
+            '<a href="/t/1.html">Topic <b>1</b></a>'
+            '<a href="x.html"> spaced &amp; text </a>'
+            # exact duplicate pair dedups within the document
+            '<a href="/t/1.html">Topic <b>1</b></a>'
+            # same target, different text: second pair survives
+            '<a href="/t/1.html">alt 1</a>'
+            # image-only anchor: empty text, dropped by the corpus agg
+            '<a href="/img.html"><img src="i.png"></a>'
+            # fragment-only and pseudo-links never extract
+            '<a href="#frag">frag</a>'
+            '<a href="javascript:void(0)">j</a>',
+        ),
+        (
+            "https://a.example/d/2",
+            '<a href="/t/1.html">Topic <b>1</b></a>\n'
+            '<a\nhref="m.html">multi\nline</a>',
+        ),
+        ("https://a.example/d/3", None),
+    ]
+    docs = spark.createDataFrame(rows, "uri string, content string")
+    got = {
+        (r.uri, r.link, r.anchor)
+        for r in document_anchors(
+            docs.where(F.col("content").isNotNull())
+        ).collect()
+    }
+    assert got == {
+        ("https://a.example/d/1", "https://a.example/t/1.html", "Topic 1"),
+        ("https://a.example/d/1", "https://a.example/t/1.html", "alt 1"),
+        (
+            "https://a.example/d/1",
+            "https://a.example/d/x.html",
+            "spaced & text",
+        ),
+        ("https://a.example/d/1", "https://a.example/img.html", ""),
+        ("https://a.example/d/2", "https://a.example/t/1.html", "Topic 1"),
+        ("https://a.example/d/2", "https://a.example/d/m.html", "multi line"),
+    }
+    corpus = {
+        r.url: (r.n_referrers, r.n_anchors, r.anchor_text)
+        for r in anchor_text_corpus(
+            docs.where(F.col("content").isNotNull())
+        ).collect()
+    }
+    assert corpus == {
+        # sorted-distinct join: 'T' < 'a' in binary order
+        "https://a.example/t/1.html": (2, 3, "Topic 1 | alt 1"),
+        "https://a.example/d/x.html": (1, 1, "spaced & text"),
+        "https://a.example/d/m.html": (1, 1, "multi line"),
+    }
