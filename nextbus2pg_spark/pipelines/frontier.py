@@ -110,3 +110,107 @@ def frontier_expand(
             .drop("__rn")
         )
     return out
+
+
+def _host_col(url: "str | Column" = "url") -> Column:
+    return F.lower(
+        F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    )
+
+
+def crawl_loop(
+    seed_docs: DataFrame,
+    robots: DataFrame,
+    agent: str,
+    fetch_fn,
+    max_iters: int = 3,
+    page_budget: int = 1000,
+    per_host_cap: "int | None" = None,
+) -> DataFrame:
+    """Multi-iteration BFS crawl with a persistent frontier QUEUE —
+    the full crawl driver :func:`frontier_expand` is one step of.
+    Returns the accumulated corpus (the ``warc_documents`` shape plus
+    a ``depth`` column; seeds are depth 0, iteration *i*'s fetches
+    depth *i*).
+
+    Each iteration expands ONLY the newest fetch batch (links from
+    older documents are already queued — incremental expansion is
+    what keeps iteration cost proportional to the new batch, not the
+    whole corpus), folds the discoveries into the pending queue
+    (``n_referrers`` sums across batches: every document is expanded
+    exactly once, so per-batch distinct-referrer counts are disjoint),
+    drops anything crawled since it was queued, then selects the next
+    fetch batch deterministically — highest ``n_referrers`` first,
+    URL as the tie-break — under ``page_budget`` and the optional
+    per-host cap. ``fetch_fn(urls_df) -> docs-shaped frame`` executes
+    the batch (live: the politeness-throttled fetchers in
+    ``sources/http_fetcher``; tests inject a synthetic web). A URL
+    the fetcher returns no record for leaves the queue (a later
+    REdiscovery re-queues it — the retry policy lives in the fetcher,
+    not here); a fetched 3xx record re-enters through
+    ``frontier_expand``'s ``location`` branch, so redirect chains are
+    followed hop by hop with one fetch each.
+
+    Scale shape: the loop is the pagerank pattern — per-iteration
+    equi-joins/aggregations on the url key, ``localCheckpoint`` on
+    the three frames consumed across iterations (corpus, queue, the
+    selected batch) to cut lineage growth; nothing quadratic, no
+    driver-side row data beyond one emptiness probe per iteration.
+    Robots filtering happens at DISCOVERY (inside
+    :func:`frontier_expand`), so the queue never holds a URL the
+    agent may not fetch."""
+    if max_iters < 0:
+        raise ValueError(f"max_iters must be >= 0; got {max_iters}")
+    if page_budget < 1:
+        raise ValueError(f"page_budget must be >= 1; got {page_budget}")
+    docs = seed_docs.withColumn("depth", F.lit(0))
+    new = docs
+    pending: "DataFrame | None" = None
+    for i in range(1, max_iters + 1):
+        discovered = frontier_expand(
+            new.drop("depth"),
+            robots,
+            agent,
+            crawled=docs.select(F.col("uri").alias("url")),
+        )
+        pending = (
+            discovered
+            if pending is None
+            else pending.unionByName(discovered)
+            .groupBy("url")
+            .agg(F.sum("n_referrers").alias("n_referrers"))
+        )
+        pending = pending.join(
+            docs.select(F.col("uri").alias("url")), "url", "left_anti"
+        )
+        take = pending
+        if per_host_cap is not None:
+            if per_host_cap < 1:
+                raise ValueError(
+                    f"per_host_cap must be >= 1; got {per_host_cap}"
+                )
+            from pyspark.sql import Window
+
+            rn = F.row_number().over(
+                Window.partitionBy(_host_col()).orderBy(
+                    F.desc("n_referrers"), "url"
+                )
+            )
+            take = (
+                take.withColumn("__rn", rn)
+                .where(F.col("__rn") <= per_host_cap)
+                .drop("__rn")
+            )
+        take = (
+            take.orderBy(F.desc("n_referrers"), "url")
+            .limit(page_budget)
+            .localCheckpoint()
+        )
+        if take.isEmpty():
+            break
+        new = fetch_fn(take.select("url")).withColumn("depth", F.lit(i))
+        docs = docs.unionByName(new).localCheckpoint()
+        pending = pending.join(
+            take.select("url"), "url", "left_anti"
+        ).localCheckpoint()
+    return docs
