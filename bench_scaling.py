@@ -104,6 +104,7 @@ HEAVY_BASE = {
     "warc_ingest": 8_000,        # docs (~560B each) -> 16*scale archives
     "warc_stream_spool": 64,     # spool files of 40 records each
     "cdx_build_stream": 64,      # archive drops of 40 records each
+    "crawl_loop": 20_000,        # web pages across 16 hosts, 3 iters
 }
 
 
@@ -188,6 +189,66 @@ def run_heavy(spark, name: str, scale: int) -> tuple[float, int]:
         n_rows = pts.count()
         t0 = time.perf_counter()
         n = theil_sen(pts, ["grp"], "x", "y").count()
+    elif name == "crawl_loop":
+        # Round-13: the BFS crawl driver (pipelines/frontier.
+        # crawl_loop) over a closed-form in-memory web — 16 hosts,
+        # 3 outlinks per page, every 8th page a redirect record, the
+        # fetch injected as a join against the web frame. The page
+        # budget scales WITH the web (N/8 per iteration), so each of
+        # the 3 iterations fetches proportionally more; expected
+        # shape is the iterative-family one — per-iteration
+        # scheduling dominates at 1x and amortizes as the joins
+        # grow, so 10x web should be well under 10x wall.
+        from nextbus2pg_spark.pipelines.frontier import crawl_loop
+
+        N = base  # run_heavy already scaled base by `scale`
+        s = lambda c: c.cast("string")  # noqa: E731
+        i = F.col("id")
+
+        def page(t):
+            return F.concat(
+                F.lit("https://h"), s(t % 16), F.lit(".scale/p"), s(t)
+            )
+
+        is_red = i % 8 == 7
+        html = F.concat(
+            F.lit('<a href="'), page((i * 7 + 1) % N),
+            F.lit('">a</a><a href="'), page((i + 1) % N),
+            F.lit('">b</a><a href="'), page((i * 13 + 5) % N),
+            F.lit('">c</a>'),
+        )
+        web = (
+            spark.range(N)
+            .select(
+                page(i).alias("uri"),
+                F.when(is_red, F.lit(None).cast("string"))
+                .otherwise(html).alias("content"),
+                F.when(is_red, 301).otherwise(200).alias("http_status"),
+                F.when(is_red, page((i + 3) % N))
+                .otherwise(F.lit(None).cast("string")).alias("location"),
+            )
+            .localCheckpoint()
+        )
+        robots = spark.createDataFrame(
+            [(f"h{k}.scale", "User-agent: *\nDisallow: /none/")
+             for k in range(16)],
+            "domain string, robots_txt string",
+        )
+        seeds = web.where(
+            F.regexp_extract("uri", r"/p(\d+)$", 1).cast("long") < 64
+        )
+        n_rows = web.count()
+
+        def _fetch(urls):
+            return urls.join(
+                web, urls.url == web.uri, "inner"
+            ).select("uri", "content", "http_status", "location")
+
+        t0 = time.perf_counter()
+        n = crawl_loop(
+            seeds, robots, "scalebot", _fetch,
+            max_iters=3, page_budget=max(1, N // 8),
+        ).count()
     elif name == "warc_ingest":
         # Round-11: the crawl-ingestion seam with its full wire
         # variety (gzip members on odd archives; every 5th doc an HTTP
