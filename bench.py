@@ -168,6 +168,8 @@ R14_SET: list[str] = [
     "q_frontier_expand",
     "q_robots_crawl_delays",
     "q_anchor_text",
+    "q_url_trap",
+    "q_robots_sitemaps",
 ]
 
 #: The iterative-graph family is TIMED FIRST, in a near-fresh session

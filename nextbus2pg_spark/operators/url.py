@@ -372,3 +372,72 @@ def domain_cap(
         .drop("__rn", "__norm")
         .withColumnRenamed("__domain", domain_col)
     )
+
+
+def url_trap_features(
+    url: Column,
+    max_depth: int = 8,
+    repeat_threshold: int = 3,
+    max_params: int = 6,
+    max_len: int = 250,
+) -> Column:
+    """Crawl-trap signals for a URL → ``struct<path_depth,
+    max_segment_repeat, n_params, has_session_param, url_len,
+    is_trap>`` — the frontier-side filter every large crawl needs:
+    calendar/faceted-navigation loops show up as repeated path
+    segments and unbounded depth, session-id rewriting as well-known
+    query parameter names, and parameter/length explosions as URLs
+    that enumerate a combinatorial space. One URL judged at a time
+    (no corpus statistics — this is the cheap per-row gate; per-host
+    budget pressure is ``domain_cap``'s job).
+
+    - ``path_depth``: non-empty path segments;
+    - ``max_segment_repeat``: occurrences of the most-repeated
+      segment value anywhere in the path (the classic ``/cal/2026/
+      cal/2026/cal`` loop signature) — O(depth²) array lambdas, depth
+      is tens at worst;
+    - ``n_params``: ``&``-separated query parameters;
+    - ``has_session_param``: phpsessid/jsessionid/sessionid/
+      session_id/sid/cfid/cftoken/zenid as a parameter name;
+    - ``is_trap``: any threshold tripped (``depth > max_depth``,
+      ``repeat >= repeat_threshold``, ``params > max_params``,
+      session param present, ``length > max_len``).
+
+    Pure JVM regexp/array expressions — usable in a frontier select
+    before any fetch is spent."""
+    path = F.regexp_extract(
+        url, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    depth = F.size(segs)
+    max_rep = F.coalesce(
+        F.array_max(
+            F.transform(
+                segs,
+                lambda x: F.size(F.filter(segs, lambda y: y == x)),
+            )
+        ),
+        F.lit(0),
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    n_params = F.size(F.filter(F.split(query, "&"), lambda x: x != ""))
+    has_sess = query.rlike(
+        r"(?i)(?:^|&)(phpsessid|jsessionid|sessionid|session_id|sid"
+        r"|cfid|cftoken|zenid)="
+    )
+    url_len = F.length(url)
+    is_trap = (
+        (depth > max_depth)
+        | (max_rep >= repeat_threshold)
+        | (n_params > max_params)
+        | has_sess
+        | (url_len > max_len)
+    )
+    return F.struct(
+        depth.cast("int").alias("path_depth"),
+        max_rep.cast("int").alias("max_segment_repeat"),
+        n_params.cast("int").alias("n_params"),
+        has_sess.alias("has_session_param"),
+        url_len.cast("int").alias("url_len"),
+        is_trap.alias("is_trap"),
+    )

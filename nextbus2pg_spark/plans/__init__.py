@@ -346,6 +346,8 @@ DEFERRED_TO_NEXT_ROUND = (
     "q_frontier_expand",
     "q_robots_crawl_delays",
     "q_anchor_text",
+    "q_url_trap",
+    "q_robots_sitemaps",
 )
 
 #: Lead order inside bucket 1: the seven formerly deferred entries go

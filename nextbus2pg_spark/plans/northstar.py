@@ -2335,6 +2335,144 @@ def q_anchor_text(spark: SparkSession, sf_dir: str):
 
 
 @fixture(
+    "q_url_trap",
+    oracle="""
+WITH u AS (
+  SELECT doc_id AS d, doc_id % 6 AS c,
+    CASE doc_id % 6
+      WHEN 0 THEN 'https://ok' || CAST(doc_id % 5 AS VARCHAR)
+                  || '.example/a/b/c?x=1'
+      WHEN 1 THEN 'https://d.example/s/' || repeat('q/', 9) || 'end'
+      WHEN 2 THEN 'https://c.example/cal/2026/cal/2026/cal?m='
+                  || CAST(doc_id % 12 AS VARCHAR)
+      WHEN 3 THEN 'https://p.example/i?a=1&b=2&c=3&d=4&e=5&f=6&g=7'
+      WHEN 4 THEN 'https://s.example/p?jsessionid='
+                  || CAST(doc_id AS VARCHAR)
+      ELSE 'https://l.example/' || repeat('x', 260)
+    END AS url
+  FROM documents
+)
+SELECT d AS doc_id,
+  CAST(CASE c WHEN 0 THEN 3 WHEN 1 THEN 11 WHEN 2 THEN 5 ELSE 1 END
+    AS INTEGER) AS path_depth,
+  CAST(CASE c WHEN 0 THEN 1 WHEN 1 THEN 9 WHEN 2 THEN 3 ELSE 1 END
+    AS INTEGER) AS max_segment_repeat,
+  CAST(CASE c WHEN 1 THEN 0 WHEN 5 THEN 0 WHEN 3 THEN 7 ELSE 1 END
+    AS INTEGER) AS n_params,
+  (c = 4) AS has_session_param,
+  CAST(length(url) AS INTEGER) AS url_len,
+  (c <> 0) AS is_trap,
+  url
+FROM u
+""",
+)
+def q_url_trap(spark: SparkSession, sf_dir: str):
+    """Crawl-trap URL gate (round 13; operators/url.url_trap_features):
+    documents cycle six closed-form URL classes — clean, deep path
+    (11 segments of which one repeats 9x), the calendar-loop
+    signature (``cal`` three times at depth 5), parameter explosion
+    (7 params), a session-id parameter, and a length bomb — and the
+    per-row struct must flag exactly the five trap classes.
+
+    The oracle is GROUND TRUTH: every feature is a class constant
+    except ``url_len``, which DuckDB recomputes from the identically
+    reconstructed URL string — a segment-count slip, a repeat count
+    off by one, a session name over- or under-match, or a threshold
+    inversion changes the row."""
+    from nextbus2pg_spark.operators.url import url_trap_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = lambda c: c.cast("string")  # noqa: E731
+    d = F.col("doc_id")
+    c = d % 6
+    url = (
+        F.when(c == 0, F.concat(
+            F.lit("https://ok"), s(d % 5), F.lit(".example/a/b/c?x=1")
+        ))
+        .when(c == 1, F.concat(
+            F.lit("https://d.example/s/"), F.repeat(F.lit("q/"), 9),
+            F.lit("end"),
+        ))
+        .when(c == 2, F.concat(
+            F.lit("https://c.example/cal/2026/cal/2026/cal?m="),
+            s(d % 12),
+        ))
+        .when(c == 3, F.lit(
+            "https://p.example/i?a=1&b=2&c=3&d=4&e=5&f=6&g=7"
+        ))
+        .when(c == 4, F.concat(
+            F.lit("https://s.example/p?jsessionid="), s(d)
+        ))
+        .otherwise(F.concat(
+            F.lit("https://l.example/"), F.repeat(F.lit("x"), 260)
+        ))
+    )
+    staged = docs.select(d.alias("doc_id"), url.alias("url"))
+    return staged.select(
+        "doc_id",
+        url_trap_features(F.col("url")).alias("t"),
+        "url",
+    ).select("doc_id", "t.*", "url")
+
+
+@fixture(
+    "q_robots_sitemaps",
+    oracle="""
+WITH h AS (SELECT DISTINCT doc_id % 10 AS k FROM documents)
+SELECT 'r' || CAST(k AS VARCHAR) || '.example' AS domain,
+       'https://r' || CAST(k AS VARCHAR) || '.example/sitemap.xml'
+         AS sitemap_url
+FROM h
+UNION ALL
+SELECT 'r' || CAST(k AS VARCHAR) || '.example',
+       'https://cdn.example/maps/' || CAST(k AS VARCHAR) || '.xml.gz'
+FROM h
+UNION ALL
+SELECT 'r' || CAST(k AS VARCHAR) || '.example',
+       'HTTPS://r' || CAST(k AS VARCHAR) || '.example/upper.xml'
+FROM h
+""",
+)
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str):
+    """Sitemap discovery from robots.txt (round 13;
+    sources/robots.robots_sitemaps — the robots → sitemap seeding
+    hop): ten closed-form domains each publish a gauntlet — a plain
+    sitemap URL, a cross-host gzipped one, an exact duplicate (dedup),
+    a commented-out line, a relative value (site bug, dropped), a
+    lowercase-key uppercase-scheme variant (kept verbatim), and one
+    inside a User-agent group (cross-group per sitemaps.org, still
+    applies). Exactly three URLs per domain survive; the oracle
+    constructs them directly."""
+    from nextbus2pg_spark.sources.robots import robots_sitemaps
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = lambda c: c.cast("string")  # noqa: E731
+    k = F.col("k")
+    doms = docs.select((F.col("doc_id") % 10).alias("k")).distinct()
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /x\n"),
+        F.lit("Sitemap: https://r"), s(k),
+        F.lit(".example/sitemap.xml\n"),
+        F.lit("Sitemap: https://cdn.example/maps/"), s(k),
+        F.lit(".xml.gz\n"),
+        F.lit("Sitemap: https://r"), s(k),
+        F.lit(".example/sitemap.xml\n"),
+        F.lit("# Sitemap: https://r"), s(k),
+        F.lit(".example/commented.xml\n"),
+        F.lit("Sitemap: /relative/map.xml\n"),
+        F.lit("sitemap: HTTPS://r"), s(k),
+        F.lit(".example/upper.xml\n"),
+        F.lit("User-agent: other\nSitemap: https://r"), s(k),
+        F.lit(".example/sitemap.xml\n"),
+    )
+    frame = doms.select(
+        F.concat(F.lit("r"), s(k), F.lit(".example")).alias("domain"),
+        txt.alias("robots_txt"),
+    )
+    return robots_sitemaps(frame)
+
+
+@fixture(
     "q_media_vad",
     oracle="""
 WITH d AS (

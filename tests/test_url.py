@@ -357,3 +357,41 @@ def test_psl_internal_column_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="internally"):
         psl_registrable_domain(df, "host", psl)
+
+
+def test_url_trap_features_classes(spark):
+    from nextbus2pg_spark.operators.url import url_trap_features
+
+    cases = [
+        # url, depth, rep, params, sess, trap
+        ("https://ok1.example/a/b/c?x=1", 3, 1, 1, False, False),
+        # depth 11 > 8, and segment 'q' repeats 9x
+        ("https://d.example/s/q/q/q/q/q/q/q/q/q/end", 11, 9, 0,
+         False, True),
+        # the calendar-loop signature: 'cal' 3x at depth 5
+        ("https://c.example/cal/2026/cal/2026/cal?m=3", 5, 3, 1,
+         False, True),
+        ("https://p.example/i?a=1&b=2&c=3&d=4&e=5&f=6&g=7", 1, 1, 7,
+         False, True),
+        ("https://s.example/p?jsessionid=77", 1, 1, 1, True, True),
+        ("https://l.example/" + "x" * 260, 1, 1, 0, False, True),
+        ("https://e.example", 0, 0, 0, False, False),
+        # session param survives a trailing fragment
+        ("https://e.example/?sid=1#f", 0, 0, 1, True, True),
+        # 'mysid=' must NOT match the session-name list
+        ("https://e.example/?mysid=1", 0, 0, 1, False, False),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], "url string")
+    got = (
+        df.select("url", url_trap_features(F.col("url")).alias("t"))
+        .select("url", "t.*")
+        .collect()
+    )
+    by_url = {r.url: r for r in got}
+    for u, depth, rep, params, sess, trap in cases:
+        r = by_url[u]
+        assert (
+            r.path_depth, r.max_segment_repeat, r.n_params,
+            r.has_session_param, r.is_trap,
+        ) == (depth, rep, params, sess, trap), u
+        assert r.url_len == len(u)
