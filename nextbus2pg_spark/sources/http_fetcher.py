@@ -55,6 +55,14 @@ from nextbus2pg_spark.sources.feed_stream import _scan_spool
 DEFAULT_COMMAND = "vehicleLocations"
 
 
+class _NoRedirectHandler(urllib.request.HTTPRedirectHandler):
+    """Turn 3xx into the terminal response instead of chasing it —
+    ``get_page`` records the redirect as data."""
+
+    def redirect_request(self, req, fp, code, msg, headers, newurl):
+        return None
+
+
 class FeedHttpClient:
     """Minimal stdlib HTTP client: GET with timeout, bounded retries
     with exponential backoff, and transparent gzip. Raises the last
@@ -117,6 +125,51 @@ class FeedHttpClient:
                 if resp.status == 206:
                     return body
                 return body[offset : offset + length]
+
+        return self._with_retries(_once)
+
+    def get_page(self, url: str) -> bytes:
+        """GET without following redirects, returning the RAW HTTP
+        response bytes (status line + headers + body) — the crawl
+        fetch primitive: a 301's ``Location`` is the datum a crawler
+        wants, not something the transport should silently chase
+        (:func:`~nextbus2pg_spark.pipelines.frontier.crawl_loop`
+        follows chains hop by hop with one budgeted fetch each), and
+        3xx/4xx statuses are page VERDICTS returned as data — only
+        5xx and transport errors retry/raise. The reconstruction is
+        exactly what ``split_http_payload`` parses: headers pass
+        through verbatim (a Content-Encoding body stays compressed in
+        the spool — verbatim-refetchable, decode is the parser's job)
+        except ``Transfer-Encoding`` (urllib already de-chunked) and
+        ``Content-Length`` (recomputed for the de-chunked body). No
+        ``Accept-Encoding`` is sent: the spool should hold what the
+        server serves unsolicited."""
+
+        def _once() -> bytes:
+            req = urllib.request.Request(url)
+            opener = urllib.request.build_opener(_NoRedirectHandler)
+            try:
+                resp = opener.open(req, timeout=self.timeout_s)
+            except urllib.error.HTTPError as e:
+                if e.code >= 500:
+                    raise
+                resp = e
+            try:
+                body = resp.read()
+                status = getattr(resp, "status", None) or resp.code
+                reason = getattr(resp, "reason", None) or ""
+                head = [f"HTTP/1.1 {status} {reason}".rstrip()]
+                for k, v in resp.headers.items():
+                    if k.lower() in ("transfer-encoding", "content-length"):
+                        continue
+                    head.append(f"{k}: {v}")
+                head.append(f"Content-Length: {len(body)}")
+                return (
+                    ("\r\n".join(head) + "\r\n\r\n").encode("latin-1")
+                    + body
+                )
+            finally:
+                resp.close()
 
         return self._with_retries(_once)
 
@@ -780,3 +833,173 @@ class SitemapFetcher:
             done.add(name)
             n += 1
         return n
+
+
+class PageFetcher:
+    """Fetch crawl PAGES into an atomic spool — the live executor for
+    :func:`~nextbus2pg_spark.pipelines.frontier.crawl_loop`'s fetch
+    batches. Each page spools as the RAW HTTP response
+    (:meth:`FeedHttpClient.get_page`: redirects not followed, 3xx/4xx
+    kept as data, Content-Encoding bodies verbatim), so the spool is
+    refetchable evidence and :func:`page_spool_frame` can reuse the
+    WARC seam's hardened HTTP parser on it. Crash-safety mirrors the
+    other fetchers: ``.tmp-`` + ``os.replace`` atomic writes, spool
+    FILENAMES as the resume ledger (percent-encoded URL,
+    collision-proofed by ``_cap_spool_stem``), optional
+    :class:`HostThrottle` politeness."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        *,
+        client: FeedHttpClient | None = None,
+        throttle: "HostThrottle | None" = None,
+    ) -> None:
+        self.spool_dir = spool_dir
+        self.client = client or FeedHttpClient()
+        self.throttle = throttle
+        os.makedirs(spool_dir, exist_ok=True)
+
+    @staticmethod
+    def spool_name(url: str) -> str:
+        return _cap_spool_stem(urllib.parse.quote(url, safe="")) + ".page"
+
+    def fetched(self) -> "set[str]":
+        """Spool names already fetched (the resume ledger)."""
+        return {
+            n for n in os.listdir(self.spool_dir)
+            if n.endswith(".page") and not n.startswith(".tmp-")
+        }
+
+    def fetch(self, urls) -> int:
+        """Fetch every URL not already spooled; returns the number
+        fetched. 5xx/transport failures propagate after the client's
+        retries — the ledger makes the re-run resume mid-batch."""
+        done = self.fetched()
+        n = 0
+        for url in urls:
+            name = self.spool_name(url)
+            if name in done:
+                continue
+            if self.throttle is not None:
+                self.throttle.wait(url)
+            data = self.client.get_page(url)
+            tmp = os.path.join(self.spool_dir, f".tmp-{name}")
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, os.path.join(self.spool_dir, name))
+            done.add(name)
+            n += 1
+        return n
+
+
+def page_spool_frame(spark, spool_dir: str):
+    """Read a :class:`PageFetcher` spool as a ``warc_documents``-shaped
+    frame — ``(uri, http_status, content, content_encoding, location,
+    parse_error)`` — by running the WARC seam's OWN HTTP parser
+    (``sources/warc.split_http_payload``: de-chunk, Content-Encoding
+    decode, charset resolution incl. the meta pre-scan, Location
+    surfaced) over each spooled raw response inside an Arrow
+    ``mapInPandas`` stage. Per-record quarantine matches
+    ``warc_documents``: a payload that fails to decode yields ONE row
+    with ``parse_error`` set, NULL content, status/location kept when
+    parseable. ``location`` is resolved ABSOLUTE against the page URI
+    (RFC 9110 allows relative Location). Executor-parallel binaryFile
+    listing; one file per page, the same shape the ranged fetcher
+    produces."""
+    from pyspark.sql import functions as F
+
+    from nextbus2pg_spark.sources.warc import (
+        HttpPayloadError,
+        _resolve_charset,
+        split_http_payload,
+    )
+
+    def _parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, data in zip(pdf["path"], pdf["content"]):
+                uri = urllib.parse.unquote(
+                    os.path.basename(path)[: -len(".page")]
+                )
+                status = None
+                content = None
+                charset = None
+                coding = None
+                location = None
+                err = None
+                try:
+                    line, body, charset, coding, location = (
+                        split_http_payload(bytes(data))
+                    )
+                    m = line.split(" ")
+                    try:
+                        status = int(m[1]) if len(m) > 1 else None
+                    except ValueError:
+                        status = None
+                    content = body.decode(
+                        _resolve_charset(charset) or "utf-8",
+                        errors="replace",
+                    )
+                except HttpPayloadError as e:
+                    m = (e.status or "").split(" ")
+                    try:
+                        status = int(m[1]) if len(m) > 1 else None
+                    except ValueError:
+                        status = None
+                    coding = e.content_encoding
+                    location = e.location
+                    err = str(e)
+                if location is not None:
+                    location = urllib.parse.urljoin(uri, location)
+                rows.append(
+                    (uri, status, content, coding, location, err)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "uri", "http_status", "content",
+                    "content_encoding", "location", "parse_error",
+                ],
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.page")
+        .load(spool_dir)
+        .select("path", "content")
+        .mapInPandas(
+            _parse,
+            schema=(
+                "uri string, http_status int, content string,"
+                " content_encoding string, location string,"
+                " parse_error string"
+            ),
+        )
+    )
+
+
+def page_fetch_fn(fetcher: PageFetcher, spark):
+    """Adapt a :class:`PageFetcher` into the ``fetch_fn(urls_df)``
+    contract of :func:`~nextbus2pg_spark.pipelines.frontier.
+    crawl_loop`: collect the batch's URLs (bounded by the loop's
+    ``page_budget`` — the fetch boundary is a driver-side action in
+    the spool architecture, exactly like the manifest executor), fetch
+    them through the ledger + throttle, and return ONLY the requested
+    pages from the spool frame (left-semi on the batch — the spool
+    accumulates across iterations, the loop wants the new batch)."""
+
+    def fetch(urls_df):
+        from pyspark.sql import functions as F
+
+        urls = [r.url for r in urls_df.select("url").collect()]
+        fetcher.fetch(urls)
+        frame = page_spool_frame(spark, fetcher.spool_dir)
+        return frame.join(
+            urls_df.select(F.col("url").alias("uri")), "uri",
+            "left_semi",
+        )
+
+    return fetch
