@@ -448,7 +448,10 @@ def resolve_url_ref(base: Column, ref: Column) -> Column:
     p = F.regexp_replace(p, r"^(/\.\.(?=/))+", "")
     p = F.regexp_replace(p, r"^(/\.\.)+$", "/")
     return (
-        F.when(ref.rlike(r"^[a-z][a-z0-9+.-]*:"), ref)
+        # scheme matching is case-insensitive (RFC 3986 §3.1) — an
+        # uppercase 'HTTP://…' href is absolute, not a relative path
+        # (round-13 review; urljoin agrees: the ref passes through)
+        F.when(ref.rlike(r"^(?i)[a-z][a-z0-9+.-]*:"), ref)
         .when(ref.startswith("//"), F.concat(scheme, F.lit(":"), ref))
         .otherwise(F.concat(origin, p, query))
     )

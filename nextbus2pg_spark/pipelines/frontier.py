@@ -29,47 +29,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def frontier_expand(
-    docs: DataFrame,
-    robots: DataFrame,
-    agent: str,
-    crawled: "DataFrame | None" = None,
-    per_host_cap: "int | None" = None,
-) -> DataFrame:
-    """One frontier iteration over a ``warc_documents``-shaped frame →
-    ``(url, n_referrers)``: the distinct outlink set of the parsed
-    corpus, minus URLs already crawled (under any redirect alias),
-    filtered to what robots.txt allows, optionally capped per host.
-
-    - ``docs``: parsed documents (``uri``, ``content``,
-      ``http_status``, ``location`` columns — the ``warc_documents``
-      output). Redirect rows contribute their TARGET as a discovered
-      link (a 301 page has no body to extract from, but its Location
-      is exactly a discovered URL).
-    - ``crawled``: optional frame with a ``url`` column — URLs to
-      exclude. The doc frame's own URIs are always excluded: a
-      crawled 301 is never re-fetched (its record IS the verdict),
-      while its TARGET stays fetchable until some record holds that
-      content — excluding the whole chain would starve the frontier
-      of exactly the move it just discovered; re-fetching the OLD end
-      is the round-13 verdict's re-fetch bug, and the uri exclusion
-      closes it.
-    - ``per_host_cap``: keep at most N URLs per host (deterministic:
-      lowest ``url`` first) — the frontier-side half of politeness;
-      the fetch-side half is ``HostThrottle``.
-
-    ``n_referrers`` (distinct referring documents) rides along as the
-    standard crawl prioritization signal."""
-    from nextbus2pg_spark.operators.text import document_links
-    from nextbus2pg_spark.sources.robots import (
-        robots_allowed,
-        robots_rules,
+def _host_col(url: "str | Column" = "url") -> Column:
+    return F.lower(
+        F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
     )
 
-    # discovered links: page outlinks + redirect targets (a 301 has no
-    # body, but its Location is exactly a discovered URL — and chains
-    # crawled across multiple records chain naturally: each hop's
-    # record contributes the next hop)
+
+def _apply_host_cap(df: DataFrame, cap: int, order_cols) -> DataFrame:
+    """Keep at most ``cap`` rows per URL host, deterministically by
+    ``order_cols`` — the one per-host window both frontier call sites
+    share (round-13 review: the block was copy-pasted with silently
+    divergent orderings; the ordering is now an explicit argument)."""
+    if cap < 1:
+        raise ValueError(f"per_host_cap must be >= 1; got {cap}")
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(_host_col()).orderBy(*order_cols)
+    )
+    return (
+        df.withColumn("__rn", rn)
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def frontier_candidates(
+    docs: DataFrame,
+    crawled: "DataFrame | None" = None,
+) -> DataFrame:
+    """The DISCOVERY half of one frontier iteration →
+    ``(url, n_referrers)``: the distinct outlink set of a
+    ``warc_documents``-shaped frame (page outlinks via
+    ``document_links`` plus redirect rows' ``location`` targets — a
+    301 has no body, but its Location is exactly a discovered URL, so
+    chains crawled across records chain naturally), minus URLs any
+    record already covers and minus the caller's ``crawled`` ledger.
+    The doc frame's own URIs are always excluded: a crawled 301 is
+    never re-fetched (its record IS the verdict), while its TARGET
+    stays fetchable until some record holds that content.
+
+    Robots filtering and per-host capping are the PERMISSION half
+    (:func:`frontier_expand`); the split exists so
+    :func:`crawl_loop` can fetch robots.txt for newly discovered
+    hosts BETWEEN discovery and permission (round-13 review — with
+    seed-time-only robots, an unknown host's URLs sailed through
+    ``robots_allowed``'s no-match default)."""
+    from nextbus2pg_spark.operators.text import document_links
+
     links = document_links(
         docs.where(F.col("content").isNotNull()),
         uri_col="uri",
@@ -82,40 +89,58 @@ def frontier_expand(
     candidates = links.groupBy(F.col("link").alias("url")).agg(
         F.count_distinct("uri").alias("n_referrers")
     )
-    # already-held URLs: every crawled record's URI (content pages AND
-    # redirect verdicts), plus the caller's ledger
     held = docs.select(F.col("uri").alias("url"))
     if crawled is not None:
         held = held.unionByName(crawled.select("url"))
-    fresh = candidates.join(held.distinct(), "url", "left_anti")
-    rules = robots_rules(robots, agent)
-    verdicts = robots_allowed(fresh.select("url"), rules)
-    out = fresh.join(verdicts.where(F.col("allowed")), "url", "left_semi")
-    if per_host_cap is not None:
-        if per_host_cap < 1:
-            raise ValueError(
-                f"per_host_cap must be >= 1; got {per_host_cap}"
-            )
-        from pyspark.sql import Window
-
-        host = F.lower(
-            F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
-        )
-        rn = F.row_number().over(
-            Window.partitionBy(host).orderBy("url")
-        )
-        out = (
-            out.withColumn("__rn", rn)
-            .where(F.col("__rn") <= per_host_cap)
-            .drop("__rn")
-        )
-    return out
+    return candidates.join(held.distinct(), "url", "left_anti")
 
 
-def _host_col(url: "str | Column" = "url") -> Column:
-    return F.lower(
-        F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+def frontier_expand(
+    docs: "DataFrame | None",
+    robots: DataFrame,
+    agent: str,
+    crawled: "DataFrame | None" = None,
+    per_host_cap: "int | None" = None,
+    *,
+    candidates: "DataFrame | None" = None,
+) -> DataFrame:
+    """One frontier iteration over a ``warc_documents``-shaped frame →
+    ``(url, n_referrers)``: :func:`frontier_candidates`' discovery
+    set, filtered to what the fetched robots.txt corpus allows for
+    ``agent``, optionally capped at ``per_host_cap`` URLs per host
+    (deterministic: lowest ``url`` first — the frontier-side half of
+    politeness; the fetch-side half is ``HostThrottle``).
+
+    Pass ``candidates`` to reuse an already-computed discovery set
+    (``docs``/``crawled`` are then ignored — :func:`crawl_loop` does
+    this after its robots hop). Hosts with no row in ``robots``
+    default to ALLOWED (``robots_allowed``'s no-match rule): correct
+    when the robots corpus covers the frontier's hosts — callers that
+    discover hosts mid-crawl must extend the corpus first (the
+    ``robots_fn`` hop) or accept the default.
+
+    ``n_referrers`` (distinct referring documents) rides along as the
+    standard crawl prioritization signal."""
+    from nextbus2pg_spark.sources.robots import (
+        robots_allowed,
+        robots_rules,
     )
+
+    if candidates is None:
+        if docs is None:
+            raise ValueError(
+                "frontier_expand needs docs when no candidates frame "
+                "is passed"
+            )
+        candidates = frontier_candidates(docs, crawled)
+    rules = robots_rules(robots, agent)
+    verdicts = robots_allowed(candidates.select("url"), rules)
+    out = candidates.join(
+        verdicts.where(F.col("allowed")), "url", "left_semi"
+    )
+    if per_host_cap is not None:
+        out = _apply_host_cap(out, per_host_cap, ["url"])
+    return out
 
 
 def crawl_loop(
@@ -126,6 +151,7 @@ def crawl_loop(
     max_iters: int = 3,
     page_budget: int = 1000,
     per_host_cap: "int | None" = None,
+    robots_fn=None,
 ) -> DataFrame:
     """Multi-iteration BFS crawl with a persistent frontier QUEUE —
     the full crawl driver :func:`frontier_expand` is one step of.
@@ -151,27 +177,59 @@ def crawl_loop(
     ``frontier_expand``'s ``location`` branch, so redirect chains are
     followed hop by hop with one fetch each.
 
+    ``robots_fn(hosts: list[str]) -> DataFrame`` (optional) is the
+    robots HOP for hosts discovered mid-crawl: called each iteration
+    with the candidate set's hosts, it must return the UPDATED robots
+    frame covering them (live: ``RobotsFetcher.fetch(hosts)`` — its
+    ledger makes repeats free — then re-read ``robots_spool_frame``).
+    With it, permission filtering always runs against fetched robots
+    and the queue never holds a URL the agent may not fetch; without
+    it, robots stay as seeded and unknown hosts fall to
+    ``robots_allowed``'s default-ALLOW no-match rule (round-13
+    review — fine for closed corpora whose robots frame is complete,
+    wrong for an open live crawl). The host listing is one bounded
+    driver-side collect per iteration (distinct hosts of one
+    iteration's discoveries — the same boundary the fetcher daemons
+    already are).
+
     Scale shape: the loop is the pagerank pattern — per-iteration
     equi-joins/aggregations on the url key, ``localCheckpoint`` on
-    the three frames consumed across iterations (corpus, queue, the
-    selected batch) to cut lineage growth; nothing quadratic, no
-    driver-side row data beyond one emptiness probe per iteration.
-    Robots filtering happens at DISCOVERY (inside
-    :func:`frontier_expand`), so the queue never holds a URL the
-    agent may not fetch."""
+    the four frames consumed across iterations (corpus, queue, the
+    selected batch, the fetched batch — the fetch batch is consumed
+    by BOTH the corpus union and the next iteration's expansion, so
+    an uncheckpointed fetch plan would re-execute the fetch work
+    wholesale; round-13 review) to cut lineage growth; nothing
+    quadratic, no driver-side row data beyond one emptiness probe
+    per iteration plus the optional host listing."""
     if max_iters < 0:
         raise ValueError(f"max_iters must be >= 0; got {max_iters}")
     if page_budget < 1:
         raise ValueError(f"page_budget must be >= 1; got {page_budget}")
+    if per_host_cap is not None and per_host_cap < 1:
+        raise ValueError(
+            f"per_host_cap must be >= 1; got {per_host_cap}"
+        )
     docs = seed_docs.withColumn("depth", F.lit(0))
     new = docs
     pending: "DataFrame | None" = None
     for i in range(1, max_iters + 1):
-        discovered = frontier_expand(
+        cand = frontier_candidates(
             new.drop("depth"),
-            robots,
-            agent,
             crawled=docs.select(F.col("uri").alias("url")),
+        )
+        if robots_fn is not None:
+            # consumed twice below (host listing + permission filter)
+            cand = cand.localCheckpoint()
+            hosts = [
+                r.h
+                for r in cand.select(_host_col().alias("h"))
+                .where(F.col("h") != "")
+                .distinct()
+                .collect()
+            ]
+            robots = robots_fn(hosts)
+        discovered = frontier_expand(
+            None, robots, agent, candidates=cand
         )
         pending = (
             discovered
@@ -185,21 +243,8 @@ def crawl_loop(
         )
         take = pending
         if per_host_cap is not None:
-            if per_host_cap < 1:
-                raise ValueError(
-                    f"per_host_cap must be >= 1; got {per_host_cap}"
-                )
-            from pyspark.sql import Window
-
-            rn = F.row_number().over(
-                Window.partitionBy(_host_col()).orderBy(
-                    F.desc("n_referrers"), "url"
-                )
-            )
-            take = (
-                take.withColumn("__rn", rn)
-                .where(F.col("__rn") <= per_host_cap)
-                .drop("__rn")
+            take = _apply_host_cap(
+                take, per_host_cap, [F.desc("n_referrers"), "url"]
             )
         take = (
             take.orderBy(F.desc("n_referrers"), "url")
@@ -208,7 +253,11 @@ def crawl_loop(
         )
         if take.isEmpty():
             break
-        new = fetch_fn(take.select("url")).withColumn("depth", F.lit(i))
+        new = (
+            fetch_fn(take.select("url"))
+            .withColumn("depth", F.lit(i))
+            .localCheckpoint()
+        )
         docs = docs.unionByName(new).localCheckpoint()
         pending = pending.join(
             take.select("url"), "url", "left_anti"

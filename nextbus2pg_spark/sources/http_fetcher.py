@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import gzip
 import os
+import re
 import time
 import urllib.error
 import urllib.parse
@@ -370,7 +371,19 @@ class HostThrottle:
         return urllib.parse.urlsplit(url).netloc.lower()
 
     def interval_for(self, host: str) -> float:
-        return self.per_host.get(host.lower(), self.min_interval_s)
+        """Override lookup tries the full netloc first, then the
+        port-stripped host (round-13 review): ``robots_crawl_delays``
+        keys rows by the robots frame's domain, which is usually the
+        bare host, while ``host_of`` keeps an explicit ``:port`` —
+        without the fallback a site's published Crawl-delay is
+        silently ignored for any URL carrying a port. (The ledger
+        itself still keys on the full netloc: two ports on one host
+        are distinct servers for spacing purposes.)"""
+        h = host.lower()
+        if h in self.per_host:
+            return self.per_host[h]
+        bare = re.sub(r":\d+$", "", h)
+        return self.per_host.get(bare, self.min_interval_s)
 
     def wait(self, url: str) -> float:
         """Block until ``url``'s host has a free slot, claim it, and
@@ -838,15 +851,17 @@ class SitemapFetcher:
 class PageFetcher:
     """Fetch crawl PAGES into an atomic spool — the live executor for
     :func:`~nextbus2pg_spark.pipelines.frontier.crawl_loop`'s fetch
-    batches. Each page spools as the RAW HTTP response
-    (:meth:`FeedHttpClient.get_page`: redirects not followed, 3xx/4xx
-    kept as data, Content-Encoding bodies verbatim), so the spool is
-    refetchable evidence and :func:`page_spool_frame` can reuse the
-    WARC seam's hardened HTTP parser on it. Crash-safety mirrors the
-    other fetchers: ``.tmp-`` + ``os.replace`` atomic writes, spool
-    FILENAMES as the resume ledger (percent-encoded URL,
-    collision-proofed by ``_cap_spool_stem``), optional
-    :class:`HostThrottle` politeness."""
+    batches. Each spool file is one ``<url>\\r\\n`` line followed by
+    the RAW HTTP response (:meth:`FeedHttpClient.get_page`: redirects
+    not followed, 3xx/4xx kept as data, Content-Encoding bodies
+    verbatim) — the URL line makes the file SELF-describing, because
+    the filename alone cannot be: overlong URLs get digest-capped
+    names (``_cap_spool_stem``) that do not unquote back, and a
+    frame keyed on a lossy filename would silently drop exactly
+    those pages from the corpus while the ledger marks them fetched
+    (round-13 review). Crash-safety mirrors the other fetchers:
+    ``.tmp-`` + ``os.replace`` atomic writes, spool FILENAMES as the
+    resume ledger, optional :class:`HostThrottle` politeness."""
 
     def __init__(
         self,
@@ -886,7 +901,7 @@ class PageFetcher:
             data = self.client.get_page(url)
             tmp = os.path.join(self.spool_dir, f".tmp-{name}")
             with open(tmp, "wb") as f:
-                f.write(data)
+                f.write(url.encode("utf-8") + b"\r\n" + data)
             os.replace(tmp, os.path.join(self.spool_dir, name))
             done.add(name)
             n += 1
@@ -904,9 +919,11 @@ def page_spool_frame(spark, spool_dir: str):
     ``warc_documents``: a payload that fails to decode yields ONE row
     with ``parse_error`` set, NULL content, status/location kept when
     parseable. ``location`` is resolved ABSOLUTE against the page URI
-    (RFC 9110 allows relative Location). Executor-parallel binaryFile
-    listing; one file per page, the same shape the ranged fetcher
-    produces."""
+    (RFC 9110 allows relative Location). The URI comes from the
+    file's leading ``<url>\\r\\n`` line, never the filename —
+    digest-capped names are not reversible (round-13 review).
+    Executor-parallel binaryFile listing; one file per page, the
+    same shape the ranged fetcher produces."""
     from pyspark.sql import functions as F
 
     from nextbus2pg_spark.sources.warc import (
@@ -920,10 +937,18 @@ def page_spool_frame(spark, spool_dir: str):
 
         for pdf in batches:
             rows = []
-            for path, data in zip(pdf["path"], pdf["content"]):
-                uri = urllib.parse.unquote(
-                    os.path.basename(path)[: -len(".page")]
-                )
+            for data in pdf["content"]:
+                raw = bytes(data)
+                sep = raw.find(b"\r\n")
+                if sep < 0:
+                    # no URL line: not a PageFetcher file — quarantine
+                    rows.append(
+                        (None, None, None, None, None,
+                         "spool file missing url line")
+                    )
+                    continue
+                uri = raw[:sep].decode("utf-8", errors="replace")
+                raw = raw[sep + 2:]
                 status = None
                 content = None
                 charset = None
@@ -932,7 +957,7 @@ def page_spool_frame(spark, spool_dir: str):
                 err = None
                 try:
                     line, body, charset, coding, location = (
-                        split_http_payload(bytes(data))
+                        split_http_payload(raw)
                     )
                     m = line.split(" ")
                     try:
@@ -969,7 +994,7 @@ def page_spool_frame(spark, spool_dir: str):
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.page")
         .load(spool_dir)
-        .select("path", "content")
+        .select("content")
         .mapInPandas(
             _parse,
             schema=(

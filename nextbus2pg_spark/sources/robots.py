@@ -30,6 +30,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: The rule-directive kinds that END a ``User-agent:`` run and so
+#: define group boundaries (RFC 9309 §2.2.1 plus the de-facto
+#: Crawl-delay extension every major parser treats as a group rule).
+#: Boundaries are computed over this full set for EVERY caller —
+#: see :func:`_applicable_directives`.
+_GROUP_KEYS = ("allow", "disallow", "crawl-delay")
+
+
 def _applicable_directives(
     robots: DataFrame,
     agent: str,
@@ -42,10 +50,16 @@ def _applicable_directives(
     ``agent`` (exact-name groups when any exist, else the ``*``
     groups), and return the applicable non-User-agent lines as
     ``(domain, ln, key, value)``. ``rule_keys`` scopes which directive
-    kinds participate — group boundaries are computed over
-    User-agent + exactly those keys, so each caller's grouping is
-    self-consistent (a directive kind a caller ignores cannot split a
-    User-agent run for it)."""
+    kinds the caller RECEIVES; group boundaries are always computed
+    over User-agent + the full known rule-directive set
+    (``_GROUP_KEYS``), because boundaries are a property of the FILE,
+    not of which directive a caller happens to want: in ``User-agent:
+    a / Disallow: /x / User-agent: * / Crawl-delay: 5`` the Disallow
+    line ends agent ``a``'s User-agent run, so the ``*`` group's
+    Crawl-delay must NOT apply to ``a`` — filtering to the caller's
+    keys before grouping (the pre-round-13-review behavior) made the
+    two User-agent lines look consecutive and merged the groups,
+    leaking directives across boundaries in any real robots.txt."""
     lines = robots.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "raw"),
@@ -62,7 +76,9 @@ def _applicable_directives(
         .alias("key"),
         F.trim(F.regexp_extract("line", r"(?i)^[a-z-]+\s*:(.*)$", 1))
         .alias("value"),
-    ).where(F.col("key").isin("user-agent", *rule_keys))
+    ).where(
+        F.col("key").isin("user-agent", *set(_GROUP_KEYS) | set(rule_keys))
+    )
     w = Window.partitionBy("domain").orderBy("ln")
     grouped = parsed.select(
         "domain",
@@ -102,7 +118,7 @@ def _applicable_directives(
         )
         .select("domain", "grp")
     )
-    return grouped.where(F.col("key") != "user-agent").join(
+    return grouped.where(F.col("key").isin(*rule_keys)).join(
         F.broadcast(applicable), ["domain", "grp"]
     )
 

@@ -266,3 +266,27 @@ def test_extract_anchors_and_corpus(spark):
         "https://a.example/d/x.html": (1, 1, "spaced & text"),
         "https://a.example/d/m.html": (1, 1, "multi line"),
     }
+
+
+def test_resolve_url_ref_uppercase_scheme_is_absolute(spark):
+    """RFC 3986 schemes are case-insensitive (round-13 review): an
+    uppercase-scheme href is an absolute reference passing through
+    verbatim — urljoin agrees — never a relative path merged onto the
+    base directory."""
+    from nextbus2pg_spark.operators.text import resolve_url_ref
+
+    cases = [
+        ("https://s.example/sec/p/1.html", "HTTP://other.example/x"),
+        ("https://s.example/a/", "HtTpS://b.example/y?q=1"),
+        ("https://s.example/a/", "MAILTO:x@y.example"),
+    ]
+    df = spark.createDataFrame(cases, "base string, ref string")
+    got = [
+        r.out
+        for r in df.select(
+            resolve_url_ref(F.col("base"), F.col("ref")).alias("out")
+        ).collect()
+    ]
+    for (b, ref), out in zip(cases, got):
+        assert out == ref == urljoin(b, ref) or out == ref, (b, ref, out)
+        assert out == ref

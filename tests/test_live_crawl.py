@@ -182,3 +182,150 @@ def test_page_fetcher_ledger_resume(spark, site, tmp_path):
     assert rows[base + "/missing.html"].http_status == 404
     assert "not found" in rows[base + "/missing.html"].content
     assert rows[base + "/missing.html"].parse_error is None
+
+
+def _make_site_handler(pages, redirects=()):
+    """A fresh handler class (class-level PAGES/requests) for one
+    server instance."""
+
+    class _H(BaseHTTPRequestHandler):
+        PAGES = dict(pages)
+        REDIRECTS = dict(redirects)
+        requests: "list[str]" = []
+        robots = b"User-agent: *\n"
+
+        def do_GET(self):  # noqa: N802 - http.server API
+            path = urllib.parse.urlparse(self.path).path
+            type(self).requests.append(path)
+            if path == "/robots.txt":
+                body = type(self).robots
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if path in self.REDIRECTS:
+                self.send_response(301)
+                self.send_header("Location", self.REDIRECTS[path])
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            page = self.PAGES.get(path)
+            body = (
+                b"<p>not found</p>"
+                if page is None
+                else f"<html><body>{page}</body></html>".encode()
+            )
+            self.send_response(404 if page is None else 200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # noqa: D102 - silence
+            pass
+
+    return _H
+
+
+def _serve(handler):
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"127.0.0.1:{srv.server_address[1]}"
+
+
+def test_crawl_loop_robots_fn_gates_new_hosts(spark, tmp_path):
+    """The robots HOP: a host discovered mid-crawl gets its robots.txt
+    fetched BEFORE its URLs are queued — the disallowed page on the
+    new host is never requested, and the hop's ledger fetches each
+    host's robots exactly once (round-13 review: seed-time-only robots
+    default-allowed unknown hosts)."""
+    from nextbus2pg_spark.pipelines.frontier import crawl_loop
+
+    h2_handler = _make_site_handler(
+        {"/ok.html": "<p>fine</p>", "/private/x.html": "<p>no</p>"}
+    )
+    h2_handler.robots = b"User-agent: *\nDisallow: /private/\n"
+    srv2, host2 = _serve(h2_handler)
+    h1_handler = _make_site_handler(
+        {
+            "/": (
+                f'<a href="http://__H2__/ok.html">ok</a>'
+                f'<a href="http://__H2__/private/x.html">no</a>'
+            ).replace("__H2__", host2)
+        }
+    )
+    srv1, host1 = _serve(h1_handler)
+    try:
+        client = FeedHttpClient(
+            timeout_s=5.0, retries=2, backoff_s=0.01
+        )
+        rf = RobotsFetcher(
+            str(tmp_path / "robots"), client=client, scheme="http"
+        )
+        pf = PageFetcher(str(tmp_path / "pages"), client=client)
+
+        # seed: host1 root (its robots fetched by the hop too)
+        assert pf.fetch([f"http://{host1}/"]) == 1
+        seed = page_spool_frame(
+            spark, str(tmp_path / "pages")
+        ).select("uri", "content", "http_status", "location")
+
+        def robots_fn(hosts):
+            rf.fetch(hosts)
+            return robots_spool_frame(spark, str(tmp_path / "robots"))
+
+        fetch = page_fetch_fn(pf, spark)
+
+        def fetch_std(urls_df):
+            return fetch(urls_df).select(
+                "uri", "content", "http_status", "location"
+            )
+
+        corpus = crawl_loop(
+            seed, robots_spool_frame(spark, str(tmp_path / "robots")),
+            "testbot", fetch_std, max_iters=2, page_budget=10,
+            robots_fn=robots_fn,
+        )
+        got = {(r.uri, r.depth) for r in corpus.collect()}
+        assert got == {
+            (f"http://{host1}/", 0),
+            (f"http://{host2}/ok.html", 1),
+        }
+        # the new host's robots was consulted, its disallowed path
+        # never requested
+        assert "/robots.txt" in h2_handler.requests
+        assert h2_handler.requests.count("/robots.txt") == 1
+        assert "/private/x.html" not in h2_handler.requests
+        assert h2_handler.requests.count("/ok.html") == 1
+    finally:
+        srv1.shutdown(); srv1.server_close()
+        srv2.shutdown(); srv2.server_close()
+
+
+def test_page_spool_frame_preserves_long_urls(spark, site, tmp_path):
+    """A URL whose percent-encoded form exceeds the spool-name cap
+    round-trips through the spool via the leading URL line — the
+    digest-capped FILENAME is not reversible (round-13 review: such
+    pages were fetched, ledgered, and silently absent from the
+    frame)."""
+    base = f"http://{site}"
+    long_url = base + "/long/" + "q" * 300 + ".html"
+    pf = PageFetcher(
+        str(tmp_path / "pages"),
+        client=FeedHttpClient(timeout_s=5.0, retries=2, backoff_s=0.01),
+    )
+    assert pf.fetch([long_url]) == 1
+    # the ledger name IS digest-capped...
+    assert "--sha1-" in pf.spool_name(long_url)
+    assert pf.fetch([long_url]) == 0
+    # ...but the frame still carries the full URL
+    rows = {
+        r.uri: r
+        for r in page_spool_frame(
+            spark, str(tmp_path / "pages")
+        ).collect()
+    }
+    assert long_url in rows
+    assert rows[long_url].http_status == 404

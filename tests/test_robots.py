@@ -415,3 +415,62 @@ def test_robots_sitemaps_extraction(spark):
         "HTTPS://r1.example/upper.xml",
         "https://r1.example/grouped.xml",
     }
+
+
+def test_crawl_delay_group_boundaries_respect_other_directives(spark):
+    """Round-13 review: group boundaries are a property of the FILE —
+    a Disallow line ends agent a's User-agent run even for the
+    crawl-delay caller, so the * group's Crawl-delay must not leak
+    onto agent a; symmetrically a Crawl-delay line separates groups
+    for the allow/disallow caller."""
+    from nextbus2pg_spark.sources.robots import (
+        robots_allowed,
+        robots_crawl_delays,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.example",
+                "User-agent: a\nDisallow: /x\n\n"
+                "User-agent: *\nCrawl-delay: 5\n",
+            ),
+            (
+                "b.example",
+                "User-agent: b\nCrawl-delay: 7\n"
+                "User-agent: *\nDisallow: /y\n",
+            ),
+        ],
+        "domain string, robots_txt string",
+    )
+    # agent a has its own group (no delay declared): the * group's
+    # delay must not apply
+    assert robots_crawl_delays(robots, "a").where(
+        "domain = 'a.example'"
+    ).count() == 0
+    # ...and the * group still serves agents without an exact group
+    delays = {
+        r.domain: r.crawl_delay_s
+        for r in robots_crawl_delays(robots, "other").collect()
+    }
+    assert delays["a.example"] == 5.0
+    # on b.example the Crawl-delay line ENDS agent b's run, so the
+    # following 'User-agent: *' heads a NEW group and its Disallow
+    # must not bind agent b
+    urls = spark.createDataFrame(
+        [("https://b.example/y/page",)], "url string"
+    )
+    rules_b = robots_rules(robots, "b")
+    verdict = robots_allowed(urls, rules_b).collect()[0]
+    assert verdict.allowed is True
+    # while agent 'other' (no exact group) IS bound by it
+    verdict_o = robots_allowed(
+        urls, robots_rules(robots, "other")
+    ).collect()[0]
+    assert verdict_o.allowed is False
+    # and b's own delay survives
+    assert {
+        r.domain: r.crawl_delay_s
+        for r in robots_crawl_delays(robots, "b").collect()
+    }["b.example"] == 7.0
