@@ -2435,7 +2435,7 @@ FROM h
 )
 def q_robots_sitemaps(spark: SparkSession, sf_dir: str):
     """Sitemap discovery from robots.txt (round 13;
-    sources/robots.robots_sitemaps — the robots → sitemap seeding
+    sources/sitemap.robots_sitemaps — the robots → sitemap seeding
     hop): ten closed-form domains each publish a gauntlet — a plain
     sitemap URL, a cross-host gzipped one, an exact duplicate (dedup),
     a commented-out line, a relative value (site bug, dropped), a
@@ -2443,7 +2443,7 @@ def q_robots_sitemaps(spark: SparkSession, sf_dir: str):
     inside a User-agent group (cross-group per sitemaps.org, still
     applies). Exactly three URLs per domain survive; the oracle
     constructs them directly."""
-    from nextbus2pg_spark.sources.robots import robots_sitemaps
+    from nextbus2pg_spark.sources.sitemap import robots_sitemaps
 
     docs = load_table(spark, sf_dir, "documents")
     s = lambda c: c.cast("string")  # noqa: E731

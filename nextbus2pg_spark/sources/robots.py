@@ -209,37 +209,10 @@ def robots_crawl_delays(
     )
 
 
-def robots_sitemaps(
-    robots: DataFrame,
-    domain_col: str = "domain",
-    text_col: str = "robots_txt",
-) -> DataFrame:
-    """Per-domain ``Sitemap:`` directive extraction → ``(domain,
-    sitemap_url)``, deduped — the robots → sitemap seeding hop
-    (robots.txt is where sitemaps.org tells sites to PUBLISH their
-    sitemap locations; the output feeds ``sources/sitemap.
-    SitemapFetcher`` / ``sitemap_documents`` directly). Per the
-    sitemaps.org protocol the directive is independent of
-    ``User-agent`` grouping — it applies wherever it appears in the
-    file — so this skips the RFC 9309 group machinery entirely: split
-    lines, strip ``#`` comments, keep values that are full absolute
-    http(s) URLs (the spec requires a full URL; relative values are
-    site bugs and are dropped rather than guessed at), case-insensitive
-    on the directive key, value preserved verbatim. Pure JVM
-    line-split + regexp; one distinct."""
-    lines = robots.select(
-        F.col(domain_col).alias("domain"),
-        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
-    )
-    cleaned = F.trim(F.regexp_replace("raw", r"#.*$", ""))
-    val = F.trim(
-        F.regexp_extract(cleaned, r"(?i)^sitemap\s*:(.*)$", 1)
-    )
-    return (
-        lines.select("domain", val.alias("sitemap_url"))
-        .where(F.col("sitemap_url").rlike(r"^(?i)https?://"))
-        .distinct()
-    )
+# NOTE: Sitemap: directive extraction lives in
+# ``sources/sitemap.robots_sitemaps`` (it is group-independent per
+# sitemaps.org, so it never touches this module's RFC 9309 group
+# machinery — a late-round-13 duplicate here was folded back there).
 
 
 def robots_allowed(

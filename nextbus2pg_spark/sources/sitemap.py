@@ -58,13 +58,19 @@ def robots_sitemaps(
     text_col: str = "robots_txt",
 ) -> DataFrame:
     """Extract advertised sitemap URLs from per-domain robots.txt →
-    ``(domain, sitemap_url)``, one row per ``Sitemap:`` line.
+    ``(domain, sitemap_url)``, deduped — the robots → sitemap seeding
+    hop (robots.txt is where sitemaps.org tells sites to PUBLISH
+    their sitemap locations; the output feeds ``SitemapFetcher`` /
+    ``sitemap_documents`` directly).
 
     Sitemap records are group-INDEPENDENT (they apply regardless of
     user-agent groups and may appear anywhere in the file), so this is
     a flat line scan: split, strip comments, keep ``sitemap:`` keys
     case-insensitively, take everything after the FIRST colon (the
-    value is an absolute URL and contains colons itself)."""
+    value is an absolute URL and contains colons itself). Only full
+    absolute http(s) URLs survive (the spec requires a full URL;
+    relative values are site bugs and are dropped rather than guessed
+    at — round 13); exact duplicate lines dedup."""
     lines = robots.select(
         F.col(domain_col).alias("domain"),
         F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
@@ -81,7 +87,8 @@ def robots_sitemaps(
                 F.regexp_extract("line", r"(?i)^sitemap\s*:(.*)$", 1)
             ).alias("sitemap_url"),
         )
-        .where(F.col("sitemap_url") != "")
+        .where(F.col("sitemap_url").rlike(r"^(?i)https?://"))
+        .distinct()
     )
 
 

@@ -384,39 +384,6 @@ def test_robots_crawl_delays_group_resolution_and_max(spark):
     }
 
 
-def test_robots_sitemaps_extraction(spark):
-    from nextbus2pg_spark.sources.robots import robots_sitemaps
-
-    txt = (
-        "User-agent: *\nDisallow: /x\n"
-        "Sitemap: https://r1.example/sitemap.xml\n"
-        "Sitemap: https://cdn.example/maps/1.xml.gz\n"
-        # exact duplicate dedups
-        "Sitemap: https://r1.example/sitemap.xml\n"
-        # commented-out line is dropped
-        "# Sitemap: https://r1.example/commented.xml\n"
-        # relative value is a site bug: dropped, not guessed at
-        "Sitemap: /relative/map.xml\n"
-        # case-insensitive key, value preserved verbatim
-        "sitemap: HTTPS://r1.example/upper.xml\n"
-        # directive inside a group still applies (cross-group per
-        # sitemaps.org)
-        "User-agent: other\nSitemap: https://r1.example/grouped.xml\n"
-    )
-    robots = spark.createDataFrame(
-        [("r1.example", txt)], "domain string, robots_txt string"
-    )
-    got = {
-        r.sitemap_url for r in robots_sitemaps(robots).collect()
-    }
-    assert got == {
-        "https://r1.example/sitemap.xml",
-        "https://cdn.example/maps/1.xml.gz",
-        "HTTPS://r1.example/upper.xml",
-        "https://r1.example/grouped.xml",
-    }
-
-
 def test_crawl_delay_group_boundaries_respect_other_directives(spark):
     """Round-13 review: group boundaries are a property of the FILE —
     a Disallow line ends agent a's User-agent run even for the

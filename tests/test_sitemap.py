@@ -229,3 +229,36 @@ def test_gzipped_sitemapindex_chain_end_to_end(spark, tmp_path):
         assert fetcher.fetch(advertised + children) == 0
     finally:
         srv.shutdown()
+
+
+def test_robots_sitemaps_gauntlet(spark):
+    """The full directive gauntlet (moved from the round-13 robots.py
+    duplicate when it was folded back here): dedup, comment drop,
+    relative-value drop, case-insensitive key with verbatim value,
+    in-group directive still applying."""
+    txt = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://r1.example/sitemap.xml\n"
+        "Sitemap: https://cdn.example/maps/1.xml.gz\n"
+        # exact duplicate dedups
+        "Sitemap: https://r1.example/sitemap.xml\n"
+        # commented-out line is dropped
+        "# Sitemap: https://r1.example/commented.xml\n"
+        # relative value is a site bug: dropped, not guessed at
+        "Sitemap: /relative/map.xml\n"
+        # case-insensitive key, value preserved verbatim
+        "sitemap: HTTPS://r1.example/upper.xml\n"
+        # directive inside a group still applies (cross-group per
+        # sitemaps.org)
+        "User-agent: other\nSitemap: https://r1.example/grouped.xml\n"
+    )
+    robots = spark.createDataFrame(
+        [("r1.example", txt)], "domain string, robots_txt string"
+    )
+    got = {r.sitemap_url for r in robots_sitemaps(robots).collect()}
+    assert got == {
+        "https://r1.example/sitemap.xml",
+        "https://cdn.example/maps/1.xml.gz",
+        "HTTPS://r1.example/upper.xml",
+        "https://r1.example/grouped.xml",
+    }
