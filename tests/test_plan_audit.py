@@ -1133,3 +1133,40 @@ def test_html_entities_plan_is_shuffle_free(spark):
     schema = re.search(r"ReadSchema: struct<([^>]*)>", p)
     cols = sorted(c.split(":")[0] for c in schema.group(1).split(",") if c)
     assert cols == ["doc_id", "text"], p
+
+
+def test_frontier_expand_plan_equi_joins_only(spark):
+    """Frontier expansion (round 13): outlink extraction + held
+    anti-join + robots rule join + per-host cap stay pure-JVM
+    equi-join-only — no Python stage, no cartesian, and the robots
+    rule table is the only broadcast (bounded by the robots corpus,
+    never the frontier)."""
+    p = plan_text(q(spark, "q_frontier_expand"))
+    assert "BatchEvalPython" not in p, p
+    assert "ArrowEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_anchor_text_corpus_single_agg_no_python(spark):
+    """Anchor-text aggregation (round 13): regexp/array extraction is
+    JVM-only and the per-target reduction is one (two-phase, for the
+    distinct referrer count) hash aggregation — no Python stage, no
+    join at all."""
+    p = plan_text(q(spark, "q_anchor_text"))
+    assert "BatchEvalPython" not in p, p
+    assert "ArrowEvalPython" not in p, p
+    assert "Join" not in p, p
+    assert re.search(r"(?:Hash|Sort|ObjectHash)Aggregate", p), p
+
+
+def test_url_trap_plan_is_shuffle_free(spark):
+    """Per-URL trap gate (round 13): a pure JVM map — zero exchanges,
+    zero Python, only the referenced columns read."""
+    p = plan_text(q(spark, "q_url_trap"))
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p, p
+    assert "ArrowEvalPython" not in p, p
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = sorted(c.split(":")[0] for c in schema.group(1).split(",") if c)
+    assert cols == ["doc_id"], p
