@@ -329,3 +329,62 @@ def test_page_spool_frame_preserves_long_urls(spark, site, tmp_path):
     }
     assert long_url in rows
     assert rows[long_url].http_status == 404
+
+
+def test_live_crawl_to_warc_roundtrip(spark, site, tmp_path):
+    """The full circle: live crawl -> corpus -> WET-style WARC shard
+    export -> standard re-ingest. What the crawl fetched is exactly
+    what a WARC consumer reads back."""
+    from nextbus2pg_spark.pipelines.frontier import crawl_loop
+    from nextbus2pg_spark.sources.warc import (
+        warc_archive_files,
+        warc_documents,
+        write_warc_shards,
+    )
+
+    base = f"http://{site}"
+    pf = PageFetcher(
+        str(tmp_path / "pages"),
+        client=FeedHttpClient(timeout_s=5.0, retries=2, backoff_s=0.01),
+    )
+    rf = RobotsFetcher(
+        str(tmp_path / "robots"),
+        client=FeedHttpClient(timeout_s=5.0, retries=2, backoff_s=0.01),
+        scheme="http",
+    )
+    assert rf.fetch([site]) == 1
+    assert pf.fetch([base + "/"]) == 1
+    seed = page_spool_frame(spark, str(tmp_path / "pages")).select(
+        "uri", "content", "http_status", "location"
+    )
+    fetch = page_fetch_fn(pf, spark)
+    corpus = crawl_loop(
+        seed,
+        robots_spool_frame(spark, str(tmp_path / "robots")),
+        "testbot",
+        lambda u: fetch(u).select(
+            "uri", "content", "http_status", "location"
+        ),
+        max_iters=3,
+        page_budget=10,
+    )
+    # export the 200-status text to WARC shards...
+    kept = corpus.where(
+        (F.col("http_status") == 200) & F.col("content").isNotNull()
+    ).select("uri", "content")
+    out = str(tmp_path / "export")
+    manifest = {
+        r.filename: r.n_records
+        for r in write_warc_shards(kept, out, n_shards=2).collect()
+    }
+    assert sum(manifest.values()) == kept.count()
+    # ...and read them back with the standard ingest path
+    # (warc_documents keys archives by id; derive one from the name)
+    back = warc_documents(
+        warc_archive_files(spark, out).select(
+            F.xxhash64("filename").alias("archive_id"), "payload"
+        )
+    )
+    got = {(r.uri, r.content) for r in back.collect()}
+    want = {(r.uri, r.content) for r in kept.collect()}
+    assert got == want
