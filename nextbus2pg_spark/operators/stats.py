@@ -892,13 +892,18 @@ def theil_sen(
         .orderBy("__s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = dist.select(
-        *group_cols, "__s", F.sum("__c").over(w).alias("__cum")
+    # The per-group pair total is the sum of the distinct-slope counts
+    # — computing it as a whole-partition window over ``dist`` (same
+    # partition key as the cumulative window, so the exchange is
+    # shared) instead of a second aggregate over ``pairs`` means the
+    # O(n²) pair join is built and shuffled exactly once.
+    wt = Window.partitionBy(*group_cols)
+    j = dist.select(
+        *group_cols,
+        "__s",
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(wt).alias("__m"),
     )
-    totals = pairs.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("__m")
-    )
-    j = ranked.join(totals, group_cols)
     # value-at-rank by pure integer comparison: the lower middle is the
     # first cum with 2*cum >= m (rank ceil(m/2)), the upper middle the
     # first with 2*cum > m (rank floor(m/2)+1); odd m makes them equal.

@@ -5054,20 +5054,24 @@ def q_crawl_to_corpus(spark: SparkSession, sf_dir: str):
     crawl = ingested.join(plus.select("doc_id", "lang"), "doc_id")
 
     # 1. Gopher-style quality gate (the q_gopher_filter predicate).
-    rep = tx.repetition_features(crawl.select("doc_id", "text"), "text")
-    qual = tx.quality_features(
-        crawl.select("doc_id", "text"), "text"
-    ).select("doc_id", "quality_score")
+    # Both feature operators are pure per-row column chains over the
+    # same rows (doc_id is unique here), so the doc_id self-joins the
+    # original composition paid re-executed the WARC build+parse once
+    # per join branch; computing the SAME columns in one map-only pass
+    # keeps every value identical while the archives are parsed once
+    # (guide §2.4 "remove shuffles outright" / §1.2 step 1).
+    rep = tx.repetition_features(crawl, "text")
     keptq = (
-        crawl.join(rep.select("doc_id", "n_words", "dup_3gram_ratio"),
-                   "doc_id")
-        .join(qual, "doc_id")
-        .where(
+        rep.where(
             (F.col("n_words") >= 50)
             & (F.col("dup_3gram_ratio") <= 0.2)
-            & (F.col("quality_score") >= 0.5)
+            & (F.round(tx.quality_score_col(F.col("text")), 4) >= 0.5)
         )
         .select("doc_id", "text", "lang")
+        # consumed by BOTH exact-dedup sides (keymin + the semi-join);
+        # without the cut the quality chain (and the WARC parse under
+        # it) executes once per consumer.
+        .localCheckpoint(eager=True)
     )
 
     # 2. Exact dedup: min-id survivor per content digest.
