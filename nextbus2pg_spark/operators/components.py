@@ -73,26 +73,30 @@ def connected_components(
             f"connected_components needs integral edge id columns; got "
             f"{bad} — hash or dictionary-encode string ids first"
         )
-    # Materialize the (edge-bounded) pair list BEFORE symmetrizing:
+    # Checkpoint the (edge-bounded) pair list BEFORE symmetrizing:
     # the union consumes it twice, and the caller's edge lineage is
     # typically the whole LSH-verify chain — without this checkpoint
     # that chain executes twice per call (measured ~1s at sf0.1 on
-    # q_corpus_assembly).
+    # q_corpus_assembly). All three checkpoints are LAZY: the seed
+    # convergence collect below is the materializing action, so setup
+    # costs one scheduled job instead of four (guide §1.2 step 1);
+    # persisted-on-first-compute blocks make the twice-consumed pairs
+    # frame still execute its lineage exactly once.
     pairs = edges.select(
         F.col(src).cast("long").alias("id"),
         F.col(dst).cast("long").alias("nb"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sym = (
         pairs.unionByName(
             pairs.select(F.col("nb").alias("id"), F.col("id").alias("nb"))
         )
         .where(F.col("id") != F.col("nb"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select("id").distinct().withColumn("component", F.col("id"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     if prev_sum is None:  # no edges at all
         return labels.select("id", "component")
@@ -133,7 +137,9 @@ def connected_components(
                 F.col("id"),
                 F.coalesce("parent", "component").alias("component"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence collect below materializes it —
+            # one job per round instead of two
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:

@@ -104,8 +104,11 @@ def pagerank(
         F.col(weight).cast("double") if weight is not None else F.lit(1.0)
     ).alias("w")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w)
-    # Consumed every iteration — cut the caller's lineage once.
-    e = e.localCheckpoint(eager=True)
+    # Consumed every iteration — cut the caller's lineage once. Lazy:
+    # the NULL-check scan below is the materializing action, so the
+    # caller's lineage is computed exactly once instead of
+    # checkpoint-job + guard-job (guide §1.2 step 1).
+    e = e.localCheckpoint(eager=False)
     if e.where(
         F.col("src").isNull() | F.col("dst").isNull() | F.col("w").isNull()
     ).limit(1).count():
@@ -119,7 +122,7 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by count()
     )
     n = nodes.count()
     if n == 0:
@@ -131,7 +134,11 @@ def pagerank(
         )
     else:
         outw = e.groupBy("src").agg(F.sum("w").alias("wout"))
-    outw = outw.localCheckpoint(eager=True)
+    # The e ⋈ outw join is rank-independent — hoist it out of the loop
+    # (guide §2.4: the per-round plan then joins ranks once instead of
+    # twice; w and wout stay separate columns so the contribution
+    # arithmetic (rank*w)/wout is bit-identical).
+    ew = e.join(outw, "src").localCheckpoint(eager=False)
 
     if reset is not None:
         # Attach the teleport distribution to the node frame once;
@@ -146,7 +153,7 @@ def pagerank(
             "left",
         ).select(
             "node", F.coalesce("p", F.lit(0.0)).alias("p")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # materialized by the sum below
         total_p = nodes.agg(F.sum("p")).collect()[0][0] or 0.0
         if abs(total_p - 1.0) > 1e-6:
             raise ValueError(
@@ -164,11 +171,20 @@ def pagerank(
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     else:
         ranks = nodes.select("node", F.col("p").alias("rank"))
+    # A node dangles iff it never appears as an edge source — the raw
+    # src column decides that as well as the aggregated outw did, one
+    # shuffle cheaper (left_anti needs no distinct input).
     dangling_nodes = nodes.select("node").join(
-        outw.select(F.col("src").alias("node")), "node", "left_anti"
-    ).localCheckpoint(eager=True)
+        e.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=False)
     has_dangling = bool(dangling_nodes.limit(1).count())
 
+    # Per-round checkpoints are LAZY: with no dangling mass there is no
+    # per-round driver action at all, so the whole fixed-iteration
+    # chain executes as ONE job (plan depth still O(1) per round — the
+    # checkpoint truncates lineage at materialization); with dangling
+    # nodes the next round's scalar collect doubles as the
+    # materializing action, halving the per-round job count.
     base = (1.0 - damping) / n
     for _ in range(n_iters):
         if not has_dangling:
@@ -183,18 +199,17 @@ def pagerank(
             ).collect()[0][0] or 0.0
         if reset is None:
             ranks = _pagerank_round(
-                e, outw, nodes, ranks, damping, base, dm / n, deterministic
-            ).localCheckpoint(eager=True)
+                ew, nodes, ranks, damping, base, dm / n, deterministic
+            ).localCheckpoint(eager=False)
         else:
             ranks = _ppr_round(
-                e, outw, nodes, ranks, damping, dm, deterministic
-            ).localCheckpoint(eager=True)
+                ew, nodes, ranks, damping, dm, deterministic
+            ).localCheckpoint(eager=False)
     return ranks.select("node", "rank")
 
 
 def _pagerank_round(
-    e: DataFrame,
-    outw: DataFrame,
+    ew: DataFrame,
     nodes: DataFrame,
     ranks: DataFrame,
     damping: float,
@@ -204,8 +219,10 @@ def _pagerank_round(
 ) -> DataFrame:
     """One power-method round as a single declarative plan (factored
     out so ``tests/test_plan_audit.py`` can audit the exact per-round
-    physical plan, which the loop's localCheckpoint otherwise hides)."""
-    inc = _incoming(e, outw, ranks, deterministic)
+    physical plan, which the loop's localCheckpoint otherwise hides).
+    ``ew`` is the loop-invariant pre-join of the edge list with its
+    per-source out-weight: ``(src, dst, w, wout)``."""
+    inc = _incoming(ew, ranks, deterministic)
     return nodes.join(inc, "node", "left").select(
         "node",
         (
@@ -217,12 +234,14 @@ def _pagerank_round(
 
 
 def _incoming(
-    e: DataFrame, outw: DataFrame, ranks: DataFrame, deterministic: bool
+    ew: DataFrame, ranks: DataFrame, deterministic: bool
 ) -> DataFrame:
     """Per-node incoming rank mass for one round → ``(node, s)``."""
     contrib = (
-        e.join(ranks.select("node", "rank").withColumnRenamed("node", "src"), "src")
-        .join(outw, "src")
+        ew.join(
+            ranks.select("node", "rank").withColumnRenamed("node", "src"),
+            "src",
+        )
         .select(
             "src",
             F.col("dst").alias("node"),
@@ -237,8 +256,7 @@ def _incoming(
 
 
 def _ppr_round(
-    e: DataFrame,
-    outw: DataFrame,
+    ew: DataFrame,
     nodes: DataFrame,
     ranks: DataFrame,
     damping: float,
@@ -247,7 +265,7 @@ def _ppr_round(
 ) -> DataFrame:
     """One personalized round: teleport and dangling mass both follow
     the per-node ``p`` column carried on ``nodes``."""
-    inc = _incoming(e, outw, ranks, deterministic)
+    inc = _incoming(ew, ranks, deterministic)
     return nodes.join(inc, "node", "left").select(
         "node",
         "p",
@@ -318,15 +336,17 @@ def label_propagation(
         e.select(F.col("a").alias("node"), F.col("b").alias("nb"))
         .unionByName(e.select(F.col("b").alias("node"), F.col("a").alias("nb")))
         .distinct()
-        .localCheckpoint(eager=True)  # consumed every round
+        .localCheckpoint(eager=False)  # consumed every round
     )
+    # All-integer state and no per-round driver decision → every
+    # checkpoint is LAZY: plan depth stays O(1) per round but the whole
+    # n_iters-round chain executes as ONE job at the caller's action
+    # instead of one scheduled job per round (guide §1.2 step 1).
     labels = sym.select("node").distinct().select(
         "node", F.col("node").alias("label")
     )
     for _ in range(n_iters):
-        labels = _lpa_round(sym, labels).localCheckpoint(
-            eager=True  # O(1) plan depth per round
-        )
+        labels = _lpa_round(sym, labels).localCheckpoint(eager=False)
     return labels.select("node", "label")
 
 
@@ -447,7 +467,7 @@ def triangle_count(
             & (F.col("a") != F.col("b"))
         )
         .distinct()
-        .localCheckpoint(eager=True)  # consumed by wedges, close, degree
+        .localCheckpoint(eager=False)  # consumed by wedges, close, degree
     )
     if max_degree is not None:
         if max_degree < 1:
@@ -463,7 +483,7 @@ def triangle_count(
         e = (
             e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
             .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     tri = (
         e.select(F.col("a").alias("x"), F.col("b").alias("y"))
@@ -545,14 +565,18 @@ def bfs_hops(
             e.select(F.col("b").alias("node"), F.col("a").alias("nb"))
         )
         .distinct()
-        .localCheckpoint(eager=True)  # consumed every round
+        .localCheckpoint(eager=False)  # consumed every round
     )
+    # Lazy checkpoints throughout: the per-round isEmpty probe is the
+    # only required driver action, and it doubles as the materializing
+    # action for that round's frontier — one job per round instead of
+    # three (frontier checkpoint + probe + visited checkpoint).
     visited = (
         seeds.select(F.col(seed_col).alias("node"))
         .where(F.col("node").isNotNull())
         .distinct()
         .withColumn("dist", F.lit(0).cast("int"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = visited.select("node")
     for i in range(1, max_hops + 1):
@@ -562,11 +586,11 @@ def bfs_hops(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(i).cast("int"))
-            .localCheckpoint(eager=True)  # consumed by isEmpty + union
+            .localCheckpoint(eager=False)  # materialized by isEmpty
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return visited
 
@@ -613,7 +637,7 @@ def kcore(
             e.select(F.col("b").alias("node"), F.col("a").alias("nb"))
         )
         .distinct()
-        .localCheckpoint(eager=True)  # consumed every round
+        .localCheckpoint(eager=False)  # consumed every round
     )
 
     def _alive_degrees(alive: DataFrame) -> DataFrame:
@@ -626,14 +650,17 @@ def kcore(
             .agg(F.count(F.lit(1)).alias("core_degree"))
         )
 
-    alive = sym.select("node").distinct().localCheckpoint(eager=True)
+    # Lazy checkpoints: the per-round convergence count is the only
+    # required driver action and it materializes that round's alive
+    # set — one job per round instead of two.
+    alive = sym.select("node").distinct().localCheckpoint(eager=False)
     n_prev = alive.count()
     for _ in range(max_iters):
         alive = (
             _alive_degrees(alive)
             .where(F.col("core_degree") >= F.lit(k))
             .select("node")
-            .localCheckpoint(eager=True)  # O(1) plan depth per round
+            .localCheckpoint(eager=False)  # materialized by count()
         )
         n = alive.count()
         if n == n_prev:  # monotone: equal count == identical set
@@ -745,7 +772,7 @@ def link_prediction(
         e.select("a", "b")
         .unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)  # feeds degrees + wedges + anti
+        .localCheckpoint(eager=False)  # feeds degrees + wedges + anti
     )
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("a").alias("node"), "deg"
@@ -839,6 +866,10 @@ def hits(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
     )
+    # Checkpoint (lazy) BEFORE the NULL guard: the guard scan is then
+    # the materializing action, so the caller's lineage is computed
+    # exactly once instead of guard-scan + checkpoint-job.
+    e = e.localCheckpoint(eager=False)  # consumed twice per round
     if e.where(
         F.col("src").isNull() | F.col("dst").isNull()
     ).limit(1).count():
@@ -846,12 +877,11 @@ def hits(
             "hits edges contain NULL endpoints — drop or repair them "
             "explicitly"
         )
-    e = e.localCheckpoint(eager=True)  # consumed twice per round
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _norm_div(raw: DataFrame, col: str) -> DataFrame:
@@ -895,17 +925,22 @@ def hits(
             "node", F.coalesce("s", F.lit(0.0)).alias("raw")
         )
 
+    # Lazy per-round checkpoints: no driver decision depends on a
+    # round's values (the L2 norm is a broadcast 1-row aggregate inside
+    # the plan, not a collect), so the whole 2·n_iters-step chain
+    # executes under the caller's single action instead of paying one
+    # scheduled job per half-round; lineage still truncates per step.
     hubs = nodes.select("node", F.lit(1.0).alias("hub"))
     auths = nodes.select("node", F.lit(1.0).alias("authority"))
     for _ in range(n_iters):
         a_raw = _gather(hubs, "hub", "src", "dst", "src")
         auths = _norm_div(
             a_raw.withColumnRenamed("raw", "authority"), "authority"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         h_raw = _gather(auths, "authority", "dst", "src", "dst")
         hubs = _norm_div(
             h_raw.withColumnRenamed("raw", "hub"), "hub"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return hubs.join(auths, "node").select("node", "hub", "authority")
 
 
@@ -947,14 +982,18 @@ def modularity(
             & (F.col("a") != F.col("b"))
         )
         .distinct()
-        .localCheckpoint(eager=True)  # consumed by 3 aggregates
+        .localCheckpoint(eager=False)  # consumed by tagged + m
     )
     lab = labels.select(
         F.col(node_col).alias("__n"), F.col(label_col).alias("__l")
     )
+    # tagged feeds the NULL guard plus the intra/degree aggregates —
+    # checkpoint it (lazily: the guard scan below materializes it) so
+    # the two label joins run once instead of once per consumer.
     tagged = (
         e.join(lab.withColumnsRenamed({"__n": "a", "__l": "la"}), "a", "left")
         .join(lab.withColumnsRenamed({"__n": "b", "__l": "lb"}), "b", "left")
+        .localCheckpoint(eager=False)
     )
     if tagged.where(
         F.col("la").isNull() | F.col("lb").isNull()
@@ -1027,7 +1066,7 @@ def degree_assortativity(
             & (F.col("a") != F.col("b"))
         )
         .distinct()
-        .localCheckpoint(eager=True)  # degrees + both orientations
+        .localCheckpoint(eager=False)  # degrees + both orientations
     )
     deg = (
         e.select(F.col("a").alias("node"))

@@ -741,15 +741,21 @@ def holt_winters(
 
     Execution shape: the seasonal lookback makes the recurrence
     inherently sequential per key with O(m) state, so this runs as ONE
-    ordered Arrow scan per key (``applyInPandas`` — the linear path of
-    :func:`ewma`/:func:`holt_smoothing`, which is also their long-
-    series shape; there is no fold variant because the state no longer
-    fits a scalar accumulator). The recurrences evaluate as one fixed
-    IEEE expression tree — a DuckDB RECURSIVE CTE carrying the (level,
-    trend, last-m seasonal list) state replays every double
-    bit-for-bit (q_holt_winters). Rows order by ``(ts, value)``; NULL
-    values drop. Pick binary-representable smoothing constants when
-    oracle parity matters.
+    ordered Arrow scan (there is no fold variant because the state no
+    longer fits a scalar accumulator). Rows hash-partition by key and
+    sort within partitions by ``(key, ts, value)`` in the JVM, then a
+    single ``mapInPandas`` pass walks each partition carrying the
+    (level, trend, seasonal-ring) state across Arrow batch and key
+    boundaries — per-key-group pandas overhead (one DataFrame + one
+    Python call + one pandas sort PER KEY under the previous
+    ``applyInPandas`` shape) collapses to per-batch overhead, guide
+    §4's boundary rule, while the per-row arithmetic is unchanged.
+    The recurrences evaluate as one fixed IEEE expression tree — a
+    DuckDB RECURSIVE CTE carrying the (level, trend, last-m seasonal
+    list) state replays every double bit-for-bit (q_holt_winters).
+    Rows order by ``(ts, value)`` per key; NULL values drop. Pick
+    binary-representable smoothing constants when oracle parity
+    matters.
     """
     if season_length < 1:
         raise ValueError(f"season_length must be >= 1; got {season_length}")
@@ -777,36 +783,47 @@ def holt_winters(
         ]
     )
 
-    def _scan(pdf):
+    def _scan_iter(batches):
         import collections
 
-        import pandas as pd
-
-        pdf = pdf.sort_values(
-            ["ts", "value"], kind="mergesort", ignore_index=True
-        )
-        vals = pdf["value"].to_list()
-        n = len(vals)
-        lv = [0.0] * n
-        tr = [0.0] * n
-        se = [0.0] * n
-        fc = [0.0] * n
+        sentinel = object()  # never equals any key value (incl. None)
+        cur_key = sentinel
+        p_level = p_trend = 0.0
         sez = collections.deque([0.0] * m, maxlen=m)
-        for i, x in enumerate(vals):
-            x = float(x)
-            s_old = sez[0]
-            if i == 0:
-                level, trend = x, 0.0
-            else:
-                level = a * (x - s_old) + ca * (lv[i - 1] + tr[i - 1])
-                trend = b * (level - lv[i - 1]) + cb * tr[i - 1]
-            s_new = g * (x - level) + cg * s_old
-            sez.append(s_new)  # maxlen=m drops the consumed slot
-            lv[i], tr[i], se[i] = level, trend, s_new
-            fc[i] = level + trend + sez[0]
-        out = pdf.copy()
-        out["level"], out["trend"] = lv, tr
-        out["seasonal"], out["forecast"] = se, fc
-        return out
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            keys = pdf["key"].to_list()
+            vals = pdf["value"].to_list()
+            lv = [0.0] * n
+            tr = [0.0] * n
+            se = [0.0] * n
+            fc = [0.0] * n
+            for i in range(n):
+                kk = keys[i]
+                x = float(vals[i])
+                if kk != cur_key or cur_key is sentinel:
+                    cur_key = kk
+                    sez = collections.deque([0.0] * m, maxlen=m)
+                    s_old = sez[0]
+                    level, trend = x, 0.0
+                else:
+                    s_old = sez[0]
+                    level = a * (x - s_old) + ca * (p_level + p_trend)
+                    trend = b * (level - p_level) + cb * p_trend
+                s_new = g * (x - level) + cg * s_old
+                sez.append(s_new)  # maxlen=m drops the consumed slot
+                lv[i], tr[i], se[i] = level, trend, s_new
+                fc[i] = level + trend + sez[0]
+                p_level, p_trend = level, trend
+            out = pdf.copy()
+            out["level"], out["trend"] = lv, tr
+            out["seasonal"], out["forecast"] = se, fc
+            yield out
 
-    return base.groupBy("key").applyInPandas(_scan, schema=out_schema)
+    return (
+        base.repartition("key")
+        .sortWithinPartitions("key", "ts", "value")
+        .mapInPandas(_scan_iter, schema=out_schema)
+    )

@@ -490,16 +490,29 @@ def test_pagerank_iteration_plan_shape(spark):
         e.select(F.col("dst").alias("node"))
     ).distinct()
     outw = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    # The loop-invariant edge ⋈ out-weight pre-join the r13 hoist
+    # computes once outside the round (operators/graph.pagerank);
+    # checkpointed there, so the round sees it as a leaf relation.
+    ew = e.join(outw, "src").localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(1.0 / 3))
     for det in (False, True):
-        df = _pagerank_round(e, outw, nodes, ranks, 0.85, 0.05, 0.0, det)
+        df = _pagerank_round(ew, nodes, ranks, 0.85, 0.05, 0.0, det)
         p = plan_text(df)
         assert "CartesianProduct" not in p, p
         assert "BroadcastNestedLoopJoin" not in p, p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+        # exactly ONE rank-dependent join per round plus the left join
+        # back onto the node set: the r13 hoist moved the invariant
+        # e ⋈ outw join out of the round, so the optimized logical
+        # plan must carry exactly TWO Join nodes (it had three).
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        n_joins = sum(
+            1 for line in opt.splitlines() if line.lstrip("+-: ").startswith("Join ")
+        )
+        assert n_joins == 2, opt
         _bounded_hints_only(df)
     # scale mode's sum must be map-side partial
-    p = plan_text(_pagerank_round(e, outw, nodes, ranks, 0.85, 0.05, 0.0, False))
+    p = plan_text(_pagerank_round(ew, nodes, ranks, 0.85, 0.05, 0.0, False))
     assert "partial" in p.lower(), p
 
 
@@ -846,14 +859,21 @@ def test_semantic_dedup_pairs_confined_to_cells(spark):
 def test_theil_sen_median_over_distinct_collapse(spark):
     """Theil-Sen's median runs over the DISTINCT-slope relation per
     group (the KS/BH shape): the collapsing hash aggregate sits below
-    the single window, the pair join is group-keyed (no cartesian),
-    and no unbounded broadcast hint exists."""
+    the windows, the pair join is group-keyed (no cartesian), and no
+    unbounded broadcast hint exists. Since r13 the per-group pair
+    total is a second (whole-partition) window over the SAME distinct
+    relation instead of a join back onto a re-built pair subtree —
+    the two Window nodes must be ADJACENT (consecutive ids, one
+    shared exchange), with no join between them."""
     df = q(spark, "q_theil_sen")
     p = plan_text(df)
     assert "CartesianProduct" not in p, p
-    win_ids = [int(n) for n in re.findall(r"Window \((\d+)\)", p)]
+    win_ids = sorted(
+        int(n) for n in re.findall(r"Window \((\d+)\)", p)
+    )
     agg_ids = [int(n) for n in re.findall(r"HashAggregate \((\d+)\)", p)]
-    assert len(win_ids) == 1 and agg_ids, p
+    assert len(win_ids) == 2 and agg_ids, p
+    assert win_ids[1] == win_ids[0] + 1, p  # adjacent: shared exchange
     assert min(agg_ids) < win_ids[0], p
     _bounded_hints_only(df)
 

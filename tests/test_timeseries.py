@@ -484,6 +484,68 @@ def test_holt_winters_matches_reference_loop(spark):
             y["level"], y["trend"], y["forecast"])
 
 
+def test_holt_winters_state_survives_batch_and_key_boundaries(spark):
+    """The r13 single-pass mapInPandas scan carries (level, trend,
+    seasonal-ring) state across Arrow batches and resets it at key
+    changes. Force 3-row Arrow batches so every key spans several
+    batches and multiple keys meet inside one partition; every value
+    must equal the per-key scalar reference exactly."""
+    import collections
+    import datetime as dt
+
+    from nextbus2pg_spark.operators.timeseries import holt_winters
+
+    t0 = dt.datetime(2024, 1, 1)
+    per_key = {
+        "a": [3.0, 7.0, 2.0, 9.0, 4.0, 8.0, 1.0, 10.0],
+        "b": [5.0, 5.0, 6.0, 2.0, 7.0, 3.0, 9.0],
+        "c": [4.0],
+    }
+    rows = [
+        (k, t0 + dt.timedelta(minutes=i), v)
+        for k, vs in per_key.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, v double"
+    ).coalesce(1)  # all keys share one partition → one Python scan
+
+    m, a, b, g = 3, 0.5, 0.25, 0.5
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        got = holt_winters(
+            df, "k", "ts", "v", season_length=m, alpha=a, beta=b, gamma=g
+        ).collect()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    by_key = {}
+    for r in sorted(got, key=lambda r: (r["key"], r["ts"])):
+        by_key.setdefault(r["key"], []).append(r)
+    assert {k: len(v) for k, v in by_key.items()} == {
+        k: len(v) for k, v in per_key.items()
+    }
+    for k, vs in per_key.items():
+        sez = collections.deque([0.0] * m, maxlen=m)
+        lv = tr = None
+        for i, (x, r) in enumerate(zip(vs, by_key[k])):
+            s_old = sez[0]
+            if i == 0:
+                lv, tr = x, 0.0
+            else:
+                nl = a * (x - s_old) + (1 - a) * (lv + tr)
+                tr = b * (nl - lv) + (1 - b) * tr
+                lv = nl
+            s_new = g * (x - lv) + (1 - g) * s_old
+            sez.append(s_new)
+            assert (r["level"], r["trend"], r["seasonal"]) == (
+                lv, tr, s_new
+            ), (k, i)
+            assert r["forecast"] == lv + tr + sez[0], (k, i)
+
+
 def test_holt_winters_validation(spark):
     import pytest
 
