@@ -132,6 +132,13 @@ def frontier_expand(
                 "frontier_expand needs docs when no candidates frame "
                 "is passed"
             )
+        # The discovery set is consumed twice below (the robots
+        # verdict build AND the semi-join back) but is deliberately
+        # NOT checkpointed: AQE reuses the candidates aggregate's
+        # shuffle across both consumers at runtime, and a measured
+        # round-13 A/B (sf0.1, interleaved fresh sessions) showed a
+        # checkpoint here REGRESSES ~20% — materialization cost with
+        # no duplicated work left to save.
         candidates = frontier_candidates(docs, crawled)
     rules = robots_rules(robots, agent)
     verdicts = robots_allowed(candidates.select("url"), rules)
@@ -218,8 +225,9 @@ def crawl_loop(
             crawled=docs.select(F.col("uri").alias("url")),
         )
         if robots_fn is not None:
-            # consumed twice below (host listing + permission filter)
-            cand = cand.localCheckpoint()
+            # consumed twice below (host listing + permission filter);
+            # lazy — the host-listing collect materializes it.
+            cand = cand.localCheckpoint(eager=False)
             hosts = [
                 r.h
                 for r in cand.select(_host_col().alias("h"))

@@ -183,6 +183,18 @@ def cdx_delta(
 REDIRECT_STATUSES = (301, 302, 303, 307, 308)
 
 
+def _redirect_edges(records: DataFrame) -> DataFrame:
+    """The 3xx edge subset of a CDX snapshot → ``(src, dst)`` — the
+    shared input of :func:`cdx_resolve_redirects` and
+    :func:`cdx_fetch_once_manifest`. Self-loops are dropped here (a
+    capture redirecting to itself is already terminal)."""
+    return records.where(
+        F.col("status").isin(list(REDIRECT_STATUSES))
+        & F.col("redirect").isNotNull()
+        & (F.col("redirect") != F.col("url"))
+    ).select(F.col("url").alias("src"), F.col("redirect").alias("dst"))
+
+
 def resolve_redirect_chains(
     edges: DataFrame, max_hops: int = 4
 ) -> DataFrame:
@@ -199,12 +211,21 @@ def resolve_redirect_chains(
     the full corpus, so each hop is one bounded equi-join of E rows,
     and consumers pay a single final join of the corpus against the
     closed map. ``max_hops`` is a fixed small constant, so lineage
-    stays shallow (no checkpoint needed). Duplicate ``src`` rows
-    collapse deterministically to the min ``dst`` first — the join
-    must be key-unique or every hop fans out."""
+    stays shallow. Duplicate ``src`` rows collapse deterministically
+    to the min ``dst`` first — the join must be key-unique or every
+    hop fans out. The collapsed edge map is consumed by every hop
+    join plus the final resolved probe (``max_hops + 1`` references),
+    so it is localCheckpoint'd lazily: the edge aggregation — and the
+    whole subtree that produced ``edges``, often a full archive parse
+    — executes once instead of once per hop (round-13 optimization;
+    materialized by the caller's first action)."""
     if max_hops < 1:
         raise ValueError(f"max_hops must be >= 1; got {max_hops}")
-    uniq = edges.groupBy(F.col("src")).agg(F.min("dst").alias("dst"))
+    uniq = (
+        edges.groupBy(F.col("src"))
+        .agg(F.min("dst").alias("dst"))
+        .localCheckpoint(eager=False)
+    )
     chain = uniq.select(
         "src",
         F.col("dst").alias("final_url"),
@@ -251,14 +272,11 @@ def cdx_resolve_redirects(
     deterministic). ``resolved=false`` marks loops/over-budget chains;
     a final URL with no capture in the snapshot still counts as
     resolved (the chain terminated — whether its end was crawled is a
-    frontier question, answered by the left join in
+    frontier question, answered by the membership test in
     :func:`cdx_fetch_once_manifest`)."""
-    edges = records.where(
-        F.col("status").isin(list(REDIRECT_STATUSES))
-        & F.col("redirect").isNotNull()
-        & (F.col("redirect") != F.col("url"))
-    ).select(F.col("url").alias("src"), F.col("redirect").alias("dst"))
-    closed = resolve_redirect_chains(edges, max_hops=max_hops)
+    closed = resolve_redirect_chains(
+        _redirect_edges(records), max_hops=max_hops
+    )
     out = records.join(
         closed, records["url"] == closed["src"], "left"
     )
@@ -287,11 +305,28 @@ def cdx_fetch_once_manifest(
     targets are ``distinct`` before the capture join). The selected
     captures then flow through :func:`cdx_archive_manifest` unchanged
     (status/mime filter + digest dedup + per-file reduction), so the
-    only new shuffle is the chain closure over the redirect subset."""
-    resolved = cdx_resolve_redirects(records, max_hops=max_hops)
+    only new shuffle is the chain closure over the redirect subset.
+
+    The target set is built WITHOUT the corpus-wide
+    ``cdx_resolve_redirects`` join (round-13 optimization): a capture
+    is a fetch target iff it is a resolved chain's final URL or it is
+    not a redirect source at all (then it trivially maps to itself),
+    so ``targets`` is the union of the closed map's resolved finals
+    and a narrow url-only anti-join against the edge sources —
+    equivalent to ``resolved.where(resolved).select(final_url)`` but
+    never shuffles the full-width record rows."""
+    edges = _redirect_edges(records)
+    closed = resolve_redirect_chains(edges, max_hops=max_hops)
     targets = (
-        resolved.where(F.col("resolved"))
+        closed.where(F.col("resolved"))
         .select(F.col("final_url").alias("__t"))
+        .unionByName(
+            records.join(
+                edges.select(F.col("src").alias("url")),
+                "url",
+                "left_anti",
+            ).select(F.col("url").alias("__t"))
+        )
         .distinct()
     )
     finals = records.join(

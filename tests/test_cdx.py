@@ -448,3 +448,31 @@ def test_cdx_fetch_once_manifest_one_fetch_per_chain(spark):
         "f.gz", 1, 500,
     )
     assert (m[0].min_offset, m[0].max_offset) == (200, 200)
+
+
+def test_fetch_once_narrow_targets_match_corpus_join(spark):
+    """Round-13 optimization pin: cdx_fetch_once_manifest builds its
+    target set WITHOUT the corpus-wide cdx_resolve_redirects join
+    (chain finals ∪ non-source captures, a url-only anti-join). This
+    differential replays the pre-optimization formulation — distinct
+    resolved final_url over the full resolved frame — and the two
+    manifests must be row-identical on a fixture that exercises every
+    class: multi-hop chains, a shared target, an unresolved loop, and
+    a chain into an uncaptured URL."""
+    from nextbus2pg_spark.sources.cdx import (
+        cdx_archive_manifest,
+        cdx_fetch_once_manifest,
+        cdx_resolve_redirects,
+    )
+
+    records = _redirect_records(spark)
+    resolved = cdx_resolve_redirects(records)
+    targets = (
+        resolved.where("resolved").selectExpr("final_url AS __t").distinct()
+    )
+    finals = records.join(
+        targets, records["url"] == targets["__t"], "left_semi"
+    )
+    want = sorted(map(tuple, cdx_archive_manifest(finals).collect()))
+    got = sorted(map(tuple, cdx_fetch_once_manifest(records).collect()))
+    assert got == want
