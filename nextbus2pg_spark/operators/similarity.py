@@ -353,13 +353,20 @@ def kmeans_centroids(
         "centroid_id",
         F.transform("c_vec", lambda x: x.cast("double")).alias("c_vec"),
     )
+    # Assignment is map-only since round 13 (_nearest_centroids), so
+    # the member vectors ride along in the same row — the old
+    # assigned-⋈-corpus join-back (one full shuffle of the training
+    # set per Lloyd iteration) is gone.
+    vsrc = with_norm(
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("__vec")
+        ),
+        "__vec",
+        "__n",
+    )
     for _ in range(n_iters):
-        assigned = ivf_assign(corpus, id_col, vec_col, cents, nprobe=1)
-        members = assigned.join(
-            corpus.select(
-                F.col(id_col).alias("id"), F.col(vec_col).alias("__vec")
-            ),
-            "id",
+        members = _nearest_centroids(
+            vsrc, cents, nprobe=1, vec_col="__vec", norm_col="__n"
         )
         mean_agg = (
             _fold_mean(F.col("id"), F.col("val").cast("double"))
@@ -392,6 +399,75 @@ def kmeans_centroids(
     return cents
 
 
+def _nearest_centroids(
+    v: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    vec_col: str = "__v",
+    norm_col: str = "__vn",
+) -> DataFrame:
+    """MAP-ONLY nearest-centroid ranking: collapse the k-row centroid
+    table into ONE collected array row, broadcast that single row, and
+    rank the candidates per vector with an in-row sort — appends an
+    exploded ``centroid_id`` while every input column passes through.
+
+    Until round 13 assignment crossJoined the corpus against the k
+    broadcast centroid ROWS (×k row multiplication) and then paid a
+    ``row_number`` window — a full shuffle plus sort of n·k rows — just
+    to take the per-id top-nprobe (guide §2.4: the window exchange was
+    the ONLY shuffle assignment paid, and it grows with n·k). The
+    in-row comparator reproduces the window's ``(sim DESC NULLS LAST,
+    centroid_id ASC)`` order bit-exactly: Spark's comparison operators
+    already give doubles the NaN-greatest / NaN==NaN total order the
+    window sort used, and NULL sims are ordered last explicitly.
+    Verified row-identical against the window formulation across
+    sf/k/nprobe combinations before the switch.
+    """
+    c = with_norm(
+        centroids.withColumnRenamed("c_vec", "__cv"), "__cv", "__cn"
+    )
+    carr = c.agg(
+        F.collect_list(
+            F.struct(
+                F.col("centroid_id").alias("cid"),
+                F.col("__cv").alias("cv"),
+                F.col("__cn").alias("cn"),
+            )
+        ).alias("__cents")
+    )
+    sims = F.transform(
+        F.col("__cents"),
+        lambda x: F.struct(
+            cosine(
+                F.col(vec_col), x["cv"], F.col(norm_col), x["cn"]
+            ).alias("sim"),
+            x["cid"].alias("cid"),
+        ),
+    )
+    ranked = F.array_sort(
+        sims,
+        lambda a, b: F.when(
+            a["sim"].isNull() & b["sim"].isNull(),
+            F.when(a["cid"] < b["cid"], F.lit(-1))
+            .when(a["cid"] > b["cid"], F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .when(a["sim"].isNull(), F.lit(1))
+        .when(b["sim"].isNull(), F.lit(-1))
+        .when(a["sim"] > b["sim"], F.lit(-1))
+        .when(a["sim"] < b["sim"], F.lit(1))
+        .when(a["cid"] < b["cid"], F.lit(-1))
+        .when(a["cid"] > b["cid"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    out_cols = list(v.columns)
+    return (
+        v.crossJoin(F.broadcast(carr))
+        .select(*out_cols, F.explode(F.slice(ranked, 1, nprobe)).alias("__t"))
+        .select(*out_cols, F.col("__t.cid").alias("centroid_id"))
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     id_col: str,
@@ -400,24 +476,19 @@ def ivf_assign(
     nprobe: int = 1,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids → (id,
-    centroid_id) rows. Centroids broadcast; the corpus never shuffles
-    for assignment. nprobe=1 for indexing, >1 for query-side probing.
+    centroid_id) rows. Centroids broadcast (as ONE collected array
+    row); the corpus never shuffles for assignment — since round 13
+    the per-id ranking is an in-row sort, not a window, so assignment
+    is a pure map stage (see :func:`_nearest_centroids`). nprobe=1 for
+    indexing, >1 for query-side probing.
     """
-    c = with_norm(
-        centroids.withColumnRenamed("c_vec", "__cv"), "__cv", "__cn"
+    v = with_norm(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")),
+        "__v",
+        "__vn",
     )
-    v = with_norm(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v")), "__v", "__vn")
-    sim = cosine(F.col("__v"), F.col("__cv"), F.col("__vn"), F.col("__cn"))
-    scored = v.crossJoin(F.broadcast(c)).select(
-        "id", "centroid_id", sim.alias("__sim")
-    )
-    w = Window.partitionBy("id").orderBy(
-        F.col("__sim").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= nprobe)
-        .select("id", "centroid_id")
+    return _nearest_centroids(v, centroids, nprobe).select(
+        "id", "centroid_id"
     )
 
 
@@ -571,21 +642,25 @@ def ivf_topk(
         )
     else:
         cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
-    c_assigned = ivf_assign(corpus, id_col, vec_col, cents, nprobe=1)
-    q_assigned = ivf_assign(queries, id_col, vec_col, cents, nprobe=nprobe)
-
-    c = c_assigned.join(
+    # Map-only assignment (round 13, _nearest_centroids) keeps the
+    # vectors in-row, so the old assigned-⋈-corpus join-backs — one a
+    # CORPUS-wide shuffle join — are gone from both sides.
+    c = _nearest_centroids(
         with_norm(corpus, vec_col, "t_norm").select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("t_vec"), "t_norm"
+            F.col(id_col).alias("match_id"),
+            F.col(vec_col).alias("t_vec"),
+            "t_norm",
         ),
-        "id",
-    ).withColumnRenamed("id", "match_id")
-    q = q_assigned.join(
+        cents, nprobe=1, vec_col="t_vec", norm_col="t_norm",
+    )
+    q = _nearest_centroids(
         with_norm(queries, vec_col, "q_norm").select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("q_vec"), "q_norm"
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            "q_norm",
         ),
-        "id",
-    ).withColumnRenamed("id", "query_id")
+        cents, nprobe=nprobe, vec_col="q_vec", norm_col="q_norm",
+    )
 
     sim = F.round(
         cosine(F.col("q_vec"), F.col("t_vec"), F.col("q_norm"), F.col("t_norm")), 6
@@ -1289,13 +1364,22 @@ def semantic_dedup(
         _assign = lambda np_: ivf_assign(  # noqa: E731
             corpus, id_col, vec_col, cents, nprobe=np_
         )
-    membership = _assign(assign_nprobe)
-    v = membership.join(
-        with_norm(corpus, vec_col, "nrm").select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "nrm"
-        ),
-        "id",
-    ).localCheckpoint(eager=True)  # feeds both pair sides + the output
+    vbase = with_norm(corpus, vec_col, "nrm").select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "nrm"
+    )
+    if assign_two_level:
+        # two-level assignment keeps its own join shape; attach the
+        # vectors back by id as before.
+        v = _assign(assign_nprobe).join(vbase, "id")
+    else:
+        # single-level assignment is map-only since round 13
+        # (_nearest_centroids): the vectors ride along in-row, so the
+        # corpus-wide membership-⋈-corpus join-back is gone.
+        v = _nearest_centroids(
+            vbase, cents, nprobe=assign_nprobe, vec_col="vec",
+            norm_col="nrm",
+        )
+    v = v.localCheckpoint(eager=True)  # feeds both pair sides + the output
     if max_cell_size is not None:
         paired = _split_hot_cells(v, max_cell_size, assign_nprobe)
         key = ["centroid_id", "sub_id"]

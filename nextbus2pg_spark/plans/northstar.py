@@ -3427,17 +3427,31 @@ def q_media_cross_format(spark: SparkSession, sf_dir: str):
     hashed = dhash_decoded(
         decode_media(synthetic_cross_format_media(docs), spread=False)
     )
-    png = hashed.where(F.col("media_id") % 2 == 0).select(
-        (F.col("media_id") / 2).cast("long").alias("doc_id"),
-        F.col("phash").alias("phash_png"),
+    # Round 13: the png/jpg branches used to re-derive `hashed` twice
+    # (the encode→decode→dhash Arrow chain has no exchange below the
+    # branch point, so the THREE codecs ran twice) and then pay a
+    # doc_id join. One groupBy pivot on doc_id = media_id >> 1 runs the
+    # chain once and replaces the join with a single narrow shuffle of
+    # (doc_id, parity, phash). The struct-wrapped max keeps the inner
+    # join's presence semantics exactly: a doc_id row survives iff both
+    # parities exist (by construction they do), even were phash NULL.
+    paired = hashed.groupBy(
+        F.shiftright("media_id", 1).alias("doc_id")
+    ).agg(
+        F.max(
+            F.when(F.col("media_id") % 2 == 0, F.struct("phash"))
+        ).alias("__p"),
+        F.max(
+            F.when(F.col("media_id") % 2 == 1, F.struct("phash"))
+        ).alias("__j"),
     )
-    jpg = hashed.where(F.col("media_id") % 2 == 1).select(
-        ((F.col("media_id") - 1) / 2).cast("long").alias("doc_id"),
-        F.col("phash").alias("phash_jpeg"),
-    )
-    return png.join(jpg, "doc_id").select(
-        "doc_id", "phash_png", "phash_jpeg",
-        (F.col("phash_png") == F.col("phash_jpeg")).alias("formats_agree"),
+    return paired.where(
+        F.col("__p").isNotNull() & F.col("__j").isNotNull()
+    ).select(
+        "doc_id",
+        F.col("__p.phash").alias("phash_png"),
+        F.col("__j.phash").alias("phash_jpeg"),
+        (F.col("__p.phash") == F.col("__j.phash")).alias("formats_agree"),
     )
 
 

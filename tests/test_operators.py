@@ -255,6 +255,69 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert exact == full
 
 
+def test_ivf_assign_matches_window_formulation(spark):
+    """Round-13 differential: the map-only in-row assignment
+    (_nearest_centroids — collected centroid array + comparator sort)
+    must reproduce the pre-round-13 crossJoin + row_number window
+    formulation ROW-IDENTICALLY, including the (sim DESC NULLS LAST,
+    centroid_id ASC) tie-break, Spark's NaN-greatest double order, and
+    nprobe > k truncation. The window replay below IS the old code."""
+    from pyspark.sql import Window
+
+    from nextbus2pg_spark.operators.similarity import (
+        cosine,
+        ivf_assign,
+        ivf_centroids,
+        with_norm,
+    )
+
+    rows = [
+        (i, [float((i * 13 + d * 7) % 11 - 5) for d in range(8)])
+        for i in range(40)
+    ]
+    rows.append((200, [0.0] * 8))            # zero vector (floored norm)
+    rows.append((201, rows[3][1]))           # exact twin → sim ties
+    rows.append((202, [float("nan")] * 8))   # NaN sims rank FIRST
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def window_assign(d, cents, nprobe):
+        c = with_norm(
+            cents.withColumnRenamed("c_vec", "__cv"), "__cv", "__cn"
+        )
+        v = with_norm(
+            d.select(F.col("vec_id").alias("id"),
+                     F.col("embedding").alias("__v")),
+            "__v", "__vn",
+        )
+        sim = cosine(
+            F.col("__v"), F.col("__cv"), F.col("__vn"), F.col("__cn")
+        )
+        scored = v.crossJoin(F.broadcast(c)).select(
+            "id", "centroid_id", sim.alias("__sim")
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("__sim").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= nprobe)
+            .select("id", "centroid_id")
+        )
+
+    for k in (4, 7):
+        cents = ivf_centroids(df, "vec_id", "embedding", k)
+        for nprobe in (1, 3, k + 2):  # k + 2 exercises nprobe > k
+            new = sorted(
+                map(tuple, ivf_assign(
+                    df, "vec_id", "embedding", cents, nprobe=nprobe
+                ).collect())
+            )
+            old = sorted(
+                map(tuple, window_assign(df, cents, nprobe).collect())
+            )
+            assert new == old, (k, nprobe)
+
+
 def test_scrub_pii_order_and_counts(spark):
     from nextbus2pg_spark.operators.text import scrub_pii
 
