@@ -903,7 +903,15 @@ def hits(
 
     def _gather(scores: DataFrame, score: str, edge_key: str,
                 out_key: str, sort_key: str) -> DataFrame:
-        """a-step: edge_key='src', out_key='dst'; h-step: reversed."""
+        """a-step: edge_key='src', out_key='dst'; h-step: reversed.
+
+        Round 13: the per-round ``nodes ⋈ agg`` left-join that restored
+        zero-score nodes is DEFERRED to one final restore join — a 0.0
+        score is algebraically inert through every downstream use (it
+        adds 0.0·w to the next gather's sums, 0.0² to the L2 norms, and
+        ``acc + 0.0 == acc`` keeps even the deterministic sorted folds
+        bit-exact), so carrying those rows bought nothing but two
+        shuffle joins per round (guide §2.4)."""
         contrib = e.join(
             scores.select(
                 F.col("node").alias(edge_key), F.col(score)
@@ -921,9 +929,7 @@ def hits(
             if deterministic
             else contrib.groupBy("node").agg(F.sum("c").alias("s"))
         )
-        return nodes.join(agg, "node", "left").select(
-            "node", F.coalesce("s", F.lit(0.0)).alias("raw")
-        )
+        return agg.select("node", F.col("s").alias("raw"))
 
     # Lazy per-round checkpoints: no driver decision depends on a
     # round's values (the L2 norm is a broadcast 1-row aggregate inside
@@ -941,7 +947,18 @@ def hits(
         hubs = _norm_div(
             h_raw.withColumnRenamed("raw", "hub"), "hub"
         ).localCheckpoint(eager=False)
-    return hubs.join(auths, "node").select("node", "hub", "authority")
+    # The one restore join (see _gather): nodes the iteration never
+    # scored are exactly the zero-score nodes the per-round restores
+    # used to carry.
+    return (
+        nodes.join(hubs, "node", "left")
+        .join(auths, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )
 
 
 def modularity(

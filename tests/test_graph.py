@@ -404,6 +404,26 @@ def test_hits_matches_numpy_reference(spark):
     assert got[2][1] > got[0][1] and got[2][1] > got[1][1]
 
 
+def test_hits_zero_score_nodes_restored(spark):
+    """Round-13 deferred-restore pin: since the per-round nodes join
+    moved to ONE final restore join, pure sinks (no out-edges → hub 0)
+    and pure sources (no in-edges → authority 0) must still appear in
+    the output with exact 0.0 — in BOTH determinism modes."""
+    from nextbus2pg_spark.operators.graph import hits
+
+    # 4 is a pure sink (only incoming), 0 and 3 are pure sources.
+    edges = [(0, 1, 1.0), (1, 2, 2.0), (3, 2, 1.0), (2, 4, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    for det in (False, True):
+        got = {r["node"]: (r["hub"], r["authority"])
+               for r in hits(df, weight="w", n_iters=4,
+                             deterministic=det).collect()}
+        assert set(got) == {0, 1, 2, 3, 4}, det
+        assert got[4][0] == 0.0, det          # sink: hub exactly 0
+        assert got[0][1] == 0.0 and got[3][1] == 0.0, det  # sources
+        assert got[4][1] > 0.0 and got[2][0] > 0.0, det
+
+
 def test_hits_deterministic_matches_plain(spark):
     from nextbus2pg_spark.operators.graph import hits
 
