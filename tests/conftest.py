@@ -33,6 +33,28 @@ def spark():
     spark.stop()
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "soak: slow soak/property sweep — skipped unless "
+        "SPARK_GRAFT_SOAK=1 (round-13 verdict item 1: the full suite "
+        "outgrew the driver's verify window; the default run is the "
+        "fast gate, the soak tier runs on demand and before round "
+        "close)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_SOAK"):
+        return
+    skip = pytest.mark.skip(
+        reason="soak tier: set SPARK_GRAFT_SOAK=1 to run"
+    )
+    for item in items:
+        if "soak" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def oracle():
     con = duckdb.connect()

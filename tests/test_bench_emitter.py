@@ -76,6 +76,48 @@ def test_current_headline_set_fits_without_truncation():
         assert f"subtotal_{rv}_set" in parsed
 
 
+def test_recent_vintages_stay_itemized_at_2dp():
+    """Round-14 ladder reorder (r13 verdict item 4): per-query seconds
+    round to 2 decimals BEFORE any vintage is retired, so the full
+    r6..r14 range — including every name in BENCH_r13.parsed.queries —
+    stays itemized; only the oldest vintages fold into their subtotal
+    fields, and each retired vintage keeps that subtotal."""
+    from bench import (
+        HEADLINE, R6_SET, R7_SET, R8_SET, R9_SET, R10_SET, R11_SET,
+        R12_SET, R13_SET, R14_SET,
+    )
+
+    p = _payload(0)
+    p["queries"] = {n: 1.234 for n in HEADLINE}
+    p["queries"]["q_crawl_to_corpus"] = 14.958
+    for k in (
+        "cpu", "sched", "scan", "iter_sched", "iter_scan"
+    ):
+        p[f"{k}_calibration_sec"] = 0.123
+    for r in range(3, 15):
+        p[f"subtotal_r{r}_set"] = 12.345
+        p[f"subtotal_r{r}_set_norm"] = 3.456
+        p[f"sched_cal_r{r}_adj"] = 0.111  # per-family adjacent stamps
+    line = emit_summary(p)
+    assert len(line.encode()) <= MAX_SUMMARY_BYTES
+    parsed = json.loads(line)
+    recent = (
+        R6_SET + R7_SET + R8_SET + R9_SET + R10_SET + R11_SET
+        + R12_SET + R13_SET + R14_SET
+    )
+    for n in recent:
+        assert n in parsed["queries"], n
+    # 2dp rounding happened before retirement
+    assert parsed["queries"]["q_crawl_to_corpus"] == 14.96
+    assert set(parsed.get("queries_retired", [])) <= {"r3", "r4", "r5"}
+    for rv in parsed.get("queries_retired", []):
+        assert f"subtotal_{rv}_set" in parsed
+    # the per-family stamps live in the stderr full payload only
+    assert not any(k.startswith("sched_cal_") for k in parsed)
+    # end-of-run calibrations survive for the judge's normalization
+    assert "sched_calibration_sec" in parsed
+
+
 def test_truncation_is_loud_and_total_preserved():
     p = _payload(500)
     parsed = json.loads(emit_summary(p))
