@@ -846,6 +846,53 @@ def _sub_slices(vec_col: str, m: int, subdim: int):
     )
 
 
+def _code_book_row(codebook: DataFrame) -> DataFrame:
+    """Collapse the (sub, code_id, c_vec) codebook into ONE collected
+    array row (``__book``) for a single-row broadcast — the
+    :func:`_nearest_centroids` recipe applied per subspace. The
+    collected order is irrelevant: every consumer reduces the array
+    with an order-free total-order argmin (:func:`_nearest_code`)."""
+    return codebook.agg(
+        F.collect_list(
+            F.struct(
+                F.col("sub").alias("bsub"),
+                F.col("code_id").alias("bcid"),
+                F.col("c_vec").alias("bvec"),
+            )
+        ).alias("__book")
+    )
+
+
+def _nearest_code(sub: Column, sv: Column) -> Column:
+    """In-row argmin code id for one subvector against the broadcast
+    ``__book`` array — reproduces the round-8 formulation
+    ``min_by(code_id, struct(__d, code_id))`` over the broadcast-join
+    candidates bit-exactly: the same ``_l2sq`` distance fold, the same
+    (distance, code_id) lexicographic total order (Spark compares
+    struct fields with the NaN-greatest / NaN == NaN total order sorts
+    use), and ties are impossible because code_id is unique within a
+    subspace — so the left fold's result is iteration-order-free and
+    equals the aggregate minimum. Verified row-identical against the
+    old join+min_by formulation by
+    tests/test_operators.py::test_pq_encode_matches_join_formulation.
+    A subspace missing from the codebook yields a NULL code where the
+    old inner join silently dropped the (id, sub) pair — unreachable
+    for pq_train-produced books, which cover every subspace."""
+    cands = F.filter(F.col("__book"), lambda b: b["bsub"] == sub)
+    scored = F.transform(
+        cands,
+        lambda b: F.struct(
+            _l2sq(sv, b["bvec"]).alias("d"), b["bcid"].alias("cid")
+        ),
+    )
+    best = F.aggregate(
+        F.slice(scored, 2, F.greatest(F.size(scored) - 1, F.lit(0))),
+        F.element_at(scored, 1),
+        lambda acc, s: F.when(s < acc, s).otherwise(acc),
+    )
+    return best["cid"]
+
+
 def pq_train(
     corpus: DataFrame,
     id_col: str,
@@ -910,17 +957,20 @@ def pq_train(
         )
     )
     for _ in range(n_iters):
-        scored = sub_rows.join(F.broadcast(cents), "sub").select(
+        # In-row assignment (round 14, the _nearest_centroids recipe
+        # per subspace): the old formulation broadcast-joined the
+        # codebook, paid a groupBy(id, sub) exchange of the n·m scored
+        # rows for the min_by, then a SECOND n·m-row shuffle join back
+        # onto sub_rows just to recover the subvectors for the means.
+        # Collapsing the codebook into one broadcast row makes the
+        # assignment a pure map stage with sv riding in-row — both
+        # corpus-sized exchanges per iteration are gone (guide §2.4);
+        # only the (sub, code, pos) means aggregate shuffles.
+        assigned = sub_rows.crossJoin(F.broadcast(_code_book_row(cents))).select(
             "id",
             "sub",
-            "code_id",
-            _l2sq(F.col("sv"), F.col("c_vec")).alias("__d"),
-        )
-        assigned = scored.groupBy("id", "sub").agg(
-            F.min_by(
-                F.col("code_id"),
-                F.struct(F.col("__d"), F.col("code_id")),
-            ).alias("code_id")
+            "sv",
+            _nearest_code(F.col("sub"), F.col("sv")).alias("code_id"),
         )
         mean_agg = (
             _fold_mean(F.col("id"), F.col("val"))
@@ -928,7 +978,7 @@ def pq_train(
             else F.avg("val")
         )
         means = (
-            assigned.join(sub_rows, ["id", "sub"])
+            assigned
             .select(
                 "sub", "code_id", "id", F.posexplode("sv").alias("pos", "val")
             )
@@ -961,48 +1011,39 @@ def pq_train(
 
 
 def pq_encode(
-    corpus: DataFrame, codebook: DataFrame, id_col: str, vec_col: str
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    keep: "tuple[str, ...]" = (),
 ) -> DataFrame:
-    """Encode each vector as ``m`` code ids → (id, codes array<int>).
+    """Encode each vector as ``m`` code ids → (id, codes array<int>,
+    *keep) — ``keep`` columns ride through the map stage unchanged
+    (encoding is in-row, so passthrough costs nothing; the PQ index's
+    encode path composes assignment + encoding without a join).
 
     The 100 TB point of PQ: after this one pass the corpus's search
     representation is m small ints per row (64-dim float64 → 8 bytes at
     the defaults, 64× smaller), so the ANN scan reads codes, never
-    vectors. Shape: explode to (id, sub, subvector) — constant ×m on a
-    projected frame — join the BROADCAST codebook per subspace, pick
-    the nearest code with one min_by aggregation, reassemble the code
-    array with a second (codes are tiny). The corpus itself never
-    shuffles; only (id, codes) rows do.
+    vectors. Shape since round 14: the codebook collapses into ONE
+    collected row broadcast to every task, and each vector's m codes
+    are an in-row ``transform`` over its subvector slices
+    (:func:`_nearest_code` — bit-exact vs the old join+min_by, pinned
+    by a differential test). Encoding is a PURE MAP STAGE: the round-8
+    formulation exploded to n·m (id, sub, subvector) rows, paid a
+    groupBy(id, sub) exchange for the argmin and a second groupBy(id)
+    exchange to reassemble the arrays — at corpus scale two full
+    shuffles of the exploded relation, now zero (guide §2.4).
     """
     m = codebook.select(F.max("sub")).first()[0] + 1
     subdim = len(codebook.select("c_vec").first()[0])
-    unit = _unit(corpus.select(id_col, vec_col), vec_col)
-    exploded = unit.select(
-        F.col(id_col).alias("id"),
-        F.explode(_sub_slices(vec_col, m, subdim)).alias("__s"),
-    ).select("id", F.col("__s.sub").alias("sub"), F.col("__s.sv").alias("sv"))
-    scored = exploded.join(F.broadcast(codebook), "sub").select(
-        "id",
-        "sub",
-        "code_id",
-        _l2sq(F.col("sv"), F.col("c_vec")).alias("__d"),
+    unit = _unit(corpus.select(id_col, vec_col, *keep), vec_col)
+    slices = _sub_slices(vec_col, m, subdim)
+    codes = F.transform(
+        slices, lambda s: _nearest_code(s["sub"], s["sv"])
     )
-    best = scored.groupBy("id", "sub").agg(
-        F.min_by(F.col("code_id"), F.struct(F.col("__d"), F.col("code_id"))).alias(
-            "code_id"
-        )
-    )
-    return (
-        best.groupBy("id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("sub", "code_id"))).alias(
-                "__sc"
-            )
-        )
-        .select(
-            F.col("id"),
-            F.transform("__sc", lambda x: x["code_id"]).alias("codes"),
-        )
+    return unit.crossJoin(F.broadcast(_code_book_row(codebook))).select(
+        F.col(id_col).alias("id"), codes.alias("codes"), *keep
     )
 
 

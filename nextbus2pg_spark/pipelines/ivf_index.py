@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nextbus2pg_spark.operators.similarity import (
+    _nearest_centroids,
     cosine,
     ivf_assign,
     ivf_centroids,
@@ -260,16 +261,23 @@ class IvfIndex:
         """Batch → storable index rows, assigned against ``cents``.
         ``epoch`` identifies which epoch's auxiliary model applies —
         unused by the raw codec, consumed by the PQ subclass to pick
-        the matching codebook."""
-        assigned = ivf_assign(vectors, id_col, vec_col, cents, nprobe=1)
-        return assigned.join(
-            with_norm(vectors, vec_col, "norm").select(
-                F.col(id_col).alias("id"),
-                F.col(vec_col).alias("vec"),
-                "norm",
+        the matching codebook.
+
+        Round 14 (guide §2.4): assignment is map-only with the batch
+        columns riding in-row (_nearest_centroids passthrough), so the
+        old ``ivf_assign → join back by id`` — a full shuffle of the
+        batch on a key the store layout never uses — is gone; encode
+        is one map stage over the batch."""
+        v = with_norm(
+            vectors.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
             ),
-            "id",
+            "vec",
+            "norm",
         )
+        return _nearest_centroids(
+            v, cents, nprobe=1, vec_col="vec", norm_col="norm"
+        ).select("id", "centroid_id", "vec", "norm")
 
     def add_if_absent(
         self,
@@ -537,7 +545,13 @@ class IvfPqIndex(IvfIndex):
         """(id, centroid_id, codes): coarse assignment + PQ encoding
         against the epoch's codebook (the in-training one during a
         build — published and trained as one triple, so they always
-        match)."""
+        match).
+
+        Round 14 (guide §2.4): both halves are map-only since the
+        in-row _nearest_centroids / pq_encode rewrites, so they
+        compose as two column computations over ONE pass of the batch
+        — the old ``assigned ⋈ codes`` id-join (a full shuffle of the
+        batch) is gone."""
         from nextbus2pg_spark.operators.similarity import pq_encode
 
         book = (
@@ -545,9 +559,19 @@ class IvfPqIndex(IvfIndex):
             if self._fresh_book is not None
             else self._book_at(epoch)
         )
-        assigned = ivf_assign(vectors, id_col, vec_col, cents, nprobe=1)
-        codes = pq_encode(vectors, book, id_col, vec_col)
-        return assigned.join(codes, "id")
+        v = with_norm(
+            vectors.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+            ),
+            "vec",
+            "norm",
+        )
+        assigned = _nearest_centroids(
+            v, cents, nprobe=1, vec_col="vec", norm_col="norm"
+        )
+        return pq_encode(
+            assigned, book, "id", "vec", keep=("centroid_id",)
+        ).select("id", "centroid_id", "codes")
 
     def train(
         self,

@@ -318,6 +318,84 @@ def test_ivf_assign_matches_window_formulation(spark):
             assert new == old, (k, nprobe)
 
 
+def test_pq_encode_matches_join_formulation(spark):
+    """Round-14 differential: the in-row PQ encoding (_nearest_code —
+    collected codebook row + total-order argmin fold) must reproduce
+    the round-8 explode + broadcast-join + min_by(struct(d, code_id))
+    formulation ROW-IDENTICALLY, including distance ties broken by the
+    smaller code_id, zero vectors (epsilon-floored unit norm), and a
+    NaN vector (NaN distances — NaN-greatest total order). The replay
+    below IS the old code."""
+    from nextbus2pg_spark.operators.similarity import (
+        _l2sq,
+        _sub_slices,
+        _unit,
+        pq_encode,
+        pq_train,
+    )
+
+    rows = [
+        (i, [float((i * 29 + d * 5) % 13 - 6) for d in range(16)])
+        for i in range(30)
+    ]
+    rows.append((100, [0.0] * 16))            # zero vector
+    rows.append((101, rows[7][1]))            # exact twin
+    rows.append((102, [float("nan")] * 16))   # NaN distances
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def old_encode(corpus, codebook, id_col, vec_col):
+        m = codebook.select(F.max("sub")).first()[0] + 1
+        subdim = len(codebook.select("c_vec").first()[0])
+        unit = _unit(corpus.select(id_col, vec_col), vec_col)
+        exploded = unit.select(
+            F.col(id_col).alias("id"),
+            F.explode(_sub_slices(vec_col, m, subdim)).alias("__s"),
+        ).select(
+            "id", F.col("__s.sub").alias("sub"), F.col("__s.sv").alias("sv")
+        )
+        scored = exploded.join(F.broadcast(codebook), "sub").select(
+            "id", "sub", "code_id",
+            _l2sq(F.col("sv"), F.col("c_vec")).alias("__d"),
+        )
+        best = scored.groupBy("id", "sub").agg(
+            F.min_by(
+                F.col("code_id"), F.struct(F.col("__d"), F.col("code_id"))
+            ).alias("code_id")
+        )
+        return (
+            best.groupBy("id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("sub", "code_id"))
+                ).alias("__sc")
+            )
+            .select(
+                F.col("id"),
+                F.transform("__sc", lambda x: x["code_id"]).alias("codes"),
+            )
+        )
+
+    for m, n_codes in ((4, 6), (8, 3)):
+        book = pq_train(
+            df, "vec_id", "embedding", m=m, n_codes=n_codes, n_iters=1
+        )
+        # plant a distance TIE: code n_codes+1 duplicates code 1's
+        # vector in every subspace — min_by must pick the smaller id
+        dup = book.where(F.col("code_id") == 1).select(
+            "sub", (F.lit(n_codes + 1)).alias("code_id"), "c_vec"
+        )
+        book_t = book.unionByName(dup)
+        new = sorted(
+            (r["id"], tuple(r["codes"]))
+            for r in pq_encode(df, book_t, "vec_id", "embedding").collect()
+        )
+        old = sorted(
+            (r["id"], tuple(r["codes"]))
+            for r in old_encode(df, book_t, "vec_id", "embedding").collect()
+        )
+        assert new == old, (m, n_codes)
+
+
 def test_scrub_pii_order_and_counts(spark):
     from nextbus2pg_spark.operators.text import scrub_pii
 
